@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: a Spark DataFrame program plus (when SQL-expressible)
+  * the equivalent ANSI SQL the driver runs in DuckDB as the oracle.
+  *
+  * Oracle-parity discipline (SURVEY.md §4.3, §5.2):
+  *  - every output column aliased identically in Spark and SQL;
+  *  - deterministic total ORDER BY (unique tie-break keys) on both sides;
+  *  - ASC implies NULLS FIRST in Spark, so oracle SQL spells it out;
+  *  - aggregated doubles rounded on both sides (per-row doubles are
+  *    bit-identical across engines and stay raw);
+  *  - integer-ish outputs cast to BIGINT on both sides.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet reader for a driver table. Column pruning + predicate pushdown
+    * flow to the scan automatically because everything downstream is
+    * declarative (SURVEY.md §4.2).
+    *
+    * Timestamp policy: all timestamps stay TIMESTAMP_NTZ (parquet
+    * isAdjustedToUTC=false; session TZ pinned UTC so NTZ↔TZ casts are
+    * identities). `events.ts` is TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects — read it as raw nanos (`nanosAsLong`) and rebuild a
+    * micros NTZ column (verified lossless: every testdata ns value is
+    * micro-aligned, and DuckDB 1.x reads the same file at micros). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Idempotent: the nanos conf must be live before the footer is read,
+    // and the driver may call entry()/queries with a session of its own.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df0.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    else df0
+  }
+
+  /** Session conf every entry point (Verify/Bench/tests) applies. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+}
