@@ -1,0 +1,290 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T1 run bookkeeping + statistics (SURVEY.md §2.1): the DAQ-side
+  * counting, rate, reconciliation and run-log semantics re-expressed as
+  * aggregates/windows over the `events` stream table.
+  *
+  * Synthetic dimensions (deterministic, oracle-reproducible):
+  *   run  = event_id div 250   (successive acquisition slices)
+  *   rb   = user_id % 2        (readout board)
+  *   module = user_id % 4, etroc = user_id % 3
+  */
+object Daq {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+
+  /** EVENT_CNT (html:163-166): monotone running L1A counter per readout
+    * board — a frame-bounded running count, resettable by construction
+    * (partition restart). */
+  val qEventCount = Q(
+    "q_event_count",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("rb"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("rb", expr("user_id % 2"))
+        .select(
+          col("event_id"), col("rb"),
+          count(lit(1)).over(w).as("event_cnt"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id % 2 AS rb,
+              count(*) OVER (PARTITION BY user_id % 2
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS event_cnt
+            FROM events
+            ORDER BY event_id NULLS FIRST"""))
+
+  /** Per-(run, rb) DAQ stats YAML fields (md:235-237): events, lost
+    * events, throughput. 40-bit frames / elapsed µs = Mbps exactly. */
+  val qDaqStats = Q(
+    "q_daq_stats",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("run", expr("event_id div 250"))
+        .withColumn("rb", expr("user_id % 2"))
+        .groupBy(col("run"), col("rb"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("value") > 250.0, 1)).as("lost_events"),
+          (max(unix_micros(col("ts").cast("timestamp"))) -
+            min(unix_micros(col("ts").cast("timestamp")))).as("duration_us"),
+          round(lit(40.0) * count(lit(1)) /
+            nullif(max(unix_micros(col("ts").cast("timestamp"))) -
+              min(unix_micros(col("ts").cast("timestamp"))), lit(0L)), 6)
+            .as("mbps"))
+        .orderBy(col("run"), col("rb")),
+    Some("""SELECT event_id // 250 AS run, user_id % 2 AS rb,
+              count(*) AS n_events,
+              count(CASE WHEN value > 250.0 THEN 1 END) AS lost_events,
+              max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+              round(40.0 * count(*) /
+                    nullif(max(epoch_us(ts)) - min(epoch_us(ts)), 0), 6)
+                AS mbps
+            FROM events
+            GROUP BY run, rb
+            ORDER BY run NULLS FIRST, rb NULLS FIRST"""))
+
+  /** Run-number allocation (md:31-39, md:266-271): counter = max+1, then
+    * the next `num_runs` run numbers via sequence/explode. */
+  val qRunRange = Q(
+    "q_run_range",
+    (s, d) =>
+      ev(s, d)
+        .agg(max(expr("event_id div 250")).as("mx"))
+        .select(explode(sequence(col("mx") + 1, col("mx") + 5))
+          .as("run_number"))
+        .orderBy(col("run_number")),
+    Some("""SELECT unnest(generate_series(mx + 1, mx + 5)) AS run_number
+            FROM (SELECT max(event_id // 250) AS mx FROM events)
+            ORDER BY run_number NULLS FIRST"""))
+
+  /** Run-log enrichment (md:249-263): attach environmental series stats
+    * (bias voltage / leakage current / temperature stand-ins) to each
+    * daily run window per module. */
+  val qRunlogEnrich = Q(
+    "q_runlog_enrich",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("run_day", date_trunc("day", col("ts"))
+          .cast("timestamp_ntz"))
+        .withColumn("module", expr("user_id % 4"))
+        .groupBy(col("run_day"), col("module"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          round(avg(col("value")), 6).as("vmon_avg"),
+          round(max(col("value")), 2).as("imon_max"),
+          round(min(col("value")), 2).as("vmon_min"))
+        .orderBy(col("run_day"), col("module")),
+    Some("""SELECT date_trunc('day', ts) AS run_day, user_id % 4 AS module,
+              count(*) AS n_samples,
+              round(avg(value), 6) AS vmon_avg,
+              round(max(value), 2) AS imon_max,
+              round(min(value), 2) AS vmon_min
+            FROM events
+            GROUP BY run_day, module
+            ORDER BY run_day NULLS FIRST, module NULLS FIRST"""))
+
+  /** Reconciliation (html:239): N injected == N observed per ETROC; the
+    * 300-in/300-out golden counting test as a grouped comparison. */
+  val qReconcile = Q(
+    "q_reconcile",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("etroc", expr("user_id % 3"))
+        .groupBy(col("etroc"))
+        .agg(
+          count(lit(1)).as("injected"),
+          count(when(col("value") <= 350.0, 1)).as("observed"),
+          (count(lit(1)) - count(when(col("value") <= 350.0, 1)))
+            .as("lost"))
+        .withColumn("ok", col("lost") === 0)
+        .orderBy(col("etroc")),
+    Some("""SELECT etroc, injected, observed, lost, lost = 0 AS ok
+            FROM (SELECT user_id % 3 AS etroc, count(*) AS injected,
+                    count(CASE WHEN value <= 350.0 THEN 1 END) AS observed,
+                    count(*) - count(CASE WHEN value <= 350.0 THEN 1 END)
+                      AS lost
+                  FROM events GROUP BY etroc)
+            ORDER BY etroc NULLS FIRST"""))
+
+  /** Double-trigger detection (html:239-243): two triggers from one
+    * injection = same user, gap below ε. Window lag, no self-join. */
+  val qDoubleTrigger = Q(
+    "q_double_trigger",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us") < 60000000L)
+        .select(col("event_id"), col("prev_id"), col("user_id"),
+          col("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, prev_id, user_id, gap_us
+            FROM (SELECT event_id, user_id,
+                    lag(event_id) OVER w AS prev_id,
+                    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE gap_us < 60000000
+            ORDER BY event_id NULLS FIRST"""))
+
+  /** Trigger-rate characterization per module/ETROC with rollup margins
+    * (html:194-239). */
+  val qRateByModule = Q(
+    "q_rate_by_module",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("module", expr("user_id % 4"))
+        .withColumn("etroc", expr("user_id % 3"))
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .rollup(col("module"), col("etroc"))
+        .agg(
+          count(lit(1)).as("n_triggers"),
+          round(count(lit(1)) * lit(1000000.0) /
+            nullif(max(col("us")) - min(col("us")), lit(0L)), 6)
+            .as("rate_hz"))
+        .orderBy(col("module"), col("etroc")),
+    Some("""SELECT module, etroc, count(*) AS n_triggers,
+              round(count(*) * 1000000.0 /
+                    nullif(max(epoch_us(ts)) - min(epoch_us(ts)), 0), 6)
+                AS rate_hz
+            FROM (SELECT user_id % 4 AS module, user_id % 3 AS etroc, ts
+                  FROM events)
+            GROUP BY ROLLUP (module, etroc)
+            ORDER BY module NULLS FIRST, etroc NULLS FIRST"""))
+
+  /** Typed config parse (md:395-416): TOML→pydantic becomes JSON→typed
+    * StructType with nested arrays + int-keyed offset maps, normalized to
+    * long rows at ingest (SURVEY §1.2 D8). Constant input → the oracle is
+    * a VALUES literal. */
+  val qConfigParse = Q(
+    "q_config_parse",
+    (s, d) => {
+      val json =
+        """{"run_config":{"num_runs":5,"beam_energy":120},
+           |"telescope_config":{"l1a_delay":508},
+           |"service_hybrids":[
+           |  {"rb":0,"modules":[
+           |    {"module":400013,"power_mode":"high",
+           |     "offsets":{"0":30,"1":30,"2":30}}]},
+           |  {"rb":1,"modules":[
+           |    {"module":204,"power_mode":"low",
+           |     "offsets":{"0":30,"1":28}}]}]}""".stripMargin
+        .replaceAll("\n", "")
+      val schema = StructType(Seq(
+        StructField("run_config", StructType(Seq(
+          StructField("num_runs", IntegerType),
+          StructField("beam_energy", IntegerType)))),
+        StructField("telescope_config", StructType(Seq(
+          StructField("l1a_delay", IntegerType)))),
+        StructField("service_hybrids", ArrayType(StructType(Seq(
+          StructField("rb", IntegerType),
+          StructField("modules", ArrayType(StructType(Seq(
+            StructField("module", IntegerType),
+            StructField("power_mode", StringType),
+            StructField("offsets",
+              MapType(StringType, IntegerType))))))))))))
+      s.createDataset(Seq(json))(Encoders.STRING)
+        .select(from_json(col("value"), schema).as("cfg"))
+        .select(
+          col("cfg.run_config.beam_energy").as("beam_energy"),
+          col("cfg.telescope_config.l1a_delay").as("l1a_delay"),
+          explode(col("cfg.service_hybrids")).as("sh"))
+        .select(col("beam_energy"), col("l1a_delay"),
+          col("sh.rb").as("rb"), explode(col("sh.modules")).as("m"))
+        .select(col("beam_energy"), col("l1a_delay"), col("rb"),
+          col("m.module").as("module"), col("m.power_mode").as("power_mode"),
+          explode(col("m.offsets")).as(Seq("etroc_s", "offset")))
+        .select(
+          col("beam_energy").cast("long"), col("l1a_delay").cast("long"),
+          col("rb").cast("long"), col("module").cast("long"),
+          col("power_mode"), col("etroc_s").cast("long").as("etroc"),
+          col("offset").cast("long"))
+        .orderBy(col("rb"), col("module"), col("etroc"))
+    },
+    Some("""SELECT * FROM (VALUES
+              (120, 508, 0, 400013, 'high', 0, 30),
+              (120, 508, 0, 400013, 'high', 1, 30),
+              (120, 508, 0, 400013, 'high', 2, 30),
+              (120, 508, 1, 204, 'low', 0, 30),
+              (120, 508, 1, 204, 'low', 1, 28))
+              AS t(beam_energy, l1a_delay, rb, module, power_mode,
+                   etroc, "offset")
+            ORDER BY rb, module, etroc"""))
+
+  /** Partitioned sink round-trip (md:233-235): write per event_type
+    * partitions (the output_run_{run}_rb{rb} layout idiom), read back,
+    * prove counts survive. Oracle checks the counts. */
+  val qPartitionWrite = Q(
+    "q_partition_write",
+    (s, d) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_partition_write"
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Watchdog merge in batch form (md:306-314): file-arrival listing via
+    * the binaryFile source — per-file name + size of every parquet in the
+    * sf dir. No oracle (filesystem metadata, not table values). */
+  val qMergeArchive = Q(
+    "q_merge_archive",
+    (s, d) =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"))
+        .orderBy(col("file_name")),
+    None)
+
+  val all: Seq[Q] = Seq(
+    qEventCount, qDaqStats, qRunRange, qRunlogEnrich, qReconcile,
+    qDoubleTrigger, qRateByModule, qConfigParse, qPartitionWrite,
+    qMergeArchive)
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T1 decode pipeline (SURVEY.md §2.1): the 40-bit ETROC frame semantics
+  * (html:51; md:343-348) re-expressed as pure Catalyst bit expressions —
+  * codegen-friendly projections, no UDFs (SURVEY §4.3: built-ins suffice).
+  *
+  * Frames are synthesized deterministically from `events` columns so the
+  * DuckDB oracle can rebuild the identical words:
+  *   layout (LSB→MSB): tot(9) | toa(10) | cal(4) | col(4) | row(4) | kind(2)
+  *   kind: 0=filler, 1=header, 2=data, 3=trailer (html:51).
+  */
+object Decode {
+
+  /** Bit-pack the synthetic frame word (Spark side). */
+  private def withWord(df: DataFrame): DataFrame =
+    df.withColumn("word", expr(
+      """(user_id % 512)
+         | shiftleft(event_id % 1024, 9)
+         | shiftleft((event_id * 7) % 16, 19)
+         | shiftleft(user_id % 16, 23)
+         | shiftleft(event_id % 16, 27)
+         | shiftleft(event_id % 4, 31)"""))
+
+  /** Same packing for the DuckDB oracle (`<<` instead of shiftleft). */
+  val wordSql: String =
+    """(user_id % 512)
+       | ((event_id % 1024) << 9)
+       | (((event_id * 7) % 16) << 19)
+       | ((user_id % 16) << 23)
+       | ((event_id % 16) << 27)
+       | ((event_id % 4) << 31)"""
+
+  /** CTE shared by every decode oracle query. */
+  val framesCte: String =
+    s"""WITH frames AS (
+          SELECT event_id, ts, user_id, event_type, value,
+                 $wordSql AS word
+          FROM events)"""
+
+  private def frames(s: SparkSession, d: String): DataFrame =
+    withWord(Tables.t(s, d, "events"))
+
+  /** Unpack expressions (identical arithmetic on both engines). */
+  private def decoded(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"), col("value"), col("word"),
+      expr("word & 511").as("tot"),
+      expr("shiftright(word, 9) & 1023").as("toa"),
+      expr("shiftright(word, 19) & 15").as("cal"),
+      expr("shiftright(word, 23) & 15").as("pix_col"),
+      expr("shiftright(word, 27) & 15").as("pix_row"),
+      expr("shiftright(word, 31) & 3").as("kind"))
+
+  val decodeSql: String =
+    """word & 511 AS tot,
+       (word >> 9) & 1023 AS toa,
+       (word >> 19) & 15 AS cal,
+       (word >> 23) & 15 AS pix_col,
+       (word >> 27) & 15 AS pix_row,
+       (word >> 31) & 3 AS kind"""
+
+  /** Full binary-stream scan (q_scan_binary, md:196-209): drain the whole
+    * stream, verify word-level integrity via count/min/max/sum — the
+    * occupancy/`readBlock(128)` accounting idiom as one aggregate pass. */
+  val qScanBinary = Q(
+    "q_scan_binary",
+    (s, d) =>
+      frames(s, d)
+        .agg(
+          count(lit(1)).as("n_words"),
+          min(col("word")).as("min_word"),
+          max(col("word")).as("max_word"),
+          sum(col("word")).as("sum_word"),
+          (sum(col("word") % 128)).as("sum_rem")),
+    Some(s"""$framesCte
+             SELECT count(*) AS n_words,
+               min(word) AS min_word, max(word) AS max_word,
+               CAST(sum(word) AS BIGINT) AS sum_word,
+               CAST(sum(word % 128) AS BIGINT) AS sum_rem
+             FROM frames"""))
+
+  /** 40-bit frame decode (q_frame_decode, html:51): bit-slice the packed
+    * word into TOA/TOT/cal/row/col plus the word-class tag. */
+  val qFrameDecode = Q(
+    "q_frame_decode",
+    (s, d) =>
+      decoded(frames(s, d))
+        .withColumn("kind_name", expr(
+          """CASE kind WHEN 0 THEN 'filler' WHEN 1 THEN 'header'
+                       WHEN 2 THEN 'data' ELSE 'trailer' END"""))
+        .select(col("event_id"), col("toa"), col("tot"), col("cal"),
+          col("pix_row"), col("pix_col"), col("kind_name"))
+        .orderBy(col("event_id")),
+    Some(s"""$framesCte
+             SELECT event_id, (word >> 9) & 1023 AS toa, word & 511 AS tot,
+               (word >> 19) & 15 AS cal, (word >> 27) & 15 AS pix_row,
+               (word >> 23) & 15 AS pix_col,
+               CASE (word >> 31) & 3 WHEN 0 THEN 'filler' WHEN 1 THEN 'header'
+                    WHEN 2 THEN 'data' ELSE 'trailer' END AS kind_name
+             FROM frames
+             ORDER BY event_id NULLS FIRST"""))
+
+  /** Filler suppression after lock (q_filler_suppress, html:51). */
+  val qFillerSuppress = Q(
+    "q_filler_suppress",
+    (s, d) =>
+      decoded(frames(s, d))
+        .filter(col("kind") =!= 0)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("toa")).as("sum_toa"))
+        .orderBy(col("kind")),
+    Some(s"""$framesCte
+             SELECT (word >> 31) & 3 AS kind, count(*) AS n,
+               CAST(sum((word >> 9) & 1023) AS BIGINT) AS sum_toa
+             FROM frames
+             WHERE ((word >> 31) & 3) != 0
+             GROUP BY kind
+             ORDER BY kind NULLS FIRST"""))
+
+  /** Flashing-bit mask (q_flashing_mask, html:51): the periodic pattern
+    * repeats every 3564 BX with width 8 (triggerGranularity=4 → 8-bit
+    * trigger words); align via modulo and mask it out before counting
+    * triggers — predicate pushdown does the cheap pre-mask first
+    * (SURVEY §4.1). */
+  val qFlashingMask = Q(
+    "q_flashing_mask",
+    (s, d) =>
+      frames(s, d)
+        .withColumn("bx", col("event_id"))
+        .withColumn("flashing", (col("bx") % 3564) < 8)
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("flashing"), 1)).as("n_masked"),
+          count(when(!col("flashing"), 1)).as("n_kept"),
+          count(when(!col("flashing") && col("value") > 100.0, 1))
+            .as("n_triggers"))
+        .orderBy(col("event_type")),
+    Some(s"""$framesCte
+             SELECT event_type,
+               count(CASE WHEN event_id % 3564 < 8 THEN 1 END) AS n_masked,
+               count(CASE WHEN event_id % 3564 >= 8 THEN 1 END) AS n_kept,
+               count(CASE WHEN event_id % 3564 >= 8 AND value > 100.0
+                          THEN 1 END) AS n_triggers
+             FROM frames
+             GROUP BY event_type
+             ORDER BY event_type NULLS FIRST"""))
+
+  val all: Seq[Q] =
+    Seq(qScanBinary, qFrameDecode, qFillerSuppress, qFlashingMask)
+}
