@@ -1,0 +1,337 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T3 deduplication operators (BASELINE.json north star): exact,
+  * MinHash + LSH banding, SimHash, n-gram Jaccard, embedding near-dup.
+  *
+  * Identity unit is the 5-token shingle (the 31-word corpus vocabulary
+  * makes unigrams useless for identity). All hashes are md5-derived with
+  * fixed seeds so the DuckDB oracle reproduces them bit-for-bit
+  * (SURVEY §4.3 hard part 3: near-dup determinism).
+  *
+  * Scale shape (100 TB): shingling is a narrow explode; signatures are
+  * two-phase hash aggregates keyed by doc; LSH banding turns the
+  * quadratic all-pairs problem into equi-joins on (band, band_key) —
+  * candidate generation never compares non-colliding docs. Exact-verify
+  * runs only on candidates.
+  */
+object Dedup {
+
+  // ---- shared shingle machinery -----------------------------------------
+
+  /** doc_id → distinct 32-bit shingle hashes (Spark side). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh_str", explode(expr(
+        """CASE WHEN size(toks) >= 5
+             THEN transform(sequence(1, size(toks) - 4),
+                    i -> concat_ws(' ', slice(toks, i, 5)))
+             ELSE array() END""")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(sh_str AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct()
+
+  /** Same shingle table for DuckDB. */
+  private val shinglesCte =
+    """WITH toks_t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       shingles AS (
+         SELECT DISTINCT doc_id,
+           CAST('0x' || substr(md5(sh_str), 1, 8) AS BIGINT) AS h
+         FROM (SELECT doc_id, unnest(
+                 CASE WHEN len(toks) >= 5
+                   THEN list_transform(generate_series(1, len(toks) - 4),
+                          i -> array_to_string(toks[i:i+4], ' '))
+                   ELSE [] END) AS sh_str
+               FROM toks_t))"""
+
+  // ---- q_dedup_exact ----------------------------------------------------
+
+  /** Exact dedup by normalized-text hash; keeper = min doc_id (the
+    * deterministic tie-break SURVEY §2.3 requires). */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+        .groupBy(col("text_hash"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_id"))
+        .orderBy(col("text_hash")),
+    Some("""SELECT md5(lower(trim(text))) AS text_hash,
+              count(*) AS n_copies, min(doc_id) AS keep_id
+            FROM documents GROUP BY text_hash
+            ORDER BY text_hash NULLS FIRST"""))
+
+  // ---- q_dedup_minhash --------------------------------------------------
+
+  /** MinHash signatures, k=16 permutations h_i(x) = ((2i+1)x + 7i+3) mod
+    * (2^31 - 1) over shingle hashes — fixed affine seeds, long format. */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, d) => {
+      val seeds = s.range(0, 16).withColumnRenamed("id", "i")
+      shingles(s, d)
+        .crossJoin(broadcast(seeds))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(expr("((2*i + 1) * h + (7*i + 3)) % 2147483647"))
+          .as("minhash"))
+        .orderBy(col("doc_id"), col("i"))
+    },
+    Some(s"""$shinglesCte
+             SELECT doc_id, i,
+               min(((2*i + 1) * h + (7*i + 3)) % 2147483647) AS minhash
+             FROM shingles
+             CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ks
+             GROUP BY doc_id, i
+             ORDER BY doc_id NULLS FIRST, i NULLS FIRST"""))
+
+  // ---- q_dedup_near (MinHash + LSH banding + exact verify) --------------
+
+  /** Near-dup pairs: 4 bands × 4 rows LSH over the 16 minhashes;
+    * candidates = docs colliding on any (band, band_key); verified with
+    * exact shingle Jaccard ≥ 0.5. band_key is an order-free integer
+    * combine (sum of seed-weighted minhashes) so no sort is needed. */
+  val qDedupNear = Q(
+    "q_dedup_near",
+    (s, d) => {
+      val seeds = s.range(0, 16).withColumnRenamed("id", "i")
+      val sh = shingles(s, d)
+      val mh = sh.crossJoin(broadcast(seeds))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(expr("((2*i + 1) * h + (7*i + 3)) % 2147483647"))
+          .as("minhash"))
+      val bands = mh
+        .groupBy(col("doc_id"), expr("i div 4").as("band"))
+        .agg(sum(expr(
+          """minhash * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                  WHEN 2 THEN 961 ELSE 29791 END"""))
+          .as("band_key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("b_id") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+        .withColumn("jaccard", round(col("n_common") * lit(1.0) /
+          (col("za.sz") + col("zb.sz") - col("n_common")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""$shinglesCte,
+             mh AS (
+               SELECT doc_id, i,
+                 min(((2*i + 1) * h + (7*i + 3)) % 2147483647) AS minhash
+               FROM shingles
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ks
+               GROUP BY doc_id, i),
+             bands AS (
+               SELECT doc_id, i // 4 AS band,
+                 CAST(sum(minhash * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                        WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT)
+                   AS band_key
+               FROM mh GROUP BY doc_id, band),
+             cand AS (
+               SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM shingles
+                       GROUP BY doc_id),
+             inter AS (
+               SELECT c.a_id, c.b_id, count(*) AS n_common
+               FROM cand c
+               JOIN shingles sa ON sa.doc_id = c.a_id
+               JOIN shingles sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+               GROUP BY c.a_id, c.b_id)
+             SELECT a_id, b_id, n_common,
+               round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
+                 AS jaccard
+             FROM inter
+             JOIN sizes za ON za.doc_id = a_id
+             JOIN sizes zb ON zb.doc_id = b_id
+             WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
+                   >= 0.5
+             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
+  // ---- q_dedup_simhash --------------------------------------------------
+
+  /** 32-bit SimHash over shingle hashes: per bit j, sign of Σ±1; sketch
+    * assembled as Σ (sign>0) << j. Bit axis is an explode (32×) so both
+    * engines share exact arithmetic. */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val bits = s.range(0, 32).withColumnRenamed("id", "j")
+      shingles(s, d)
+        .crossJoin(broadcast(bits))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(expr(
+          "CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("bit_sum"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr(
+          """CASE WHEN bit_sum > 0
+               THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
+               ELSE 0 END""")).cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$shinglesCte,
+             bitsums AS (
+               SELECT doc_id, j,
+                 sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)
+                   AS bit_sum
+               FROM shingles
+               CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bs
+               GROUP BY doc_id, j)
+             SELECT doc_id,
+               CAST(sum(CASE WHEN bit_sum > 0
+                      THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                      ELSE 0 END) AS BIGINT) AS simhash
+             FROM bitsums GROUP BY doc_id
+             ORDER BY doc_id NULLS FIRST"""))
+
+  // ---- q_dedup_ngram ----------------------------------------------------
+
+  /** Bigram-Jaccard near-dup within (lang, source) blocks: candidate
+    * pairs must share a block AND a bigram (equi-join generation — never
+    * a cross product), then Jaccard ≥ 0.2 on distinct bigram sets. */
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    (s, d) => {
+      val bg = Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("bg", explode(expr(
+          """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(1, size(toks) - 1),
+                    i -> concat_ws(' ', slice(toks, i, 2)))
+               ELSE array() END""")))
+        .select(col("doc_id"), col("lang"), col("source"), col("bg"))
+        .distinct()
+      val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = bg.as("a")
+        .join(bg.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.bg") === col("b.bg") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+        .withColumn("jaccard", round(col("n_common") * lit(1.0) /
+          (col("za.sz") + col("zb.sz") - col("n_common")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH bg AS (
+              SELECT DISTINCT doc_id, lang, source, bg
+              FROM (SELECT doc_id, lang, source, unnest(
+                      CASE WHEN len(toks) >= 2
+                        THEN list_transform(generate_series(1, len(toks)-1),
+                               i -> array_to_string(toks[i:i+1], ' '))
+                        ELSE [] END) AS bg
+                    FROM (SELECT doc_id, lang, source,
+                            string_split(text, ' ') AS toks
+                          FROM documents))),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM bg
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                count(*) AS n_common
+              FROM bg a JOIN bg b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY a_id, b_id)
+            SELECT a_id, b_id,
+              round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
+                AS jaccard
+            FROM inter
+            JOIN sizes za ON za.doc_id = a_id
+            JOIN sizes zb ON zb.doc_id = b_id
+            WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
+                  >= 0.2
+            ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
+  // ---- q_dedup_embed ----------------------------------------------------
+
+  /** Embedding-cosine near-dup: 8-bit sign-LSH bucket (signs of dims
+    * 1..8) within label blocks; exact cosine ≥ 0.25 on bucket-colliding
+    * pairs only. */
+  val qDedupEmbed = Q(
+    "q_dedup_embed",
+    (s, d) => {
+      val e = Tables.t(s, d, "embeddings")
+        .withColumn("bucket", expr(
+          """aggregate(sequence(1, 8),
+               CAST(0 AS BIGINT),
+               (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
+                 THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
+        .withColumn("emb_d",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y)," +
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      pairs
+        .withColumn("cos_sim", round(
+          expr(dot.format("a.emb_d", "b.emb_d")) /
+          (sqrt(expr(dot.format("a.emb_d", "a.emb_d"))) *
+           sqrt(expr(dot.format("b.emb_d", "b.emb_d")))), 6))
+        .filter(col("cos_sim") >= 0.25)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.label").as("label"), col("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+                CAST(
+                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+                AS BIGINT) AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+              round(list_dot_product(a.emb_d, b.emb_d) /
+                (sqrt(list_dot_product(a.emb_d, a.emb_d)) *
+                 sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) AS cos_sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.emb_d, b.emb_d) /
+                (sqrt(list_dot_product(a.emb_d, a.emb_d)) *
+                 sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) >= 0.25
+            ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
+    qDedupEmbed)
+}

@@ -1,0 +1,264 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T3 text-analysis operators for the LLM-data-pipeline north star
+  * (SURVEY.md §2.3, BASELINE.json): tokenization, TF-IDF, language stats,
+  * quality scoring, n-gram language-ID, winnowing-style fingerprinting,
+  * BPE-ish token counting — all over `documents`.
+  *
+  * Scale shape: everything is explode → two-phase hash aggregate; the
+  * only joins are against tiny per-language profile tables (broadcast).
+  * The corpus vocabulary is tiny (31 words), so 5-gram shingles — not
+  * unigrams — are the discriminative unit wherever identity matters.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** doc_id + token array, Spark side. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    docs(s, d).withColumn("toks", split(col("text"), " "))
+
+  private val toksCte =
+    """WITH toks_t AS (
+         SELECT doc_id, lang, source, n_chars, text,
+                string_split(text, ' ') AS toks
+         FROM documents)"""
+
+  /** Corpus term frequency (q_text_tokens): tokenize + count. */
+  val qTextTokens = Q(
+    "q_text_tokens",
+    (s, d) =>
+      toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy(col("token"))
+        .agg(
+          count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("token")),
+    Some(s"""$toksCte
+             SELECT token, count(*) AS tf,
+               count(DISTINCT doc_id) AS df
+             FROM (SELECT doc_id, unnest(toks) AS token FROM toks_t)
+             GROUP BY token
+             ORDER BY token NULLS FIRST"""))
+
+  /** TF-IDF (q_text_tfidf): top-5 scored terms per document. Two-level
+    * aggregate + broadcast of the tiny df table; deterministic tie-break
+    * (score desc, token asc). */
+  val qTextTfidf = Q(
+    "q_text_tfidf",
+    (s, d) => {
+      val t = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+      val tf = t.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = t.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    Some(s"""$toksCte,
+             exploded AS (SELECT doc_id, unnest(toks) AS token FROM toks_t),
+             tf AS (SELECT doc_id, token, count(*) AS tf
+                    FROM exploded GROUP BY doc_id, token),
+             df AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM exploded GROUP BY token),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             scored AS (
+               SELECT tf.doc_id, tf.token,
+                 round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+               FROM tf JOIN df USING (token) CROSS JOIN n)
+             SELECT doc_id, rn, token, score
+             FROM (SELECT doc_id, token, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token) AS BIGINT) AS rn
+                   FROM scored)
+             WHERE rn <= 5
+             ORDER BY doc_id NULLS FIRST, rn NULLS FIRST"""))
+
+  /** Per-language corpus stats (q_text_lang). */
+  val qTextLang = Q(
+    "q_text_lang",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              round(avg(n_chars), 6) AS avg_chars,
+              count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+            ORDER BY lang NULLS FIRST"""))
+
+  /** Quality scoring (q_text_quality): length/stopword/word-shape
+    * heuristics per document — the pre-training filter idiom. */
+  val qTextQuality = Q(
+    "q_text_quality",
+    (s, d) =>
+      toks(s, d)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          expr("""CAST(size(filter(toks,
+                    t -> t IN ('the','a','and','of','to','in')))
+                  AS BIGINT)""").as("n_stop"))
+        .withColumn("stop_ratio",
+          round(col("n_stop") * lit(1.0) / col("n_tokens"), 6))
+        .withColumn("avg_token_len",
+          round((col("len_chars") - (col("n_tokens") - 1)) * lit(1.0) /
+            col("n_tokens"), 6))
+        .withColumn("quality",
+          round(log(lit(1.0) + col("len_chars")) *
+            (lit(1.0) - col("stop_ratio")), 6))
+        .orderBy(col("doc_id")),
+    Some(s"""$toksCte
+             SELECT doc_id, n_tokens, len_chars, n_stop,
+               round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+               round((len_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6)
+                 AS avg_token_len,
+               round(ln(1.0 + len_chars) *
+                 (1.0 - round(n_stop * 1.0 / n_tokens, 6)), 6) AS quality
+             FROM (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS len_chars,
+                     CAST(len(list_filter(toks, t -> t IN
+                       ('the','a','and','of','to','in'))) AS BIGINT)
+                       AS n_stop
+                   FROM toks_t)
+             ORDER BY doc_id NULLS FIRST"""))
+
+  /** Language-ID (q_text_langid): n-gram-profile heuristic — build a
+    * top-10 token profile per language from the corpus, score each doc by
+    * profile overlap, argmax with deterministic tie-break. */
+  val qTextLangid = Q(
+    "q_text_langid",
+    (s, d) => {
+      val ex = toks(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("token"))
+      val wProf = Window.partitionBy(col("plang"))
+        .orderBy(col("cnt").desc, col("token"))
+      val profile = ex
+        .groupBy(col("lang").as("plang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wProf))
+        .filter(col("rn") <= 10)
+        .select(col("plang"), col("token"))
+      val overlap = ex.select(col("doc_id"), col("lang"), col("token"))
+        .distinct()
+        .join(broadcast(profile), "token")
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("overlap").desc, col("plang"))
+      overlap
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"),
+          col("plang").as("guess_lang"), col("overlap"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$toksCte,
+             ex AS (SELECT doc_id, lang, unnest(toks) AS token FROM toks_t),
+             profile AS (
+               SELECT plang, token FROM (
+                 SELECT lang AS plang, token, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY count(*) DESC, token) AS rn
+                 FROM ex GROUP BY lang, token)
+               WHERE rn <= 10),
+             overlap AS (
+               SELECT e.doc_id, e.lang, p.plang, count(*) AS overlap
+               FROM (SELECT DISTINCT doc_id, lang, token FROM ex) e
+               JOIN profile p USING (token)
+               GROUP BY e.doc_id, e.lang, p.plang)
+             SELECT doc_id, lang, plang AS guess_lang, overlap
+             FROM (SELECT doc_id, lang, plang, overlap,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY overlap DESC, plang) AS rn
+                   FROM overlap)
+             WHERE rn = 1
+             ORDER BY doc_id NULLS FIRST"""))
+
+  /** Document fingerprinting (q_text_fingerprint): winnowing-style — hash
+    * every 5-token shingle, keep the minimum as the doc fingerprint. */
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    (s, d) =>
+      toks(s, d)
+        .withColumn("shingles", expr(
+          """CASE WHEN size(toks) >= 5
+               THEN transform(sequence(1, size(toks) - 4),
+                      i -> md5(CAST(concat_ws(' ', slice(toks, i, 5))
+                                    AS BINARY)))
+               ELSE array() END"""))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(col("sh")).as("fingerprint"),
+          countDistinct(col("sh")).as("n_shingles"))
+        .orderBy(col("doc_id")),
+    Some(s"""$toksCte
+             SELECT doc_id, min(sh) AS fingerprint,
+               count(DISTINCT sh) AS n_shingles
+             FROM (SELECT doc_id, unnest(
+                     CASE WHEN len(toks) >= 5
+                       THEN list_transform(generate_series(1, len(toks) - 4),
+                              i -> md5(array_to_string(toks[i:i+4], ' ')))
+                       ELSE [] END) AS sh
+                   FROM toks_t)
+             GROUP BY doc_id
+             ORDER BY doc_id NULLS FIRST"""))
+
+  /** Token counting (q_token_count): whitespace count vs a BPE-ish
+    * regex segmentation ([a-z]+ / digit runs), plus a chars-per-token
+    * compression ratio. */
+  val qTokenCount = Q(
+    "q_token_count",
+    (s, d) =>
+      toks(s, d)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("ws_tokens"),
+          expr("""CAST(size(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+', 0)) AS BIGINT)""").as("re_tokens"),
+          round(length(col("text")) * lit(1.0) /
+            greatest(size(col("toks")), lit(1)), 6)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id")),
+    Some(s"""$toksCte
+             SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+                    AS BIGINT) AS re_tokens,
+               round(length(text) * 1.0 /
+                     greatest(len(toks), 1), 6) AS chars_per_token
+             FROM toks_t
+             ORDER BY doc_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
+    qTextFingerprint, qTokenCount)
+}

@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T3 similarity search (BASELINE.json north star): brute-force cosine
+  * top-k as the exact baseline, sign-LSH and IVF-style bucketed variants
+  * as the 100 TB scale path, plus all-pairs and multimodal joins.
+  *
+  * Dot products are higher-order-function folds over DOUBLE-cast arrays
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, and sequential
+  * left-to-right exactly like the DuckDB oracle's `list_dot_product`.
+  *
+  * Scale notes: the probe is a 1-row broadcast (never a driver collect
+  * into the plan); ANN variants prune candidates with equi-joins on
+  * (bucket) / (coarse cell) so the fact side is never cross-joined.
+  */
+object Vector {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "embeddings")
+      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+
+  /** Fold-based dot product over two DOUBLE arrays. */
+  private def dot(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  private def cosine(a: String, b: String): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** DuckDB-side cosine between two DOUBLE-cast list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b) /
+        (sqrt(list_dot_product($a, $a)) *
+         sqrt(list_dot_product($b, $b))), 6)"""
+
+  private val embCte =
+    """WITH e AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+         FROM embeddings)"""
+
+  /** Brute-force cosine top-k vs the probe vector (vec_id 0) — the exact
+    * baseline every ANN variant is measured against. */
+  val qSimTopk = Q(
+    "q_sim_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("emb_d").as("p_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos_sim", cosine("emb_d", "p_emb"))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some(s"""$embCte,
+             probe AS (SELECT emb_d AS p_emb FROM e WHERE vec_id = 0)
+             SELECT vec_id, label, ${cosSql("emb_d", "p_emb")} AS cos_sim
+             FROM e CROSS JOIN probe
+             WHERE vec_id != 0
+             ORDER BY cos_sim DESC NULLS LAST, vec_id NULLS FIRST
+             LIMIT 20"""))
+
+  /** All-pairs similarity ≥ τ inside label blocks (q_sim_pairs). */
+  val qSimPairs = Q(
+    "q_sim_pairs",
+    (s, d) => {
+      val e = emb(s, d)
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim", cosine("a.emb_d", "b.emb_d"))
+        .filter(col("cos_sim") >= 0.3)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.label").as("label"), col("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""$embCte
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+               ${cosSql("a.emb_d", "b.emb_d")} AS cos_sim
+             FROM e a JOIN e b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+             WHERE ${cosSql("a.emb_d", "b.emb_d")} >= 0.3
+             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
+  /** Sign-LSH ANN (q_sim_ann_lsh): 8-bit hyperplane bucket = signs of
+    * dims 1..8; search only the probe's bucket, rank by exact cosine.
+    * The bucket equality is the equi-join that makes this O(n/2^8)
+    * per probe at scale. */
+  val qSimAnnLsh = Q(
+    "q_sim_ann_lsh",
+    (s, d) => {
+      val e = emb(s, d).withColumn("bucket", expr(
+        """aggregate(sequence(1, 8), CAST(0 AS BIGINT),
+             (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("emb_d").as("p_emb"), col("bucket").as("p_bucket"))
+      e.join(broadcast(probe), col("bucket") === col("p_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos_sim", cosine("emb_d", "p_emb"))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+                CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                   + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                   + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                   + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                   + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+                  AS BIGINT) AS bucket
+              FROM embeddings),
+            probe AS (SELECT emb_d AS p_emb, bucket AS p_bucket
+                      FROM e WHERE vec_id = 0)
+            SELECT vec_id, label,
+              round(list_dot_product(emb_d, p_emb) /
+                (sqrt(list_dot_product(emb_d, emb_d)) *
+                 sqrt(list_dot_product(p_emb, p_emb))), 6) AS cos_sim
+            FROM e JOIN probe ON bucket = p_bucket
+            WHERE vec_id != 0
+            ORDER BY cos_sim DESC NULLS LAST, vec_id NULLS FIRST
+            LIMIT 10"""))
+
+  /** IVF-style ANN (q_sim_ann_ivf): coarse cells = label partitions with
+    * a deterministic representative (min vec_id); probe scans only the
+    * nprobe=2 nearest cells' members. At 100 TB the cell id is the
+    * partition key and the representative table is broadcast. */
+  val qSimAnnIvf = Q(
+    "q_sim_ann_ivf",
+    (s, d) => {
+      val e = emb(s, d)
+      val repIds = e.groupBy(col("label").as("cell"))
+        .agg(min(col("vec_id")).as("rep_id"))
+      val reps = e.join(repIds, col("vec_id") === col("rep_id"))
+        .select(col("cell"), col("emb_d").as("rep_emb"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("emb_d").as("p_emb"))
+      val nearCells = reps.crossJoin(broadcast(probe))
+        .withColumn("rep_cos", cosine("rep_emb", "p_emb"))
+        .orderBy(col("rep_cos").desc, col("cell"))
+        .limit(2)
+        .select(col("cell"))
+      e.join(broadcast(nearCells), col("label") === col("cell"))
+        .crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos_sim", cosine("emb_d", "p_emb"))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""$embCte,
+             reps AS (
+               SELECT label AS cell, emb_d AS rep_emb
+               FROM e JOIN (SELECT label AS l2, min(vec_id) AS rep_id
+                            FROM e GROUP BY label) r
+                 ON e.vec_id = r.rep_id),
+             probe AS (SELECT emb_d AS p_emb FROM e WHERE vec_id = 0),
+             near_cells AS (
+               SELECT cell FROM reps CROSS JOIN probe
+               ORDER BY ${cosSql("rep_emb", "p_emb")} DESC NULLS LAST, cell
+               LIMIT 2)
+             SELECT vec_id, label, ${cosSql("emb_d", "p_emb")} AS cos_sim
+             FROM e
+             JOIN near_cells ON e.label = near_cells.cell
+             CROSS JOIN probe
+             WHERE vec_id != 0
+             ORDER BY cos_sim DESC NULLS LAST, vec_id NULLS FIRST
+             LIMIT 10"""))
+
+  /** Multimodal row (q_multimodal): text table joined to the vector
+    * table, both modalities carried in one relation. */
+  val qMultimodal = Q(
+    "q_multimodal",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .join(emb(s, d), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("label"),
+          col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          round(sqrt(dot("emb_d", "emb_d")), 6).as("emb_norm"))
+        .orderBy(col("doc_id")),
+    Some(s"""$embCte
+             SELECT doc_id, lang, label, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(sqrt(list_dot_product(emb_d, emb_d)), 6) AS emb_norm
+             FROM documents JOIN e ON doc_id = vec_id
+             ORDER BY doc_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal)
+}
