@@ -1,0 +1,238 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY.md §2.2 q_stream_*): the
+  * watchdog's file-arrival semantics (md:306-314) as micro-batch
+  * pipelines — tumbling/sliding/session windows, watermarks, stateful
+  * dedup and counters, foreachBatch sinks.
+  *
+  * Verify runs each pipeline to completion with Trigger.AvailableNow over
+  * the static sf dir (the reference's drain-then-finalize semantics,
+  * md:224-232) and returns the settled result as a batch DataFrame, so
+  * deterministic aggregates still get a DuckDB oracle. Streaming-only
+  * behaviors (late-data drop, cross-batch state) are covered in
+  * StreamSpec with a MemoryStream.
+  *
+  * Scale notes: all aggregations are keyed (window, type/user) so state
+  * is bounded per key; watermarks bound state growth; file sources scale
+  * by partitioned listing. No collect, no global state.
+  */
+object StreamOps {
+
+  /** Streaming view of `events` (schema from a batch footer read; same
+    * nanos→micros NTZ rebuild as Tables.t). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the streaming file source wants a directory: point it at the sf dir
+    // and glob-filter down to the events file (watchdog arrival pattern)
+    s.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(d)
+      .withColumn("ts", expr(
+        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  /** Run a streaming frame to completion into a memory sink; return the
+    * settled table. */
+  private def drain(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** File-arrival source end-to-end (q_stream_source): stream the events
+    * file, settle per-type counts. */
+  val qStreamSource = Q(
+    "q_stream_source",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value")),
+        "stream_source_tbl", "complete")
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Tumbling 30-minute windows (q_stream_tumbling — the 30 s acquisition
+    * slice idiom md:183 at table timescale). */
+  val qStreamTumbling = Q(
+    "q_stream_tumbling",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        "stream_tumbling_tbl", "complete")
+        .select(
+          col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start,
+              event_type, count(*) AS n
+            FROM events GROUP BY w_start, event_type
+            ORDER BY w_start NULLS FIRST, event_type NULLS FIRST"""))
+
+  /** Sliding windows, 1 h every 30 min (q_stream_sliding): each event in
+    * two overlapping windows — the rate-monitoring shape (md:236). */
+  val qStreamSliding = Q(
+    "q_stream_sliding",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("value")), 6).as("avg_value")),
+        "stream_sliding_tbl", "complete")
+        .select(
+          col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("n"), col("avg_value"))
+        .orderBy(col("w_start")),
+    Some("""SELECT w_start, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM (SELECT value,
+                    time_bucket(INTERVAL '30 minutes', ts)
+                      - o * INTERVAL 1 MINUTE AS w_start
+                  FROM events
+                  CROSS JOIN (SELECT unnest([0, 30]) AS o) offs)
+            GROUP BY w_start
+            ORDER BY w_start NULLS FIRST"""))
+
+  /** Session windows per user, 30-minute gap (q_stream_session): a burst
+    * of triggers = one particle event (html:239-243). */
+  val qStreamSession = Q(
+    "q_stream_session",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n")),
+        "stream_session_tbl", "complete")
+        .select(
+          col("session_window.start").cast("timestamp_ntz").as("s_start"),
+          col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("s_start")),
+    Some("""WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          >= 1800000000
+                       OR lag(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sessions AS (
+              SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+              FROM flagged)
+            SELECT min(ts) AS s_start, user_id, count(*) AS n
+            FROM sessions
+            GROUP BY user_id, session_id
+            ORDER BY user_id NULLS FIRST, s_start NULLS FIRST"""))
+
+  /** Watermarked windowed aggregate (q_stream_watermark): 10-minute
+    * late-data bound on tumbling hour counts. Update mode over a drained
+    * static source settles to the batch answer; the drop-late behavior
+    * itself is asserted in StreamSpec (no oracle can see it). */
+  val qStreamWatermark = Q(
+    "q_stream_watermark",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          // watermarks require an instant (TIMESTAMP); identity under UTC
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n")),
+        "stream_watermark_tbl", "update")
+        .select(
+          col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("n"))
+        .orderBy(col("w_start")),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+              count(*) AS n
+            FROM events GROUP BY w_start
+            ORDER BY w_start NULLS FIRST"""))
+
+  /** Stateful stream dedup (q_stream_dedup): first-seen keys of
+    * (user_id, event_type) — the double-trigger suppression idiom. The
+    * settled key set is deterministic (which row survived is not, so
+    * only keys are exposed). */
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"),
+        "stream_dedup_tbl", "append")
+        .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""))
+
+  /** Cross-batch running counters (q_stream_stateful): EVENT_CNT
+    * semantics (html:163-166) as update-mode keyed counts backed by the
+    * state store. */
+  val qStreamStateful = Q(
+    "q_stream_stateful",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .withColumn("rb", expr("user_id % 2"))
+          .groupBy(col("rb"))
+          .agg(count(lit(1)).as("event_cnt")),
+        "stream_stateful_tbl", "complete")
+        .orderBy(col("rb")),
+    Some("""SELECT user_id % 2 AS rb, count(*) AS event_cnt
+            FROM events GROUP BY rb
+            ORDER BY rb NULLS FIRST"""))
+
+  /** foreachBatch sink (q_stream_foreachbatch): per-batch side-effecting
+    * write + merge — the watchdog's decode→merge→archive loop
+    * (md:306-314). Batches append to a parquet archive; the settled
+    * archive is re-read and aggregated. */
+  val qStreamForeachBatch = Q(
+    "q_stream_foreachbatch",
+    (s, d) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_stream_archive"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val q = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
+    qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch)
+}
