@@ -38,11 +38,19 @@ object Tables {
     // and the driver may call entry()/queries with a session of its own.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df0.withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-    else df0
+    // Normalize events.ts to micros NTZ whatever the physical type:
+    // driver data is TIMESTAMP(NANOS) (read as long), test fixtures may
+    // write plain timestamps.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.types.LongType
+      df0.schema("ts").dataType match {
+        case LongType => df0.withColumn("ts",
+          expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+        case _ => df0.withColumn("ts",
+          expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      }
+    } else df0
   }
 
   /** Session conf every entry point (Verify/Bench/tests) applies. */

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup operators on a fixture corpus with planted exact and near
+  * duplicates (SURVEY §5.2 #2: dedup of k + d duplicates yields k). */
+class DedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Disjoint per-doc vocabularies so unrelated docs share no shingles. */
+  private def mkText(seed: Int, n: Int): String =
+    (0 until n).map(j => s"d${seed}w$j").mkString(" ")
+
+  /** 8 unique docs, doc 100 = exact copy of doc 0, doc 101 = near copy of
+    * doc 1 (one extra trailing token → shingle Jaccard ≈ 0.95). */
+  private lazy val dir: String = {
+    val base = (0 until 8).map(i =>
+      (i.toLong, mkText(i, 40), "en", s"src${i % 2}"))
+    val exact = Seq((100L, mkText(0, 40), "en", "src0"))
+    val near = Seq((101L, mkText(1, 40) + " extraword", "en", "src1"))
+    val docs = (base ++ exact ++ near)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    fixtureDir("dedup")("documents" -> docs)
+  }
+
+  test("exact dedup: k+1 docs with one exact copy yield k groups") {
+    val groups = q("q_dedup_exact", dir).collect()
+    assert(groups.length === 9) // 10 docs, one exact pair
+    val dupGroup = groups.filter(_.getAs[Long]("n_copies") == 2)
+    assert(dupGroup.length === 1)
+    assert(dupGroup(0).getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash signatures are deterministic and identical for copies") {
+    def sigs: Map[Long, Seq[Long]] =
+      q("q_dedup_minhash", dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("i"),
+          r.getAs[Long]("minhash")))
+        .groupBy(_._1)
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+    val s1 = sigs
+    assert(s1(0L) === s1(100L)) // exact copy → identical signature
+    assert(s1(0L) !== s1(2L))   // unrelated docs differ
+    assert(s1(0L).length === 16)
+    assert(s1 === sigs) // fixed seeds → rerun identical
+  }
+
+  test("LSH near-dup finds the exact copy and the near copy, nothing else") {
+    val pairs = q("q_dedup_near", dir)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((1L, 101L)))
+    assert(pairs.size === 2)
+  }
+
+  test("simhash: identical for copies, close for near copies") {
+    val sims = q("q_dedup_simhash", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sims(0L) === sims(100L))
+    val hamming = java.lang.Long.bitCount(sims(1L) ^ sims(101L))
+    assert(hamming <= 6, s"near-dup hamming distance $hamming")
+    val far = java.lang.Long.bitCount(sims(2L) ^ sims(5L))
+    assert(far > hamming, s"far=$far near=$hamming")
+  }
+
+  test("ngram jaccard flags the planted near pair within its block") {
+    val pairs = q("q_dedup_ngram", dir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs.contains((0L, 100L)) && pairs((0L, 100L)) === 1.0)
+    assert(pairs.contains((1L, 101L)) && pairs((1L, 101L)) > 0.8)
+    assert(pairs.size === 2) // disjoint vocabularies → no other pairs
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val base = (0 until 6).map { i =>
+      val v = (0 until 64).map(j =>
+        math.sin(i * 64 + j + 1).toFloat).toArray
+      (i.toLong, v, i % 2)
+    }
+    // vec 100 duplicates vec 0 (same label, same bucket, cos = 1)
+    val dup = Seq((100L, base(0)._2.clone(), 0))
+    val emb = (base ++ dup).toDF("vec_id", "embedding", "label")
+    val d2 = fixtureDir("dedup_emb")("embeddings" -> emb)
+    val pairs = q("q_dedup_embed", d2).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("cos_sim")))
+    assert(pairs.exists { case ((a, b), c) => a == 0L && b == 100L && c == 1.0 })
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational invariants over the real sf0.001 data (SURVEY §5.2 #2/#3):
+  * partition/union counting, rollup totals, top-k consistency, as-of
+  * ordering, reconciliation flags. */
+class RelationalSpec extends SparkSuite {
+
+  test("entry flagship returns rows with positive counts") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_hits") > 0))
+  }
+
+  test("filter(p) + filter(!p) partitions lineitem") {
+    val li = Tables.t(spark, sf0, "lineitem")
+    val p = col("l_discount") > 0.05
+    assert(li.filter(p).count() + li.filter(!p || p.isNull).count()
+      === li.count())
+  }
+
+  test("rollup grand total equals direct aggregate") {
+    val rows = q("q_agg_rollup").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val direct = Tables.t(spark, sf0, "customer").count()
+    assert(grand(0).getAs[Long]("n_cust") === direct)
+  }
+
+  test("top-k is the head of the full sort") {
+    val topk = q("q_topk").collect().map(_.getAs[Long]("o_orderkey"))
+    val full = Tables.t(spark, sf0, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20).collect().map(_.getAs[Long]("o_orderkey"))
+    assert(topk.toSeq === full.toSeq)
+  }
+
+  test("semi + anti partition customers against high-value orders") {
+    val cust = Tables.t(spark, sf0, "customer")
+    val anti = q("q_join_anti").count()
+    val semi = cust.join(
+      Tables.t(spark, sf0, "orders").filter(col("o_totalprice") > 300000.0),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(anti + semi === cust.count())
+  }
+
+  test("as-of join: last_click_ts never exceeds the error ts") {
+    val e = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"))
+    val joined = q("q_join_asof")
+      .join(e, "event_id")
+      .filter(col("last_click_ts").isNotNull &&
+        col("last_click_ts") > col("ts"))
+    assert(joined.count() === 0)
+  }
+
+  test("union counts add; intersect/except partition the view users") {
+    val e = Tables.t(spark, sf0, "events")
+    val nPurchase = e.filter(col("event_type") === "purchase").count()
+    val nError = e.filter(col("event_type") === "error").count()
+    assert(q("q_union").count() === nPurchase + nError)
+  }
+
+  test("running EVENT_CNT is monotone per rb and ends at the rb total") {
+    val rows = q("q_event_count").collect()
+    val byRb = rows.groupBy(_.getAs[Long]("rb"))
+    byRb.foreach { case (rb, rs) =>
+      val total = rs.length
+      assert(rs.map(_.getAs[Long]("event_cnt")).max === total.toLong, s"rb=$rb")
+    }
+  }
+
+  test("reconcile: injected == observed + lost, flags consistent") {
+    q("q_reconcile").collect().foreach { r =>
+      assert(r.getAs[Long]("injected") ===
+        r.getAs[Long]("observed") + r.getAs[Long]("lost"))
+      assert(r.getAs[Boolean]("ok") === (r.getAs[Long]("lost") == 0L))
+    }
+  }
+
+  test("double triggers all have sub-minute gaps and valid predecessors") {
+    q("q_double_trigger").collect().foreach { r =>
+      val gap = r.getAs[Long]("gap_us")
+      assert(gap >= 0L && gap < 60000000L)
+      assert(r.getAs[Long]("prev_id") !== r.getAs[Long]("event_id"))
+    }
+  }
+
+  test("approx distinct is within 5% of exact at sf0.001") {
+    val approx = q("q_agg_approx_distinct").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Long]("approx_parts")).toMap
+    val exact = q("q_agg_distinct").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Long]("n_parts")).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05, s"flag=$k approx=$ap exact=$ex")
+    }
+  }
+
+  test("config parse emits the declared typed rows") {
+    val rows = q("q_config_parse").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Long]("l1a_delay") === 508L))
+    assert(rows.forall(_.getAs[Long]("beam_energy") === 120L))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Similarity-search correctness on constructed vectors: exact top-k
+  * geometry, ANN-vs-brute-force recall, multimodal join integrity. */
+class VectorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Probe (vec 0) + a copy, an opposite, an orthogonal, and noise. */
+  private lazy val dir: String = {
+    def unit(i: Int): Array[Float] = {
+      val v = Array.fill(64)(0f); v(i) = 1f; v
+    }
+    val probe = (0 until 64).map(j => math.sin(j + 1).toFloat).toArray
+    val copy = probe.clone()
+    val anti = probe.map(x => -x)
+    val rows = Seq(
+      (0L, probe, 0), (1L, copy, 0), (2L, anti, 0),
+      (3L, unit(5), 1), (4L, unit(7), 1)) ++
+      (5 until 40).map(i => (i.toLong,
+        (0 until 64).map(j => math.cos(i * 64 + j).toFloat).toArray, i % 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val docs = rows.map { case (id, _, lbl) =>
+      (id, s"doc text number $id lbl $lbl words", "en", "src0", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    fixtureDir("vector")("embeddings" -> emb, "documents" -> docs)
+  }
+
+  test("brute-force top-k ranks the exact copy first, anti-vector last") {
+    val top = q("q_sim_topk", dir).collect()
+    assert(top.head.getAs[Long]("vec_id") === 1L)
+    assert(top.head.getAs[Double]("cos_sim") === 1.0)
+    assert(top.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
+    // anti-vector scores -1, so it is never in the top half
+    val ids = top.take(10).map(_.getAs[Long]("vec_id")).toSet
+    assert(!ids.contains(2L))
+  }
+
+  test("sign-LSH ANN recalls the exact copy (same bucket by construction)") {
+    val ann = q("q_sim_ann_lsh", dir).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getAs[Long]("vec_id") === 1L)
+    assert(ann.head.getAs[Double]("cos_sim") === 1.0)
+  }
+
+  test("IVF ANN searches the probe's own cell first") {
+    val ivf = q("q_sim_ann_ivf", dir).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getAs[Long]("vec_id") === 1L)
+  }
+
+  test("ANN results are a subset of brute-force ranking with cos preserved") {
+    val brute = q("q_sim_topk", dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    q("q_sim_ann_lsh", dir).collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(c => assert(c === r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("pairs: copy pair scores 1.0; threshold respected") {
+    val pairs = q("q_sim_pairs", dir).collect()
+    val copyPair = pairs.find(r =>
+      r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 1L)
+    assert(copyPair.isDefined)
+    assert(copyPair.get.getAs[Double]("cos_sim") === 1.0)
+    assert(pairs.forall(_.getAs[Double]("cos_sim") >= 0.3))
+  }
+
+  test("multimodal join carries both modalities, unit norms") {
+    val mm = q("q_multimodal", dir).collect()
+    assert(mm.length === 40)
+    val r0 = mm.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_tokens") === 7L)
+    assert(r0.getAs[Double]("emb_norm") > 0.0)
+  }
+
+  test("multimodal decode stub: one record per doc, bytes accounted") {
+    val dec = q("q_multimodal_decode", dir).collect()
+    assert(dec.length === 40)
+    dec.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") === 16) // md5 payload
+      val mb = r.getAs[Double]("mean_byte")
+      assert(mb >= 0.0 && mb <= 255.0)
+      assert(Set("image", "audio", "video")
+        .contains(r.getAs[String]("modality")))
+    }
+  }
+}
