@@ -72,18 +72,28 @@ object Dedup {
   // ---- q_dedup_minhash --------------------------------------------------
 
   /** MinHash signatures, k=16 permutations h_i(x) = ((2i+1)x + 7i+3) mod
-    * (2^31 - 1) over shingle hashes — fixed affine seeds, long format. */
+    * (2^31 - 1) over shingle hashes — fixed affine seeds, long format.
+    *
+    * Computed as 16 min-aggregates in ONE pass over the shingle table
+    * (not a 16× seed cross-join): at 100 TB the shingle stream is read
+    * once and the signature is a single two-phase hash aggregate; the
+    * wide→long pivot afterwards is 16 rows per doc, negligible. */
+  private def minhashLong(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until 16).map(i =>
+      min(expr(s"((${2 * i + 1}) * h + (${7 * i + 3})) % 2147483647"))
+        .as(s"m$i"))
+    val stackExpr = "stack(16, " + (0 until 16)
+      .map(i => s"CAST($i AS BIGINT), m$i").mkString(", ") +
+      ") AS (i, minhash)"
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), expr(stackExpr))
+  }
+
   val qDedupMinhash = Q(
     "q_dedup_minhash",
-    (s, d) => {
-      val seeds = s.range(0, 16).withColumnRenamed("id", "i")
-      shingles(s, d)
-        .crossJoin(broadcast(seeds))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(expr("((2*i + 1) * h + (7*i + 3)) % 2147483647"))
-          .as("minhash"))
-        .orderBy(col("doc_id"), col("i"))
-    },
+    (s, d) => minhashLong(s, d).orderBy(col("doc_id"), col("i")),
     Some(s"""$shinglesCte
              SELECT doc_id, i,
                min(((2*i + 1) * h + (7*i + 3)) % 2147483647) AS minhash
@@ -101,12 +111,8 @@ object Dedup {
   val qDedupNear = Q(
     "q_dedup_near",
     (s, d) => {
-      val seeds = s.range(0, 16).withColumnRenamed("id", "i")
       val sh = shingles(s, d)
-      val mh = sh.crossJoin(broadcast(seeds))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(expr("((2*i + 1) * h + (7*i + 3)) % 2147483647"))
-          .as("minhash"))
+      val mh = minhashLong(s, d)
       val bands = mh
         .groupBy(col("doc_id"), expr("i div 4").as("band"))
         .agg(sum(expr(
@@ -175,23 +181,23 @@ object Dedup {
   // ---- q_dedup_simhash --------------------------------------------------
 
   /** 32-bit SimHash over shingle hashes: per bit j, sign of Σ±1; sketch
-    * assembled as Σ (sign>0) << j. Bit axis is an explode (32×) so both
-    * engines share exact arithmetic. */
+    * assembled as Σ (sign>0) << j. The 32 bit-sums are computed as 32
+    * aggregate columns in ONE pass over the shingle table (no 32× bit
+    * explode) — single shuffle keyed by doc at any scale. */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, d) => {
-      val bits = s.range(0, 32).withColumnRenamed("id", "j")
+      val bitAggs = (0 until 32).map(j =>
+        sum(expr(
+          s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as(s"b$j"))
+      val combine = (0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       shingles(s, d)
-        .crossJoin(broadcast(bits))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(expr(
-          "CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as("bit_sum"))
         .groupBy(col("doc_id"))
-        .agg(sum(expr(
-          """CASE WHEN bit_sum > 0
-               THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
-               ELSE 0 END""")).cast("long").as("simhash"))
+        .agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          expr(s"CAST($combine AS BIGINT)").as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some(s"""$shinglesCte,

@@ -207,14 +207,14 @@ object TextOps {
     "q_text_fingerprint",
     (s, d) =>
       toks(s, d)
-        .withColumn("shingles", expr(
+        .withColumn("sh_str", explode(expr(
           """CASE WHEN size(toks) >= 5
                THEN transform(sequence(1, size(toks) - 4),
-                      i -> md5(CAST(concat_ws(' ', slice(toks, i, 5))
-                                    AS BINARY)))
-               ELSE array() END"""))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+                      i -> concat_ws(' ', slice(toks, i, 5)))
+               ELSE array() END""")))
+        // md5 as a top-level projection (codegen'd), not inside the lambda
+        .select(col("doc_id"),
+          md5(col("sh_str").cast("binary")).as("sh"))
         .groupBy(col("doc_id"))
         .agg(
           min(col("sh")).as("fingerprint"),

@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Vector {
 
+  /** Embeddings with the norm precomputed ONCE per vector — joins and
+    * rankings then pay one dot product per pair, not three (the norms
+    * side of the cosine must never be recomputed per candidate at 100 TB). */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "embeddings")
       .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr(
+        """aggregate(zip_with(emb_d, emb_d, (x, y) -> x * y),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")))
 
   /** Fold-based dot product over two DOUBLE arrays. */
   private def dot(a: String, b: String): Column = expr(
@@ -29,6 +35,11 @@ object Vector {
 
   private def cosine(a: String, b: String): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Cosine from a fresh dot and precomputed norms (same arithmetic —
+    * sqrt(dot(x,x)) computed once upstream instead of inline). */
+  private def cosinePre(a: String, b: String, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
 
   /** DuckDB-side cosine between two DOUBLE-cast list columns. */
   private def cosSql(a: String, b: String): String =
@@ -49,10 +60,11 @@ object Vector {
     (s, d) => {
       val e = emb(s, d)
       val probe = e.filter(col("vec_id") === 0)
-        .select(col("emb_d").as("p_emb"))
+        .select(col("emb_d").as("p_emb"), col("nrm").as("p_nrm"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        .withColumn("cos_sim", cosine("emb_d", "p_emb"))
+        .withColumn("cos_sim",
+          cosinePre("emb_d", "p_emb", col("nrm"), col("p_nrm")))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(20)
@@ -73,7 +85,8 @@ object Vector {
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_sim", cosine("a.emb_d", "b.emb_d"))
+        .withColumn("cos_sim",
+          cosinePre("a.emb_d", "b.emb_d", col("a.nrm"), col("b.nrm")))
         .filter(col("cos_sim") >= 0.3)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           col("a.label").as("label"), col("cos_sim"))
@@ -99,10 +112,12 @@ object Vector {
              (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
                THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
       val probe = e.filter(col("vec_id") === 0)
-        .select(col("emb_d").as("p_emb"), col("bucket").as("p_bucket"))
+        .select(col("emb_d").as("p_emb"), col("nrm").as("p_nrm"),
+          col("bucket").as("p_bucket"))
       e.join(broadcast(probe), col("bucket") === col("p_bucket"))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos_sim", cosine("emb_d", "p_emb"))
+        .withColumn("cos_sim",
+          cosinePre("emb_d", "p_emb", col("nrm"), col("p_nrm")))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -142,18 +157,21 @@ object Vector {
       val repIds = e.groupBy(col("label").as("cell"))
         .agg(min(col("vec_id")).as("rep_id"))
       val reps = e.join(repIds, col("vec_id") === col("rep_id"))
-        .select(col("cell"), col("emb_d").as("rep_emb"))
+        .select(col("cell"), col("emb_d").as("rep_emb"),
+          col("nrm").as("rep_nrm"))
       val probe = e.filter(col("vec_id") === 0)
-        .select(col("emb_d").as("p_emb"))
+        .select(col("emb_d").as("p_emb"), col("nrm").as("p_nrm"))
       val nearCells = reps.crossJoin(broadcast(probe))
-        .withColumn("rep_cos", cosine("rep_emb", "p_emb"))
+        .withColumn("rep_cos",
+          cosinePre("rep_emb", "p_emb", col("rep_nrm"), col("p_nrm")))
         .orderBy(col("rep_cos").desc, col("cell"))
         .limit(2)
         .select(col("cell"))
       e.join(broadcast(nearCells), col("label") === col("cell"))
         .crossJoin(broadcast(probe))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos_sim", cosine("emb_d", "p_emb"))
+        .withColumn("cos_sim",
+          cosinePre("emb_d", "p_emb", col("nrm"), col("p_nrm")))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -188,7 +206,7 @@ object Vector {
           col("doc_id"), col("lang"), col("label"),
           col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          round(sqrt(dot("emb_d", "emb_d")), 6).as("emb_norm"))
+          round(col("nrm"), 6).as("emb_norm"))
         .orderBy(col("doc_id")),
     Some(s"""$embCte
              SELECT doc_id, lang, label, n_chars,
