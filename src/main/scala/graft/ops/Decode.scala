@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Decode {
 
+  /** Spark-side packing expression (shared with Extras.qFilterBitops). */
+  val wordSparkSql: String =
+    """(user_id % 512)
+       | shiftleft(event_id % 1024, 9)
+       | shiftleft((event_id * 7) % 16, 19)
+       | shiftleft(user_id % 16, 23)
+       | shiftleft(event_id % 16, 27)
+       | shiftleft(event_id % 4, 31)"""
+
   /** Bit-pack the synthetic frame word (Spark side). */
   private def withWord(df: DataFrame): DataFrame =
-    df.withColumn("word", expr(
-      """(user_id % 512)
-         | shiftleft(event_id % 1024, 9)
-         | shiftleft((event_id * 7) % 16, 19)
-         | shiftleft(user_id % 16, 23)
-         | shiftleft(event_id % 16, 27)
-         | shiftleft(event_id % 4, 31)"""))
+    df.withColumn("word", expr(wordSparkSql))
 
   /** Same packing for the DuckDB oracle (`<<` instead of shiftleft). */
   val wordSql: String =

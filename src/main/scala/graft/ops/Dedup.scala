@@ -37,7 +37,7 @@ object Dedup {
       .distinct()
 
   /** Same shingle table for DuckDB. */
-  private val shinglesCte =
+  val shinglesCte: String =
     """WITH toks_t AS (
          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        shingles AS (
@@ -200,20 +200,27 @@ object Dedup {
           expr(s"CAST($combine AS BIGINT)").as("simhash"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""$shinglesCte,
-             bitsums AS (
-               SELECT doc_id, j,
-                 sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)
-                   AS bit_sum
-               FROM shingles
-               CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bs
-               GROUP BY doc_id, j)
-             SELECT doc_id,
-               CAST(sum(CASE WHEN bit_sum > 0
-                      THEN CAST(1 AS BIGINT) << CAST(j AS INT)
-                      ELSE 0 END) AS BIGINT) AS simhash
-             FROM bitsums GROUP BY doc_id
+    Some(s"""$simhashCte
+             SELECT doc_id, simhash FROM simhash_t
              ORDER BY doc_id NULLS FIRST"""))
+
+  /** DuckDB CTE chain ending in simhash_t(doc_id, simhash) — shared with
+    * Extras.qDedupSimhashPairs. */
+  lazy val simhashCte: String =
+    s"""$shinglesCte,
+       bitsums AS (
+         SELECT doc_id, j,
+           sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)
+             AS bit_sum
+         FROM shingles
+         CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bs
+         GROUP BY doc_id, j),
+       simhash_t AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN bit_sum > 0
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                  ELSE 0 END) AS BIGINT) AS simhash
+         FROM bitsums GROUP BY doc_id)"""
 
   // ---- q_dedup_ngram ----------------------------------------------------
 
@@ -287,25 +294,22 @@ object Dedup {
   val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, d) => {
+      graft.functions.FloatDot.register(s)
       val e = Tables.t(s, d, "embeddings")
         .withColumn("bucket", expr(
           """aggregate(sequence(1, 8),
                CAST(0 AS BIGINT),
                (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
                  THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
-        .withColumn("emb_d",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y)," +
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       pairs
         .withColumn("cos_sim", round(
-          expr(dot.format("a.emb_d", "b.emb_d")) /
-          (sqrt(expr(dot.format("a.emb_d", "a.emb_d"))) *
-           sqrt(expr(dot.format("b.emb_d", "b.emb_d")))), 6))
+          expr("float_dot(a.embedding, b.embedding)") /
+            (col("a.nrm") * col("b.nrm")), 6))
         .filter(col("cos_sim") >= 0.25)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           col("a.label").as("label"), col("cos_sim"))

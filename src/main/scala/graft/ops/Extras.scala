@@ -1,0 +1,227 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2.2 surface: CSV/JSON sources, parquet sink,
+  * bit-op filters, and the UDF/UDAF/UDTF tier — plus a SimHash
+  * hamming-pair bonus on top of the dedup sketches. */
+object Extras {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+
+  private def tmp(sub: String): String =
+    sys.props("java.io.tmpdir") + "/" + sub
+
+  /** CSV scan with declared schema (q_scan_csv — the HV-supply-log shape,
+    * md:250-252). Round-trips events through a CSV sink, then reads with
+    * an explicit schema and aggregates; proves text-source parsing, type
+    * application and pushdown survive the format. */
+  val qScanCsv = Q(
+    "q_scan_csv",
+    (s, d) => {
+      val out = tmp("graft_scan_csv")
+      ev(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("header", "true")
+        .csv(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value,
+              count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** JSON scan (q_scan_json — run-log documents, md:45-57): round-trip
+    * through a JSON-lines sink, schema-on-read, aggregate. */
+  val qScanJson = Q(
+    "q_scan_json",
+    (s, d) => {
+      val out = tmp("graft_scan_json")
+      ev(s, d).select(col("event_id"), col("event_type"), col("value"),
+          col("props"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .json(out)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Plain columnar sink round-trip (q_sink_parquet, md:233-235). */
+  val qSinkParquet = Q(
+    "q_sink_parquet",
+    (s, d) => {
+      val out = tmp("graft_sink_parquet")
+      ev(s, d).select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""SELECT count(*) AS n, min(event_id) AS min_id,
+              max(event_id) AS max_id, round(sum(value), 2) AS sum_value
+            FROM events"""))
+
+  /** Bit-manipulation predicates (q_filter_bitops, html:51): select data
+    * frames on even pixel rows via shifts/masks pushed into the scan
+    * projection. */
+  val qFilterBitops = Q(
+    "q_filter_bitops",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("word", expr(Decode.wordSparkSql))
+        .filter(expr(
+          "((shiftright(word, 31)) & 3) = 2 AND ((shiftright(word, 27)) & 1) = 0"))
+        .select(col("event_id"), col("word"),
+          expr("word & 511").as("tot"),
+          expr("shiftright(word, 23) & 15").as("pix_col"))
+        .orderBy(col("event_id")),
+    Some(s"""${Decode.framesCte}
+             SELECT event_id, word, word & 511 AS tot,
+               (word >> 23) & 15 AS pix_col
+             FROM frames
+             WHERE ((word >> 31) & 3) = 2 AND ((word >> 27) & 1) = 0
+             ORDER BY event_id NULLS FIRST"""))
+
+  /** Scalar UDF (q_udf_scalar): the escape hatch for logic built-ins
+    * can't express (SURVEY §4.3 ranks it below native expressions — see
+    * graft.functions.FloatDot for the preferred form). Computes the
+    * embedding L2 norm with the same left-to-right double accumulation
+    * the oracle's list_dot_product uses. */
+  val qUdfScalar = Q(
+    "q_udf_scalar",
+    (s, d) => {
+      val l2 = udf { (a: Seq[Float]) =>
+        var acc = 0.0
+        a.foreach(x => acc += x.toDouble * x.toDouble)
+        math.sqrt(acc)
+      }
+      Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), round(l2(col("embedding")), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+              round(sqrt(list_dot_product(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+                AS l2_norm
+            FROM embeddings
+            ORDER BY vec_id NULLS FIRST"""))
+
+  /** Buffer for the typed second-max aggregator: the two largest values
+    * seen (multiset semantics — a duplicated max counts twice). */
+  final case class Max2(m1: Double, m2: Double)
+
+  /** Typed Aggregator (q_udaf_typed): exact second-largest value per
+    * group. Pure selection (no float arithmetic), so merge order cannot
+    * perturb the result — deterministic on any partitioning. */
+  object SecondMax extends Aggregator[Double, Max2, Double] {
+    override def zero: Max2 = Max2(Double.NegativeInfinity, Double.NegativeInfinity)
+    override def reduce(b: Max2, v: Double): Max2 =
+      if (v >= b.m1) Max2(v, b.m1)
+      else if (v > b.m2) Max2(b.m1, v)
+      else b
+    override def merge(a: Max2, b: Max2): Max2 = {
+      val top = Seq(a.m1, a.m2, b.m1, b.m2).sorted(Ordering[Double].reverse)
+      Max2(top(0), top(1))
+    }
+    override def finish(r: Max2): Double = r.m2
+    override def bufferEncoder: Encoder[Max2] = Encoders.product[Max2]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val qUdafTyped = Q(
+    "q_udaf_typed",
+    (s, d) => {
+      val secondMax = udaf(SecondMax)
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(secondMax(col("value")).as("second_max"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, value AS second_max
+            FROM (SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY value DESC) AS rn
+                  FROM events)
+            WHERE rn = 2
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Table-generating explode (q_udtf_explode, md:227-234): one packed
+    * frame → one row per decoded field, via the built-in `inline`
+    * generator over an expression-computed struct array (SURVEY §4.3:
+    * custom Generator unnecessary). */
+  val qUdtfExplode = Q(
+    "q_udtf_explode",
+    (s, d) =>
+      ev(s, d)
+        .select(col("event_id"), expr(
+          """inline(array(
+               struct('cal' AS field, (event_id * 7) % 16 AS fval),
+               struct('toa' AS field, event_id % 1024 AS fval),
+               struct('tot' AS field, user_id % 512 AS fval)))"""))
+        .orderBy(col("event_id"), col("field")),
+    Some("""SELECT event_id, field, fval FROM (
+              SELECT event_id, 'cal' AS field, (event_id * 7) % 16 AS fval
+                FROM events
+              UNION ALL
+              SELECT event_id, 'toa', event_id % 1024 FROM events
+              UNION ALL
+              SELECT event_id, 'tot', user_id % 512 FROM events)
+            ORDER BY event_id NULLS FIRST, field NULLS FIRST"""))
+
+  /** Bonus: SimHash hamming pairs via the built-in bit_count — near-dup
+    * candidates at sketch resolution, all-pairs within lang blocks on
+    * 8-byte sketches (cheap integer compare, no text touched). */
+  val qDedupSimhashPairs = Q(
+    "q_dedup_simhash_pairs",
+    (s, d) => {
+      val sims = Dedup.qDedupSimhash.fn(s, d)
+        .join(Tables.t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+      sims.as("a").join(sims.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
+        .filter(col("hamming") <= 10)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""${Dedup.simhashCte},
+       sims AS (
+               SELECT s.doc_id, s.simhash, d.lang
+               FROM simhash_t s JOIN documents d USING (doc_id))
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+             FROM sims a JOIN sims b
+               ON a.lang = b.lang AND a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    qScanCsv, qScanJson, qSinkParquet, qFilterBitops, qUdfScalar,
+    qUdafTyped, qUdtfExplode, qDedupSimhashPairs)
+}

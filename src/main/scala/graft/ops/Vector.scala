@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * top-k as the exact baseline, sign-LSH and IVF-style bucketed variants
   * as the 100 TB scale path, plus all-pairs and multimodal joins.
   *
-  * Dot products are higher-order-function folds over DOUBLE-cast arrays
-  * (`zip_with` + `aggregate`) — codegen'd, no UDF, and sequential
-  * left-to-right exactly like the DuckDB oracle's `list_dot_product`.
+  * Dot products use the custom codegen Catalyst expression
+  * graft.functions.FloatDot — a tight primitive loop accumulating in
+  * DOUBLE, sequential left-to-right exactly like the DuckDB oracle's
+  * `list_dot_product` over DOUBLE-cast lists.
   *
   * Scale notes: the probe is a 1-row broadcast (never a driver collect
   * into the plan); ANN variants prune candidates with equi-joins on
@@ -20,24 +21,20 @@ object Vector {
 
   /** Embeddings with the norm precomputed ONCE per vector — joins and
     * rankings then pay one dot product per pair, not three (the norms
-    * side of the cosine must never be recomputed per candidate at 100 TB). */
-  private def emb(s: SparkSession, d: String): DataFrame =
+    * side of the cosine must never be recomputed per candidate at 100 TB).
+    * Dot products use the custom codegen FloatDot expression
+    * (graft.functions.FloatDot) over the raw FLOAT arrays. */
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
     Tables.t(s, d, "embeddings")
-      .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(expr(
-        """aggregate(zip_with(emb_d, emb_d, (x, y) -> x * y),
-           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")))
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+  }
 
-  /** Fold-based dot product over two DOUBLE arrays. */
-  private def dot(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
-        CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+  /** Codegen'd dot product over two FLOAT arrays (DOUBLE accumulate). */
+  private def dot(a: String, b: String): Column =
+    expr(s"float_dot($a, $b)")
 
-  private def cosine(a: String, b: String): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
-
-  /** Cosine from a fresh dot and precomputed norms (same arithmetic —
-    * sqrt(dot(x,x)) computed once upstream instead of inline). */
+  /** Cosine from a fresh dot and precomputed norms. */
   private def cosinePre(a: String, b: String, na: Column, nb: Column): Column =
     round(dot(a, b) / (na * nb), 6)
 
@@ -60,11 +57,11 @@ object Vector {
     (s, d) => {
       val e = emb(s, d)
       val probe = e.filter(col("vec_id") === 0)
-        .select(col("emb_d").as("p_emb"), col("nrm").as("p_nrm"))
+        .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .withColumn("cos_sim",
-          cosinePre("emb_d", "p_emb", col("nrm"), col("p_nrm")))
+          cosinePre("embedding", "p_emb", col("nrm"), col("p_nrm")))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(20)
@@ -86,7 +83,7 @@ object Vector {
           col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos_sim",
-          cosinePre("a.emb_d", "b.emb_d", col("a.nrm"), col("b.nrm")))
+          cosinePre("a.embedding", "b.embedding", col("a.nrm"), col("b.nrm")))
         .filter(col("cos_sim") >= 0.3)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           col("a.label").as("label"), col("cos_sim"))
@@ -112,12 +109,12 @@ object Vector {
              (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
                THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
       val probe = e.filter(col("vec_id") === 0)
-        .select(col("emb_d").as("p_emb"), col("nrm").as("p_nrm"),
+        .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"),
           col("bucket").as("p_bucket"))
       e.join(broadcast(probe), col("bucket") === col("p_bucket"))
         .filter(col("vec_id") =!= 0)
         .withColumn("cos_sim",
-          cosinePre("emb_d", "p_emb", col("nrm"), col("p_nrm")))
+          cosinePre("embedding", "p_emb", col("nrm"), col("p_nrm")))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -157,10 +154,10 @@ object Vector {
       val repIds = e.groupBy(col("label").as("cell"))
         .agg(min(col("vec_id")).as("rep_id"))
       val reps = e.join(repIds, col("vec_id") === col("rep_id"))
-        .select(col("cell"), col("emb_d").as("rep_emb"),
+        .select(col("cell"), col("embedding").as("rep_emb"),
           col("nrm").as("rep_nrm"))
       val probe = e.filter(col("vec_id") === 0)
-        .select(col("emb_d").as("p_emb"), col("nrm").as("p_nrm"))
+        .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
       val nearCells = reps.crossJoin(broadcast(probe))
         .withColumn("rep_cos",
           cosinePre("rep_emb", "p_emb", col("rep_nrm"), col("p_nrm")))
@@ -171,7 +168,7 @@ object Vector {
         .crossJoin(broadcast(probe))
         .filter(col("vec_id") =!= 0)
         .withColumn("cos_sim",
-          cosinePre("emb_d", "p_emb", col("nrm"), col("p_nrm")))
+          cosinePre("embedding", "p_emb", col("nrm"), col("p_nrm")))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
