@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: library users can load graft's
+  * custom expressions without calling registration helpers —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or SparkSession.builder().withExtensions(new GraftExtensions). Inside
+  * this repo, query code registers functions lazily per session
+  * (FloatDot.register), so the driver harness needs no special config. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.FloatDot].getName, "float_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.FloatDot(exprs(0), exprs(1))))
+  }
+}

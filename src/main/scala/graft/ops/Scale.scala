@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators (the 100 TB playbook made concrete):
+  * bucketed co-located joins that eliminate the shuffle entirely, and
+  * salted joins that neutralize key skew. Both verified against the
+  * plain-join oracle — the optimization must be invisible in results. */
+object Scale {
+
+  /** Bucketed co-located join (q_join_bucketed): persist both sides
+    * bucketed by the join key, then join WITHOUT any shuffle exchange —
+    * the plan shape PlanSpec asserts. At 100 TB this is the difference
+    * between re-shuffling the fact table per query and reading
+    * pre-co-located buckets. */
+  val qJoinBucketed = Q(
+    "q_join_bucketed",
+    (s, d) => {
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val wh = sys.props("java.io.tmpdir") + "/graft_warehouse"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
+      // the in-memory catalog forgets tables across sessions but their
+      // directories persist — clear both before rebuilding
+      Seq("orders_b", "lineitem_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_buckets.$t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$wh/$t"))
+      }
+      val o = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val li = Tables.t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_buckets.orders_b")
+      li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_buckets.lineitem_b")
+      s.table("graft_buckets.orders_b")
+        .join(s.table("graft_buckets.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(max(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, count(*) AS n_items,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(max(o_totalprice), 2) AS total
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+            ORDER BY o_orderkey NULLS FIRST"""))
+
+  /** Salted skew join (q_join_salted): the hot-key pattern — explode the
+    * small side into SALT replicas, scatter the fact side by a
+    * deterministic salt, join on (key, salt), then re-aggregate. Results
+    * must equal the unsalted join (the oracle checks exactly that). */
+  val qJoinSalted = Q(
+    "q_join_salted",
+    (s, d) => {
+      val salt = 8
+      // fact side: per-row deterministic salt spreads any hot l_suppkey
+      val li = Tables.t(s, d, "lineitem")
+        .withColumn("salt",
+          (col("l_orderkey") * 31 + col("l_linenumber")) % salt)
+      // dim side: replicate once per salt value
+      val sup = Tables.t(s, d, "supplier")
+        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+      li.join(sup,
+          li("l_suppkey") === sup("s_suppkey") &&
+          li("salt") === sup("salt"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY s_suppkey NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qJoinBucketed, qJoinSalted)
+}
