@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Completion sweep beyond the SURVEY §2 minimum: the remaining join
+  * shapes (full outer, cross), reshaping operators (pivot/unpivot),
+  * collected aggregates, ranking-distribution windows, scalar
+  * subqueries — everything a reference user would reach for next. */
+object More {
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+
+  /** Full outer join: per-user click vs purchase counts, nulls on both
+    * sides — the complete reconciliation shape. */
+  val qJoinFull = Q(
+    "q_join_full",
+    (s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("pu")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, col("cu") === col("pu"), "full_outer")
+        .select(
+          coalesce(col("cu"), col("pu")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT coalesce(cu, pu) AS user_id,
+              coalesce(n_clicks, 0) AS n_clicks,
+              coalesce(n_purchases, 0) AS n_purchases
+            FROM (SELECT user_id AS cu, count(*) AS n_clicks FROM events
+                  WHERE event_type = 'click' GROUP BY user_id) c
+            FULL OUTER JOIN
+                 (SELECT user_id AS pu, count(*) AS n_purchases FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id) p
+              ON cu = pu
+            ORDER BY user_id NULLS FIRST"""))
+
+  /** Explicit cartesian product over two tiny dims (region × the
+    * event-type domain) — the only place a cross join belongs. */
+  val qJoinCross = Q(
+    "q_join_cross",
+    (s, d) => {
+      val r = Tables.t(s, d, "region").select(col("r_name"))
+      val t = ev(s, d).select(col("event_type")).distinct()
+      r.crossJoin(t).orderBy(col("r_name"), col("event_type"))
+    },
+    Some("""SELECT r_name, event_type
+            FROM region CROSS JOIN
+                 (SELECT DISTINCT event_type FROM events) t
+            ORDER BY r_name NULLS FIRST, event_type NULLS FIRST"""))
+
+  /** Pivot: users × event-type count matrix — the 16×16-matrix packed
+    * form (SURVEY §1.2 D4: "pivot only at the edge"). */
+  val qPivot = Q(
+    "q_pivot",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+            FROM events GROUP BY user_id
+            ORDER BY user_id NULLS FIRST"""))
+
+  /** Unpivot (stack): wide per-pixel calibration back to long rows —
+    * the inverse edge transform. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          round(min(col("value")), 2).as("v_min"),
+          round(max(col("value")), 2).as("v_max"),
+          round(avg(col("value")), 6).as("v_avg"))
+        .select(col("user_id"), expr(
+          """stack(3, 'min', v_min, 'max', v_max, 'avg', v_avg)
+             AS (stat, v)"""))
+        .orderBy(col("user_id"), col("stat")),
+    Some("""SELECT user_id, stat, v FROM (
+              SELECT user_id, 'min' AS stat, round(min(value), 2) AS v
+                FROM events GROUP BY user_id
+              UNION ALL
+              SELECT user_id, 'max', round(max(value), 2)
+                FROM events GROUP BY user_id
+              UNION ALL
+              SELECT user_id, 'avg', round(avg(value), 6)
+                FROM events GROUP BY user_id)
+            ORDER BY user_id NULLS FIRST, stat NULLS FIRST"""))
+
+  /** Collected aggregate: deterministic ordered set-collection rendered
+    * as a string (the run-log "which types did this user emit" field). */
+  val qAggCollect = Q(
+    "q_agg_collect",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_seen"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+              string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                AS types_seen
+            FROM events GROUP BY user_id
+            ORDER BY user_id NULLS FIRST"""))
+
+  /** Distribution windows: ntile quartiles + percent_rank + cume_dist
+    * over order value per priority class. */
+  val qWinNtile = Q(
+    "q_win_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey NULLS FIRST"""))
+
+  /** Scalar + correlated subqueries via Spark SQL: orders above their
+    * priority class's average. */
+  val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM sq_orders o
+        WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice)
+                                    FROM sq_orders i
+                                    WHERE i.o_orderpriority = o.o_orderpriority)
+        ORDER BY o_orderkey NULLS FIRST""")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders o
+            WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice)
+                                        FROM orders i
+                                        WHERE i.o_orderpriority = o.o_orderpriority)
+            ORDER BY o_orderkey NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
+    qSubqueryScalar)
+}
