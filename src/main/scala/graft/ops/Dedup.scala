@@ -71,23 +71,38 @@ object Dedup {
 
   // ---- q_dedup_minhash --------------------------------------------------
 
-  /** MinHash signatures, k=16 permutations h_i(x) = ((2i+1)x + 7i+3) mod
-    * (2^31 - 1) over shingle hashes — fixed affine seeds, long format.
-    *
-    * Computed as 16 min-aggregates in ONE pass over the shingle table
-    * (not a 16× seed cross-join): at 100 TB the shingle stream is read
-    * once and the signature is a single two-phase hash aggregate; the
-    * wide→long pivot afterwards is 16 rows per doc, negligible. */
-  private def minhashLong(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until 16).map(i =>
+  /** DuckDB mirror of the per-doc collected shingle set. */
+  private val shingleSetsCte =
+    """shingle_sets AS (
+         SELECT doc_id, list(h) AS hs, count(*) AS sz
+         FROM shingles GROUP BY doc_id)"""
+
+  /** The 16 minhash permutations as codegen'd min-aggregate columns:
+    * h_i(x) = ((2i+1)x + 7i+3) mod (2^31 - 1), fixed affine seeds.
+    * (An array_min-over-collected-set formulation was tried and is
+    * SLOWER — higher-order lambdas evaluate interpreted, min aggregates
+    * ride whole-stage codegen.) */
+  private def minhashAggs: Seq[org.apache.spark.sql.Column] =
+    (0 until 16).map(i =>
       min(expr(s"((${2 * i + 1}) * h + (${7 * i + 3})) % 2147483647"))
         .as(s"m$i"))
+
+  /** One scan + one shuffle of the shingle table yields the 16 mins AND
+    * the exact shingle set + size for the verify stage. */
+  private def minhashWithSets(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(minhashAggs.head,
+        (minhashAggs.tail :+ collect_list(col("h")).as("hs")
+          :+ count(lit(1)).as("sz")): _*)
+
+  private def minhashLong(s: SparkSession, d: String): DataFrame = {
     val stackExpr = "stack(16, " + (0 until 16)
       .map(i => s"CAST($i AS BIGINT), m$i").mkString(", ") +
       ") AS (i, minhash)"
     shingles(s, d)
       .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
       .select(col("doc_id"), expr(stackExpr))
   }
 
@@ -106,19 +121,21 @@ object Dedup {
 
   /** Near-dup pairs: 4 bands × 4 rows LSH over the 16 minhashes;
     * candidates = docs colliding on any (band, band_key); verified with
-    * exact shingle Jaccard ≥ 0.5. band_key is an order-free integer
-    * combine (sum of seed-weighted minhashes) so no sort is needed. */
+    * exact shingle Jaccard ≥ 0.5 via array_intersect on the collected
+    * sets. One shingle scan, one shuffle, then joins only on the tiny
+    * candidate set — the 100 TB shape. */
   val qDedupNear = Q(
     "q_dedup_near",
     (s, d) => {
-      val sh = shingles(s, d)
-      val mh = minhashLong(s, d)
-      val bands = mh
-        .groupBy(col("doc_id"), expr("i div 4").as("band"))
-        .agg(sum(expr(
-          """minhash * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
-                                  WHEN 2 THEN 961 ELSE 29791 END"""))
-          .as("band_key"))
+      val sets = minhashWithSets(s, d)
+        .select(col("doc_id"), col("hs"), col("sz"))
+      val bandRows = (0 until 4).map { b =>
+        s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
+          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
+      }.mkString(", ")
+      val bands = minhashWithSets(s, d)
+        .select(col("doc_id"),
+          expr(s"stack(4, $bandRows) AS (band, band_key)"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
@@ -126,57 +143,46 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("b_id") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      cand
+        .join(sets.as("za"), col("a_id") === col("za.doc_id"))
+        .join(sets.as("zb"), col("b_id") === col("zb.doc_id"))
+        .withColumn("n_common",
+          expr("size(array_intersect(za.hs, zb.hs))").cast("long"))
         .withColumn("jaccard", round(col("n_common") * lit(1.0) /
           (col("za.sz") + col("zb.sz") - col("n_common")), 6))
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(s"""$shinglesCte,
-             mh AS (
-               SELECT doc_id, i,
-                 min(((2*i + 1) * h + (7*i + 3)) % 2147483647) AS minhash
-               FROM shingles
-               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ks
-               GROUP BY doc_id, i),
-             bands AS (
-               SELECT doc_id, i // 4 AS band,
-                 CAST(sum(minhash * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
-                        WHEN 2 THEN 961 ELSE 29791 END) AS BIGINT)
-                   AS band_key
-               FROM mh GROUP BY doc_id, band),
-             cand AS (
-               SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-               FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id),
-             sizes AS (SELECT doc_id, count(*) AS sz FROM shingles
-                       GROUP BY doc_id),
-             inter AS (
-               SELECT c.a_id, c.b_id, count(*) AS n_common
-               FROM cand c
-               JOIN shingles sa ON sa.doc_id = c.a_id
-               JOIN shingles sb ON sb.doc_id = c.b_id AND sb.h = sa.h
-               GROUP BY c.a_id, c.b_id)
-             SELECT a_id, b_id, n_common,
-               round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
-                 AS jaccard
-             FROM inter
-             JOIN sizes za ON za.doc_id = a_id
-             JOIN sizes zb ON zb.doc_id = b_id
-             WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
-                   >= 0.5
-             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+    Some {
+      val mhCols = (0 until 16).map(i =>
+        s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
+          s"(${7 * i + 3})) % 2147483647)) AS m$i").mkString(",\n  ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, m${4 * b} + 31 * m${4 * b + 1} + " +
+          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3} AS band_key FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""$shinglesCte,
+         $shingleSetsCte,
+         mh AS (SELECT doc_id, $mhCols FROM shingle_sets),
+         bands AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id,
+           CAST(len(list_intersect(za.hs, zb.hs)) AS BIGINT) AS n_common,
+           round(len(list_intersect(za.hs, zb.hs)) * 1.0 /
+             (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))), 6)
+             AS jaccard
+         FROM cand
+         JOIN shingle_sets za ON za.doc_id = a_id
+         JOIN shingle_sets zb ON zb.doc_id = b_id
+         WHERE round(len(list_intersect(za.hs, zb.hs)) * 1.0 /
+             (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))), 6) >= 0.5
+         ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""
+    })
 
   // ---- q_dedup_simhash --------------------------------------------------
 

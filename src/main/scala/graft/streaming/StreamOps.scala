@@ -232,7 +232,44 @@ object StreamOps {
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** The whole reference data path as ONE streaming pipeline
+    * (q_stream_daq_pipeline): file arrival → 40-bit frame decode →
+    * filler suppression → flashing-bit mask → per-pixel threshold cut →
+    * per-(window, pixel-row) hit rates. Composes Decode/Telescope
+    * semantics on the stream; the settled result is deterministic so it
+    * still gets a DuckDB oracle. */
+  val qStreamDaqPipeline = Q(
+    "q_stream_daq_pipeline",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .withColumn("word", expr(graft.ops.Decode.wordSparkSql))
+          .withColumn("kind", expr("shiftright(word, 31) & 3"))
+          .withColumn("pix_row", expr("shiftright(word, 27) & 15"))
+          .filter(col("kind") =!= 0)                 // filler suppression
+          .filter(expr("event_id % 3564 >= 8"))      // flashing-bit mask
+          .filter(col("value") > 100.0)              // threshold cut
+          .groupBy(window(col("ts"), "1 hour"), col("pix_row"))
+          .agg(count(lit(1)).as("n_hits"),
+            round(avg(col("value")), 6).as("mean_amp")),
+        "stream_daq_tbl", "complete")
+        .select(
+          col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("pix_row"), col("n_hits"), col("mean_amp"))
+        .orderBy(col("w_start"), col("pix_row")),
+    Some(s"""${graft.ops.Decode.framesCte}
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               (word >> 27) & 15 AS pix_row,
+               count(*) AS n_hits, round(avg(value), 6) AS mean_amp
+             FROM frames
+             WHERE ((word >> 31) & 3) != 0
+               AND event_id % 3564 >= 8
+               AND value > 100.0
+             GROUP BY w_start, pix_row
+             ORDER BY w_start NULLS FIRST, pix_row NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
-    qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch)
+    qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
+    qStreamDaqPipeline)
 }
