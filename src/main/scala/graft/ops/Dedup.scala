@@ -347,7 +347,28 @@ object Dedup {
                  sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) >= 0.25
             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
 
+  /** Near-dup REMOVAL (q_dedup_drop): the action a pipeline takes on the
+    * pair list — canonical keep-the-smallest-id policy, so the drop set
+    * is every doc that appears as the larger id of a verified pair.
+    * Surviving corpus = documents anti-joined against this list. */
+  val qDedupDrop = Q(
+    "q_dedup_drop",
+    (s, d) => {
+      val pairs = qDedupNear.fn(s, d)
+      Tables.t(s, d, "documents")
+        .join(pairs.select(col("b_id")).distinct(),
+          col("doc_id") === col("b_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    qDedupNear.oracle.map { nearSql =>
+      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      s"""SELECT doc_id, lang FROM documents
+          WHERE doc_id IN (SELECT b_id FROM ($inner))
+          ORDER BY doc_id NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
-    qDedupEmbed)
+    qDedupEmbed, qDedupDrop)
 }
