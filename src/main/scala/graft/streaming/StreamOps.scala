@@ -268,8 +268,59 @@ object StreamOps {
              GROUP BY w_start, pix_row
              ORDER BY w_start NULLS FIRST, pix_row NULLS FIRST"""))
 
+  /** Resettable EVENT_CNT via flatMapGroupsWithState
+    * (q_stream_reset_counter, SURVEY §7.3 hard part 4): per readout
+    * board, a running count of events that a 'signup' sentinel resets to
+    * zero — custom keyed state the built-in aggregates can't express.
+    * Events are ordered (ts, event_id) inside each group so the settled
+    * output is deterministic and the window-SQL oracle reproduces it:
+    * count of non-sentinel rows within the (rb, reset-segment) prefix. */
+  val qStreamResetCounter = Q(
+    "q_stream_reset_counter",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val src = eventsStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp"))
+          .as("us"), expr("user_id % 2").as("rb"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val counted = src
+        .groupByKey(_._3)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (rb: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Long]) =>
+            var n = state.getOption.getOrElse(0L)
+            val rows = it.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+              if (r._4 == "signup") n = 0L else n += 1L
+              (rb, r._1, n)
+            }
+            state.update(n)
+            rows.iterator
+        }
+      drain(s, counted.toDF("rb", "event_id", "event_cnt"),
+        "stream_reset_tbl", "append")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH t AS (
+              SELECT event_id, ts, user_id % 2 AS rb, event_type
+              FROM events),
+            seg AS (
+              SELECT *, count(CASE WHEN event_type = 'signup' THEN 1 END)
+                OVER (PARTITION BY rb ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS sg
+              FROM t)
+            SELECT rb, event_id,
+              count(CASE WHEN event_type != 'signup' THEN 1 END)
+                OVER (PARTITION BY rb, sg ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS event_cnt
+            FROM seg
+            ORDER BY event_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
-    qStreamDaqPipeline)
+    qStreamDaqPipeline, qStreamResetCounter)
 }

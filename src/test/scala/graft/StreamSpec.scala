@@ -94,6 +94,38 @@ class StreamSpec extends SparkSuite {
     assert(settled === batch)
   }
 
+  test("reset counter: state survives batches, sentinel resets it") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val counted = mem.toDS()
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (rb: Long, it: Iterator[(Long, Long, Long, String)],
+          state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val rows = it.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+            if (r._4 == "signup") n = 0L else n += 1L
+            (rb, r._1, n)
+          }
+          state.update(n)
+          rows.iterator
+      }
+    val qy = counted.toDF("rb", "event_id", "event_cnt")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_reset").start()
+    mem.addData((1L, 10L, 0L, "click"), (2L, 20L, 0L, "view"))
+    qy.processAllAvailable() // state now 2
+    mem.addData((3L, 30L, 0L, "signup"), (4L, 40L, 0L, "click"))
+    qy.processAllAvailable() // sentinel resets, then counts from 1
+    qy.stop()
+    val got = spark.table("spec_reset")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("event_cnt")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("session windows merge bursts within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
