@@ -258,7 +258,47 @@ object TextOps {
              FROM toks_t
              ORDER BY doc_id NULLS FIRST"""))
 
+  /** Unigram LM scoring (q_text_logprob): per-doc mean token
+    * log-probability under the corpus unigram model — the
+    * perplexity-style quality filter of pre-training pipelines. The
+    * model is a tiny broadcast table; scoring is one explode + join +
+    * aggregate. Summed in deterministic token order (ts-free: sum of
+    * identical doubles is order-sensitive only at ulp level, absorbed by
+    * round 6 on both engines). */
+  val qTextLogprob = Q(
+    "q_text_logprob",
+    (s, d) => {
+      val ex = toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+      val totals = ex.agg(count(lit(1)).as("n_total"))
+      val model = ex.groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .crossJoin(broadcast(totals))
+        .select(col("token"),
+          log(col("tf") / col("n_total")).as("logp"))
+      ex.join(broadcast(model), "token")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("logp")), 6).as("sum_logp"),
+          round(avg(col("logp")), 6).as("mean_logp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$toksCte,
+             ex AS (SELECT doc_id, unnest(toks) AS token FROM toks_t),
+             totals AS (SELECT count(*) AS n_total FROM ex),
+             model AS (
+               SELECT token, ln(count(*) * 1.0 / n_total) AS logp
+               FROM ex CROSS JOIN totals
+               GROUP BY token, n_total)
+             SELECT doc_id, count(*) AS n_tokens,
+               round(sum(logp), 6) AS sum_logp,
+               round(avg(logp), 6) AS mean_logp
+             FROM ex JOIN model USING (token)
+             GROUP BY doc_id
+             ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
-    qTextFingerprint, qTokenCount)
+    qTextFingerprint, qTokenCount, qTextLogprob)
 }
