@@ -368,7 +368,64 @@ object Dedup {
           ORDER BY doc_id NULLS FIRST"""
     })
 
+  /** Near-dup CLUSTERS (q_dedup_components): connected components over
+    * the verified pair graph by iterative min-label propagation — the
+    * duplicate-cluster step real pipelines run after pair generation.
+    * Driver-side loop, distributed joins per step, converges in
+    * O(graph diameter) iterations (dup clusters are tiny); the oracle
+    * is a recursive CTE computing the same fixpoint. */
+  val qDedupComponents = Q(
+    "q_dedup_components",
+    (s, d) => {
+      val pairs = qDedupNear.fn(s, d).select(col("a_id"), col("b_id"))
+      val edges = pairs
+        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst")
+      var labels = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("comp"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 10) {
+        val viaNeighbors = edges
+          .join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("comp")).as("n_comp"))
+        val updated = labels
+          .join(viaNeighbors, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("n_comp"), col("comp")))
+              .as("comp"))
+        updated.persist()
+        changed = updated.as("u")
+          .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+          .filter(col("u.comp") =!= col("l.comp")).count()
+        labels.unpersist()
+        labels = updated
+        iter += 1
+      }
+      labels
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("keep_id"))
+        .filter(col("cluster_size") > 1)
+        .orderBy(col("comp"))
+    },
+    qDedupNear.oracle.map { nearSql =>
+      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      s"""WITH RECURSIVE np AS ($inner),
+            edges AS (SELECT a_id AS u, b_id AS v FROM np
+                      UNION SELECT b_id, a_id FROM np),
+            reach(u, v) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+          SELECT comp, count(*) AS cluster_size, min(doc_id) AS keep_id
+          FROM (SELECT u AS doc_id, min(v) AS comp FROM reach GROUP BY u)
+          GROUP BY comp
+          ORDER BY comp NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
-    qDedupEmbed, qDedupDrop)
+    qDedupEmbed, qDedupDrop, qDedupComponents)
 }

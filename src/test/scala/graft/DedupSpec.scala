@@ -78,6 +78,29 @@ class DedupSpec extends SparkSuite {
     assert(pairs.size === 2) // disjoint vocabularies → no other pairs
   }
 
+  test("components: a chain of near-copies collapses into one cluster") {
+    // 0 ≈ 200 ≈ 201 form a chain (each one extra token on the last);
+    // doc 5 is unrelated
+    val t0 = mkText(0, 40)
+    val docs = Seq(
+      (0L, t0, "en", "s0"),
+      (200L, t0 + " x1", "en", "s0"),
+      (201L, t0 + " x1 x2", "en", "s0"),
+      (5L, mkText(5, 40), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d2 = fixtureDir("dedup_cc")("documents" -> docs)
+    val comps = q("q_dedup_components", d2).collect()
+    assert(comps.length === 1)
+    assert(comps(0).getAs[Long]("comp") === 0L)
+    assert(comps(0).getAs[Long]("cluster_size") === 3L)
+    assert(comps(0).getAs[Long]("keep_id") === 0L)
+    // and the drop list removes exactly the two non-keepers
+    val dropped = q("q_dedup_drop", d2).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dropped === Set(200L, 201L))
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val base = (0 until 6).map { i =>
       val v = (0 until 64).map(j =>
