@@ -96,5 +96,51 @@ object Multimodal {
     },
     None)
 
-  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalDecode)
+  /** Frame sampling + resize (q_multimodal_frames): explode each video
+    * payload into its frame indices, keep every 2nd frame, attach the
+    * resize-target dims (half resolution, floor-to-even) and a per-frame
+    * feature derived from the payload header — all metadata arithmetic,
+    * so the scan prunes to video rows before any frame is materialized.
+    * The pixel-level resize kernel itself lives behind the decode stub
+    * (q_multimodal_decode); this is the planning/shape layer a 100 TB
+    * video pipeline runs first. */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, d) =>
+      media(s, d)
+        .filter(col("modality") === "video")
+        .withColumn("n_frames",
+          (lit(1) + ascii(substring(col("md5_hex"), 3, 1)) % 7)
+            .cast("long"))
+        .withColumn("width",
+          (lit(16) + (ascii(substring(col("md5_hex"), 1, 1)) % 8) * 16)
+            .cast("long"))
+        .withColumn("frame_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1)")))
+        .filter(col("frame_idx") % 2 === 0) // sample every 2nd frame
+        .select(
+          col("doc_id"), col("frame_idx"), col("n_frames"),
+          (col("width") / 2).cast("long").as("resized_w"),
+          ((ascii(substring(col("md5_hex"), 4, 1)) +
+            col("frame_idx") * 7) % 256).cast("long").as("frame_feature"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""SELECT doc_id, frame_idx, n_frames,
+              CAST(width // 2 AS BIGINT) AS resized_w,
+              CAST((ascii(substr(md5(text), 4, 1)) + frame_idx * 7) % 256
+                   AS BIGINT) AS frame_feature
+            FROM (
+              SELECT doc_id, text,
+                CAST(1 + ascii(substr(md5(text), 3, 1)) % 7 AS BIGINT)
+                  AS n_frames,
+                CAST(16 + (ascii(substr(md5(text), 1, 1)) % 8) * 16
+                     AS BIGINT) AS width,
+                unnest(generate_series(0,
+                  CAST(ascii(substr(md5(text), 3, 1)) % 7 AS BIGINT)))
+                  AS frame_idx
+              FROM documents
+              WHERE CAST(doc_id % 3 AS INT) = 2)
+            WHERE frame_idx % 2 = 0
+            ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames)
 }

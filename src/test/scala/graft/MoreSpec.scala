@@ -53,6 +53,27 @@ class MoreSpec extends SparkSuite {
     }
   }
 
+  test("logprob scores are negative and bounded by vocabulary size") {
+    val rows = q("q_text_logprob").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_logp")
+      assert(mean < 0.0)
+      assert(mean > -15.0) // ln(1/vocab-total) floor for this corpus
+    }
+  }
+
+  test("frame sampling keeps only even frames with halved widths") {
+    val rows = q("q_multimodal_frames").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") % 2 === 0L)
+      assert(r.getAs[Long]("frame_idx") < r.getAs[Long]("n_frames"))
+      val w = r.getAs[Long]("resized_w")
+      assert(w >= 8L && w <= 72L)
+    }
+  }
+
   test("dedup drop-list is a strict subset and keeps at least one per pair") {
     // fixture with a planted near-duplicate (reuse DedupSpec's corpus shape)
     import spark.implicits._
