@@ -298,7 +298,43 @@ object TextOps {
              GROUP BY doc_id
              ORDER BY doc_id NULLS FIRST"""))
 
+  /** End-to-end corpus curation (q_text_curation): the whole
+    * training-data funnel as one declarative program — length/quality
+    * gate → near-dup removal (LSH pairs → drop larger ids) → language
+    * filter → per-language corpus stats. Each stage is a filter or
+    * anti-join, so the funnel is a single pipelined pass plus the dedup
+    * candidate joins. */
+  val qTextCuration = Q(
+    "q_text_curation",
+    (s, d) => {
+      val dropIds = Dedup.qDedupNear.fn(s, d)
+        .select(col("b_id")).distinct()
+      Tables.t(s, d, "documents")
+        .filter(size(split(col("text"), " ")) >= 20 &&
+          col("lang") =!= "zh")
+        .join(dropIds, col("doc_id") === col("b_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          sum(col("n_chars")).as("corpus_chars"))
+        .orderBy(col("lang"))
+    },
+    Dedup.qDedupNear.oracle.map { nearSql =>
+      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      s"""WITH np AS ($inner)
+          SELECT lang, count(*) AS n_docs,
+            round(avg(n_chars), 6) AS avg_chars,
+            CAST(sum(n_chars) AS BIGINT) AS corpus_chars
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 20
+            AND lang != 'zh'
+            AND doc_id NOT IN (SELECT DISTINCT b_id FROM np)
+          GROUP BY lang
+          ORDER BY lang NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
-    qTextFingerprint, qTokenCount, qTextLogprob)
+    qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration)
 }

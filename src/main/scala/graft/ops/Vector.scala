@@ -212,6 +212,46 @@ object Vector {
              FROM documents JOIN e ON doc_id = vec_id
              ORDER BY doc_id NULLS FIRST"""))
 
+  /** Int8 embedding quantization (q_sim_quantize): the 4× storage
+    * reduction a 100 TB vector store runs before indexing. Quantize to
+    * round(x·127), dequantize back to FLOAT, and report reconstruction
+    * fidelity (cosine vs original, max abs error). x·127 is exact in
+    * double (24-bit × 7-bit mantissas), so both engines round the same
+    * values; the FLOAT narrowing is IEEE on both sides. */
+  val qSimQuantize = Q(
+    "q_sim_quantize",
+    (s, d) => {
+      val e = emb(s, d).withColumn("deq", expr(
+        """transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127) / 127.0 AS FLOAT))"""))
+      e.select(
+          col("vec_id"),
+          round(dot("embedding", "deq") /
+            (col("nrm") * sqrt(dot("deq", "deq"))), 6).as("cos_fidelity"),
+          round(expr(
+            """aggregate(zip_with(embedding, deq,
+                 (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+               CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"""), 6)
+            .as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+                list_transform(embedding,
+                  x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127) / 127.0
+                       AS FLOAT) AS DOUBLE)) AS deq_d
+              FROM embeddings)
+            SELECT vec_id,
+              round(list_dot_product(emb_d, deq_d) /
+                (sqrt(list_dot_product(emb_d, emb_d)) *
+                 sqrt(list_dot_product(deq_d, deq_d))), 6) AS cos_fidelity,
+              round(list_max(list_transform(
+                list_zip(emb_d, deq_d),
+                p -> abs(p[1] - p[2]))), 6) AS max_abs_err
+            FROM e
+            ORDER BY vec_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal)
+    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal, qSimQuantize)
 }
