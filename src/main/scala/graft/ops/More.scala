@@ -164,7 +164,74 @@ object More {
                                         WHERE i.o_orderpriority = o.o_orderpriority)
             ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** Latest-wins upsert merge (q_upsert_latest): the CDC/state-table
+    * compaction every incremental pipeline runs — one row per key, the
+    * version with the newest timestamp wins (event_id tie-break). */
+  val qUpsertLatest = Q(
+    "q_upsert_latest",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id, value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+            ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""))
+
+  /** Column profiler (q_profile): per-column null/distinct/min/max —
+    * the data-quality scan run before any pipeline stage. One pass,
+    * wide aggregates, long output via stack. */
+  val qProfile = Q(
+    "q_profile",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_quantity").isNull, 1)).as("nn_qty"),
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_returnflag")).as("nd_flag"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .select(expr(
+          """stack(7,
+               'n_rows', CAST(n_rows AS DOUBLE),
+               'null_quantity', CAST(nn_qty AS DOUBLE),
+               'distinct_partkey', CAST(nd_part AS DOUBLE),
+               'distinct_returnflag', CAST(nd_flag AS DOUBLE),
+               'min_extendedprice', min_price,
+               'max_extendedprice', max_price,
+               'avg_discount', avg_disc) AS (stat, v)"""))
+        .orderBy(col("stat"))
+    },
+    Some("""SELECT stat, v FROM (
+              SELECT 'n_rows' AS stat, CAST(count(*) AS DOUBLE) AS v
+                FROM lineitem
+              UNION ALL SELECT 'null_quantity',
+                CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END)
+                     AS DOUBLE) FROM lineitem
+              UNION ALL SELECT 'distinct_partkey',
+                CAST(count(DISTINCT l_partkey) AS DOUBLE) FROM lineitem
+              UNION ALL SELECT 'distinct_returnflag',
+                CAST(count(DISTINCT l_returnflag) AS DOUBLE) FROM lineitem
+              UNION ALL SELECT 'min_extendedprice',
+                round(min(l_extendedprice), 2) FROM lineitem
+              UNION ALL SELECT 'max_extendedprice',
+                round(max(l_extendedprice), 2) FROM lineitem
+              UNION ALL SELECT 'avg_discount',
+                round(avg(l_discount), 6) FROM lineitem)
+            ORDER BY stat NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
-    qSubqueryScalar)
+    qSubqueryScalar, qUpsertLatest, qProfile)
 }
