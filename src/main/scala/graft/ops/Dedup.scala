@@ -378,9 +378,14 @@ object Dedup {
     "q_dedup_components",
     (s, d) => {
       val pairs = qDedupNear.fn(s, d).select(col("a_id"), col("b_id"))
+      // materialize the edge list ONCE — every propagation step joins
+      // against it, and without the persist each iteration would re-run
+      // the whole shingle/minhash/verify pipeline upstream
       val edges = pairs
         .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .toDF("src", "dst")
+        .persist()
+      edges.count()
       var labels = Tables.t(s, d, "documents")
         .select(col("doc_id"), col("doc_id").as("comp"))
       var changed = 1L
@@ -403,6 +408,7 @@ object Dedup {
         labels = updated
         iter += 1
       }
+      edges.unpersist()
       labels
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("cluster_size"),
