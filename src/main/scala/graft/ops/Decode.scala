@@ -152,6 +152,79 @@ object Decode {
              GROUP BY event_type
              ORDER BY event_type NULLS FIRST"""))
 
+  /** Bitslip lock detection (q_bitslip, html:51): the decoder tries all
+    * 8 bit alignments and locks on the shift where the filler pattern
+    * (0xAA) appears most often. Candidate shifts explode from a literal
+    * sequence; argmax with deterministic tie-break. */
+  val qBitslip = Q(
+    "q_bitslip",
+    (s, d) =>
+      frames(s, d)
+        .select(col("word"),
+          explode(sequence(lit(0), lit(7))).as("shift"))
+        .groupBy(col("shift").cast("long").as("shift"))
+        .agg(count(when(
+          expr("(shiftright(word, CAST(shift AS INT)) & 255) = 170"), 1))
+          .as("matches"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("matches").desc, col("shift"))).cast("long"))
+        .withColumn("is_locked", col("rnk") === 1)
+        .select(col("shift"), col("matches"), col("rnk"), col("is_locked"))
+        .orderBy(col("shift")),
+    Some(s"""$framesCte
+             SELECT shift, matches, rnk, rnk = 1 AS is_locked
+             FROM (
+               SELECT shift,
+                 count(CASE WHEN ((word >> shift) & 255) = 170 THEN 1 END)
+                   AS matches,
+                 CAST(row_number() OVER (
+                   ORDER BY count(CASE WHEN ((word >> shift) & 255) = 170
+                                  THEN 1 END) DESC, shift) AS BIGINT)
+                   AS rnk
+               FROM frames
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS shift) sh
+               GROUP BY shift)
+             ORDER BY shift NULLS FIRST"""))
+
+  /** Flashing-period detection (q_flashing_detect, html:51): recover the
+    * trigger-noise period from data by scoring candidate periods — the
+    * true period concentrates triggers into few phases; argmax by peak
+    * phase count with deterministic tie-break. */
+  val qFlashingDetect = Q(
+    "q_flashing_detect",
+    (s, d) =>
+      frames(s, d)
+        .filter(col("value") > 250.0)
+        .select(col("event_id").as("bx"),
+          explode(expr("array(891, 1782, 3564)")).as("period"))
+        .groupBy(col("period").cast("long").as("period"),
+          (col("bx") % col("period")).as("phase"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("period"))
+        .agg(max(col("n")).as("peak_phase_n"),
+          countDistinct(col("phase")).as("n_phases"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("peak_phase_n").desc, col("period"))).cast("long"))
+        .orderBy(col("period")),
+    Some(s"""$framesCte
+             SELECT period, peak_phase_n, n_phases,
+               CAST(row_number() OVER (ORDER BY peak_phase_n DESC, period)
+                    AS BIGINT) AS rnk
+             FROM (
+               SELECT period, max(n) AS peak_phase_n,
+                 count(DISTINCT phase) AS n_phases
+               FROM (
+                 SELECT period, bx % period AS phase, count(*) AS n
+                 FROM (SELECT event_id AS bx, value FROM frames
+                       WHERE value > 250.0)
+                 CROSS JOIN (SELECT unnest([891, 1782, 3564]) AS period) p
+                 GROUP BY period, phase)
+               GROUP BY period)
+             ORDER BY period NULLS FIRST"""))
+
   val all: Seq[Q] =
-    Seq(qScanBinary, qFrameDecode, qFillerSuppress, qFlashingMask)
+    Seq(qScanBinary, qFrameDecode, qFillerSuppress, qFlashingMask,
+      qBitslip, qFlashingDetect)
 }

@@ -319,8 +319,42 @@ object StreamOps {
             FROM seg
             ORDER BY event_id NULLS FIRST"""))
 
+  /** Stream-stream interval join (q_stream_join): errors joined to the
+    * same user's clicks within the preceding hour, both sides
+    * watermarked so join state is bounded — the correlated-streams
+    * analytic (trigger vs readout correlation in DAQ terms). The
+    * settled pair set is deterministic → batch SQL oracle. */
+  val qStreamJoin = Q(
+    "q_stream_join",
+    (s, d) => {
+      def side(t: String, pfx: String) =
+        eventsStream(s, d)
+          .filter(col("event_type") === t)
+          .select(
+            col("event_id").as(s"${pfx}_id"),
+            col("user_id").as(s"${pfx}_user"),
+            col("ts").cast("timestamp").as(s"${pfx}_ts"))
+          .withWatermark(s"${pfx}_ts", "30 minutes")
+      val errors = side("error", "e")
+      val clicks = side("click", "c")
+      val joined = errors.join(
+        clicks,
+        expr("""e_user = c_user AND
+                c_ts >= e_ts - INTERVAL 1 HOUR AND c_ts <= e_ts"""))
+      drain(s, joined, "stream_join_tbl", "append")
+        .select(col("e_id"), col("c_id"), col("e_user").as("user_id"))
+        .orderBy(col("e_id"), col("c_id"))
+    },
+    Some("""SELECT e.event_id AS e_id, c.event_id AS c_id,
+              e.user_id AS user_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+            ORDER BY e_id NULLS FIRST, c_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
-    qStreamDaqPipeline, qStreamResetCounter)
+    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin)
 }
