@@ -124,9 +124,21 @@ object Dedup {
     * exact shingle Jaccard ≥ 0.5 via array_intersect on the collected
     * sets. One shingle scan, one shuffle, then joins only on the tiny
     * candidate set — the 100 TB shape. */
-  val qDedupNear = Q(
-    "q_dedup_near",
-    (s, d) => {
+  /** Session-scoped cache of verified near-dup pairs: q_dedup_near,
+    * q_dedup_drop, q_dedup_components and q_text_curation all consume
+    * the same pair list — materialize it once per (session, sfDir)
+    * (SURVEY §4.1: reuse of a prior result instead of a rescan). */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  def nearPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
+      val df = buildNearPairs(s, d).persist()
+      df.count()
+      df
+    })
+
+  private def buildNearPairs(s: SparkSession, d: String): DataFrame = {
       val sets = minhashWithSets(s, d)
         .select(col("doc_id"), col("hs"), col("sz"))
       val bandRows = (0 until 4).map { b =>
@@ -152,8 +164,11 @@ object Dedup {
           (col("za.sz") + col("zb.sz") - col("n_common")), 6))
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
+  }
+
+  val qDedupNear = Q(
+    "q_dedup_near",
+    (s, d) => nearPairs(s, d).orderBy(col("a_id"), col("b_id")),
     Some {
       val mhCols = (0 until 16).map(i =>
         s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
@@ -354,7 +369,7 @@ object Dedup {
   val qDedupDrop = Q(
     "q_dedup_drop",
     (s, d) => {
-      val pairs = qDedupNear.fn(s, d)
+      val pairs = nearPairs(s, d)
       Tables.t(s, d, "documents")
         .join(pairs.select(col("b_id")).distinct(),
           col("doc_id") === col("b_id"), "left_semi")
@@ -377,7 +392,7 @@ object Dedup {
   val qDedupComponents = Q(
     "q_dedup_components",
     (s, d) => {
-      val pairs = qDedupNear.fn(s, d).select(col("a_id"), col("b_id"))
+      val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
       // materialize the edge list ONCE — every propagation step joins
       // against it, and without the persist each iteration would re-run
       // the whole shingle/minhash/verify pipeline upstream
@@ -386,8 +401,10 @@ object Dedup {
         .toDF("src", "dst")
         .persist()
       edges.count()
-      var labels = Tables.t(s, d, "documents")
-        .select(col("doc_id"), col("doc_id").as("comp"))
+      // only edge vertices can be in a >1 cluster — propagate over the
+      // (tiny) vertex set, not the whole corpus
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id"))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 10) {
@@ -395,17 +412,18 @@ object Dedup {
           .join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src"))
           .agg(min(col("comp")).as("n_comp"))
+        // localCheckpoint truncates the lineage: without it each round's
+        // plan embeds all previous rounds and Catalyst re-analysis
+        // dominates the loop (persist alone does not cut the plan).
         val updated = labels
           .join(viaNeighbors, col("doc_id") === col("src"), "left")
           .select(col("doc_id"),
             least(col("comp"), coalesce(col("n_comp"), col("comp")))
-              .as("comp"))
-        updated.persist()
-        changed = updated.as("u")
-          .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-          .filter(col("u.comp") =!= col("l.comp")).count()
-        labels.unpersist()
-        labels = updated
+              .as("comp"),
+            col("comp").as("old_comp"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("comp") =!= col("old_comp")).count()
+        labels = updated.select(col("doc_id"), col("comp"))
         iter += 1
       }
       edges.unpersist()

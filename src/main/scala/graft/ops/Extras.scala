@@ -221,7 +221,79 @@ object Extras {
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
              ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
 
+  /** Typed bitset-distinct aggregator (q_udaf_bitset, SURVEY §2.2
+    * "exact bitset counter"): exact COUNT(DISTINCT key) for bounded key
+    * domains via a fixed 4096-bit buffer — merge is bitwise OR
+    * (associative, commutative, exact), so at scale this replaces the
+    * expand+distinct shuffle with a constant 512-byte partial state. */
+  object BitsetDistinct extends Aggregator[Long, Array[Long], Long] {
+    private val Words = 64 // 64 × 64 = 4096-bit domain
+    override def zero: Array[Long] = new Array[Long](Words)
+    override def reduce(b: Array[Long], v: Long): Array[Long] = {
+      val k = (v % (Words * 64) + Words * 64) % (Words * 64)
+      b((k >> 6).toInt) |= (1L << (k & 63)); b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < Words) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Long =
+      r.map(java.lang.Long.bitCount(_).toLong).sum
+    override def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.javaSerialization[Array[Long]]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  val qUdafBitset = Q(
+    "q_udaf_bitset",
+    (s, d) => {
+      val distinctUsers = udaf(BitsetDistinct)
+      ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(distinctUsers(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Z-order locality key (q_zorder): interleave the bits of the pixel
+    * (row, col) into one sort key so a range of z-values covers a 2-D
+    * tile — the multi-dimensional clustering trick that makes min/max
+    * pruning work on two columns at once in a 100 TB layout. */
+  val qZorder = Q(
+    "q_zorder",
+    (s, d) => {
+      val interleave = (0 until 4).map(b =>
+        s"(shiftleft(shiftright(event_id % 16, $b) & 1, ${2 * b + 1}) | " +
+          s"shiftleft(shiftright(user_id % 16, $b) & 1, ${2 * b}))")
+        .mkString(" | ")
+      ev(s, d)
+        .withColumn("zval", expr(s"CAST($interleave AS BIGINT)"))
+        .groupBy((col("zval") / 16).cast("long").as("z_tile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(expr("event_id % 16")).as("min_row"),
+          max(expr("event_id % 16")).as("max_row"),
+          min(expr("user_id % 16")).as("min_col"),
+          max(expr("user_id % 16")).as("max_col"))
+        .orderBy(col("z_tile"))
+    },
+    Some {
+      val interleave = (0 until 4).map(b =>
+        s"((((event_id % 16) >> $b) & 1) << ${2 * b + 1}) | " +
+          s"((((user_id % 16) >> $b) & 1) << ${2 * b})")
+        .mkString(" | ")
+      s"""SELECT CAST(zval // 16 AS BIGINT) AS z_tile, count(*) AS n,
+            min(event_id % 16) AS min_row, max(event_id % 16) AS max_row,
+            min(user_id % 16) AS min_col, max(user_id % 16) AS max_col
+          FROM (SELECT event_id, user_id, $interleave AS zval FROM events)
+          GROUP BY z_tile
+          ORDER BY z_tile NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qScanCsv, qScanJson, qSinkParquet, qFilterBitops, qUdfScalar,
-    qUdafTyped, qUdtfExplode, qDedupSimhashPairs)
+    qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder)
 }

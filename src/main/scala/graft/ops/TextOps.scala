@@ -307,7 +307,7 @@ object TextOps {
   val qTextCuration = Q(
     "q_text_curation",
     (s, d) => {
-      val dropIds = Dedup.qDedupNear.fn(s, d)
+      val dropIds = Dedup.nearPairs(s, d)
         .select(col("b_id")).distinct()
       Tables.t(s, d, "documents")
         .filter(size(split(col("text"), " ")) >= 20 &&
