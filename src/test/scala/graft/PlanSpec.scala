@@ -70,6 +70,22 @@ class PlanSpec extends SparkSuite {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("Q5 shape broadcasts nation and region, never a cartesian") {
+    val p = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("z-order tiles bound both dimensions at once") {
+    val rows = q("q_zorder").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_row") - r.getAs[Long]("min_row") <= 3,
+        "a z-tile of 16 must cover at most a 4-row band")
+      assert(r.getAs[Long]("max_col") - r.getAs[Long]("min_col") <= 3,
+        "a z-tile of 16 must cover at most a 4-col band")
+    }
+  }
+
   test("float_dot is codegen-compatible (no CodegenFallback in plan)") {
     val p = plan("q_sim_topk")
     assert(p.contains("float_dot") || p.contains("floatdot") ||
