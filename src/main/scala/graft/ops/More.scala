@@ -231,7 +231,51 @@ object More {
                 round(avg(l_discount), 6) FROM lineitem)
             ORDER BY stat NULLS FIRST"""))
 
+  /** Mode / argmax aggregate (q_agg_mode): each user's most frequent
+    * event type, deterministic tie-break (count desc, type asc). */
+  val qAggMode = Q(
+    "q_agg_mode",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      ev(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_type AS mode_type, n
+            FROM (SELECT user_id, event_type, count(*) AS n,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY count(*) DESC, event_type) AS rn
+                  FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+            ORDER BY user_id NULLS FIRST"""))
+
+  /** Deterministic sampling (q_sample_mod): hash-mod sampling — unlike
+    * TABLESAMPLE, reproducible across engines, runs and partitionings;
+    * the sampling idiom a 100 TB pipeline uses for held-out splits. */
+  val qSampleMod = Q(
+    "q_sample_mod",
+    (s, d) =>
+      ev(s, d)
+        .filter(expr(
+          "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 20 = 0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n_sampled,
+              round(avg(value), 6) AS avg_value
+            FROM events
+            WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 20 = 0
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
-    qSubqueryScalar, qUpsertLatest, qProfile)
+    qSubqueryScalar, qUpsertLatest, qProfile, qAggMode, qSampleMod)
 }
