@@ -101,6 +101,26 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("semi join equals the distinct inner-join projection (SURVEY §5.2)") {
+    val cust = Tables.t(spark, sf0, "customer")
+    val ordF = Tables.t(spark, sf0, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val semi = cust.join(ordF, col("c_custkey") === col("o_custkey"),
+      "left_semi").select(col("c_custkey"))
+    val innerProj = cust.join(ordF, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey")).distinct()
+    assert(semi.except(innerProj).count() === 0)
+    assert(innerProj.except(semi).count() === 0)
+  }
+
+  test("intersect + except partition the left distinct set") {
+    val e = Tables.t(spark, sf0, "events")
+    val a = e.filter(col("event_type") === "view").select(col("user_id"))
+    val b = e.filter(col("event_type") === "purchase").select(col("user_id"))
+    val total = a.distinct().count()
+    assert(a.intersect(b).count() + a.except(b).count() === total)
+  }
+
   test("config parse emits the declared typed rows") {
     val rows = q("q_config_parse").collect()
     assert(rows.length === 5)
