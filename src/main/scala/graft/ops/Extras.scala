@@ -65,6 +65,29 @@ object Extras {
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** ORC source/sink round-trip (q_scan_orc): the second columnar
+    * format Spark ships natively — same pushdown/pruning machinery as
+    * parquet, verified by aggregating the round-tripped rows. */
+  val qScanOrc = Q(
+    "q_scan_orc",
+    (s, d) => {
+      val out = tmp("graft_scan_orc")
+      ev(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("value") > 50.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value
+            FROM events WHERE value > 50.0
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   /** Plain columnar sink round-trip (q_sink_parquet, md:233-235). */
   val qSinkParquet = Q(
     "q_sink_parquet",
@@ -294,6 +317,6 @@ object Extras {
     })
 
   val all: Seq[Q] = Seq(
-    qScanCsv, qScanJson, qSinkParquet, qFilterBitops, qUdfScalar,
+    qScanCsv, qScanJson, qScanOrc, qSinkParquet, qFilterBitops, qUdfScalar,
     qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder)
 }
