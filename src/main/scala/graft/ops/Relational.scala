@@ -356,6 +356,30 @@ object Relational {
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Bivariate statistics (q_agg_corr): Pearson correlation + sample
+    * covariance between amplitude and the JSON payload metric —
+    * completes the statistical aggregate family next to stddev/var. */
+  val qAggCorr = Q(
+    "q_agg_corr",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+        .groupBy($"event_type")
+        .agg(
+          round(corr($"value", $"k"), 6).as("corr_vk"),
+          round(covar_samp($"value", $"k"), 6).as("covar_vk"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type"),
+    Some("""SELECT event_type,
+              round(corr(value, k), 6) AS corr_vk,
+              round(covar_samp(value, k), 6) AS covar_vk,
+              count(*) AS n
+            FROM (SELECT event_type, value,
+                    CAST(props ->> '$.k' AS DOUBLE) AS k
+                  FROM events)
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   /** Exact interpolated percentile (S-curve midpoint idiom, html:194). */
   val qAggPercentile = Q(
     "q_agg_percentile",
@@ -787,7 +811,8 @@ object Relational {
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinTheta,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
-    qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets, qAggFiltered,
+    qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
+    qAggFiltered,
     qWinRank, qWinLag, qWinRunning, qWinSliding,
     qSort, qTopk, qLimit,
     qUnion, qIntersect, qExcept,
