@@ -224,7 +224,65 @@ object Decode {
                GROUP BY period)
              ORDER BY period NULLS FIRST"""))
 
+  /** Raw byte-level `.dat` scan (q_scan_binary_raw, md:227-234,
+    * md:196-209 `readBlock(128)`): the literal binary path a user with an
+    * actual DAQ blob takes. Each 40-bit frame is packed into 5 big-endian
+    * bytes and written as one `.dat` blob per partition (the write is the
+    * fixture half — at cluster scale the blobs already sit on shared
+    * storage). The read half is the operator under test: the `binaryFile`
+    * source loads each blob, a sequence-explode walks its 5-byte words,
+    * and `substring`/`hex`/`conv` Catalyst expressions decode them —
+    * executor-parallel per file, no UDFs, no driver round-trip. The
+    * DuckDB oracle rebuilds the identical words from `events` directly,
+    * so a green hash proves byte-level pack → scan → decode fidelity. */
+  val qScanBinaryRaw = Q(
+    "q_scan_binary_raw",
+    (s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_raw_dat"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      frames(s, d).select(col("word"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(s"$dir/part-$pid.dat")
+          val os = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f))
+          try it.foreach { r =>
+            val w = r.getLong(0)
+            var shift = 32
+            while (shift >= 0) { os.write(((w >> shift) & 0xFF).toInt); shift -= 8 }
+          } finally os.close()
+        }
+      s.read.format("binaryFile").load(dir)
+        .select(col("content"),
+          (length(col("content")) / 5).cast("long").as("n"))
+        .filter(col("n") >= 1)
+        .select(col("content"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n - 1)")).as("i"))
+        .select(expr(
+          """CAST(conv(hex(substring(content, CAST(i * 5 + 1 AS INT), 5)),
+               16, 10) AS BIGINT)""").as("word"))
+        .groupBy(expr("shiftright(word, 31) & 3").as("kind"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("word")).as("sum_word"),
+          min(col("word")).as("min_word"),
+          max(col("word")).as("max_word"),
+          sum(expr("word & 511")).as("sum_tot"),
+          sum(expr("shiftright(word, 9) & 1023")).as("sum_toa"))
+        .orderBy(col("kind"))
+    },
+    Some(s"""$framesCte
+             SELECT (word >> 31) & 3 AS kind, count(*) AS n_words,
+               CAST(sum(word) AS BIGINT) AS sum_word,
+               min(word) AS min_word, max(word) AS max_word,
+               CAST(sum(word & 511) AS BIGINT) AS sum_tot,
+               CAST(sum((word >> 9) & 1023) AS BIGINT) AS sum_toa
+             FROM frames
+             GROUP BY kind
+             ORDER BY kind NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qScanBinary, qFrameDecode, qFillerSuppress, qFlashingMask,
-      qBitslip, qFlashingDetect)
+      qBitslip, qFlashingDetect, qScanBinaryRaw)
 }

@@ -245,9 +245,18 @@ object Dedup {
 
   // ---- q_dedup_ngram ----------------------------------------------------
 
-  /** Bigram-Jaccard near-dup within (lang, source) blocks: candidate
-    * pairs must share a block AND a bigram (equi-join generation — never
-    * a cross product), then Jaccard ≥ 0.2 on distinct bigram sets. */
+  /** Bigram-Jaccard near-dup within (lang, source) blocks.
+    *
+    * Candidate generation uses RARE-bigram blocking: a pair must share a
+    * block AND a bigram whose document frequency is ≤ 5% of the corpus.
+    * High-df bigrams carry no identity signal (in a 31-word vocabulary
+    * nearly every pair shares some common bigram) and joining through
+    * them degenerates to block-all-pairs; capping df makes the
+    * candidate fan-out per bigram bounded by df ≤ 0.05·N while true
+    * near-dups — which share most of their bigrams, common AND rare —
+    * still collide. Jaccard ≥ 0.2 is then verified exactly on the FULL
+    * distinct-bigram sets of each candidate pair. The df cutoff is
+    * mirrored in the oracle so both engines compute the same set. */
   val qDedupNgram = Q(
     "q_dedup_ngram",
     (s, d) => {
@@ -261,13 +270,31 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("bg"))
         .distinct()
       val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = bg.as("a")
-        .join(bg.as("b"),
+      val nDocs = Tables.t(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      // bigram → doc frequency; rare = df ≤ 5% of docs (bg is already
+      // distinct per doc, so count(*) IS the document frequency). The
+      // floor of 2 keeps the cutoff meaningful on tiny corpora — a
+      // SHARED bigram has df ≥ 2 by definition.
+      val rare = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <= greatest(lit(2.0), col("n_docs") * 0.05))
+        .select(col("bg"))
+      val bgRare = bg.join(rare, "bg")
+      val cand = bgRare.as("a")
+        .join(bgRare.as("b"),
           col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") &&
           col("a.bg") === col("b.bg") &&
           col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      // exact verify on the full bigram sets of the surviving candidates
+      val inter = cand
+        .join(bg.as("fa"), col("a_id") === col("fa.doc_id"))
+        .join(bg.as("fb"),
+          col("b_id") === col("fb.doc_id") && col("fa.bg") === col("fb.bg"))
+        .groupBy(col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("n_common"))
       inter
         .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
@@ -290,13 +317,23 @@ object Dedup {
                           FROM documents))),
             sizes AS (SELECT doc_id, count(*) AS sz FROM bg
                       GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                count(*) AS n_common
-              FROM bg a JOIN bg b
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            rare AS (
+              SELECT bg FROM (SELECT bg, count(*) AS df FROM bg
+                              GROUP BY bg), nd
+              WHERE df <= greatest(2.0, n_docs * 0.05)),
+            bgr AS (SELECT bg.* FROM bg JOIN rare USING (bg)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bgr a JOIN bgr b
                 ON a.lang = b.lang AND a.source = b.source
-               AND a.bg = b.bg AND a.doc_id < b.doc_id
-              GROUP BY a_id, b_id)
+               AND a.bg = b.bg AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT c.a_id, c.b_id, count(*) AS n_common
+              FROM cand c
+              JOIN bg fa ON fa.doc_id = c.a_id
+              JOIN bg fb ON fb.doc_id = c.b_id AND fb.bg = fa.bg
+              GROUP BY c.a_id, c.b_id)
             SELECT a_id, b_id,
               round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
                 AS jaccard

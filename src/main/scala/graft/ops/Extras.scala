@@ -214,34 +214,56 @@ object Extras {
             ORDER BY event_id NULLS FIRST, field NULLS FIRST"""))
 
   /** Bonus: SimHash hamming pairs via the built-in bit_count — near-dup
-    * candidates at sketch resolution, all-pairs within lang blocks on
-    * 8-byte sketches (cheap integer compare, no text touched). */
+    * candidates at sketch resolution. The 32-bit sketch is LSH-banded
+    * into 4 bytes; a candidate pair must collide on at least one
+    * (band, byte) within its lang block, so generation is an equi-join
+    * on the band key — never all-pairs within a block (close sketches
+    * almost always share a byte; a pair differing in all 4 bands is by
+    * definition outside this operator's recall, on both engines).
+    * Hamming ≤ 10 is then verified exactly on the colliding pairs. */
   val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     (s, d) => {
       val sims = Dedup.qDedupSimhash.fn(s, d)
         .join(Tables.t(s, d, "documents").select(col("doc_id"), col("lang")),
           "doc_id")
-      sims.as("a").join(sims.as("b"),
+      val bandRows = (0 until 4).map(b =>
+        s"CAST($b AS BIGINT), shiftright(simhash, ${8 * b}) & 255")
+        .mkString(", ")
+      val bands = sims.select(col("doc_id"), col("lang"), col("simhash"),
+        expr(s"stack(4, $bandRows) AS (band, bkey)"))
+      bands.as("a").join(bands.as("b"),
           col("a.lang") === col("b.lang") &&
+          col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
-        .filter(col("hamming") <= 10)
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("hamming"))
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("hamming") <= 10)
+        .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""${Dedup.simhashCte},
        sims AS (
                SELECT s.doc_id, s.simhash, d.lang
-               FROM simhash_t s JOIN documents d USING (doc_id))
-             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-                 AS hamming
-             FROM sims a JOIN sims b
-               ON a.lang = b.lang AND a.doc_id < b.doc_id
-             WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+               FROM simhash_t s JOIN documents d USING (doc_id)),
+             bands AS (
+               SELECT doc_id, lang, simhash, b AS band,
+                 (simhash >> (8 * b)) & 255 AS bkey
+               FROM sims
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+             cand AS (
+               SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.simhash AS sa, b.simhash AS sb
+               FROM bands a JOIN bands b
+                 ON a.lang = b.lang AND a.band = b.band
+                AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             SELECT a_id, b_id,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             FROM cand
+             WHERE bit_count(xor(sa, sb)) <= 10
              ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
 
   /** Typed bitset-distinct aggregator (q_udaf_bitset, SURVEY §2.2
@@ -263,8 +285,11 @@ object Extras {
     }
     override def finish(r: Array[Long]): Long =
       r.map(java.lang.Long.bitCount(_).toLong).sum
+    // kryo, not javaSerialization: partial-state merges run once per
+    // input partition and an ObjectOutputStream round-trip per merge is
+    // measurable; kryo writes the primitive array directly.
     override def bufferEncoder: Encoder[Array[Long]] =
-      Encoders.javaSerialization[Array[Long]]
+      Encoders.kryo[Array[Long]]
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 

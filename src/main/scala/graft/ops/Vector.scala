@@ -74,28 +74,70 @@ object Vector {
              ORDER BY cos_sim DESC NULLS LAST, vec_id NULLS FIRST
              LIMIT 20"""))
 
-  /** All-pairs similarity ≥ τ inside label blocks (q_sim_pairs). */
+  /** Pairwise similarity ≥ τ inside label blocks (q_sim_pairs).
+    *
+    * Candidate generation is OR-amplified sign-LSH, not label-all-pairs:
+    * 4 independent 4-bit hyperplane bands (signs of dims 1-4, 5-8, 9-12,
+    * 13-16); a pair is a candidate iff it collides on ≥ 1 (band, key)
+    * within its label block — an equi-join on the band key whose
+    * fan-out per bucket stays bounded as blocks grow 100×. OR-ing 4
+    * narrow bands (vs one 8-bit bucket) is the standard LSH recall
+    * amplification: a pair at cosine c agrees per hyperplane with
+    * p = 1 − arccos(c)/π, survives ≥1-of-4 bands with 1 − (1 − p⁴)⁴.
+    * Exact cosine ≥ τ is then verified on candidates only; the banding
+    * is mirrored in the oracle so both engines compute the same set. */
   val qSimPairs = Q(
     "q_sim_pairs",
     (s, d) => {
+      def bkeySpark(b: Int): String = (1 to 4).map(i =>
+        s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"CAST($b AS BIGINT), CAST(${bkeySpark(b)} AS BIGINT)")
+        .mkString(", ")
       val e = emb(s, d)
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
+      val bands = e.select(col("vec_id"), col("label"),
+        expr(s"stack(4, $bandRows) AS (band, bkey)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(e.as("a"), col("a_id") === col("a.vec_id"))
+        .join(e.as("b"), col("b_id") === col("b.vec_id"))
         .withColumn("cos_sim",
           cosinePre("a.embedding", "b.embedding", col("a.nrm"), col("b.nrm")))
         .filter(col("cos_sim") >= 0.3)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.label").as("label"), col("cos_sim"))
+        .select(col("a_id"), col("b_id"), col("a.label").as("label"),
+          col("cos_sim"))
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(s"""$embCte
-             SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+    Some {
+      val bkeySql = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[4 * b + $i] > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""$embCte,
+             bands AS (
+               SELECT vec_id, label, b AS band,
+                 CAST($bkeySql AS BIGINT) AS bkey
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+             cand AS (
+               SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+               FROM bands x JOIN bands y
+                 ON x.label = y.label AND x.band = y.band
+                AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+             SELECT a_id, b_id, a.label AS label,
                ${cosSql("a.emb_d", "b.emb_d")} AS cos_sim
-             FROM e a JOIN e b
-               ON a.label = b.label AND a.vec_id < b.vec_id
+             FROM cand
+             JOIN e a ON a.vec_id = a_id
+             JOIN e b ON b.vec_id = b_id
              WHERE ${cosSql("a.emb_d", "b.emb_d")} >= 0.3
-             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""
+    })
 
   /** Sign-LSH ANN (q_sim_ann_lsh): 8-bit hyperplane bucket = signs of
     * dims 1..8; search only the probe's bucket, rank by exact cosine.

@@ -272,35 +272,90 @@ object StreamOps {
     * (q_stream_reset_counter, SURVEY §7.3 hard part 4): per readout
     * board, a running count of events that a 'signup' sentinel resets to
     * zero — custom keyed state the built-in aggregates can't express.
-    * Events are ordered (ts, event_id) inside each group so the settled
-    * output is deterministic and the window-SQL oracle reproduces it:
-    * count of non-sentinel rows within the (rb, reset-segment) prefix. */
+    *
+    * State is keyed by (rb, UTC day), NOT rb alone: a running scan is
+    * inherently sequential per key, and with a cardinality-2 key each
+    * task would buffer half of every trigger (real deployments key by
+    * (run, rb) for the same reason). Each (rb, day) group sorts only one
+    * day of one board and emits LOCAL counts (resets applied within the
+    * day) plus a seen-a-reset flag; the cross-day carry is then stitched
+    * on relationally: per-day tails (count since last reset at day end)
+    * prefix-sum back to the last reset day via window functions over the
+    * tiny per-day summary. Output is identical to a single sequential
+    * scan — the window-SQL oracle is unchanged. */
+  private val usPerDay = 86400000000L
+
+  /** Streaming half of the resettable counter: per (rb, UTC day) group,
+    * emit each row's LOCAL running count (resets applied within the day)
+    * plus whether a reset has been seen in the day so far. Rows are
+    * (event_id, us, rb, event_type). */
+  private[graft] def resetCounterLocal(
+      src: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import src.sparkSession.implicits._
+    src
+      .groupByKey(r => (r._3, r._2 / usPerDay))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[(Long, Long, Long, String)],
+          state: GroupState[(Long, Boolean)]) =>
+          var (n, seen) = state.getOption.getOrElse((0L, false))
+          val rows = it.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+            if (r._4 == "signup") { n = 0L; seen = true } else n += 1L
+            (key._1, key._2, r._1, r._2, n, seen)
+          }
+          state.update((n, seen))
+          rows.iterator
+      }
+      .toDF("rb", "day", "event_id", "us", "l_cnt", "seen")
+  }
+
+  /** Relational half: stitch cross-day carries onto the settled local
+    * counts (a registered table). carry(D) = Σ tails of the days since
+    * the last reset day strictly before D; g (prefix-sum of tails) is
+    * nondecreasing, so the g value AT the most recent reset day is a
+    * running max. Expressed as SQL over the table name: the local rows
+    * join their own day-level aggregate, and SQL view resolution gives
+    * each scan fresh attributes (the DataFrame self-join form trips
+    * analyzer deduplication over memory-sink views). */
+  private[graft] def stitchCarries(s: SparkSession, table: String)
+      : DataFrame =
+    s.sql(
+      s"""WITH daysum AS (
+            SELECT rb, day,
+              max_by(l_cnt, struct(us, event_id)) AS tail,
+              max(CAST(seen AS INT)) AS has_signup
+            FROM $table GROUP BY rb, day),
+          carries AS (
+            SELECT rb, day, g - last_sig_g AS carry FROM (
+              SELECT rb, day, g,
+                coalesce(max(CASE WHEN has_signup = 1 THEN g END)
+                  OVER (PARTITION BY rb ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS last_sig_g
+              FROM (
+                SELECT rb, day, has_signup,
+                  coalesce(sum(tail)
+                    OVER (PARTITION BY rb ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS g
+                FROM daysum)))
+          SELECT l.rb, l.event_id,
+            CASE WHEN l.seen THEN l.l_cnt
+                 ELSE c.carry + l.l_cnt END AS event_cnt
+          FROM $table l JOIN carries c ON l.rb = c.rb AND l.day = c.day""")
+
   val qStreamResetCounter = Q(
     "q_stream_reset_counter",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val src = eventsStream(s, d)
         .select(col("event_id"), unix_micros(col("ts").cast("timestamp"))
           .as("us"), expr("user_id % 2").as("rb"), col("event_type"))
         .as[(Long, Long, Long, String)]
-      val counted = src
-        .groupByKey(_._3)
-        .flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (rb: Long, it: Iterator[(Long, Long, Long, String)],
-            state: GroupState[Long]) =>
-            var n = state.getOption.getOrElse(0L)
-            val rows = it.toSeq.sortBy(r => (r._2, r._1)).map { r =>
-              if (r._4 == "signup") n = 0L else n += 1L
-              (rb, r._1, n)
-            }
-            state.update(n)
-            rows.iterator
-        }
-      drain(s, counted.toDF("rb", "event_id", "event_cnt"),
-        "stream_reset_tbl", "append")
-        .orderBy(col("event_id"))
+      drain(s, resetCounterLocal(src), "stream_reset_tbl", "append")
+      stitchCarries(s, "stream_reset_tbl").orderBy(col("event_id"))
     },
     Some("""WITH t AS (
               SELECT event_id, ts, user_id % 2 AS rb, event_type

@@ -91,4 +91,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("float_dot") || p.contains("floatdot") ||
       !p.contains("CodegenFallback"))
   }
+
+  test("simhash pair candidates equi-join on the sketch band key") {
+    val p = plan("q_dedup_simhash_pairs")
+    // the self-join must be keyed by the LSH band (band, bkey), never a
+    // block-all-pairs join on lang alone — and never a nested loop
+    assert(p.contains("bkey"), s"band key missing from join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join")
+  }
+
+  test("sim pair candidates equi-join on the sign-LSH band key") {
+    val p = plan("q_sim_pairs")
+    assert(p.contains("bkey"), s"band key missing from join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join")
+  }
+
+  test("ngram candidates are blocked on rare bigrams only") {
+    val p = q("q_dedup_ngram").queryExecution.optimizedPlan.toString
+    // the df-cutoff filter must sit in the candidate path
+    assert(p.contains("0.05"), s"df cutoff missing from plan:\n$p")
+  }
 }

@@ -94,36 +94,48 @@ class StreamSpec extends SparkSuite {
     assert(settled === batch)
   }
 
-  test("reset counter: state survives batches, sentinel resets it") {
+  test("reset counter: multi-batch, 4 boards, cross-day carries") {
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val day = 86400000000L
+    // (event_id, us, rb, event_type): 4 boards, 3 days, resets
+    // interleaved; split across two MemoryStream batches (ts-ordered
+    // per key across batches, the file-arrival contract).
+    val batch1 = Seq(
+      (1L, 10L, 0L, "click"), (2L, 20L, 0L, "view"),
+      (3L, 15L, 1L, "click"),
+      (4L, day + 5L, 2L, "click"),
+      (5L, 30L, 3L, "signup"))
+    val batch2 = Seq(
+      (6L, 40L, 0L, "signup"), (7L, 50L, 0L, "click"),
+      (8L, day + 25L, 1L, "click"),
+      (9L, day + 35L, 2L, "view"),
+      (10L, 45L, 3L, "click"),
+      (11L, 2 * day + 7L, 0L, "click"))
     val mem = MemoryStream[(Long, Long, Long, String)]
-    val counted = mem.toDS()
-      .groupByKey(_._3)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (rb: Long, it: Iterator[(Long, Long, Long, String)],
-          state: GroupState[Long]) =>
-          var n = state.getOption.getOrElse(0L)
-          val rows = it.toSeq.sortBy(r => (r._2, r._1)).map { r =>
-            if (r._4 == "signup") n = 0L else n += 1L
-            (rb, r._1, n)
-          }
-          state.update(n)
-          rows.iterator
-      }
-    val qy = counted.toDF("rb", "event_id", "event_cnt")
+    val qy = streaming.StreamOps.resetCounterLocal(mem.toDS())
       .writeStream.outputMode("append")
       .format("memory").queryName("spec_reset").start()
-    mem.addData((1L, 10L, 0L, "click"), (2L, 20L, 0L, "view"))
-    qy.processAllAvailable() // state now 2
-    mem.addData((3L, 30L, 0L, "signup"), (4L, 40L, 0L, "click"))
-    qy.processAllAvailable() // sentinel resets, then counts from 1
+    mem.addData(batch1: _*)
+    qy.processAllAvailable() // state persists per (rb, day) across batches
+    mem.addData(batch2: _*)
+    qy.processAllAvailable()
     qy.stop()
-    val got = spark.table("spec_reset")
+    val got = streaming.StreamOps.stitchCarries(spark, "spec_reset")
       .collect().map(r => r.getAs[Long]("event_id") ->
         r.getAs[Long]("event_cnt")).toMap
-    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+    // reference: one sequential scan per board over the full tape
+    val expected = (batch1 ++ batch2).groupBy(_._3).flatMap {
+      case (_, rows) =>
+        var n = 0L
+        rows.sortBy(r => (r._2, r._1)).map { r =>
+          if (r._4 == "signup") n = 0L else n += 1L
+          r._1 -> n
+        }
+    }.toMap
+    assert(got === expected)
+    // cross-day carry specifically: board 0's day-3 row continues the
+    // count that survived the day-1 reset (1 after reset + 1 = 2)
+    assert(got(11L) === 2L)
   }
 
   test("session windows merge bursts within the gap") {
