@@ -21,7 +21,10 @@ object Daq {
 
   /** EVENT_CNT (html:163-166): monotone running L1A counter per readout
     * board — a frame-bounded running count, resettable by construction
-    * (partition restart). */
+    * (partition restart). The 2-valued rb key is inherent to EVENT_CNT
+    * semantics on this synthetic board layout; real deployments key the
+    * window by (run, rb) so each run's counter sorts independently and
+    * no single partition carries a whole board's history. */
   val qEventCount = Q(
     "q_event_count",
     (s, d) => {

@@ -204,23 +204,36 @@ object Dedup {
   /** 32-bit SimHash over shingle hashes: per bit j, sign of Σ±1; sketch
     * assembled as Σ (sign>0) << j. The 32 bit-sums are computed as 32
     * aggregate columns in ONE pass over the shingle table (no 32× bit
-    * explode) — single shuffle keyed by doc at any scale. */
-  val qDedupSimhash = Q(
-    "q_dedup_simhash",
-    (s, d) => {
+    * explode) — single shuffle keyed by doc at any scale.
+    *
+    * The sketch table is materialized once per (session, sfDir) — the
+    * pair query self-joins it (two scans) and the sketch dump reads it
+    * again; without the cache each consumer re-runs the shingle explode
+    * and 32-agg pass (same reuse discipline as [[nearPairs]]). */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  def simhashTable(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
       val bitAggs = (0 until 32).map(j =>
         sum(expr(
           s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
           .as(s"b$j"))
       val combine = (0 until 32).map(j =>
         s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      shingles(s, d)
+      val df = shingles(s, d)
         .groupBy(col("doc_id"))
         .agg(bitAggs.head, bitAggs.tail: _*)
         .select(col("doc_id"),
           expr(s"CAST($combine AS BIGINT)").as("simhash"))
-        .orderBy(col("doc_id"))
-    },
+        .persist()
+      df.count()
+      df
+    })
+
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => simhashTable(s, d).orderBy(col("doc_id")),
     Some(s"""$simhashCte
              SELECT doc_id, simhash FROM simhash_t
              ORDER BY doc_id NULLS FIRST"""))
@@ -486,7 +499,33 @@ object Dedup {
           ORDER BY comp NULLS FIRST"""
     })
 
+  /** Prefix-fingerprint dedup (q_dedup_prefix): hash of the first 8
+    * tokens — the cheap leading-boilerplate pass pipelines run before
+    * full near-dup (mirrored scrapes and template pages share openings
+    * long before they share bodies). One hash projection + one groupBy:
+    * no pairs, no joins — the cheapest possible dedup shape, reported
+    * as the duplicate-prefix groups with the canonical min-id keeper. */
+  val qDedupPrefix = Q(
+    "q_dedup_prefix",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("prefix_hash", md5(
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 8))")
+            .cast("binary")))
+        .groupBy(col("prefix_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("prefix_hash")),
+    Some("""SELECT prefix_hash, n_docs, keep_id FROM (
+              SELECT md5(array_to_string(
+                       string_split(text, ' ')[1:8], ' ')) AS prefix_hash,
+                count(*) AS n_docs, min(doc_id) AS keep_id
+              FROM documents
+              GROUP BY prefix_hash)
+            WHERE n_docs > 1
+            ORDER BY prefix_hash NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
-    qDedupEmbed, qDedupDrop, qDedupComponents)
+    qDedupEmbed, qDedupDrop, qDedupComponents, qDedupPrefix)
 }

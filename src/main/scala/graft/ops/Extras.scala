@@ -224,7 +224,7 @@ object Extras {
   val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     (s, d) => {
-      val sims = Dedup.qDedupSimhash.fn(s, d)
+      val sims = Dedup.simhashTable(s, d)
         .join(Tables.t(s, d, "documents").select(col("doc_id"), col("lang")),
           "doc_id")
       val bandRows = (0 until 4).map(b =>

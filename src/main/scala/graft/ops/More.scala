@@ -275,7 +275,42 @@ object More {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Stratified deterministic sampling (q_sample_stratified): per-class
+    * rates — keep half the rare 'purchase' rows, 10% of 'click', 5% of
+    * everything else — decided row-locally by the same cross-engine
+    * md5 hash q_sample_mod uses, so the sample is reproducible on any
+    * partitioning and NEVER needs a shuffle or a count pass first (the
+    * class-rebalancing step of a training-data mix). */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .filter(expr(
+          """bucket < CASE event_type WHEN 'purchase' THEN 50
+                                      WHEN 'click' THEN 10
+                                      ELSE 5 END"""))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg(col("value")), 6).as("avg_value"),
+          min(col("event_id")).as("min_id"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n_sampled,
+              round(avg(value), 6) AS avg_value,
+              min(event_id) AS min_id
+            FROM (SELECT *,
+                    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 100 AS bucket
+                  FROM events)
+            WHERE bucket < CASE event_type WHEN 'purchase' THEN 50
+                                           WHEN 'click' THEN 10
+                                           ELSE 5 END
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
-    qSubqueryScalar, qUpsertLatest, qProfile, qAggMode, qSampleMod)
+    qSubqueryScalar, qUpsertLatest, qProfile, qAggMode, qSampleMod,
+    qSampleStratified)
 }

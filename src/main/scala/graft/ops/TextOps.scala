@@ -334,7 +334,67 @@ object TextOps {
           ORDER BY lang NULLS FIRST"""
     })
 
+  /** Repetition-ratio quality signals (q_text_repetition): the
+    * Gopher/CCNet-style repetition filters — distinct-token ratio and
+    * the fraction of all bigrams taken by the single most frequent
+    * bigram (boilerplate and looping generators score high). Two
+    * explode → two-phase aggregates joined on doc_id; no text is ever
+    * compared across documents, so the op is embarrassingly parallel
+    * at any corpus size. */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    (s, d) => {
+      val t = toks(s, d)
+      val tstats = t
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"))
+      val bstats = t
+        .withColumn("bg", explode(expr(
+          """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(1, size(toks) - 1),
+                    i -> concat_ws(' ', slice(toks, i, 2)))
+               ELSE array() END""")))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top_bg"), sum(col("cnt")).as("n_bg"))
+      tstats.join(bstats, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_distinct") * lit(1.0) / col("n_tokens"), 6)
+            .as("distinct_ratio"),
+          round(col("top_bg") * lit(1.0) / col("n_bg"), 6)
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$toksCte,
+            tstats AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                count(DISTINCT tok) AS n_distinct
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM toks_t)
+              GROUP BY doc_id),
+            bstats AS (
+              SELECT doc_id, max(cnt) AS top_bg,
+                CAST(sum(cnt) AS BIGINT) AS n_bg
+              FROM (SELECT doc_id, bg, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(
+                            CASE WHEN len(toks) >= 2
+                              THEN list_transform(
+                                     generate_series(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+1], ' '))
+                              ELSE [] END) AS bg
+                          FROM toks_t)
+                    GROUP BY doc_id, bg)
+              GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+              round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
+              round(top_bg * 1.0 / n_bg, 6) AS top_bigram_frac
+            FROM tstats JOIN bstats USING (doc_id)
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
-    qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration)
+    qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
+    qTextRepetition)
 }

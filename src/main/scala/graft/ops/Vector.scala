@@ -294,6 +294,126 @@ object Vector {
             FROM e
             ORDER BY vec_id NULLS FIRST"""))
 
+  /** k-NN self-join (q_sim_knn_join): every vector's top-3 neighbors by
+    * cosine — the whole-corpus ANN join behind embedding-level dedup and
+    * retrieval-index bootstrapping, not a single-probe lookup. Candidates
+    * come from the same OR-amplified 4×4-bit sign-LSH bands as
+    * q_sim_pairs (equi-join per band, both directions since neighbor
+    * lists are asymmetric); exact cosine is computed per candidate and a
+    * per-source row_number window keeps the 3 best (rounded-cosine desc,
+    * neighbor id asc — deterministic on both engines). */
+  val qSimKnnJoin = Q(
+    "q_sim_knn_join",
+    (s, d) => {
+      def bkeySpark(b: Int): String = (1 to 4).map(i =>
+        s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"CAST($b AS BIGINT), CAST(${bkeySpark(b)} AS BIGINT)")
+        .mkString(", ")
+      val e = emb(s, d)
+      val bands = e.select(col("vec_id"), col("label"),
+        expr(s"stack(4, $bandRows) AS (band, bkey)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(e.as("a"), col("a_id") === col("a.vec_id"))
+        .join(e.as("b"), col("b_id") === col("b.vec_id"))
+        .withColumn("cos_sim",
+          cosinePre("a.embedding", "b.embedding", col("a.nrm"), col("b.nrm")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a_id"))
+            .orderBy(col("cos_sim").desc, col("b_id"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("rn"), col("b_id"), col("cos_sim"))
+        .orderBy(col("a_id"), col("rn"))
+    },
+    Some {
+      val bkeySql = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[4 * b + $i] > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""$embCte,
+             bands AS (
+               SELECT vec_id, label, b AS band,
+                 CAST($bkeySql AS BIGINT) AS bkey
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+             cand AS (
+               SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+               FROM bands x JOIN bands y
+                 ON x.label = y.label AND x.band = y.band
+                AND x.bkey = y.bkey AND x.vec_id != y.vec_id),
+             scored AS (
+               SELECT a_id, b_id,
+                 ${cosSql("a.emb_d", "b.emb_d")} AS cos_sim
+               FROM cand
+               JOIN e a ON a.vec_id = a_id
+               JOIN e b ON b.vec_id = b_id)
+             SELECT a_id, rn, b_id, cos_sim FROM (
+               SELECT a_id, b_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY a_id
+                   ORDER BY cos_sim DESC, b_id) AS BIGINT) AS rn
+               FROM scored)
+             WHERE rn <= 3
+             ORDER BY a_id NULLS FIRST, rn NULLS FIRST"""
+    })
+
+  /** Per-label centroid distance (q_sim_centroid): mean vector per label
+    * (position-wise two-phase avg over a posexplode — one shuffle keyed
+    * by (label, pos), never a collect) joined back position-wise to
+    * score each member's cosine against its own centroid — the cluster
+    * cohesion / outlier signal an embedding-curation pass runs. All
+    * arithmetic in DOUBLE on both engines. */
+  val qSimCentroid = Q(
+    "q_sim_centroid",
+    (s, d) => {
+      val pos = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+      // centroid components snapped to 6 decimals on BOTH engines: the
+      // avg is the one order-sensitive float reduction here, and
+      // snapping it makes every downstream product/sum engine-identical
+      val cent = pos.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+      pos.join(cent,
+          col("label") === col("c_label") && col("pos") === col("c_pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          sum(col("x") * col("cx")).as("dot"),
+          sum(col("x") * col("x")).as("nv"),
+          sum(col("cx") * col("cx")).as("nc"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6)
+            .as("cos_to_centroid"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH pos AS (
+              SELECT vec_id, label, i - 1 AS pos,
+                CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                len(embedding))) AS i) ix),
+            cent AS (
+              SELECT label AS c_label, pos AS c_pos,
+                round(avg(x), 6) AS cx
+              FROM pos GROUP BY label, pos)
+            SELECT vec_id, label,
+              round(sum(x * cx) /
+                (sqrt(sum(x * x)) * sqrt(sum(cx * cx))), 6)
+                AS cos_to_centroid
+            FROM pos JOIN cent
+              ON label = c_label AND pos = c_pos
+            GROUP BY vec_id, label
+            ORDER BY vec_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal, qSimQuantize)
+    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal, qSimQuantize,
+    qSimKnnJoin, qSimCentroid)
 }

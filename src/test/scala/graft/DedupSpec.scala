@@ -25,6 +25,15 @@ class DedupSpec extends SparkSuite {
     fixtureDir("dedup")("documents" -> docs)
   }
 
+  test("prefix dedup groups docs by their opening tokens") {
+    val g = q("q_dedup_prefix", dir).collect()
+    // doc 100 copies doc 0 verbatim; doc 101 appends one token to doc 1,
+    // so both share their victims' 8-token opening — two dup groups
+    assert(g.length === 2)
+    assert(g.map(_.getAs[Long]("keep_id")).toSet === Set(0L, 1L))
+    assert(g.forall(_.getAs[Long]("n_docs") === 2L))
+  }
+
   test("exact dedup: k+1 docs with one exact copy yield k groups") {
     val groups = q("q_dedup_exact", dir).collect()
     assert(groups.length === 9) // 10 docs, one exact pair

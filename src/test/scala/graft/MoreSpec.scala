@@ -88,4 +88,41 @@ class MoreSpec extends SparkSuite {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(dropped === Set(100L)) // the copy goes, the original stays
   }
+
+  test("repetition signals: a looping doc scores high top-bigram fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "s0"),              // loop: "a b" 3 of 5
+      (2L, "one two three four five six", "en", "s0")) // all distinct
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("rep")("documents" -> docs)
+    val rep = q("q_text_repetition", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("distinct_ratio"),
+          r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(rep(1L)._2 === 0.6)      // 3 "a b" of 5 bigrams
+    assert(rep(1L)._1 === 0.333333) // 2 distinct of 6 tokens
+    assert(rep(2L)._1 === 1.0 && rep(2L)._2 === 0.2)
+  }
+
+  test("stratified sample keeps per-class rates, deterministically") {
+    val sampled = q("q_sample_stratified").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_sampled")).toMap
+    val totals = Tables.t(spark, sf0, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n")).toMap
+    // md5-bucket rates: purchase 50%, click 10%, rest 5% (±6pp at sf0.001)
+    def rate(t: String): Double = sampled(t).toDouble / totals(t)
+    assert(math.abs(rate("purchase") - 0.50) < 0.06, rate("purchase"))
+    assert(math.abs(rate("click") - 0.10) < 0.06, rate("click"))
+    assert(math.abs(rate("view") - 0.05) < 0.06, rate("view"))
+    // row-local hash ⇒ rerun is identical
+    val again = q("q_sample_stratified").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_sampled")).toMap
+    assert(again === sampled)
+  }
 }

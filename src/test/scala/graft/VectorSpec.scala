@@ -88,4 +88,29 @@ class VectorSpec extends SparkSuite {
         .contains(r.getAs[String]("modality")))
     }
   }
+
+  test("knn join: the planted copy pair are mutual rank-1 neighbors") {
+    val knn = q("q_sim_knn_join", dir).collect()
+    val byKey = knn.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("rn")) ->
+      (r.getAs[Long]("b_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(byKey((0L, 1L)) === ((1L, 1.0)))
+    assert(byKey((1L, 1L)) === ((0L, 1.0)))
+    // per-source lists: ranks contiguous from 1, cosine non-increasing
+    knn.groupBy(_.getAs[Long]("a_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq ===
+        (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+  }
+
+  test("centroid cosine: identical vectors score identically, all in [-1,1]") {
+    val c = q("q_sim_centroid", dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("cos_to_centroid")).toMap
+    assert(c(0L) === c(1L)) // copy sits exactly where the original sits
+    assert(c.size === 40)
+    c.values.foreach(v => assert(v >= -1.000001 && v <= 1.000001))
+  }
 }
