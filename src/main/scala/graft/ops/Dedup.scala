@@ -270,10 +270,17 @@ object Dedup {
     * still collide. Jaccard ≥ 0.2 is then verified exactly on the FULL
     * distinct-bigram sets of each candidate pair. The df cutoff is
     * mirrored in the oracle so both engines compute the same set. */
-  val qDedupNgram = Q(
-    "q_dedup_ngram",
-    (s, d) => {
-      val bg = Tables.t(s, d, "documents")
+  /** Distinct per-doc bigram table, materialized once per (session,
+    * sfDir): the ngram query reads it from six subtrees (df counts, both
+    * sides of the candidate self-join, both sides of the verify join,
+    * sizes) and without the cache each one re-runs the explode+distinct
+    * shuffle over the full corpus. */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    bigramCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
+      val df = Tables.t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("bg", explode(expr(
           """CASE WHEN size(toks) >= 2
@@ -282,6 +289,15 @@ object Dedup {
                ELSE array() END""")))
         .select(col("doc_id"), col("lang"), col("source"), col("bg"))
         .distinct()
+        .persist()
+      df.count()
+      df
+    })
+
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    (s, d) => {
+      val bg = bigrams(s, d)
       val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val nDocs = Tables.t(s, d, "documents")
         .agg(count(lit(1)).as("n_docs"))

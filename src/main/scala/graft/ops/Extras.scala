@@ -88,6 +88,84 @@ object Extras {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** XML source round-trip (q_scan_xml): Spark 4 ships the XML reader
+    * natively — the config-file shape (md:45-57 run-log metadata is
+    * XML-ish structured text). Write a typed subset as row-tagged XML,
+    * read it back with a declared schema, aggregate. */
+  val qScanXml = Q(
+    "q_scan_xml",
+    (s, d) => {
+      val out = tmp("graft_scan_xml")
+      ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("rowTag", "event").xml(out)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("rowTag", "event")
+        .xml(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Raw line-oriented text source (q_scan_text): the lowest-common-
+    * denominator format a scrape lands in. One tab-joined line per doc,
+    * read back with `text`, fields re-split with Catalyst expressions —
+    * schema-on-read from unstructured lines. */
+  val qScanText = Q(
+    "q_scan_text",
+    (s, d) => {
+      val out = tmp("graft_scan_text")
+      Tables.t(s, d, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(
+          split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t").getItem(1).as("lang"),
+          split(col("value"), "\t").getItem(2).as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+              min(doc_id) AS min_id
+            FROM documents GROUP BY lang
+            ORDER BY lang NULLS FIRST"""))
+
+  /** SQL front door (q_sql_api): the same engine through `spark.sql`
+    * over registered views — TPC-H Q6 verbatim, proving the textual SQL
+    * surface (not just the DataFrame DSL) plans through Catalyst with
+    * the filters pushed to the scan. */
+  val qSqlApi = Q(
+    "q_sql_api",
+    (s, d) => {
+      Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT round(sum(l_extendedprice * l_discount), 2)
+                 AS revenue,
+                 count(*) AS n_rows
+               FROM lineitem_v
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'
+                 AND l_discount BETWEEN 0.05 AND 0.07
+                 AND l_quantity < 24""")
+    },
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""))
+
   /** Plain columnar sink round-trip (q_sink_parquet, md:233-235). */
   val qSinkParquet = Q(
     "q_sink_parquet",
@@ -342,6 +420,7 @@ object Extras {
     })
 
   val all: Seq[Q] = Seq(
-    qScanCsv, qScanJson, qScanOrc, qSinkParquet, qFilterBitops, qUdfScalar,
+    qScanCsv, qScanJson, qScanOrc, qScanXml, qScanText, qSqlApi,
+    qSinkParquet, qFilterBitops, qUdfScalar,
     qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder)
 }
