@@ -798,6 +798,63 @@ object Relational {
             FROM orders
             ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** Quantile sketch (q_agg_approx_percentile): approx_percentile over
+    * the fact table — the fixed-memory companion to the HLL distinct
+    * sketch for 100 TB profiling, where an exact percentile would sort
+    * or multi-pass the column. No oracle (estimator-specific, like
+    * q_agg_approx_distinct); ScalaTest bounds the error against the
+    * exact percentile. */
+  val qAggApproxPercentile = Q(
+    "q_agg_approx_percentile",
+    (s, d) =>
+      li(s, d)
+        .groupBy($"l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
+          .as("approx_p"))
+        .select($"l_returnflag",
+          $"approx_p".getItem(0).as("p50"),
+          $"approx_p".getItem(1).as("p95"))
+        .orderBy($"l_returnflag"),
+    None)
+
+  /** Frame-boundary window functions (q_win_first_last): first, last and
+    * second value of each user's event tape — the session-summary idiom
+    * (entry event, exit value, second touch) over a full-partition frame.
+    * One shuffle by user_id, deterministic (ts, event_id) order. */
+  val qWinFirstLast = Q(
+    "q_win_first_last",
+    (s, d) => {
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(s, d)
+        .select($"user_id", $"event_id",
+          first($"event_type").over(w).as("first_type"),
+          last($"event_type").over(w).as("last_type"),
+          nth_value($"value", 2).over(w).as("second_value"))
+        .groupBy($"user_id")
+        .agg(
+          max($"first_type").as("first_type"),
+          max($"last_type").as("last_type"),
+          round(max($"second_value"), 2).as("second_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+              max(first_type) AS first_type,
+              max(last_type) AS last_type,
+              round(max(second_value), 2) AS second_value
+            FROM (
+              SELECT user_id, event_id,
+                first_value(event_type) OVER w AS first_type,
+                last_value(event_type) OVER w AS last_type,
+                nth_value(value, 2) OVER w AS second_value
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+            GROUP BY user_id
+            ORDER BY user_id NULLS FIRST"""))
+
   // ---------------------------------------------------------------- dollar
 
   // Minimal $-interpolator so the bodies above read like the guide's idioms
@@ -813,7 +870,8 @@ object Relational {
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,
-    qWinRank, qWinLag, qWinRunning, qWinSliding,
+    qWinRank, qWinLag, qWinRunning, qWinSliding, qWinFirstLast,
+    qAggApproxPercentile,
     qSort, qTopk, qLimit,
     qUnion, qIntersect, qExcept,
     qFnString, qFnDate, qFnMath, qFnArray, qFnMap, qFnJson, qFnCond)

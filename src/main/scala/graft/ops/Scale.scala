@@ -96,5 +96,39 @@ object Scale {
             GROUP BY s_suppkey, s_name
             ORDER BY s_suppkey NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qJoinBucketed, qJoinSalted)
+  /** Bloom-pruned semi-join (q_join_bloom): build a bloom filter over
+    * the (filtered) dim keys in one aggregate, broadcast the ~KB sketch,
+    * and pre-filter the probe side BEFORE any shuffle — the explicit
+    * form of the runtime-filter pushdown a 100 TB join wants when the
+    * dim predicate is selective (most probe rows never leave their scan
+    * partition). False positives are removed by the exact semi-join that
+    * follows, so the result — and the oracle — is exactly the plain
+    * semi-join. */
+  val qJoinBloom = Q(
+    "q_join_bloom",
+    (s, d) => {
+      graft.functions.BloomFns.register(s)
+      Tables.t(s, d, "orders").createOrReplaceTempView("orders_bloom_v")
+      Tables.t(s, d, "customer").createOrReplaceTempView("customer_bloom_v")
+      // might_contain requires the sketch as a scalar subquery (it is
+      // evaluated once and inlined as a literal — the broadcast)
+      s.sql("""
+        WITH hv AS (SELECT o_custkey FROM orders_bloom_v
+                    WHERE o_totalprice > 450000.0)
+        SELECT c_custkey, c_name
+        FROM customer_bloom_v
+        WHERE might_contain(
+                (SELECT bloom_filter_agg(xxhash64(o_custkey),
+                                         10000L, 100000L) FROM hv),
+                xxhash64(c_custkey))
+          AND EXISTS (SELECT 1 FROM hv WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 450000.0)
+            ORDER BY c_custkey NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qJoinBucketed, qJoinSalted, qJoinBloom)
 }

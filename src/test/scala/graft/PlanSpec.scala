@@ -92,6 +92,19 @@ class PlanSpec extends SparkSuite {
       !p.contains("CodegenFallback"))
   }
 
+  test("bloom join: sketch pre-filter in plan, result equals plain semi-join") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("might_contain"), s"bloom pre-filter missing:\n$p")
+    val got = q("q_join_bloom").collect().map(_.getAs[Long]("c_custkey"))
+    val plain = Tables.t(spark, sf0, "customer")
+      .join(Tables.t(spark, sf0, "orders")
+          .filter(col("o_totalprice") > 450000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey")).orderBy(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === plain.toSeq)
+  }
+
   test("simhash pair candidates equi-join on the sketch band key") {
     val p = plan("q_dedup_simhash_pairs")
     // the self-join must be keyed by the LSH band (band, bkey), never a

@@ -101,6 +101,23 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("approx percentile is within 5% of exact at sf0.001") {
+    val approx = q("q_agg_approx_percentile").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = Tables.t(spark, sf0, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("p"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> {
+        val p = r.getSeq[Double](1); (p(0), p(1))
+      }).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      assert(math.abs(approx(k)._1 - e50) / e50 < 0.05, s"p50 flag=$k")
+      assert(math.abs(approx(k)._2 - e95) / e95 < 0.05, s"p95 flag=$k")
+    }
+  }
+
   test("semi join equals the distinct inner-join projection (SURVEY §5.2)") {
     val cust = Tables.t(spark, sf0, "customer")
     val ordF = Tables.t(spark, sf0, "orders")
