@@ -18,5 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[functions.FloatDot].getName, "float_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           functions.FloatDot(exprs(0), exprs(1))))
+    // whole-operator extension: the native as-of join planner strategy
+    // (graft.plans.AsofJoin logical node → AsofJoinExec)
+    ext.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
   }
 }

@@ -243,6 +243,34 @@ object Relational {
             GROUP BY e.event_id, e.user_id
             ORDER BY e.event_id NULLS FIRST"""))
 
+  /** Native as-of join (q_join_asof_native): the same semantics as
+    * q_join_asof through the custom whole-operator plan
+    * (graft.plans.AsofJoin → AsofJoinStrategy → AsofJoinExec) — the
+    * SURVEY §4.3 tier-(c) extension. EnsureRequirements supplies the
+    * key-clustered exchanges and (key, time) sorts; the exec itself is a
+    * single merge pass buffering ONE right row per partition. Same
+    * oracle as the union+window formulation: the two must agree
+    * bit-for-bit. */
+  val qJoinAsofNative = Q(
+    "q_join_asof_native",
+    (s, d) => {
+      val e = ev(s, d)
+      val errors = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id".as("c_user_id"), $"ts".as("c_ts"))
+      graft.plans.Asof
+        .join(errors, clicks, "user_id", "ts", "c_user_id", "c_ts")
+        .select($"event_id", $"user_id", $"c_ts".as("last_click_ts"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, max(c.ts) AS last_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = e.user_id AND c.ts <= e.ts
+            GROUP BY e.event_id, e.user_id
+            ORDER BY e.event_id NULLS FIRST"""))
+
   /** Theta join (value > per-type threshold — the self-trigger comparison
     * shape). The threshold side is 5 rows → broadcast; the non-equi
     * comparison is evaluated stream-side. */
@@ -866,7 +894,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanParquet, qProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinTheta,
+    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinTheta,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,

@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator Catalyst extension tier
+  * (SURVEY §4.3 preference order (c): LogicalPlan + SparkStrategy +
+  * SparkPlan) for the one relational operator Spark genuinely lacks.
+  *
+  * Semantics: for every left row, attach the LAST right row with the
+  * same key whose time is ≤ the left row's time (left outer — unmatched
+  * left rows carry nulls). The union+window formulation
+  * (ops/Relational.qJoinAsof) expresses the same thing relationally;
+  * this operator is the direct plan: both sides hash-clustered on the
+  * key and sorted by (key, time) — requirements Catalyst's
+  * EnsureRequirements satisfies with ordinary exchanges — then ONE
+  * streaming merge pass per partition holding exactly one buffered
+  * right row. No candidate-pair blowup on hot keys, no window
+  * materialization: state per partition is O(1), so the operator
+  * scales to any key cardinality the shuffle itself can hold.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: one physical candidate, children planned later.
+  * Registered per session via `spark.experimental.extraStrategies` (or
+  * globally through graft.GraftExtensions). */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of execution: requires co-clustered inputs sorted by
+  * (key, time); per partition a single forward pass joins each left row
+  * to the latest preceding right row. */
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lt = leftTime
+    val rt = rightTime
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-partition projections (codegen'd evaluators are not
+      // thread-safe across partitions)
+      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // the ONLY buffered state: the latest right row seen, + its key
+        private var lastRight: InternalRow = _
+        private var lastRightKey: Any = _
+        private var rHead: InternalRow = _
+        private var rHeadKey: Any = _
+        private var rHeadTime: Any = _
+
+        private def advanceHead(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyProj(rHead).get(0, rk.dataType)
+            // key projection reuses its buffer; copy the scalar out
+            rHeadKey = copyVal(rHeadKey)
+            rHeadTime = copyVal(rTimeProj(rHead).get(0, rt.dataType))
+          } else { rHead = null }
+
+        private def copyVal(v: Any): Any = v match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case other => other
+        }
+
+        advanceHead()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKeyVal = copyVal(lKeyProj(l).get(0, lk.dataType))
+          val lTimeVal = copyVal(lTimeProj(l).get(0, lt.dataType))
+          // consume right rows at-or-before the current left position
+          while (rHead != null && {
+            val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
+              lKeyVal.asInstanceOf[AnyRef])
+            c < 0 || (c == 0 &&
+              timeOrd.compare(rHeadTime.asInstanceOf[AnyRef],
+                lTimeVal.asInstanceOf[AnyRef]) <= 0)
+          }) {
+            lastRight = rHead.copy()
+            lastRightKey = rHeadKey
+            advanceHead()
+          }
+          val matched = lastRight != null &&
+            keyOrd.compare(lastRightKey.asInstanceOf[AnyRef],
+              lKeyVal.asInstanceOf[AnyRef]) == 0
+          outProj(joined(l, if (matched) lastRight else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

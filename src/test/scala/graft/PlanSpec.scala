@@ -92,6 +92,15 @@ class PlanSpec extends SparkSuite {
       !p.contains("CodegenFallback"))
   }
 
+  test("native as-of join plans AsofJoinExec and matches the window form") {
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsofJoin"), s"custom exec missing from plan:\n$p")
+    assert(!p.contains("Window"), "native as-of must not fall back to a window")
+    val native = q("q_join_asof_native").collect().map(_.toString).toSeq
+    val windowed = q("q_join_asof").collect().map(_.toString).toSeq
+    assert(native === windowed)
+  }
+
   test("bloom join: sketch pre-filter in plan, result equals plain semi-join") {
     val p = plan("q_join_bloom")
     assert(p.contains("might_contain"), s"bloom pre-filter missing:\n$p")
