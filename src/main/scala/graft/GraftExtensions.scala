@@ -19,7 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           functions.FloatDot(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join planner strategy
-    // (graft.plans.AsofJoin logical node → AsofJoinExec)
+    // (graft.plans.AsofJoin logical node → AsofJoinExec) plus the
+    // filter-pushdown rule Catalyst can't apply to an unknown node
     ext.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => plans.AsofJoinFilterPushdown)
   }
 }

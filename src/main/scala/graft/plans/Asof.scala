@@ -17,6 +17,10 @@ object Asof {
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ AsofJoinStrategy
     }
+    if (!s.experimental.extraOptimizations.contains(AsofJoinFilterPushdown)) {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ AsofJoinFilterPushdown
+    }
     val lp = Bridge.analyzed(left)
     val rp = Bridge.analyzed(right)
     def attr(p: LogicalPlan, n: String) =

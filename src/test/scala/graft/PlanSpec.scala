@@ -101,6 +101,23 @@ class PlanSpec extends SparkSuite {
     assert(native === windowed)
   }
 
+  test("filter above the native as-of join pushes to the left scan") {
+    val e = Tables.t(spark, sf0, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    val joined = plans.Asof
+      .join(errors, clicks, "user_id", "ts", "c_user_id", "c_ts")
+      .filter(col("event_id") < 1000L) // left-only predicate ABOVE the join
+    val p = joined.queryExecution.executedPlan.toString
+    // the custom rule must move it through AsofJoin into the scan
+    assert(p.contains("LessThan(event_id,1000)"),
+      s"predicate did not reach PushedFilters:\n$p")
+    val expected = errors.filter(col("event_id") < 1000L).count()
+    assert(joined.count() === expected)
+  }
+
   test("bloom join: sketch pre-filter in plan, result equals plain semi-join") {
     val p = plan("q_join_bloom")
     assert(p.contains("might_contain"), s"bloom pre-filter missing:\n$p")
