@@ -114,5 +114,115 @@ object Analytics {
             ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
             LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(qTpchQ3, qTpchQ5, qTpchQ10)
+  /** Re-aggregatable distinct via HLL sketches (q_agg_hll_merge): build
+    * one sketch per event_type, then UNION the sketches for the global
+    * estimate — the 100 TB pattern where per-partition/per-day sketches
+    * are stored once and merged at query time instead of re-scanning raw
+    * keys. No oracle (sketch bytes are estimator-specific); ScalaTest
+    * bounds the union estimate against the exact distinct count. */
+  val qAggHllMerge = Q(
+    "q_agg_hll_merge",
+    (sp, dir) => {
+      val sketches = Tables.t(sp, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val perType = sketches
+        .select(col("event_type").as("scope"),
+          expr("hll_sketch_estimate(sk)").as("est_users"))
+      val overall = sketches
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+        .select(lit("__union__").as("scope"), col("est_users"))
+      perType.unionAll(overall).orderBy(col("scope"))
+    },
+    None)
+
+  /** Time-series resample + forward fill (q_resample_ffill): snap each
+    * board's signal to an hourly grid over its own [first, last] span
+    * and carry the last observation forward through empty hours — the
+    * gap-filling step before any rate/trend analytic. Grid generation is
+    * a per-key sequence explode (no cross join against a calendar
+    * table); the fill is one window pass. */
+  val qResampleFfill = Q(
+    "q_resample_ffill",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.t(sp, dir, "events")
+        .filter(col("user_id") < 8)
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+        .agg(round(avg(col("value")), 6).as("v"),
+          count(lit(1)).as("n_obs"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .orderBy(col("user_id"), col("h"))
+    },
+    Some("""WITH hourly AS (
+              SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+                round(avg(value), 6) AS v, count(*) AS n_obs
+              FROM events WHERE user_id < 8
+              GROUP BY user_id, h),
+            grid AS (
+              SELECT user_id, unnest(generate_series(min(h), max(h),
+                INTERVAL '1 hour')) AS h
+              FROM hourly GROUP BY user_id)
+            SELECT g.user_id, g.h,
+              last_value(v IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS v_ffill,
+              coalesce(n_obs, 0) AS n_obs
+            FROM grid g LEFT JOIN hourly USING (user_id, h)
+            ORDER BY g.user_id NULLS FIRST, g.h NULLS FIRST"""))
+
+  /** SCD2 validity intervals (q_scd2): collapse each board's event-type
+    * stream into change rows with [valid_from, valid_to) windows and an
+    * is_current flag — the slowly-changing-dimension shape a warehouse
+    * merge emits. Two window passes (change detection, then interval
+    * close-off), both over the same (user_id | ts, event_id) shuffle. */
+  val qScd2 = Q(
+    "q_scd2",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.t(sp, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wLag))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(wLag))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    },
+    Some("""WITH changes AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER w AS prev_type
+                    FROM events WHERE user_id < 50
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+              WHERE prev_type IS NULL OR prev_type != event_type)
+            SELECT user_id, event_type, ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              lead(ts) OVER w IS NULL AS is_current
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
+              event_type NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qAggHllMerge,
+    qResampleFfill, qScd2)
 }

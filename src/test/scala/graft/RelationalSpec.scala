@@ -118,6 +118,20 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("hll union estimate within 5% of exact; union covers every slice") {
+    val rows = q("q_agg_hll_merge").collect()
+      .map(r => r.getAs[String]("scope") -> r.getAs[Long]("est_users"))
+      .toMap
+    val union = rows("__union__")
+    val exact = Tables.t(spark, sf0, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(union.toDouble - exact) / exact <= 0.05,
+      s"union=$union exact=$exact")
+    // merged sketch can never estimate below any single slice
+    rows.filterNot(_._1 == "__union__").values
+      .foreach(v => assert(union >= v * 0.95))
+  }
+
   test("semi join equals the distinct inner-join projection (SURVEY §5.2)") {
     val cust = Tables.t(spark, sf0, "customer")
     val ordF = Tables.t(spark, sf0, "orders")
