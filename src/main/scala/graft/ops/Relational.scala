@@ -271,6 +271,28 @@ object Relational {
             GROUP BY e.event_id, e.user_id
             ORDER BY e.event_id NULLS FIRST"""))
 
+  /** Broadcast variant of the native as-of join (q_join_asof_bcast):
+    * same semantics and oracle, but the dim-sized click side is
+    * broadcast and the error side streams through UNSHUFFLED — at
+    * 100 TB the probe side never pays an exchange when the reference
+    * side is small. Strategy picks this form via stats/threshold; the
+    * hint pins it for the registered query. */
+  val qJoinAsofBcast = Q(
+    "q_join_asof_bcast",
+    (s, d) => {
+      val e = ev(s, d)
+      val errors = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id".as("c_user_id"), $"ts".as("c_ts"))
+      graft.plans.Asof
+        .join(errors, clicks, "user_id", "ts", "c_user_id", "c_ts",
+          broadcastRight = Some(true))
+        .select($"event_id", $"user_id", $"c_ts".as("last_click_ts"))
+        .orderBy($"event_id")
+    },
+    qJoinAsofNative.oracle)
+
   /** Theta join (value > per-type threshold — the self-trigger comparison
     * shape). The threshold side is 5 rows → broadcast; the non-equi
     * comparison is evaluated stream-side. */
@@ -894,7 +916,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanParquet, qProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinTheta,
+    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofBcast, qJoinTheta,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,

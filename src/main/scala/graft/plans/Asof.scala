@@ -11,7 +11,8 @@ import org.apache.spark.sql.graftbridge.Bridge
 object Asof {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     val s = left.sparkSession
     if (!s.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       s.experimental.extraStrategies =
@@ -29,6 +30,6 @@ object Asof {
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
     Bridge.ofRows(s, AsofJoin(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      attr(lp, leftTime), attr(rp, rightTime), broadcastRight))
   }
 }

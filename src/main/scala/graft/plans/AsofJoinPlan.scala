@@ -33,7 +33,8 @@ case class AsofJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -43,13 +44,26 @@ case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: one physical candidate, children planned later.
-  * Registered per session via `spark.experimental.extraStrategies` (or
-  * globally through graft.GraftExtensions). */
+/** Planner strategy with broadcast costing: a dim-sized right side is
+  * broadcast (no shuffle of the big left side AT ALL — the dominant
+  * cost at 100 TB when the right side is reference data); otherwise the
+  * co-clustered sort-merge form. The choice follows the same
+  * autoBroadcastJoinThreshold the built-in joins use, overridable with
+  * an explicit hint on the logical node. Registered per session via
+  * `spark.experimental.extraStrategies` (or globally through
+  * graft.GraftExtensions). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, hint) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val bcast = hint.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      if (bcast) {
+        BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      } else {
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      }
     case _ => Nil
   }
 }
@@ -153,5 +167,98 @@ case class AsofJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of execution: the right side arrives whole at every
+  * task (EnsureRequirements inserts the BroadcastExchange), is indexed
+  * once per partition as key → time-sorted rows, and the left side
+  * streams through UNSHUFFLED and UNSORTED — each row answered by a
+  * hash probe + binary search for the latest time ≤ its own. Left
+  * partitioning/ordering are preserved, so downstream operators keep
+  * whatever distribution the scan produced. */
+case class BroadcastAsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) ::
+      Nil
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lt = leftTime
+    val rt = rightTime
+    val outAttrs = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+      def copyVal(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case other => other
+      }
+      // build the per-partition index: key → rows sorted by time
+      val index = new java.util.HashMap[Any, Array[(Any, InternalRow)]]()
+      locally {
+        val tmp = new java.util.HashMap[
+          Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        broadcastRows.value.foreach { r =>
+          val k = copyVal(rKeyProj(r).get(0, rk.dataType))
+          val t = copyVal(rTimeProj(r).get(0, rt.dataType))
+          val buf = tmp.computeIfAbsent(k,
+            _ => scala.collection.mutable.ArrayBuffer.empty)
+          buf += ((t, r))
+        }
+        tmp.forEach { (k, buf) =>
+          index.put(k, buf.sortInPlace()(Ordering.by[(Any, InternalRow), Any](
+            _._1)(timeOrd.asInstanceOf[Ordering[Any]])).toArray)
+        }
+      }
+      lIter.map { l =>
+        val k = lKeyProj(l).get(0, lk.dataType)
+        val t = lTimeProj(l).get(0, lt.dataType)
+        val arr = index.get(k)
+        var best: InternalRow = null
+        if (arr != null) {
+          // rightmost entry with time <= t
+          var lo = 0
+          var hi = arr.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(arr(mid)._1.asInstanceOf[AnyRef],
+                t.asInstanceOf[AnyRef]) <= 0) {
+              best = arr(mid)._2; lo = mid + 1
+            } else hi = mid - 1
+          }
+        }
+        outProj(joined(l, if (best != null) best else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
     copy(left = newLeft, right = newRight)
 }

@@ -101,6 +101,20 @@ class PlanSpec extends SparkSuite {
     assert(native === windowed)
   }
 
+  test("broadcast as-of: no shuffle on the probe side, same results") {
+    val p = plan("q_join_asof_bcast")
+    assert(p.contains("BroadcastAsofJoin"), s"broadcast exec missing:\n$p")
+    assert(p.contains("BroadcastExchange"))
+    // the probe (error) side must reach the join without a hash exchange
+    val joinIdx = p.indexOf("BroadcastAsofJoin")
+    val beforeSort = p.substring(joinIdx)
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"probe side must stream unshuffled:\n$beforeSort")
+    val bcast = q("q_join_asof_bcast").collect().map(_.toString).toSeq
+    val windowed = q("q_join_asof").collect().map(_.toString).toSeq
+    assert(bcast === windowed)
+  }
+
   test("filter above the native as-of join pushes to the left scan") {
     val e = Tables.t(spark, sf0, "events")
     val errors = e.filter(col("event_type") === "error")
