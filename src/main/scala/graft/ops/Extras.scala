@@ -384,6 +384,64 @@ object Extras {
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Null-handling surface (q_fn_null): nulls synthesized with CASE,
+    * then the DataFrameNaFunctions path — na.fill with a sentinel,
+    * non-null counting, drop-equivalent accounting — the missing-data
+    * hygiene every ingest pass runs. */
+  val qFnNull = Q(
+    "q_fn_null",
+    (s, d) => {
+      val withNulls = ev(s, d)
+        .withColumn("maybe_value",
+          expr("CASE WHEN value < 50.0 THEN NULL ELSE value END"))
+      withNulls.na.fill(Map("maybe_value" -> -1.0))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("maybe_value") === -1.0, 1)).as("n_filled"),
+          round(sum(col("maybe_value")), 2).as("sum_filled"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_total,
+              count(CASE WHEN value < 50.0 THEN 1 END) AS n_filled,
+              round(sum(CASE WHEN value < 50.0 THEN -1.0 ELSE value END), 2)
+                AS sum_filled
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Typed row for the Dataset[T] pipeline below. */
+  final case class EvRow(
+      event_id: Long, user_id: Long, event_type: String, value: Double)
+
+  /** Typed Dataset pipeline (q_typed_pipeline): the case-class Encoder
+    * surface — as[T], typed filter/map, groupByKey + reduceGroups
+    * (associative partial reduce, NOT a whole-group mapGroups buffer) —
+    * proving a user can stay in compile-time-typed land and still get
+    * two-phase distributed aggregation. */
+  val qTypedPipeline = Q(
+    "q_typed_pipeline",
+    (s, d) => {
+      import s.implicits._
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[EvRow]
+        .filter((e: EvRow) => e.value > 50.0)
+        .map((e: EvRow) => (e.event_type, e.value * 2, 1L))
+        .groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+        .map { case (k, (_, sum2, n)) => (k, n, sum2) }
+        .toDF("event_type", "n", "sum_doubled")
+        .select(col("event_type"), col("n"),
+          round(col("sum_doubled"), 2).as("sum_doubled"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value * 2), 2) AS sum_doubled
+            FROM events WHERE value > 50.0
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   /** Z-order locality key (q_zorder): interleave the bits of the pixel
     * (row, col) into one sort key so a range of z-values covers a 2-D
     * tile — the multi-dimensional clustering trick that makes min/max
@@ -422,5 +480,6 @@ object Extras {
   val all: Seq[Q] = Seq(
     qScanCsv, qScanJson, qScanOrc, qScanXml, qScanText, qSqlApi,
     qSinkParquet, qFilterBitops, qUdfScalar,
-    qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder)
+    qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder,
+    qFnNull, qTypedPipeline)
 }
