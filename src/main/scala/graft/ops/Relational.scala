@@ -848,6 +848,62 @@ object Relational {
             FROM orders
             ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** Interval RANGE frame (q_win_range_frame): per board, the count and
+    * sum of activity in the TRAILING HOUR of event time — a range
+    * frame over microseconds, not a row frame: frame membership follows
+    * the time axis, so bursty and sparse regions get correct windows
+    * regardless of row density (the rate-monitor primitive, md:236).
+    * Peers (equal timestamps) are frame-inclusive on both engines. */
+  val qWinRangeFrame = Q(
+    "q_win_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-3600000000L, 0)
+      ev(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_last_hour"),
+          round(sum($"value").over(w), 2).as("sum_last_hour"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              count(*) OVER w AS n_last_hour,
+              round(sum(value) OVER w, 2) AS sum_last_hour
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id NULLS FIRST"""))
+
+  /** Correlated EXISTS / NOT EXISTS (q_subquery_exists): customers with
+    * at least one high-value order and no low-priority one — the
+    * decorrelation path (Catalyst rewrites both predicates into
+    * semi/anti joins; DuckDB does the same, so one SQL text serves both
+    * engines). */
+  val qSubqueryExists = Q(
+    "q_subquery_exists",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("orders_sq_v")
+      cust(s, d).createOrReplaceTempView("customer_sq_v")
+      s.sql("""SELECT c_custkey, c_name
+               FROM customer_sq_v c
+               WHERE EXISTS (SELECT 1 FROM orders_sq_v o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 400000.0)
+                 AND NOT EXISTS (SELECT 1 FROM orders_sq_v o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '5-LOW')
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '5-LOW')
+            ORDER BY c_custkey NULLS FIRST"""))
+
   /** Quantile sketch (q_agg_approx_percentile): approx_percentile over
     * the fact table — the fixed-memory companion to the HLL distinct
     * sketch for 100 TB profiling, where an exact percentile would sort
@@ -921,7 +977,7 @@ object Relational {
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,
     qWinRank, qWinLag, qWinRunning, qWinSliding, qWinFirstLast,
-    qAggApproxPercentile,
+    qWinRangeFrame, qSubqueryExists, qAggApproxPercentile,
     qSort, qTopk, qLimit,
     qUnion, qIntersect, qExcept,
     qFnString, qFnDate, qFnMath, qFnArray, qFnMap, qFnJson, qFnCond)
