@@ -101,6 +101,39 @@ class PlanSpec extends SparkSuite {
     assert(native === windowed)
   }
 
+  test("per-group top-k prunes map-side via WindowGroupLimit") {
+    // rank-filter queries must not sort whole groups before the
+    // shuffle: Catalyst's partial WindowGroupLimit keeps k rows per
+    // group per partition — the map-side combine of top-k
+    val p = plan("q_win_rank")
+    assert(p.contains("WindowGroupLimit"), s"group-limit pruning absent:\n$p")
+    assert(p.contains("Partial"), "expected a partial (map-side) group limit")
+  }
+
+  test("as-of costing: dim-sized right side auto-broadcasts, no hint") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i, i % 7, i * 10L))
+      .toDF("id", "k", "t")
+    val right = Seq((0L, 5L, 99.0), (1L, 15L, 88.0), (2L, 25L, 77.0))
+      .toDF("rk", "rt", "payload")
+    val j = plans.Asof.join(left, right, "k", "t", "rk", "rt")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastAsofJoin"),
+      s"3-row right side should broadcast by stats:\n$p")
+    // spot-check semantics: id=15 → k=1, t=150; key 1's latest rt ≤ 150
+    // is the (1, 15) row
+    val row = j.filter(col("id") === 15L).collect().head
+    assert(row.getAs[Long]("rk") === 1L && row.getAs[Long]("rt") === 15L)
+  }
+
+  test("as-of join rejects unknown columns with a clear error") {
+    val e = Tables.t(spark, sf0, "events")
+    val ex = intercept[IllegalArgumentException] {
+      plans.Asof.join(e, e, "user_id", "ts", "nope", "ts")
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
   test("broadcast as-of: no shuffle on the probe side, same results") {
     val p = plan("q_join_asof_bcast")
     assert(p.contains("BroadcastAsofJoin"), s"broadcast exec missing:\n$p")
