@@ -554,7 +554,77 @@ object Dedup {
             WHERE n_docs > 1
             ORDER BY prefix_hash NULLS FIRST"""))
 
+  /** Exact repeated-substring spans (q_dedup_substring): the
+    * deduplicate-text-datasets idea at shingle resolution — any 5-token
+    * window appearing in MORE THAN ONE document is a repeated span
+    * (boilerplate, licenses, mirrored passages). Detection is one
+    * groupBy over the shingle table (an aggregate, never a pairwise
+    * join): at 100 TB the shuffle is keyed by shingle hash and
+    * high-frequency spans surface with their document frequency for a
+    * downstream cut pass. */
+  val qDedupSubstring = Q(
+    "q_dedup_substring",
+    (s, d) =>
+      shingles(s, d)
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("h")),
+    Some(s"""$shinglesCte
+             SELECT h, count(*) AS n_docs, min(doc_id) AS first_doc
+             FROM shingles
+             GROUP BY h
+             HAVING count(*) > 1
+             ORDER BY h NULLS FIRST"""))
+
+  /** Eval-set decontamination (q_text_contamination): before training,
+    * every corpus document is scored for shingle overlap against the
+    * held-out set (here: doc_id < 10 stands in for the benchmark). One
+    * equi-join on the 32-bit shingle hash against the (tiny, broadcast)
+    * eval shingle set, then a per-doc aggregate — the standard
+    * n-gram-overlap decontamination pass, linear in corpus size. */
+  val qTextContamination = Q(
+    "q_text_contamination",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val eval_ = sh.filter(col("doc_id") < 10)
+        .select(col("h")).distinct()
+      val corpusSizes = sh.filter(col("doc_id") >= 10)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val shared = sh.filter(col("doc_id") >= 10)
+        .join(broadcast(eval_), "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      corpusSizes
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) * lit(1.0) / col("sz"), 6)
+            .as("contamination"),
+          (coalesce(col("n_shared"), lit(0L)) * lit(1.0) / col("sz") >= 0.2)
+            .as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$shinglesCte,
+            eval_set AS (
+              SELECT DISTINCT h FROM shingles WHERE doc_id < 10),
+            corpus_sizes AS (
+              SELECT doc_id, count(*) AS sz FROM shingles
+              WHERE doc_id >= 10 GROUP BY doc_id),
+            shared AS (
+              SELECT doc_id, count(*) AS n_shared
+              FROM shingles JOIN eval_set USING (h)
+              WHERE doc_id >= 10
+              GROUP BY doc_id)
+            SELECT doc_id,
+              coalesce(n_shared, 0) AS n_shared,
+              round(coalesce(n_shared, 0) * 1.0 / sz, 6) AS contamination,
+              coalesce(n_shared, 0) * 1.0 / sz >= 0.2 AS flagged
+            FROM corpus_sizes LEFT JOIN shared USING (doc_id)
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
-    qDedupEmbed, qDedupDrop, qDedupComponents, qDedupPrefix)
+    qDedupEmbed, qDedupDrop, qDedupComponents, qDedupPrefix,
+    qDedupSubstring, qTextContamination)
 }
