@@ -126,6 +126,38 @@ class PlanSpec extends SparkSuite {
     assert(row.getAs[Long]("rk") === 1L && row.getAs[Long]("rt") === 15L)
   }
 
+  test("as-of property: random tapes — both custom execs equal the relational form") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      k <- Gen.choose(0L, 9L)     // hot keys on purpose
+      t <- Gen.choose(0L, 500L)   // dense times → equal-ts edge cases
+    } yield (k, t)
+    val params = Gen.Parameters.default
+    // independent left/right tapes, duplicate (key, time) pairs likely
+    val lRows = Gen.listOfN(400, rowGen).apply(params, rng.Seed(7L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val rRows = Gen.listOfN(300, rowGen).apply(params, rng.Seed(8L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000L, k, t) }
+    val left = lRows.toDF("lid", "k", "t").repartition(7)
+    val right = rRows.toDF("rid", "rk", "rt").repartition(5)
+    // reference: per left row, max right time with rt <= t (same key).
+    // (right ids at equal (rk, rt) are ambiguous, so compare times.)
+    val expected = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy(col("lid")).agg(max(col("rt")).as("best_rt"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    def run(hint: Option[Boolean]): Map[Long, Option[Long]] =
+      plans.Asof.join(left, right, "k", "t", "rk", "rt", hint)
+        .select(col("lid"), col("rt"))
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(run(Some(false)) === expected, "sort-merge exec diverged")
+    assert(run(Some(true)) === expected, "broadcast exec diverged")
+  }
+
   test("as-of join rejects unknown columns with a clear error") {
     val e = Tables.t(spark, sf0, "events")
     val ex = intercept[IllegalArgumentException] {
