@@ -96,6 +96,100 @@ object Multimodal {
     },
     None)
 
+  /** Deterministic 16-bit mono PCM WAV blob for doc_id: canonical
+    * 44-byte RIFF header + n samples, sample i = (doc_id·7919 +
+    * i·104729) mod 2¹⁶ as signed LE. Pure byte layout — no codec
+    * library involved — so the container format is decodable with
+    * nothing but substring/conv expressions. */
+  private def wavBytes(docId: Long): Array[Byte] = {
+    val n = (8 + docId % 9).toInt
+    val sampleRate = (8000 + (docId % 4) * 4000).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach { i =>
+      bb.putShort(((docId * 7919 + i * 104729) % 65536).toShort)
+    }
+    bb.array()
+  }
+
+  /** Real audio-container decode (q_multimodal_wav): WAV/RIFF is pure
+    * byte layout, so — unlike the codec-dependent image stub — the FULL
+    * decode runs as Catalyst expressions: header tags verified, format
+    * fields read as little-endian ints from `substring`+`conv`, samples
+    * exploded per index with two's-complement sign recovery, and the
+    * mean |amplitude| aggregated per doc. The blob is built by a
+    * deterministic generator (the fixture half); the DuckDB oracle
+    * recomputes every decoded field from doc_id arithmetic alone, so a
+    * green hash proves byte-level container fidelity end to end. */
+  val qMultimodalWav = Q(
+    "q_multimodal_wav",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, wavBytes(id))))
+        .toDF("doc_id", "wav")
+      // little-endian unsigned int read: nbytes bytes at 1-based pos
+      def le(pos: Int, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(wav, ${pos + k}, 1)), 16, 10) AS BIGINT)" +
+            s" * ${1L << (8 * k)})").mkString("(", " + ", ")")
+      blobs
+        .withColumn("header_ok", expr(
+          """CAST(substring(wav, 1, 4) AS STRING) = 'RIFF' AND
+             CAST(substring(wav, 9, 4) AS STRING) = 'WAVE' AND
+             CAST(substring(wav, 13, 4) AS STRING) = 'fmt ' AND
+             CAST(substring(wav, 37, 4) AS STRING) = 'data'"""))
+        .withColumn("sample_rate", expr(le(25, 4)))
+        .withColumn("n_channels", expr(le(23, 2)))
+        .withColumn("bits", expr(le(35, 2)))
+        .withColumn("n_samples", expr(le(41, 4) + " / 2").cast("long"))
+        .withColumn("i", explode(expr(
+          "sequence(CAST(0 AS BIGINT), n_samples - 1)")))
+        .withColumn("raw", expr(le(45, 2)
+          .replace("substring(wav, 45", "substring(wav, CAST(45 + 2 * i AS INT)")
+          .replace("substring(wav, 46", "substring(wav, CAST(46 + 2 * i AS INT)")))
+        .withColumn("sample", expr(
+          "CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END"))
+        .groupBy(col("doc_id"), col("header_ok"), col("sample_rate"),
+          col("n_channels"), col("bits"), col("n_samples"))
+        .agg(round(avg(abs(col("sample"))), 6).as("mean_abs_amp"))
+        .select(col("doc_id"), col("header_ok"), col("sample_rate"),
+          col("n_channels"), col("bits"), col("n_samples"),
+          col("mean_abs_amp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (SELECT doc_id FROM documents),
+            spec AS (
+              SELECT doc_id, TRUE AS header_ok,
+                8000 + (doc_id % 4) * 4000 AS sample_rate,
+                CAST(1 AS BIGINT) AS n_channels,
+                CAST(16 AS BIGINT) AS bits,
+                8 + doc_id % 9 AS n_samples
+              FROM docs),
+            samples AS (
+              SELECT doc_id, unnest(generate_series(0, n_samples - 1)) AS i
+              FROM spec)
+            SELECT s.doc_id, header_ok, sample_rate, n_channels, bits,
+              n_samples,
+              round(avg(abs(CASE WHEN raw >= 32768 THEN raw - 65536
+                                 ELSE raw END)), 6) AS mean_abs_amp
+            FROM spec s
+            JOIN (SELECT doc_id, i,
+                    (doc_id * 7919 + i * 104729) % 65536 AS raw
+                  FROM samples) x ON s.doc_id = x.doc_id
+            GROUP BY s.doc_id, header_ok, sample_rate, n_channels, bits,
+              n_samples
+            ORDER BY s.doc_id NULLS FIRST"""))
+
   /** Frame sampling + resize (q_multimodal_frames): explode each video
     * payload into its frame indices, keep every 2nd frame, attach the
     * resize-target dims (half resolution, floor-to-even) and a per-frame
@@ -142,5 +236,7 @@ object Multimodal {
             WHERE frame_idx % 2 = 0
             ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames)
+  val all: Seq[Q] =
+    Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
+      qMultimodalWav)
 }
