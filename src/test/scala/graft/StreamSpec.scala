@@ -138,6 +138,57 @@ class StreamSpec extends SparkSuite {
     assert(got(11L) === 2L)
   }
 
+  test("stateful dedup runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val dedup = mem.toDF().toDF("ts", "trigger_id")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("trigger_id")
+      val qy = dedup.writeStream.outputMode("append")
+        .format("memory").queryName("spec_rocks").start()
+      mem.addData((ts(1), 1L), (ts(1), 1L), (ts(2), 2L))
+      qy.processAllAvailable()
+      mem.addData((ts(3), 1L), (ts(4), 3L))
+      qy.processAllAvailable()
+      qy.stop()
+      val ids = spark.table("spec_rocks")
+        .collect().map(_.getAs[Long]("trigger_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally saved match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("checkpointed aggregation state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ckpt_restart"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val mem = MemoryStream[(Timestamp, Long)]
+    def agg = mem.toDF().toDF("ts", "rb")
+      .groupBy(col("rb")).agg(count(lit(1)).as("n"))
+    def start() = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("spec_ckpt")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    mem.addData((ts(1), 0L), (ts(2), 1L), (ts(3), 0L))
+    q1.processAllAvailable()
+    q1.stop() // simulated failure/redeploy
+    val q2 = start() // same checkpoint → counters resume, not reset
+    mem.addData((ts(4), 0L), (ts(5), 1L))
+    q2.processAllAvailable()
+    q2.stop()
+    val counts = spark.table("spec_ckpt")
+      .collect().map(r => r.getAs[Long]("rb") -> r.getAs[Long]("n")).toMap
+    assert(counts === Map(0L -> 3L, 1L -> 2L))
+  }
+
   test("session windows merge bursts within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
