@@ -471,7 +471,17 @@ object Dedup {
   val qDedupComponents = Q(
     "q_dedup_components",
     (s, d) => {
+      // Pair generation runs at full corpus width FIRST (it scans and
+      // shuffles real data)…
       val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
+      // …then the propagation loop shuffles only the tiny pair-graph
+      // vertex table (~2 jobs per round): width THAT like the data, not
+      // like the corpus — at real scale the same session conf sizes it
+      // to the edge count.
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(4, saved.toInt).toString)
+      try {
       // materialize the edge list ONCE — every propagation step joins
       // against it, and without the persist each iteration would re-run
       // the whole shingle/minhash/verify pipeline upstream
@@ -512,6 +522,7 @@ object Dedup {
           min(col("doc_id")).as("keep_id"))
         .filter(col("cluster_size") > 1)
         .orderBy(col("comp"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     },
     qDedupNear.oracle.map { nearSql =>
       val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
