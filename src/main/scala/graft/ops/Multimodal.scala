@@ -190,6 +190,98 @@ object Multimodal {
               n_samples
             ORDER BY s.doc_id NULLS FIRST"""))
 
+  /** Deterministic 24-bit uncompressed BMP for doc_id: BITMAPFILEHEADER
+    * + BITMAPINFOHEADER + bottom-up pixel rows padded to 4 bytes.
+    * Channel (x, y) values are fixed arithmetic in doc_id so the oracle
+    * can recompute them without touching bytes. */
+  private def bmpBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 3).toInt
+    val h = (2 + docId % 2).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    val dataLen = stride * h
+    val bb = java.nio.ByteBuffer
+      .allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)           // reserved, pixel-data offset
+      .putInt(40).putInt(w).putInt(h) // info header
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until h).foreach { yUp => // rows stored bottom-up
+      val y = h - 1 - yUp
+      (0 until w).foreach { x =>
+        bb.put(((docId * 3 + x * 7 + y * 13) % 256).toByte)  // B
+        bb.put(((docId * 5 + x * 11 + y * 17) % 256).toByte) // G
+        bb.put(((docId * 7 + x * 19 + y * 23) % 256).toByte) // R
+      }
+      (3 * w until stride).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  /** Real image-container decode (q_multimodal_bmp): like the WAV path,
+    * an uncompressed BMP is pure byte layout — header fields read as
+    * little-endian ints, pixel positions computed from stride/offset
+    * arithmetic (bottom-up rows, 4-byte padding), channels sliced with
+    * substring+conv, per-image mean R/G/B aggregated. The oracle
+    * recomputes everything from doc_id arithmetic, so the hash match
+    * proves the byte-level image decode end to end. */
+  val qMultimodalBmp = Q(
+    "q_multimodal_bmp",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, bmpBytes(id))))
+        .toDF("doc_id", "bmp")
+      def le(pos: String, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(bmp, CAST(($pos) + $k AS INT), 1))," +
+            s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
+          .mkString("(", " + ", ")")
+      blobs
+        .withColumn("magic_ok",
+          expr("CAST(substring(bmp, 1, 2) AS STRING) = 'BM'"))
+        .withColumn("offset", expr(le("11", 4)))
+        .withColumn("w", expr(le("19", 4)))
+        .withColumn("h", expr(le("23", 4)))
+        .withColumn("bpp", expr(le("29", 2)))
+        .withColumn("stride", expr("CAST((3 * w + 3) / 4 AS BIGINT) * 4"))
+        .withColumn("i", explode(expr(
+          "sequence(CAST(0 AS BIGINT), w * h - 1)")))
+        .withColumn("x", col("i") % col("w"))
+        .withColumn("y", (col("i") / col("w")).cast("long"))
+        .withColumn("pos", col("offset") +
+          (col("h") - 1 - col("y")) * col("stride") + col("x") * 3 + 1)
+        .withColumn("b", expr(le("pos", 1)))
+        .withColumn("g", expr(le("pos + 1", 1)))
+        .withColumn("r", expr(le("pos + 2", 1)))
+        .groupBy(col("doc_id"), col("magic_ok"), col("w"), col("h"),
+          col("bpp"))
+        .agg(
+          round(avg(col("r")), 6).as("mean_r"),
+          round(avg(col("g")), 6).as("mean_g"),
+          round(avg(col("b")), 6).as("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, TRUE AS magic_ok,
+                4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+                CAST(24 AS BIGINT) AS bpp
+              FROM documents),
+            px AS (
+              SELECT doc_id, i % w AS x, CAST(i // w AS BIGINT) AS y,
+                magic_ok, w, h, bpp
+              FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
+                    FROM spec))
+            SELECT doc_id, magic_ok, w, h, bpp,
+              round(avg((doc_id * 7 + x * 19 + y * 23) % 256), 6) AS mean_r,
+              round(avg((doc_id * 5 + x * 11 + y * 17) % 256), 6) AS mean_g,
+              round(avg((doc_id * 3 + x * 7 + y * 13) % 256), 6) AS mean_b
+            FROM px
+            GROUP BY doc_id, magic_ok, w, h, bpp
+            ORDER BY doc_id NULLS FIRST"""))
+
   /** Frame sampling + resize (q_multimodal_frames): explode each video
     * payload into its frame indices, keep every 2nd frame, attach the
     * resize-target dims (half resolution, floor-to-even) and a per-frame
@@ -238,5 +330,5 @@ object Multimodal {
 
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
-      qMultimodalWav)
+      qMultimodalWav, qMultimodalBmp)
 }

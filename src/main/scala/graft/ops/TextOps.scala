@@ -393,8 +393,53 @@ object TextOps {
             FROM tstats JOIN bstats USING (doc_id)
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Training-sequence packing (q_text_pack): assign documents to
+    * fixed-budget training sequences by contiguous greedy fill — the
+    * sample-packing pass that turns a curated corpus into equal-length
+    * batches. A windowed running token count per (lang) stream, divided
+    * by the budget, IS the greedy bin id (each doc lands in the bin
+    * where its stream prefix starts), so packing needs one shuffle and
+    * zero driver logic; per-bin fill statistics quantify padding waste.
+    * Deterministic order (doc_id) keeps both engines and any rerun
+    * bit-identical. */
+  val qTextPack = Q(
+    "q_text_pack",
+    (s, d) => {
+      val budget = 512
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("running", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          ((col("running") - col("n_tokens")) / budget).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH sized AS (
+              SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            binned AS (
+              SELECT doc_id, lang, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens) / 512) AS BIGINT) AS bin
+              FROM sized)
+            SELECT lang, bin, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              min(doc_id) AS first_doc
+            FROM binned
+            GROUP BY lang, bin
+            ORDER BY lang NULLS FIRST, bin NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
-    qTextRepetition)
+    qTextRepetition, qTextPack)
 }
