@@ -271,6 +271,37 @@ object Daq {
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Partition-pruned read (q_partition_pruned): the read side of the
+    * hive-layout sink — a filter on the partition column must prune at
+    * LISTING time (PartitionFilters in the scan), so a 100 TB archive
+    * query touches only its partitions' files, never the full directory.
+    * PlanSpec asserts the pruning mechanically. */
+  val qPartitionPruned = Q(
+    "q_partition_pruned",
+    (s, d) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_partition_write"
+      // reuse the layout q_partition_write produces; (re)write it so
+      // this query is self-contained whatever the execution order
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type").isin("error", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(avg(value), 6) AS avg_value,
+              max(event_id) AS max_id
+            FROM events
+            WHERE event_type IN ('error', 'purchase')
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   /** Watchdog merge in batch form (md:306-314): file-arrival listing via
     * the binaryFile source — per-file name + size of every parquet in the
     * sf dir. No oracle (filesystem metadata, not table values). */
@@ -289,5 +320,5 @@ object Daq {
   val all: Seq[Q] = Seq(
     qEventCount, qDaqStats, qRunRange, qRunlogEnrich, qReconcile,
     qDoubleTrigger, qRateByModule, qConfigParse, qPartitionWrite,
-    qMergeArchive)
+    qPartitionPruned, qMergeArchive)
 }

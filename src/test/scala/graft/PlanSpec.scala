@@ -101,6 +101,16 @@ class PlanSpec extends SparkSuite {
     assert(native === windowed)
   }
 
+  test("hive-layout read prunes partitions at listing time") {
+    val p = plan("q_partition_pruned")
+    assert(p.contains("PartitionFilters: [") &&
+      p.contains("event_type#") && p.contains("IN (error,purchase"),
+      s"partition pruning missing from scan:\n$p")
+    // the pruned column never appears as a post-scan Filter on data
+    assert(!p.contains("PushedFilters: [In(event_type"),
+      "partition predicate must prune listings, not rows")
+  }
+
   test("per-group top-k prunes map-side via WindowGroupLimit") {
     // rank-filter queries must not sort whole groups before the
     // shuffle: Catalyst's partial WindowGroupLimit keeps k rows per
