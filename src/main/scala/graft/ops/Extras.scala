@@ -384,6 +384,39 @@ object Extras {
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Structured JSON both directions (q_fn_struct_json): serialize a
+    * struct with to_json, parse it back with a declared schema via
+    * from_json (typed struct access, not string plucking), AND parse
+    * the props payload as a typed MAP with its entries exploded — the
+    * schema-full counterpart to q_fn_json's get_json_object path. The
+    * aggregate equality with the raw columns proves the round trip. */
+  val qFnStructJson = Q(
+    "q_fn_struct_json",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("js", to_json(struct(
+          col("event_id"), col("event_type"), col("value"))))
+        .withColumn("parsed", from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, value DOUBLE")))
+        .withColumn("pmap",
+          from_json(col("props"), "map<string,bigint>",
+            Map.empty[String, String]))
+        .select(col("parsed"), explode(col("pmap")).as(Seq("pk", "pv")))
+        .groupBy(col("parsed.event_type").as("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("parsed.value")), 2).as("sum_value"),
+          min(col("parsed.event_id")).as("min_id"),
+          sum(col("pv")).as("sum_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value,
+              min(event_id) AS min_id,
+              CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   /** Null-handling surface (q_fn_null): nulls synthesized with CASE,
     * then the DataFrameNaFunctions path — na.fill with a sentinel,
     * non-null counting, drop-equivalent accounting — the missing-data
@@ -481,5 +514,5 @@ object Extras {
     qScanCsv, qScanJson, qScanOrc, qScanXml, qScanText, qSqlApi,
     qSinkParquet, qFilterBitops, qUdfScalar,
     qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder,
-    qFnNull, qTypedPipeline)
+    qFnNull, qTypedPipeline, qFnStructJson)
 }
