@@ -100,7 +100,7 @@ object Dedup {
 
   private def minhashWithSets(s: SparkSession, d: String): DataFrame =
     minhashSetsCache.getOrElseUpdate(
-      System.identityHashCode(s) + "|" + d, {
+      s"${System.identityHashCode(s)}|$d", {
         val df = shingles(s, d)
           .groupBy(col("doc_id"))
           .agg(minhashAggs.head,
@@ -145,7 +145,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   def nearPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
+    pairCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val df = buildNearPairs(s, d).persist()
       df.count()
       df
@@ -227,7 +227,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   def simhashTable(s: SparkSession, d: String): DataFrame =
-    simhashCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
+    simhashCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val bitAggs = (0 until 32).map(j =>
         sum(expr(
           s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
@@ -292,7 +292,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   private def bigrams(s: SparkSession, d: String): DataFrame =
-    bigramCache.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
+    bigramCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val df = Tables.t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("bg", explode(expr(

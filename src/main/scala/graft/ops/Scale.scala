@@ -23,7 +23,7 @@ object Scale {
     scala.collection.concurrent.TrieMap[String, Unit]()
 
   private def ensureBucketTables(s: SparkSession, d: String): Unit =
-    bucketSetup.getOrElseUpdate(System.identityHashCode(s) + "|" + d, {
+    bucketSetup.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val wh = sys.props("java.io.tmpdir") + "/graft_warehouse"
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
       // the in-memory catalog forgets tables across sessions but their

@@ -106,6 +106,20 @@ class MoreSpec extends SparkSuite {
     assert(rep(2L)._1 === 1.0 && rep(2L)._2 === 0.2)
   }
 
+  test("sequence packing conserves tokens and respects contiguity") {
+    val bins = q("q_text_pack").collect()
+    val packed = bins.map(_.getAs[Long]("n_tokens")).sum
+    val total = Tables.t(spark, sf0, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(packed === total) // every token lands in exactly one bin
+    // bins are contiguous per lang: ids 0..max with no gaps
+    bins.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("bin")).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq)
+    }
+  }
+
   test("stratified sample keeps per-class rates, deterministically") {
     val sampled = q("q_sample_stratified").collect()
       .map(r => r.getAs[String]("event_type") ->
