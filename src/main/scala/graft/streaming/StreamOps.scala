@@ -393,6 +393,93 @@ object StreamOps {
             FROM seg
             ORDER BY event_id NULLS FIRST"""))
 
+  /** StatefulProcessor for q_stream_tws: per (event_type, UTC day)
+    * group, the DAY-LOCAL running max of value in (us, event_id) order.
+    * Same sharded-key discipline as the reset counter — no task ever
+    * buffers more than one day of one type; the cross-day carry is a
+    * prefix max stitched on relationally afterwards. */
+  private[graft] class RunningMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (String, Long), (Long, Long, String, Double),
+        (String, Long, Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double](
+        "max", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[(Long, Long, String, Double)],
+        timerValues: TimerValues)
+        : Iterator[(String, Long, Long, Long, Double)] = {
+      var m = if (maxState.exists()) maxState.get() else Double.MinValue
+      val out = rows.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+        m = math.max(m, r._4)
+        (key._1, key._2, r._1, r._2, m)
+      }
+      maxState.update(m)
+      out.iterator
+    }
+  }
+
+  /** Arbitrary state via the Spark 4 transformWithState API
+    * (q_stream_tws): the modern replacement for flatMapGroupsWithState —
+    * typed ValueState through a StatefulProcessor handle, RocksDB state
+    * store required. Semantics: per event_type, the running max value in
+    * event order; state shards by (type, day) and a relational prefix
+    * max supplies the cross-day carry, so the settled result equals the
+    * global window-SQL oracle. */
+  val qStreamTws = Q(
+    "q_stream_tws",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val savedProv =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventsStream(s, d)
+          .select(col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("event_type"), col("value"))
+          .as[(Long, Long, String, Double)]
+        val local = src
+          .groupByKey(r => (r._3, r._2 / usPerDay))
+          .transformWithState(new RunningMaxProcessor,
+            TimeMode.None(), OutputMode.Append())
+        drain(s, local.toDF("event_type", "day", "event_id", "us", "l_max"),
+          "stream_tws_tbl", "append")
+        s.sql(
+          """WITH carries AS (
+               SELECT event_type, day,
+                 max(day_max) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS carry
+               FROM (SELECT event_type, day, max(l_max) AS day_max
+                     FROM stream_tws_tbl GROUP BY event_type, day))
+             SELECT l.event_id, l.event_type,
+               round(CASE WHEN c.carry IS NULL OR l.l_max >= c.carry
+                          THEN l.l_max ELSE c.carry END, 2) AS running_max
+             FROM stream_tws_tbl l
+             JOIN carries c
+               ON l.event_type = c.event_type AND l.day = c.day""")
+          .orderBy(col("event_id"))
+      } finally savedProv match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some("""SELECT event_id, event_type,
+              round(max(value) OVER (PARTITION BY event_type
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_max
+            FROM events
+            ORDER BY event_id NULLS FIRST"""))
+
   /** Stream-stream interval join (q_stream_join): errors joined to the
     * same user's clicks within the preceding hour, both sides
     * watermarked so join state is bounded — the correlated-streams
@@ -430,5 +517,5 @@ object StreamOps {
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
-    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin)
+    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamTws)
 }
