@@ -101,6 +101,17 @@ class PlanSpec extends SparkSuite {
     assert(native === windowed)
   }
 
+  test("AQE coalesces shuffle partitions at runtime") {
+    val df = q("q_agg_hash")
+    df.collect() // materialize so the adaptive plan is final
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") || p.contains("isFinalPlan=true"),
+      s"adaptive execution inactive:\n$p")
+    // tiny agg output must not keep the full configured shuffle width
+    assert(p.contains("coalesced") || !p.contains("AQEShuffleRead"),
+      s"AQE did not coalesce the small shuffle:\n$p")
+  }
+
   test("hive-layout read prunes partitions at listing time") {
     val p = plan("q_partition_pruned")
     assert(p.contains("PartitionFilters: [") &&
