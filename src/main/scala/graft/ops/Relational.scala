@@ -961,6 +961,31 @@ object Relational {
             GROUP BY user_id
             ORDER BY user_id NULLS FIRST"""))
 
+  /** Count-Min frequency sketch (q_agg_cms): the third sketch family
+    * next to HLL (distinct) and approx-percentile (quantiles) — a
+    * fixed-memory frequency table whose merge is cellwise addition, so
+    * per-partition sketches sum at any scale. The sketch is built by the
+    * built-in count_min_sketch aggregate; estimates are read back via a
+    * small deserializing UDF (inherently JVM-library code, like the
+    * sketch itself). No oracle (estimator-specific); ScalaTest bounds
+    * the estimates against exact counts — CMS never undercounts. */
+  val qAggCms = Q(
+    "q_agg_cms",
+    (s, d) => {
+      val sk = ev(s, d).agg(expr(
+        "count_min_sketch(event_type, 0.0001d, 0.99d, 42)").as("sk"))
+      val est = udf { (sk: Array[Byte], item: String) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(sk))
+          .estimateCount(item)
+      }
+      ev(s, d).select($"event_type").distinct()
+        .crossJoin(broadcast(sk))
+        .select($"event_type", est($"sk", $"event_type").as("est_n"))
+        .orderBy($"event_type")
+    },
+    None)
+
   // ---------------------------------------------------------------- dollar
 
   // Minimal $-interpolator so the bodies above read like the guide's idioms
@@ -977,7 +1002,7 @@ object Relational {
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,
     qWinRank, qWinLag, qWinRunning, qWinSliding, qWinFirstLast,
-    qWinRangeFrame, qSubqueryExists, qAggApproxPercentile,
+    qWinRangeFrame, qSubqueryExists, qAggApproxPercentile, qAggCms,
     qSort, qTopk, qLimit,
     qUnion, qIntersect, qExcept,
     qFnString, qFnDate, qFnMath, qFnArray, qFnMap, qFnJson, qFnCond)

@@ -118,6 +118,20 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("count-min estimates never undercount and stay within 1%") {
+    val est = q("q_agg_cms").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est_n"))
+      .toMap
+    val exact = Tables.t(spark, sf0, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+      assert(est(k) <= n * 1.01 + 5, s"CMS overcounted $k: ${est(k)} vs $n")
+    }
+  }
+
   test("hll union estimate within 5% of exact; union covers every slice") {
     val rows = q("q_agg_hll_merge").collect()
       .map(r => r.getAs[String]("scope") -> r.getAs[Long]("est_users"))
