@@ -438,8 +438,30 @@ object TextOps {
             GROUP BY lang, bin
             ORDER BY lang NULLS FIRST, bin NULLS FIRST"""))
 
+  /** Classifier evaluation (q_text_langid_eval): confusion matrix of the
+    * n-gram language-ID against the labeled lang column, with per-pair
+    * counts — the QA pass every heuristic classifier in a data pipeline
+    * gets before its output feeds a filter. Pure aggregate over the
+    * prediction table; accuracy is readable off the diagonal. */
+  val qTextLangidEval = Q(
+    "q_text_langid_eval",
+    (s, d) =>
+      qTextLangid.fn(s, d)
+        .groupBy(col("lang"), col("guess_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("guess_lang"))
+        .orderBy(col("lang"), col("guess_lang")),
+    qTextLangid.oracle.map { langidSql =>
+      val inner = langidSql.substring(0, langidSql.lastIndexOf("ORDER BY"))
+      s"""SELECT lang, guess_lang, count(*) AS n,
+            lang = guess_lang AS correct
+          FROM ($inner)
+          GROUP BY lang, guess_lang
+          ORDER BY lang NULLS FIRST, guess_lang NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
-    qTextRepetition, qTextPack)
+    qTextRepetition, qTextPack, qTextLangidEval)
 }

@@ -413,7 +413,36 @@ object Vector {
             GROUP BY vec_id, label
             ORDER BY vec_id NULLS FIRST"""))
 
+  /** ANN quality evaluation (q_sim_recall): recall@10 of the sign-LSH
+    * probe against the exact brute-force top-10 — the metric that
+    * decides whether a bucketed index is allowed to replace the exact
+    * scan in a pipeline. Join of two tiny result sets; both sides reuse
+    * the registered operators so the evaluation measures exactly what
+    * runs in production. On a corpus with planted duplicates the copy is
+    * recalled (VectorSpec); on quasi-random vectors with NO true near
+    * neighbors recall is legitimately ~0 — the LSH contract is "find
+    * near things", and this gate is how a pipeline learns to route such
+    * workloads to the IVF or exact path instead. */
+  val qSimRecall = Q(
+    "q_sim_recall",
+    (s, d) => {
+      val exact = qSimTopk.fn(s, d).limit(10).select(col("vec_id"))
+      val ann = qSimAnnLsh.fn(s, d).select(col("vec_id").as("a_vid"))
+      exact.join(ann, col("vec_id") === col("a_vid"), "left")
+        .agg(count(lit(1)).as("k"), count(col("a_vid")).as("n_hit"))
+        .select(col("k"), col("n_hit"),
+          round(col("n_hit") * lit(1.0) / col("k"), 6).as("recall_at_10"))
+    },
+    for (exactSql <- qSimTopk.oracle; annSql <- qSimAnnLsh.oracle) yield
+      s"""SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(count(a_vid) AS BIGINT) AS n_hit,
+            round(count(a_vid) * 1.0 / count(*), 6) AS recall_at_10
+          FROM (SELECT vec_id FROM ($exactSql)
+                ORDER BY cos_sim DESC, vec_id LIMIT 10) e
+          LEFT JOIN (SELECT vec_id AS a_vid FROM ($annSql)) a
+            ON e.vec_id = a.a_vid""")
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal, qSimQuantize,
-    qSimKnnJoin, qSimCentroid)
+    qSimKnnJoin, qSimCentroid, qSimRecall)
 }

@@ -89,6 +89,15 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("recall gate: the planted copy is recalled; k is always 10") {
+    val r = q("q_sim_recall", dir).collect().head
+    assert(r.getAs[Long]("k") === 10L)
+    // the exact copy shares the probe's bucket by construction, so the
+    // index must recall at least it
+    assert(r.getAs[Long]("n_hit") >= 1L)
+    assert(r.getAs[Double]("recall_at_10") >= 0.1)
+  }
+
   test("knn join: the planted copy pair are mutual rank-1 neighbors") {
     val knn = q("q_sim_knn_join", dir).collect()
     val byKey = knn.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("rn")) ->
