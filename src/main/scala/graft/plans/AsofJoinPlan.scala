@@ -122,14 +122,26 @@ case class AsofJoinExec(
         private var rHeadKey: Any = _
         private var rHeadTime: Any = _
 
-        private def advanceHead(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next()
-            rHeadKey = rKeyProj(rHead).get(0, rk.dataType)
-            // key projection reuses its buffer; copy the scalar out
-            rHeadKey = copyVal(rHeadKey)
-            rHeadTime = copyVal(rTimeProj(rHead).get(0, rt.dataType))
-          } else { rHead = null }
+        // Null semantics (matches left-outer equi-join): a right row
+        // with a null key or time can never be "the latest ≤ t" for any
+        // left row, so it is dropped here; null-key/time LEFT rows pass
+        // through with a null right side (handled in next()). Spark
+        // sorts nulls FIRST under Ascending, so skipping them keeps the
+        // merge invariant intact.
+        private def advanceHead(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val cand = rIter.next()
+            val k = rKeyProj(cand).get(0, rk.dataType)
+            val t = rTimeProj(cand).get(0, rt.dataType)
+            if (k != null && t != null) {
+              rHead = cand
+              // key projection reuses its buffer; copy the scalar out
+              rHeadKey = copyVal(k)
+              rHeadTime = copyVal(t)
+            }
+          }
+        }
 
         private def copyVal(v: Any): Any = v match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
@@ -144,6 +156,12 @@ case class AsofJoinExec(
           val l = lIter.next()
           val lKeyVal = copyVal(lKeyProj(l).get(0, lk.dataType))
           val lTimeVal = copyVal(lTimeProj(l).get(0, lt.dataType))
+          if (lKeyVal == null || lTimeVal == null) {
+            // no key/time → nothing can precede it; left-outer nulls.
+            // Null left rows sort first, so not advancing rHead here
+            // preserves the merge position for later non-null rows.
+            return outProj(joined(l, nullRight))
+          }
           // consume right rows at-or-before the current left position
           while (rHead != null && {
             val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
@@ -227,9 +245,13 @@ case class BroadcastAsofJoinExec(
         broadcastRows.value.foreach { r =>
           val k = copyVal(rKeyProj(r).get(0, rk.dataType))
           val t = copyVal(rTimeProj(r).get(0, rt.dataType))
-          val buf = tmp.computeIfAbsent(k,
-            _ => scala.collection.mutable.ArrayBuffer.empty)
-          buf += ((t, r))
+          // null-key/time right rows can never match any probe — drop
+          // (same semantics as the sort-merge exec's advanceHead)
+          if (k != null && t != null) {
+            val buf = tmp.computeIfAbsent(k,
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+            buf += ((t, r))
+          }
         }
         tmp.forEach { (k, buf) =>
           index.put(k, buf.sortInPlace()(Ordering.by[(Any, InternalRow), Any](
@@ -239,7 +261,8 @@ case class BroadcastAsofJoinExec(
       lIter.map { l =>
         val k = lKeyProj(l).get(0, lk.dataType)
         val t = lTimeProj(l).get(0, lt.dataType)
-        val arr = index.get(k)
+        // null key/time probes match nothing (left-outer nulls)
+        val arr = if (k == null || t == null) null else index.get(k)
         var best: InternalRow = null
         if (arr != null) {
           // rightmost entry with time <= t

@@ -179,6 +179,46 @@ class PlanSpec extends SparkSuite {
     assert(run(Some(true)) === expected, "broadcast exec diverged")
   }
 
+  test("as-of property: null keys/times on both sides — left-outer semantics, no NPE") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // ~15% null keys and ~15% null times injected on BOTH tapes; the
+    // reference relational form is naturally null-rejecting (equi-join
+    // condition + rt <= t both eliminate nulls), which is exactly the
+    // semantic the custom execs implement: null-key/time right rows are
+    // dropped, null-key/time left rows emit a null right side.
+    val cellGen = Gen.frequency(
+      (85, Gen.choose(0L, 9L).map(Option(_))), (15, Gen.const(None)))
+    val tGen = Gen.frequency(
+      (85, Gen.choose(0L, 500L).map(Option(_))), (15, Gen.const(None)))
+    val rowGen = for { k <- cellGen; t <- tGen } yield (k, t)
+    val params = Gen.Parameters.default
+    val lRows = Gen.listOfN(400, rowGen).apply(params, rng.Seed(11L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val rRows = Gen.listOfN(300, rowGen).apply(params, rng.Seed(12L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000L, k, t) }
+    val left = lRows.toDF("lid", "k", "t").repartition(7)
+    val right = rRows.toDF("rid", "rk", "rt").repartition(5)
+    val expected = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy(col("lid")).agg(max(col("rt")).as("best_rt"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    def run(hint: Option[Boolean]): Map[Long, Option[Long]] =
+      plans.Asof.join(left, right, "k", "t", "rk", "rt", hint)
+        .select(col("lid"), col("rt"))
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(run(Some(false)) === expected, "sort-merge exec diverged on nulls")
+    assert(run(Some(true)) === expected, "broadcast exec diverged on nulls")
+    // every null-key / null-time left row must still appear, unmatched
+    val nullLids = lRows.collect { case (lid, k, t) if k.isEmpty || t.isEmpty => lid }.toSet
+    val smRes = run(Some(false))
+    nullLids.foreach { lid =>
+      assert(smRes(lid).isEmpty, s"null-key/time left row $lid matched a right row")
+    }
+  }
+
   test("as-of join rejects unknown columns with a clear error") {
     val e = Tables.t(spark, sf0, "events")
     val ex = intercept[IllegalArgumentException] {
