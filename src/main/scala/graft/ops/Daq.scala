@@ -21,22 +21,43 @@ object Daq {
 
   /** EVENT_CNT (html:163-166): monotone running L1A counter per readout
     * board — a frame-bounded running count, resettable by construction
-    * (partition restart). The 2-valued rb key is inherent to EVENT_CNT
-    * semantics on this synthetic board layout; real deployments key the
-    * window by (run, rb) so each run's counter sorts independently and
-    * no single partition carries a whole board's history. */
+    * (partition restart).
+    *
+    * The counter is global per board, but the 2-valued rb key must NOT
+    * be the shuffle key: two tasks would each sort half the table at
+    * any scale. Shard the running count by (rb, UTC day) — the same
+    * discipline as the streaming twin (StreamOps.resetCounterLocal):
+    * each task sorts one day of one board, and the cross-day carry is a
+    * prefix sum over the TINY per-(rb, day) count table (2 × #days
+    * rows), broadcast back onto the local counts. Output is identical
+    * to the single sequential scan, so the window-SQL oracle is
+    * unchanged. */
   val qEventCount = Q(
     "q_event_count",
     (s, d) => {
-      val w = Window
-        .partitionBy(col("rb"))
+      val base = ev(s, d)
+        .withColumn("rb", expr("user_id % 2"))
+        .withColumn("day", expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"))
+      val wLocal = Window
+        .partitionBy(col("rb"), col("day"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev(s, d)
-        .withColumn("rb", expr("user_id % 2"))
-        .select(
-          col("event_id"), col("rb"),
-          count(lit(1)).over(w).as("event_cnt"))
+      val local = base.select(
+        col("event_id"), col("rb"), col("day"),
+        count(lit(1)).over(wLocal).as("l_cnt"))
+      // carry(rb, D) = Σ counts of that board's days strictly before D
+      val wCarry = Window
+        .partitionBy(col("rb")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = base
+        .groupBy(col("rb"), col("day")).agg(count(lit(1)).as("n"))
+        .select(col("rb"), col("day"),
+          coalesce(sum(col("n")).over(wCarry), lit(0L)).as("carry"))
+      local
+        .join(broadcast(carries), Seq("rb", "day"))
+        .select(col("event_id"), col("rb"),
+          (col("carry") + col("l_cnt")).as("event_cnt"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, user_id % 2 AS rb,

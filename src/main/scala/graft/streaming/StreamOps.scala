@@ -480,6 +480,113 @@ object StreamOps {
             FROM events
             ORDER BY event_id NULLS FIRST"""))
 
+  /** The raw `.dat` byte path END-TO-END as streams
+    * (q_stream_binary_raw, md:306-314 + md:227-234): the write half is
+    * the watchdog producing binary blobs as data arrives — a streaming
+    * foreachBatch sink packs each row into a 13-byte big-endian record
+    * (8-byte unix-micros timestamp + 5-byte frame word) and appends one
+    * `.dat` blob per (batch, partition). The read half is a SECOND
+    * stream: `binaryFile` file-arrival source over the blob directory →
+    * sequence-explode walks the 13-byte records → `substring`/`hex`/
+    * `conv` expressions decode timestamp + word (same pure-Catalyst
+    * decode as q_scan_binary_raw, Decode.qScanBinaryRaw) → filler
+    * suppression → per-(hour window, pixel-row) hit rates. Settled
+    * result is deterministic, so the frames oracle checks byte-level
+    * pack → arrival → decode → window fidelity end-to-end. Scale: blobs
+    * decode executor-parallel per file with no driver round-trip; the
+    * windowed agg is keyed, so state is bounded per (window, pixel). */
+  val qStreamBinaryRaw = Q(
+    "q_stream_binary_raw",
+    (s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_stream_raw_dat"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, saved.toInt).toString)
+      try {
+        val w = eventsStream(s, d)
+          .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+            expr(graft.ops.Decode.wordSparkSql).as("word"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.foreachPartition {
+              (it: Iterator[org.apache.spark.sql.Row]) =>
+                if (it.hasNext) {
+                  val pid = org.apache.spark.TaskContext.getPartitionId()
+                  val f = new java.io.File(s"$dir/batch-$id-part-$pid.dat")
+                  val os = new java.io.BufferedOutputStream(
+                    new java.io.FileOutputStream(f))
+                  try it.foreach { r =>
+                    val us = r.getLong(0)
+                    val wd = r.getLong(1)
+                    var sh = 56
+                    while (sh >= 0) {
+                      os.write(((us >> sh) & 0xFF).toInt); sh -= 8
+                    }
+                    sh = 32
+                    while (sh >= 0) {
+                      os.write(((wd >> sh) & 0xFF).toInt); sh -= 8
+                    }
+                  } finally os.close()
+                }
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        w.awaitTermination()
+        // binaryFile's schema is fixed but the streaming source still
+        // demands it be spelled out
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        val words = s.readStream.format("binaryFile").schema(binSchema)
+          .load(dir)
+          .select(col("content"),
+            (length(col("content")) / 13).cast("long").as("n"))
+          .filter(col("n") >= 1)
+          .select(col("content"),
+            explode(expr("sequence(CAST(0 AS BIGINT), n - 1)")).as("i"))
+          .select(
+            expr("""CAST(conv(hex(substring(content,
+                      CAST(i * 13 + 1 AS INT), 8)), 16, 10) AS BIGINT)""")
+              .as("us"),
+            expr("""CAST(conv(hex(substring(content,
+                      CAST(i * 13 + 9 AS INT), 5)), 16, 10) AS BIGINT)""")
+              .as("word"))
+          .withColumn("ts", expr(
+            "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ)"))
+          .withColumn("kind", expr("shiftright(word, 31) & 3"))
+          .withColumn("pix_row", expr("shiftright(word, 27) & 15"))
+          .filter(col("kind") =!= 0)                 // filler suppression
+        drain(s,
+          words
+            .groupBy(window(col("ts"), "1 hour"), col("pix_row"))
+            .agg(count(lit(1)).as("n_hits"),
+              sum(expr("word & 511")).as("sum_tot")),
+          "stream_binary_raw_tbl", "complete")
+          .select(
+            col("window.start").cast("timestamp_ntz").as("w_start"),
+            col("pix_row"), col("n_hits"), col("sum_tot"))
+          .orderBy(col("w_start"), col("pix_row"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    },
+    Some(s"""${graft.ops.Decode.framesCte}
+             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               (word >> 27) & 15 AS pix_row, count(*) AS n_hits,
+               CAST(sum(word & 511) AS BIGINT) AS sum_tot
+             FROM frames
+             WHERE ((word >> 31) & 3) != 0
+             GROUP BY w_start, pix_row
+             ORDER BY w_start NULLS FIRST, pix_row NULLS FIRST"""))
+
   /** Stream-stream interval join (q_stream_join): errors joined to the
     * same user's clicks within the preceding hour, both sides
     * watermarked so join state is bounded — the correlated-streams
@@ -517,5 +624,6 @@ object StreamOps {
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
-    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamTws)
+    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamTws,
+    qStreamBinaryRaw)
 }

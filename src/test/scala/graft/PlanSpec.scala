@@ -289,6 +289,19 @@ class PlanSpec extends SparkSuite {
       "candidate generation must be an equi-join")
   }
 
+  test("event count shards the running window by (rb, day)") {
+    val p = plan("q_event_count")
+    // the full-table running count must never partition on the bare
+    // 2-valued board key — that is two tasks sorting the whole table.
+    // It shards by (rb, day); only the tiny aggregated carries table
+    // (2 × #days rows) may window on rb alone, re-joined by broadcast.
+    val runningWin = "windowspecdefinition\\(rb#\\d+L, day#\\d+L, ts#".r
+    assert(runningWin.findFirstIn(p).isDefined,
+      s"running count window not sharded by (rb, day):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cross-day carry must re-join by broadcast:\n$p")
+  }
+
   test("ngram candidates are blocked on rare bigrams only") {
     val p = q("q_dedup_ngram").queryExecution.optimizedPlan.toString
     // the df-cutoff filter must sit in the candidate path

@@ -94,6 +94,77 @@ class StreamSpec extends SparkSuite {
     assert(settled === batch)
   }
 
+  test("binary .dat stream: multi-file arrival decodes across micro-batches") {
+    // two .dat blobs, each holding 13-byte (us, word) records; with
+    // maxFilesPerTrigger=1 each file is its own micro-batch, so the
+    // settled counts prove state accumulates across arrivals.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spec_dat").toFile
+    def write(name: String, recs: Seq[(Long, Long)]): Unit = {
+      val os = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      try recs.foreach { case (us, wd) =>
+        var sh = 56
+        while (sh >= 0) { os.write(((us >> sh) & 0xFF).toInt); sh -= 8 }
+        sh = 32
+        while (sh >= 0) { os.write(((wd >> sh) & 0xFF).toInt); sh -= 8 }
+      } finally os.close()
+    }
+    // words: kind in bits 31-32 (non-zero = kept), pix_row in 27-30
+    def word(kind: Long, pixRow: Long): Long =
+      (kind << 31) | (pixRow << 27)
+    val us0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    write("a.dat", Seq(
+      (us0, word(2, 3)), (us0 + 1000000L, word(2, 3)),
+      (us0, word(0, 5)))) // filler — suppressed
+    write("b.dat", Seq(
+      (us0, word(2, 3)), (us0 + 3600000000L, word(1, 7))))
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val agg = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("maxFilesPerTrigger", "1")
+      .load(dir.getAbsolutePath)
+      .select(col("content"),
+        (length(col("content")) / 13).cast("long").as("n"))
+      .select(col("content"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n - 1)")).as("i"))
+      .select(
+        expr("""CAST(conv(hex(substring(content,
+                  CAST(i * 13 + 1 AS INT), 8)), 16, 10) AS BIGINT)""")
+          .as("us"),
+        expr("""CAST(conv(hex(substring(content,
+                  CAST(i * 13 + 9 AS INT), 5)), 16, 10) AS BIGINT)""")
+          .as("word"))
+      .withColumn("ts", expr("CAST(timestamp_micros(us) AS TIMESTAMP_NTZ)"))
+      .filter(expr("shiftright(word, 31) & 3") =!= 0)
+      .groupBy(window(col("ts"), "1 hour"),
+        expr("shiftright(word, 27) & 15").as("pix_row"))
+      .agg(count(lit(1)).as("n_hits"))
+    val qy = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("spec_binary_raw")
+      .trigger(Trigger.AvailableNow()).start()
+    qy.awaitTermination()
+    val batches = qy.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+    val res = spark.table("spec_binary_raw")
+      .select(unix_micros(col("window.start").cast("timestamp"))
+          .divide(lit(1000000L)).cast("long").as("w"),
+        col("pix_row"), col("n_hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h0 = us0 / 1000000L
+    assert(res === Set(
+      (h0, 3L, 3L),        // 2 hits from a.dat + 1 from b.dat, filler dropped
+      (h0 + 3600L, 7L, 1L))) // the header word an hour later
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("reset counter: multi-batch, 4 boards, cross-day carries") {
     implicit val sqlCtx = spark.sqlContext
     val day = 86400000000L
