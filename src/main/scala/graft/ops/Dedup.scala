@@ -462,12 +462,75 @@ object Dedup {
           ORDER BY doc_id NULLS FIRST"""
     })
 
+  /** Connected components over an undirected pair list by min-label
+    * propagation WITH pointer doubling: each round a vertex takes the
+    * min of its own label, its neighbors' labels, and its label's
+    * label. The doubling step halves label-chain lengths, so the loop
+    * converges in O(log diameter) rounds, not O(diameter) — the shape
+    * that survives a path-shaped dup cluster at 100 TB. One Spark
+    * action per round: the lazy localCheckpoint is materialized by the
+    * same count that tests convergence (a checkpoint is still needed —
+    * persist alone does not cut the plan, and Catalyst re-analysis of
+    * the growing lineage would dominate the loop). Throws loudly if
+    * the fixpoint is not reached instead of emitting unconverged
+    * labels. */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    // materialize the edge list ONCE — every propagation step joins
+    // against it, and without the persist each iteration would re-run
+    // the whole shingle/minhash/verify pipeline upstream
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .persist()
+    edges.count()
+    // only edge vertices can be in a >1 cluster — propagate over the
+    // (tiny) vertex set, not the whole corpus
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("n_comp"))
+      val updated = labels
+        .join(viaNeighbors, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp")))
+            .as("comp"),
+          col("comp").as("old_comp"))
+      // pointer doubling: shortcut each vertex's label to its label's
+      // current label (comp is always a vertex id in the same
+      // component, so the self-join is well-defined)
+      val doubled = updated.as("u")
+        .join(labels.as("l"), col("u.comp") === col("l.doc_id"), "left")
+        .select(col("u.doc_id").as("doc_id"),
+          least(col("u.comp"), coalesce(col("l.comp"), col("u.comp")))
+            .as("comp"),
+          col("u.old_comp").as("old_comp"))
+        .localCheckpoint(false)
+      // single action: materializes the checkpoint AND counts changes
+      changed = doubled.filter(col("comp") =!= col("old_comp")).count()
+      labels = doubled.select(col("doc_id"), col("comp"))
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter or check " +
+          "the pair graph for unexpected diameter")
+    labels
+  }
+
   /** Near-dup CLUSTERS (q_dedup_components): connected components over
-    * the verified pair graph by iterative min-label propagation — the
-    * duplicate-cluster step real pipelines run after pair generation.
-    * Driver-side loop, distributed joins per step, converges in
-    * O(graph diameter) iterations (dup clusters are tiny); the oracle
-    * is a recursive CTE computing the same fixpoint. */
+    * the verified pair graph — the duplicate-cluster step real
+    * pipelines run after pair generation. Driver-side loop,
+    * distributed joins per step, O(log diameter) rounds via pointer
+    * doubling, loud failure on non-convergence; the oracle is a
+    * recursive CTE computing the same fixpoint. */
   val qDedupComponents = Q(
     "q_dedup_components",
     (s, d) => {
@@ -482,46 +545,12 @@ object Dedup {
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(4, saved.toInt).toString)
       try {
-      // materialize the edge list ONCE — every propagation step joins
-      // against it, and without the persist each iteration would re-run
-      // the whole shingle/minhash/verify pipeline upstream
-      val edges = pairs
-        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .toDF("src", "dst")
-        .persist()
-      edges.count()
-      // only edge vertices can be in a >1 cluster — propagate over the
-      // (tiny) vertex set, not the whole corpus
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("comp", col("doc_id"))
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 10) {
-        val viaNeighbors = edges
-          .join(labels, col("dst") === col("doc_id"))
-          .groupBy(col("src"))
-          .agg(min(col("comp")).as("n_comp"))
-        // localCheckpoint truncates the lineage: without it each round's
-        // plan embeds all previous rounds and Catalyst re-analysis
-        // dominates the loop (persist alone does not cut the plan).
-        val updated = labels
-          .join(viaNeighbors, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("comp"), coalesce(col("n_comp"), col("comp")))
-              .as("comp"),
-            col("comp").as("old_comp"))
-          .localCheckpoint(true)
-        changed = updated.filter(col("comp") =!= col("old_comp")).count()
-        labels = updated.select(col("doc_id"), col("comp"))
-        iter += 1
-      }
-      edges.unpersist()
-      labels
-        .groupBy(col("comp"))
-        .agg(count(lit(1)).as("cluster_size"),
-          min(col("doc_id")).as("keep_id"))
-        .filter(col("cluster_size") > 1)
-        .orderBy(col("comp"))
+        connectedComponents(pairs)
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("cluster_size"),
+            min(col("doc_id")).as("keep_id"))
+          .filter(col("cluster_size") > 1)
+          .orderBy(col("comp"))
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     },
     qDedupNear.oracle.map { nearSql =>

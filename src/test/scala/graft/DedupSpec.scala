@@ -110,6 +110,26 @@ class DedupSpec extends SparkSuite {
     assert(dropped === Set(200L, 201L))
   }
 
+  test("components converge on a 12-link chain (diameter > old cap)") {
+    // a path 0-1-2-…-12: min-label propagation alone needs 12 rounds;
+    // pointer doubling must close it in O(log d) and converge cleanly
+    val pairs = (0L until 12L).map(i => (i, i + 1))
+      .toDF("a_id", "b_id")
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("comp")))
+    assert(labels.length === 13)
+    assert(labels.forall(_._2 === 0L), s"unconverged labels: ${labels.toSeq}")
+  }
+
+  test("components fail loudly when the round budget is too small") {
+    val pairs = (0L until 12L).map(i => (i, i + 1))
+      .toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val base = (0 until 6).map { i =>
       val v = (0 until 64).map(j =>
