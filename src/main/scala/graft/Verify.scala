@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // one-time bucketed-layout build (load phase, not query work)
+    try ops.Scale.warm(spark, sfDir) catch { case e: Throwable =>
+      System.err.println(s"[verify] bucket warmup failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
