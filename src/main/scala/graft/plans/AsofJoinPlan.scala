@@ -4,11 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
-  SortOrder, UnsafeProjection}
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native as-of join — the whole-operator Catalyst extension tier
@@ -94,33 +93,37 @@ case class AsofJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val leftOut = left.output
     val rightOut = right.output
     val lk = leftKey
     val rk = rightKey
     val lt = leftTime
     val rt = rightTime
+    // the (key, time) schema both sides project to — comparisons are
+    // codegen'd over these two columns, never boxed scalars
+    val ktTypes = Seq(lk.dataType, lt.dataType)
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // per-partition projections (codegen'd evaluators are not
-      // thread-safe across partitions)
-      val lKeyProj = UnsafeProjection.create(Seq(lk), leftOut)
-      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      // per-partition projections and generated orderings (codegen'd
+      // evaluators are not thread-safe across partitions, and generated
+      // classes must be instantiated executor-side)
+      val lKT = UnsafeProjection.create(Seq(lk, lt), leftOut)
+      val rKT = UnsafeProjection.create(Seq(rk, rt), rightOut)
+      // lexicographic (key, time) and key-only compares on the packed
+      // UnsafeRow: primitive accessors in generated code, no boxing
+      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes.take(1))
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // the ONLY buffered state: the latest right row seen, + its key
+        // the ONLY buffered state: the latest right row seen, + its
+        // packed (key, time)
         private var lastRight: InternalRow = _
-        private var lastRightKey: Any = _
+        private var lastRightKT: UnsafeRow = _
         private var rHead: InternalRow = _
-        private var rHeadKey: Any = _
-        private var rHeadTime: Any = _
+        private var rHeadKT: UnsafeRow = _
 
         // Null semantics (matches left-outer equi-join): a right row
         // with a null key or time can never be "the latest ≤ t" for any
@@ -132,20 +135,13 @@ case class AsofJoinExec(
           rHead = null
           while (rHead == null && rIter.hasNext) {
             val cand = rIter.next()
-            val k = rKeyProj(cand).get(0, rk.dataType)
-            val t = rTimeProj(cand).get(0, rt.dataType)
-            if (k != null && t != null) {
+            val kt = rKT(cand)
+            if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
               rHead = cand
-              // key projection reuses its buffer; copy the scalar out
-              rHeadKey = copyVal(k)
-              rHeadTime = copyVal(t)
+              // the projection reuses its buffer; copy the packed row
+              rHeadKT = kt.copy()
             }
           }
-        }
-
-        private def copyVal(v: Any): Any = v match {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-          case other => other
         }
 
         advanceHead()
@@ -154,29 +150,22 @@ case class AsofJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lKeyVal = copyVal(lKeyProj(l).get(0, lk.dataType))
-          val lTimeVal = copyVal(lTimeProj(l).get(0, lt.dataType))
-          if (lKeyVal == null || lTimeVal == null) {
+          val kt = lKT(l)
+          if (kt.isNullAt(0) || kt.isNullAt(1)) {
             // no key/time → nothing can precede it; left-outer nulls.
             // Null left rows sort first, so not advancing rHead here
             // preserves the merge position for later non-null rows.
             return outProj(joined(l, nullRight))
           }
-          // consume right rows at-or-before the current left position
-          while (rHead != null && {
-            val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
-              lKeyVal.asInstanceOf[AnyRef])
-            c < 0 || (c == 0 &&
-              timeOrd.compare(rHeadTime.asInstanceOf[AnyRef],
-                lTimeVal.asInstanceOf[AnyRef]) <= 0)
-          }) {
+          // consume right rows at-or-before the current left position:
+          // (rk, rt) ≤lex (lk, lt) ⇔ rk < lk ∨ (rk = lk ∧ rt ≤ lt)
+          while (rHead != null && ktOrd.compare(rHeadKT, kt) <= 0) {
             lastRight = rHead.copy()
-            lastRightKey = rHeadKey
+            lastRightKT = rHeadKT
             advanceHead()
           }
           val matched = lastRight != null &&
-            keyOrd.compare(lastRightKey.asInstanceOf[AnyRef],
-              lKeyVal.asInstanceOf[AnyRef]) == 0
+            keyOrd.compare(lastRightKT, kt) == 0
           outProj(joined(l, if (matched) lastRight else nullRight))
         }
       }
@@ -216,13 +205,13 @@ case class BroadcastAsofJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val leftOut = left.output
     val rightOut = right.output
     val lk = leftKey
     val rk = rightKey
     val lt = leftTime
     val rt = rightTime
+    val tTypes = Seq(lt.dataType)
     val outAttrs = output
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
@@ -230,39 +219,45 @@ case class BroadcastAsofJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      // generated single-column comparator — primitive time compares
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(tTypes)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
-      def copyVal(v: Any): Any = v match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-        case other => other
-      }
-      // build the per-partition index: key → rows sorted by time
-      val index = new java.util.HashMap[Any, Array[(Any, InternalRow)]]()
+      // per-partition index: packed UnsafeRow key → time-sorted rows.
+      // UnsafeRow equality/hashCode are byte-wise (the same trick
+      // Spark's own hash joins use), so probes never box the key.
+      val index =
+        new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
       locally {
-        val tmp = new java.util.HashMap[
-          Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        val tmp = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
         broadcastRows.value.foreach { r =>
-          val k = copyVal(rKeyProj(r).get(0, rk.dataType))
-          val t = copyVal(rTimeProj(r).get(0, rt.dataType))
+          val k = rKeyProj(r)
+          val t = rTimeProj(r)
           // null-key/time right rows can never match any probe — drop
           // (same semantics as the sort-merge exec's advanceHead)
-          if (k != null && t != null) {
-            val buf = tmp.computeIfAbsent(k,
-              _ => scala.collection.mutable.ArrayBuffer.empty)
-            buf += ((t, r))
+          if (!k.isNullAt(0) && !t.isNullAt(0)) {
+            var buf = tmp.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty
+              tmp.put(k.copy(), buf) // copy only on first sight of a key
+            }
+            buf += ((t.copy(), r))
           }
         }
         tmp.forEach { (k, buf) =>
-          index.put(k, buf.sortInPlace()(Ordering.by[(Any, InternalRow), Any](
-            _._1)(timeOrd.asInstanceOf[Ordering[Any]])).toArray)
+          index.put(k, buf.sortInPlace()(
+            Ordering.by[(UnsafeRow, InternalRow), InternalRow](_._1)(
+              timeOrd)).toArray)
         }
       }
       lIter.map { l =>
-        val k = lKeyProj(l).get(0, lk.dataType)
-        val t = lTimeProj(l).get(0, lt.dataType)
+        val k = lKeyProj(l)
+        val t = lTimeProj(l)
         // null key/time probes match nothing (left-outer nulls)
-        val arr = if (k == null || t == null) null else index.get(k)
+        val arr =
+          if (k.isNullAt(0) || t.isNullAt(0)) null else index.get(k)
         var best: InternalRow = null
         if (arr != null) {
           // rightmost entry with time <= t
@@ -270,8 +265,7 @@ case class BroadcastAsofJoinExec(
           var hi = arr.length - 1
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (timeOrd.compare(arr(mid)._1.asInstanceOf[AnyRef],
-                t.asInstanceOf[AnyRef]) <= 0) {
+            if (timeOrd.compare(arr(mid)._1, t) <= 0) {
               best = arr(mid)._2; lo = mid + 1
             } else hi = mid - 1
           }

@@ -219,6 +219,39 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("as-of property: string keys — byte-equality probe matches relational form") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // variable-length keys exercise the UnsafeRow byte-wise
+    // equality/hash the broadcast index and sort-merge compares rely
+    // on (buffer reuse + padding must not leak between rows)
+    val keyGen = Gen.oneOf("a", "bb", "ccc", "dddd", "a-much-longer-key",
+      "bb", "", "x")
+    val rowGen = for {
+      k <- keyGen
+      t <- Gen.choose(0L, 200L)
+    } yield (k, t)
+    val params = Gen.Parameters.default
+    val lRows = Gen.listOfN(300, rowGen).apply(params, rng.Seed(21L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val rRows = Gen.listOfN(200, rowGen).apply(params, rng.Seed(22L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000L, k, t) }
+    val left = lRows.toDF("lid", "k", "t").repartition(7)
+    val right = rRows.toDF("rid", "rk", "rt").repartition(5)
+    val expected = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy(col("lid")).agg(max(col("rt")).as("best_rt"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    def run(hint: Option[Boolean]): Map[Long, Option[Long]] =
+      plans.Asof.join(left, right, "k", "t", "rk", "rt", hint)
+        .select(col("lid"), col("rt"))
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(run(Some(false)) === expected, "sort-merge exec diverged on strings")
+    assert(run(Some(true)) === expected, "broadcast exec diverged on strings")
+  }
+
   test("as-of join rejects unknown columns with a clear error") {
     val e = Tables.t(spark, sf0, "events")
     val ex = intercept[IllegalArgumentException] {
