@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * video payloads as opaque BINARY columns with typed metadata, decoded
   * partition-wise.
   *
-  * The container has no codec libraries, so the decode kernel is a
-  * deterministic STUB (clearly marked below); everything Spark-side —
-  * the binary column, metadata schema, partition-wise batch iteration,
-  * and the typed decode signature — is real and tested. At scale the
-  * same shape holds: blobs stay columnar in parquet, metadata prunes
-  * before any byte is decoded, and decode runs once per partition batch.
+  * The container ships no codec libraries, so every decode here sticks
+  * to formats the JDK (or pure Catalyst byte expressions) can handle
+  * end to end: WAV/RIFF and BMP as expression-level byte layout, and
+  * PNG — a real compressed format — through java.util.zip (CRC-verified
+  * chunks, zlib inflate, full scanline-filter reconstruction). A JNI
+  * JPEG/video codec would slot into the same mapPartitions seam. At
+  * scale the shape holds: blobs stay columnar in parquet, metadata
+  * prunes before any byte is decoded, decode runs once per partition
+  * batch.
   */
 object Multimodal {
 
@@ -57,44 +60,206 @@ object Multimodal {
             FROM documents
             ORDER BY doc_id NULLS FIRST"""))
 
-  /** Decoded-frame record produced by the (stubbed) codec. */
-  final case class DecodedMedia(
-      doc_id: Long, modality: String, n_bytes: Int,
-      mean_byte: Double, max_byte: Int)
-
-  /** STUB decode kernel. A real build links an image/audio codec here
-    * (e.g. JNI decode of the blob → pixel/sample tensors); the container
-    * ships none, so this extracts deterministic byte statistics with the
-    * exact same partition-batch shape a real decoder would use. */
-  private def decodeStub(
-      doc_id: Long, modality: String, bytes: Array[Byte]): DecodedMedia = {
-    // real codec goes here: decode(bytes) → frames → features
-    val unsigned = bytes.map(b => b & 0xff)
-    DecodedMedia(doc_id, modality, bytes.length,
-      unsigned.sum.toDouble / math.max(unsigned.length, 1),
-      if (unsigned.isEmpty) 0 else unsigned.max)
+  /** Deterministic 8-bit RGB PNG for doc_id — a REAL PNG: signature,
+    * IHDR, zlib-deflated IDAT, CRC-32 on every chunk, and a DIFFERENT
+    * scanline filter per row (None/Sub/Up/Average/Paeth cycling with
+    * y), so a decoder must implement the full filter spec to get the
+    * pixels back. Channel (x, y) values are the same fixed arithmetic
+    * in doc_id the BMP fixture uses, so the oracle recomputes them
+    * without touching bytes. */
+  private[graft] def pngBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 3).toInt
+    val h = (2 + docId % 2).toInt
+    val bpp = 3 // bytes per pixel: 8-bit RGB (color type 2)
+    val raw = new Array[Byte](h * (1 + w * bpp))
+    var prev = new Array[Int](w * bpp)
+    var off = 0
+    (0 until h).foreach { y =>
+      val cur = new Array[Int](w * bpp)
+      (0 until w).foreach { x =>
+        cur(x * 3) = ((docId * 7 + x * 19 + y * 23) % 256).toInt     // R
+        cur(x * 3 + 1) = ((docId * 5 + x * 11 + y * 17) % 256).toInt // G
+        cur(x * 3 + 2) = ((docId * 3 + x * 7 + y * 13) % 256).toInt  // B
+      }
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      (0 until w * bpp).foreach { i =>
+        val a = if (i >= bpp) cur(i - bpp) else 0  // left
+        val b = prev(i)                            // up
+        val c = if (i >= bpp) prev(i - bpp) else 0 // upper-left
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(off) = ((cur(i) - pred) & 0xff).toByte; off += 1
+      }
+      prev = cur
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished())
+      zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val lenAndBody = java.nio.ByteBuffer.allocate(8 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(lenAndBody.array(), 4, 4 + data.length)
+      out.write(lenAndBody.array(), 0, 8 + data.length)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
-  /** Partition-wise batch decode (q_multimodal_decode): mapPartitions over
-    * (id, modality, payload) — one iterator per partition so a real codec
-    * amortizes init across the batch. No oracle (the decode kernel is
-    * engine-side by design); rows-only check + ScalaTest. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decoded-image record produced by the PNG codec. */
+  final case class DecodedPng(
+      doc_id: Long, w: Long, h: Long, bit_depth: Long, color_type: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Pure-JVM PNG decode — no codec library, only the JDK: walk the
+    * chunk stream verifying each CRC-32, read IHDR, inflate the
+    * concatenated IDAT payload with java.util.zip, then reverse the
+    * per-scanline filters (all five types, incl. the Paeth predictor)
+    * to recover pixels. Throws on any malformed byte — a silent
+    * best-effort decode would defeat the oracle. */
+  private[graft] def decodePng(docId: Long, bytes: Array[Byte]): DecodedPng = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(bytes.length > 8 && bytes.take(8).sameElements(sig),
+      s"doc $docId: not a PNG")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val len = bb.getInt
+      val typBytes = new Array[Byte](4); bb.get(typBytes)
+      val typ = new String(typBytes, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typBytes); crc.update(data)
+      require(bb.getInt == crc.getValue.toInt,
+        s"doc $docId: CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          val ih = java.nio.ByteBuffer.wrap(data)
+          w = ih.getInt; h = ih.getInt
+          bitDepth = ih.get() & 0xff; colorType = ih.get() & 0xff
+          require(bitDepth == 8 && colorType == 2,
+            s"doc $docId: unsupported PNG ($bitDepth-bit type $colorType)")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks are skippable by spec
+      }
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val bpp = 3
+    val raw = new Array[Byte](h * (1 + w * bpp))
+    var n = 0
+    while (n < raw.length && !inflater.finished())
+      n += inflater.inflate(raw, n, raw.length - n)
+    inflater.end()
+    require(n == raw.length, s"doc $docId: IDAT truncated ($n/${raw.length})")
+    // unfilter scanlines in place
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var prev = new Array[Int](w * bpp)
+    (0 until h).foreach { y =>
+      val ft = raw(y * (1 + w * bpp)) & 0xff
+      val base = y * (1 + w * bpp) + 1
+      val cur = new Array[Int](w * bpp)
+      (0 until w * bpp).foreach { i =>
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+          case other =>
+            throw new IllegalArgumentException(
+              s"doc $docId: bad filter type $other on row $y")
+        }
+        cur(i) = ((raw(base + i) & 0xff) + pred) & 0xff
+      }
+      (0 until w).foreach { x =>
+        sumR += cur(x * 3); sumG += cur(x * 3 + 1); sumB += cur(x * 3 + 2)
+      }
+      prev = cur
+    }
+    val nPx = (w.toLong * h).toDouble
+    DecodedPng(docId, w, h, bitDepth, colorType,
+      sumR / nPx, sumG / nPx, sumB / nPx)
+  }
+
+  /** Partition-wise batch decode (q_multimodal_decode): encode each
+    * doc's pixels as a real PNG, then run the full pure-JVM decode —
+    * CRC-verified chunk walk, zlib inflate, five-filter scanline
+    * reconstruction — inside mapPartitions (one iterator per partition,
+    * so codec buffers amortize across the batch; the same seam a JNI
+    * JPEG codec would occupy). The oracle recomputes width/height and
+    * mean R/G/B from doc_id arithmetic alone, so the hash match proves
+    * the compressed-image decode byte-for-byte — this retires the
+    * former stub kernel. */
   val qMultimodalDecode = Q(
     "q_multimodal_decode",
     (s, d) => {
       import s.implicits._
-      media(s, d)
-        .select(col("doc_id"), col("modality"), col("payload"))
-        .as[(Long, String, Array[Byte])]
+      Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
         .mapPartitions { batch =>
-          // codec init would happen once here, per partition
-          batch.map { case (id, mod, bytes) => decodeStub(id, mod, bytes) }
+          // codec init once per partition batch
+          batch.map(id => decodePng(id, pngBytes(id)))
         }
         .toDF()
-        .withColumn("mean_byte", round(col("mean_byte"), 6))
+        .withColumn("mean_r", round(col("mean_r"), 6))
+        .withColumn("mean_g", round(col("mean_g"), 6))
+        .withColumn("mean_b", round(col("mean_b"), 6))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH spec AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+                CAST(8 AS BIGINT) AS bit_depth,
+                CAST(2 AS BIGINT) AS color_type
+              FROM documents),
+            px AS (
+              SELECT doc_id, i % w AS x, CAST(i // w AS BIGINT) AS y,
+                w, h, bit_depth, color_type
+              FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
+                    FROM spec))
+            SELECT doc_id, w, h, bit_depth, color_type,
+              round(avg((doc_id * 7 + x * 19 + y * 23) % 256), 6) AS mean_r,
+              round(avg((doc_id * 5 + x * 11 + y * 17) % 256), 6) AS mean_g,
+              round(avg((doc_id * 3 + x * 7 + y * 13) % 256), 6) AS mean_b
+            FROM px
+            GROUP BY doc_id, w, h, bit_depth, color_type
+            ORDER BY doc_id NULLS FIRST"""))
 
   /** Deterministic 16-bit mono PCM WAV blob for doc_id: canonical
     * 44-byte RIFF header + n samples, sample i = (doc_id·7919 +

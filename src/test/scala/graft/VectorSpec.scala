@@ -77,16 +77,32 @@ class VectorSpec extends SparkSuite {
     assert(r0.getAs[Double]("emb_norm") > 0.0)
   }
 
-  test("multimodal decode stub: one record per doc, bytes accounted") {
+  test("multimodal decode: PNG round-trips through the pure-JVM codec") {
     val dec = q("q_multimodal_decode", dir).collect()
     assert(dec.length === 40)
     dec.foreach { r =>
-      assert(r.getAs[Int]("n_bytes") === 16) // md5 payload
-      val mb = r.getAs[Double]("mean_byte")
-      assert(mb >= 0.0 && mb <= 255.0)
-      assert(Set("image", "audio", "video")
-        .contains(r.getAs[String]("modality")))
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Long]("w"); val h = r.getAs[Long]("h")
+      assert(w === 4 + id % 3 && h === 2 + id % 2)
+      assert(r.getAs[Long]("bit_depth") === 8L)
+      assert(r.getAs[Long]("color_type") === 2L)
+      // doc 0: R(x,y) = (x*19 + y*23) % 256 over a 4×2 image
+      if (id == 0L) {
+        val exp = (for (y <- 0 until 2; x <- 0 until 4)
+          yield (x * 19 + y * 23) % 256).sum / 8.0
+        assert(math.abs(r.getAs[Double]("mean_r") - exp) < 1e-6)
+      }
     }
+  }
+
+  test("PNG decode rejects a corrupted blob loudly") {
+    // flip one IDAT byte: the chunk CRC must catch it
+    val png = graft.ops.Multimodal.pngBytes(3L)
+    png(45) = (png(45) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.decodePng(3L, png)
+    }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("PNG"))
   }
 
   test("recall gate: the planted copy is recalled; k is always 10") {
