@@ -102,6 +102,78 @@ object Scale {
             GROUP BY s_suppkey, s_name
             ORDER BY s_suppkey NULLS FIRST"""))
 
+  /** AQE skew-join (q_join_skew_aqe): the SAME hot-key problem as
+    * q_join_salted, handled by the runtime instead of by hand — no
+    * salt column, no dim replication; AQE measures the map output,
+    * sees one shuffle partition dwarfing the median, and splits it
+    * across tasks (OptimizeSkewedJoin). Thresholds are lowered here so
+    * the test-scale shuffle (KBs, not the 256 MB default) still
+    * triggers the split; at 100 TB the defaults fire on their own.
+    *
+    * Decision rule (vs the manual salt): let AQE handle skew when the
+    * join is a plain shuffle join and skew appears at runtime —
+    * zero code, splits only what is actually skewed. Salt by hand
+    * when (a) the aggregation AFTER the join is itself skewed (AQE
+    * splits join partitions, not groupBy partitions), (b) the skewed
+    * side must stay co-partitioned with a later stage (AQE's split
+    * breaks the partitioning contract), or (c) the engine is not
+    * running adaptive (streaming micro-batches). */
+  val qJoinSkewAqe = Q(
+    "q_join_skew_aqe",
+    (s0, d) => {
+      // AQE reads these confs at EXECUTION time, which happens after
+      // this builder returns (the DataFrame is lazy) — so tune a
+      // throwaway child session that lives as long as the plan, rather
+      // than mutate-and-restore the caller's conf around a lazy value.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scaled down so the KB-sized test shuffle trips the same logic
+      // the 256 MB default trips at 100 TB
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "4096")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      // force the shuffle join both at planning AND at AQE replanning
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 90% of the fact table lands on hot_key 0 — the pathological
+      // partition a uniform hash shuffle cannot help. AQE splits a
+      // skewed reduce partition along MAP-task boundaries, and the
+      // sf0.001/0.01 parquet is a single input split (one mapper =
+      // nothing to split along), so spread the scan over 8 mappers
+      // first — the granularity a many-split 100 TB scan has for free.
+      val li = Tables.t(s, d, "lineitem")
+        .repartition(8)
+        .withColumn("hot_key", expr(
+          """CASE WHEN l_orderkey % 10 < 9 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(l_suppkey % 25 AS BIGINT) END"""))
+      val dim = Tables.t(s, d, "supplier")
+        .filter(col("s_suppkey") <= 25)
+        .select((col("s_suppkey") % 25).as("hot_key"), col("s_name"))
+      // aggregate on s_name, NOT the join key: an agg keyed by the
+      // join key would inherit the join's partitioning, and AQE will
+      // not split a skewed partition whose layout a downstream
+      // operator depends on (decision-rule case (b) above — where the
+      // manual salt remains the answer)
+      li.join(dim, Seq("hot_key"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("s_name"))
+    },
+    Some("""SELECT s_name, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS revenue
+            FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                              ELSE l_suppkey % 25 END AS hot_key,
+                    l_extendedprice
+                  FROM lineitem) f
+            JOIN (SELECT s_suppkey % 25 AS hot_key, s_name
+                  FROM supplier WHERE s_suppkey <= 25) d USING (hot_key)
+            GROUP BY s_name
+            ORDER BY s_name NULLS FIRST"""))
+
   /** Bloom-pruned semi-join (q_join_bloom): build a bloom filter over
     * the (filtered) dim keys in one aggregate, broadcast the ~KB sketch,
     * and pre-filter the probe side BEFORE any shuffle — the explicit
@@ -136,5 +208,6 @@ object Scale {
                             AND o_totalprice > 450000.0)
             ORDER BY c_custkey NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qJoinBucketed, qJoinSalted, qJoinBloom)
+  val all: Seq[Q] =
+    Seq(qJoinBucketed, qJoinSalted, qJoinSkewAqe, qJoinBloom)
 }

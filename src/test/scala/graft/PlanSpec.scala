@@ -112,6 +112,16 @@ class PlanSpec extends SparkSuite {
       s"AQE did not coalesce the small shuffle:\n$p")
   }
 
+  test("AQE splits the skewed join partition at runtime") {
+    val df = q("q_join_skew_aqe")
+    df.collect() // materialize so the adaptive plan is final
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"adaptive inactive:\n$p")
+    // OptimizeSkewedJoin marks the reader over the hot partition
+    assert(p.contains("skewed"),
+      s"runtime skew split did not fire (no skewed AQEShuffleRead):\n$p")
+  }
+
   test("hive-layout read prunes partitions at listing time") {
     val p = plan("q_partition_pruned")
     assert(p.contains("PartitionFilters: [") &&
