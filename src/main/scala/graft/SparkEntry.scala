@@ -12,7 +12,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.Decode.all ++ ops.Telescope.all ++
       ops.Daq.all ++ ops.TextOps.all ++ ops.Dedup.all ++ ops.Vector.all ++
       ops.Multimodal.all ++ ops.Extras.all ++ ops.Scale.all ++
-      ops.More.all ++ ops.Analytics.all ++ streaming.StreamOps.all
+      ops.More.all ++ ops.Analytics.all ++ ops.Curate.all ++
+      streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The self-trigger analytic (SURVEY §7.2 step 1): per-event_type hit

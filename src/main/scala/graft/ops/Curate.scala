@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and packing: building a sampled training mix to target
+  * per-source weights, and PII redaction. Both are single-scan shapes —
+  * the per-source planning table is bytes-sized and broadcast, the
+  * per-row work is scan-local, so the only shuffle is the final small
+  * aggregate. That is the 100 TB contract: nothing here grows with the
+  * corpus except the scan itself. */
+object Curate {
+
+  /** Training-mix sampling (q_mix_sample): given per-source target
+    * weights and a global token budget (half the corpus), compute each
+    * source's sampling rate — rate_s = min(1, w_s/W · T / tokens_s) —
+    * and keep documents by a DETERMINISTIC hash gate
+    * (doc_id · 2654435761 mod 1e6 < rate · 1e6), so the sample is
+    * reproducible run-to-run and engine-to-engine (no RNG, no
+    * sample()). Weights are arithmetic in the source id so the oracle
+    * derives them too. Shape: tiny per-source agg → broadcast rate
+    * table → scan-local gate → small final agg. Over-represented
+    * sources are down-sampled toward the target mix; sources whose
+    * target exceeds their inventory cap at rate 1 (their shortfall
+    * stays visible in achieved_frac — a silent re-normalize would hide
+    * data starvation). */
+  val qMixSample = Q(
+    "q_mix_sample",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      // target weight 1..3 by source number, normalized over sources
+      val perSource = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("toks"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("w", expr(
+          "CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3 AS DOUBLE)"))
+      val totals = perSource.agg(
+        sum(col("toks")).as("total_toks"), sum(col("w")).as("total_w"))
+      val rates = perSource.crossJoin(broadcast(totals))
+        .withColumn("rate", expr(
+          "least(CAST(1.0 AS DOUBLE), " +
+            "((w / total_w) * (total_toks * 0.5)) / toks)"))
+        .select(col("source"), col("w"), col("total_w"), col("rate"))
+      docs
+        .join(broadcast(rates), Seq("source"))
+        .filter(expr(
+          "(doc_id * 2654435761) % 1000000 < floor(rate * 1000000)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars")).as("kept_toks"),
+          round(first(col("rate")), 6).as("rate"),
+          round(first(col("w")) / first(col("total_w")), 6)
+            .as("target_frac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH per_source AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks,
+                CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3
+                     AS DOUBLE) AS w
+              FROM documents GROUP BY source),
+            totals AS (
+              SELECT CAST(sum(toks) AS BIGINT) AS total_toks,
+                sum(w) AS total_w
+              FROM per_source),
+            rates AS (
+              SELECT source, w, total_w,
+                least(CAST(1.0 AS DOUBLE),
+                  ((w / total_w) * (total_toks * 0.5)) / toks) AS rate
+              FROM per_source, totals)
+            SELECT d.source, count(*) AS kept_docs,
+              CAST(sum(d.n_chars) AS BIGINT) AS kept_toks,
+              round(any_value(r.rate), 6) AS rate,
+              round(any_value(r.w) / any_value(r.total_w), 6)
+                AS target_frac
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE (d.doc_id * 2654435761) % 1000000
+                  < floor(r.rate * 1000000)
+            GROUP BY d.source
+            ORDER BY d.source NULLS FIRST"""))
+
+  /** PII redaction (q_pii_redact): scrub emails, phone numbers, and
+    * 16-digit card numbers with anchored regex replaces, reporting
+    * per-doc match counts and the redacted text's md5 — the audit
+    * record a compliance pass needs. The corpus is synthetic, so each
+    * doc plants its own deterministic PII first (the fixture half, like
+    * the WAV/BMP/PNG decoders); the patterns themselves are the real
+    * operator. Pure per-row expressions — codegen'd, no UDF, no
+    * shuffle before the output sort. */
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    (s, d) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+?[0-9]{1,2}-555-[0-9]{4}"
+      val cardRe = "[0-9]{16}"
+      Tables.t(s, d, "documents")
+        .withColumn("planted", expr(
+          """concat(text, ' contact user', doc_id,
+               '@mail.example.com',
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(' cc ', doc_id % 10, '111111111111111')
+                    ELSE '' END,
+               ' tel +1-555-', lpad(CAST(doc_id % 10000 AS STRING),
+                                    4, '0'))"""))
+        .select(
+          col("doc_id"),
+          regexp_count(col("planted"), lit(emailRe)).cast("long")
+            .as("n_emails"),
+          regexp_count(col("planted"), lit(phoneRe)).cast("long")
+            .as("n_phones"),
+          regexp_count(col("planted"), lit(cardRe)).cast("long")
+            .as("n_cards"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("planted"), lit(emailRe), lit("<EMAIL>")),
+              lit(cardRe), lit("<CARD>")),
+            lit(phoneRe), lit("<PHONE>")).cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(planted,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(planted,
+                '\+?[0-9]{1,2}-555-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(planted, '[0-9]{16}'))
+                AS BIGINT) AS n_cards,
+              md5(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(planted,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                        '<EMAIL>', 'g'),
+                      '[0-9]{16}', '<CARD>', 'g'),
+                    '\+?[0-9]{1,2}-555-[0-9]{4}', '<PHONE>', 'g'))
+                AS redacted_md5
+            FROM (SELECT doc_id,
+                    concat(text, ' contact user', doc_id,
+                      '@mail.example.com',
+                      CASE WHEN doc_id % 3 = 0
+                           THEN concat(' cc ', doc_id % 10,
+                                       '111111111111111')
+                           ELSE '' END,
+                      ' tel +1-555-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                      AS planted
+                  FROM documents)
+            ORDER BY doc_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qMixSample, qPiiRedact)
+}

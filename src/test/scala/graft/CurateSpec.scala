@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSuite {
+
+  test("mix sample: rates are valid, capped sources keep everything") {
+    val rows = q("q_mix_sample").collect()
+    assert(rows.nonEmpty)
+    val inventory = Tables.t(spark, sf0, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("kept_docs") <= inventory(r.getAs[String]("source")))
+      assert(r.getAs[Double]("target_frac") > 0.0)
+    }
+    // deterministic: a second run returns byte-identical rows (hash
+    // gate, no RNG)
+    assert(q("q_mix_sample").collect().toSeq === rows.toSeq)
+  }
+
+  test("mix sample: down-sampling pulls the achieved mix toward targets") {
+    val rows = q("q_mix_sample").collect()
+    val keptTotal = rows.map(_.getAs[Long]("kept_toks")).sum.toDouble
+    // sources sampled at rate < 1 should land near their target share
+    // of the kept corpus (hash gate is uniform-ish; generous 2× band)
+    rows.filter(_.getAs[Double]("rate") < 1.0).foreach { r =>
+      val achieved = r.getAs[Long]("kept_toks") / keptTotal
+      val target = r.getAs[Double]("target_frac")
+      assert(achieved < target * 2.5 && achieved > target / 2.5,
+        s"${r.getAs[String]("source")}: achieved $achieved vs target $target")
+    }
+  }
+
+  test("pii redact: planted identifiers are all counted and scrubbed") {
+    val rows = q("q_pii_redact").collect()
+    assert(rows.length === 500) // sf0.001 documents
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") === 1L)
+      assert(r.getAs[Long]("n_phones") === 1L)
+      assert(r.getAs[Long]("n_cards") === (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[String]("redacted_md5").length === 32)
+    }
+    // scrub check on one doc end to end: no raw PII survives
+    val planted = Tables.t(spark, sf0, "documents")
+      .filter(col("doc_id") === 0L)
+      .selectExpr("""concat(text, ' contact user', doc_id,
+        '@mail.example.com cc ', doc_id % 10, '111111111111111',
+        ' tel +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))""")
+      .collect().head.getString(0)
+    val scrubbed = planted
+      .replaceAll("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+      .replaceAll("[0-9]{16}", "<CARD>")
+      .replaceAll("\\+?[0-9]{1,2}-555-[0-9]{4}", "<PHONE>")
+    assert(!scrubbed.contains("@") && !scrubbed.contains("555-"))
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") &&
+      scrubbed.contains("<CARD>"))
+  }
+}
