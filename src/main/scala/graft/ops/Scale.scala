@@ -208,6 +208,87 @@ object Scale {
                             AND o_totalprice > 450000.0)
             ORDER BY c_custkey NULLS FIRST"""))
 
+  /** Dynamic partition pruning (q_join_dpp): fact table laid out in
+    * hive partitions on the join key, dim side filtered at runtime —
+    * the partitions to read are only known AFTER the dim filter runs,
+    * so the optimizer injects a DynamicPruningExpression on the fact
+    * scan (reusing the join's broadcast as the pruning subquery).
+    * Static pruning (q_partition_pruned) covers literal predicates;
+    * THIS is the shape that saves a 100 TB archive scan when the
+    * predicate lives on a dimension table. PlanSpec asserts the
+    * dynamicpruning filter reaches the scan. */
+  val qJoinDpp = Q(
+    "q_join_dpp",
+    (s, d) => {
+      import s.implicits._
+      val out = sys.props("java.io.tmpdir") + "/graft_dpp_events"
+      Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val fact = s.read.parquet(out)
+      // the dim must be a REAL table (file-backed): an inline
+      // LocalRelation constant-folds its filter away before the
+      // PartitionPruning rule looks for a selective dim predicate,
+      // and no real deployment joins against a literal list anyway
+      val dimOut = sys.props("java.io.tmpdir") + "/graft_dpp_dim"
+      Seq(("error", 1L), ("purchase", 1L), ("view", 2L),
+          ("click", 2L), ("signup", 3L))
+        .toDF("event_type", "priority")
+        .write.mode("overwrite").parquet(dimOut)
+      val dim = s.read.parquet(dimOut)
+      fact
+        .join(broadcast(dim.filter(col("priority") === 1L)),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_value
+            FROM events
+            JOIN (VALUES ('error', 1), ('purchase', 1), ('view', 2),
+                         ('click', 2), ('signup', 3))
+              AS dim(event_type, priority) USING (event_type)
+            WHERE priority = 1
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Skew-aware rebalanced write (q_write_rebalance): the output-file
+    * sizing problem — a partitionBy write keyed on a skewed column
+    * yields one giant file and many shards. The REBALANCE hint lets
+    * AQE split oversized shuffle partitions and coalesce small ones to
+    * the advisory size before the sink, so every output file lands
+    * near the target size regardless of key skew. Results are
+    * read back and re-aggregated, so the oracle proves the layout
+    * change is invisible to the data. */
+  val qWriteRebalance = Q(
+    "q_write_rebalance",
+    (s, d) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_rebalance_write"
+      val skewed = Tables.t(s, d, "events")
+        .select(col("event_id"), col("value"),
+          // 90% of rows share one key — the write-skew setup
+          expr("""CASE WHEN event_id % 10 < 9 THEN 'hot'
+                       ELSE concat('cold_', event_id % 7) END""")
+            .as("shard"))
+      skewed.hint("rebalance", col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("shard"))
+    },
+    Some("""SELECT CASE WHEN event_id % 10 < 9 THEN 'hot'
+                        ELSE concat('cold_', event_id % 7) END AS shard,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY shard
+            ORDER BY shard NULLS FIRST"""))
+
   val all: Seq[Q] =
-    Seq(qJoinBucketed, qJoinSalted, qJoinSkewAqe, qJoinBloom)
+    Seq(qJoinBucketed, qJoinSalted, qJoinSkewAqe, qJoinBloom,
+      qJoinDpp, qWriteRebalance)
 }

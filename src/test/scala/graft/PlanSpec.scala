@@ -122,6 +122,35 @@ class PlanSpec extends SparkSuite {
       s"runtime skew split did not fire (no skewed AQEShuffleRead):\n$p")
   }
 
+  test("dim-filtered join dynamically prunes fact partitions") {
+    val df = q("q_join_dpp")
+    df.collect() // materialize so the pruning subquery is planned
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression on the fact scan:\n$p")
+    // and the pruning must ride the join's broadcast, not a second scan
+    assert(p.contains("ReusedExchange") ||
+      p.toLowerCase.contains("subquerybroadcast") ||
+      p.toLowerCase.contains("subqueryadaptivebroadcast"),
+      s"DPP did not reuse the join broadcast:\n$p")
+  }
+
+  test("rebalance hint sizes output partitions through AQE") {
+    val df = q("q_write_rebalance")
+    df.collect()
+    // the write already ran inside the builder; assert on the write
+    // plan origin by re-deriving the hinted frame
+    import org.apache.spark.sql.functions.{col, expr}
+    val skewed = Tables.t(spark, sf0, "events")
+      .select(col("event_id"),
+        expr("""CASE WHEN event_id % 10 < 9 THEN 'hot'
+                     ELSE concat('cold_', event_id % 7) END""").as("shard"))
+      .hint("rebalance", col("shard"))
+    val p = skewed.queryExecution.executedPlan.toString
+    assert(p.contains("REBALANCE_PARTITIONS_BY_COL"),
+      s"rebalance hint did not reach the exchange:\n$p")
+  }
+
   test("hive-layout read prunes partitions at listing time") {
     val p = plan("q_partition_pruned")
     assert(p.contains("PartitionFilters: [") &&
