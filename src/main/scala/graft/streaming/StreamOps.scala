@@ -621,9 +621,125 @@ object StreamOps {
              AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
             ORDER BY e_id NULLS FIRST, c_id NULLS FIRST"""))
 
+  /** Stream-stream LEFT OUTER interval join (q_stream_join_outer):
+    * errors with their preceding-hour clicks, or nulls when no click
+    * came — the shape that needs real state semantics: an unmatched
+    * left row is emitted with nulls only once the watermark proves no
+    * matching right row can still arrive, and its state is evicted.
+    * The left side stops days before the stream's end so the final
+    * watermark passes every left row's emission deadline and the
+    * settled result equals the batch left join (otherwise trailing
+    * unmatched rows would sit in state forever on a finite drain —
+    * that boundary is exactly what the cutoff documents). */
+  val qStreamJoinOuter = Q(
+    "q_stream_join_outer",
+    (s, d) => {
+      def side(t: String, pfx: String) =
+        eventsStream(s, d)
+          .filter(col("event_type") === t)
+          .select(
+            col("event_id").as(s"${pfx}_id"),
+            col("user_id").as(s"${pfx}_user"),
+            col("ts").cast("timestamp").as(s"${pfx}_ts"))
+          .withWatermark(s"${pfx}_ts", "30 minutes")
+      val errors = side("error", "e")
+        .filter(col("e_ts") < lit("2024-01-25").cast("timestamp"))
+      val clicks = side("click", "c")
+      val joined = errors.join(
+        clicks,
+        expr("""e_user = c_user AND
+                c_ts >= e_ts - INTERVAL 1 HOUR AND c_ts <= e_ts"""),
+        "left_outer")
+      drain(s, joined, "stream_join_outer_tbl", "append")
+        .select(col("e_id"), col("c_id"), col("e_user").as("user_id"))
+        .orderBy(col("e_id"), col("c_id"))
+    },
+    Some("""SELECT e.event_id AS e_id, c.event_id AS c_id,
+              e.user_id AS user_id
+            FROM (SELECT * FROM events
+                  WHERE event_type = 'error'
+                    AND ts < TIMESTAMP '2024-01-25') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+            ORDER BY e_id NULLS FIRST, c_id NULLS FIRST"""))
+
+  /** Idempotent keyed-upsert merge for one micro-batch: skip if this
+    * batchId was already applied (exactly-once under foreachBatch's
+    * at-least-once replay contract), merge the batch into the current
+    * snapshot keeping the latest (ts, event_id) row per user, write to
+    * a staging dir, then swap by rename — the commit pattern a real
+    * lakehouse sink uses (stage → atomic publish), minus the table
+    * format. Deterministic tie-break so replays and engines agree. */
+  private[graft] def upsertBatch(s: SparkSession, dir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val cur = new java.io.File(s"$dir/current")
+    val applied = new java.io.File(s"$dir/applied/$batchId")
+    if (applied.exists()) return // replayed batch: already committed
+    val merged =
+      if (cur.exists()) s.read.parquet(cur.getPath).unionByName(batch)
+      else batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = merged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val stage = new java.io.File(s"$dir/stage_$batchId")
+    latest.write.mode("overwrite").parquet(stage.getPath)
+    val retired = new java.io.File(s"$dir/retired_$batchId")
+    if (cur.exists()) cur.renameTo(retired)
+    stage.renameTo(cur)
+    org.apache.commons.io.FileUtils.deleteQuietly(retired)
+    applied.getParentFile.mkdirs()
+    applied.createNewFile()
+  }
+
+  /** Streaming keyed upsert (q_stream_upsert): maintain a
+    * latest-row-per-user table from the event stream via foreachBatch +
+    * upsertBatch — the incremental-ingestion shape (CDC compaction,
+    * feature freshness) where the sink is a TABLE, not a log. The
+    * settled snapshot equals the batch "latest per key" query, which is
+    * the oracle. Scale: the snapshot re-write is bounded by key
+    * cardinality, not stream length; a real deployment swaps the
+    * rewrite for a format with row-level merge but keeps exactly this
+    * batchId-idempotence and stage/publish discipline. */
+  val qStreamUpsert = Q(
+    "q_stream_upsert",
+    (s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_stream_upsert"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, saved.toInt).toString)
+      try {
+        val w = eventsStream(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            upsertBatch(s, dir, batch, id)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        w.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.read.parquet(s"$dir/current")
+        .select(col("user_id"), col("event_id").as("latest_event"),
+          col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id AS latest_event, ts, value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+            ORDER BY user_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
-    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamTws,
-    qStreamBinaryRaw)
+    qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
+    qStreamTws, qStreamBinaryRaw, qStreamUpsert)
 }

@@ -94,6 +94,61 @@ class StreamSpec extends SparkSuite {
     assert(settled === batch)
   }
 
+  test("stream-stream left outer join emits watermark-proven null rows") {
+    val settled = q("q_stream_join_outer").collect()
+      .map(r => (r.getAs[Long]("e_id"),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq.sorted
+    // the batch left join over the same cutoff is the ground truth
+    val e = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "error" &&
+        col("ts") < lit("2024-01-25").cast("timestamp_ntz"))
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    val c = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val batch = e.join(c,
+        expr("""e_user = c_user AND
+                c_ts >= e_ts - INTERVAL 1 HOUR AND c_ts <= e_ts"""),
+        "left_outer")
+      .select(col("e_id"), col("c_id")).collect()
+      .map(r => (r.getAs[Long]("e_id"),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq.sorted
+    assert(settled === batch)
+    // and the outer semantics actually exercised: some rows unmatched
+    assert(settled.exists(_._2.isEmpty), "no null rows — cutoff too tight?")
+    assert(settled.exists(_._2.nonEmpty), "no matched rows")
+  }
+
+  test("upsert sink: multi-batch merge keeps latest per key; replays are no-ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spec_upsert").toFile.getAbsolutePath
+    def mk(rows: (Long, Long, String, Double)*) =
+      rows.toDF("user_id", "event_id", "ts_s", "value")
+        .select(col("user_id"), col("event_id"),
+          col("ts_s").cast("timestamp_ntz").as("ts"), col("value"))
+    // batch 0: users 1 and 2
+    streaming.StreamOps.upsertBatch(spark, dir, mk(
+      (1L, 10L, "2024-01-01 10:00:00", 1.0),
+      (2L, 11L, "2024-01-01 11:00:00", 2.0)), 0L)
+    // batch 1: newer row for user 1, first row for user 3
+    streaming.StreamOps.upsertBatch(spark, dir, mk(
+      (1L, 20L, "2024-01-02 10:00:00", 5.0),
+      (3L, 21L, "2024-01-02 11:00:00", 3.0)), 1L)
+    // REPLAY of batch 1 with different (poisoned) data: must be a no-op
+    streaming.StreamOps.upsertBatch(spark, dir, mk(
+      (1L, 99L, "2024-01-09 10:00:00", 99.0)), 1L)
+    val got = spark.read.parquet(s"$dir/current")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    assert(got === Map(
+      1L -> (20L, 5.0), 2L -> (11L, 2.0), 3L -> (21L, 3.0)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("binary .dat stream: multi-file arrival decodes across micro-batches") {
     // two .dat blobs, each holding 13-byte (us, word) records; with
     // maxFilesPerTrigger=1 each file is its own micro-batch, so the
