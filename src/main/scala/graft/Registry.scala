@@ -33,25 +33,36 @@ object Tables {
     * reader rejects — read it as raw nanos (`nanosAsLong`) and rebuild a
     * micros NTZ column (verified lossless: every testdata ns value is
     * micro-aligned, and DuckDB 1.x reads the same file at micros). */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Idempotent: the nanos conf must be live before the footer is read,
-    // and the driver may call entry()/queries with a session of its own.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
-    // Normalize events.ts to micros NTZ whatever the physical type:
-    // driver data is TIMESTAMP(NANOS) (read as long), test fixtures may
-    // write plain timestamps.
-    if (name == "events") {
-      import org.apache.spark.sql.functions.expr
-      import org.apache.spark.sql.types.LongType
-      df0.schema("ts").dataType match {
-        case LongType => df0.withColumn("ts",
-          expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-        case _ => df0.withColumn("ts",
-          expr("CAST(ts AS TIMESTAMP_NTZ)"))
-      }
-    } else df0
-  }
+  // Memoized per (session, dir, table): schema inference re-reads the
+  // parquet footer on every spark.read, and across a 165-query bench
+  // those listings add up. The DataFrame (an immutable plan) is safe to
+  // share; file CHANGES under a cached path would go unseen, which is
+  // fine for the driver's immutable sf dirs and per-JVM test fixtures.
+  private val tCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    tCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), {
+        // Idempotent: the nanos conf must be live before the footer is
+        // read, and the driver may call entry()/queries with a session
+        // of its own.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
+        // Normalize events.ts to micros NTZ whatever the physical type:
+        // driver data is TIMESTAMP(NANOS) (read as long), test fixtures
+        // may write plain timestamps.
+        if (name == "events") {
+          import org.apache.spark.sql.functions.expr
+          import org.apache.spark.sql.types.LongType
+          df0.schema("ts").dataType match {
+            case LongType => df0.withColumn("ts",
+              expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+            case _ => df0.withColumn("ts",
+              expr("CAST(ts AS TIMESTAMP_NTZ)"))
+          }
+        } else df0
+      })
 
   /** Session conf every entry point (Verify/Bench/tests) applies. */
   def configure(spark: SparkSession): Unit = {
