@@ -147,5 +147,51 @@ object Curate {
                   FROM documents)
             ORDER BY doc_id NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qMixSample, qPiiRedact)
+  /** Fixed-window document chunking (q_doc_chunks): split each doc's
+    * token stream into 40-token windows advancing by 30 (10-token
+    * overlap) — the context-window prep step for embedding/RAG indexing
+    * and long-doc training. Pure per-row array expressions
+    * (split → sequence explode → slice), so chunking is scan-local and
+    * embarrassingly parallel; the md5 of each chunk's joined text lets
+    * the oracle verify exact chunk CONTENT, not just counts. */
+  val qDocChunks = Q(
+    "q_doc_chunks",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_chunks", expr(
+          "greatest(CAST(1 AS BIGINT), " +
+            "CAST(ceil((n_tok - 10) / 30.0) AS BIGINT))"))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          least(lit(40L), col("n_tok") - col("chunk_idx") * 30L)
+            .as("chunk_toks"),
+          md5(expr(
+            """CAST(concat_ws(' ',
+                 slice(toks, CAST(chunk_idx * 30 + 1 AS INT), 40))
+               AS BINARY)""")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks, n_tok,
+                unnest(generate_series(0,
+                  greatest(CAST(1 AS BIGINT),
+                    CAST(ceil((n_tok - 10) / 30.0) AS BIGINT)) - 1))
+                  AS chunk_idx
+              FROM t)
+            SELECT doc_id, chunk_idx,
+              least(40, n_tok - chunk_idx * 30) AS chunk_toks,
+              md5(array_to_string(
+                toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' '))
+                AS chunk_md5
+            FROM c
+            ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qMixSample, qPiiRedact, qDocChunks)
 }

@@ -34,6 +34,25 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("doc chunks: windows overlap by 10 tokens and cover every token") {
+    val rows = q("q_doc_chunks").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_toks")))
+    val byDoc = rows.groupBy(_._1)
+    val nTok = Tables.t(spark, sf0, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // stride 30 + window 40 ⇒ all but the last chunk hold 40 tokens,
+      // and coverage = 30·(k−1) + last_chunk_toks = n_tok
+      sorted.init.foreach { case (_, _, toks) => assert(toks === 40L) }
+      val covered = 30L * (sorted.length - 1) + sorted.last._3
+      assert(covered === nTok(doc),
+        s"doc $doc covers $covered of ${nTok(doc)} tokens")
+    }
+  }
+
   test("pii redact: planted identifiers are all counted and scrubbed") {
     val rows = q("q_pii_redact").collect()
     assert(rows.length === 500) // sf0.001 documents

@@ -95,6 +95,23 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("PNG decode skips ancillary chunks per spec") {
+    // splice a tEXt chunk (valid CRC) between IHDR and IDAT: a
+    // spec-conforming decoder ignores chunks it does not know
+    val png = graft.ops.Multimodal.pngBytes(5L)
+    val ihdrEnd = 8 + 8 + 13 + 4 // sig + len/type + IHDR data + crc
+    val data = "comment".getBytes("US-ASCII")
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+    chunk.putInt(data.length).put("tEXt".getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk.array(), 4, 4 + data.length)
+    chunk.putInt(crc.getValue.toInt)
+    val spliced = png.take(ihdrEnd) ++ chunk.array() ++ png.drop(ihdrEnd)
+    val dec = graft.ops.Multimodal.decodePng(5L, spliced)
+    val plain = graft.ops.Multimodal.decodePng(5L, png)
+    assert(dec === plain)
+  }
+
   test("PNG decode rejects a corrupted blob loudly") {
     // flip one IDAT byte: the chunk CRC must catch it
     val png = graft.ops.Multimodal.pngBytes(3L)
