@@ -460,8 +460,64 @@ object TextOps {
           ORDER BY lang NULLS FIRST, guess_lang NULLS FIRST"""
     })
 
+  /** Per-source distribution drift (q_text_drift): KL divergence of
+    * each source's unigram distribution from the whole-corpus
+    * distribution — the domain-shift monitor a training-data pipeline
+    * runs when a new crawl lands (a source whose KL jumps is sending
+    * different text than the mix was tuned on). Every source word
+    * appears in the corpus by construction, so KL is finite. Shape:
+    * one explode → (source, word) counts → join the VOCABULARY-sized
+    * corpus table (broadcast; vocab ≪ corpus at any scale) → per-source
+    * sum. Rounded after summation so cross-engine log ulps wash out. */
+  val qTextDrift = Q(
+    "q_text_drift",
+    (s, d) => {
+      val words = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val bySource = words.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_sw"))
+      val srcTot = words.groupBy(col("source"))
+        .agg(count(lit(1)).as("tot_s"))
+      val corpus = words.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val corpusTot = corpus.agg(sum(col("n_w")).as("tot_c"))
+      bySource
+        .join(broadcast(corpus), Seq("w"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(corpusTot))
+        .groupBy(col("source"))
+        .agg(
+          max(col("tot_s")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(sum(expr(
+            """(n_sw / tot_s) *
+               ln((n_sw / tot_s) / (n_w / tot_c))""")), 6).as("kl"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH words AS (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            by_source AS (
+              SELECT source, w, count(*) AS n_sw
+              FROM words GROUP BY source, w),
+            src_tot AS (
+              SELECT source, count(*) AS tot_s
+              FROM words GROUP BY source),
+            corpus AS (SELECT w, count(*) AS n_w FROM words GROUP BY w),
+            corpus_tot AS (SELECT sum(n_w) AS tot_c FROM corpus)
+            SELECT b.source,
+              CAST(max(t.tot_s) AS BIGINT) AS n_tokens,
+              count(*) AS vocab,
+              round(sum((n_sw / tot_s) *
+                        ln((n_sw / tot_s) / (n_w / tot_c))), 6) AS kl
+            FROM by_source b
+            JOIN corpus c ON b.w = c.w
+            JOIN src_tot t ON b.source = t.source
+            CROSS JOIN corpus_tot
+            GROUP BY b.source
+            ORDER BY b.source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
-    qTextRepetition, qTextPack, qTextLangidEval)
+    qTextRepetition, qTextPack, qTextLangidEval, qTextDrift)
 }

@@ -53,6 +53,24 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("text drift: KL is non-negative, zero for identical distributions") {
+    import spark.implicits._
+    q("q_text_drift").collect().foreach { r =>
+      assert(r.getAs[Double]("kl") >= 0.0,
+        s"${r.getAs[String]("source")}: negative KL")
+    }
+    // two sources with the SAME text ⇒ both match the corpus exactly
+    val docs = Seq(
+      (0L, "a b b c", "en", "s0"), (1L, "a b b c", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d2 = fixtureDir("drift")("documents" -> docs)
+    q("q_text_drift", d2).collect().foreach { r =>
+      assert(r.getAs[Double]("kl") === 0.0)
+      assert(r.getAs[Long]("n_tokens") === 4L)
+    }
+  }
+
   test("pii redact: planted identifiers are all counted and scrubbed") {
     val rows = q("q_pii_redact").collect()
     assert(rows.length === 500) // sf0.001 documents

@@ -374,6 +374,16 @@ class PlanSpec extends SparkSuite {
       s"cross-day carry must re-join by broadcast:\n$p")
   }
 
+  test("mix sample broadcasts the rate table; gate runs scan-local") {
+    val p = plan("q_mix_sample")
+    // the per-source rate table is bytes-sized: it must broadcast, and
+    // the hash gate must not shuffle the corpus on the join key
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the rate join:\n$p")
+  }
+
   test("ngram candidates are blocked on rare bigrams only") {
     val p = q("q_dedup_ngram").queryExecution.optimizedPlan.toString
     // the df-cutoff filter must sit in the candidate path
