@@ -181,8 +181,14 @@ object Multimodal {
     val bpp = 3
     val raw = new Array[Byte](h * (1 + w * bpp))
     var n = 0
-    while (n < raw.length && !inflater.finished())
-      n += inflater.inflate(raw, n, raw.length - n)
+    var stalled = false
+    while (n < raw.length && !inflater.finished() && !stalled) {
+      val got = inflater.inflate(raw, n, raw.length - n)
+      // inflate() = 0 with all input already provided means the stream
+      // is truncated/stuck — bail instead of spinning
+      stalled = got == 0 && inflater.needsInput()
+      n += got
+    }
     inflater.end()
     require(n == raw.length, s"doc $docId: IDAT truncated ($n/${raw.length})")
     // unfilter scanlines in place
