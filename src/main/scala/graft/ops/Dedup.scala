@@ -663,8 +663,89 @@ object Dedup {
             FROM corpus_sizes LEFT JOIN shared USING (doc_id)
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Incremental (new-batch vs corpus) near-dup check — the daily-ingest
+    * shape: an arriving increment (doc_id % 10 >= 8 stands in for the
+    * new crawl slice) is checked against the existing corpus WITHOUT
+    * re-pairing the corpus with itself. Candidates come from the same
+    * 4×4 LSH banding as q_dedup_near, but the join BROADCASTS the
+    * increment's band keys — at 100 TB the corpus side streams through
+    * map-side, and in production its signatures are a precomputed
+    * signature store, so the per-ingest cost is linear in the increment
+    * (corpus-signature scan), never quadratic. Verified duplicates pick
+    * their best corpus match by exact Jaccard (ties toward the lowest
+    * corpus doc). */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val mh = minhashWithSets(s, d)
+      val bandRows = (0 until 4).map { b =>
+        s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
+          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
+      }.mkString(", ")
+      def bands(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
+          expr(s"stack(4, $bandRows) AS (band, band_key)"))
+      val cand = bands(mh.filter(col("doc_id") % 10 < 8)).as("a")
+        .join(broadcast(bands(mh.filter(col("doc_id") % 10 >= 8))).as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(col("b.doc_id").as("new_id"),
+          col("a.doc_id").as("corpus_id"))
+        .distinct()
+      val sets = mh.select(col("doc_id"), col("hs"), col("sz"))
+      cand
+        .join(sets.as("zn"), col("new_id") === col("zn.doc_id"))
+        .join(sets.as("zc"), col("corpus_id") === col("zc.doc_id"))
+        .withColumn("n_common",
+          expr("size(array_intersect(zn.hs, zc.hs))").cast("long"))
+        .withColumn("jaccard", round(col("n_common") * lit(1.0) /
+          (col("zn.sz") + col("zc.sz") - col("n_common")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("new_id"))
+            .orderBy(col("jaccard").desc, col("corpus_id"))))
+        .filter(col("rn") === 1)
+        .select(col("new_id"), col("corpus_id").as("dup_of"),
+          col("jaccard"))
+        .orderBy(col("new_id"))
+    },
+    Some {
+      val mhCols = (0 until 16).map(i =>
+        s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
+          s"(${7 * i + 3})) % 2147483647)) AS m$i").mkString(",\n  ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, m${4 * b} + 31 * m${4 * b + 1} + " +
+          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3} AS band_key FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""$shinglesCte,
+         $shingleSetsCte,
+         mh AS (SELECT doc_id, $mhCols FROM shingle_sets),
+         bands AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+           WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
+         ver AS (
+           SELECT new_id, corpus_id,
+             round(len(list_intersect(zn.hs, zc.hs)) * 1.0 /
+               (zn.sz + zc.sz - len(list_intersect(zn.hs, zc.hs))), 6)
+               AS jaccard
+           FROM cand
+           JOIN shingle_sets zn ON zn.doc_id = new_id
+           JOIN shingle_sets zc ON zc.doc_id = corpus_id)
+         SELECT new_id, dup_of, jaccard FROM (
+           SELECT new_id, corpus_id AS dup_of, jaccard,
+             row_number() OVER (PARTITION BY new_id
+               ORDER BY jaccard DESC, corpus_id) AS rn
+           FROM ver WHERE jaccard >= 0.5)
+         WHERE rn = 1
+         ORDER BY new_id NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupComponents, qDedupPrefix,
-    qDedupSubstring, qTextContamination)
+    qDedupSubstring, qTextContamination, qDedupIncremental)
 }

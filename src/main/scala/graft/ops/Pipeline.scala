@@ -1,0 +1,341 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-data-pipeline operators: lexical retrieval (BM25),
+  * crawl-style URL canonicalization dedup, content-defined chunking,
+  * and Lloyd k-means over the embedding table (the clustering primitive
+  * behind semantic dedup / diversity sampling).
+  *
+  * Scale discipline (100 TB): every per-document step is scan-local
+  * array/regexp arithmetic (codegen'd, zero shuffle); the only shuffles
+  * are key-hash aggregates, and everything broadcast-sized (corpus
+  * stats, k×64 centroids) rides `broadcast()` — never a collect, never
+  * a driver loop. k-means' per-iteration work is one broadcast
+  * nested-loop over k=8 centroids plus one two-phase (cid, dim)
+  * aggregate whose output is k×64 rows regardless of corpus size. */
+object Pipeline {
+
+  // ---- q_text_bm25 ------------------------------------------------------
+
+  /** BM25 (k1=1.2, b=0.75) for a fixed 3-term query over `documents`,
+    * top-20 by score. Corpus stats (N, avgdl, per-term df) are ONE tiny
+    * aggregate broadcast back over the scan; per-doc tf comes from
+    * scan-local array filters, so the whole ranking is two scans + a
+    * top-k — no explode, no per-term shuffle. Ordering is on the
+    * ROUNDED score (both engines) with doc_id tie-break, so the top-20
+    * cut is engine-independent. */
+  val qTextBm25 = Q(
+    "q_text_bm25",
+    (s, d) => {
+      val terms = Seq("spark", "hash", "window")
+      val docs = Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+        sum(expr(s"CASE WHEN array_contains(toks, '$t') THEN 1 ELSE 0 END"))
+          .cast("double").as(s"df$i")
+      }
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (avg(col("dl")).as("avgdl") +: dfAggs): _*)
+      val scored = docs.crossJoin(broadcast(stats))
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"
+        expr(s"""ln(1 + (n_docs - df$i + 0.5) / (df$i + 0.5)) *
+                 ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * dl / avgdl))""")
+      }.reduce(_ + _)
+      scored
+        .withColumn("bm25", round(score, 6))
+        .filter(col("bm25") > 0.0)
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      val terms = Seq("spark", "hash", "window")
+      val dfSel = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(", ")
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        s"""ln(1 + (n_docs - df$i + 0.5) / (df$i + 0.5)) *
+            (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * 2.2) /
+            (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) +
+             1.2 * (0.25 + 0.75 * dl / avgdl))"""
+      }.mkString(" + ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+              $dfSel
+            FROM t)
+          SELECT doc_id, round($score, 6) AS bm25
+          FROM t, stats
+          WHERE round($score, 6) > 0.0
+          ORDER BY bm25 DESC, doc_id NULLS FIRST
+          LIMIT 20"""
+    })
+
+  // ---- q_dedup_url ------------------------------------------------------
+
+  /** Crawl-dedup by canonical URL. Each doc plants a deterministic messy
+    * URL (mixed-case scheme/host, www, tracking params, trailing slash,
+    * fragment — the fixture half, like the PII/WAV/BMP fixtures); the
+    * normalizer is the real operator: lowercase scheme+host, strip www,
+    * drop the fragment, remove utm_* params (cleaning dangling ?/&),
+    * drop the trailing slash. Docs agreeing on the canonical URL form a
+    * dupe group; keeper = min doc_id. All per-row regexp work
+    * (codegen'd, RE2-safe — no lookaheads), then one hash aggregate. */
+  val qDedupUrl = Q(
+    "q_dedup_url",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("url", expr(
+          """concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS STRING),
+               '.COM/Article/', CAST(doc_id % 50 AS STRING),
+               CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('?utm_source=feed&utm_medium=rss&ref=',
+                                CAST(doc_id % 5 AS STRING))
+                    WHEN doc_id % 3 = 1
+                    THEN concat('?ref=', CAST(doc_id % 5 AS STRING),
+                                '&utm_campaign=x')
+                    ELSE concat('?ref=', CAST(doc_id % 5 AS STRING)) END,
+               CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END)"""))
+        .withColumn("head", expr(
+          "regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)), '^https://www\\\\.', 'https://')"))
+        .withColumn("tail", expr(
+          "substring(url, length(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) + 1)"))
+        .withColumn("tail", expr("regexp_replace(tail, '#.*$', '')"))
+        .withColumn("tail", expr(
+          "regexp_replace(tail, 'utm_[a-z]+=[^&#]*&?', '')"))
+        .withColumn("tail", expr("regexp_replace(tail, '[?&]+$', '')"))
+        .withColumn("tail", expr("replace(tail, '/?', '?')"))
+        .withColumn("tail", expr("regexp_replace(tail, '/+$', '')"))
+        .withColumn("norm_url", concat(col("head"), col("tail")))
+        .groupBy(col("norm_url"))
+        .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("norm_url")),
+    Some("""WITH u AS (
+              SELECT doc_id,
+                concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS VARCHAR),
+                  '.COM/Article/', CAST(doc_id % 50 AS VARCHAR),
+                  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN concat('?utm_source=feed&utm_medium=rss&ref=',
+                                   CAST(doc_id % 5 AS VARCHAR))
+                       WHEN doc_id % 3 = 1
+                       THEN concat('?ref=', CAST(doc_id % 5 AS VARCHAR),
+                                   '&utm_campaign=x')
+                       ELSE concat('?ref=', CAST(doc_id % 5 AS VARCHAR)) END,
+                  CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END)
+                  AS url
+              FROM documents),
+            n AS (
+              SELECT doc_id,
+                concat(
+                  regexp_replace(
+                    lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)),
+                    '^https://www\.', 'https://'),
+                  regexp_replace(
+                    replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            substring(url,
+                              length(regexp_extract(url,
+                                '^[A-Za-z]+://[^/?#]*', 0)) + 1),
+                            '#.*$', ''),
+                          'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                        '[?&]+$', ''),
+                      '/?', '?'),
+                    '/+$', '')) AS norm_url
+              FROM u)
+            SELECT norm_url, count(*) AS n_dupes, min(doc_id) AS keep_id
+            FROM n GROUP BY norm_url
+            ORDER BY norm_url NULLS FIRST"""))
+
+  // ---- q_doc_cdc --------------------------------------------------------
+
+  /** Content-defined chunking (gear-style, word granularity): a chunk
+    * boundary falls AFTER word i whenever md5(word) mod 7 == 0 — so
+    * chunk boundaries depend on content, not position, and an insertion
+    * near the head of a document only perturbs its own chunk (the
+    * property that makes CDC the dedup-friendly chunker). The whole
+    * segmentation is scan-local array algebra — boundary positions via
+    * `filter(sequence(...))`, chunks via `transform`+`slice` — so
+    * chunking shuffles NOTHING; only the final ordered dump sorts. The
+    * md5 of each chunk's text lets the oracle verify exact content. */
+  val qDocCdc = Q(
+    "q_doc_cdc",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("bpos", expr(
+          """concat(array(0),
+               filter(sequence(1, greatest(n - 1, 1)),
+                 i -> i <= n - 1 AND
+                   CAST(conv(substring(md5(CAST(element_at(toks, i)
+                     AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 7 = 0),
+               array(n))"""))
+        .withColumn("chunk", explode(expr(
+          """transform(sequence(1, size(bpos) - 1),
+               j -> struct(
+                 CAST(j - 1 AS BIGINT) AS chunk_idx,
+                 slice(toks, element_at(bpos, j) + 1,
+                   element_at(bpos, j + 1) - element_at(bpos, j))
+                   AS ctoks))""")))
+        .select(
+          col("doc_id"),
+          col("chunk.chunk_idx").as("chunk_idx"),
+          size(col("chunk.ctoks")).cast("long").as("n_words"),
+          md5(expr("CAST(concat_ws(' ', chunk.ctoks) AS BINARY)"))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+              FROM documents),
+            w AS (
+              SELECT doc_id, n, toks,
+                unnest(generate_series(1, n)) AS pos
+              FROM t),
+            f AS (
+              SELECT doc_id, pos, toks[pos] AS word,
+                CASE WHEN pos < n AND
+                  CAST('0x' || substr(md5(toks[pos]), 1, 4) AS BIGINT)
+                    % 7 = 0
+                THEN 1 ELSE 0 END AS cut
+              FROM w),
+            c AS (
+              SELECT doc_id, pos, word,
+                CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cut AS BIGINT) AS chunk_idx
+              FROM f)
+            SELECT doc_id, chunk_idx,
+              CAST(count(*) AS BIGINT) AS n_words,
+              md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+            FROM c GROUP BY doc_id, chunk_idx
+            ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST"""))
+
+  // ---- q_sim_kmeans -----------------------------------------------------
+
+  private val K = 8
+  private val ITERS = 2
+  private val DIM = 64
+
+  /** Sequential-fold dot product over two DOUBLE arrays — products in
+    * index order, then left-fold addition, which is bit-identical to
+    * DuckDB's `list_dot_product` (the same parity contract the codegen
+    * FloatDot expression already proves for FLOAT inputs). */
+  private def ddot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+             CAST(0 AS DOUBLE), (acc, p) -> acc + p)""")
+
+  /** Lloyd k-means over `embeddings` (k=8, 2 recompute iterations,
+    * deterministic init = vectors with vec_id < k). Per iteration:
+    * assignment is a k-row BROADCAST nested-loop + a two-phase
+    * min(struct(d2, cid)) aggregate (ties broken toward the lowest
+    * cid — same rule as the oracle's row_number); recompute is a
+    * posexplode + (cid, dim) two-phase average whose output is k×64
+    * rows whatever the corpus size, with each coordinate ROUNDED to 6
+    * decimals so both engines carry bit-identical centroids into the
+    * next iteration (double summation order differs at ~1e-15; the
+    * round collapses it). Empty clusters keep their previous centroid
+    * (LEFT JOIN + coalesce). Output: per-cluster size and mean
+    * distance. The oracle unrolls the same two iterations as generated
+    * CTEs. */
+  val qSimKmeans = Q(
+    "q_sim_kmeans",
+    (s, d) => {
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("aa", ddot("v", "v"))
+      var cents: DataFrame = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("v").as("cent"))
+        .withColumn("cc", ddot("cent", "cent"))
+      def assign(c: DataFrame): DataFrame =
+        e.crossJoin(broadcast(c))
+          .withColumn("d2",
+            col("aa") - lit(2.0) * ddot("v", "cent") + col("cc"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col("vec_id"), col("m.d2").as("d2"),
+            col("m.cid").as("cid"), col("v"))
+      for (_ <- 0 until ITERS) {
+        val a = assign(cents)
+        val newCoords = a
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("xr"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, xr))), s -> s.xr)")
+            .as("newc"))
+        cents = cents.select(col("cid"), col("cent").as("oldc"))
+          .join(newCoords, Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("newc"), col("oldc")).as("cent"))
+          .withColumn("cc", ddot("cent", "cent"))
+      }
+      assign(cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(sqrt(col("d2"))), 6).as("avg_dist"))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          col("avg_dist"))
+        .orderBy(col("cluster_id"))
+    },
+    Some {
+      val d2 = (c: String) =>
+        s"""list_dot_product(e.v, e.v)
+            - 2 * list_dot_product(e.v, $c.cent)
+            + list_dot_product($c.cent, $c.cent)"""
+      def assignCte(i: Int): String =
+        s"""a$i AS (
+              SELECT vec_id, cid, d2, v FROM (
+                SELECT vec_id, cid, d2, v,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn
+                FROM (SELECT e.vec_id, c.cid, e.v, ${d2("c")} AS d2
+                      FROM e CROSS JOIN c$i c))
+              WHERE rn = 1)"""
+      def recomputeCte(i: Int): String =
+        s"""g$i AS (
+              SELECT cid, i, round(avg(v[i]), 6) AS x
+              FROM a$i CROSS JOIN
+                (SELECT unnest(generate_series(1, $DIM)) AS i) dims
+              GROUP BY cid, i),
+            n$i AS (
+              SELECT cid, list(x ORDER BY i) AS cent
+              FROM g$i GROUP BY cid),
+            c${i + 1} AS (
+              SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
+              FROM c$i c LEFT JOIN n$i n ON c.cid = n.cid)"""
+      val iterCtes = (0 until ITERS)
+        .map(i => assignCte(i) + ",\n" + recomputeCte(i))
+        .mkString(",\n")
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          c0 AS (
+            SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id < $K),
+          $iterCtes,
+          ${assignCte(ITERS)}
+          SELECT cid AS cluster_id, count(*) AS n_members,
+            round(avg(sqrt(d2)), 6) AS avg_dist
+          FROM a$ITERS GROUP BY cid
+          ORDER BY cluster_id NULLS FIRST"""
+    })
+
+  val all: Seq[Q] = Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans)
+}

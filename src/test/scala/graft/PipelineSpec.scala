@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline operators: BM25, URL canonicalization dedup,
+  * content-defined chunking, k-means, incremental dedup. Value-level
+  * invariants plus the plan shapes that must hold at 100 TB. */
+class PipelineSpec extends SparkSuite {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** The query's word-level gear condition: cut AFTER a word whose
+    * md5's first 4 hex digits, as an int, are ≡ 0 (mod 7). */
+  private def isCut(word: String): Boolean =
+    java.lang.Long.parseLong(md5hex(word).take(4), 16) % 7 == 0
+
+  // ---- q_doc_cdc --------------------------------------------------------
+
+  test("cdc chunks: cover every token, boundaries exactly at cut words") {
+    val rows = q("q_doc_cdc").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_words")))
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, chunks) =>
+      val toks = texts(doc).split(" ")
+      assert(chunks.map(_._3).sum === toks.length.toLong,
+        s"doc $doc: chunks must cover all tokens")
+      // replay the segmentation in plain Scala and compare shapes
+      val expected = scala.collection.mutable.ArrayBuffer(0)
+      toks.zipWithIndex.init.foreach { case (w, i) =>
+        if (isCut(w)) expected += i + 1
+      }
+      expected += toks.length
+      val expectedSizes =
+        expected.sliding(2).map(p => (p(1) - p(0)).toLong).toSeq
+      assert(chunks.sortBy(_._2).map(_._3).toSeq === expectedSizes,
+        s"doc $doc: chunk sizes disagree with scalar replay")
+    }
+  }
+
+  test("cdc chunks: an insertion only perturbs its own chunk (locality)") {
+    import spark.implicits._
+    // pick a filler word that is NOT a cut so the first chunk grows
+    // without moving any boundary
+    val filler = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      .find(!isCut(_)).get
+    val base = "one two three four five six seven eight nine ten " * 20
+    val dir = fixtureDir("cdc_locality")(
+      "documents" -> Seq(
+        (0L, base.trim, "en", "src0", base.trim.length.toLong),
+        (1L, s"$filler ${base.trim}", "en", "src0",
+          base.trim.length.toLong + filler.length + 1))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = q("q_doc_cdc", dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_md5")))
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(d0.length === d1.length)
+    // every chunk after the first is bit-identical; only chunk 0 moved
+    assert(d0.drop(1).toSeq === d1.drop(1).toSeq)
+    assert(d0.head !== d1.head)
+  }
+
+  test("cdc chunking plan: scan-local — no join, no hash shuffle") {
+    val p = q("q_doc_cdc").queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must be scan-local; only the output sort may exchange")
+  }
+
+  // ---- q_text_bm25 ------------------------------------------------------
+
+  test("bm25: top-20, positive scores, descending, docs contain a term") {
+    val rows = q("q_text_bm25").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    assert(rows.length === 20)
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    val terms = Set("spark", "hash", "window")
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _) =>
+      assert(texts(id).split(" ").exists(terms),
+        s"doc $id scored > 0 without containing a query term")
+    }
+  }
+
+  test("bm25 plan: corpus stats broadcast, top-k not a global sort") {
+    val p = q("q_text_bm25").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit 20 must plan as top-k")
+  }
+
+  // ---- q_dedup_url ------------------------------------------------------
+
+  test("url dedup: canonical forms are clean and partition the corpus") {
+    val rows = q("q_dedup_url").collect()
+      .map(r => (r.getAs[String]("norm_url"), r.getAs[Long]("n_dupes"),
+        r.getAs[Long]("keep_id")))
+    val nDocs = Tables.t(spark, sf0, "documents").count()
+    assert(rows.map(_._2).sum === nDocs, "groups must partition the corpus")
+    rows.foreach { case (u, n, keep) =>
+      assert(u.startsWith("https://site"), s"host not canonical: $u")
+      assert(!u.contains("www."), s"www not stripped: $u")
+      assert(!u.contains("#"), s"fragment not stripped: $u")
+      assert(!u.contains("utm_"), s"tracking param not stripped: $u")
+      assert(!u.endsWith("/") && !u.endsWith("?") && !u.endsWith("&"),
+        s"dangling separator: $u")
+      assert(n >= 1 && keep >= 0)
+    }
+    // the planted generator folds %2 (slash), %3 (utm variants) and %4
+    // (fragment) differences away, so dupe groups must actually form
+    assert(rows.exists(_._2 > 1), "expected at least one dupe group")
+  }
+
+  // ---- q_sim_kmeans -----------------------------------------------------
+
+  test("kmeans: partitions the corpus, and separates planted blobs") {
+    val rows = q("q_sim_kmeans").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Double]("avg_dist")))
+    val nVecs = Tables.t(spark, sf0, "embeddings").count()
+    assert(rows.map(_._2).sum === nVecs)
+    assert(rows.forall(_._3 >= 0.0))
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 8))
+
+    // fixture: 8 planted blobs — seeds 0..7 at 10·e_b, members offset
+    // by 0.1 on a different axis; Lloyd must recover the planting
+    import spark.implicits._
+    val dim = 64
+    val vecs = (0 until 64).map { id =>
+      val blob = id % 8
+      val arr = Array.fill(dim)(0.0f)
+      arr(blob) = 10.0f
+      if (id >= 8) arr((blob + 8) % dim) = 0.1f * (id / 8)
+      (id.toLong, arr.toSeq, blob)
+    }
+    val dir = fixtureDir("kmeans_blobs")(
+      "embeddings" -> vecs.toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .withColumn("label", col("label").cast("int")))
+    val out = q("q_sim_kmeans", dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(out.size === 8, s"all 8 blobs must survive: $out")
+    assert(out.values.forall(_ === 8L), s"each blob has 8 members: $out")
+  }
+
+  test("kmeans plan: centroids broadcast — corpus is never shuffled " +
+    "for assignment") {
+    val p = q("q_sim_kmeans").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "k-row centroid table must ride a broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast cartesian anywhere")
+  }
+
+  // ---- q_dedup_incremental ----------------------------------------------
+
+  test("incremental dedup: matches are cross-split and agree with " +
+    "q_dedup_near") {
+    val inc = q("q_dedup_incremental").collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard")))
+    inc.foreach { case (n, c, j) =>
+      assert(n % 10 >= 8, s"new_id $n not in the increment")
+      assert(c % 10 < 8, s"dup_of $c not in the corpus")
+      assert(j >= 0.5)
+    }
+    // same banding + same threshold ⇒ every incremental match must
+    // appear in the full near-pair list with the identical jaccard
+    val near = q("q_dedup_near").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    inc.foreach { case (n, c, j) =>
+      val key = (math.min(n, c), math.max(n, c))
+      assert(near.get(key).contains(j),
+        s"pair $key jaccard $j missing from q_dedup_near")
+    }
+  }
+
+  test("incremental dedup plan: the increment side broadcasts") {
+    val p = q("q_dedup_incremental").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "band-key candidate join must broadcast the increment")
+  }
+}
