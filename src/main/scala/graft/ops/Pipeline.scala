@@ -230,13 +230,13 @@ object Pipeline {
   private val ITERS = 2
   private val DIM = 64
 
-  /** Sequential-fold dot product over two DOUBLE arrays — products in
-    * index order, then left-fold addition, which is bit-identical to
-    * DuckDB's `list_dot_product` (the same parity contract the codegen
-    * FloatDot expression already proves for FLOAT inputs). */
+  /** Codegen'd dot product over two DOUBLE arrays (graft.functions
+    * .DoubleDot): products in index order, left-to-right accumulation —
+    * bit-identical to DuckDB's `list_dot_product` (the same parity
+    * contract FloatDot proves for FLOAT inputs), but compiled to a
+    * tight primitive loop instead of an interpreted lambda fold. */
   private def ddot(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
-             CAST(0 AS DOUBLE), (acc, p) -> acc + p)""")
+    expr(s"double_dot($a, $b)")
 
   /** Lloyd k-means over `embeddings` (k=8, 2 recompute iterations,
     * deterministic init = vectors with vec_id < k). Per iteration:
@@ -254,6 +254,7 @@ object Pipeline {
   val qSimKmeans = Q(
     "q_sim_kmeans",
     (s, d) => {
+      graft.functions.DoubleDot.register(s)
       val e = Tables.t(s, d, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -337,5 +338,39 @@ object Pipeline {
           ORDER BY cluster_id NULLS FIRST"""
     })
 
-  val all: Seq[Q] = Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans)
+  // ---- q_text_bpe_pairs -------------------------------------------------
+
+  /** BPE merge-candidate statistics: global frequencies of adjacent
+    * character pairs across all word occurrences — the table the first
+    * BPE merge step ranks (top pair = first merge). The canonical
+    * wordcount shape: two scan-local explodes, one two-phase count
+    * aggregate keyed by pair (map-side partials bound the shuffle by
+    * alphabet², not corpus size), top-30 as TakeOrderedAndProject. */
+  val qTextBpePairs = Q(
+    "q_text_bpe_pairs",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30),
+    Some("""WITH w AS (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            p AS (
+              SELECT unnest(list_transform(
+                generate_series(1, len(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+              FROM w WHERE len(w) >= 2)
+            SELECT pair, count(*) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair NULLS FIRST
+            LIMIT 30"""))
+
+  val all: Seq[Q] =
+    Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs)
 }

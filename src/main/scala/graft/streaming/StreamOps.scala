@@ -737,9 +737,64 @@ object StreamOps {
             WHERE rn = 1
             ORDER BY user_id NULLS FIRST"""))
 
+  /** Streaming view of `documents` (same glob-filtered file-arrival
+    * pattern as [[eventsStream]]). */
+  private def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(d)
+  }
+
+  /** STREAM-STATIC join (q_stream_decontaminate): arriving documents are
+    * checked against a STATIC corpus hash table (doc_id % 10 < 8 — the
+    * same existing-corpus convention as q_dedup_incremental) — the
+    * streaming-ingest twin of exact dedup. The static side is aggregated
+    * to one row per hash (so the join never multiplies stream rows) and
+    * broadcast: each micro-batch probes a map, no stream-side shuffle
+    * before the keyed count. A streamed doc is a dup if its hash has a
+    * corpus holder other than itself. At 100 TB the static side is the
+    * signature store (bucketed or bloom-fronted); the per-batch cost
+    * stays linear in the batch. Stateless join + bounded keyed agg. */
+  val qStreamDecontaminate = Q(
+    "q_stream_decontaminate",
+    (s, d) => {
+      val corpusHashes = Tables.t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 8)
+        .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_corpus"), min(col("doc_id")).as("min_id"))
+      val flagged = documentsStream(s, d)
+        .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+        .join(broadcast(corpusHashes), Seq("h"), "left_outer")
+        .withColumn("is_dup", coalesce(
+          col("n_corpus") > 1 ||
+            (col("n_corpus") === 1 && col("min_id") =!= col("doc_id")),
+          lit(false)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      drain(s, flagged, "stream_decon_tbl", "complete")
+        .orderBy(col("source"))
+    },
+    Some("""WITH ch AS (
+              SELECT md5(lower(trim(text))) AS h,
+                count(*) AS n_corpus, min(doc_id) AS min_id
+              FROM documents WHERE doc_id % 10 < 8
+              GROUP BY h)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN n_corpus > 1
+                         OR (n_corpus = 1 AND min_id <> doc_id)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM (SELECT d.source, d.doc_id, ch.n_corpus, ch.min_id
+                  FROM documents d
+                  LEFT JOIN ch ON md5(lower(trim(d.text))) = ch.h) j
+            GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
-    qStreamTws, qStreamBinaryRaw, qStreamUpsert)
+    qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate)
 }

@@ -196,4 +196,54 @@ class PipelineSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       "band-key candidate join must broadcast the increment")
   }
+
+  // ---- q_text_bpe_pairs -------------------------------------------------
+
+  test("bpe pairs: counts match a scalar replay, top-k plan") {
+    val rows = q("q_text_bpe_pairs").collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+    assert(rows.length === 30)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    // scalar replay over the corpus
+    val counts = scala.collection.mutable.Map[String, Long]()
+    Tables.t(spark, sf0, "documents").select(col("text")).collect()
+      .foreach { r =>
+        r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        }
+      }
+    rows.foreach { case (p, n) =>
+      assert(counts.get(p).contains(n), s"pair '$p': $n vs ${counts.get(p)}")
+    }
+    val plan = q("q_text_bpe_pairs").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  // ---- double_dot -------------------------------------------------------
+
+  test("double_dot matches the interpreted fold and float_dot bit-for-bit") {
+    functions.DoubleDot.register(spark)
+    functions.FloatDot.register(spark)
+    val rows = Tables.t(spark, sf0, "embeddings")
+      .selectExpr(
+        "double_dot(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+          "transform(embedding, x -> CAST(x AS DOUBLE))) AS dd",
+        """aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),
+             transform(embedding, x -> CAST(x AS DOUBLE)),
+             (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)
+           AS fold""",
+        "float_dot(embedding, embedding) AS fd")
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        "codegen double_dot must equal the lambda fold bitwise")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        "double-cast dot must equal float_dot bitwise")
+    }
+  }
 }

@@ -335,4 +335,79 @@ class StreamSpec extends SparkSuite {
     assert(sessions.filter(_._1 == 1L).map(_._2).sorted === Seq(2L, 2L))
     assert(sessions.count(_._1 == 2L) === 1)
   }
+
+  test("stream-static decontamination: multi-batch arrival matches batch, " +
+    "static side broadcasts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // corpus: ids 0,10,20 hold texts A,B,C; stream: 5 docs across TWO
+    // micro-batches — a self-match (id 0), a true dup of A (id 9),
+    // a dup of B (id 19), and two novel texts
+    val corpus = Seq(
+      (0L, "aaa bbb ccc", "en", "s0", 11L),
+      (10L, "ddd eee fff", "en", "s0", 11L),
+      (20L, "ggg hhh iii", "en", "s1", 11L))
+    val dir = fixtureDir("decon_static")(
+      "documents" -> corpus.toDF("doc_id", "text", "lang", "source",
+        "n_chars"))
+    val corpusHashes = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 10 < 8)
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_corpus"), min(col("doc_id")).as("min_id"))
+    val mem = MemoryStream[(Long, String, String)]
+    val flagged = mem.toDF().toDF("doc_id", "text", "source")
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .join(broadcast(corpusHashes), Seq("h"), "left_outer")
+      .withColumn("is_dup", coalesce(
+        col("n_corpus") > 1 ||
+          (col("n_corpus") === 1 && col("min_id") =!= col("doc_id")),
+        lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+    val qy = flagged.writeStream.outputMode("complete")
+      .format("memory").queryName("spec_decon").start()
+    mem.addData((0L, "aaa bbb ccc", "s0"), (9L, "aaa bbb ccc", "s0"))
+    qy.processAllAvailable()
+    mem.addData((19L, "ddd eee fff", "s1"), (100L, "novel one", "s1"),
+      (101L, "novel two", "s2"))
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("spec_decon").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"))).toMap
+    // id 0 is its own corpus entry (NOT a dup); 9 and 19 are dups
+    assert(got === Map("s0" -> ((2L, 1L)), "s1" -> ((2L, 1L)),
+      "s2" -> ((1L, 0L))))
+  }
+
+  test("q_stream_decontaminate settles to its batch answer and broadcasts") {
+    val settled = q("q_stream_decontaminate").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup"))).toSeq.sorted
+    val docs = Tables.t(spark, sf0, "documents")
+    val ch = docs.filter(col("doc_id") % 10 < 8)
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_corpus"), min(col("doc_id")).as("min_id"))
+    val batch = docs
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .join(ch, Seq("h"), "left_outer")
+      .withColumn("is_dup", coalesce(
+        col("n_corpus") > 1 ||
+          (col("n_corpus") === 1 && col("min_id") =!= col("doc_id")),
+        lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup"))).toSeq.sorted
+    assert(settled === batch)
+    // the synthetic corpus has no EXACT text dups (near-dups only), so
+    // n_dup = 0 everywhere here; dup-flagging semantics (self-match
+    // exclusion, cross-batch arrival) are proven by the fixture test
+    // above, this one pins the stream-static drain to the batch answer
+    assert(settled.map(_._2).sum === docs.count())
+  }
 }

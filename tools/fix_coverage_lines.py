@@ -10,7 +10,8 @@ import subprocess
 import sys
 
 out = subprocess.run(
-    ["grep", "-rn", '-e', r'"q_[a-z0-9_]*",', "src/main/scala"],
+    ["grep", "-rn", "--exclude=Bench.scala", '-e', r'"q_[a-z0-9_]*",',
+     "src/main/scala"],
     capture_output=True, text=True).stdout
 loc = {}
 for line in out.splitlines():
