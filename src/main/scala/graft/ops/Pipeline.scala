@@ -371,6 +371,147 @@ object Pipeline {
             ORDER BY n DESC, pair NULLS FIRST
             LIMIT 30"""))
 
+  // ---- q_graph_pagerank -------------------------------------------------
+
+  /** PageRank (d=0.85, 3 unrolled iterations) over a deterministic link
+    * graph derived from the corpus: node i links to ⌊i/2⌋ (a contraction
+    * that concentrates in-degree on low ids, like real webgraph hubs),
+    * (31·i + 17) mod N (affine mixing) and (i² + 1) mod N (quadratic —
+    * non-uniform in-degree), self-links dropped — the web-graph
+    * authority score a crawl-curation pass feeds into quality
+    * weighting. The per-iteration
+    * shape is THE scale shape for graph algorithms on Spark: ranks ⋈
+    * edges on src (shuffle keyed by src), two-phase sum of contributions
+    * keyed by dst, left join back to nodes for the teleport term — cost
+    * per iteration is O(|E|) shuffled, never materialized quadratica.
+    * Each new rank is ROUNDED to 10 decimals so both engines carry
+    * bit-identical state across iterations (summation-order noise is
+    * ~1e-17); the oracle unrolls the same three iterations. */
+  val qGraphPagerank = Q(
+    "q_graph_pagerank",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val nodes = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      val edges = nodes
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      val edgesN = edges.join(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      var ranks = nodes
+        .withColumn("pr", lit(1.0) / col("n_nodes"))
+        .select(col("doc_id"), col("pr"))
+      for (_ <- 0 until 3) {
+        val contribs = ranks
+          .join(edgesN, col("doc_id") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("outdeg")).as("inflow"))
+        ranks = nodes
+          .join(contribs, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            round(lit(0.15) / col("n_nodes") +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0)), 10).as("pr"))
+      }
+      ranks
+        .select(col("doc_id"), round(col("pr"), 8).as("pagerank"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def iterCte(i: Int): String =
+        s"""r${i + 1} AS (
+              SELECT n.doc_id,
+                round(0.15 / n.n_nodes + 0.85 * coalesce(c.inflow, 0), 10)
+                  AS pr,
+                n.n_nodes AS n_nodes
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum(r.pr / e.outdeg) AS inflow
+                FROM r$i r JOIN e ON r.doc_id = e.src
+                GROUP BY e.dst) c
+              ON n.doc_id = c.dst)"""
+      s"""WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
+          nodes AS (SELECT doc_id, n_nodes FROM documents, s),
+          edges AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id AS src,
+                unnest([doc_id // 2,
+                        (doc_id * 31 + 17) % n_nodes,
+                        (doc_id * doc_id + 1) % n_nodes]) AS dst
+              FROM nodes) u
+            WHERE dst <> src),
+          outdeg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+          e AS (SELECT edges.src, edges.dst, outdeg.outdeg
+                FROM edges JOIN outdeg ON edges.src = outdeg.src),
+          r0 AS (SELECT doc_id, 1.0 / n_nodes AS pr, n_nodes FROM nodes),
+          ${(0 until 3).map(iterCte).mkString(",\n")}
+          SELECT doc_id, round(pr, 8) AS pagerank
+          FROM r3
+          ORDER BY doc_id NULLS FIRST"""
+    })
+
+  // ---- q_sessionize -----------------------------------------------------
+
+  /** Batch gap-based sessionization over the events tape: a new session
+    * starts when a user's inter-event gap exceeds 12 hours. lag +
+    * running sum over a (user, time) window assigns session ids in one
+    * pass; sessions then aggregate per (user, session). The window
+    * shuffles once keyed by user — per-user tapes are small and the key
+    * space is the user population, so the partition strategy holds at
+    * 100 TB (this is the keyed-window idiom, NOT a global sort). The
+    * streaming twin is q_stream_session (session_window + watermark). */
+  val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, d, "events")
+        .withColumn("gap_us",
+          expr("unix_micros(CAST(ts AS TIMESTAMP))") -
+            lag(expr("unix_micros(CAST(ts AS TIMESTAMP))"), 1).over(w))
+        .withColumn("new_s",
+          when(col("gap_us").isNull ||
+            col("gap_us") > lit(12L * 3600 * 1000000), 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""WITH g AS (
+              SELECT user_id, event_id, ts,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN gap_us IS NULL
+                       OR gap_us > CAST(12 AS BIGINT) * 3600 * 1000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM g),
+            x AS (
+              SELECT user_id, ts,
+                CAST(sum(new_s) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+              FROM f)
+            SELECT user_id, session_idx, count(*) AS n_events,
+              min(ts) AS s_start, max(ts) AS s_end
+            FROM x GROUP BY user_id, session_idx
+            ORDER BY user_id NULLS FIRST, session_idx NULLS FIRST"""))
+
   val all: Seq[Q] =
-    Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs)
+    Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs,
+      qGraphPagerank, qSessionize)
 }

@@ -222,6 +222,62 @@ class PipelineSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  // ---- q_graph_pagerank -------------------------------------------------
+
+  test("pagerank: mass conserved, positive, discriminating, deterministic") {
+    val rows = q("q_graph_pagerank").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pagerank"))
+    val n = Tables.t(spark, sf0, "documents").count()
+    assert(rows.length === n)
+    // every node has outdeg >= 1 (generator property for N > 51), so no
+    // rank mass leaks: sum stays 1 up to per-iteration rounding
+    val mass = rows.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass")
+    assert(rows.forall(_._2 > 0.0), "teleport term keeps every rank > 0")
+    assert(rows.map(_._2).distinct.length > 1,
+      "in-degrees differ, so ranks must discriminate")
+    // fully deterministic (rounded state each iteration)
+    assert(q("q_graph_pagerank").collect().toSeq ===
+      rows.map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq)
+  }
+
+  // ---- q_sessionize -----------------------------------------------------
+
+  test("sessionize: sessions match a scalar replay of the gap rule") {
+    val rows = q("q_sessionize").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events")))
+    val events = Tables.t(spark, sf0, "events")
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gapUs = 12L * 3600 * 1000000
+    events.groupBy(_._1).foreach { case (user, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3)).map(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer[Long]()
+      var prev = Long.MinValue
+      sorted.foreach { t =>
+        if (prev == Long.MinValue || t - prev > gapUs) sessions += 0L
+        sessions(sessions.length - 1) += 1
+        prev = t
+      }
+      val got = rows.filter(_._1 == user).sortBy(_._2).map(_._3).toSeq
+      assert(got === sessions.toSeq, s"user $user session sizes")
+    }
+    // the 12 h gap actually splits: multiple sessions for some user
+    assert(rows.groupBy(_._1).values.exists(_.size > 1))
+    // and merges: some session has > 1 event
+    assert(rows.exists(_._3 > 1))
+  }
+
+  test("sessionize plan: keyed window, no global sort before the agg") {
+    val p = q("q_sessionize").queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "lag/cumsum must plan as window")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"expected at most window+agg exchanges, got $exchanges:\n$p")
+  }
+
   // ---- double_dot -------------------------------------------------------
 
   test("double_dot matches the interpreted fold and float_dot bit-for-bit") {
