@@ -37,7 +37,20 @@ object PlanDump {
     "q_doc_chunks" -> ("chunking is pure per-row array exprs inside " +
       "WholeStageCodegen; the only exchange is the output sort"),
     "q_text_drift" -> ("corpus vocab table broadcast into the " +
-      "per-source join; two keyed counts, no vocab re-shuffle"))
+      "per-source join; two keyed counts, no vocab re-shuffle"),
+    "q_sim_kmeans" -> ("each Lloyd iteration: k-row centroid " +
+      "BroadcastNestedLoopJoin (corpus never reshuffled for " +
+      "assignment) + two-phase min(struct)/avg aggregates whose " +
+      "output is k×dim rows at any corpus size; double_dot codegen'd"),
+    "q_dedup_incremental" -> ("increment-side band keys broadcast " +
+      "into the candidate BroadcastHashJoin — per-ingest cost linear " +
+      "in the increment, corpus streamed map-side"),
+    "q_doc_cdc" -> ("content-defined chunking as scan-local array " +
+      "algebra in WholeStageCodegen; no join, no hash exchange, only " +
+      "the output sort"),
+    "q_graph_pagerank" -> ("per iteration: ranks⋈edges shuffled on " +
+      "src, two-phase inflow sum on dst, teleport left-join; 1-row " +
+      "N-stats broadcast — no cartesian, no collect"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
