@@ -499,7 +499,132 @@ object Multimodal {
             WHERE frame_idx % 2 = 0
             ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST"""))
 
+  /** Deterministic minimal ISO-BMFF (MP4) blob for doc_id: big-endian
+    * [size][type] boxes — `ftyp` with a VARIABLE brand list (k =
+    * doc_id mod 3 + 1 compatible brands, so the ftyp size — and with it
+    * every later box offset — differs per doc), `moov` containing a
+    * version-0 `mvhd` (timescale + duration), and an `mdat` whose
+    * payload length and bytes are doc_id arithmetic. Box sizes must be
+    * READ from the stream to find the next box — fixed offsets cannot
+    * decode it. */
+  private[graft] def mp4Bytes(docId: Long): Array[Byte] = {
+    val k = (docId % 3 + 1).toInt
+    val ftypLen = 16 + 4 * k
+    val mvhdLen = 108 // standard v0 mvhd
+    val moovLen = 8 + mvhdLen
+    val nMdat = (5 + docId % 7).toInt
+    val mdatLen = 8 + nMdat
+    val timescale = (600 + (docId % 5) * 100).toInt
+    val duration = ((docId % 50 + 1) * 100).toInt
+    val bb = java.nio.ByteBuffer
+      .allocate(ftypLen + moovLen + mdatLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(ftypLen).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(512)
+    (0 until k).foreach(i =>
+      bb.put((if (i % 2 == 0) "mp41" else "avc1").getBytes("US-ASCII")))
+    bb.putInt(moovLen).put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhdLen).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                       // version + flags
+      .putInt(0).putInt(0)             // ctime, mtime
+      .putInt(timescale).putInt(duration)
+    // 8 hdr + 4 version/flags + 4 ctime + 4 mtime + 4 timescale +
+    // 4 duration = 28 bytes written; the rest of the 108-byte v0 mvhd
+    // (rate/volume/reserved/matrix/next_track) stays zero
+    bb.position(bb.position() + (mvhdLen - 28))
+    bb.putInt(mdatLen).put("mdat".getBytes("US-ASCII"))
+    (0 until nMdat).foreach(i =>
+      bb.put(((docId * 31 + i * 17) % 256).toByte))
+    bb.array()
+  }
+
+  /** Real video-container decode (q_multimodal_mp4): an ISO-BMFF box
+    * WALK as Catalyst expressions — every offset below is computed from
+    * a size field READ out of the bytes (big-endian `substring`+`conv`),
+    * because the variable-length ftyp brand list shifts every later
+    * box: ftyp size → moov offset → mvhd timescale/duration → mdat
+    * offset → payload byte sum. The oracle recomputes all decoded
+    * fields from doc_id arithmetic alone, so a green hash proves the
+    * chained-offset walk byte-for-byte (the same fixture-half/real-half
+    * contract as the WAV/BMP/PNG decoders). Scan-local per-row
+    * expressions + one explode for the payload sum — no shuffle before
+    * the keyed agg. */
+  val qMultimodalMp4 = Q(
+    "q_multimodal_mp4",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, mp4Bytes(id))))
+        .toDF("doc_id", "mp4")
+      // big-endian unsigned int read: nbytes at 1-based position expr
+      def be(pos: String, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(mp4, CAST(($pos) + $k AS INT), 1)), " +
+            s"16, 10) AS BIGINT) * ${1L << (8 * (nbytes - 1 - k))})")
+          .mkString("(", " + ", ")")
+      blobs
+        .withColumn("ftyp_size", expr(be("1", 4)))
+        .withColumn("boxes_ok", expr(
+          s"""CAST(substring(mp4, 5, 4) AS STRING) = 'ftyp' AND
+              CAST(substring(mp4, CAST(ftyp_size + 5 AS INT), 4)
+                AS STRING) = 'moov' AND
+              CAST(substring(mp4, CAST(ftyp_size + 13 AS INT), 4)
+                AS STRING) = 'mvhd'"""))
+        .withColumn("major_brand",
+          expr("CAST(substring(mp4, 9, 4) AS STRING)"))
+        .withColumn("n_brands",
+          expr("(ftyp_size - 16) div 4").cast("long"))
+        // mvhd payload at ftyp_size+17: version/flags, ctime, mtime,
+        // then timescale (+29) and duration (+33)
+        .withColumn("timescale", expr(be("ftyp_size + 29", 4)))
+        .withColumn("duration", expr(be("ftyp_size + 33", 4)))
+        .withColumn("moov_size", expr(be("ftyp_size + 1", 4)))
+        .withColumn("mdat_pos", col("ftyp_size") + col("moov_size") + 1)
+        .withColumn("mdat_ok", expr(
+          "CAST(substring(mp4, CAST(mdat_pos + 4 AS INT), 4) AS STRING)" +
+            " = 'mdat'"))
+        .withColumn("n_mdat", expr(be("mdat_pos", 4) + " - 8"))
+        // bounded decode: a corrupt size field must fail the oracle
+        // hash, not OOM the executor on a billion-element sequence
+        .withColumn("i", explode(expr(
+          "sequence(CAST(0 AS BIGINT), least(n_mdat, 4096) - 1)")))
+        .withColumn("byte", expr(be("mdat_pos + 8 + i", 1)))
+        .groupBy(col("doc_id"), col("boxes_ok"), col("mdat_ok"),
+          col("major_brand"), col("n_brands"), col("timescale"),
+          col("duration"), col("n_mdat"))
+        .agg(sum(col("byte")).as("mdat_byte_sum"))
+        .withColumn("duration_s",
+          round(col("duration") * lit(1.0) / col("timescale"), 6))
+        .select(col("doc_id"), col("boxes_ok"), col("mdat_ok"),
+          col("major_brand"), col("n_brands"), col("timescale"),
+          col("duration"), col("duration_s"), col("n_mdat"),
+          col("mdat_byte_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, TRUE AS boxes_ok, TRUE AS mdat_ok,
+                'isom' AS major_brand,
+                doc_id % 3 + 1 AS n_brands,
+                600 + (doc_id % 5) * 100 AS timescale,
+                (doc_id % 50 + 1) * 100 AS duration,
+                5 + doc_id % 7 AS n_mdat
+              FROM documents),
+            payload AS (
+              SELECT doc_id, unnest(generate_series(0, n_mdat - 1)) AS i
+              FROM spec)
+            SELECT s.doc_id, boxes_ok, mdat_ok, major_brand, n_brands,
+              timescale, duration,
+              round(duration * 1.0 / timescale, 6) AS duration_s,
+              n_mdat,
+              CAST(sum((s.doc_id * 31 + p.i * 17) % 256) AS BIGINT)
+                AS mdat_byte_sum
+            FROM spec s JOIN payload p ON s.doc_id = p.doc_id
+            GROUP BY s.doc_id, boxes_ok, mdat_ok, major_brand, n_brands,
+              timescale, duration, n_mdat
+            ORDER BY s.doc_id NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
-      qMultimodalWav, qMultimodalBmp)
+      qMultimodalWav, qMultimodalBmp, qMultimodalMp4)
 }

@@ -155,4 +155,47 @@ class VectorSpec extends SparkSuite {
     assert(c.size === 40)
     c.values.foreach(v => assert(v >= -1.000001 && v <= 1.000001))
   }
+
+  test("MP4 box walk: a scalar ByteBuffer replay recovers every field") {
+    (0L until 40L).foreach { id =>
+      val b = java.nio.ByteBuffer.wrap(graft.ops.Multimodal.mp4Bytes(id))
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      def boxType(): String = {
+        val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII")
+      }
+      val ftypSize = b.getInt
+      assert(boxType() === "ftyp")
+      assert(boxType() === "isom", s"doc $id major brand")
+      b.getInt // minor version
+      val nBrands = (ftypSize - 16) / 4
+      assert(nBrands === id % 3 + 1)
+      (0 until nBrands.toInt).foreach(_ => b.getInt)
+      val moovSize = b.getInt
+      assert(boxType() === "moov")
+      val mvhdSize = b.getInt
+      assert(boxType() === "mvhd")
+      assert(moovSize === mvhdSize + 8)
+      b.getInt; b.getInt; b.getInt // version/flags, ctime, mtime
+      assert(b.getInt === 600 + (id % 5) * 100, s"doc $id timescale")
+      assert(b.getInt === (id % 50 + 1) * 100, s"doc $id duration")
+      b.position(b.position() + mvhdSize - 28)
+      val mdatSize = b.getInt
+      assert(boxType() === "mdat")
+      val n = mdatSize - 8
+      assert(n === 5 + id % 7)
+      var sum = 0L
+      (0 until n).foreach(i => sum += b.get() & 0xff)
+      val expect = (0 until n).map(i => (id * 31 + i * 17) % 256).sum
+      assert(sum === expect, s"doc $id mdat byte sum")
+      assert(!b.hasRemaining, s"doc $id trailing bytes")
+    }
+  }
+
+  test("MP4 walk is offset-chained: brand-count change moves later boxes") {
+    // docs with different (id mod 3) have different ftyp sizes, so the
+    // moov/mdat offsets differ — a fixed-offset parser would break
+    val sizes = (0L until 3L).map(id =>
+      graft.ops.Multimodal.mp4Bytes(id).length).distinct
+    assert(sizes.length > 1)
+  }
 }
