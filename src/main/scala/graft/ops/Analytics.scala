@@ -223,6 +223,82 @@ object Analytics {
             ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
               event_type NULLS FIRST"""))
 
+  /** Q1 shape — the pricing-summary report: one full-fact scan into a
+    * grouped aggregate over a 6-value key. THE map-side-combine
+    * benchmark: partial aggregation collapses each partition to ≤6
+    * rows before the shuffle, so the exchange is constant-size at any
+    * scale. */
+  val qTpchQ1 = Q(
+    "q_tpch_q1",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      t("lineitem")
+        .filter(col("l_shipdate") <=
+          lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                AS sum_disc_price,
+              round(sum(l_extendedprice * (1.0 - l_discount)
+                * (1.0 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Q18 shape — large-volume customers: aggregate the fact table,
+    * filter on the aggregate (HAVING), then join the qualifying keys
+    * BACK to the dimensions. The having-set is tiny, so the join back
+    * is a broadcast — the scale contract is one fact shuffle (the
+    * per-order agg) and no second fact pass. */
+  val qTpchQ18 = Q(
+    "q_tpch_q18",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val bigOrders = t("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      t("orders")
+        .join(org.apache.spark.sql.functions.broadcast(bigOrders),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              o_totalprice, sum_qty
+            FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING round(sum(l_quantity), 2) > 300.0) big
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+            LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qAggHllMerge,
-    qResampleFfill, qScd2)
+    qResampleFfill, qScd2, qTpchQ1, qTpchQ18)
 }

@@ -309,8 +309,46 @@ object More {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Weighted reservoir sample, top-10 per source (q_sample_weighted):
+    * algorithm A-ES — each doc draws an exponential race key
+    * e = −ln(u)/w with weight w = n_chars and u a DETERMINISTIC
+    * md5-derived uniform in (0,1); the 10 smallest keys per source are
+    * the sample. Longer docs win proportionally more often, the draw is
+    * reproducible on any partitioning (no RNG), and the per-source
+    * top-10 is a keyed window — the length-weighted subsampling step of
+    * a training-mix build. The race key itself is NOT output (ln is
+    * libm math; last-ulp cross-engine differences are fine for ORDERING
+    * — uniform keys are ~1/n² apart — but not for hashing). */
+  val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.t(s, d, "documents")
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("e",
+          expr("-ln((h + 0.5) / 4294967296.0) / n_chars"))
+        .withColumn("sample_rank", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("e"), col("doc_id"))))
+        .filter(col("sample_rank") <= 10)
+        .select(col("source"), col("sample_rank").cast("long")
+          .as("sample_rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("sample_rank"))
+    },
+    Some("""SELECT source, sample_rank, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY -ln((CAST('0x' ||
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 0.5) / 4294967296.0) / n_chars,
+                    doc_id) AS BIGINT) AS sample_rank
+              FROM documents) r
+            WHERE sample_rank <= 10
+            ORDER BY source NULLS FIRST, sample_rank NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
     qSubqueryScalar, qUpsertLatest, qProfile, qAggMode, qSampleMod,
-    qSampleStratified)
+    qSampleStratified, qSampleWeighted)
 }

@@ -139,4 +139,44 @@ class MoreSpec extends SparkSuite {
         r.getAs[Long]("n_sampled")).toMap
     assert(again === sampled)
   }
+
+  test("weighted sample: 10 per source, biased toward long docs, " +
+    "deterministic") {
+    val rows = q("q_sample_weighted").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("sample_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val inventory = Tables.t(spark, sf0, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"),
+        avg(col("n_chars")).as("avg_chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (src, picks) =>
+      assert(picks.length === math.min(10L, inventory(src)._1),
+        s"$src sample size")
+      assert(picks.map(_._2).sorted.toSeq ===
+        (1L to picks.length).toSeq, s"$src ranks dense")
+    }
+    // A-ES with w = n_chars: the sample must skew toward longer docs
+    val sampledAvg = rows.map(_._4).sum.toDouble / rows.length
+    val corpusAvg = Tables.t(spark, sf0, "documents")
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(sampledAvg > corpusAvg,
+      s"weighted sample should favor long docs: $sampledAvg vs $corpusAvg")
+    // deterministic (hash draw, no RNG)
+    assert(q("q_sample_weighted").collect().length === rows.length)
+  }
+
+  test("tpch q1 plan: partial agg collapses before one tiny exchange") {
+    val p = q("q_tpch_q1").queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), "map-side combine must fire")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"Q1 is one shuffle, got $exchanges")
+  }
+
+  test("tpch q18 plan: having-set joins back as broadcast, one fact shuffle") {
+    val p = q("q_tpch_q18").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "qualifying orders must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
