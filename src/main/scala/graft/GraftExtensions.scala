@@ -18,6 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[functions.FloatDot].getName, "float_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           functions.FloatDot(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("double_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.DoubleDot].getName, "double_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.DoubleDot(exprs(0), exprs(1))))
     // whole-operator extension: the native as-of join planner strategy
     // (graft.plans.AsofJoin logical node → AsofJoinExec) plus the
     // filter-pushdown rule Catalyst can't apply to an unknown node

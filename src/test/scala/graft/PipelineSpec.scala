@@ -70,6 +70,37 @@ class PipelineSpec extends SparkSuite {
     assert(d0.head !== d1.head)
   }
 
+  test("cdc chunks: random texts — coverage and boundary invariants hold") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg",
+      "hash", "spark", "row", "scan", "key")
+    val textGen = Gen.choose(1, 60)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = Gen.listOfN(64, textGen)
+      .apply(Gen.Parameters.default, rng.Seed(1234L)).get
+    val dir = fixtureDir("cdc_random")(
+      "documents" -> texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = q("q_doc_cdc", dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_words")))
+    rows.groupBy(_._1).foreach { case (doc, chunks) =>
+      val toks = texts(doc.toInt).split(" ")
+      // full coverage, dense chunk ids, and the scalar replay agrees
+      assert(chunks.map(_._3).sum === toks.length.toLong)
+      assert(chunks.map(_._2).sorted.toSeq ===
+        (0L until chunks.length).toSeq)
+      val cuts = 0 +: toks.zipWithIndex.init.collect {
+        case (w, i) if isCut(w) => i + 1
+      }.toSeq :+ toks.length
+      assert(chunks.sortBy(_._2).map(_._3).toSeq ===
+        cuts.sliding(2).map(p => (p(1) - p(0)).toLong).toSeq,
+        s"doc $doc random-text replay")
+    }
+  }
+
   test("cdc chunking plan: scan-local — no join, no hash shuffle") {
     val p = q("q_doc_cdc").queryExecution.executedPlan.toString
     assert(!p.contains("Join"), "chunking must not join")
@@ -156,6 +187,24 @@ class PipelineSpec extends SparkSuite {
       .toMap
     assert(out.size === 8, s"all 8 blobs must survive: $out")
     assert(out.values.forall(_ === 8L), s"each blob has 8 members: $out")
+  }
+
+  test("kmeans: corpus smaller than k degrades to one cluster per vector") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = (0 until 5).map { id =>
+      val arr = Array.fill(dim)(0.0f); arr(id) = 5.0f
+      (id.toLong, arr.toSeq, id)
+    }
+    val dir = fixtureDir("kmeans_tiny")(
+      "embeddings" -> vecs.toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .withColumn("label", col("label").cast("int")))
+    val out = q("q_sim_kmeans", dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members"))
+    assert(out.length === 5, "one centroid per available seed")
+    assert(out.forall(_._2 === 1L))
+    assert(out.map(_._1).sorted.toSeq === (0L until 5L).toSeq)
   }
 
   test("kmeans plan: centroids broadcast — corpus is never shuffled " +
