@@ -511,7 +511,68 @@ object Pipeline {
             FROM x GROUP BY user_id, session_idx
             ORDER BY user_id NULLS FIRST, session_idx NULLS FIRST"""))
 
+  // ---- q_text_winnow ----------------------------------------------------
+
+  /** Winnowing fingerprints (the MOSS local-fingerprinting algorithm):
+    * hash every 5-token shingle IN SEQUENCE, slide a window of 4 hashes
+    * over the sequence, and keep the minimum of each window — the
+    * guarantee is that any match of ≥ 8 consecutive tokens between two
+    * docs shares at least one selected fingerprint, at ~1/4 the
+    * fingerprint density of the full shingle set. (q_text_fingerprint's
+    * single global min is the degenerate w=∞ case.) The whole selection
+    * is scan-local array algebra — shingle hashes, window mins and the
+    * distinct-set collapse all happen inside the row — so fingerprinting
+    * shuffles NOTHING; only the ordered dump sorts. Short docs
+    * (< 5 tokens) fall back to one whole-text hash so every doc emits
+    * ≥ 1 fingerprint. */
+  val qTextWinnow = Q(
+    "q_text_winnow",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("hseq", expr(
+          """CASE WHEN n >= 5
+               THEN transform(sequence(1, n - 4),
+                 i -> CAST(conv(substring(md5(CAST(
+                   concat_ws(' ', slice(toks, i, 5)) AS BINARY)),
+                   1, 8), 16, 10) AS BIGINT))
+               ELSE array(CAST(conv(substring(md5(CAST(
+                 concat_ws(' ', toks) AS BINARY)), 1, 8), 16, 10)
+                 AS BIGINT)) END"""))
+        .withColumn("fp", explode(expr(
+          """CASE WHEN size(hseq) >= 4
+               THEN array_distinct(transform(sequence(1, size(hseq) - 3),
+                 j -> array_min(slice(hseq, j, 4))))
+               ELSE array_distinct(hseq) END""")))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"), col("fp")),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                CASE WHEN n >= 5
+                  THEN list_transform(generate_series(1, n - 4),
+                    i -> CAST('0x' || substr(md5(
+                      array_to_string(toks[i:i+4], ' ')), 1, 8)
+                      AS BIGINT))
+                  ELSE [CAST('0x' || substr(md5(
+                    array_to_string(toks, ' ')), 1, 8) AS BIGINT)]
+                END AS hseq
+              FROM t)
+            SELECT doc_id, fp FROM (
+              SELECT doc_id, unnest(
+                CASE WHEN len(hseq) >= 4
+                  THEN list_distinct(list_transform(
+                    generate_series(1, len(hseq) - 3),
+                    j -> list_min(hseq[j:j+3])))
+                  ELSE list_distinct(hseq) END) AS fp
+              FROM h) f
+            ORDER BY doc_id NULLS FIRST, fp NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs,
-      qGraphPagerank, qSessionize)
+      qGraphPagerank, qSessionize, qTextWinnow)
 }

@@ -327,6 +327,44 @@ class PipelineSpec extends SparkSuite {
       s"expected at most window+agg exchanges, got $exchanges:\n$p")
   }
 
+  // ---- q_text_winnow ----------------------------------------------------
+
+  test("winnowing: shared 10-token span guarantees a shared fingerprint; " +
+    "density below full shingling; scan-local plan") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val a = s"one two three four five six seven $shared red blue green"
+    val b = s"$shared x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val dir = fixtureDir("winnow_guarantee")(
+      "documents" -> Seq(
+        (0L, a, "en", "s0", a.length.toLong),
+        (1L, b, "en", "s0", b.length.toLong),
+        (2L, "tiny doc", "en", "s0", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = q("q_text_winnow", dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val byDoc = rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet
+    }
+    // the winnowing guarantee: a >= w + k - 1 = 8-token exact overlap
+    // must surface at least one common selected fingerprint
+    assert(byDoc(0L).intersect(byDoc(1L)).nonEmpty,
+      "10-token shared span produced no shared fingerprint")
+    // short docs still emit exactly one whole-text fallback fingerprint
+    assert(byDoc(2L).size === 1)
+    // density: windows-of-4 select far fewer fingerprints than the
+    // full shingle set on the real corpus
+    val fps = q("q_text_winnow").collect().length.toLong
+    val shingleCount = Tables.t(spark, sf0, "documents")
+      .selectExpr("greatest(size(split(text, ' ')) - 4, 1) AS m")
+      .agg(sum(col("m"))).collect().head.getLong(0)
+    assert(fps < shingleCount / 2,
+      s"winnowing kept $fps of $shingleCount shingles — no compression")
+    val p = q("q_text_winnow").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "fingerprint selection must be scan-local")
+  }
+
   // ---- double_dot -------------------------------------------------------
 
   test("double_dot matches the interpreted fold and float_dot bit-for-bit") {
