@@ -40,11 +40,18 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"n":${results.size},""" +
         s""""unit":"sec","queries":${jsonMap(results.toSeq.sortBy(_._1))},""" +
         s""""sf":"$sfDir"}"""
+    // anchor explicitly (env override > CWD) and say where it went —
+    // with only the headline subset on stdout, this file is the sole
+    // record of all per-query timings
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+      .toAbsolutePath
     try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
-        fullJson.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query timings: $fullPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: $e")
+    }
     val headline = Seq(
       "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "q_join_broadcast", "q_join_range", "q_join_asof", "q_join_bucketed",

@@ -151,16 +151,35 @@ object Dedup {
       df
     })
 
+  /** 4×4 LSH band keys from the 16 minhash columns — the ONE definition
+    * every banded consumer (near pairs, incremental ingest) shares, so
+    * their candidate sets stay provably in lockstep. */
+  private def lshBands(df: DataFrame): DataFrame = {
+    val bandRows = (0 until 4).map { b =>
+      s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
+        s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
+    }.mkString(", ")
+    df.select(col("doc_id"),
+      expr(s"stack(4, $bandRows) AS (band, band_key)"))
+  }
+
+  /** Exact-Jaccard verify over candidate pairs (shared threshold 0.5):
+    * appends n_common + jaccard and keeps pairs at or above the cut. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    cand
+      .join(sets.as("za"), col(aCol) === col("za.doc_id"))
+      .join(sets.as("zb"), col(bCol) === col("zb.doc_id"))
+      .withColumn("n_common",
+        expr("size(array_intersect(za.hs, zb.hs))").cast("long"))
+      .withColumn("jaccard", round(col("n_common") * lit(1.0) /
+        (col("za.sz") + col("zb.sz") - col("n_common")), 6))
+      .filter(col("jaccard") >= 0.5)
+
   private def buildNearPairs(s: SparkSession, d: String): DataFrame = {
       val sets = minhashWithSets(s, d)
         .select(col("doc_id"), col("hs"), col("sz"))
-      val bandRows = (0 until 4).map { b =>
-        s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
-          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
-      }.mkString(", ")
-      val bands = minhashWithSets(s, d)
-        .select(col("doc_id"),
-          expr(s"stack(4, $bandRows) AS (band, band_key)"))
+      val bands = lshBands(minhashWithSets(s, d))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
@@ -168,32 +187,31 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      cand
-        .join(sets.as("za"), col("a_id") === col("za.doc_id"))
-        .join(sets.as("zb"), col("b_id") === col("zb.doc_id"))
-        .withColumn("n_common",
-          expr("size(array_intersect(za.hs, zb.hs))").cast("long"))
-        .withColumn("jaccard", round(col("n_common") * lit(1.0) /
-          (col("za.sz") + col("zb.sz") - col("n_common")), 6))
-        .filter(col("jaccard") >= 0.5)
+      jaccardVerify(cand, sets, "a_id", "b_id")
         .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+  }
+
+  /** DuckDB mirror of [[lshBands]]: CTE chain shingle_sets → mh →
+    * bands — the same one-definition discipline as the Spark side. */
+  private lazy val bandsCteSql: String = {
+    val mhCols = (0 until 16).map(i =>
+      s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
+        s"(${7 * i + 3})) % 2147483647)) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${4 * b} + 31 * m${4 * b + 1} + " +
+        s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3} AS band_key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""$shinglesCte,
+       $shingleSetsCte,
+       mh AS (SELECT doc_id, $mhCols FROM shingle_sets),
+       bands AS ($bandSelects)"""
   }
 
   val qDedupNear = Q(
     "q_dedup_near",
     (s, d) => nearPairs(s, d).orderBy(col("a_id"), col("b_id")),
     Some {
-      val mhCols = (0 until 16).map(i =>
-        s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
-          s"(${7 * i + 3})) % 2147483647)) AS m$i").mkString(",\n  ")
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, m${4 * b} + 31 * m${4 * b + 1} + " +
-          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3} AS band_key FROM mh"
-      }.mkString("\n  UNION ALL ")
-      s"""$shinglesCte,
-         $shingleSetsCte,
-         mh AS (SELECT doc_id, $mhCols FROM shingle_sets),
-         bands AS ($bandSelects),
+      s"""$bandsCteSql,
          cand AS (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM bands a JOIN bands b
@@ -679,29 +697,16 @@ object Dedup {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val mh = minhashWithSets(s, d)
-      val bandRows = (0 until 4).map { b =>
-        s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
-          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
-      }.mkString(", ")
-      def bands(df: DataFrame): DataFrame =
-        df.select(col("doc_id"),
-          expr(s"stack(4, $bandRows) AS (band, band_key)"))
-      val cand = bands(mh.filter(col("doc_id") % 10 < 8)).as("a")
-        .join(broadcast(bands(mh.filter(col("doc_id") % 10 >= 8))).as("b"),
+      val cand = lshBands(mh.filter(col("doc_id") % 10 < 8)).as("a")
+        .join(
+          broadcast(lshBands(mh.filter(col("doc_id") % 10 >= 8))).as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_key") === col("b.band_key"))
         .select(col("b.doc_id").as("new_id"),
           col("a.doc_id").as("corpus_id"))
         .distinct()
       val sets = mh.select(col("doc_id"), col("hs"), col("sz"))
-      cand
-        .join(sets.as("zn"), col("new_id") === col("zn.doc_id"))
-        .join(sets.as("zc"), col("corpus_id") === col("zc.doc_id"))
-        .withColumn("n_common",
-          expr("size(array_intersect(zn.hs, zc.hs))").cast("long"))
-        .withColumn("jaccard", round(col("n_common") * lit(1.0) /
-          (col("zn.sz") + col("zc.sz") - col("n_common")), 6))
-        .filter(col("jaccard") >= 0.5)
+      jaccardVerify(cand, sets, "new_id", "corpus_id")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("new_id"))
             .orderBy(col("jaccard").desc, col("corpus_id"))))
@@ -711,17 +716,7 @@ object Dedup {
         .orderBy(col("new_id"))
     },
     Some {
-      val mhCols = (0 until 16).map(i =>
-        s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
-          s"(${7 * i + 3})) % 2147483647)) AS m$i").mkString(",\n  ")
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, m${4 * b} + 31 * m${4 * b + 1} + " +
-          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3} AS band_key FROM mh"
-      }.mkString("\n  UNION ALL ")
-      s"""$shinglesCte,
-         $shingleSetsCte,
-         mh AS (SELECT doc_id, $mhCols FROM shingle_sets),
-         bands AS ($bandSelects),
+      s"""$bandsCteSql,
          cand AS (
            SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
            FROM bands a JOIN bands b

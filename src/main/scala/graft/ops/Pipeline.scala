@@ -290,7 +290,11 @@ object Pipeline {
       assign(cents)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
-          round(avg(sqrt(col("d2"))), 6).as("avg_dist"))
+          // d2 = aa − 2ab + cc can cancel to −1ulp for a vector sitting
+          // on a centroid; DuckDB hard-errors on sqrt(negative) while
+          // Spark yields NaN — clamp on BOTH sides
+          round(avg(sqrt(greatest(col("d2"), lit(0.0)))), 6)
+            .as("avg_dist"))
         .select(col("cid").as("cluster_id"), col("n_members"),
           col("avg_dist"))
         .orderBy(col("cluster_id"))
@@ -333,7 +337,7 @@ object Pipeline {
           $iterCtes,
           ${assignCte(ITERS)}
           SELECT cid AS cluster_id, count(*) AS n_members,
-            round(avg(sqrt(d2)), 6) AS avg_dist
+            round(avg(sqrt(greatest(d2, 0))), 6) AS avg_dist
           FROM a$ITERS GROUP BY cid
           ORDER BY cluster_id NULLS FIRST"""
     })
@@ -480,9 +484,7 @@ object Pipeline {
           when(col("gap_us").isNull ||
             col("gap_us") > lit(12L * 3600 * 1000000), 1L).otherwise(0L))
         .withColumn("session_idx", sum(col("new_s")).over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("ts"), col("event_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))

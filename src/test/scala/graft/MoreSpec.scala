@@ -162,8 +162,11 @@ class MoreSpec extends SparkSuite {
       .agg(avg(col("n_chars"))).collect().head.getDouble(0)
     assert(sampledAvg > corpusAvg,
       s"weighted sample should favor long docs: $sampledAvg vs $corpusAvg")
-    // deterministic (hash draw, no RNG)
-    assert(q("q_sample_weighted").collect().length === rows.length)
+    // deterministic (hash draw, no RNG): full tuples, not just counts
+    val again = q("q_sample_weighted").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("sample_rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    assert(again.toSeq === rows.toSeq)
   }
 
   test("tpch q1 plan: partial agg collapses before one tiny exchange") {
