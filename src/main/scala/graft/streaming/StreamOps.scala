@@ -792,9 +792,48 @@ object StreamOps {
             GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
+  /** Streaming per-label centroid maintenance (q_stream_centroid): the
+    * vector-pipeline twin of q_sim_centroid — embeddings arrive as a
+    * stream and the per-label mean vector is maintained INCREMENTALLY
+    * by a keyed stateful average over (label, dim). State is bounded by
+    * labels × dims (here 10×64) whatever the stream volume — the shape
+    * that keeps an embedding-index's cluster summary fresh at ingest
+    * time without batch recomputes. Settles to the batch centroid
+    * (oracle) under AvailableNow drain. */
+  val qStreamCentroid = Q(
+    "q_stream_centroid",
+    (s, d) => {
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val es = s.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(d)
+      val agg = es
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+      drain(s, agg, "stream_centroid_tbl", "complete")
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("pos"), col("cx"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some("""WITH pos AS (
+              SELECT label, i - 1 AS pos,
+                CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                len(embedding))) AS i) ix)
+            SELECT CAST(label AS BIGINT) AS label,
+              CAST(pos AS BIGINT) AS pos,
+              round(avg(x), 6) AS cx
+            FROM pos GROUP BY label, pos
+            ORDER BY label NULLS FIRST, pos NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
-    qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate)
+    qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
+    qStreamCentroid)
 }

@@ -410,4 +410,30 @@ class StreamSpec extends SparkSuite {
     // above, this one pins the stream-static drain to the batch answer
     assert(settled.map(_._2).sum === docs.count())
   }
+
+  test("streaming centroid: state carries across micro-batches — final " +
+    "mean covers ALL arrived vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Int, Seq[Float])]
+    val agg = mem.toDF().toDF("label", "embedding")
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("cx"))
+    val qy = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("spec_stream_centroid").start()
+    mem.addData((0, Seq(1.0f, 0.0f)), (0, Seq(3.0f, 2.0f)))
+    qy.processAllAvailable()
+    // batch 2 shifts the running mean — state must persist, not reset
+    mem.addData((0, Seq(5.0f, 4.0f)), (1, Seq(7.0f, 7.0f)))
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("spec_stream_centroid").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos")) ->
+        r.getAs[Double]("cx")).toMap
+    assert(got === Map((0, 0) -> 3.0, (0, 1) -> 2.0,
+      (1, 0) -> 7.0, (1, 1) -> 7.0))
+  }
 }
