@@ -90,6 +90,29 @@ object Pipeline {
     * drop the trailing slash. Docs agreeing on the canonical URL form a
     * dupe group; keeper = min doc_id. All per-row regexp work
     * (codegen'd, RE2-safe — no lookaheads), then one hash aggregate. */
+  /** Canonical-URL normalizer as a single Column program (reused by the
+    * query and property-tested directly on generated messy URLs):
+    * lowercase scheme+host, strip www., drop the fragment, remove
+    * utm_* tracking params (cleaning dangling ?/&), drop the trailing
+    * slash. RE2-safe — no lookaheads — so Spark and DuckDB run the
+    * same patterns. */
+  private[graft] def normalizeUrl(url: Column): Column = {
+    val headRaw = regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0)
+    val head = regexp_replace(lower(headRaw),
+      "^(https?://)www\\.", "$1")
+    val tail0 = url.substr(length(headRaw) + lit(1), length(url))
+    val tail = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(tail0, "#.*$", ""),
+            "utm_[a-z]+=[^&#]*&?", ""),
+          "[?&]+$", ""),
+        "/\\?", "?"),
+      "/+$", "")
+    concat(head, tail)
+  }
+
   val qDedupUrl = Q(
     "q_dedup_url",
     (s, d) =>
@@ -106,17 +129,7 @@ object Pipeline {
                                 '&utm_campaign=x')
                     ELSE concat('?ref=', CAST(doc_id % 5 AS STRING)) END,
                CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END)"""))
-        .withColumn("head", expr(
-          "regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)), '^https://www\\\\.', 'https://')"))
-        .withColumn("tail", expr(
-          "substring(url, length(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) + 1)"))
-        .withColumn("tail", expr("regexp_replace(tail, '#.*$', '')"))
-        .withColumn("tail", expr(
-          "regexp_replace(tail, 'utm_[a-z]+=[^&#]*&?', '')"))
-        .withColumn("tail", expr("regexp_replace(tail, '[?&]+$', '')"))
-        .withColumn("tail", expr("replace(tail, '/?', '?')"))
-        .withColumn("tail", expr("regexp_replace(tail, '/+$', '')"))
-        .withColumn("norm_url", concat(col("head"), col("tail")))
+        .withColumn("norm_url", normalizeUrl(col("url")))
         .groupBy(col("norm_url"))
         .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
         .orderBy(col("norm_url")),
@@ -140,7 +153,7 @@ object Pipeline {
                 concat(
                   regexp_replace(
                     lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)),
-                    '^https://www\.', 'https://'),
+                    '^(https?://)www\.', '\1'),
                   regexp_replace(
                     replace(
                       regexp_replace(

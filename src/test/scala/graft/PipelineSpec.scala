@@ -156,6 +156,43 @@ class PipelineSpec extends SparkSuite {
     assert(rows.exists(_._2 > 1), "expected at least one dupe group")
   }
 
+  test("url normalizer: invariants + idempotence over generated messy urls") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "HtTpS")
+      www <- Gen.oneOf("", "WWW.", "www.")
+      host <- Gen.oneOf("Example.COM", "site7.org", "A.B.NET")
+      path <- Gen.oneOf("", "/Article/9", "/a/B/c")
+      slash <- Gen.oneOf("", "/")
+      query <- Gen.oneOf("", "?ref=1", "?utm_source=x",
+        "?utm_source=x&ref=2", "?ref=3&utm_campaign=y&id=4",
+        "?utm_a=1&utm_b=2")
+      frag <- Gen.oneOf("", "#frag", "#a/b?c")
+    } yield s"$scheme://$www$host$path$slash$query$frag"
+    val urls = Gen.listOfN(200, urlGen)
+      .apply(Gen.Parameters.default, rng.Seed(77L)).get.distinct
+    val once = urls.toDF("url")
+      .select(col("url"), ops.Pipeline.normalizeUrl(col("url")).as("n1"))
+      .withColumn("n2", ops.Pipeline.normalizeUrl(col("n1")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    once.foreach { case (raw, n1, n2) =>
+      assert(n2 === n1, s"not idempotent: $raw -> $n1 -> $n2")
+      assert(!n1.contains("#"), s"fragment survives: $raw -> $n1")
+      assert(!n1.contains("utm_"), s"tracking survives: $raw -> $n1")
+      assert(!n1.contains("://www."), s"www survives: $raw -> $n1")
+      assert(!n1.endsWith("/") && !n1.endsWith("?") && !n1.endsWith("&"),
+        s"dangling separator: $raw -> $n1")
+      val scheme = n1.takeWhile(_ != ':')
+      assert(scheme === scheme.toLowerCase, s"scheme case: $raw -> $n1")
+      // host is lowercased (everything before the first path/query char)
+      val hostPart = n1.drop(scheme.length + 3).takeWhile(c =>
+        c != '/' && c != '?')
+      assert(hostPart === hostPart.toLowerCase, s"host case: $raw -> $n1")
+    }
+  }
+
   // ---- q_sim_kmeans -----------------------------------------------------
 
   test("kmeans: partitions the corpus, and separates planted blobs") {
