@@ -299,6 +299,91 @@ object Analytics {
             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
             LIMIT 20"""))
 
+  /** Ordered conversion funnel (q_funnel): view → click → purchase,
+    * each stage's timestamp strictly after the previous stage's — the
+    * product-analytics query behind every activation dashboard. Shape:
+    * three keyed min-aggregates chained by per-user joins; every join
+    * key is user_id, so at scale the three stages co-partition on one
+    * shuffle key and the stage tables only ever shrink. */
+  val qFunnel = Q(
+    "q_funnel",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val ev = t("events").select(col("user_id"), col("event_type"),
+        col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_ unionAll _).orderBy(col("stage"))
+    },
+    Some("""WITH v AS (
+              SELECT user_id, min(ts) AS v_ts FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS c_ts
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.v_ts
+              GROUP BY e.user_id),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS p_ts
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+              GROUP BY e.user_id)
+            SELECT '1_view' AS stage, count(*) AS n_users FROM v
+            UNION ALL
+            SELECT '2_click', count(*) FROM c
+            UNION ALL
+            SELECT '3_purchase', count(*) FROM p
+            ORDER BY stage NULLS FIRST"""))
+
+  /** Weekly cohort retention (q_retention): users grouped by
+    * first-activity week, counted per (cohort_week, weeks-since-cohort)
+    * — the retention-matrix query. Two keyed aggregates: first-activity
+    * per user (one shuffle by user), then a distinct count per
+    * (cohort, offset) cell; the matrix output is weeks² rows whatever
+    * the event volume. */
+  val qRetention = Q(
+    "q_retention",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val acts = t("events")
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7")
+            .cast("long").as("week"))
+        .distinct()
+      val cohorts = acts.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      acts.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH acts AS (
+              SELECT DISTINCT user_id,
+                CAST(date_diff('day', DATE '2024-01-01',
+                  CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+              FROM events),
+            cohorts AS (
+              SELECT user_id, min(week) AS cohort_week
+              FROM acts GROUP BY user_id)
+            SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+              count(DISTINCT a.user_id) AS n_users
+            FROM acts a JOIN cohorts c ON a.user_id = c.user_id
+            GROUP BY c.cohort_week, week_offset
+            ORDER BY c.cohort_week NULLS FIRST, week_offset NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qAggHllMerge,
-    qResampleFfill, qScd2, qTpchQ1, qTpchQ18)
+    qResampleFfill, qScd2, qTpchQ1, qTpchQ18, qFunnel, qRetention)
 }

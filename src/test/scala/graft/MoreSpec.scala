@@ -169,6 +169,55 @@ class MoreSpec extends SparkSuite {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("funnel: stages only shrink, and match a scalar event replay") {
+    val stages = q("q_funnel").collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+    // scalar replay of the strict view < click < purchase ordering
+    val evs = Tables.t(spark, sf0, "events")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    def firstAfter(u: Long, t: String, after: Long): Option[Long] =
+      byUser.getOrElse(u, Array.empty).collect {
+        case (_, `t`, us) if us > after => us
+      }.sorted.headOption
+    var nV, nC, nP = 0L
+    byUser.keys.foreach { u =>
+      firstAfter(u, "view", Long.MinValue).foreach { vTs =>
+        nV += 1
+        firstAfter(u, "click", vTs).foreach { cTs =>
+          nC += 1
+          firstAfter(u, "purchase", cTs).foreach(_ => nP += 1)
+        }
+      }
+    }
+    assert(stages === Map("1_view" -> nV, "2_click" -> nC,
+      "3_purchase" -> nP))
+  }
+
+  test("retention: offset-0 cell equals cohort size; cells never exceed it") {
+    val cells = q("q_retention").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users")))
+    assert(cells.nonEmpty)
+    assert(cells.forall(_._2 >= 0), "offsets are never negative")
+    val cohortSize = cells.filter(_._2 == 0L)
+      .map(c => c._1 -> c._3).toMap
+    cells.foreach { case (cw, _, n) =>
+      assert(n <= cohortSize(cw),
+        s"cohort $cw cell $n exceeds cohort size ${cohortSize(cw)}")
+    }
+    // every user appears in exactly one cohort: offset-0 cells sum to
+    // the distinct-user population
+    val users = Tables.t(spark, sf0, "events")
+      .select(col("user_id")).distinct().count()
+    assert(cohortSize.values.sum === users)
+  }
+
   test("tpch q1 plan: partial agg collapses before one tiny exchange") {
     val p = q("q_tpch_q1").queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), "map-side combine must fire")
