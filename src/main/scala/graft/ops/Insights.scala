@@ -1,0 +1,565 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-4 continuation: graph structure (triangle census), lexical
+  * retrieval index build (posting lists), and linear gap interpolation —
+  * three more shapes a 100 TB corpus pipeline runs routinely.
+  *
+  * Scale discipline: the triangle count uses degree orientation so wedge
+  * fan-out per node is bounded by O(sqrt(|E|)) (the MapReduce triangle
+  * classic); the posting build caps list length BEFORE any collect so no
+  * aggregate buffer exceeds 16 entries; interpolation rides the same
+  * per-key grid explode + two window passes as q_resample_ffill. */
+object Insights {
+
+  // ---- q_graph_triangles ------------------------------------------------
+
+  /** Triangle census (q_graph_triangles) over the same deterministic
+    * derived link graph q_graph_pagerank uses (hub contraction + affine +
+    * quadratic maps mod N — deliberately non-affine so the structure is
+    * non-trivial). Canonicalize to undirected edges, then orient every
+    * edge from the (degree, id)-smaller endpoint upward: each triangle
+    * {x,y,z} is then counted exactly ONCE, as the wedge at its smallest
+    * vertex closed by the third oriented edge. The orientation bounds any
+    * node's oriented out-degree by O(sqrt(|E|)), so the wedge self-join —
+    * the step that explodes on skewed graphs — has bounded per-key
+    * fan-out regardless of hub size. Both joins are equi-joins (on the
+    * wedge apex, then on the closing (v, w) pair); the inequality is a
+    * post-filter, never a join strategy. Output: one census row with the
+    * global clustering coefficient (3·triangles / wedges-over-UNDIRECTED
+    * degrees, the standard definition). */
+  val qGraphTriangles = Q(
+    "q_graph_triangles",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val directed = docs.select(col("doc_id")).crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+      // materialized ONCE: und feeds the degree count, the orientation,
+      // and the edge census — without the persist the scan+explode+
+      // distinct pipeline re-expands under every consumer subtree
+      val und = directed
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .persist()
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // orient (deg, id)-upward; keep endpoint degrees for the wedge
+      // ordering predicate
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+        .select(
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("v"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("degb")).otherwise(col("dega")).as("vdeg"))
+        .persist() // reused by both wedge sides and the closing probe
+      val e1 = oriented.select(col("u"), col("v").as("v1"),
+        col("vdeg").as("vdeg1"))
+      val e2 = oriented.select(col("u"), col("v").as("v2"),
+        col("vdeg").as("vdeg2"))
+      val wedgesOriented = e1.join(e2, "u")
+        .filter(col("vdeg1") < col("vdeg2") ||
+          (col("vdeg1") === col("vdeg2") && col("v1") < col("v2")))
+      val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+      val triangles = wedgesOriented.join(closing, Seq("v1", "v2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nEdges = und.agg(count(lit(1)).as("n_edges"))
+      // wedges for the clustering coefficient: over UNDIRECTED degrees
+      val nWedges = deg
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      nEdges.crossJoin(nWedges).crossJoin(triangles)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("global_cc"))
+    },
+    Some("""WITH s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
+            nodes AS (SELECT doc_id, n_nodes FROM documents, s),
+            directed AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                  unnest([doc_id // 2,
+                          (doc_id * 31 + 17) % n_nodes,
+                          (doc_id * doc_id + 1) % n_nodes]) AS dst
+                FROM nodes) u
+              WHERE dst <> src),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM directed),
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) x
+              GROUP BY v),
+            oriented AS (
+              SELECT
+                CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                     THEN und.a ELSE und.b END AS u,
+                CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                     THEN und.b ELSE und.a END AS v,
+                CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                     THEN db.deg ELSE da.deg END AS vdeg
+              FROM und
+              JOIN deg da ON und.a = da.v
+              JOIN deg db ON und.b = db.v),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM oriented e1
+              JOIN oriented e2 ON e1.u = e2.u
+                AND ((e1.vdeg, e1.v) < (e2.vdeg, e2.v))
+              JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v),
+            edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+            wedges AS (
+              SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+              FROM deg)
+            SELECT n_edges, n_wedges, n_triangles,
+              round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+            FROM edges, wedges, tri"""))
+
+  // ---- q_text_postings --------------------------------------------------
+
+  /** Inverted-index build (q_text_postings): term → document frequency,
+    * total term frequency, and the first 16 postings as a `doc:tf` list —
+    * the search-engine index-construction shape. The posting cap is
+    * applied with a per-term row_number BEFORE the list aggregate, so no
+    * collect buffer ever holds more than 16 entries — a stopword with a
+    * million postings costs a bounded aggregate, not an OOM. (At real
+    * index scale the per-term sort itself is sharded into fixed-size
+    * posting BLOCKS keyed (term, block); the cap here is the first
+    * block.) Terms with df < 10 are dropped from the dump (the long tail
+    * is size, not signal — same bound the oracle applies). */
+  val qTextPostings = Q(
+    "q_text_postings",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+        .filter(col("df") >= 10)
+      val rn = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val capped = tf
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") <= 16)
+        .groupBy(col("term"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"),
+            col("tf")))),
+            x => concat(x.getField("doc_id"), lit(":"), x.getField("tf"))),
+          ",").as("postings"))
+      stats.join(capped, "term")
+        .select(col("term"), col("df"), col("tf_total"), col("postings"))
+        .orderBy(col("term"))
+    },
+    Some("""WITH tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents) t
+              GROUP BY term, doc_id),
+            stats AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(tf) AS BIGINT) AS tf_total
+              FROM tf GROUP BY term
+              HAVING count(*) >= 10),
+            ranked AS (
+              SELECT term, doc_id, tf,
+                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM tf),
+            capped AS (
+              SELECT term,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                  AS postings
+              FROM ranked WHERE rn <= 16 GROUP BY term)
+            SELECT s.term, s.df, s.tf_total, c.postings
+            FROM stats s JOIN capped c ON s.term = c.term
+            ORDER BY s.term NULLS FIRST"""))
+
+  // ---- q_ts_interpolate -------------------------------------------------
+
+  /** Linear gap interpolation (q_ts_interpolate): the sibling of
+    * q_resample_ffill — same per-board hourly grid, but empty hours get
+    * the LINE between the surrounding observations, not a carried copy.
+    * Two window passes over one (user, time) shuffle: last-non-null
+    * looking back, first-non-null looking forward; the interpolation
+    * itself is scan-local micros arithmetic. The fraction is written
+    * identically in both engines (double subtraction → division →
+    * multiply-add, same order) so per-row doubles are bit-identical and
+    * stay RAW — rounding them is what would break parity (Spark rounds
+    * the exact decimal expansion, DuckDB rounds x·10⁶, and the two
+    * disagree at half-ulp boundaries). Leading/trailing hours (no
+    * observation on one side) stay NULL and are kind-tagged 'edge'. */
+  val qTsInterpolate = Q(
+    "q_ts_interpolate",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.t(sp, dir, "events")
+        .filter(col("user_id") < 8)
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wBack = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val marked = grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wBack).as("pv"),
+          last(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+            .over(wBack).as("ph"),
+          first(col("v"), ignoreNulls = true).over(wFwd).as("nv"),
+          first(when(col("v").isNotNull, col("h")), ignoreNulls = true)
+            .over(wFwd).as("nh"))
+      marked.select(col("user_id"), col("h"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("h").cast("timestamp")) -
+                unix_micros(col("ph").cast("timestamp"))).cast("double") /
+               (unix_micros(col("nh").cast("timestamp")) -
+                unix_micros(col("ph").cast("timestamp"))).cast("double")))
+          .as("v_lin"),
+        when(col("v").isNotNull, lit("obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("kind"))
+        .orderBy(col("user_id"), col("h"))
+    },
+    Some("""WITH hourly AS (
+              SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+                round(avg(value), 6) AS v
+              FROM events WHERE user_id < 8
+              GROUP BY user_id, h),
+            grid AS (
+              SELECT user_id, unnest(generate_series(min(h), max(h),
+                INTERVAL '1 hour')) AS h
+              FROM hourly GROUP BY user_id),
+            marked AS (
+              SELECT g.user_id, g.h, v,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN g.h END
+                  IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                first_value(v IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN g.h END
+                  IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+              FROM grid g LEFT JOIN hourly USING (user_id, h))
+            SELECT user_id, h,
+              CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                     pv + (nv - pv) *
+                       (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE) /
+                        CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+              END AS v_lin,
+              CASE WHEN v IS NOT NULL THEN 'obs'
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                   ELSE 'edge' END AS kind
+            FROM marked
+            ORDER BY user_id NULLS FIRST, h NULLS FIRST"""))
+
+  // ---- q_embed_pca ------------------------------------------------------
+
+  /** Top principal component of the embedding table (q_embed_pca) by
+    * power iteration — the dimensionality probe an embedding-curation
+    * pass runs before whitening / compression. The covariance matrix is
+    * NEVER materialized: each iteration computes w = (X−μ)v as a
+    * broadcast join on dim (n·64 exploded rows against the 64-row v)
+    * summed per vec, then v' = (X−μ)ᵀw summed per dim — two keyed
+    * shuffles whose widths are the vec and dim populations, at any
+    * corpus size. Iteration state (the 64 v components) is ROUNDED to
+    * 6dp each round on both engines, so order-noise in the big sums
+    * (~1e-14 relative) never crosses engines — the same discipline as
+    * q_sim_kmeans / q_graph_pagerank. Output: per-dim loading of the
+    * unit eigenvector plus the Rayleigh-quotient eigenvalue (the
+    * variance captured along it). */
+  val qEmbedPca = Q(
+    "q_embed_pca",
+    (s, d) => {
+      val pos = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+        .persist() // every iteration re-reads the centered matrix
+      val mean = pos.groupBy(col("dim"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+      val centered = pos.join(broadcast(mean), "dim")
+        .select(col("vec_id"), col("dim"),
+          (col("x") - col("mu")).as("x"))
+        .persist()
+      // deterministic start: uniform unit vector 1/8 on all 64 dims
+      var v = mean.select(col("dim"), lit(0.125).as("v"))
+      for (_ <- 0 until 3) {
+        val w = centered.join(broadcast(v), "dim")
+          .groupBy(col("vec_id"))
+          .agg(round(sum(col("x") * col("v")), 6).as("w"))
+        val vRaw = centered.join(w, "vec_id")
+          .groupBy(col("dim"))
+          .agg(round(sum(col("x") * col("w")), 6).as("vr"))
+        val norm = vRaw.agg(
+          sqrt(sum(col("vr") * col("vr"))).as("nrm"))
+        v = vRaw.crossJoin(broadcast(norm))
+          .select(col("dim"), round(col("vr") / col("nrm"), 6).as("v"))
+      }
+      val w = centered.join(broadcast(v), "dim")
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("x") * col("v")), 6).as("w"))
+      val eig = w.agg(round(avg(col("w") * col("w")), 4).as("eigenvalue"))
+      v.crossJoin(broadcast(eig))
+        .select(col("dim"), col("v").as("loading"), col("eigenvalue"))
+        .orderBy(col("dim"))
+    },
+    Some {
+      def iterCte(i: Int): String =
+        s"""w$i AS (
+              SELECT c.vec_id, round(sum(c.x * v.v), 6) AS w
+              FROM centered c JOIN v$i v ON c.dim = v.dim
+              GROUP BY c.vec_id),
+            vr$i AS (
+              SELECT c.dim, round(sum(c.x * w.w), 6) AS vr
+              FROM centered c JOIN w$i w ON c.vec_id = w.vec_id
+              GROUP BY c.dim),
+            n$i AS (SELECT sqrt(sum(vr * vr)) AS nrm FROM vr$i),
+            v${i + 1} AS (
+              SELECT dim, round(vr / nrm, 6) AS v FROM vr$i, n$i)"""
+      s"""WITH pos AS (
+            SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+              len(embedding))) AS i) ix),
+          mean AS (
+            SELECT dim, round(avg(x), 6) AS mu FROM pos GROUP BY dim),
+          centered AS (
+            SELECT vec_id, pos.dim, x - mu AS x
+            FROM pos JOIN mean ON pos.dim = mean.dim),
+          v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS v FROM mean),
+          ${(0 until 3).map(iterCte).mkString(",\n")},
+          wf AS (
+            SELECT c.vec_id, round(sum(c.x * v.v), 6) AS w
+            FROM centered c JOIN v3 v ON c.dim = v.dim
+            GROUP BY c.vec_id),
+          eig AS (SELECT round(avg(w * w), 4) AS eigenvalue FROM wf)
+          SELECT dim, v AS loading, eigenvalue
+          FROM v3, eig
+          ORDER BY dim NULLS FIRST"""
+    })
+
+  // ---- q_text_collocations ----------------------------------------------
+
+  /** PMI collocations (q_text_collocations): adjacent token pairs scored
+    * by pointwise mutual information — the phrase-mining signal behind
+    * tokenizer/vocab decisions. Three hash aggregates (bigrams,
+    * unigrams, totals) and one broadcast join of the TINY unigram stats
+    * back onto the bigram table; per-doc pair extraction is scan-local
+    * array algebra. log2 runs on exact BIGINT-count ratios cast to
+    * double and is rounded to 6dp on both engines. Bigrams seen < 5
+    * times are cut before scoring (the long tail is noise), top-30 by
+    * (rounded pmi, pair) so the cut is engine-independent. */
+  val qTextCollocations = Q(
+    "q_text_collocations",
+    (s, d) => {
+      // two selects: an explode may not reference an alias born in the
+      // same select (Spark 4 lateral-alias limitation)
+      val toks = Tables.t(s, d, "documents")
+        .select(split(col("text"), " ").as("toks"))
+      val pairs = toks
+        .select(explode(expr(
+          """transform(slice(toks, 1, size(toks) - 1),
+                       (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"""))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nUni = uni.agg(sum(col("cw")).as("n_uni"))
+      val big = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val nBig = big.agg(sum(col("c12")).as("n_big"))
+      big
+        .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
+          "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
+          "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log2((col("c12").cast("double") / col("n_big")) /
+            ((col("c1").cast("double") / col("n_uni")) *
+             (col("c2").cast("double") / col("n_uni")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some("""WITH toks AS (
+              SELECT string_split(text, ' ') AS toks FROM documents),
+            pairs AS (
+              SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+                SELECT unnest(list_transform(
+                  generate_series(1, len(toks) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+                FROM toks WHERE len(toks) >= 2) x),
+            uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+                SELECT unnest(toks) AS w FROM toks) u GROUP BY w),
+            n_uni AS (SELECT CAST(sum(cw) AS BIGINT) AS n_uni FROM uni),
+            big AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM pairs GROUP BY w1, w2
+              HAVING count(*) >= 5),
+            n_big AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM big)
+            SELECT b.w1, b.w2, b.c12,
+              round(log2((CAST(c12 AS DOUBLE) / n_big) /
+                ((CAST(u1.cw AS DOUBLE) / n_uni) *
+                 (CAST(u2.cw AS DOUBLE) / n_uni))), 6) AS pmi
+            FROM big b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w
+            CROSS JOIN n_uni CROSS JOIN n_big
+            ORDER BY pmi DESC, b.w1 NULLS FIRST, b.w2 NULLS FIRST
+            LIMIT 30"""))
+
+  // ---- q_ts_anomaly -----------------------------------------------------
+
+  /** Rolling z-score anomaly flags (q_ts_anomaly): each event scored
+    * against the mean/stddev of its user's previous 100 events — the
+    * monitoring primitive behind rate/quality alerting. ONE keyed
+    * window pass (user, time-ordered with event_id tie-break: the tape
+    * has duplicate timestamps); the frame is ROWS-based so both engines
+    * aggregate the identical row set, and μ/σ are ROUNDED to 6dp before
+    * the z computation so their order-noise never crosses engines; z is
+    * then identical raw doubles, rounded to 2dp for the dump. Warm-up
+    * rows (< 20 prior events) are suppressed — σ of a near-empty frame
+    * is noise, exactly like a production alerter's burn-in. */
+  val qTsAnomaly = Q(
+    "q_ts_anomaly",
+    (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-100, -1)
+      Tables.t(sp, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          round(avg(col("value")).over(w), 6).as("mu"),
+          round(stddev_samp(col("value")).over(w), 6).as("sigma"),
+          count(lit(1)).over(w).as("n_prior"))
+        .filter(col("n_prior") >= 20 && col("sigma") > 0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round((col("value") - col("mu")) / col("sigma"), 2).as("z"))
+        .filter(abs(col("z")) > lit(3.0))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH scored AS (
+              SELECT event_id, user_id, value,
+                round(avg(value) OVER w, 6) AS mu,
+                round(stddev_samp(value) OVER w, 6) AS sigma,
+                count(*) OVER w AS n_prior
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+            SELECT event_id, user_id, value,
+              round((value - mu) / sigma, 2) AS z
+            FROM scored
+            WHERE n_prior >= 20 AND sigma > 0
+              AND abs(round((value - mu) / sigma, 2)) > 3.0
+            ORDER BY user_id NULLS FIRST, event_id NULLS FIRST"""))
+
+  // ---- q_corr_matrix ----------------------------------------------------
+
+  /** Feature correlation matrix (q_corr_matrix): Pearson correlation of
+    * every embedding-dimension pair — the feature-audit PCA deliberately
+    * avoids materializing, HERE as its own operator because d is small
+    * and fixed (64): the output is d(d+1)/2 = 2080 cells at ANY corpus
+    * size. The shape is the map-side outer product: explode to (vec,
+    * dim, x), self-join co-partitioned on vec_id, then a two-phase sum
+    * per (i, j) — partial aggregation collapses each partition to ≤2080
+    * rows before the only wide shuffle. Per-dim μ/σ are rounded to 6dp
+    * and broadcast; the big E[xy] sums feed a 6dp-rounded final corr, so
+    * engine order-noise (1e-14 relative) never crosses the rounding
+    * grid. */
+  val qCorrMatrix = Q(
+    "q_corr_matrix",
+    (s, d) => {
+      val pos = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      val stats = pos.groupBy(col("dim"))
+        .agg(round(avg(col("x")), 6).as("mu"),
+          round(sqrt(greatest(
+            avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")),
+            lit(0.0))), 6).as("sd"),
+          count(lit(1)).as("n"))
+      val a = pos.select(col("vec_id"), col("dim").as("i"),
+        col("x").as("xi"))
+      val b = pos.select(col("vec_id"), col("dim").as("j"),
+        col("x").as("xj"))
+      val sxy = a.join(b, "vec_id").filter(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xi") * col("xj")).as("sxy"))
+      sxy
+        .join(broadcast(stats.select(col("dim").as("i"),
+          col("mu").as("mui"), col("sd").as("sdi"), col("n"))), "i")
+        .join(broadcast(stats.select(col("dim").as("j"),
+          col("mu").as("muj"), col("sd").as("sdj"))), "j")
+        .select(col("i"), col("j"),
+          // clamp: the 6dp-rounded σ can push a perfect correlation a
+          // few 1e-6 past ±1; a Pearson output must stay in [-1, 1]
+          round(greatest(lit(-1.0), least(lit(1.0),
+            (col("sxy") / col("n") - col("mui") * col("muj")) /
+              (col("sdi") * col("sdj")))), 6).as("corr"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH pos AS (
+              SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                len(embedding))) AS i) ix),
+            stats AS (
+              SELECT dim, round(avg(x), 6) AS mu,
+                round(sqrt(greatest(
+                  avg(x * x) - avg(x) * avg(x), 0.0)), 6) AS sd,
+                CAST(count(*) AS BIGINT) AS n
+              FROM pos GROUP BY dim),
+            prods AS (
+              SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS sxy
+              FROM pos a JOIN pos b ON a.vec_id = b.vec_id
+              WHERE a.dim <= b.dim
+              GROUP BY a.dim, b.dim)
+            SELECT i, j,
+              round(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                (p.sxy / si.n - si.mu * sj.mu) / (si.sd * sj.sd))), 6)
+                AS corr
+            FROM prods p
+            JOIN stats si ON p.i = si.dim
+            JOIN stats sj ON p.j = sj.dim
+            ORDER BY i NULLS FIRST, j NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
+    qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix)
+}

@@ -830,10 +830,89 @@ object StreamOps {
             FROM pos GROUP BY label, pos
             ORDER BY label NULLS FIRST, pos NULLS FIRST"""))
 
+  // ---- q_stream_anomaly -------------------------------------------------
+
+  /** One observation on a user's tape: event-time micros + unique id
+    * tie-break + value. */
+  private[graft] case class AnomObs(us: Long, id: Long, v: Double)
+  private[graft] case class AnomIn(
+      user_id: Long, event_id: Long, us: Long, value: Double)
+  private[graft] case class AnomFlag(
+      event_id: Long, user_id: Long, value: Double, z: Double)
+
+  /** Streaming rolling z-score (q_stream_anomaly): the stateful twin of
+    * q_ts_anomaly. Keyed state per user carries ONLY the trailing 100
+    * observations (bounded at any volume); each micro-batch's rows are
+    * replayed in (event-time, id) order against that tail, scoring every
+    * event on the mean/stddev of its ≤100 predecessors with the same
+    * 6dp-μ/σ, 2dp-z rounding as the batch op — so when files arrive in
+    * event-time order (the drain here is ONE AvailableNow batch) the
+    * settled flags equal the batch replay exactly, and the SAME DuckDB
+    * oracle applies. Cross-batch carry + batch-equivalence are
+    * StreamSpec-tested with a MemoryStream. */
+  private[graft] def anomalyScore(
+      batch: Seq[AnomObs], tail0: Seq[AnomObs]): (Seq[AnomFlag], Seq[AnomObs]) = {
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var tail = tail0
+    val out = scala.collection.mutable.ArrayBuffer[AnomFlag]()
+    batch.sortBy(o => (o.us, o.id)).foreach { o =>
+      if (tail.length >= 20) {
+        val n = tail.length
+        val mean = tail.map(_.v).sum / n
+        val mu = r(mean, 6)
+        val sd = r(math.sqrt(
+          tail.map(x => (x.v - mean) * (x.v - mean)).sum / (n - 1)), 6)
+        if (sd > 0) {
+          val z = r((o.v - mu) / sd, 2)
+          if (math.abs(z) > 3.0) out += AnomFlag(o.id, 0L, o.v, z)
+        }
+      }
+      tail = (tail :+ o).takeRight(100)
+    }
+    (out.toSeq, tail)
+  }
+
+  /** The stateful transform alone, over any (user, event, us, value)
+    * stream — shared by the registered query and StreamSpec's
+    * MemoryStream harness. */
+  private[graft] def anomalyLocal(
+      in: org.apache.spark.sql.Dataset[AnomIn]): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[AnomObs], AnomFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AnomIn], st: GroupState[Seq[AnomObs]]) =>
+          val (flagged, tail) = anomalyScore(
+            it.map(e => AnomObs(e.us, e.event_id, e.value)).toSeq,
+            st.getOption.getOrElse(Seq.empty))
+          st.update(tail)
+          flagged.map(_.copy(user_id = uid)).iterator
+      }
+      .toDF()
+  }
+
+  val qStreamAnomaly = Q(
+    "q_stream_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val in = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          col("value")).as[AnomIn]
+      drain(s, anomalyLocal(in), "stream_anomaly_tbl", "append")
+        .select(col("event_id"), col("user_id"), col("value"), col("z"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    graft.ops.Insights.qTsAnomaly.oracle)
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
-    qStreamCentroid)
+    qStreamCentroid, qStreamAnomaly)
 }

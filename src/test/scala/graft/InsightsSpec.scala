@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value + plan tests for the Insights tier (triangle census, posting
+  * lists, linear interpolation) — scalar replays of the distributed
+  * results plus the plan shapes the 100 TB story depends on. */
+class InsightsSpec extends SparkSuite {
+
+  test("triangles: census matches a scalar adjacency-set replay") {
+    val row = q("q_graph_triangles").collect().head
+    val ids = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val und = ids.flatMap { s =>
+      Seq(s / 2, (s * 31 + 17) % n, (s * s + 1) % n)
+        .filter(_ != s).map(d => (math.min(s, d), math.max(s, d)))
+    }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val tris = und.map { case (a, b) =>
+      (adj(a) & adj(b)).size.toLong
+    }.sum / 3 // each triangle seen from all 3 of its edges
+    assert(row.getAs[Long]("n_edges") === und.length.toLong)
+    assert(row.getAs[Long]("n_wedges") === wedges)
+    assert(row.getAs[Long]("n_triangles") === tris)
+    assert(tris > 0, "derived graph must actually contain triangles")
+  }
+
+  test("triangles: both joins stay equi — no nested-loop on edge tables") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = q("q_graph_triangles").queryExecution.executedPlan
+    // walk the plan TREE (cached InMemoryRelation subtrees are leaves —
+    // the string form would multiply-count them under every consumer)
+    assert(plan.collectWithSubqueries {
+      case c: CartesianProductExec => c }.isEmpty,
+      "wedge/closing joins must not degrade to cartesian")
+    val nlj = plan.collectWithSubqueries {
+      case b: BroadcastNestedLoopJoinExec => b }
+    // the only NLJs allowed are the 1-row census attaches at the top
+    assert(nlj.size <= 2, s"unexpected NLJ count ${nlj.size}")
+  }
+
+  test("postings: cap, df bound, and one term's scalar replay") {
+    val rows = q("q_text_postings").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val posts = r.getAs[String]("postings").split(",")
+      assert(posts.length <= 16)
+      assert(r.getAs[Long]("df") >= 10)
+      assert(r.getAs[Long]("df") >= posts.length.toLong)
+      assert(r.getAs[Long]("tf_total") >= r.getAs[Long]("df"))
+    }
+    // scalar replay for the lexicographically first term
+    val term = rows.map(_.getAs[String]("term")).min
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tfs = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).count(_ == term)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val want = tfs.take(16).map { case (id, tf) => s"$id:$tf" }
+      .mkString(",")
+    val got = rows.find(_.getAs[String]("term") == term).get
+    assert(got.getAs[Long]("df") === tfs.length.toLong)
+    assert(got.getAs[Long]("tf_total") === tfs.map(_._2.toLong).sum)
+    assert(got.getAs[String]("postings") === want)
+  }
+
+  test("interpolate: obs preserved, interps strictly between neighbors") {
+    val rows = q("q_ts_interpolate").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("h"),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getAs[String]("kind")))
+    assert(rows.exists(_._4 == "interp"), "test data must have gaps")
+    assert(rows.exists(_._4 == "obs"))
+    rows.filter(_._4 == "edge").foreach(r => assert(r._3.isEmpty))
+    // per user: every interp value lies within [prev obs, next obs]
+    rows.groupBy(_._1).foreach { case (_, tape0) =>
+      val tape = tape0.sortBy(_._2.toString)
+      var prevObs: Option[Double] = None
+      val nextObsAt = tape.indices.map { i =>
+        tape.drop(i).find(_._4 == "obs").flatMap(_._3)
+      }
+      tape.zipWithIndex.foreach { case ((_, _, v, kind), i) =>
+        kind match {
+          case "obs" => prevObs = v
+          case "interp" =>
+            val lo = math.min(prevObs.get, nextObsAt(i).get)
+            val hi = math.max(prevObs.get, nextObsAt(i).get)
+            assert(v.get >= lo - 1e-9 && v.get <= hi + 1e-9,
+              s"interp ${v.get} outside [$lo, $hi]")
+          case "edge" => ()
+        }
+      }
+    }
+    // a 2-wide gap interpolates to exact thirds of the segment
+    val grouped = rows.groupBy(_._1)
+    val found = grouped.values.flatMap { tape0 =>
+      val tape = tape0.sortBy(_._2.toString).toSeq
+      tape.sliding(4).collect {
+        case Seq((_, _, Some(a), "obs"), (_, _, Some(x), "interp"),
+          (_, _, Some(y), "interp"), (_, _, Some(b), "obs")) =>
+          (a, x, y, b)
+      }
+    }
+    found.take(5).foreach { case (a, x, y, b) =>
+      assert(math.abs(x - (a + (b - a) / 3.0)) < 1e-6)
+      assert(math.abs(y - (a + 2.0 * (b - a) / 3.0)) < 1e-6)
+    }
+  }
+
+  test("pca: unit loading vector, positive eigenvalue, and dominance") {
+    val rows = q("q_embed_pca").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("loading"),
+        r.getAs[Double]("eigenvalue")))
+    assert(rows.length === 64)
+    val norm = math.sqrt(rows.map(r => r._2 * r._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings not unit: $norm")
+    val eig = rows.head._3
+    assert(eig > 0)
+    // the captured variance must dominate the per-dim average variance
+    // (otherwise power iteration found nothing — v is still noise)
+    val pos = Tables.t(spark, sf0, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(var_pop(col("x")).as("v"))
+      .collect().map(_.getAs[Double]("v"))
+    val avgVar = pos.sum / pos.length
+    assert(eig > avgVar,
+      s"top eigenvalue $eig should exceed mean per-dim variance $avgVar")
+  }
+
+  test("pca: distributed v3 equals a scalar replay; Rayleigh ascends") {
+    // the embeddings are near-isotropic (λ2/λ1 ≈ 0.93 at sf0.001), so
+    // successive iterates move for many rounds — convergence SPEED is a
+    // data property, not an implementation one. What the engine must
+    // get exactly right: the 3-round rounded iteration itself (parity
+    // with a scalar replay) and the power-iteration invariant that the
+    // Rayleigh quotient never decreases round over round.
+    val v3 = q("q_embed_pca").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("loading")))
+      .sortBy(_._1).map(_._2)
+    val X = Tables.t(spark, sf0, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = X.head.length
+    val mu = Array.tabulate(d)(j =>
+      math.rint(X.map(_(j)).sum / X.length * 1e6) / 1e6)
+    val C = X.map(row => Array.tabulate(d)(j => row(j) - mu(j)))
+    var v = Array.fill(d)(0.125)
+    val rayleigh = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 0 until 3) {
+      val w = C.map(row => math.rint(
+        row.indices.map(j => row(j) * v(j)).sum * 1e6) / 1e6)
+      val vr = Array.tabulate(d)(j => math.rint(
+        C.indices.map(i => C(i)(j) * w(i)).sum * 1e6) / 1e6)
+      val n = math.sqrt(vr.map(x => x * x).sum)
+      v = vr.map(x => math.rint(x / n * 1e6) / 1e6)
+      val wv = C.map(row => row.indices.map(j => row(j) * v(j)).sum)
+      rayleigh += wv.map(x => x * x).sum / wv.length
+    }
+    val cos = v3.zip(v).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 1.0 - 1e-5,
+      s"distributed v3 vs scalar replay cosine $cos — implementations drifted")
+    rayleigh.toList.sliding(2).foreach {
+      case List(a, b) =>
+        assert(b >= a - 1e-9, s"Rayleigh quotient fell: $a -> $b")
+      case _ => ()
+    }
+  }
+
+  test("collocations: pmi matches a scalar count replay") {
+    val rows = q("q_text_collocations").collect()
+    assert(rows.length === 30)
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("text")).collect().map(_.getString(0).split(" ", -1))
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+    texts.foreach { ts =>
+      ts.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ts.sliding(2).foreach {
+        case Array(a, b) =>
+          big((a, b)) = big.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      }
+    }
+    val nUni = uni.values.sum.toDouble
+    val kept = big.filter(_._2 >= 5)
+    val nBig = kept.values.sum.toDouble
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val c12 = kept((w1, w2))
+      assert(r.getAs[Long]("c12") === c12)
+      val pmi = math.log((c12 / nBig) /
+        ((uni(w1) / nUni) * (uni(w2) / nUni))) / math.log(2.0)
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-5)
+    }
+    // top-30 is really the top: every kept bigram NOT in the output has
+    // pmi <= the smallest emitted pmi (modulo the rounded tie cut)
+    val minOut = rows.map(_.getAs[Double]("pmi")).min
+    val outSet = rows.map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    kept.keys.filterNot(outSet).foreach { case (a, b) =>
+      val pmi = math.log((kept((a, b)) / nBig) /
+        ((uni(a) / nUni) * (uni(b) / nUni))) / math.log(2.0)
+      assert(pmi <= minOut + 1e-6)
+    }
+  }
+
+  test("corr matrix: 2080 cells, unit diagonal, bounded, replay-checked") {
+    val rows = q("q_corr_matrix").collect()
+      .map(r => ((r.getAs[Long]("i"), r.getAs[Long]("j")),
+        r.getAs[Double]("corr"))).toMap
+    assert(rows.size === 64 * 65 / 2)
+    rows.foreach { case ((i, j), c) =>
+      assert(i <= j)
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"corr($i,$j)=$c")
+    }
+    (0L until 64L).foreach { i =>
+      assert(math.abs(rows((i, i)) - 1.0) < 1e-4,
+        s"diagonal corr($i,$i)=${rows((i, i))}")
+    }
+    // scalar replay of three off-diagonal cells
+    val X = Tables.t(spark, sf0, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = X.length
+    def cell(i: Int, j: Int): Double = {
+      val (xi, xj) = (X.map(_(i)), X.map(_(j)))
+      val (mi, mj) = (xi.sum / n, xj.sum / n)
+      val sxy = xi.zip(xj).map { case (a, b) => a * b }.sum / n - mi * mj
+      val si = math.sqrt(xi.map(a => a * a).sum / n - mi * mi)
+      val sj = math.sqrt(xj.map(a => a * a).sum / n - mj * mj)
+      sxy / (si * sj)
+    }
+    Seq((0, 1), (5, 40), (12, 63)).foreach { case (i, j) =>
+      assert(math.abs(rows((i.toLong, j.toLong)) - cell(i, j)) < 1e-3,
+        s"cell($i,$j) drifted from replay")
+    }
+  }
+
+  test("anomaly: flags match a scalar rolling-window replay") {
+    val flagged = q("q_ts_anomaly").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    val evs = Tables.t(spark, sf0, "events")
+      .selectExpr("event_id", "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val replay = scala.collection.mutable.Map[Long, Double]()
+    evs.groupBy(_._2).foreach { case (_, tape0) =>
+      val tape = tape0.sortBy(t => (t._3, t._1))
+      tape.indices.foreach { i =>
+        val frame = tape.slice(math.max(0, i - 100), i).map(_._4)
+        if (frame.length >= 20) {
+          val mu = math.rint(frame.sum / frame.length * 1e6) / 1e6
+          val mean = frame.sum / frame.length
+          val sd = math.rint(math.sqrt(
+            frame.map(x => (x - mean) * (x - mean)).sum /
+              (frame.length - 1)) * 1e6) / 1e6
+          if (sd > 0) {
+            val z = math.rint((tape(i)._4 - mu) / sd * 100) / 100
+            if (math.abs(z) > 3.0) replay(tape(i)._1) = z
+          }
+        }
+      }
+    }
+    assert(flagged.keySet === replay.keySet)
+    flagged.foreach { case (id, z) =>
+      assert(math.abs(z - replay(id)) < 1e-9) }
+    assert(flagged.nonEmpty, "tape should contain at least one outlier")
+  }
+}

@@ -436,4 +436,35 @@ class StreamSpec extends SparkSuite {
     assert(got === Map((0, 0) -> 3.0, (0, 1) -> 2.0,
       (1, 0) -> 7.0, (1, 1) -> 7.0))
   }
+
+  test("streaming anomaly: multi-batch tail carry equals one-shot batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import streaming.StreamOps.AnomIn
+    // one user, 60 calm observations then a spike; split so the spike
+    // arrives in a LATER micro-batch than most of its z-score frame —
+    // the flag is only correct if state carries the trailing tail
+    val calm = (1 to 60).map(i =>
+      AnomIn(7L, i.toLong, i.toLong * 1000L, 10.0 + (i % 5) * 0.1))
+    val spike = AnomIn(7L, 61L, 61000L, 99.0)
+    def run(name: String, batches: Seq[Seq[AnomIn]]): Map[Long, Double] = {
+      val mem = MemoryStream[AnomIn]
+      val qy = streaming.StreamOps.anomalyLocal(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      batches.foreach { b => mem.addData(b: _*); qy.processAllAvailable() }
+      qy.stop()
+      spark.table(name).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    }
+    val oneShot = run("spec_anom_one", Seq(calm :+ spike))
+    val split = run("spec_anom_split",
+      Seq(calm.take(40), calm.drop(40), Seq(spike)))
+    assert(oneShot.contains(61L), "spike must be flagged")
+    assert(oneShot(61L) > 3.0)
+    assert(split === oneShot,
+      "cross-batch state must reproduce the single-batch flags")
+    // calm rows are never flagged
+    assert(oneShot.keySet === Set(61L))
+  }
 }
