@@ -50,7 +50,19 @@ object PlanDump {
       "the output sort"),
     "q_graph_pagerank" -> ("per iteration: ranks⋈edges shuffled on " +
       "src, two-phase inflow sum on dst, teleport left-join; 1-row " +
-      "N-stats broadcast — no cartesian, no collect"))
+      "N-stats broadcast — no cartesian, no collect"),
+    "q_graph_triangles" -> ("degree-oriented wedge join: both joins " +
+      "hash-equi (apex, then closing pair), edge tables cached once " +
+      "— oriented out-degree bounded O(sqrt(|E|)), no cartesian"),
+    "q_embed_pca" -> ("power iteration without a covariance matrix: " +
+      "per round one dim-keyed broadcast join + vec- and dim-keyed " +
+      "two-phase sums; 64-row v broadcast, corpus never reshuffled"),
+    "q_text_postings" -> ("posting lists capped by row_number BEFORE " +
+      "the collect — every aggregate buffer bounded at 16 entries; " +
+      "df/tf stats and capped lists co-partitioned on term"),
+    "q_join_interval" -> ("interval overlap as a (user, day-bucket) " +
+      "compound-key EQUI-join — overlap predicate is a post-filter, " +
+      "never a nested loop; window explode bounded at 2 buckets"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

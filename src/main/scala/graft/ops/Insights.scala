@@ -31,26 +31,50 @@ object Insights {
     * post-filter, never a join strategy. Output: one census row with the
     * global clustering coefficient (3·triangles / wedges-over-UNDIRECTED
     * degrees, the standard definition). */
+  /** Undirected edge list of the deterministic derived link graph shared
+    * by the graph tier (same generator as q_graph_pagerank). Persisted:
+    * every consumer walks it several times. */
+  private[graft] def undirectedLinkEdges(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    docs.select(col("doc_id")).crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), col("n_nodes"))
+      .select(col("src"), explode(expr(
+        """array(src div 2,
+                 (src * 31 + 17) % n_nodes,
+                 (src * src + 1) % n_nodes)""")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+  }
+
+  /** The matching DuckDB CTE chain: s → nodes → directed → und. */
+  private[graft] val undirectedLinkEdgesSql: String =
+    """s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
+      nodes AS (SELECT doc_id, n_nodes FROM documents, s),
+      directed AS (
+        SELECT src, dst FROM (
+          SELECT doc_id AS src,
+            unnest([doc_id // 2,
+                    (doc_id * 31 + 17) % n_nodes,
+                    (doc_id * doc_id + 1) % n_nodes]) AS dst
+          FROM nodes) u
+        WHERE dst <> src),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM directed)"""
+
   val qGraphTriangles = Q(
     "q_graph_triangles",
     (s, d) => {
-      val docs = Tables.t(s, d, "documents")
-      val n = docs.agg(count(lit(1)).as("n_nodes"))
-      val directed = docs.select(col("doc_id")).crossJoin(broadcast(n))
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
       // materialized ONCE: und feeds the degree count, the orientation,
       // and the edge census — without the persist the scan+explode+
       // distinct pipeline re-expands under every consumer subtree
-      val und = directed
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .persist()
+      val und = undirectedLinkEdges(s, d)
       val deg = und.select(col("a").as("v"))
         .unionAll(und.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -89,20 +113,7 @@ object Insights {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
             .as("global_cc"))
     },
-    Some("""WITH s AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
-            nodes AS (SELECT doc_id, n_nodes FROM documents, s),
-            directed AS (
-              SELECT src, dst FROM (
-                SELECT doc_id AS src,
-                  unnest([doc_id // 2,
-                          (doc_id * 31 + 17) % n_nodes,
-                          (doc_id * doc_id + 1) % n_nodes]) AS dst
-                FROM nodes) u
-              WHERE dst <> src),
-            und AS (
-              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-              FROM directed),
+    Some(s"""WITH $undirectedLinkEdgesSql,
             deg AS (
               SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
                 SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) x
@@ -560,6 +571,152 @@ object Insights {
             JOIN stats sj ON p.j = sj.dim
             ORDER BY i NULLS FIRST, j NULLS FIRST"""))
 
+  // ---- q_join_interval --------------------------------------------------
+
+  /** Interval-overlap join (q_join_interval): each user's daily activity
+    * interval [first event, last event] against that user's incident
+    * windows (±2 h around every value > 99 event) — the
+    * "which sessions did an alert fall into" shape. The distributed
+    * pattern is BUCKETED overlap: both sides key by (user, UTC-day
+    * bucket) — a day interval owns exactly ONE bucket and a ±2 h window
+    * at most TWO, so the join is a compound-key EQUI-join with bounded
+    * fan-out and the true-overlap predicate is a post-filter, never the
+    * join strategy. Because the left side owns a single bucket, a pair
+    * can only meet once — no dedup pass needed (the oracle states the
+    * same result as a direct theta join, so the binning itself is
+    * verified). All arithmetic is exact BIGINT micros. */
+  val qJoinInterval = Q(
+    "q_join_interval",
+    (sp, dir) => {
+      val usDay = 86400000000L
+      val ev = Tables.t(sp, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val act = ev
+        .groupBy(col("user_id"), expr(s"us div $usDay").as("day"))
+        .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      val inc = ev.filter(col("value") > 99)
+        .select(col("user_id"), col("event_id"),
+          (col("us") - 7200000000L).as("i_start"),
+          (col("us") + 7200000000L).as("i_end"))
+        .withColumn("day", explode(expr(
+          s"sequence(i_start div $usDay, i_end div $usDay)")))
+      act.join(inc, Seq("user_id", "day"))
+        .filter(col("s_start") <= col("i_end") &&
+          col("i_start") <= col("s_end"))
+        .select(col("user_id"), col("day"), col("event_id"),
+          (least(col("s_end"), col("i_end")) -
+            greatest(col("s_start"), col("i_start"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("day"), col("event_id"))
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us
+              FROM events),
+            act AS (
+              SELECT user_id, us // 86400000000 AS day,
+                min(us) AS s_start, max(us) AS s_end
+              FROM ev GROUP BY user_id, day),
+            inc AS (
+              SELECT user_id, event_id,
+                us - 7200000000 AS i_start, us + 7200000000 AS i_end
+              FROM ev WHERE value > 99)
+            SELECT a.user_id, a.day, i.event_id,
+              least(a.s_end, i.i_end) - greatest(a.s_start, i.i_start)
+                AS overlap_us
+            FROM act a JOIN inc i
+              ON a.user_id = i.user_id
+              AND a.s_start <= i.i_end AND i.i_start <= a.s_end
+            ORDER BY a.user_id NULLS FIRST, a.day NULLS FIRST,
+              i.event_id NULLS FIRST"""))
+
+  // ---- q_graph_degree_dist ----------------------------------------------
+
+  /** Degree distribution (q_graph_degree_dist) of the shared link graph:
+    * the structural profile (hubs? heavy tail?) every graph pipeline
+    * inspects before choosing a partitioning. Two hash aggregates —
+    * degree per node, then node count per degree — output bounded by
+    * the distinct-degree count at any graph size. */
+  val qGraphDegreeDist = Q(
+    "q_graph_degree_dist",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) x
+              GROUP BY v)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY deg
+            ORDER BY deg NULLS FIRST"""))
+
+  // ---- q_text_heaps -----------------------------------------------------
+
+  /** Heaps-law vocabulary growth (q_text_heaps): cumulative vocabulary
+    * size vs cumulative token count at 20 corpus checkpoints — the
+    * curve that predicts vocab size at 100× the corpus. Scale shape:
+    * docs are bucketed into 20 equal doc-id ranges; per-bucket token
+    * sums and FIRST-APPEARANCE term counts (min bucket per term) are
+    * two hash aggregates, and the cumulative sums run over the TINY
+    * 20-row bucket table — never a global per-doc window (the
+    * q_event_count day-sharding lesson applied at design time). */
+  val qTextHeaps = Q(
+    "q_text_heaps",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, d, "documents")
+      val nb = 20
+      val mx = docs.agg((max(col("doc_id")) + 1).as("mx"))
+      val bucketed = docs.crossJoin(broadcast(mx))
+        .select(expr(s"doc_id * $nb div mx").as("bucket"),
+          col("doc_id"), col("text"))
+      val toks = bucketed
+        .select(col("bucket"), explode(split(col("text"), " ")).as("term"))
+      val perBucket = toks.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firstSeen = toks.groupBy(col("term"))
+        .agg(min(col("bucket")).as("first_bucket"))
+        .groupBy(col("first_bucket")).agg(count(lit(1)).as("n_new_terms"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket
+        .join(firstSeen, col("bucket") === col("first_bucket"), "left")
+        .select(col("bucket"), col("n_tokens"),
+          coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+        .select(col("bucket"),
+          sum(col("n_tokens")).over(w).as("tokens_cum"),
+          sum(col("n_new_terms")).over(w).as("vocab_cum"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH mx AS (
+              SELECT CAST(max(doc_id) + 1 AS BIGINT) AS mx FROM documents),
+            toks AS (
+              SELECT doc_id * 20 // mx AS bucket,
+                unnest(string_split(text, ' ')) AS term
+              FROM documents, mx),
+            per_bucket AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY bucket),
+            first_seen AS (
+              SELECT first_bucket, CAST(count(*) AS BIGINT) AS n_new_terms
+              FROM (SELECT term, min(bucket) AS first_bucket
+                    FROM toks GROUP BY term) f
+              GROUP BY first_bucket)
+            SELECT p.bucket,
+              sum(p.n_tokens) OVER w AS tokens_cum,
+              sum(coalesce(f.n_new_terms, 0)) OVER w AS vocab_cum
+            FROM per_bucket p
+            LEFT JOIN first_seen f ON p.bucket = f.first_bucket
+            WINDOW w AS (ORDER BY p.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY p.bucket NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
-    qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix)
+    qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
+    qGraphDegreeDist, qTextHeaps)
 }

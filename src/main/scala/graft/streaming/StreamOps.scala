@@ -909,10 +909,47 @@ object StreamOps {
     },
     graft.ops.Insights.qTsAnomaly.oracle)
 
+  // ---- q_stream_topk ----------------------------------------------------
+
+  /** Streaming per-window top-k (q_stream_topk): 6-hour tumbling windows
+    * of per-type counts maintained by the streaming agg (state bounded
+    * by windows × types), then the top-3 cut per window applied on the
+    * settled table — the leaderboard pattern: the STREAM maintains the
+    * counts incrementally; the cheap rank-and-cut runs against the sink
+    * (counts only shrink to k rows there, never re-aggregate). Count
+    * ties break on event_type so the cut is engine-independent. */
+  val qStreamTopk = Q(
+    "q_stream_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val settled = drain(s,
+        eventsStream(s, d)
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        "stream_topk_tbl", "complete")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"))
+      val rk = Window.partitionBy(col("w_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      settled.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select(col("w_start"), col("rk"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("rk"))
+    },
+    Some("""SELECT w_start, rk, event_type, n FROM (
+              SELECT w_start, event_type, n,
+                row_number() OVER (PARTITION BY w_start
+                  ORDER BY n DESC, event_type) AS rk
+              FROM (SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+                      event_type, count(*) AS n
+                    FROM events GROUP BY w_start, event_type) c) r
+            WHERE rk <= 3
+            ORDER BY w_start NULLS FIRST, rk NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
-    qStreamCentroid, qStreamAnomaly)
+    qStreamCentroid, qStreamAnomaly, qStreamTopk)
 }

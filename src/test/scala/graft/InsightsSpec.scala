@@ -241,6 +241,70 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("interval join: bucketed equi-join equals a direct theta replay") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = q("q_join_interval").queryExecution.executedPlan
+    assert(plan.collectWithSubqueries {
+      case c: CartesianProductExec => c }.isEmpty)
+    assert(plan.collectWithSubqueries {
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "the bucketed overlap join must stay a compound-key equi-join")
+    val got = q("q_join_interval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // direct theta replay over the collected tape
+    val usDay = 86400000000L
+    val evs = Tables.t(spark, sf0, "events")
+      .selectExpr("user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val act = evs.groupBy(e => (e._1, e._3 / usDay)).map {
+      case ((u, day), es) => (u, day, es.map(_._3).min, es.map(_._3).max)
+    }
+    val inc = evs.filter(_._4 > 99).map(e =>
+      (e._1, e._2, e._3 - 7200000000L, e._3 + 7200000000L))
+    val want = (for {
+      (u, day, s0, s1) <- act
+      (iu, id, i0, i1) <- inc
+      if u == iu && s0 <= i1 && i0 <= s1
+    } yield (u, day, id) -> (math.min(s1, i1) - math.max(s0, i0))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= 0), "overlap durations are non-negative")
+  }
+
+  test("degree dist: accounts for every edge endpoint exactly twice") {
+    val rows = q("q_graph_degree_dist").collect()
+      .map(r => r.getAs[Long]("deg") -> r.getAs[Long]("n_nodes"))
+    val census = q("q_graph_triangles").collect().head
+    assert(rows.map { case (d, n) => d * n }.sum ===
+      2 * census.getAs[Long]("n_edges"),
+      "sum of degrees must equal twice the edge count")
+    assert(rows.forall(_._1 >= 1))
+    // wedge cross-check against the census row
+    assert(rows.map { case (d, n) => n * d * (d - 1) / 2 }.sum ===
+      census.getAs[Long]("n_wedges"))
+  }
+
+  test("heaps: cumulative curves are monotone and end at corpus totals") {
+    val rows = q("q_text_heaps").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("tokens_cum"),
+        r.getAs[Long]("vocab_cum"))).sortBy(_._1)
+    assert(rows.length === 20)
+    rows.sliding(2).foreach {
+      case Array((_, t0, v0), (_, t1, v1)) =>
+        assert(t1 >= t0); assert(v1 >= v0)
+      case _ => ()
+    }
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val allToks = texts.flatMap(_.split(" ", -1))
+    assert(rows.last._2 === allToks.length.toLong)
+    assert(rows.last._3 === allToks.distinct.length.toLong)
+  }
+
   test("anomaly: flags match a scalar rolling-window replay") {
     val flagged = q("q_ts_anomaly").collect()
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap

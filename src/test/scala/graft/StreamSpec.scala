@@ -437,6 +437,43 @@ class StreamSpec extends SparkSuite {
       (1, 0) -> 7.0, (1, 1) -> 7.0))
   }
 
+  test("streaming topk settles to the batch leaderboard") {
+    val got = SparkEntry.queries("q_stream_topk")(spark, sf0).collect()
+    assert(got.nonEmpty)
+    val byWin = got.groupBy(_.getAs[java.time.LocalDateTime]("w_start"))
+    byWin.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq ===
+        (1 to sorted.length))
+      // counts never increase down the leaderboard
+      sorted.map(_.getAs[Long]("n")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b)
+        case _ => ()
+      }
+    }
+    // spot-check one window against a batch count over the raw table
+    val w0 = byWin.keys.minBy(_.toString)
+    val batch = Tables.t(spark, sf0, "events")
+      .groupBy(expr("date_trunc('hour', ts)").cast("timestamp_ntz")
+        .as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", expr(
+        "CAST(timestamp_micros(unix_micros(CAST(h AS TIMESTAMP)) " +
+          "div 21600000000 * 21600000000) AS TIMESTAMP_NTZ)"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("w") === lit(java.sql.Timestamp.valueOf(w0)))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n")).toMap
+    val top = got.filter(
+      _.getAs[java.time.LocalDateTime]("w_start") == w0)
+      .sortBy(_.getAs[Int]("rk"))
+    top.foreach { r =>
+      assert(batch(r.getAs[String]("event_type")) === r.getAs[Long]("n"))
+    }
+  }
+
   test("streaming anomaly: multi-batch tail carry equals one-shot batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
