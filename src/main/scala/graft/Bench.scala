@@ -53,7 +53,7 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: $e")
     }
     val headline = Seq(
-      "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+      "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q21",
       "q_join_broadcast", "q_join_range", "q_join_asof", "q_join_bucketed",
       "q_join_salted", "q_join_skew_aqe", "q_join_dpp", "q_join_asof_native",
       "q_agg_hash", "q_agg_multi", "q_win_rank", "q_sort", "q_topk",
@@ -64,9 +64,14 @@ object Bench {
       "q_scan_parquet", "q_scan_csv", "q_sink_parquet",
       "q_stream_daq_pipeline", "q_stream_binary_raw", "q_stream_upsert")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
+    // Top-10 slowest (any query, not just headline) so a regression in a
+    // non-headline query is visible in the driver's official record, not
+    // only in bench_full.json. ~250 bytes; the line stays under ~1.2 KB.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
     println(
       s"""{"metric":"total","value":${f3(total)},"n":${results.size},""" +
-        s""""unit":"sec","queries":${jsonMap(head)},"sf":"$sfDir"}""")
+        s""""unit":"sec","queries":${jsonMap(head)},""" +
+        s""""slowest":${jsonMap(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,7 +13,7 @@ object SparkEntry {
       ops.Daq.all ++ ops.TextOps.all ++ ops.Dedup.all ++ ops.Vector.all ++
       ops.Multimodal.all ++ ops.Extras.all ++ ops.Scale.all ++
       ops.More.all ++ ops.Analytics.all ++ ops.Curate.all ++
-      ops.Pipeline.all ++ ops.Insights.all ++
+      ops.Pipeline.all ++ ops.Insights.all ++ ops.Corpus.all ++
       streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

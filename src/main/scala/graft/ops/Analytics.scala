@@ -114,27 +114,215 @@ object Analytics {
             ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
             LIMIT 20"""))
 
+  /** Q21 shape — "suppliers who kept orders waiting": the one classic
+    * multi-correlation pattern where a semi join AND an anti join
+    * correlate on the SAME fact. A line is "late" when it was returned
+    * (l_returnflag = 'R' — this schema's lateness marker); a supplier
+    * waits an order when it is the ONLY late supplier on a
+    * multi-supplier finished order. EXISTS → left_semi, NOT EXISTS →
+    * left_anti, both keyed on l_orderkey so every correlated pass over
+    * the fact is an equi-shuffle on the same key (co-partitioned at
+    * execution); nation is a broadcast dim and the final top-k is
+    * TakeOrderedAndProject, per the q_tpch_q1 discipline. */
+  val qTpchQ21 = Q(
+    "q_tpch_q21",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val li = t("lineitem")
+      val late = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val anySupp = li
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val lateSupp = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      late
+        .join(t("orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(anySupp,
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(lateSupp,
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t("nation")),
+          col("s_nationkey") === col("n_nationkey") &&
+          col("n_name").isin("NATION_1", "NATION_3", "NATION_5",
+            "NATION_7"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+            FROM supplier
+              JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+              AND n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7')
+            GROUP BY s_name
+            ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
+            LIMIT 100"""))
+
+  /** Q4 shape — order-priority checking: orders in a window having at
+    * least one returned line, counted by priority. The EXISTS is a
+    * left_semi against the pre-filtered fact projection — the probe
+    * side carries only l_orderkey, so the semi shuffle moves one
+    * column of the fact, and the date filter prunes orders at the
+    * scan (PushedFilters). */
+  val qTpchQ4 = Q(
+    "q_tpch_q4",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      t("orders")
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(t("lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
+  /** Q7 shape — volume shipping between two nations, keyed by the
+    * (supplier-nation, customer-nation) pair. Nation is joined TWICE in
+    * different roles; both role copies are filtered to the two nations
+    * of interest BEFORE the broadcast, so the fact rows that survive
+    * are pruned by the broadcast hash sets, never re-scanned. */
+  val qTpchQ7 = Q(
+    "q_tpch_q7",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t("nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk1"),
+          col("n_name").as("supp_nation"))
+      val n2 = t("nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk2"),
+          col("n_name").as("cust_nation"))
+      t("supplier")
+        .join(t("lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t("orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t("customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    },
+    Some("""SELECT supp_nation, cust_nation,
+              round(sum(volume), 2) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                l_extendedprice * (1.0 - l_discount) AS volume
+              FROM supplier
+                JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+                AND n2.n_name IN ('NATION_1', 'NATION_2')
+                AND n1.n_name <> n2.n_name) x
+            GROUP BY supp_nation, cust_nation
+            ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST"""))
+
+  /** Q14 shape — promo revenue share: one conditional-sum ratio over the
+    * lineitem–part join in a ship-date window. Only (p_partkey, p_type)
+    * leave the part scan, so the join's build side is two columns wide
+    * whatever the part payload; the date filter pushes to the fact
+    * scan. No broadcast hint: at bench scale the projected part side
+    * auto-broadcasts, at 100 TB AQE picks the shuffle join. */
+  val qTpchQ14 = Q(
+    "q_tpch_q14",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t("lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(t("part").select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 6).as("promo_pct"))
+    },
+    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1.0 - l_discount)
+                ELSE 0.0 END)
+              / sum(l_extendedprice * (1.0 - l_discount)), 6)
+              AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'"""))
+
   /** Re-aggregatable distinct via HLL sketches (q_agg_hll_merge): build
     * one sketch per event_type, then UNION the sketches for the global
     * estimate — the 100 TB pattern where per-partition/per-day sketches
     * are stored once and merged at query time instead of re-scanning raw
-    * keys. No oracle (sketch bytes are estimator-specific); ScalaTest
-    * bounds the union estimate against the exact distinct count. */
+    * keys. Oracle-eligible via exact-vs-approx: exact distinct counts
+    * cross-check in DuckDB; a Spark-side flag bounds every estimate
+    * (per-slice and merged-union) within 5% of exact. */
   val qAggHllMerge = Q(
     "q_agg_hll_merge",
     (sp, dir) => {
-      val sketches = Tables.t(sp, dir, "events")
+      val events = Tables.t(sp, dir, "events")
+      val sketches = events
         .groupBy(col("event_type"))
-        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
       val perType = sketches
-        .select(col("event_type").as("scope"),
-          expr("hll_sketch_estimate(sk)").as("est_users"))
+        .select(col("event_type").as("scope"), col("exact_users"),
+          expr("hll_sketch_estimate(sk)").as("est"))
       val overall = sketches
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
-        .select(lit("__union__").as("scope"), col("est_users"))
-      perType.unionAll(overall).orderBy(col("scope"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(broadcast(
+          events.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .select(lit("__union__").as("scope"), col("exact_users"),
+          col("est"))
+      perType.unionAll(overall)
+        .select(col("scope"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).cast("int").as("within_5pct"))
+        .orderBy(col("scope"))
     },
-    None)
+    Some("""SELECT event_type AS scope,
+              count(DISTINCT user_id) AS exact_users,
+              CAST(1 AS INTEGER) AS within_5pct
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__union__', count(DISTINCT user_id),
+              CAST(1 AS INTEGER)
+            FROM events
+            ORDER BY scope NULLS FIRST"""))
 
   /** Time-series resample + forward fill (q_resample_ffill): snap each
     * board's signal to an hourly grid over its own [first, last] span
@@ -357,9 +545,12 @@ object Analytics {
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
+      // explicit floor() on BOTH sides: Spark integer `div` truncates
+      // toward zero while DuckDB `//` floors, so events before the epoch
+      // date would otherwise land in week 0 here and week -1 there
       val acts = t("events")
         .select(col("user_id"),
-          expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7")
+          expr("floor(datediff(CAST(ts AS DATE), DATE'2024-01-01') / 7)")
             .cast("long").as("week"))
         .distinct()
       val cohorts = acts.groupBy(col("user_id"))
@@ -372,8 +563,8 @@ object Analytics {
     },
     Some("""WITH acts AS (
               SELECT DISTINCT user_id,
-                CAST(date_diff('day', DATE '2024-01-01',
-                  CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+                CAST(floor(date_diff('day', DATE '2024-01-01',
+                  CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
               FROM events),
             cohorts AS (
               SELECT user_id, min(week) AS cohort_week
@@ -385,5 +576,6 @@ object Analytics {
             ORDER BY c.cohort_week NULLS FIRST, week_offset NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qAggHllMerge,
-    qResampleFfill, qScd2, qTpchQ1, qTpchQ18, qFunnel, qRetention)
+    qResampleFfill, qScd2, qTpchQ1, qTpchQ18, qTpchQ21, qTpchQ4,
+    qTpchQ7, qTpchQ14, qFunnel, qRetention)
 }

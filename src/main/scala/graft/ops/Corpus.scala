@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a web-scale training-data pipeline runs
+  * between dedup and packing: per-domain caps, rule-based quality
+  * gates, and n-gram language-model statistics. All pure Catalyst
+  * expressions over `documents` (the `source` column stands in for the
+  * crawl domain), each with a DuckDB oracle. */
+object Corpus {
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.t(s, d, "documents")
+
+  /** Per-domain document cap (q_domain_cap): keep at most k docs per
+    * source — the anti-boilerplate step crawls apply so one mirror
+    * farm can't dominate the mix. Expressed as a rank-filter so
+    * Catalyst plans a PARTIAL WindowGroupLimit: each map task keeps at
+    * most k rows per source before the shuffle, so a hot domain ships
+    * k·tasks rows, never its whole crawl (plan-asserted). Deterministic
+    * keep policy: lowest doc_id first. */
+  val qDomainCap = Q(
+    "q_domain_cap",
+    (s, d) => {
+      val k = 15
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS rn
+              FROM documents) x
+            WHERE rn <= 15
+            ORDER BY source NULLS FIRST, doc_id NULLS FIRST"""))
+
+  /** Gopher-style quality rules (q_text_gopher): the classic doc-level
+    * heuristics (word-count bounds, mean-word-length bounds, alphabetic
+    * ratio, stopword floor) as one scan-local projection — no joins, no
+    * shuffles before the output sort; at 100 TB this is a pure map over
+    * the corpus. Thresholds follow the published Gopher rules, scaled
+    * to the synthetic token range. */
+  val qTextGopher = Q(
+    "q_text_gopher",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).as("n_words"),
+          round(length(translate(col("text"), " ", "")) / size(col("ws")),
+            6).as("mean_wlen"),
+          round(size(filter(col("ws"), w => w.rlike("^[a-z]+$"))) /
+            size(col("ws")), 6).as("alpha_frac"),
+          size(filter(col("ws"), w => w.isin("the", "a")))
+            .as("n_stop"))
+        .withColumn("passes",
+          (col("n_words").between(50, 100000) &&
+            col("mean_wlen").between(3.0, 10.0) &&
+            col("alpha_frac") >= 0.8 &&
+            col("n_stop") >= 2).cast("int"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_words, mean_wlen, alpha_frac, n_stop,
+              CAST(n_words BETWEEN 50 AND 100000
+                AND mean_wlen BETWEEN 3.0 AND 10.0
+                AND alpha_frac >= 0.8
+                AND n_stop >= 2 AS INTEGER) AS passes
+            FROM (
+              SELECT doc_id,
+                len(w) AS n_words,
+                round(length(replace(text, ' ', '')) * 1.0 / len(w), 6)
+                  AS mean_wlen,
+                round(len(list_filter(w,
+                    x -> regexp_full_match(x, '[a-z]+'))) * 1.0 / len(w),
+                  6) AS alpha_frac,
+                len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                    FROM documents) t) x
+            ORDER BY doc_id NULLS FIRST"""))
+
+  /** Bigram language-model head (q_text_bigram_lm): the most likely
+    * continuation of every unigram with its conditional probability
+    * P(w2|w1) — the statistic behind n-gram LM filters and synthetic-
+    * text detectors. Scale shape: the bigram explode feeds ONE
+    * map-side-combined count aggregate (corpus-sized); everything after
+    * (per-w1 totals, top-1 rank) runs over the (w1, w2) count table,
+    * which is vocabulary², not corpus-sized. */
+  val qTextBigramLm = Q(
+    "q_text_bigram_lm",
+    (s, d) => {
+      val cnt = docs(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+                       i -> struct(element_at(ws, i) AS w1,
+                                   element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy(col("w1"))
+      val top = Window.partitionBy(col("w1"))
+        .orderBy(col("n").desc, col("w2"))
+      cnt
+        .withColumn("tot", sum(col("n")).over(tot))
+        .withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1)
+        .select(col("w1"), col("w2"), col("n"),
+          round(col("n") / col("tot"), 6).as("p"))
+        .orderBy(col("w1"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            cnt AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+              FROM big GROUP BY w1, w2)
+            SELECT w1, w2, n,
+              round(1.0 * n / sum(n) OVER (PARTITION BY w1), 6) AS p
+            FROM cnt
+            QUALIFY row_number()
+              OVER (PARTITION BY w1 ORDER BY n DESC, w2) = 1
+            ORDER BY w1 NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm)
+}

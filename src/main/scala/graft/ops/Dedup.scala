@@ -492,6 +492,18 @@ object Dedup {
     * the growing lineage would dominate the loop). Throws loudly if
     * the fixpoint is not reached instead of emitting unconverged
     * labels. */
+  /** Shuffle width for the component-propagation loop, derived from the
+    * COUNTED pair-graph size rather than the session default: the loop
+    * shuffles only edge/vertex rows (two longs each), so ~2M edges per
+    * partition keeps every propagation partition in the tens of MB.
+    * Clamped to the session width so a huge pair graph never exceeds
+    * the cluster's configured parallelism, and to ≥1 for tiny graphs. */
+  private[graft] def propagationWidth(edgeCount: Long, confWidth: Int): Int = {
+    val edgesPerPartition = 2000000L
+    val derived = (edgeCount + edgesPerPartition - 1) / edgesPerPartition
+    math.max(1L, math.min(confWidth.toLong, derived)).toInt
+  }
+
   private[graft] def connectedComponents(
       pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     // materialize the edge list ONCE — every propagation step joins
@@ -501,7 +513,19 @@ object Dedup {
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .persist()
-    edges.count()
+    val nEdges = edges.count()
+    // the edge count is already materialized by the persist action above,
+    // so sizing the propagation shuffles to the graph costs nothing extra
+    val spark = pairs.sparkSession
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      propagationWidth(nEdges, saved.toInt).toString)
+    try connectedComponentsLoop(edges, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  private def connectedComponentsLoop(
+      edges: DataFrame, maxIter: Int): DataFrame = {
     // only edge vertices can be in a >1 cluster — propagate over the
     // (tiny) vertex set, not the whole corpus
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -553,23 +577,16 @@ object Dedup {
     "q_dedup_components",
     (s, d) => {
       // Pair generation runs at full corpus width FIRST (it scans and
-      // shuffles real data)…
+      // shuffles real data); connectedComponents then sizes its own
+      // propagation shuffles from the counted edge list (see
+      // propagationWidth) — width like the pair graph, not the corpus.
       val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
-      // …then the propagation loop shuffles only the tiny pair-graph
-      // vertex table (~2 jobs per round): width THAT like the data, not
-      // like the corpus — at real scale the same session conf sizes it
-      // to the edge count.
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.min(4, saved.toInt).toString)
-      try {
-        connectedComponents(pairs)
-          .groupBy(col("comp"))
-          .agg(count(lit(1)).as("cluster_size"),
-            min(col("doc_id")).as("keep_id"))
-          .filter(col("cluster_size") > 1)
-          .orderBy(col("comp"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      connectedComponents(pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("keep_id"))
+        .filter(col("cluster_size") > 1)
+        .orderBy(col("comp"))
     },
     qDedupNear.oracle.map { nearSql =>
       val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))

@@ -32,9 +32,22 @@ object Extras {
     out
   }
 
-  /** Pre-write every format fixture for `d` (called from Bench warmup). */
+  /** Pre-write every format fixture for `d` (called from Bench warmup).
+    * Each write is guarded separately so one failing format can't stop
+    * the later fixtures from warming, and each outcome is logged so the
+    * bench record shows which scans were actually pre-warmed. */
   def warm(s: SparkSession, d: String): Unit = {
-    csvDir(s, d); jsonDir(s, d); orcDir(s, d); xmlDir(s, d); textDir(s, d)
+    val steps: Seq[(String, () => String)] = Seq(
+      "csv" -> (() => csvDir(s, d)), "json" -> (() => jsonDir(s, d)),
+      "orc" -> (() => orcDir(s, d)), "xml" -> (() => xmlDir(s, d)),
+      "text" -> (() => textDir(s, d)))
+    steps.foreach { case (fmt, run) =>
+      val t0 = System.nanoTime()
+      try { run(); System.err.println(
+        f"[warm] $fmt fixture ok (${(System.nanoTime() - t0) / 1e9}%.2fs)") }
+      catch { case e: Throwable =>
+        System.err.println(s"[warm] $fmt fixture FAILED: $e") }
+    }
   }
 
   private def csvDir(s: SparkSession, d: String): String =

