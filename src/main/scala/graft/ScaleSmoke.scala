@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: time the bench's heaviest fixed-cost entries at 1× and
+  * at a synthetic 10× blow-up of sf0.1, to check the "cost is fixed /
+  * sub-linear, shapes survive scale-up" claims with a measurement
+  * instead of an argument.
+  *
+  * The 10× corpus is constructed so the WORKLOAD scales 10× without
+  * changing its statistical shape: each replica's token stream is
+  * suffixed with the replica id, so vocabularies are disjoint across
+  * replicas — near-dup structure (pairs, clusters, shingle blocks) is
+  * exactly 10 independent copies of the original, never a cross-replica
+  * pair explosion. Embeddings replicate with shifted ids (k-means/PCA
+  * build no pairs, so identical vectors are harmless). All other
+  * tables symlink to the originals.
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke"; prints a markdown table. */
+object ScaleSmoke {
+
+  private val ids = Seq("q_dedup_components", "q_dedup_ngram",
+    "q_sim_kmeans", "q_embed_pca", "q_dedup_incremental")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.props("java.io.tmpdir") + "/graft_scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build10x(spark, src, out)
+    // JVM/codegen warmup so 1× doesn't absorb JIT cost
+    spark.range(2000000L).selectExpr("sum(id)").collect()
+    def run(dir: String): Map[String, Double] = ids.map { id =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(id)(spark, dir).count()
+      id -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val t1 = run(src)
+    val t10 = run(out)
+    println("| query | 1x sec | 10x sec | ratio (linear = 10.0) |")
+    println("|---|---|---|---|")
+    ids.foreach { id =>
+      println(f"| $id | ${t1(id)}%.2f | ${t10(id)}%.2f | " +
+        f"${t10(id) / t1(id)}%.2f |")
+    }
+    spark.stop()
+  }
+
+  /** Write the 10× documents/embeddings blow-up; symlink other tables. */
+  private def build10x(spark: SparkSession, src: String, out: String): Unit = {
+    val dir = new java.io.File(out)
+    if (new java.io.File(out + "/_done").exists()) return
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val rep = spark.range(10).select(col("id").as("rep"))
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dmx = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+    docs.crossJoin(broadcast(rep))
+      .select(
+        (col("doc_id") + col("rep") * dmx).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("rep"))))).as("text"),
+        col("lang"),
+        concat(col("source"), lit("_"), col("rep")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val emx = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
+    emb.crossJoin(broadcast(rep))
+      .select((col("vec_id") + col("rep") * emx).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.Paths.get(s"$src/$t.parquet"))
+    }
+    new java.io.File(out + "/_done").createNewFile()
+  }
+}
