@@ -284,6 +284,72 @@ object Analytics {
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'"""))
 
+  /** Q13 shape — customer order-count distribution: LEFT join with a
+    * predicate ON THE JOIN (not a post-filter — unmatched customers
+    * must survive with count 0), then a two-level aggregate where the
+    * second groupBy runs over at most #distinct-counts rows. One fact
+    * shuffle on the join key; the histogram re-agg is driver-trivial
+    * at any scale. */
+  val qTpchQ13 = Q(
+    "q_tpch_q13",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      t("customer").select(col("c_custkey"))
+        .join(t("orders").filter(col("o_orderpriority") =!= "5-LOW")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey) x
+            GROUP BY c_count
+            ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST"""))
+
+  /** Q22 shape — global-acquaintance check: customers above the global
+    * average balance with no urgent order, bucketed by country code
+    * (nationkey mod 10 stands in for the phone prefix). The scalar
+    * subquery is a one-row broadcast; the NOT EXISTS is a left_anti
+    * keyed on custkey — the second half of the Q21 correlation family. */
+  val qTpchQ22 = Q(
+    "q_tpch_q22",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val cust = t("customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("m"))
+      cust
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("m"))
+        .join(t("orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    },
+    Some("""SELECT cntrycode, count(*) AS numcust,
+              round(sum(c_acctbal), 2) AS totacctbal
+            FROM (
+              SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+              FROM customer
+              WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0.0)
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderpriority = '1-URGENT')) x
+            GROUP BY cntrycode
+            ORDER BY cntrycode NULLS FIRST"""))
+
   /** Re-aggregatable distinct via HLL sketches (q_agg_hll_merge): build
     * one sketch per event_type, then UNION the sketches for the global
     * estimate — the 100 TB pattern where per-partition/per-day sketches
@@ -577,5 +643,5 @@ object Analytics {
 
   val all: Seq[Q] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qAggHllMerge,
     qResampleFfill, qScd2, qTpchQ1, qTpchQ18, qTpchQ21, qTpchQ4,
-    qTpchQ7, qTpchQ14, qFunnel, qRetention)
+    qTpchQ7, qTpchQ13, qTpchQ14, qTpchQ22, qFunnel, qRetention)
 }

@@ -135,5 +135,73 @@ object Corpus {
               OVER (PARTITION BY w1 ORDER BY n DESC, w2) = 1
             ORDER BY w1 NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm)
+  /** Temperature-scaled mixing weights (q_mix_temperature): the
+    * standard multilingual/multi-source re-balancing rule — source i
+    * samples proportionally to n_i^alpha (alpha = 0.7), boosting
+    * low-resource sources relative to raw token share. Two tiny
+    * aggregates over per-source token counts; the normalizer is a
+    * one-row broadcast. The sampling RATE table this emits is what a
+    * downstream q_mix_sample-style gate consumes. */
+  val qMixTemperature = Q(
+    "q_mix_temperature",
+    (s, d) => {
+      val bySource = docs(s, d)
+        .select(col("source"), size(split(col("text"), " ")).as("ntok"))
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("n"))
+      val z = bySource.agg(sum(pow(col("n"), 0.7)).as("z"))
+      bySource.crossJoin(broadcast(z))
+        .select(col("source"), col("n"),
+          round(pow(col("n"), 0.7) / col("z"), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH s AS (
+              SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+              FROM documents GROUP BY source),
+            tot AS (SELECT sum(pow(n, 0.7)) AS z FROM s)
+            SELECT source, n, round(pow(n, 0.7) / z, 6) AS weight
+            FROM s, tot
+            ORDER BY source NULLS FIRST"""))
+
+  /** Per-source unigram entropy (q_text_entropy): Shannon entropy of
+    * each source's token distribution — low entropy flags templated or
+    * machine-generated sources, the cheap cousin of the KL drift
+    * check. One corpus-sized explode feeds a (source, term) count
+    * aggregate with map-side combine; the entropy reduction runs over
+    * the count table (vocab-sized), and the per-source totals join
+    * back by broadcast. */
+  val qTextEntropy = Q(
+    "q_text_entropy",
+    (s, d) => {
+      val cnt = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("tn"))
+      cnt.join(tot, "source")
+        .groupBy(col("source"))
+        .agg(
+          round(-sum((col("n") / col("tn")) * log2(col("n") / col("tn"))),
+            6).as("entropy"),
+          count(lit(1)).as("vocab"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            cnt AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY source, w),
+            tot AS (SELECT source, sum(n) AS tn FROM cnt GROUP BY source)
+            SELECT c.source,
+              round(-sum((n * 1.0 / tn) * log2(n * 1.0 / tn)), 6)
+                AS entropy,
+              CAST(count(*) AS BIGINT) AS vocab
+            FROM cnt c JOIN tot t ON c.source = t.source
+            GROUP BY c.source
+            ORDER BY c.source NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
+    qMixTemperature, qTextEntropy)
 }

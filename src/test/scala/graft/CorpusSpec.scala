@@ -73,6 +73,53 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("temperature mixing: weights sum to 1 and boost small sources") {
+    val rows = q("q_mix_temperature").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Double]("weight")))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // alpha < 1 compresses the range: weight ratio < raw token ratio
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    if (big._2 > small._2)
+      assert(big._3 / small._3 < big._2.toDouble / small._2,
+        "temperature must compress source imbalance")
+  }
+
+  test("entropy matches a scalar replay per source") {
+    val rows = q("q_text_entropy").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("entropy"),
+        r.getAs[Long]("vocab")))
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = texts.groupBy(_._1)
+    rows.foreach { case (src, ent, vocab) =>
+      val counts = bySource(src).flatMap(_._2.split(" "))
+        .groupBy(identity).map { case (_, v) => v.length.toLong }
+      val tn = counts.sum.toDouble
+      val expect = -counts.map { n =>
+        val p = n / tn; p * math.log(p) / math.log(2.0)
+      }.sum
+      assert(counts.size === vocab, s"vocab mismatch for $src")
+      assert(math.abs(ent - expect) < 1e-5, s"entropy $src: $ent vs $expect")
+    }
+  }
+
+  test("tpch q13/q22 shapes: histogram accounts for every customer; " +
+    "q22 anti-join excludes urgent-order customers") {
+    val nCust = Tables.t(spark, sf0, "customer").count()
+    val q13 = q("q_tpch_q13").collect()
+    assert(q13.map(_.getAs[Long]("custdist")).sum === nCust)
+    val q22 = q("q_tpch_q22").collect()
+    q22.foreach(r => assert(r.getAs[Long]("numcust") > 0))
+    // no overlap with urgent-order customers by construction
+    val urgent = Tables.t(spark, sf0, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    assert(urgent > 0) // the anti side is non-trivial
+  }
+
   test("tpch q4/q7/q14 return sane shapes at sf0.001") {
     val q4 = q("q_tpch_q4").collect()
     assert(q4.nonEmpty && q4.forall(_.getAs[Long]("order_count") > 0))
