@@ -361,6 +361,103 @@ object Multimodal {
               n_samples
             ORDER BY s.doc_id NULLS FIRST"""))
 
+  /** Frame-level audio features (q_multimodal_audio_feat): windowed RMS
+    * energy + zero-crossing rate over the decoded PCM — the feature-
+    * extraction step AFTER container decode that an audio curation
+    * pipeline runs (silence trimming, speech/music gating). Scale
+    * shape: the full decode builds each doc's sample ARRAY in one
+    * scan-local `transform` over the bytes (no per-sample explode), the
+    * sliding frames (window 4, hop 2) explode per FRAME, and every
+    * feature is array algebra on a `slice` — zero joins, zero
+    * shuffles before the output sort, exactly the q_doc_cdc discipline.
+    * The DuckDB oracle recomputes both features from the generator
+    * arithmetic alone, so a green hash proves byte decode + framing +
+    * feature math end to end. */
+  val qMultimodalAudioFeat = Q(
+    "q_multimodal_audio_feat",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, wavBytes(id))))
+        .toDF("doc_id", "wav")
+      def le(pos: Int, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(wav, ${pos + k}, 1)), 16, 10) AS BIGINT)" +
+            s" * ${1L << (8 * k)})").mkString("(", " + ", ")")
+      blobs
+        .withColumn("n_samples", expr(le(41, 4) + " / 2").cast("long"))
+        // full PCM decode as ONE array build: LE u16 at 45 + 2i, then
+        // two's-complement sign recovery
+        .withColumn("samples", expr(
+          """transform(sequence(CAST(0 AS BIGINT), n_samples - 1), i ->
+               CASE WHEN
+                 (CAST(conv(hex(substring(wav, CAST(45 + 2 * i AS INT), 1)),
+                    16, 10) AS BIGINT)
+                  + CAST(conv(hex(substring(wav, CAST(46 + 2 * i AS INT), 1)),
+                      16, 10) AS BIGINT) * 256) >= 32768
+               THEN
+                 (CAST(conv(hex(substring(wav, CAST(45 + 2 * i AS INT), 1)),
+                    16, 10) AS BIGINT)
+                  + CAST(conv(hex(substring(wav, CAST(46 + 2 * i AS INT), 1)),
+                      16, 10) AS BIGINT) * 256) - 65536
+               ELSE
+                 (CAST(conv(hex(substring(wav, CAST(45 + 2 * i AS INT), 1)),
+                    16, 10) AS BIGINT)
+                  + CAST(conv(hex(substring(wav, CAST(46 + 2 * i AS INT), 1)),
+                      16, 10) AS BIGINT) * 256)
+               END)"""))
+        .withColumn("f", explode(expr(
+          "sequence(CAST(0 AS BIGINT), (n_samples - 4) div 2)")))
+        .withColumn("frame", expr(
+          "slice(samples, CAST(2 * f + 1 AS INT), 4)"))
+        .select(col("doc_id"), col("f"),
+          round(sqrt(expr(
+            """aggregate(frame, CAST(0 AS DOUBLE),
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * x) / 4.0""")), 6)
+            .as("rms"),
+          expr("""size(filter(
+                    zip_with(slice(frame, 1, 3), slice(frame, 2, 3),
+                      (a, b) -> (a >= 0) != (b >= 0)),
+                    v -> v))""").cast("long").as("zcr"))
+        .orderBy(col("doc_id"), col("f"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, 8 + doc_id % 9 AS n FROM documents),
+            frames AS (
+              SELECT doc_id, n,
+                unnest(generate_series(0, (n - 4) // 2)) AS f
+              FROM spec),
+            samp AS (
+              SELECT doc_id, f, unnest(generate_series(0, 3)) AS j
+              FROM frames),
+            vals AS (
+              SELECT doc_id, f,
+                CASE WHEN (doc_id*7919 + (2*f+j)*104729) % 65536 >= 32768
+                     THEN (doc_id*7919 + (2*f+j)*104729) % 65536 - 65536
+                     ELSE (doc_id*7919 + (2*f+j)*104729) % 65536 END AS s
+              FROM samp),
+            rms AS (
+              SELECT doc_id, f, round(sqrt(sum(s * s) / 4.0), 6) AS rms
+              FROM vals GROUP BY doc_id, f),
+            pairs AS (
+              SELECT doc_id, f, unnest(generate_series(0, 2)) AS j
+              FROM frames),
+            zc AS (
+              SELECT doc_id, f,
+                CAST(sum(CASE WHEN sgn_a != sgn_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS zcr
+              FROM (SELECT doc_id, f,
+                      ((doc_id*7919 + (2*f+j)*104729) % 65536 < 32768)
+                        AS sgn_a,
+                      ((doc_id*7919 + (2*f+j+1)*104729) % 65536 < 32768)
+                        AS sgn_b
+                    FROM pairs) x
+              GROUP BY doc_id, f)
+            SELECT r.doc_id, r.f, r.rms, z.zcr
+            FROM rms r JOIN zc z ON r.doc_id = z.doc_id AND r.f = z.f
+            ORDER BY r.doc_id NULLS FIRST, r.f NULLS FIRST"""))
+
   /** Deterministic 24-bit uncompressed BMP for doc_id: BITMAPFILEHEADER
     * + BITMAPINFOHEADER + bottom-up pixel rows padded to 4 bytes.
     * Channel (x, y) values are fixed arithmetic in doc_id so the oracle
@@ -626,5 +723,6 @@ object Multimodal {
 
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
-      qMultimodalWav, qMultimodalBmp, qMultimodalMp4)
+      qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
+      qMultimodalMp4)
 }

@@ -77,6 +77,35 @@ class VectorSpec extends SparkSuite {
     assert(r0.getAs[Double]("emb_norm") > 0.0)
   }
 
+  test("audio features: RMS and ZCR match a scalar generator replay") {
+    val rows = q("q_multimodal_audio_feat").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("f")) ->
+        (r.getAs[Double]("rms"), r.getAs[Long]("zcr"))).toMap
+    assert(rows.nonEmpty)
+    def sample(docId: Long, i: Long): Long = {
+      val raw = (docId * 7919 + i * 104729) % 65536
+      if (raw >= 32768) raw - 65536 else raw
+    }
+    (0L to 30L).foreach { id =>
+      val n = 8 + id % 9
+      (0L to (n - 4) / 2).foreach { f =>
+        val frame = (0L to 3L).map(j => sample(id, 2 * f + j))
+        val rms = BigDecimal(math.sqrt(
+          frame.map(s => s.toDouble * s).sum / 4.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val zcr = frame.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+        val (gr, gz) = rows((id, f))
+        assert(math.abs(gr - rms) < 1e-6, s"rms doc=$id f=$f")
+        assert(gz === zcr.toLong, s"zcr doc=$id f=$f")
+      }
+    }
+    // every frame of every doc is present: sum of per-doc frame counts
+    val nDocs = Tables.t(spark, sf0, "documents").count()
+    val expectRows = (0L until nDocs)
+      .map(id => (8 + id % 9 - 4) / 2 + 1).sum
+    assert(rows.size.toLong === expectRows)
+  }
+
   test("multimodal decode: PNG round-trips through the pure-JVM codec") {
     val dec = q("q_multimodal_decode", dir).collect()
     assert(dec.length === 40)
