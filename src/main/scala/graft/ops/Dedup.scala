@@ -193,7 +193,7 @@ object Dedup {
 
   /** DuckDB mirror of [[lshBands]]: CTE chain shingle_sets → mh →
     * bands — the same one-definition discipline as the Spark side. */
-  private lazy val bandsCteSql: String = {
+  private[graft] lazy val bandsCteSql: String = {
     val mhCols = (0 until 16).map(i =>
       s"list_min(list_transform(hs, x -> ((${2 * i + 1}) * x + " +
         s"(${7 * i + 3})) % 2147483647)) AS m$i").mkString(",\n  ")

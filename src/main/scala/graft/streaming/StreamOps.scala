@@ -792,6 +792,52 @@ object StreamOps {
             GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
+  /** Streaming LSH index build (q_stream_lsh_index): the ingest half of
+    * streaming NEAR-dedup — every arriving document's 16 minhashes and
+    * 4 LSH band keys (the SAME 4×4 banding as the batch q_dedup_near,
+    * mirrored via Dedup.bandsCteSql) are computed as scan-local array
+    * algebra on the single row, so the signature stage needs NO keyed
+    * aggregate; the only stateful operator is the (band, band_key)
+    * index maintenance itself, whose state is one row per occupied
+    * bucket whatever the stream volume. An incoming doc is near-dup-
+    * checked by probing this settled index (the q_dedup_incremental
+    * broadcast pattern); here the index contents are the deterministic
+    * settled output. */
+  val qStreamLshIndex = Q(
+    "q_stream_lsh_index",
+    (s, d) => {
+      val mExprs = (0 until 16).map(i =>
+        s"array_min(transform(hs, x -> ((${2 * i + 1}) * x + " +
+          s"(${7 * i + 3})) % 2147483647)) AS m$i")
+      val bandRows = (0 until 4).map { b =>
+        s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
+          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
+      }.mkString(", ")
+      val sigs = documentsStream(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("hs", expr(
+          """array_distinct(transform(
+               CASE WHEN size(toks) >= 5
+                 THEN transform(sequence(1, size(toks) - 4),
+                        i -> concat_ws(' ', slice(toks, i, 5)))
+                 ELSE array() END,
+               s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8),
+                      16, 10) AS BIGINT)))"""))
+        .filter(size(col("hs")) > 0)
+        .selectExpr(("doc_id" +: mExprs): _*)
+        .select(col("doc_id"),
+          expr(s"stack(4, $bandRows) AS (band, band_key)"))
+      val idx = sigs.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      drain(s, idx, "stream_lsh_idx_tbl", "complete")
+        .orderBy(col("band"), col("band_key"))
+    },
+    Some(s"""${graft.ops.Dedup.bandsCteSql}
+            SELECT band, band_key, count(*) AS n_docs,
+              min(doc_id) AS min_doc
+            FROM bands GROUP BY band, band_key
+            ORDER BY band NULLS FIRST, band_key NULLS FIRST"""))
+
   /** Streaming per-label centroid maintenance (q_stream_centroid): the
     * vector-pipeline twin of q_sim_centroid — embeddings arrive as a
     * stream and the per-label mean vector is maintained INCREMENTALLY
@@ -951,5 +997,5 @@ object StreamOps {
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
-    qStreamCentroid, qStreamAnomaly, qStreamTopk)
+    qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex)
 }

@@ -504,4 +504,39 @@ class StreamSpec extends SparkSuite {
     // calm rows are never flagged
     assert(oneShot.keySet === Set(61L))
   }
+
+  test("streaming LSH index: exact copies collide on all 4 bands; " +
+    "index accounts for every shingled doc") {
+    def mkText(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 97}").mkString(" ")
+    val t0 = mkText(3, 40)
+    val docsDf = Seq(
+      (0L, t0, "en", "s0"),
+      (100L, t0, "en", "s0"),            // exact copy of 0
+      (5L, mkText(11, 40), "en", "s0"),  // unrelated
+      (6L, "too short", "en", "s0"))     // < 5 tokens: no shingles
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("stream_lsh")("documents" -> docsDf)
+    // collapse the fixture dir to a single documents.parquet FILE — the
+    // driver layout the streaming source's pathGlobFilter matches on
+    val dd = new java.io.File(s"$dir/documents.parquet")
+    val part = dd.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tmp = new java.io.File(s"$dir/documents.parquet.tmp")
+    java.nio.file.Files.move(part.toPath, tmp.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(dd)
+    java.nio.file.Files.move(tmp.toPath, dd.toPath)
+    val idx = q("q_stream_lsh_index", dir).collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("band_key")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_doc"))).toMap
+    // 3 shingled docs × 4 bands = 12 index entries in total
+    assert(idx.values.map(_._1).sum === 12L)
+    // the copy pair shares its bucket on all 4 bands, keeper = min id
+    val shared = idx.values.filter(_._1 >= 2L)
+    assert(shared.size === 4, s"copies must collide on all 4 bands: $idx")
+    assert(shared.forall(_._2 === 0L))
+    // the short doc contributes nothing
+    assert(idx.values.forall(_._1 <= 2L))
+  }
 }
