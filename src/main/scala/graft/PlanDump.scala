@@ -62,7 +62,18 @@ object PlanDump {
       "df/tf stats and capped lists co-partitioned on term"),
     "q_join_interval" -> ("interval overlap as a (user, day-bucket) " +
       "compound-key EQUI-join — overlap predicate is a post-filter, " +
-      "never a nested loop; window explode bounded at 2 buckets"))
+      "never a nested loop; window explode bounded at 2 buckets"),
+    "q_tpch_q21" -> ("semi + anti correlation on the SAME fact, both " +
+      "equi-keyed on l_orderkey; nation broadcast; " +
+      "TakeOrderedAndProject top-k — no cartesian/nested-loop"),
+    "q_tpch_q13" -> ("left join keeps unmatched customers (predicate " +
+      "ON the join); second agg runs over #distinct-counts rows"),
+    "q_domain_cap" -> ("rank filter plans a PARTIAL WindowGroupLimit: " +
+      "each map task keeps <= k rows per source BEFORE the shuffle — " +
+      "a hot domain ships k*tasks rows, never its crawl"),
+    "q_text_bigram_lm" -> ("bigram explode feeds ONE map-side-combined " +
+      "count agg; totals + top-1 rank run over the vocab^2 count " +
+      "table, never the corpus"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
