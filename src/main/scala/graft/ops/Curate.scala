@@ -79,6 +79,31 @@ object Curate {
             GROUP BY d.source
             ORDER BY d.source NULLS FIRST"""))
 
+  /** Deterministic reservoir-style sample (q_sample_reservoir): a
+    * fixed-size uniform sample WITHOUT a global sort or RNG — rank
+    * every doc by md5(doc_id) and keep the k smallest, the
+    * distributed stand-in for reservoir sampling (same guarantee: any
+    * k-subset equally likely under a uniform hash, reproducible
+    * run-to-run). Plans as TakeOrderedAndProject: each partition keeps
+    * a k-heap, the driver merges k·partitions rows — no shuffle of
+    * the corpus, the shape that survives 100 TB. */
+  val qSampleReservoir = Q(
+    "q_sample_reservoir",
+    (s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("rk"))
+        .orderBy(col("rk"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source FROM (
+              SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS rk
+              FROM documents
+              ORDER BY rk NULLS FIRST, doc_id NULLS FIRST
+              LIMIT 100) x
+            ORDER BY doc_id NULLS FIRST"""))
+
   /** PII redaction (q_pii_redact): scrub emails, phone numbers, and
     * 16-digit card numbers with anchored regex replaces, reporting
     * per-doc match counts and the redacted text's md5 — the audit
@@ -193,5 +218,6 @@ object Curate {
             FROM c
             ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qMixSample, qPiiRedact, qDocChunks)
+  val all: Seq[Q] = Seq(qMixSample, qPiiRedact, qDocChunks,
+    qSampleReservoir)
 }

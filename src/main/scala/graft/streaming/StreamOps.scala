@@ -838,6 +838,60 @@ object StreamOps {
             FROM bands GROUP BY band, band_key
             ORDER BY band NULLS FIRST, band_key NULLS FIRST"""))
 
+  /** Streaming training-mix gate (q_stream_mix_sample): the ingest
+    * twin of q_mix_sample — the per-source rate table is planned ONCE
+    * from the static corpus (tiny, broadcast), and every arriving doc
+    * passes the same deterministic hash gate scan-locally, so the
+    * sampled mix is reproducible run-to-run, engine-to-engine AND
+    * batch-vs-stream. The only stateful operator is the per-source
+    * kept-counts aggregate (state = one row per source). */
+  val qStreamMixSample = Q(
+    "q_stream_mix_sample",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val perSource = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("toks"))
+        .withColumn("w", expr(
+          "CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3 AS DOUBLE)"))
+      val totals = perSource.agg(
+        sum(col("toks")).as("total_toks"), sum(col("w")).as("total_w"))
+      val rates = perSource.crossJoin(broadcast(totals))
+        .withColumn("rate", expr(
+          "least(CAST(1.0 AS DOUBLE), " +
+            "((w / total_w) * (total_toks * 0.5)) / toks)"))
+        .select(col("source"), col("rate"))
+      val gated = documentsStream(s, d)
+        .join(broadcast(rates), Seq("source"))
+        .filter(expr(
+          "(doc_id * 2654435761) % 1000000 < floor(rate * 1000000)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars")).as("kept_toks"))
+      drain(s, gated, "stream_mix_tbl", "complete")
+        .orderBy(col("source"))
+    },
+    Some("""WITH per_source AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks,
+                CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3
+                     AS DOUBLE) AS w
+              FROM documents GROUP BY source),
+            totals AS (
+              SELECT CAST(sum(toks) AS BIGINT) AS total_toks,
+                sum(w) AS total_w
+              FROM per_source),
+            rates AS (
+              SELECT source,
+                least(CAST(1.0 AS DOUBLE),
+                  ((w / total_w) * (total_toks * 0.5)) / toks) AS rate
+              FROM per_source, totals)
+            SELECT d.source, count(*) AS kept_docs,
+              CAST(sum(d.n_chars) AS BIGINT) AS kept_toks
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE (d.doc_id * 2654435761) % 1000000
+                  < floor(r.rate * 1000000)
+            GROUP BY d.source
+            ORDER BY d.source NULLS FIRST"""))
+
   /** Streaming per-label centroid maintenance (q_stream_centroid): the
     * vector-pipeline twin of q_sim_centroid — embeddings arrive as a
     * stream and the per-label mean vector is maintained INCREMENTALLY
@@ -997,5 +1051,6 @@ object StreamOps {
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
-    qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex)
+    qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
+    qStreamMixSample)
 }

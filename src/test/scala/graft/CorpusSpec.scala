@@ -120,6 +120,26 @@ class CorpusSpec extends SparkSuite {
     assert(urgent > 0) // the anti side is non-trivial
   }
 
+  test("reservoir sample: fixed size, deterministic, TakeOrdered plan") {
+    val a = q("q_sample_reservoir").collect().map(_.getAs[Long]("doc_id"))
+    val b = q("q_sample_reservoir").collect().map(_.getAs[Long]("doc_id"))
+    assert(a.length === 100)
+    assert(a.toSeq === b.toSeq, "hash-ranked sample must be reproducible")
+    // the k-smallest-hash selection must be a per-partition heap merge
+    val p = q("q_sample_reservoir").queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no heap-based top-k:\n$p")
+  }
+
+  test("streaming mix gate settles to the batch gate's counts") {
+    val streamed = q("q_stream_mix_sample").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_toks"))).toMap
+    val batch = q("q_mix_sample").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_toks"))).toMap
+    assert(streamed === batch)
+  }
+
   test("tpch q4/q7/q14 return sane shapes at sf0.001") {
     val q4 = q("q_tpch_q4").collect()
     assert(q4.nonEmpty && q4.forall(_.getAs[Long]("order_count") > 0))
