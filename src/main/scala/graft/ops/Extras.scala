@@ -40,7 +40,9 @@ object Extras {
     val steps: Seq[(String, () => String)] = Seq(
       "csv" -> (() => csvDir(s, d)), "json" -> (() => jsonDir(s, d)),
       "orc" -> (() => orcDir(s, d)), "xml" -> (() => xmlDir(s, d)),
-      "text" -> (() => textDir(s, d)))
+      "text" -> (() => textDir(s, d)),
+      "evolution" -> (() => evoDir(s, d)),
+      "corrupt" -> (() => corruptDir(s, d)))
     steps.foreach { case (fmt, run) =>
       val t0 = System.nanoTime()
       try { run(); System.err.println(
@@ -81,6 +83,32 @@ object Extras {
     ensureFixture("graft_scan_text", d) { out =>
       Tables.t(s, d, "documents")
         .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+    }
+
+  /** Two-version lake layout: v1 files predate the event_type column. */
+  private def evoDir(s: SparkSession, d: String): String =
+    ensureFixture("graft_scan_evo", d) { out =>
+      ev(s, d).filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(out + "/v1")
+      ev(s, d).filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(out + "/v2")
+    }
+
+  /** JSON-lines feed with deterministically corrupted rows
+    * (event_id % 7 == 3 → truncated JSON). */
+  private def corruptDir(s: SparkSession, d: String): String =
+    ensureFixture("graft_scan_corrupt", d) { out =>
+      ev(s, d)
+        .select(when(col("event_id") % 7 === 3,
+            concat(lit("{\"event_id\": "), col("event_id"),
+              lit(", \"event_type\": \"tru")))
+          .otherwise(concat(lit("{\"event_id\": "), col("event_id"),
+            lit(", \"event_type\": \""), col("event_type"),
+            lit("\", \"value\": "), col("value"), lit("}")))
           .as("value"))
         .write.mode("overwrite").text(out)
     }
@@ -220,6 +248,68 @@ object Extras {
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24"""))
+
+  /** Schema-evolution read (q_scan_evolution): a lake table whose
+    * early files predate a column — batch 1 writes (event_id, value),
+    * batch 2 adds event_type — read back with mergeSchema, so old rows
+    * surface NULL for the new column. At 100 TB schema evolution is
+    * the NORM (years of files, schema v1..vN); mergeSchema unions
+    * footers at planning time, per-file projection stays pruned. The
+    * split is deterministic (event_id % 2) so the oracle reconstructs
+    * which rows lack the column. */
+  val qScanEvolution = Q(
+    "q_scan_evolution",
+    (s, d) => {
+      val out = evoDir(s, d)
+      s.read.option("mergeSchema", "true")
+        .parquet(out + "/v1", out + "/v2")
+        .groupBy(coalesce(col("event_type"), lit("__pre_schema__"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT coalesce(CASE WHEN event_id % 2 = 1 THEN event_type
+                            END, '__pre_schema__') AS event_type,
+              count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Corrupt-record quarantine (q_scan_corrupt): a JSON-lines feed
+    * where some rows are malformed — PERMISSIVE parsing routes them to
+    * `_corrupt_record` instead of failing the scan, and the query
+    * reports parsed-vs-quarantined counts per type. Corruption is
+    * deterministic (event_id % 7 == 3 rows get truncated JSON) so both
+    * engines agree on the quarantine set. The 100 TB point: a bad
+    * producer must cost a quarantine bucket, never a failed job. */
+  val qScanCorrupt = Q(
+    "q_scan_corrupt",
+    (s, d) => {
+      val out = corruptDir(s, d)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, " +
+          "_corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .groupBy(coalesce(col("event_type"), lit("__quarantine__"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT CASE WHEN event_id % 7 = 3 THEN '__quarantine__'
+                        ELSE event_type END AS event_type,
+              count(*) AS n,
+              CAST(sum(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+              round(sum(CASE WHEN event_id % 7 = 3 THEN NULL
+                             ELSE value END), 2) AS sum_value
+            FROM events
+            GROUP BY 1
+            ORDER BY event_type NULLS FIRST"""))
 
   /** Plain columnar sink round-trip (q_sink_parquet, md:233-235). */
   val qSinkParquet = Q(
@@ -567,6 +657,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(
     qScanCsv, qScanJson, qScanOrc, qScanXml, qScanText, qSqlApi,
+    qScanEvolution, qScanCorrupt,
     qSinkParquet, qFilterBitops, qUdfScalar,
     qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder,
     qFnNull, qTypedPipeline, qFnStructJson)

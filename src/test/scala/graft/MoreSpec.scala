@@ -232,6 +232,28 @@ class MoreSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("schema evolution: pre-schema rows surface as NULL-typed group") {
+    val rows = q("q_scan_evolution").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val ev = Tables.t(spark, sf0, "events")
+    assert(rows("__pre_schema__") ===
+      ev.filter(col("event_id") % 2 === 0).count())
+    assert(rows.values.sum === ev.count())
+  }
+
+  test("corrupt records quarantine instead of failing the scan") {
+    val rows = q("q_scan_corrupt").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_corrupt"))).toMap
+    val ev = Tables.t(spark, sf0, "events")
+    val expectedBad = ev.filter(col("event_id") % 7 === 3).count()
+    assert(rows("__quarantine__") === ((expectedBad, expectedBad)))
+    rows.filterKeys(_ != "__quarantine__").foreach { case (k, (_, nc)) =>
+      assert(nc === 0L, s"clean group $k must have no corrupt rows")
+    }
+    assert(rows.values.map(_._1).sum === ev.count())
+  }
+
   test("tpch q21 equals the per-order-aggregate reformulation") {
     // independent recomputation: a late line survives iff its order has
     // >1 distinct suppliers and exactly 1 distinct LATE supplier
