@@ -670,6 +670,75 @@ object Insights {
             FROM deg GROUP BY deg
             ORDER BY deg NULLS FIRST"""))
 
+  // ---- q_graph_bfs ------------------------------------------------------
+
+  /** BFS hop distance from node 0 (q_graph_bfs): the reachability /
+    * shortest-hops census over the derived link graph — the graph
+    * tier's fourth primitive next to components, PageRank and
+    * triangles. Min-dist frontier propagation: each round joins the
+    * current label table to the (cached) edge list keyed on the source
+    * endpoint — one equi-shuffle per round, rounds bounded by the
+    * graph diameter (small-world ≈ O(log n)), one Spark action per
+    * round (the convergence count materializes the localCheckpoint,
+    * the connectedComponents discipline). Loud failure if the
+    * diameter exceeds the round budget. Output is the tiny per-level
+    * census; the oracle is a recursive CTE computing the same
+    * fixpoint. */
+  val qGraphBfs = Q(
+    "q_graph_bfs",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+      // size the per-round shuffles to the (cached, already-counted)
+      // edge list, not the session default — same discipline as
+      // Dedup.propagationWidth for the components loop
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        Dedup.propagationWidth(und.count() * 2, saved.toInt).toString)
+      try {
+      var labels = s.range(1)
+        .select(lit(0L).as("v"), lit(0L).as("dist"))
+      var changed = 1L
+      var iter = 0
+      val maxIter = 32
+      while (changed > 0 && iter < maxIter) {
+        val cand = labels.join(edges, col("v") === col("u"))
+          .select(col("w").as("v"), (col("dist") + 1).as("dist"))
+        val merged = labels.unionAll(cand)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(false)
+        changed = merged
+          .join(labels.select(col("v"), col("dist").as("od")),
+            Seq("v"), "left")
+          .filter(col("od").isNull || col("od") > col("dist"))
+          .count()
+        labels = merged
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"BFS did not converge after $maxIter rounds — graph " +
+            "diameter exceeds the budget; raise maxIter")
+      labels.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    },
+    Some(s"""WITH RECURSIVE $undirectedLinkEdgesSql,
+            edges AS (SELECT a AS u, b AS v FROM und
+                      UNION ALL SELECT b, a FROM und),
+            bfs(v, dist) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT e.v, bfs.dist + 1
+              FROM bfs JOIN edges e ON e.u = bfs.v
+              WHERE bfs.dist < 32)
+            SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+              SELECT v, min(dist) AS dist FROM bfs GROUP BY v) x
+            GROUP BY dist
+            ORDER BY dist NULLS FIRST"""))
+
   // ---- q_text_heaps -----------------------------------------------------
 
   /** Heaps-law vocabulary growth (q_text_heaps): cumulative vocabulary
@@ -734,5 +803,5 @@ object Insights {
 
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
-    qGraphDegreeDist, qTextHeaps)
+    qGraphDegreeDist, qTextHeaps, qGraphBfs)
 }

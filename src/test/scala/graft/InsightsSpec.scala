@@ -288,6 +288,33 @@ class InsightsSpec extends SparkSuite {
       census.getAs[Long]("n_wedges"))
   }
 
+  test("bfs: per-level census matches a scalar adjacency BFS replay") {
+    val got = q("q_graph_bfs").collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    // scalar replay: rebuild the deterministic link graph and BFS it
+    val n = Tables.t(spark, sf0, "documents").count()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    (0L until n).foreach { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).foreach { dst =>
+          adj(src) = adj(src) + dst; adj(dst) = adj(dst) + src
+        }
+    }
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Set(0L)
+    var lvl = 0L
+    while (frontier.nonEmpty) {
+      lvl += 1
+      frontier = frontier.flatMap(adj)
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = lvl)
+    }
+    val expect = dist.values.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect)
+  }
+
   test("heaps: cumulative curves are monotone and end at corpus totals") {
     val rows = q("q_text_heaps").collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("tokens_cum"),
