@@ -243,6 +243,40 @@ object Relational {
             GROUP BY e.event_id, e.user_id
             ORDER BY e.event_id NULLS FIRST"""))
 
+  /** Forward as-of join (q_join_asof_forward): for each error event,
+    * the EARLIEST click by the same user at or after it — the other
+    * direction of the merge-asof family (backward = q_join_asof,
+    * forward = this; together they bracket an incident with its
+    * preceding and following user action). Same single-shuffle
+    * union+window formulation, mirrored: the frame looks forward and
+    * `first` picks the next click. */
+  val qJoinAsofForward = Q(
+    "q_join_asof_forward",
+    (s, d) => {
+      val e = ev(s, d)
+      val tagged = e
+        .filter($"event_type".isin("error", "click"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn(
+          "next_click_ts",
+          first(when($"event_type" === "click", $"ts"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"next_click_ts")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, min(c.ts) AS next_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+            GROUP BY e.event_id, e.user_id
+            ORDER BY e.event_id NULLS FIRST"""))
+
   /** Native as-of join (q_join_asof_native): the same semantics as
     * q_join_asof through the custom whole-operator plan
     * (graft.plans.AsofJoin → AsofJoinStrategy → AsofJoinExec) — the
@@ -1031,7 +1065,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanParquet, qProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofNative, qJoinAsofBcast, qJoinTheta,
+    qJoinRange, qJoinAsof, qJoinAsofForward, qJoinAsofNative,
+    qJoinAsofBcast, qJoinTheta,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,
