@@ -803,32 +803,43 @@ object StreamOps {
     * checked by probing this settled index (the q_dedup_incremental
     * broadcast pattern); here the index contents are the deterministic
     * settled output. */
+  /** Scan-local per-row minhash + LSH banding over a (doc_id, text)
+    * frame — works on any source (file stream, MemoryStream, batch):
+    * no keyed aggregate, one output row per (doc, band). Shared by the
+    * registered query and the cross-batch StreamSpec test. */
+  private[graft] def lshBandSignatures(docs: DataFrame): DataFrame = {
+    val mExprs = (0 until 16).map(i =>
+      s"array_min(transform(hs, x -> ((${2 * i + 1}) * x + " +
+        s"(${7 * i + 3})) % 2147483647)) AS m$i")
+    val bandRows = (0 until 4).map { b =>
+      s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
+        s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
+    }.mkString(", ")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        """array_distinct(transform(
+             CASE WHEN size(toks) >= 5
+               THEN transform(sequence(1, size(toks) - 4),
+                      i -> concat_ws(' ', slice(toks, i, 5)))
+               ELSE array() END,
+             s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8),
+                    16, 10) AS BIGINT)))"""))
+      .filter(size(col("hs")) > 0)
+      .selectExpr(("doc_id" +: mExprs): _*)
+      .select(col("doc_id"),
+        expr(s"stack(4, $bandRows) AS (band, band_key)"))
+  }
+
+  /** The (band, band_key) index maintenance over banded signatures. */
+  private[graft] def lshIndexAgg(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+
   val qStreamLshIndex = Q(
     "q_stream_lsh_index",
     (s, d) => {
-      val mExprs = (0 until 16).map(i =>
-        s"array_min(transform(hs, x -> ((${2 * i + 1}) * x + " +
-          s"(${7 * i + 3})) % 2147483647)) AS m$i")
-      val bandRows = (0 until 4).map { b =>
-        s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
-          s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
-      }.mkString(", ")
-      val sigs = documentsStream(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("hs", expr(
-          """array_distinct(transform(
-               CASE WHEN size(toks) >= 5
-                 THEN transform(sequence(1, size(toks) - 4),
-                        i -> concat_ws(' ', slice(toks, i, 5)))
-                 ELSE array() END,
-               s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8),
-                      16, 10) AS BIGINT)))"""))
-        .filter(size(col("hs")) > 0)
-        .selectExpr(("doc_id" +: mExprs): _*)
-        .select(col("doc_id"),
-          expr(s"stack(4, $bandRows) AS (band, band_key)"))
-      val idx = sigs.groupBy(col("band"), col("band_key"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      val idx = lshIndexAgg(lshBandSignatures(documentsStream(s, d)))
       drain(s, idx, "stream_lsh_idx_tbl", "complete")
         .orderBy(col("band"), col("band_key"))
     },

@@ -539,4 +539,32 @@ class StreamSpec extends SparkSuite {
     // the short doc contributes nothing
     assert(idx.values.forall(_._1 <= 2L))
   }
+
+  test("streaming LSH index carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def mkText(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 97}").mkString(" ")
+    val t0 = mkText(3, 40)
+    val mem = MemoryStream[(Long, String)]
+    val idx = streaming.StreamOps.lshIndexAgg(
+      streaming.StreamOps.lshBandSignatures(
+        mem.toDF().toDF("doc_id", "text")))
+    val qy = idx.writeStream.outputMode("complete")
+      .format("memory").queryName("spec_lsh_xbatch").start()
+    // batch 1: the original; batch 2 (later): its exact copy — the
+    // collision only exists if the index state survived batch 1
+    mem.addData((0L, t0), (5L, mkText(11, 40)))
+    qy.processAllAvailable()
+    val afterB1 = spark.table("spec_lsh_xbatch").collect()
+      .map(_.getAs[Long]("n_docs"))
+    assert(afterB1.forall(_ === 1L), "no collisions before the copy arrives")
+    mem.addData((100L, t0))
+    qy.processAllAvailable()
+    qy.stop()
+    val after = spark.table("spec_lsh_xbatch").collect()
+      .map(r => r.getAs[Long]("n_docs") -> r.getAs[Long]("min_doc"))
+    // copy pair collides on all 4 bands, keeper = min id across batches
+    assert(after.count(_._1 == 2L) === 4, s"got ${after.toSeq}")
+    assert(after.filter(_._1 == 2L).forall(_._2 === 0L))
+  }
 }
