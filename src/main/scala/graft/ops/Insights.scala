@@ -670,6 +670,100 @@ object Insights {
             FROM deg GROUP BY deg
             ORDER BY deg NULLS FIRST"""))
 
+  // ---- q_ml_linreg ------------------------------------------------------
+
+  /** Distributed linear regression by sufficient statistics
+    * (q_ml_linreg): fit l_extendedprice ~ l_quantity + l_discount by
+    * normal equations — ONE map-side-combined pass over the fact
+    * aggregates the 9 Gram/moment sums; the 3×3 system solves in-plan
+    * via Cramer's rule on the one-row stats table. This is THE
+    * train-on-the-engine shape at 100 TB: the scan cost is the whole
+    * cost, the solve is constant work however large the corpus (at
+    * d=64 the same pass emits the (d+1)² Gram matrix for a driver
+    * solve). Features and target are scaled by FIXED constants first
+    * (quantity/100, price/100000 — the standard conditioning step
+    * before normal equations), which also keeps every sufficient stat
+    * ≤ ~1e6 so the 4dp snap applied on BOTH engines (the
+    * kmeans/pagerank state-rounding discipline) is hundreds of ulps
+    * wide — order-of-summation noise can never cross it. Coefficients
+    * are reported in the scaled units. */
+  val qMlLinreg = Q(
+    "q_ml_linreg",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+        .select((col("l_quantity") / 100.0).as("x1"),
+          col("l_discount").as("x2"),
+          (col("l_extendedprice") / 100000.0).as("y"))
+      val stats = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("x1")), 4).as("sx1"),
+        round(sum(col("x2")), 4).as("sx2"),
+        round(sum(col("y")), 4).as("sy"),
+        round(sum(col("x1") * col("x1")), 4).as("sx1x1"),
+        round(sum(col("x1") * col("x2")), 4).as("sx1x2"),
+        round(sum(col("x2") * col("x2")), 4).as("sx2x2"),
+        round(sum(col("x1") * col("y")), 4).as("sx1y"),
+        round(sum(col("x2") * col("y")), 4).as("sx2y"),
+        round(sum(col("y") * col("y")), 4).as("syy"))
+      stats
+        .withColumn("det", expr(
+          """n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+             + sx2*(sx1*sx1x2 - sx1x1*sx2)"""))
+        .withColumn("b0", expr(
+          """(sy*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+             + sx2*(sx1y*sx1x2 - sx1x1*sx2y)) / det"""))
+        .withColumn("b1", expr(
+          """(n*(sx1y*sx2x2 - sx2y*sx1x2) - sy*(sx1*sx2x2 - sx1x2*sx2)
+             + sx2*(sx1*sx2y - sx1y*sx2)) / det"""))
+        .withColumn("b2", expr(
+          """(n*(sx1x1*sx2y - sx1x2*sx1y) - sx1*(sx1*sx2y - sx1y*sx2)
+             + sy*(sx1*sx1x2 - sx1x1*sx2)) / det"""))
+        .withColumn("sse", expr(
+          "syy - b0*sy - b1*sx1y - b2*sx2y"))
+        .withColumn("sst", expr("syy - sy*sy/n"))
+        .select(col("n").cast("long").as("n"),
+          round(col("b0"), 6).as("b0"),
+          round(col("b1"), 6).as("b1"),
+          round(col("b2"), 6).as("b2"),
+          round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+    },
+    Some("""WITH sc AS (
+              SELECT l_quantity / 100.0 AS x1, l_discount AS x2,
+                l_extendedprice / 100000.0 AS y
+              FROM lineitem),
+            s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                round(sum(x1), 4) AS sx1,
+                round(sum(x2), 4) AS sx2,
+                round(sum(y), 4) AS sy,
+                round(sum(x1*x1), 4) AS sx1x1,
+                round(sum(x1*x2), 4) AS sx1x2,
+                round(sum(x2*x2), 4) AS sx2x2,
+                round(sum(x1*y), 4) AS sx1y,
+                round(sum(x2*y), 4) AS sx2y,
+                round(sum(y*y), 4) AS syy
+              FROM sc),
+            m AS (
+              SELECT *,
+                n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+                  + sx2*(sx1*sx1x2 - sx1x1*sx2) AS det
+              FROM s),
+            coef AS (
+              SELECT *,
+                (sy*(sx1x1*sx2x2 - sx1x2*sx1x2)
+                  - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+                  + sx2*(sx1y*sx1x2 - sx1x1*sx2y)) / det AS b0,
+                (n*(sx1y*sx2x2 - sx2y*sx1x2) - sy*(sx1*sx2x2 - sx1x2*sx2)
+                  + sx2*(sx1*sx2y - sx1y*sx2)) / det AS b1,
+                (n*(sx1x1*sx2y - sx1x2*sx1y) - sx1*(sx1*sx2y - sx1y*sx2)
+                  + sy*(sx1*sx1x2 - sx1x1*sx2)) / det AS b2
+              FROM m)
+            SELECT CAST(n AS BIGINT) AS n,
+              round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+              round(1.0 - (syy - b0*sy - b1*sx1y - b2*sx2y)
+                / (syy - sy*sy/n), 6) AS r2
+            FROM coef"""))
+
   // ---- q_graph_bfs ------------------------------------------------------
 
   /** BFS hop distance from node 0 (q_graph_bfs): the reachability /
@@ -803,5 +897,5 @@ object Insights {
 
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
-    qGraphDegreeDist, qTextHeaps, qGraphBfs)
+    qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg)
 }

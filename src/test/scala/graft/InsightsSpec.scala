@@ -315,6 +315,27 @@ class InsightsSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("linreg recovers planted coefficients with r2 = 1") {
+    import spark.implicits._
+    // exact linear data in raw units: price = 1000 + 300*qty - 40000*disc;
+    // the operator scales (qty/100, price/1e5), so the fitted scaled
+    // coefficients are b0 = 0.01, b1 = 0.3, b2 = -0.4
+    val rows = (1 to 200).map { i =>
+      val qty = (i % 50).toDouble
+      val disc = (i % 7) * 0.01
+      (qty, disc, 1000.0 + 300.0 * qty - 40000.0 * disc)
+    }
+    val li = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val dir = fixtureDir("linreg")("lineitem" -> li)
+    val r = q("q_ml_linreg", dir).collect()(0)
+    assert(r.getAs[Long]("n") === 200L)
+    assert(math.abs(r.getAs[Double]("b0") - 0.01) < 1e-3)
+    assert(math.abs(r.getAs[Double]("b1") - 0.3) < 1e-3)
+    assert(math.abs(r.getAs[Double]("b2") + 0.4) < 1e-3)
+    // the 4dp stat snap costs ~3e-5 of r2 on a 200-row fixture
+    assert(r.getAs[Double]("r2") > 0.9999)
+  }
+
   test("heaps: cumulative curves are monotone and end at corpus totals") {
     val rows = q("q_text_heaps").collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("tokens_cum"),
