@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   private val ids = Seq("q_dedup_components", "q_dedup_ngram",
-    "q_sim_kmeans", "q_embed_pca", "q_dedup_incremental")
+    "q_sim_kmeans", "q_embed_pca", "q_dedup_incremental",
+    "q_graph_bfs", "q_stream_lsh_index", "q_text_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,6 +54,19 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Collapse a Spark-written parquet DIR to a single FILE named like
+    * the driver tables — the streaming sources' pathGlobFilter matches
+    * leaf file names, so a directory layout would read as empty. */
+  private def collapseToFile(path: String): Unit = {
+    val dir = new java.io.File(path)
+    val part = dir.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tmp = new java.io.File(path + ".tmp")
+    java.nio.file.Files.move(part.toPath, tmp.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    java.nio.file.Files.move(tmp.toPath, dir.toPath)
+  }
+
   /** Write the 10× documents/embeddings blow-up; symlink other tables. */
   private def build10x(spark: SparkSession, src: String, out: String): Unit = {
     val dir = new java.io.File(out)
@@ -72,15 +86,17 @@ object ScaleSmoke {
         col("lang"),
         concat(col("source"), lit("_"), col("rep")).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(32)
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    collapseToFile(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val emx = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
     emb.crossJoin(broadcast(rep))
       .select((col("vec_id") + col("rep") * emx).as("vec_id"),
         col("embedding"), col("label"))
-      .repartition(32)
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    collapseToFile(s"$out/embeddings.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
