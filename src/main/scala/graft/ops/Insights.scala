@@ -764,6 +764,118 @@ object Insights {
                 / (syy - sy*sy/n), 6) AS r2
             FROM coef"""))
 
+  // ---- q_stats_ttest ----------------------------------------------------
+
+  /** Welch two-sample t-statistic per slice (q_stats_ttest): each
+    * event_type's value distribution vs the REST of the table — the
+    * A/B-style segment-drift test an analytics user runs over every
+    * dimension value. One pass computes per-group (n, Σx, Σx²); the
+    * rest-of-table stats are DERIVED from the one-row totals by
+    * subtraction, so the whole test is two tiny aggregates however
+    * wide the fact — never a per-slice rescan. Sums are snapped at 2dp
+    * on both engines before the arithmetic (linreg discipline). */
+  val qStatsTtest = Q(
+    "q_stats_ttest",
+    (s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(sum(col("value")), 2).as("sx"),
+          round(sum(col("value") * col("value")), 2).as("qx"))
+      val tot = g.agg(sum(col("n")).as("nt"),
+        round(sum(col("sx")), 2).as("st"),
+        round(sum(col("qx")), 2).as("qt"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("m", expr("sx / n"))
+        .withColumn("v", expr("(qx - sx*sx/n) / (n - 1)"))
+        .withColumn("rn", expr("nt - n"))
+        .withColumn("rm", expr("(st - sx) / rn"))
+        .withColumn("rv", expr(
+          "((qt - qx) - (st - sx)*(st - sx)/rn) / (rn - 1)"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          round(col("m"), 6).as("mean"),
+          round((col("m") - col("rm")) /
+            sqrt(col("v") / col("n") + col("rv") / col("rn")), 6)
+            .as("t_stat"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (
+              SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                round(sum(value), 2) AS sx,
+                round(sum(value*value), 2) AS qx
+              FROM events GROUP BY event_type),
+            tot AS (
+              SELECT sum(n) AS nt, round(sum(sx), 2) AS st,
+                round(sum(qx), 2) AS qt
+              FROM g),
+            m AS (
+              SELECT event_type, n, sx / n AS m,
+                (qx - sx*sx/n) / (n - 1) AS v,
+                nt - n AS rn,
+                (st - sx) / (nt - n) AS rm,
+                ((qt - qx) - (st - sx)*(st - sx)/(nt - n)) / (nt - n - 1)
+                  AS rv
+              FROM g, tot)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+              round(m, 6) AS mean,
+              round((m - rm) / sqrt(v/n + rv/rn), 6) AS t_stat
+            FROM m
+            ORDER BY event_type NULLS FIRST"""))
+
+  // ---- q_stats_chisq ----------------------------------------------------
+
+  /** Chi-squared independence test (q_stats_chisq): is document
+    * language independent of source? Observed counts per (lang,
+    * source) cell, expected from the margins, summed over the FULL
+    * R×C grid (zero-observed cells included — the margins-only cross
+    * join is R+C rows, broadcast). Everything after the one keyed
+    * count aggregate is margin-table algebra: cells, not corpus. */
+  val qStatsChisq = Q(
+    "q_stats_chisq",
+    (s, d) => {
+      val o = Tables.t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("double").as("obs"))
+      val r = o.groupBy(col("lang")).agg(sum(col("obs")).as("rl"))
+      val c = o.groupBy(col("source")).agg(sum(col("obs")).as("cs"))
+      val t = o.agg(sum(col("obs")).as("nn"))
+      val grid = r.crossJoin(broadcast(c))
+      grid
+        .join(o, Seq("lang", "source"), "left")
+        .na.fill(Map("obs" -> 0.0))
+        .crossJoin(broadcast(t))
+        .agg(
+          round(sum((col("obs") - col("rl") * col("cs") / col("nn")) *
+            (col("obs") - col("rl") * col("cs") / col("nn")) /
+            (col("rl") * col("cs") / col("nn"))), 6).as("chi2"),
+          count(lit(1)).as("n_cells"))
+        .crossJoin(broadcast(
+          r.agg(count(lit(1)).as("nr"))))
+        .crossJoin(broadcast(
+          c.agg(count(lit(1)).as("nc"))))
+        .select(col("chi2"), col("n_cells"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("df"))
+    },
+    Some("""WITH o AS (
+              SELECT lang, source, CAST(count(*) AS DOUBLE) AS obs
+              FROM documents GROUP BY lang, source),
+            r AS (SELECT lang, sum(obs) AS rl FROM o GROUP BY lang),
+            c AS (SELECT source, sum(obs) AS cs FROM o GROUP BY source),
+            t AS (SELECT sum(obs) AS nn FROM o),
+            grid AS (SELECT lang, source, rl, cs FROM r CROSS JOIN c),
+            fo AS (
+              SELECT g.lang, g.source, g.rl, g.cs,
+                coalesce(o.obs, 0) AS obs
+              FROM grid g LEFT JOIN o
+                ON g.lang = o.lang AND g.source = o.source)
+            SELECT
+              round(sum((obs - rl*cs/nn)*(obs - rl*cs/nn)
+                / (rl*cs/nn)), 6) AS chi2,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST((SELECT count(*) FROM r) - 1 AS BIGINT)
+                * CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS df
+            FROM fo CROSS JOIN t"""))
+
   // ---- q_graph_bfs ------------------------------------------------------
 
   /** BFS hop distance from node 0 (q_graph_bfs): the reachability /
@@ -897,5 +1009,6 @@ object Insights {
 
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
-    qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg)
+    qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qStatsTtest,
+    qStatsChisq)
 }

@@ -336,6 +336,45 @@ class InsightsSpec extends SparkSuite {
     assert(r.getAs[Double]("r2") > 0.9999)
   }
 
+  test("t-test: planted mean shift is detected with the right sign") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // group "hot" ~ mean 60, everything else ~ mean 50, same spread
+    val rows = (1 to 300).map { i =>
+      val g = if (i % 3 == 0) "hot" else if (i % 3 == 1) "a" else "b"
+      val base = if (g == "hot") 60.0 else 50.0
+      (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong % 7,
+        g, base + (i % 11) - 5.0, "{}")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val dir = fixtureDir("stats_t")("events" -> ev)
+    val got = q("q_stats_ttest", dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("t_stat")).toMap
+    assert(got("hot") > 10.0, s"shifted group must test high: $got")
+    assert(got("a") < 0.0 && got("b") < 0.0,
+      "unshifted groups sit below the pooled rest (which includes hot)")
+  }
+
+  test("chi-squared: independent grid tests ~0, dependent grid high") {
+    import spark.implicits._
+    def docs(dep: Boolean) = (0 until 400).map { i =>
+      val lang = s"l${i % 4}"
+      val source = if (dep) s"s${i % 4}" else s"s${(i / 4) % 5}"
+      (i.toLong, s"text $i", lang, source, 6L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val indep = q("q_stats_chisq",
+      fixtureDir("chisq_ind")("documents" -> docs(false))).collect()(0)
+    assert(indep.getAs[Double]("chi2") < 1e-6,
+      s"balanced grid must test independent: $indep")
+    assert(indep.getAs[Long]("df") === 12L) // (4-1)*(5-1)
+    val dep = q("q_stats_chisq",
+      fixtureDir("chisq_dep")("documents" -> docs(true))).collect()(0)
+    // lang fully determines source → chi2 = n*(min(R,C)-1) = 1200
+    assert(math.abs(dep.getAs[Double]("chi2") - 1200.0) < 1e-6, s"$dep")
+  }
+
   test("heaps: cumulative curves are monotone and end at corpus totals") {
     val rows = q("q_text_heaps").collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("tokens_cum"),
