@@ -53,7 +53,8 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: $e")
     }
     val headline = Seq(
-      "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q21",
+      "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q21", "q_tpch_q6",
+      "q_tpch_q9",
       "q_join_broadcast", "q_join_range", "q_join_asof", "q_join_bucketed",
       "q_join_salted", "q_join_skew_aqe", "q_join_dpp", "q_join_asof_native",
       "q_agg_hash", "q_agg_multi", "q_win_rank", "q_sort", "q_topk",

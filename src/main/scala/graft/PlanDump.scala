@@ -73,7 +73,15 @@ object PlanDump {
       "a hot domain ships k*tasks rows, never its crawl"),
     "q_text_bigram_lm" -> ("bigram explode feeds ONE map-side-combined " +
       "count agg; totals + top-1 rank run over the vocab^2 count " +
-      "table, never the corpus"))
+      "table, never the corpus"),
+    "q_tpch_q2" -> ("correlated per-part MIN as a dimension-sized " +
+      "aggregate broadcast back; part list + min table both " +
+      "BroadcastHashJoin — fact scanned once, no second shuffle"),
+    "q_tpch_q17" -> ("correlated per-part AVG broadcast back onto the " +
+      "same brand-pruned fact slice; both passes pruned at the scan"),
+    "q_tpch_q19" -> ("disjunctive bracket predicate stays a residual " +
+      "filter on the part equi-join — hash join, no nested-loop " +
+      "fallback"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
