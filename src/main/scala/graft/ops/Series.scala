@@ -1,0 +1,362 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the `events` stream table: autocorrelation,
+  * robust (median/MAD) outlier detection, seasonality strength, CUSUM
+  * change detection, Markov transitions, OHLC downsampling.
+  *
+  * Scale notes: every window here partitions by the series key
+  * (event_type / user_id) — per-series order is the semantics, so the
+  * shuffle is one exchange on the series key and parallelism equals
+  * series cardinality (5 here; thousands-to-millions in a real fleet,
+  * where the same plan spreads across executors). Cross-engine
+  * determinism: `value` carries exactly 2 decimals, so sums are taken
+  * in integer cents (floor(x*100+0.5) BIGINT) — addition-order-free —
+  * and derived means/stds are single fixed double expressions, never
+  * order-dependent double reductions. */
+object Series {
+
+  private def t(n: String)(implicit s: SparkSession, d: String) =
+    Tables.t(s, d, n)
+
+  private def events(implicit s: SparkSession, d: String): DataFrame =
+    t("events")
+
+  /** Autocorrelation of `value` at lags 1–3 per event_type, ordered by
+    * (ts, event_id). One window exchange on the series key feeds all
+    * three lag columns; three corr aggregates ride one pass. */
+  val qTsAcf = Q(
+    "q_ts_acf",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events
+        .select(col("event_type"), col("value"),
+          lag(col("value"), 1).over(w).as("v1"),
+          lag(col("value"), 2).over(w).as("v2"),
+          lag(col("value"), 3).over(w).as("v3"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(corr(col("value"), col("v1")), 6).as("acf1"),
+          round(corr(col("value"), col("v2")), 6).as("acf2"),
+          round(corr(col("value"), col("v3")), 6).as("acf3"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH lagged AS (
+              SELECT event_type, value,
+                lag(value, 1) OVER w AS v1,
+                lag(value, 2) OVER w AS v2,
+                lag(value, 3) OVER w AS v3
+              FROM events
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts, event_id))
+            SELECT event_type,
+              round(corr(value, v1), 6) AS acf1,
+              round(corr(value, v2), 6) AS acf2,
+              round(corr(value, v3), 6) AS acf3
+            FROM lagged
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Robust outlier census per event_type: median + MAD (median absolute
+    * deviation), outliers = |x − med| > 3 · 1.4826 · MAD. The two
+    * medians are 5-row aggregate tables broadcast back — the fact is
+    * never reshuffled, and exact `percentile` keeps both engines on the
+    * same (n−1)·p interpolation. */
+  val qTsMad = Q(
+    "q_ts_mad",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val med = events.groupBy(col("event_type").as("et1"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = events
+        .join(broadcast(med), col("event_type") === col("et1"))
+      val mad = withMed
+        .groupBy(col("event_type").as("et2"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed
+        .join(broadcast(mad), col("event_type") === col("et2"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(first(col("med")), 6).as("median_value"),
+          round(first(col("mad")), 6).as("mad"),
+          sum(when(abs(col("value") - col("med")) >
+            col("mad") * 3 * 1.4826, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type),
+            mad AS (
+              SELECT e.event_type,
+                quantile_cont(abs(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN med m ON e.event_type = m.event_type
+              GROUP BY e.event_type)
+            SELECT e.event_type,
+              round(any_value(m.med), 6) AS median_value,
+              round(any_value(d.mad), 6) AS mad,
+              CAST(sum(CASE WHEN abs(e.value - m.med) >
+                       d.mad * 3 * 1.4826 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_outliers
+            FROM events e
+              JOIN med m ON e.event_type = m.event_type
+              JOIN mad d ON e.event_type = d.event_type
+            GROUP BY e.event_type
+            ORDER BY e.event_type NULLS FIRST"""))
+
+  /** Seasonality strength per event_type: hour-of-day means as the
+    * seasonal component, F = max(0, 1 − Var(residual)/Var(x)) (the STL
+    * strength statistic), plus the peak hour. Variances are computed
+    * from exact integer-cent sums via fixed double expressions, so both
+    * engines see bit-identical doubles — no order-dependent reduction. */
+  val qTsSeasonal = Q(
+    "q_ts_seasonal",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val base = events.select(col("event_type"),
+        hour(col("ts")).cast("long").as("hod"), cents.as("c"))
+      // per (type, hour): exact sums for the seasonal mean
+      val seas = base.groupBy(col("event_type").as("et"), col("hod"))
+        .agg(sum(col("c")).as("s1"), count(lit(1)).as("n"))
+        .select(col("et"), col("hod"),
+          (col("s1").cast("double") / col("n")).as("smean"))
+      val joined = base.join(broadcast(seas),
+        base("event_type") === col("et") && base("hod") === seas("hod"))
+      // residual r = c − smean (double, fixed expression); Var via
+      // exact sums of c and deterministic per-row r, reduced as
+      // integer-scaled residuals to stay order-free
+      val rint = floor((col("c") - col("smean")) * 1000000 + 0.5)
+        .cast("long")
+      val cint = col("c") * 1000000L
+      val stats = joined
+        .select(col("event_type"), col("c"), rint.as("r"), cint.as("ci"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ci")).as("cs1"),
+          sum(col("ci").cast("double") * col("ci")).as("cs2"),
+          sum(col("r")).as("rs1"),
+          sum(col("r").cast("double") * col("r")).as("rs2"))
+      val varX = (col("cs2") - col("cs1").cast("double") *
+        col("cs1") / col("n")) / (col("n") - 1)
+      val varR = (col("rs2") - col("rs1").cast("double") *
+        col("rs1") / col("n")) / (col("n") - 1)
+      val peak = seas
+        .withColumn("rk", row_number().over(Window.partitionBy(col("et"))
+          .orderBy(col("smean").desc, col("hod"))))
+        .filter(col("rk") === 1)
+        .select(col("et"), col("hod").as("peak_hour"))
+      stats
+        .select(col("event_type"),
+          round(greatest(lit(0.0), lit(1.0) - varR / varX), 6)
+            .as("strength"))
+        .join(broadcast(peak), col("event_type") === col("et"))
+        .select(col("event_type"), col("strength"), col("peak_hour"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(hour(ts) AS BIGINT) AS hod,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            seas AS (
+              SELECT event_type, hod,
+                CAST(sum(c) AS DOUBLE) / count(*) AS smean
+              FROM base GROUP BY event_type, hod),
+            joined AS (
+              SELECT b.event_type, b.c,
+                CAST(floor((b.c - s.smean) * 1000000 + 0.5) AS BIGINT)
+                  AS r,
+                b.c * 1000000 AS ci
+              FROM base b JOIN seas s
+                ON b.event_type = s.event_type AND b.hod = s.hod),
+            stats AS (
+              SELECT event_type, count(*) AS n,
+                CAST(sum(ci) AS BIGINT) AS cs1,
+                sum(CAST(ci AS DOUBLE) * ci) AS cs2,
+                CAST(sum(r) AS BIGINT) AS rs1,
+                sum(CAST(r AS DOUBLE) * r) AS rs2
+              FROM joined GROUP BY event_type),
+            peak AS (
+              SELECT event_type, hod AS peak_hour
+              FROM (SELECT event_type, hod, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY smean DESC, hod) AS rk
+                    FROM seas) WHERE rk = 1)
+            SELECT s.event_type,
+              round(greatest(0.0,
+                1.0 - ((rs2 - CAST(rs1 AS DOUBLE) * rs1 / n) / (n - 1))
+                    / ((cs2 - CAST(cs1 AS DOUBLE) * cs1 / n) / (n - 1))),
+                6) AS strength,
+              p.peak_hour
+            FROM stats s JOIN peak p ON s.event_type = p.event_type
+            ORDER BY s.event_type NULLS FIRST"""))
+
+  /** CUSUM change detection per event_type: standardized cumulative sum
+    * of deviations, peak |CUSUM| and its timestamp. Mean/std come from
+    * exact integer-cent sums (fixed double expressions); per-row z is
+    * re-quantized to integer millionths so the running sum is an exact
+    * BIGINT — the peak and argmax cannot wobble between engines. */
+  val qTsCusum = Q(
+    "q_ts_cusum",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val base = events.select(col("event_type"), col("ts"),
+        col("event_id"), cents.as("c"))
+      val stats = base.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c").cast("double") * col("c")).as("s2"))
+        .select(col("et"), (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("s2") - col("s1").cast("double") * col("s1") /
+            col("n")) / (col("n") - 1)).as("sd"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val zint = floor((col("c") - col("mu")) / col("sd") * 1000000 + 0.5)
+        .cast("long")
+      base
+        .join(broadcast(stats), col("event_type") === col("et"))
+        .select(col("event_type"), col("ts"), col("event_id"),
+          zint.as("z"))
+        .withColumn("cusum", sum(col("z")).over(w))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("cusum")).desc, col("ts"), col("event_id"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          round(col("cusum").cast("double") / 1000000, 6).as("peak_cusum"),
+          col("ts").as("peak_ts"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type, ts, event_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            stats AS (
+              SELECT event_type,
+                CAST(sum(c) AS DOUBLE) / count(*) AS mu,
+                sqrt((sum(CAST(c AS DOUBLE) * c)
+                  - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS BIGINT)
+                    / count(*)) / (count(*) - 1)) AS sd
+              FROM base GROUP BY event_type),
+            z AS (
+              SELECT b.event_type, b.ts, b.event_id,
+                CAST(floor((b.c - s.mu) / s.sd * 1000000 + 0.5) AS BIGINT)
+                  AS z
+              FROM base b JOIN stats s ON b.event_type = s.event_type),
+            cs AS (
+              SELECT event_type, ts, event_id,
+                CAST(sum(z) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum
+              FROM z)
+            SELECT event_type,
+              round(CAST(cusum AS DOUBLE) / 1000000, 6) AS peak_cusum,
+              ts AS peak_ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs(cusum) DESC, ts, event_id) AS rk
+                  FROM cs)
+            WHERE rk = 1
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Per-user event-type transition matrix (first-order Markov chain):
+    * lag over (user, time) pairs prev→next, counts and conditional
+    * probabilities. The one exchange is the user-keyed window; the
+    * transition table is |types|² rows at any corpus size. */
+  val qEventsMarkov = Q(
+    "q_events_markov",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev_type").as("pt"))
+        .agg(sum(col("n")).as("total"))
+      trans
+        .join(broadcast(totals), col("prev_type") === col("pt"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (
+              SELECT event_type AS next_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            trans AS (
+              SELECT prev_type, next_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, next_type)
+            SELECT prev_type, next_type, n,
+              round(CAST(n AS DOUBLE) /
+                sum(n) OVER (PARTITION BY prev_type), 6) AS p
+            FROM trans
+            ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST"""))
+
+  /** Daily OHLC bars per event_type: open/close are the first/last
+    * values by (ts, event_id) inside each day — picked by row_number in
+    * both directions inside the one (type, day) window exchange, then
+    * collapsed by a conditional aggregate (no self-join). */
+  val qTsOhlc = Q(
+    "q_ts_ohlc",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val keyed = events.select(col("event_type"),
+        to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        col("value"))
+      val wAsc = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      keyed
+        .withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH keyed AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, value,
+                row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts DESC, event_id DESC) AS rd
+              FROM events)
+            SELECT event_type, day,
+              max(CASE WHEN ra = 1 THEN value END) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              max(CASE WHEN rd = 1 THEN value END) AS close,
+              CAST(count(*) AS BIGINT) AS n
+            FROM keyed
+            GROUP BY event_type, day
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
+    qEventsMarkov, qTsOhlc)
+}

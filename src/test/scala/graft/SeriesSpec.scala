@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Series tier — statistical identities and independent re-computations
+  * over the events table at sf0.001. */
+class SeriesSpec extends SparkSuite {
+
+  test("ACF values are correlations in [-1, 1] for every series") {
+    val rows = q("q_ts_acf").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      Seq("acf1", "acf2", "acf3").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 && v <= 1.0, s"$c = $v")
+      }
+    }
+  }
+
+  test("MAD outlier count matches a driver-side recomputation") {
+    val got = q("q_ts_mad").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_outliers")).toMap
+    val byType = Tables.t(spark, sf0, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    byType.foreach { case (et, rs) =>
+      val vals = rs.map(_.getDouble(1))
+      val med = median(vals)
+      val mad = median(vals.map(v => math.abs(v - med)))
+      val want = vals.count(v => math.abs(v - med) > mad * 3 * 1.4826)
+      assert(got(et) === want.toLong, s"outliers for $et")
+    }
+  }
+
+  test("seasonality strength is a fraction and peak hour is an hour") {
+    val rows = q("q_ts_seasonal").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("strength")
+      assert(s >= 0.0 && s <= 1.0)
+      val h = r.getAs[Long]("peak_hour")
+      assert(h >= 0L && h <= 23L)
+    }
+  }
+
+  test("CUSUM peak matches an exact driver-side replay for one series") {
+    val got = q("q_ts_cusum").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("peak_cusum")).toMap
+    val rows = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "click")
+      .select(unix_micros(col("ts").cast("timestamp")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val cents = rows.map(t => math.floor(t._3 * 100 + 0.5).toLong)
+    val n = cents.length
+    val mu = cents.sum.toDouble / n
+    val sd = math.sqrt((cents.map(c => c.toDouble * c).sum -
+      cents.sum.toDouble * cents.sum / n) / (n - 1))
+    var acc = 0L
+    var peak = 0L
+    cents.foreach { c =>
+      acc += math.floor((c - mu) / sd * 1000000 + 0.5).toLong
+      if (math.abs(acc) > math.abs(peak)) peak = acc
+    }
+    assert(got("click") ===
+      BigDecimal(peak / 1000000.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("Markov transition probabilities sum to 1 per source state") {
+    val rows = q("q_events_markov").collect()
+    val byPrev = rows.groupBy(_.getAs[String]("prev_type"))
+    assert(byPrev.nonEmpty)
+    byPrev.foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-4)
+    }
+    // transition count conservation: sum n = rows - first-event-per-user
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val ev = Tables.t(spark, sf0, "events")
+    val want = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(nTrans === want)
+  }
+
+  test("OHLC bars: open/close match the day's boundary rows") {
+    val bars = q("q_ts_ohlc").collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      val hi = b.getAs[Double]("high")
+      val lo = b.getAs[Double]("low")
+      assert(hi >= lo)
+      assert(b.getAs[Double]("open") >= lo && b.getAs[Double]("open") <= hi)
+      assert(b.getAs[Double]("close") >= lo &&
+        b.getAs[Double]("close") <= hi)
+    }
+    // spot-check one bar end-to-end
+    val one = bars.head
+    val rows = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === one.getAs[String]("event_type") &&
+        to_date(col("ts")) === lit(one.getAs[Any]("day").toString)
+          .cast("date"))
+      .select(unix_micros(col("ts").cast("timestamp")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(one.getAs[Double]("open") === rows.head._3)
+    assert(one.getAs[Double]("close") === rows.last._3)
+    assert(one.getAs[Long]("n") === rows.length.toLong)
+  }
+}
