@@ -1,0 +1,218 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Learned-model operators expressed as pure dataflow: a multinomial
+  * naive-Bayes language classifier (train + score + confusion matrix in
+  * one program) and a Zipf rank-frequency fit. Both follow the
+  * integer-scaling discipline: every per-item log-probability is
+  * quantized to millionths (floor(x*1e6+0.5) BIGINT) BEFORE any
+  * aggregation, so document scores are exact integer sums — prediction
+  * argmax cannot flip between engines on a last-ulp float wobble. */
+object Learn {
+
+  private def t(n: String)(implicit s: SparkSession, d: String) =
+    Tables.t(s, d, n)
+
+  /** Multinomial naive Bayes over `documents`: train on doc_id%5!=0,
+    * Laplace-smoothed token likelihoods, score the held-out fold,
+    * emit the confusion matrix. Scale shape: the model — (term, lang)
+    * log-likelihoods, per-lang totals, priors — is vocabulary-sized and
+    * broadcast; the corpus-side work is one explode + one aggregation
+    * per test token, shuffled on (doc, lang). No driver loop: training
+    * IS an aggregation. */
+  val qMlNaiveBayes = Q(
+    "q_ml_naive_bayes",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val docs = t("documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("toks"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val trainToks = train
+        .select(col("lang"), explode(col("toks")).as("term"))
+      // vocabulary size (all langs pooled) — one-row broadcast
+      val vocab = trainToks.agg(countDistinct(col("term")).as("v"))
+      // per-lang: token totals + doc counts + total docs -> prior
+      val nDocs = train.agg(count(lit(1)).as("n_docs"))
+      val langStats = trainToks.groupBy(col("lang").as("ml"))
+        .agg(count(lit(1)).as("t_l"))
+        .join(train.groupBy(col("lang").as("dl"))
+            .agg(count(lit(1)).as("docs_l")),
+          col("ml") === col("dl"))
+        .crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(nDocs))
+        .select(col("ml"), col("t_l"), col("v"),
+          floor(log(col("docs_l").cast("double") / col("n_docs")) *
+            1000000 + 0.5).cast("long").as("prior_i"),
+          floor(log(lit(1.0) / (col("t_l") + col("v"))) * 1000000 + 0.5)
+            .cast("long").as("unseen_i"))
+      // observed (term, lang) log-likelihoods, integer-quantized
+      val llh = trainToks.groupBy(col("term").as("mt"), col("lang").as("ll"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(langStats), col("ll") === col("ml"))
+        .select(col("mt"), col("ll"),
+          floor(log((col("c") + 1).cast("double") / (col("t_l") + col("v")))
+            * 1000000 + 0.5).cast("long").as("llh_i"))
+      // score every test token under every language
+      val testToks = test
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          explode(col("toks")).as("term"))
+        .crossJoin(broadcast(langStats.select(col("ml"), col("prior_i"),
+          col("unseen_i"))))
+        .join(broadcast(llh),
+          col("term") === col("mt") && col("ml") === col("ll"), "left")
+        .select(col("doc_id"), col("true_lang"), col("ml").as("cand"),
+          col("prior_i"), coalesce(col("llh_i"), col("unseen_i")).as("si"))
+      val scored = testToks
+        .groupBy(col("doc_id"), col("true_lang"), col("cand"),
+          col("prior_i"))
+        .agg(sum(col("si")).as("tok_score"))
+        .select(col("doc_id"), col("true_lang"), col("cand"),
+          (col("prior_i") + col("tok_score")).as("score"))
+      val pred = scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("cand"))))
+        .filter(col("rk") === 1)
+      pred
+        .groupBy(col("true_lang"), col("cand").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents),
+            train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+            test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+            train_toks AS (
+              SELECT lang, unnest(toks) AS term FROM train),
+            vocab AS (
+              SELECT count(DISTINCT term) AS v FROM train_toks),
+            lang_stats AS (
+              SELECT tt.lang AS ml,
+                count(*) AS t_l,
+                (SELECT v FROM vocab) AS v,
+                CAST(floor(ln(CAST(dc.docs_l AS DOUBLE) /
+                  (SELECT count(*) FROM train)) * 1000000 + 0.5) AS BIGINT)
+                  AS prior_i,
+                CAST(floor(ln(1.0 / (count(*) + (SELECT v FROM vocab)))
+                  * 1000000 + 0.5) AS BIGINT) AS unseen_i
+              FROM train_toks tt
+                JOIN (SELECT lang, count(*) AS docs_l FROM train
+                      GROUP BY lang) dc ON tt.lang = dc.lang
+              GROUP BY tt.lang, dc.docs_l),
+            llh AS (
+              SELECT c.term AS mt, c.lang AS ll,
+                CAST(floor(ln(CAST(c.c + 1 AS DOUBLE) / (ls.t_l + ls.v))
+                  * 1000000 + 0.5) AS BIGINT) AS llh_i
+              FROM (SELECT term, lang, count(*) AS c FROM train_toks
+                    GROUP BY term, lang) c
+                JOIN lang_stats ls ON c.lang = ls.ml),
+            test_toks AS (
+              SELECT t.doc_id, t.lang AS true_lang, ls.ml AS cand,
+                ls.prior_i,
+                coalesce(l.llh_i, ls.unseen_i) AS si
+              FROM (SELECT doc_id, lang, unnest(toks) AS term
+                    FROM test) t
+                CROSS JOIN (SELECT ml, prior_i, unseen_i
+                            FROM lang_stats) ls
+                LEFT JOIN llh l ON t.term = l.mt AND ls.ml = l.ll),
+            scored AS (
+              SELECT doc_id, true_lang, cand,
+                prior_i + CAST(sum(si) AS BIGINT) AS score
+              FROM test_toks
+              GROUP BY doc_id, true_lang, cand, prior_i),
+            pred AS (
+              SELECT true_lang, cand AS pred_lang
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, cand) AS rk
+                    FROM scored)
+              WHERE rk = 1)
+            SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM pred
+            GROUP BY true_lang, pred_lang
+            ORDER BY true_lang NULLS FIRST, pred_lang NULLS FIRST"""))
+
+  /** Zipf's-law fit: ln(freq) regressed on ln(rank) over the 100 most
+    * frequent terms (ties ranked by term). The regression inputs are
+    * integer-quantized per term (nanos scale) so the closed-form
+    * slope/intercept come from exact BIGINT sums; the corpus-sized work
+    * is one token-count aggregate — ranking and fitting run over the
+    * vocabulary-sized count table. */
+  val qTextZipf = Q(
+    "q_text_zipf",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val freqs = t("documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      val ranked = freqs
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("term"))))
+        .filter(col("rank") <= 100)
+        .select(
+          floor(log(col("rank").cast("double")) * 1000000 + 0.5)
+            .cast("long").as("x"),
+          floor(log(col("freq").cast("double")) * 1000000 + 0.5)
+            .cast("long").as("y"))
+      // x,y <= ~2e7 at any corpus size, so x*x and x*y stay inside
+      // BIGINT over a 100-row fit window: ALL regression sums are exact
+      val fit = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      val slope = (nd * col("sxy") - col("sx").cast("double") *
+        col("sy")) / (nd * col("sxx") - col("sx").cast("double") *
+        col("sx"))
+      fit.select(
+        col("n").as("n_terms"),
+        round(slope / 1.0, 6).as("slope"),
+        round((col("sy").cast("double") / nd - slope *
+          col("sx") / nd) / 1000000, 6).as("intercept"))
+    },
+    Some("""WITH freqs AS (
+              SELECT term, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              GROUP BY term),
+            ranked AS (
+              SELECT
+                CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS x,
+                CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS y
+              FROM (SELECT freq, row_number() OVER (
+                      ORDER BY freq DESC, term) AS rank
+                    FROM freqs)
+              WHERE rank <= 100),
+            fit AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM ranked)
+            SELECT n AS n_terms,
+              round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                     (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) / 1.0, 6)
+                AS slope,
+              round((CAST(sy AS DOUBLE) / n -
+                     ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) *
+                     CAST(sx AS DOUBLE) / n) / 1000000, 6)
+                AS intercept
+            FROM fit"""))
+
+  val all: Seq[Q] = Seq(qMlNaiveBayes, qTextZipf)
+}

@@ -357,6 +357,48 @@ object Series {
             GROUP BY event_type, day
             ORDER BY event_type NULLS FIRST, day NULLS FIRST"""))
 
+  /** Top user paths: the first 5 event types of each (user, day),
+    * joined into a path string, counted, top-20. Ordering inside the
+    * collected array is pinned by sorting (rank, type) structs — never
+    * the undefined collect_list arrival order — so the path strings are
+    * deterministic under any partitioning. */
+  val qEventsPaths = Q(
+    "q_events_paths",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val paths = events
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"), col("day"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(rn, event_type)))," +
+            " x -> x.event_type)"), ">").as("path"))
+      paths
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                  ORDER BY ts, event_id) AS rn
+              FROM events),
+            paths AS (
+              SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM ranked WHERE rn <= 5
+              GROUP BY user_id, day)
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM paths
+            GROUP BY path
+            ORDER BY n DESC NULLS LAST, path NULLS FIRST
+            LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
-    qEventsMarkov, qTsOhlc)
+    qEventsMarkov, qTsOhlc, qEventsPaths)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Learn tier — structural invariants of the naive-Bayes classifier,
+  * the Zipf fit, and the path miner at sf0.001. */
+class LearnSpec extends SparkSuite {
+
+  test("naive Bayes classifies every held-out doc exactly once") {
+    val rows = q("q_ml_naive_bayes").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val want = Tables.t(spark, sf0, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(total === want)
+    // all cells reference real languages
+    val langs = Tables.t(spark, sf0, "documents")
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("true_lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+    }
+  }
+
+  test("naive Bayes is deterministic across runs") {
+    val a = q("q_ml_naive_bayes").collect().toSeq
+    val b = q("q_ml_naive_bayes").collect().toSeq
+    assert(a === b)
+  }
+
+  test("Zipf slope is negative (frequency falls with rank)") {
+    val r = q("q_text_zipf").collect()(0)
+    assert(r.getAs[Double]("slope") < 0.0)
+    assert(r.getAs[Long]("n_terms") <= 100L)
+    assert(r.getAs[Long]("n_terms") > 1L)
+  }
+
+  test("paths are bounded at 5 hops and counts conserve user-days") {
+    val rows = q("q_events_paths").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hops = r.getAs[String]("path").split(">")
+      assert(hops.length <= 5 && hops.nonEmpty)
+    }
+    val totalDays = Tables.t(spark, sf0, "events")
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum <= totalDays)
+  }
+}
