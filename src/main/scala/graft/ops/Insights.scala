@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 continuation: graph structure (triangle census), lexical
@@ -1007,8 +1008,169 @@ object Insights {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY p.bucket NULLS FIRST"""))
 
+  // ---- q_stats_ks -------------------------------------------------------
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `click` and
+    * `error` value distributions (q_stats_ks) — the drift test a
+    * pipeline runs between cohorts. Fully exact: values become integer
+    * cents, the two empirical CDFs are cumulative BIGINT counts over
+    * the distinct-value axis, and D is maximized as the cross-multiplied
+    * integer |ca·n2 − cb·n1| before the single final division. The
+    * window is value-domain-sized (bounded, ≤ ~33k distinct cents
+    * whatever the row count), so the unpartitioned cumsum is safe. */
+  val qStatsKs = Q(
+    "q_stats_ks",
+    (s, d) => {
+      val ev = Tables.t(s, d, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val isA = col("event_type") === "click"
+      val counts = ev.groupBy(col("c"))
+        .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
+          sum(when(isA, 0L).otherwise(1L)).as("nb"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = ev.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, 0L).otherwise(1L)).as("n2"))
+      counts
+        .select(col("c"), sum(col("na")).over(w).as("ca"),
+          sum(col("nb")).over(w).as("cb"))
+        .crossJoin(broadcast(tot))
+        .select(col("c"), col("n1"), col("n2"),
+          abs(col("ca") * col("n2") - col("cb") * col("n1")).as("diff"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("diff").desc, col("c"))))
+        .filter(col("rk") === 1)
+        .select(col("n1"), col("n2"),
+          round(col("diff").cast("double") / (col("n1") * col("n2")), 6)
+            .as("d_stat"),
+          (col("c") / 100.0).as("ks_at"))
+    },
+    Some("""WITH ev AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('click', 'error')),
+            counts AS (
+              SELECT c,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb
+              FROM ev GROUP BY c),
+            tot AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+              FROM ev),
+            cum AS (
+              SELECT c,
+                CAST(sum(na) OVER w AS BIGINT) AS ca,
+                CAST(sum(nb) OVER w AS BIGINT) AS cb
+              FROM counts
+              WINDOW w AS (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT n1, n2,
+              round(CAST(diff AS DOUBLE) / (n1 * n2), 6) AS d_stat,
+              c / 100.0 AS ks_at
+            FROM (SELECT c, n1, n2, abs(ca * n2 - cb * n1) AS diff,
+                    row_number() OVER (
+                      ORDER BY abs(ca * n2 - cb * n1) DESC, c) AS rk
+                  FROM cum CROSS JOIN tot)
+            WHERE rk = 1"""))
+
+  // ---- q_graph_labelprop ------------------------------------------------
+
+  /** Synchronous label propagation (q_graph_labelprop): 3 fixed rounds
+    * of majority-neighbor-label voting over the shared link graph,
+    * ties broken toward the smaller label, isolated nodes keep their
+    * own label; output is the community-size census. Every round is one
+    * equi-shuffle of the edge list against the current label table plus
+    * a vote aggregate — the LPA cost model (O(E) per round, rounds
+    * fixed), the same shape as q_graph_pagerank's iterations. The
+    * all-integer vote → argmax pipeline is engine-exact. */
+  val qGraphLabelprop = Q(
+    "q_graph_labelprop",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      var labels = Tables.t(s, d, "documents")
+        .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 3) {
+        val votes = edges
+          .join(labels, col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+        val winner = votes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cnt").desc, col("lbl"))))
+          .filter(col("rk") === 1)
+          .select(col("src").as("wnode"), col("lbl").as("wlbl"))
+        labels = labels
+          .join(winner, col("node") === col("wnode"), "left")
+          .select(col("node"),
+            coalesce(col("wlbl"), col("lbl")).as("lbl"))
+      }
+      labels
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("community_size"))
+        .groupBy(col("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("community_size"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+             edges AS (
+               SELECT a AS src, b AS dst FROM und
+               UNION ALL
+               SELECT b AS src, a AS dst FROM und),
+             l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+             w1 AS (
+               SELECT src AS node, lbl FROM (
+                 SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
+                     PARTITION BY e.src
+                     ORDER BY count(*) DESC, l.lbl) AS rk
+                 FROM edges e JOIN l0 l ON e.dst = l.node
+                 GROUP BY e.src, l.lbl)
+               WHERE rk = 1),
+             l1 AS (
+               SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+               FROM l0 l LEFT JOIN w1 w ON l.node = w.node),
+             w2 AS (
+               SELECT src AS node, lbl FROM (
+                 SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
+                     PARTITION BY e.src
+                     ORDER BY count(*) DESC, l.lbl) AS rk
+                 FROM edges e JOIN l1 l ON e.dst = l.node
+                 GROUP BY e.src, l.lbl)
+               WHERE rk = 1),
+             l2 AS (
+               SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+               FROM l1 l LEFT JOIN w2 w ON l.node = w.node),
+             w3 AS (
+               SELECT src AS node, lbl FROM (
+                 SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
+                     PARTITION BY e.src
+                     ORDER BY count(*) DESC, l.lbl) AS rk
+                 FROM edges e JOIN l2 l ON e.dst = l.node
+                 GROUP BY e.src, l.lbl)
+               WHERE rk = 1),
+             l3 AS (
+               SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+               FROM l2 l LEFT JOIN w3 w ON l.node = w.node)
+             SELECT community_size,
+               CAST(count(*) AS BIGINT) AS n_communities
+             FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+                   FROM l3 GROUP BY lbl)
+             GROUP BY community_size
+             ORDER BY community_size NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qStatsTtest,
-    qStatsChisq)
+    qStatsChisq, qStatsKs, qGraphLabelprop)
 }

@@ -442,7 +442,103 @@ object Vector {
           LEFT JOIN (SELECT vec_id AS a_vid FROM ($annSql)) a
             ON e.vec_id = a.a_vid""")
 
+  /** k-NN classification (q_ml_knn_classify): every 10th vector is a
+    * held-out query, classified by majority vote of its 5 nearest
+    * sign-LSH bucket-mates among the rest; output is per-label accuracy.
+    * The candidate join is the SAME equi-join on the 8-bit hyperplane
+    * bucket as q_sim_ann_lsh — test×train pairs exist only inside a
+    * bucket (≈ n/256 of the corpus per probe), never all-pairs. Votes
+    * are integer counts with tie-break toward the smaller label, so
+    * prediction is engine-exact; only the ranking cosine is float, and
+    * it is rounded with vec_id tie-break before the cut. */
+  val qMlKnnClassify = Q(
+    "q_ml_knn_classify",
+    (s, d) => {
+      val e = emb(s, d).withColumn("bucket", expr(
+        """aggregate(sequence(1, 8), CAST(0 AS BIGINT),
+             (acc, i) -> acc + CASE WHEN element_at(embedding, i) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
+      val test = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("t_id"), col("label").as("t_label"),
+          col("embedding").as("t_emb"), col("nrm").as("t_nrm"),
+          col("bucket"))
+      val train = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("bucket"), col("vec_id"), col("label"),
+          col("embedding"), col("nrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val cand = test.join(train, "bucket")
+        .withColumn("cos_sim",
+          cosinePre("embedding", "t_emb", col("nrm"), col("t_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+      val pred = cand
+        .groupBy(col("t_id"), col("t_label"), col("label").as("pl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("vr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("t_id"))
+            .orderBy(col("cnt").desc, col("pl"))))
+        .filter(col("vr") === 1)
+      pred
+        .groupBy(col("t_label").as("label"))
+        .agg(count(lit(1)).as("n_pred"),
+          sum(when(col("pl") === col("t_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n_pred"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_pred"), 6)
+            .as("accuracy"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+                CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                   + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                   + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                   + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                   + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+                  AS BIGINT) AS bucket
+              FROM embeddings),
+            test AS (
+              SELECT vec_id AS t_id, label AS t_label, emb_d AS t_emb,
+                bucket
+              FROM e WHERE vec_id % 10 = 0),
+            train AS (
+              SELECT bucket, vec_id, label, emb_d
+              FROM e WHERE vec_id % 10 <> 0),
+            cand AS (
+              SELECT t_id, t_label, label AS pl FROM (
+                SELECT t.t_id, t.t_label, r.label,
+                  row_number() OVER (PARTITION BY t.t_id
+                    ORDER BY round(list_dot_product(r.emb_d, t.t_emb) /
+                      (sqrt(list_dot_product(r.emb_d, r.emb_d)) *
+                       sqrt(list_dot_product(t.t_emb, t.t_emb))), 6)
+                      DESC, r.vec_id) AS rk
+                FROM test t JOIN train r ON t.bucket = r.bucket)
+              WHERE rk <= 5),
+            pred AS (
+              SELECT t_id, t_label, pl FROM (
+                SELECT t_id, t_label, pl, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY t_id
+                    ORDER BY count(*) DESC, pl) AS vr
+                FROM cand GROUP BY t_id, t_label, pl)
+              WHERE vr = 1)
+            SELECT t_label AS label,
+              CAST(count(*) AS BIGINT) AS n_pred,
+              CAST(sum(CASE WHEN pl = t_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+              round(CAST(sum(CASE WHEN pl = t_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*), 6) AS accuracy
+            FROM pred
+            GROUP BY t_label
+            ORDER BY t_label NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal, qSimQuantize,
-    qSimKnnJoin, qSimCentroid, qSimRecall)
+    qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify)
 }

@@ -423,4 +423,38 @@ class InsightsSpec extends SparkSuite {
       assert(math.abs(z - replay(id)) < 1e-9) }
     assert(flagged.nonEmpty, "tape should contain at least one outlier")
   }
+
+  test("KS statistic matches an exact driver-side recomputation") {
+    val r = q("q_stats_ks").collect()(0)
+    val rows = Tables.t(spark, sf0, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), math.floor(x.getDouble(1) * 100 + 0.5).toLong))
+    val a = rows.filter(_._1 == "click").map(_._2).sorted
+    val b = rows.filter(_._1 == "error").map(_._2).sorted
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val thresholds = (a ++ b).distinct.sorted
+    var best = 0L
+    thresholds.foreach { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      val diff = math.abs(ca * n2 - cb * n1)
+      if (diff > best) best = diff
+    }
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    val want = BigDecimal(best.toDouble / (n1 * n2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("d_stat") === want)
+  }
+
+  test("label propagation census conserves node count") {
+    val rows = q("q_graph_labelprop").collect()
+    val nodes = rows.map(r => r.getAs[Long]("community_size") *
+      r.getAs[Long]("n_communities")).sum
+    assert(nodes === Tables.t(spark, sf0, "documents").count())
+    // propagation must have merged communities: fewer than n singletons
+    val nComms = rows.map(_.getAs[Long]("n_communities")).sum
+    assert(nComms < nodes)
+  }
 }

@@ -227,4 +227,19 @@ class VectorSpec extends SparkSuite {
       graft.ops.Multimodal.mp4Bytes(id).length).distinct
     assert(sizes.length > 1)
   }
+
+  test("kNN classifier: every held-out vector with bucket-mates is judged") {
+    val rows = q("q_ml_knn_classify").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nc) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_correct"))
+      assert(nc >= 0L && nc <= np)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // prediction count never exceeds the held-out population
+    val nTest = Tables.t(spark, sf0, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_pred")).sum <= nTest)
+  }
 }
