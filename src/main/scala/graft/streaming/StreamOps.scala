@@ -1057,11 +1057,163 @@ object StreamOps {
             WHERE rk <= 3
             ORDER BY w_start NULLS FIRST, rk NULLS FIRST"""))
 
+  /** Streaming CDC apply with tombstones (q_stream_cdc_apply): the
+    * event log is a change stream per user — `error` rows are DELETE
+    * tombstones, everything else upserts. The keyed state is ONE
+    * max(struct) per user (commutative, so micro-batch arrival order is
+    * irrelevant); the tombstone filter runs on the settled snapshot.
+    * This is q_stream_upsert's missing half: a key whose LAST op is a
+    * delete vanishes from the table instead of surviving forever. */
+  val qStreamCdcApply = Q(
+    "q_stream_cdc_apply",
+    (s, d) => {
+      val ops = eventsStream(s, d)
+        .select(col("user_id"), struct(
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"),
+          (col("event_type") === "error").as("is_del"),
+          col("value")).as("op"))
+        .groupBy(col("user_id"))
+        .agg(max(col("op")).as("last"))
+      drain(s, ops, "stream_cdc_tbl", "complete")
+        .filter(!col("last.is_del"))
+        .select(col("user_id"),
+          col("last.event_id").as("last_event"),
+          expr("CAST(timestamp_micros(last.us) AS TIMESTAMP_NTZ)")
+            .as("last_ts"),
+          col("last.value").as("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id AS last_event, ts AS last_ts, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id NULLS FIRST"""))
+
+  /** Streaming OHLC bars (q_stream_ohlc): daily open/high/low/close per
+    * event_type as ONE windowed aggregate — open/close are min_by/max_by
+    * over the (us, event_id) struct key, commutative aggregates that
+    * need no ordering guarantee from the micro-batch, so the settled
+    * bars equal the batch row_number formulation exactly. */
+  val qStreamOhlc = Q(
+    "q_stream_ohlc",
+    (s, d) => {
+      val bars = eventsStream(s, d)
+        .select(col("ts"), col("event_type"), col("value"),
+          struct(unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("event_id")).as("ord"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          expr("min_by(value, ord)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("max_by(value, ord)").as("close"),
+          count(lit(1)).as("n"))
+      drain(s, bars, "stream_ohlc_tbl", "complete")
+        .select(to_date(col("window.start")).as("day"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH keyed AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, value,
+                row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts DESC, event_id DESC) AS rd
+              FROM events)
+            SELECT day, event_type,
+              max(CASE WHEN ra = 1 THEN value END) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              max(CASE WHEN rd = 1 THEN value END) AS close,
+              CAST(count(*) AS BIGINT) AS n
+            FROM keyed
+            GROUP BY event_type, day
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST"""))
+
+  /** StatefulProcessor for q_stream_markov: per user, carry the LAST
+    * seen (us, event_id, type) across micro-batches and emit one
+    * (prev_type, next_type) row per transition. Rows inside a batch are
+    * sorted before the walk (the iterator order is undefined); the
+    * cross-batch seam is exactly the carried state. At fleet scale the
+    * key would shard to (user, epoch) with relational boundary
+    * stitching, per the q_stream_tws discipline. */
+  private[graft] class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (String, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var lastState: ValueState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastState = getHandle.getValueState[(Long, Long, String)](
+        "last", Encoders.product[(Long, Long, String)], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(String, String)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var prev = if (lastState.exists()) Some(lastState.get()) else None
+      val out = sorted.flatMap { r =>
+        val t = prev.map(p => (p._3, r._4))
+        prev = Some((r._2, r._3, r._4))
+        t
+      }
+      prev.foreach(lastState.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming Markov transition counts (q_stream_markov): the stateful
+    * twin of q_events_markov — per-user last-event state emits
+    * (prev, next) pairs as they stream in; the settled pair log is
+    * reduced to the transition matrix relationally. RocksDB-backed
+    * typed state via transformWithState, like q_stream_tws. */
+  val qStreamMarkov = Q(
+    "q_stream_markov",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val savedProv =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventsStream(s, d)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("event_id"), col("event_type"))
+          .as[(Long, Long, Long, String)]
+        val trans = src
+          .groupByKey(_._1)
+          .transformWithState(new TransitionProcessor,
+            TimeMode.None(), OutputMode.Append())
+        drain(s, trans.toDF("prev_type", "next_type"),
+          "stream_markov_tbl", "append")
+          .groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev_type"), col("next_type"))
+      } finally savedProv match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some("""WITH seq AS (
+              SELECT event_type AS next_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+            ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
-    qStreamMixSample)
+    qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov)
 }

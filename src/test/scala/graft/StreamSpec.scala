@@ -567,4 +567,88 @@ class StreamSpec extends SparkSuite {
     assert(after.count(_._1 == 2L) === 4, s"got ${after.toSeq}")
     assert(after.filter(_._1 == 2L).forall(_._2 === 0L))
   }
+
+  test("CDC apply: users whose last op is a tombstone vanish") {
+    val got = q("q_stream_cdc_apply").collect()
+      .map(_.getAs[Long]("user_id")).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastOps = Tables.t(spark, sf0, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type")).collect()
+    val want = lastOps.filter(_.getString(1) != "error")
+      .map(_.getLong(0)).toSet
+    assert(got === want)
+    // the semantics only bite if at least one user IS tombstoned
+    assert(lastOps.exists(_.getString(1) == "error"),
+      "fixture should contain a trailing delete")
+  }
+
+  test("markov processor carries last-event state across micro-batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spec_markov").toFile
+    import spark.implicits._
+    def write(name: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "us", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(dir, name).getAbsolutePath)
+    // batch files arrive in name order; user 7 spans both files so the
+    // view->purchase pair exists ONLY if state crosses the batch seam
+    write("a", Seq((7L, 1000L, 1L, "click"), (7L, 2000L, 2L, "view"),
+      (8L, 1500L, 3L, "signup")))
+    write("b", Seq((7L, 3000L, 4L, "purchase"), (8L, 2500L, 5L, "click")))
+    val schema = spark.read.parquet(
+      new java.io.File(dir, "a").getAbsolutePath).schema
+    val savedProv =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(dir.getAbsolutePath + "/*")
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("event_type"))
+        .as[(Long, Long, Long, String)]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val trans = src.groupByKey(_._1)
+        .transformWithState(new streaming.StreamOps.TransitionProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val qy = trans.toDF("prev_type", "next_type").writeStream
+        .outputMode("append").format("memory").queryName("spec_markov")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qy.awaitTermination()
+      val batches = qy.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+      val pairs = spark.table("spec_markov").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(pairs === Seq(("click", "view"), ("signup", "click"),
+        ("view", "purchase")).sorted)
+    } finally {
+      savedProv match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("streaming OHLC bars settle to the batch formulation") {
+    val got = q("q_stream_ohlc").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Any]("day").toString) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("close"),
+          r.getAs[Long]("n"))).toMap
+    val want = q("q_ts_ohlc").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Any]("day").toString) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("close"),
+          r.getAs[Long]("n"))).toMap
+    assert(got === want)
+  }
 }
