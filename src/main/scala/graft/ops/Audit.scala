@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Data-audit operators: equi-depth histogram summaries, regex field
+  * extraction audits, and priority-based canonical selection among
+  * duplicates — the profiling/canonicalization passes a pipeline runs
+  * before and after ingest. */
+object Audit {
+
+  private def t(n: String)(implicit s: SparkSession, d: String) =
+    Tables.t(s, d, "" + n)
+
+  /** Equi-depth histogram of l_extendedprice (q_agg_equidepth): 8
+    * buckets whose boundaries are the exact octile percentiles. The
+    * boundaries come from ONE two-phase percentile aggregate (never a
+    * global ntile sort — that is a single-partition window at 100 TB);
+    * rows are then bucketed against the 7-cut broadcast and counted.
+    * Cut doubles are identical across engines (same values, same
+    * (n−1)p interpolation), so bucket membership is exact. */
+  val qAggEquidepth = Q(
+    "q_agg_equidepth",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val li = t("lineitem").select(col("l_extendedprice").as("x"))
+      val cuts = li.agg(expr(
+        """percentile(x, array(0.125, 0.25, 0.375, 0.5,
+                               0.625, 0.75, 0.875))""").as("cuts"))
+      li.crossJoin(broadcast(cuts))
+        .select(col("x"), expr(
+          """aggregate(cuts, 0, (acc, c) ->
+               acc + CASE WHEN x > c THEN 1 ELSE 0 END)""")
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("x")), 2).as("lo"),
+          round(max(col("x")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH cuts AS (
+              SELECT [quantile_cont(l_extendedprice, 0.125),
+                      quantile_cont(l_extendedprice, 0.25),
+                      quantile_cont(l_extendedprice, 0.375),
+                      quantile_cont(l_extendedprice, 0.5),
+                      quantile_cont(l_extendedprice, 0.625),
+                      quantile_cont(l_extendedprice, 0.75),
+                      quantile_cont(l_extendedprice, 0.875)] AS cs
+              FROM lineitem)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+              round(min(x), 2) AS lo, round(max(x), 2) AS hi
+            FROM (SELECT l_extendedprice AS x,
+                    CAST(len(list_filter(cs, c -> l_extendedprice > c))
+                      AS BIGINT) AS bucket
+                  FROM lineitem, cuts)
+            GROUP BY bucket
+            ORDER BY bucket NULLS FIRST"""))
+
+  /** Regex field-extraction audit (q_fn_regex): pull the integer `k`
+    * out of the JSON-ish props string by pattern, not parser, and audit
+    * per event_type — extraction coverage plus exact integer stats.
+    * The pattern is RE2-safe (no backtracking constructs), so Java and
+    * RE2-family engines agree. */
+  val qFnRegex = Q(
+    "q_fn_regex",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+      t("events")
+        .select(col("event_type"),
+          when(k =!= "", k.cast("long")).as("kv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("kv")).as("n_matched"),
+          sum(col("kv")).as("sum_k"),
+          min(col("kv")).as("min_k"),
+          max(col("kv")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(kv) AS BIGINT) AS n_matched,
+              CAST(sum(kv) AS BIGINT) AS sum_k,
+              min(kv) AS min_k, max(kv) AS max_k
+            FROM (SELECT event_type,
+                    CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1),
+                         '') AS BIGINT) AS kv
+                  FROM events)
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
+  /** Priority-based canonical selection (q_dedup_canonical): duplicate
+    * groups share the q_dedup_prefix fingerprint (md5 of the first 8
+    * tokens); within each group the SURVIVOR is chosen by POLICY —
+    * lowest source index (a stand-in for a crawl priority table), then
+    * longest doc, then smallest doc_id — not by arrival accident.
+    * The verdict every dedup pipeline needs after clustering: WHICH
+    * copy to keep (q_dedup_prefix only reports min-id groups). One
+    * window-rank inside hash groups; no joins against the corpus. */
+  val qDedupCanonical = Q(
+    "q_dedup_canonical",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+        .orderBy(col("prio"), col("n_chars").desc, col("doc_id"))
+      t("documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(expr("concat_ws(' ', slice(split(text, ' '), 1, 8))")
+            .cast("binary")).as("h"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).cast("long")
+            .as("prio"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_dups", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("rk") === 1 && col("n_dups") > 1)
+        .select(col("doc_id"), col("source"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, n_dups
+            FROM (SELECT doc_id, source,
+                    row_number() OVER (
+                      PARTITION BY md5(array_to_string(
+                        string_split(text, ' ')[1:8], ' '))
+                      ORDER BY CAST(regexp_extract(source, 'src([0-9]+)', 1)
+                                 AS BIGINT),
+                        n_chars DESC, doc_id) AS rk,
+                    CAST(count(*) OVER (
+                      PARTITION BY md5(array_to_string(
+                        string_split(text, ' ')[1:8], ' '))) AS BIGINT)
+                      AS n_dups
+                  FROM documents)
+            WHERE rk = 1 AND n_dups > 1
+            ORDER BY doc_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qAggEquidepth, qFnRegex, qDedupCanonical)
+}
