@@ -721,8 +721,80 @@ object Multimodal {
               timescale, duration, n_mdat
             ORDER BY s.doc_id NULLS FIRST"""))
 
+  /** Perceptual average-hash over decoded BMP pixels
+    * (q_multimodal_phash): per image, grayscale every pixel (integer
+    * R+G+B), set bit (y·w+x) when the pixel is strictly brighter than
+    * the image mean, pack into one BIGINT — the aHash every image-dedup
+    * pipeline buckets on. The brightness test is the integer
+    * cross-multiplication gray·n > Σgray (no float mean), so the hash
+    * is engine-exact; byte decode reuses the BMP pipeline and the
+    * oracle recomputes pixels from doc_id arithmetic, proving the
+    * byte-level decode THROUGH the fingerprint. */
+  val qMultimodalPhash = Q(
+    "q_multimodal_phash",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, bmpBytes(id))))
+        .toDF("doc_id", "bmp")
+      def le(pos: String, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(bmp, CAST(($pos) + $k AS INT), 1))," +
+            s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
+          .mkString("(", " + ", ")")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      blobs
+        .withColumn("offset", expr(le("11", 4)))
+        .withColumn("w", expr(le("19", 4)))
+        .withColumn("h", expr(le("23", 4)))
+        .withColumn("stride", expr("CAST((3 * w + 3) / 4 AS BIGINT) * 4"))
+        .withColumn("i", explode(expr(
+          "sequence(CAST(0 AS BIGINT), w * h - 1)")))
+        .withColumn("x", col("i") % col("w"))
+        .withColumn("y", (col("i") / col("w")).cast("long"))
+        .withColumn("pos", col("offset") +
+          (col("h") - 1 - col("y")) * col("stride") + col("x") * 3 + 1)
+        .withColumn("gray",
+          expr(le("pos", 1)) + expr(le("pos + 1", 1)) +
+            expr(le("pos + 2", 1)))
+        .withColumn("tg", sum(col("gray")).over(w2))
+        .withColumn("n", count(lit(1)).over(w2))
+        .groupBy(col("doc_id"), col("w"), col("h"))
+        .agg(sum(when(col("gray") * col("n") > col("tg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+          .otherwise(0L)).as("phash"))
+        .select(col("doc_id"), col("w"), col("h"), col("phash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+              FROM documents),
+            px AS (
+              SELECT doc_id, w, h, i, i % w AS x,
+                CAST(i // w AS BIGINT) AS y
+              FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
+                    FROM spec)),
+            gr AS (
+              SELECT doc_id, w, h, i,
+                (doc_id * 7 + x * 19 + y * 23) % 256
+                  + (doc_id * 5 + x * 11 + y * 17) % 256
+                  + (doc_id * 3 + x * 7 + y * 13) % 256 AS gray
+              FROM px),
+            tot AS (
+              SELECT doc_id, CAST(sum(gray) AS BIGINT) AS tg,
+                CAST(count(*) AS BIGINT) AS n
+              FROM gr GROUP BY doc_id)
+            SELECT g.doc_id, w, h,
+              CAST(sum(CASE WHEN g.gray * t.n > t.tg
+                       THEN 1 << i ELSE 0 END) AS BIGINT) AS phash
+            FROM gr g JOIN tot t ON g.doc_id = t.doc_id
+            GROUP BY g.doc_id, w, h
+            ORDER BY g.doc_id NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
-      qMultimodalMp4)
+      qMultimodalMp4, qMultimodalPhash)
 }

@@ -277,6 +277,49 @@ object Relational {
             GROUP BY e.event_id, e.user_id
             ORDER BY e.event_id NULLS FIRST"""))
 
+  /** Tolerance-bounded as-of join (q_join_asof_tolerance): the backward
+    * as-of match is DISCARDED when the latest prior click is more than
+    * one hour stale — pandas merge_asof's `tolerance`, the guard every
+    * feature-freshness join needs (a day-old click must not explain
+    * this error). Same single-shuffle union+window formulation; the
+    * staleness bound is one residual comparison, and the match flag is
+    * emitted so downstream can audit coverage. */
+  val qJoinAsofTolerance = Q(
+    "q_join_asof_tolerance",
+    (s, d) => {
+      val e = ev(s, d)
+      val tagged = e
+        .filter($"event_type".isin("error", "click"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn(
+          "raw_click_ts",
+          last(when($"event_type" === "click", $"ts"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "error")
+        .withColumn("fresh",
+          $"raw_click_ts".isNotNull &&
+            $"raw_click_ts" >= $"ts" - expr("INTERVAL 1 HOUR"))
+        .select($"event_id", $"user_id",
+          when($"fresh", $"raw_click_ts").as("last_click_ts"),
+          $"fresh".as("matched"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id,
+              CASE WHEN max(c.ts) >= e.ts - INTERVAL 1 HOUR
+                   THEN max(c.ts) END AS last_click_ts,
+              coalesce(max(c.ts) >= e.ts - INTERVAL 1 HOUR, FALSE)
+                AS matched
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = e.user_id AND c.ts <= e.ts
+            GROUP BY e.event_id, e.user_id, e.ts
+            ORDER BY e.event_id NULLS FIRST"""))
+
   /** Native as-of join (q_join_asof_native): the same semantics as
     * q_join_asof through the custom whole-operator plan
     * (graft.plans.AsofJoin → AsofJoinStrategy → AsofJoinExec) — the
@@ -1065,7 +1108,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanParquet, qProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofForward, qJoinAsofNative,
+    qJoinRange, qJoinAsof, qJoinAsofForward, qJoinAsofTolerance,
+    qJoinAsofNative,
     qJoinAsofBcast, qJoinTheta,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,

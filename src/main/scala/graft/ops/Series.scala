@@ -399,6 +399,74 @@ object Series {
             ORDER BY n DESC NULLS LAST, path NULLS FIRST
             LIMIT 20"""))
 
+  /** 8-tap EWMA smoothing of click values (q_ts_ewma): exponential
+    * weights α(1−α)^k over the last 8 observations, renormalized over
+    * the taps actually present near the series head. Inputs are integer
+    * cents and the weighted sum is ONE fixed expression tree (8
+    * explicit lag terms — never a data-order float reduction), so the
+    * smoothed series is bit-identical across engines. One window
+    * exchange on the series key. */
+  val qTsEwma = Q(
+    "q_ts_ewma",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val alpha = 0.3
+      val weights = (0 until 8).map(k => alpha * math.pow(1 - alpha, k))
+      val base = events.filter(col("event_type") === "click")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .select(col("*") +: (1 until 8).map(k =>
+          lag(col("c"), k).over(w).as(s"c$k")): _*)
+      val num = weights.zipWithIndex.map { case (wk, k) =>
+        val ck = if (k == 0) col("c") else col(s"c$k")
+        coalesce(ck.cast("double") * wk, lit(0.0))
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wk, k) =>
+        val ck = if (k == 0) col("c") else col(s"c$k")
+        when(ck.isNotNull, lit(wk)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      base
+        .select(col("event_id"),
+          round(num / den / 100.0, 6).as("ewma"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH base AS (
+              SELECT event_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS c1,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS c2,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 3) OVER w AS c3,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 4) OVER w AS c4,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 5) OVER w AS c5,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 6) OVER w AS c6,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 7) OVER w AS c7
+              FROM events WHERE event_type = 'click'
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts, event_id))
+            SELECT event_id,
+              round((coalesce(CAST(c AS DOUBLE) * 0.3e0, 0.0e0)
+                + coalesce(CAST(c1 AS DOUBLE) * 0.21e0, 0.0e0)
+                + coalesce(CAST(c2 AS DOUBLE) * 0.14699999999999996e0, 0.0e0)
+                + coalesce(CAST(c3 AS DOUBLE) * 0.10289999999999998e0, 0.0e0)
+                + coalesce(CAST(c4 AS DOUBLE) * 0.07202999999999998e0, 0.0e0)
+                + coalesce(CAST(c5 AS DOUBLE) * 0.05042099999999998e0, 0.0e0)
+                + coalesce(CAST(c6 AS DOUBLE) * 0.035294699999999984e0, 0.0e0)
+                + coalesce(CAST(c7 AS DOUBLE) * 0.02470628999999999e0, 0.0e0))
+               / ((CASE WHEN c IS NOT NULL THEN 0.3e0 ELSE 0.0e0 END)
+                + (CASE WHEN c1 IS NOT NULL THEN 0.21e0 ELSE 0.0e0 END)
+                + (CASE WHEN c2 IS NOT NULL THEN 0.14699999999999996e0 ELSE 0.0e0 END)
+                + (CASE WHEN c3 IS NOT NULL THEN 0.10289999999999998e0 ELSE 0.0e0 END)
+                + (CASE WHEN c4 IS NOT NULL THEN 0.07202999999999998e0 ELSE 0.0e0 END)
+                + (CASE WHEN c5 IS NOT NULL THEN 0.05042099999999998e0 ELSE 0.0e0 END)
+                + (CASE WHEN c6 IS NOT NULL THEN 0.035294699999999984e0 ELSE 0.0e0 END)
+                + (CASE WHEN c7 IS NOT NULL THEN 0.02470628999999999e0 ELSE 0.0e0 END))
+               / 100.0e0, 6) AS ewma
+            FROM base
+            ORDER BY event_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
-    qEventsMarkov, qTsOhlc, qEventsPaths)
+    qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma)
 }

@@ -168,4 +168,23 @@ class RelationalSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Long]("l1a_delay") === 508L))
     assert(rows.forall(_.getAs[Long]("beam_energy") === 120L))
   }
+
+  test("tolerance as-of equals plain as-of filtered at one hour") {
+    val plain = q("q_join_asof").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.time.LocalDateTime]("last_click_ts"))).toMap
+    val errTs = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime]("ts"))
+      .toMap
+    q("q_join_asof_tolerance").collect().foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val got = Option(r.getAs[java.time.LocalDateTime]("last_click_ts"))
+      val want = plain(id).filter(ts =>
+        !ts.isBefore(errTs(id).minusHours(1)))
+      assert(got === want, s"event $id")
+      assert(r.getAs[Boolean]("matched") === want.isDefined)
+    }
+  }
 }

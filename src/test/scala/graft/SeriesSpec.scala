@@ -115,4 +115,24 @@ class SeriesSpec extends SparkSuite {
     assert(one.getAs[Double]("close") === rows.last._3)
     assert(one.getAs[Long]("n") === rows.length.toLong)
   }
+
+  test("EWMA head equals the raw value and stays inside the tap range") {
+    val ew = q("q_ts_ewma").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    val clicks = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "click")
+      .select(unix_micros(col("ts").cast("timestamp")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    // first observation has only the k=0 tap: ewma == value
+    val head = clicks.head
+    assert(math.abs(ew(head._2) - head._3) < 1e-6)
+    // every smoothed point lies within the min/max of its 8-tap window
+    clicks.indices.foreach { i =>
+      val win = clicks.slice(math.max(0, i - 7), i + 1).map(_._3)
+      val v = ew(clicks(i)._2)
+      assert(v >= win.min - 1e-6 && v <= win.max + 1e-6)
+    }
+  }
 }

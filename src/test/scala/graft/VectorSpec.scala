@@ -242,4 +242,25 @@ class VectorSpec extends SparkSuite {
       .filter(col("vec_id") % 10 === 0).count()
     assert(rows.map(_.getAs[Long]("n_pred")).sum <= nTest)
   }
+
+  test("aHash replays from the BMP generator arithmetic") {
+    val got = q("q_multimodal_phash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(got.size === 500)
+    (0L until 20L).foreach { id =>
+      val w = (4 + id % 3).toInt
+      val h = (2 + id % 2).toInt
+      val grays = for (y <- 0 until h; x <- 0 until w) yield
+        ((id * 7 + x * 19 + y * 23) % 256) +
+          ((id * 5 + x * 11 + y * 17) % 256) +
+          ((id * 3 + x * 7 + y * 13) % 256)
+      val tg = grays.sum
+      val n = grays.length
+      var hash = 0L
+      grays.zipWithIndex.foreach { case (g, i) =>
+        if (g * n > tg) hash |= (1L << i)
+      }
+      assert(got(id) === hash, s"doc $id")
+    }
+  }
 }
