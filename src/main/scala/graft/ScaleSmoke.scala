@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.ScaleSmoke"; prints a markdown table. */
 object ScaleSmoke {
 
+  // Only documents/embeddings are blown up, so only queries over those
+  // tables belong here. q_text_fuzzy_match is deliberately absent: the
+  // replica-suffix construction plants 10 same-first-char lev-1 twins
+  // per term, a quadratic artifact real 10x corpora don't have.
   private val ids = Seq("q_dedup_components", "q_dedup_ngram",
     "q_sim_kmeans", "q_embed_pca", "q_dedup_incremental",
-    "q_graph_bfs", "q_stream_lsh_index", "q_text_bigram_lm")
+    "q_graph_bfs", "q_stream_lsh_index", "q_text_bigram_lm",
+    "q_graph_labelprop", "q_ml_naive_bayes")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
