@@ -1169,8 +1169,76 @@ object Insights {
              GROUP BY community_size
              ORDER BY community_size NULLS FIRST"""))
 
+  // ---- q_graph_jaccard --------------------------------------------------
+
+  /** Common-neighbor Jaccard link prediction (q_graph_jaccard): the 20
+    * most similar unlinked-or-linked node pairs by |N(a)∩N(b)| /
+    * |N(a)∪N(b)|. Candidates come from the wedge equi-join on the
+    * shared neighbor — the same shape as q_graph_triangles — with hub
+    * centers (degree > 64) excluded from wedge generation, the standard
+    * cap that keeps the Σdeg² candidate cost bounded at fleet scale
+    * (a celebrity node may not generate |fans|² pairs). Jaccard is an
+    * integer ratio, divided once. */
+  val qGraphJaccard = Q(
+    "q_graph_jaccard",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      val deg = edges.groupBy(col("node").as("dn"))
+        .agg(count(lit(1)).as("deg"))
+      val wedgeable = edges
+        .join(broadcast(deg.filter(col("deg") <= 64)),
+          col("nbr") === col("dn"))
+        .select(col("node"), col("nbr"))
+      val common = wedgeable.select(col("node").as("pa"), col("nbr"))
+        .join(wedgeable.select(col("node").as("pb"),
+          col("nbr").as("rnbr")), col("nbr") === col("rnbr") &&
+          col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(deg).withColumnRenamed("dn", "da"),
+          col("pa") === col("da"))
+        .withColumnRenamed("deg", "dega")
+        .join(broadcast(deg).withColumnRenamed("dn", "db"),
+          col("pb") === col("db"))
+        .withColumnRenamed("deg", "degb")
+        .select(col("pa").as("a"), col("pb").as("b"), col("common"),
+          round(col("common").cast("double") /
+            (col("dega") + col("degb") - col("common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+             edges AS (
+               SELECT a AS node, b AS nbr FROM und
+               UNION ALL SELECT b AS node, a AS nbr FROM und),
+             deg AS (
+               SELECT node AS dn, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY node),
+             wedgeable AS (
+               SELECT e.node, e.nbr FROM edges e
+                 JOIN deg ON e.nbr = deg.dn
+               WHERE deg.deg <= 64),
+             common AS (
+               SELECT l.node AS pa, r.node AS pb,
+                 CAST(count(*) AS BIGINT) AS common
+               FROM wedgeable l JOIN wedgeable r
+                 ON l.nbr = r.nbr AND l.node < r.node
+               GROUP BY l.node, r.node)
+             SELECT pa AS a, pb AS b, common,
+               round(CAST(common AS DOUBLE) /
+                 (da.deg + db.deg - common), 6) AS jaccard
+             FROM common
+               JOIN deg da ON pa = da.dn
+               JOIN deg db ON pb = db.dn
+             ORDER BY jaccard DESC NULLS LAST, a NULLS FIRST,
+               b NULLS FIRST
+             LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qStatsTtest,
-    qStatsChisq, qStatsKs, qGraphLabelprop)
+    qStatsChisq, qStatsKs, qGraphLabelprop, qGraphJaccard)
 }

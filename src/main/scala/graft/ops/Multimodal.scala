@@ -793,8 +793,88 @@ object Multimodal {
             GROUP BY g.doc_id, w, h
             ORDER BY g.doc_id NULLS FIRST"""))
 
+  /** Near-duplicate images by banded Hamming join
+    * (q_multimodal_phash_pairs): split each 18-bit aHash into three
+    * 6-bit bands — two hashes within Hamming distance 2 must agree on
+    * at least one whole band (pigeonhole), so candidate generation is
+    * an EQUI-join on (band index, band value, dims) exactly like the
+    * minhash LSH path, never an all-pairs Hamming matrix; bit_count of
+    * the xor is the residual filter. Completes the multimodal story:
+    * decode → fingerprint (q_multimodal_phash) → dedup pairs. */
+  val qMultimodalPhashPairs = Q(
+    "q_multimodal_phash_pairs",
+    (s, d) => {
+      val hashes = qMultimodalPhash.fn(s, d)
+      val banded = hashes.select(col("doc_id"), col("w"), col("h"),
+          col("phash"),
+          explode(expr(
+            """array(
+                 struct(CAST(0 AS INT) AS band,
+                        phash & 63 AS bv),
+                 struct(CAST(1 AS INT) AS band,
+                        shiftright(phash, 6) & 63 AS bv),
+                 struct(CAST(2 AS INT) AS band,
+                        shiftright(phash, 12) & 63 AS bv))"""))
+            .as("bk"))
+        .select(col("doc_id"), col("w"), col("h"), col("phash"),
+          col("bk.band"), col("bk.bv"))
+      val left = banded.select(col("doc_id").as("a_id"),
+        col("w"), col("h"), col("phash").as("a_hash"),
+        col("band"), col("bv"))
+      val right = banded.select(col("doc_id").as("b_id"),
+        col("w").as("rw"), col("h").as("rh"),
+        col("phash").as("b_hash"), col("band").as("rband"),
+        col("bv").as("rbv"))
+      left
+        .join(right, col("band") === col("rband") &&
+          col("bv") === col("rbv") && col("w") === col("rw") &&
+          col("h") === col("rh") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+        .distinct()
+        .withColumn("hamming",
+          expr("bit_count(a_hash ^ b_hash)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+              FROM documents),
+            px AS (
+              SELECT doc_id, w, h, i, i % w AS x,
+                CAST(i // w AS BIGINT) AS y
+              FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
+                    FROM spec)),
+            gr AS (
+              SELECT doc_id, w, h, i,
+                (doc_id * 7 + x * 19 + y * 23) % 256
+                  + (doc_id * 5 + x * 11 + y * 17) % 256
+                  + (doc_id * 3 + x * 7 + y * 13) % 256 AS gray
+              FROM px),
+            tot AS (
+              SELECT doc_id, CAST(sum(gray) AS BIGINT) AS tg,
+                CAST(count(*) AS BIGINT) AS n
+              FROM gr GROUP BY doc_id),
+            hashes AS (
+              SELECT g.doc_id, w, h,
+                CAST(sum(CASE WHEN g.gray * t.n > t.tg
+                         THEN 1 << i ELSE 0 END) AS BIGINT) AS phash
+              FROM gr g JOIN tot t ON g.doc_id = t.doc_id
+              GROUP BY g.doc_id, w, h)
+            SELECT a_id, b_id, a_hash, b_hash,
+              CAST(bit_count(xor(a_hash, b_hash)) AS BIGINT) AS hamming
+            FROM (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                    l.phash AS a_hash, r.phash AS b_hash
+                  FROM (SELECT *, unnest([0, 1, 2]) AS band FROM hashes) l
+                  JOIN (SELECT *, unnest([0, 1, 2]) AS band FROM hashes) r
+                    ON l.band = r.band AND l.w = r.w AND l.h = r.h
+                   AND l.doc_id < r.doc_id
+                   AND ((l.phash >> (6 * l.band)) & 63)
+                     = ((r.phash >> (6 * r.band)) & 63))
+            WHERE bit_count(xor(a_hash, b_hash)) <= 2
+            ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
-      qMultimodalMp4, qMultimodalPhash)
+      qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs)
 }

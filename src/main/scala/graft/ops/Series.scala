@@ -467,6 +467,50 @@ object Series {
             FROM base
             ORDER BY event_id NULLS FIRST"""))
 
+  /** V-shape pattern detection (q_ts_vshape): a MATCH_RECOGNIZE-lite
+    * scan per series — three consecutive observations where the value
+    * drops ≥ 20% then rebounds ≥ 20%. Percent tests are integer
+    * cross-multiplications over cents (5·(c1−c2) ≥ c1), so detection
+    * is engine-exact; one window exchange, all tests scan-local. */
+  val qTsVshape = Q(
+    "q_ts_vshape",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = events
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .withColumn("c1", lag(col("c"), 2).over(w))
+        .withColumn("c2", lag(col("c"), 1).over(w))
+        .filter(col("c1").isNotNull &&
+          (col("c1") - col("c2")) * 5 >= col("c1") &&
+          (col("c") - col("c2")) * 5 >= col("c"))
+      base
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_vshapes"),
+          min(col("ts")).as("first_at"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type, ts,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w
+                  AS c1,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w
+                  AS c2
+              FROM events
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts, event_id))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_vshapes,
+              min(ts) AS first_at
+            FROM base
+            WHERE c1 IS NOT NULL
+              AND (c1 - c2) * 5 >= c1 AND (c - c2) * 5 >= c
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
-    qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma)
+    qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape)
 }

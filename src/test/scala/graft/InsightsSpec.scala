@@ -457,4 +457,16 @@ class InsightsSpec extends SparkSuite {
     val nComms = rows.map(_.getAs[Long]("n_communities")).sum
     assert(nComms < nodes)
   }
+
+  test("Jaccard similarities are valid ratios and sorted descending") {
+    val rows = q("q_graph_jaccard").collect()
+    assert(rows.length === 20)
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.forall(j => j > 0.0 && j <= 1.0))
+    assert(js.sliding(2).forall { case Array(x, y) => x >= y })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("common") >= 1L)
+    }
+  }
 }

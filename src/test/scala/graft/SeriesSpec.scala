@@ -135,4 +135,21 @@ class SeriesSpec extends SparkSuite {
       assert(v >= win.min - 1e-6 && v <= win.max + 1e-6)
     }
   }
+
+  test("V-shape count matches a driver-side replay for one series") {
+    val got = q("q_ts_vshape").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_vshapes")).toMap
+    val rows = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "view")
+      .select(unix_micros(col("ts").cast("timestamp")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    val want = rows.sliding(3).count { w =>
+      val (c1, c2, c3) = (w(0), w(1), w(2))
+      (c1 - c2) * 5 >= c1 && (c3 - c2) * 5 >= c3 }
+    assert(got("view") === want.toLong)
+  }
 }

@@ -263,4 +263,18 @@ class VectorSpec extends SparkSuite {
       assert(got(id) === hash, s"doc $id")
     }
   }
+
+  test("banded Hamming join finds exactly the <=2-distance pairs") {
+    val hashes = q("q_multimodal_phash").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+        r.getAs[Long]("h"), r.getAs[Long]("phash")))
+    val want = (for {
+      a <- hashes; b <- hashes
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+      if java.lang.Long.bitCount(a._4 ^ b._4) <= 2
+    } yield (a._1, b._1)).toSet
+    val got = q("q_multimodal_phash_pairs").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got === want) // pigeonhole banding loses nothing at d<=2
+  }
 }
