@@ -1209,11 +1209,170 @@ object StreamOps {
             GROUP BY prev_type, next_type
             ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST"""))
 
+  /** Streaming drift monitor (q_stream_psi): the arriving half of the
+    * event stream (after a fixed cutoff) is binned in ONE streaming
+    * aggregate and compared to a static broadcast reference histogram
+    * (before the cutoff) — the per-ingest PSI check a production
+    * pipeline gates on. Same exact-integer/fixed-expression discipline
+    * as batch q_stats_psi. */
+  val qStreamPsi = Q(
+    "q_stream_psi",
+    (s, d) => {
+      val cutoff = lit("2024-01-16").cast("timestamp_ntz")
+      val bin = least(lit(9L), floor(col("value") / 33.0).cast("long"))
+        .as("bin")
+      val streamCounts = eventsStream(s, d)
+        .filter(col("ts") >= cutoff)
+        .select(bin)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("nb"))
+      val settled = drain(s, streamCounts, "stream_psi_tbl", "complete")
+      val ref = Tables.t(s, d, "events")
+        .filter(col("ts") < cutoff)
+        .select(bin)
+        .groupBy(col("bin").as("rbin"))
+        .agg(count(lit(1)).as("na"))
+      val joined = ref.join(settled, col("rbin") === col("bin"), "full")
+        .select(coalesce(col("rbin"), col("bin")).as("bin"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val tot = joined.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      joined
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("na"), col("nb"),
+          round((((col("na") + 1).cast("double") / (col("ta") + 10)) -
+            ((col("nb") + 1).cast("double") / (col("tb") + 10))) *
+            log(((col("na") + 1).cast("double") / (col("ta") + 10)) /
+              ((col("nb") + 1).cast("double") / (col("tb") + 10))), 6)
+            .as("psi_term"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH binned AS (
+              SELECT least(9, CAST(floor(value / 33.0) AS BIGINT)) AS bin,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS nb
+              FROM events GROUP BY bin),
+            tot AS (
+              SELECT CAST(sum(na) AS BIGINT) AS ta,
+                CAST(sum(nb) AS BIGINT) AS tb
+              FROM binned)
+            SELECT bin, na, nb,
+              round(((CAST(na + 1 AS DOUBLE) / (ta + 10)) -
+                     (CAST(nb + 1 AS DOUBLE) / (tb + 10))) *
+                    ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) /
+                       (CAST(nb + 1 AS DOUBLE) / (tb + 10))), 6)
+                AS psi_term
+            FROM binned CROSS JOIN tot
+            ORDER BY bin NULLS FIRST"""))
+
+  /** StatefulProcessor for q_stream_vshape: per event_type, carry the
+    * last TWO observations across micro-batches and emit the detection
+    * timestamp whenever the 20%-down-20%-up integer test fires on a
+    * sliding triple. Batch rows are sorted before the walk; the
+    * cross-batch seam is the carried pair. */
+  private[graft] class VshapeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Long), (String, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var lastTwo
+      : ValueState[(Long, Long, Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTwo = getHandle.getValueState[(Long, Long, Long, Long, Long, Long)](
+        "last2", Encoders.product[(Long, Long, Long, Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      var st = if (lastTwo.exists()) Some(lastTwo.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        st match {
+          case Some((us1, _, c1, us2, eid2, c2)) =>
+            // us1 == -1 marks "only one observation carried": the
+            // triple is incomplete, no test (a sentinel c1 fed into
+            // the integer test would overflow/false-fire)
+            if (us1 >= 0 &&
+                (c1 - c2) * 5 >= c1 && (r._4 - c2) * 5 >= r._4)
+              out += ((key, r._2))
+            st = Some((us2, eid2, c2, r._2, r._3, r._4))
+          case None =>
+            st = Some((-1L, -1L, 0L, r._2, r._3, r._4))
+        }
+      }
+      st.foreach(lastTwo.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming V-shape detection (q_stream_vshape): the stateful twin
+    * of q_ts_vshape — a transformWithState processor carries the last
+    * two observations per series so patterns straddling micro-batch
+    * seams are still caught; the settled hit log reduces to the same
+    * census as the batch window formulation. The first-ever triple of
+    * a series needs TWO carried rows, which is exactly what the state
+    * tuple holds (us1 = −1 marks "only one row carried", and the test
+    * is skipped rather than fed a sentinel that could overflow). */
+  val qStreamVshape = Q(
+    "q_stream_vshape",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val savedProv =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventsStream(s, d)
+          .select(col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("c"))
+          .as[(String, Long, Long, Long)]
+        val hits = src
+          .groupByKey(_._1)
+          .transformWithState(new VshapeProcessor,
+            TimeMode.None(), OutputMode.Append())
+        drain(s, hits.toDF("event_type", "us"),
+          "stream_vshape_tbl", "append")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_vshapes"),
+            expr("CAST(timestamp_micros(min(us)) AS TIMESTAMP_NTZ)")
+              .as("first_at"))
+          .orderBy(col("event_type"))
+      } finally savedProv match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some("""WITH base AS (
+              SELECT event_type, ts,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w
+                  AS c1,
+                lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w
+                  AS c2
+              FROM events
+              WINDOW w AS (PARTITION BY event_type
+                           ORDER BY ts, event_id))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_vshapes,
+              min(ts) AS first_at
+            FROM base
+            WHERE c1 IS NOT NULL
+              AND (c1 - c2) * 5 >= c1 AND (c - c2) * 5 >= c
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
-    qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov)
+    qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
+    qStreamPsi, qStreamVshape)
 }

@@ -651,4 +651,53 @@ class StreamSpec extends SparkSuite {
           r.getAs[Long]("n"))).toMap
     assert(got === want)
   }
+
+  test("vshape processor catches patterns straddling the batch seam") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spec_vshape").toFile
+    import spark.implicits._
+    def write(name: String, rows: Seq[(String, Long, Long, Long)]): Unit =
+      rows.toDF("event_type", "us", "event_id", "c")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(dir, name).getAbsolutePath)
+    // V = 1000 -> 500 -> 1000; the rebound row arrives in the SECOND
+    // file, so the hit exists only if both prior rows were carried
+    write("a", Seq(("click", 1000L, 1L, 1000L), ("click", 2000L, 2L, 500L)))
+    write("b", Seq(("click", 3000L, 3L, 1000L)))
+    val schema = spark.read.parquet(
+      new java.io.File(dir, "a").getAbsolutePath).schema
+    val savedProv =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(dir.getAbsolutePath + "/*")
+        .select(col("event_type"), col("us"), col("event_id"), col("c"))
+        .as[(String, Long, Long, Long)]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val hits = src.groupByKey(_._1)
+        .transformWithState(new streaming.StreamOps.VshapeProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val qy = hits.toDF("event_type", "us").writeStream
+        .outputMode("append").format("memory").queryName("spec_vshape")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qy.awaitTermination()
+      val batches = qy.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
+      val res = spark.table("spec_vshape").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(res === Seq(("click", 3000L)))
+    } finally {
+      savedProv match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
 }
