@@ -81,7 +81,19 @@ object PlanDump {
       "same brand-pruned fact slice; both passes pruned at the scan"),
     "q_tpch_q19" -> ("disjunctive bracket predicate stays a residual " +
       "filter on the part equi-join — hash join, no nested-loop " +
-      "fallback"))
+      "fallback"),
+    "q_multimodal_phash_pairs" -> ("Hamming<=2 image pairs via 3-band " +
+      "pigeonhole split: candidates from an equi-join on (band, value, " +
+      "dims), bit_count residual — no all-pairs distance matrix"),
+    "q_graph_jaccard" -> ("common-neighbor wedge equi-join with hub " +
+      "centers (deg > 64) excluded — candidate cost bounded, Jaccard " +
+      "an integer ratio divided once"),
+    "q_ml_naive_bayes" -> ("training IS one aggregation; the model " +
+      "(term-lang log-likelihoods, priors) broadcasts; scoring is one " +
+      "explode + one keyed aggregation — no driver loop"),
+    "q_basket_lift" -> ("pair explode bounded by order size: the " +
+      "orderkey self-join is linear in the fact, never quadratic in " +
+      "the catalog; brand counts broadcast back"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
