@@ -200,5 +200,206 @@ object Biz {
             ORDER BY lift DESC NULLS LAST, ba NULLS FIRST, bb NULLS FIRST
             LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift)
+  /** Supplier reliability ranking (q_stats_wilson): per-supplier
+    * return rate with the Wilson score lower bound — the statistically
+    * sound way to rank proportions with unequal sample sizes (a
+    * 1-return/2-lines supplier must not outrank 30/1000). Counts are
+    * exact integers; the Wilson formula is one fixed double expression
+    * per supplier row (z = 1.96 pinned), so ranking is engine-stable.
+    * One fact aggregate, supplier-sized everything after. */
+  val qStatsWilson = Q(
+    "q_stats_wilson",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val perSupp = t("lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+      val z2 = 1.96 * 1.96
+      val p = col("n_returned").cast("double") / col("n_lines")
+      val n = col("n_lines").cast("double")
+      val lower = (p + lit(z2) / (n * 2) -
+        lit(1.96) * sqrt((p * (lit(1.0) - p) + lit(z2) / (n * 4)) / n)) /
+        (lit(1.0) + lit(z2) / n)
+      perSupp
+        .join(t("supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_lines"), col("n_returned"),
+          round(lower, 6).as("wilson_lower"))
+        .orderBy(col("wilson_lower").desc, col("s_name"))
+        .limit(25)
+    },
+    Some("""WITH per_supp AS (
+              SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned
+              FROM lineitem GROUP BY l_suppkey)
+            SELECT s_name, n_lines, n_returned,
+              round((p + z2 / (2 * n) -
+                     1.96e0 * sqrt((p * (1.0e0 - p) + z2 / (4 * n)) / n))
+                    / (1.0e0 + z2 / n), 6) AS wilson_lower
+            FROM (SELECT s_name, n_lines, n_returned,
+                    CAST(n_returned AS DOUBLE) / n_lines AS p,
+                    CAST(n_lines AS DOUBLE) AS n,
+                    1.96e0 * 1.96e0 AS z2
+                  FROM per_supp
+                    JOIN supplier ON l_suppkey = s_suppkey)
+            ORDER BY wilson_lower DESC NULLS LAST, s_name NULLS FIRST
+            LIMIT 25"""))
+
+  /** Cohort lifetime-value curve (q_cohort_ltv): users grouped by
+    * first-seen week, purchase revenue accumulated over cohort age in
+    * weeks — the LTV ramp every growth team plots. First-seen is a
+    * per-user min; revenue stays integer cents through the cumulative
+    * window and divides once on output. */
+  val qCohortLtv = Q(
+    "q_cohort_ltv",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val ev = t("events")
+      val anchor = lit("2024-01-01").cast("timestamp_ntz")
+      val weekOf = (c: org.apache.spark.sql.Column) =>
+        floor(datediff(c.cast("date"), anchor.cast("date")) / 7.0)
+          .cast("long")
+      val firstSeen = ev.groupBy(col("user_id").as("fs_user"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("fs_user"), weekOf(col("first_ts")).as("cohort_week"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(firstSeen), col("user_id") === col("fs_user"))
+        .select(col("cohort_week"),
+          (weekOf(col("ts")) - col("cohort_week")).as("age_week"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("cohort_week"), col("age_week"))
+        .agg(sum(col("cents")).as("week_cents"))
+      val w = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("age_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .select(col("cohort_week"), col("age_week"),
+          (sum(col("week_cents")).over(w) / 100.0).as("cum_revenue"))
+        .orderBy(col("cohort_week"), col("age_week"))
+    },
+    Some("""WITH first_seen AS (
+              SELECT user_id AS fs_user,
+                CAST((CAST(min(ts) AS DATE) - DATE '2024-01-01') // 7
+                  AS BIGINT) AS cohort_week
+              FROM events GROUP BY user_id),
+            rev AS (
+              SELECT cohort_week,
+                CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7
+                  AS BIGINT) - cohort_week AS age_week,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS week_cents
+              FROM events JOIN first_seen ON user_id = fs_user
+              WHERE event_type = 'purchase'
+              GROUP BY cohort_week, age_week)
+            SELECT cohort_week, age_week,
+              CAST(sum(week_cents) OVER (PARTITION BY cohort_week
+                ORDER BY age_week
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) / 100.0 AS cum_revenue
+            FROM rev
+            ORDER BY cohort_week NULLS FIRST, age_week NULLS FIRST"""))
+
+  /** Longest daily-activity streak per user (q_events_streaks): the
+    * gaps-and-islands pattern — consecutive active days collapse into
+    * islands via the day − dense_rank trick (one window per user, all
+    * integer arithmetic), and the longest island per user survives.
+    * The fact reduces to (user, day) distinct rows first, so the
+    * window input is bounded by users × active days. */
+  val qEventsStreaks = Q(
+    "q_events_streaks",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = t("events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("grp", col("day") -
+          row_number().over(w).cast("long"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      islands
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("len").desc, col("start_day"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("len").as("longest_streak"),
+          col("start_day"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id,
+                CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                  AS day
+              FROM events),
+            islands AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+                min(day) AS start_day
+              FROM (SELECT user_id, day,
+                      day - row_number() OVER (PARTITION BY user_id
+                        ORDER BY day) AS grp
+                    FROM days)
+              GROUP BY user_id, grp)
+            SELECT user_id, len AS longest_streak, start_day
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY len DESC, start_day) AS rk
+                  FROM islands)
+            WHERE rk = 1
+            ORDER BY user_id NULLS FIRST"""))
+
+  /** Customer reorder cadence (q_orders_cadence): per customer, the
+    * days between consecutive orders (lag window over the per-customer
+    * order sequence) summarized as count / mean gap / max gap — the
+    * repeat-purchase heartbeat. Gaps are integer day differences;
+    * means divide once. */
+  val qOrdersCadence = Q(
+    "q_orders_cadence",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t("orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            col("prev_date").cast("date")).cast("long").as("gap_days"))
+      gaps
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_days")).as("sum_gap"),
+          max(col("gap_days")).as("max_gap"))
+        .select(col("o_custkey"), col("n_gaps"),
+          round(col("sum_gap").cast("double") / col("n_gaps"), 6)
+            .as("mean_gap_days"),
+          col("max_gap"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH gaps AS (
+              SELECT o_custkey,
+                CAST(CAST(o_orderdate AS DATE) -
+                  CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS DATE)
+                  AS BIGINT) AS gap_days
+              FROM orders)
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+              round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6)
+                AS mean_gap_days,
+              max(gap_days) AS max_gap
+            FROM gaps WHERE gap_days IS NOT NULL
+            GROUP BY o_custkey
+            ORDER BY o_custkey NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
+    qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence)
 }

@@ -53,4 +53,64 @@ class BizSpec extends SparkSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(top.getAs[Double]("lift") === want)
   }
+
+  test("Wilson lower bound is below the raw proportion and in [0,1]") {
+    val rows = q("q_stats_wilson").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("n_returned").toDouble / r.getAs[Long]("n_lines")
+      val wl = r.getAs[Double]("wilson_lower")
+      assert(wl >= 0.0 && wl <= 1.0)
+      assert(wl <= p + 1e-9, s"lower bound above raw proportion: $wl > $p")
+    }
+  }
+
+  test("cohort LTV curves are monotone non-decreasing in age") {
+    val rows = q("q_cohort_ltv").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("age_week"),
+        r.getAs[Double]("cum_revenue")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, curve) =>
+      val sorted = curve.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 >= a._3)
+        case _ => ()
+      }
+    }
+  }
+
+  test("streaks match a driver-side islands replay") {
+    val got = q("q_events_streaks").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("longest_streak")).toMap
+    val days = Tables.t(spark, sf0, "events")
+      .select(col("user_id"), datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    days.groupBy(_._1).foreach { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      var best = 1L; var cur = 1L
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          if (w(1) == w(0) + 1) { cur += 1; best = math.max(best, cur) }
+          else cur = 1
+        }
+      }
+      assert(got(u) === best, s"user $u")
+    }
+  }
+
+  test("cadence gaps conserve the order count per customer") {
+    val rows = q("q_orders_cadence").collect()
+    assert(rows.nonEmpty)
+    val orderCounts = Tables.t(spark, sf0, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val ck = r.getAs[Long]("o_custkey")
+      assert(r.getAs[Long]("n_gaps") === orderCounts(ck) - 1)
+      assert(r.getAs[Double]("mean_gap_days") <=
+        r.getAs[Long]("max_gap").toDouble + 1e-9)
+    }
+  }
 }
