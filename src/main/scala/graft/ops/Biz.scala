@@ -400,6 +400,103 @@ object Biz {
             GROUP BY o_custkey
             ORDER BY o_custkey NULLS FIRST"""))
 
+  /** Revenue-concentration Gini coefficient (q_agg_gini): how unequal
+    * customer spend is, from the rank-weighted identity
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-customer revenue sorted
+    * ascending. Revenue stays integer cents; Σ i·x is exact BIGINT
+    * (rank ≤ |customers|, cents < 2^40), so G is one fixed double
+    * expression. The window runs over the customers table, not the
+    * fact. Ties rank deterministically by customer key. */
+  val qAggGini = Q(
+    "q_agg_gini",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val perCust = t("orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("cents"))
+      val ranked = perCust
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      ranked
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .select(col("n"),
+          round(col("six").cast("double") * 2 /
+            (col("n") * col("sx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+    },
+    Some("""WITH per_cust AS (
+              SELECT o_custkey,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT cents, CAST(row_number() OVER (
+                ORDER BY cents, o_custkey) AS BIGINT) AS i
+              FROM per_cust)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(i * cents) AS DOUBLE) * 2 /
+                (count(*) * CAST(sum(cents) AS DOUBLE)) -
+                CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+            FROM ranked"""))
+
+  /** Engagement stickiness (q_events_dau_mau): per day, distinct
+    * active users that day over distinct users in the trailing 30
+    * days. The fact reduces to the (user, day) distinct table first;
+    * the trailing window is a bounded day-range self-join over that
+    * table (days × 30 rows, never fact-sized), then one distinct
+    * count per day. */
+  val qEventsDauMau = Q(
+    "q_events_dau_mau",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = t("events")
+        .select(
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"),
+          col("user_id"))
+        .distinct()
+      val dau = days.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = days.select(col("day").as("active_day"), col("user_id"))
+        .join(dau.select(col("day").as("ref_day")),
+          col("active_day") <= col("ref_day") &&
+            col("active_day") > col("ref_day") - 30)
+        .groupBy(col("ref_day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau
+        .join(mau, col("day") === col("ref_day"))
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT
+                CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                  AS day,
+                user_id
+              FROM events),
+            dau AS (
+              SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+              FROM days GROUP BY day),
+            mau AS (
+              SELECT d.day AS ref_day,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
+              FROM dau d JOIN days a
+                ON a.day <= d.day AND a.day > d.day - 30
+              GROUP BY d.day)
+            SELECT day, dau, mau,
+              round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+            FROM dau JOIN mau ON day = ref_day
+            ORDER BY day NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
-    qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence)
+    qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,
+    qAggGini, qEventsDauMau)
 }

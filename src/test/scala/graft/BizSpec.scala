@@ -113,4 +113,33 @@ class BizSpec extends SparkSuite {
         r.getAs[Long]("max_gap").toDouble + 1e-9)
     }
   }
+
+  test("Gini matches a driver-side replay and sits in [0,1)") {
+    val r = q("q_agg_gini").collect()(0)
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    val cents = Tables.t(spark, sf0, "orders")
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = cents.length.toLong
+    val sx = cents.sum
+    val six = cents.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val want = BigDecimal(six.toDouble * 2 / (n * sx.toDouble) -
+      (n + 1).toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g === want)
+  }
+
+  test("DAU/MAU stickiness is a ratio and MAU dominates DAU") {
+    val rows = q("q_events_dau_mau").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mau") >= r.getAs[Long]("dau"))
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
 }
