@@ -496,7 +496,42 @@ object Biz {
             FROM dau JOIN mau ON day = ref_day
             ORDER BY day NULLS FIRST"""))
 
+  /** Fulfillment lead time by priority (q_orders_leadtime): the
+    * ship-minus-order delay distribution per order priority — median,
+    * p90 and max in integer days. Exact percentile over the integer
+    * day counts keeps both engines on the same (n−1)p interpolation;
+    * one fact join + one 5-row aggregate. The SLA report every ops
+    * dashboard opens with. */
+  val qOrdersLeadtime = Q(
+    "q_orders_leadtime",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(expr("percentile(days, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(days, 0.9)"), 6).as("p90_days"),
+          max(col("days")).as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              round(quantile_cont(days, 0.5), 6) AS p50_days,
+              round(quantile_cont(days, 0.9), 6) AS p90_days,
+              max(days) AS max_days
+            FROM (SELECT o_orderpriority,
+                    CAST(CAST(l_shipdate AS DATE) -
+                         CAST(o_orderdate AS DATE) AS BIGINT) AS days
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
     qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,
-    qAggGini, qEventsDauMau)
+    qAggGini, qEventsDauMau, qOrdersLeadtime)
 }

@@ -142,4 +142,17 @@ class BizSpec extends SparkSuite {
       assert(st > 0.0 && st <= 1.0)
     }
   }
+
+  test("lead-time percentiles are ordered p50 <= p90 <= max") {
+    val rows = q("q_orders_leadtime").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val p50 = r.getAs[Double]("p50_days")
+      val p90 = r.getAs[Double]("p90_days")
+      assert(p50 >= 0.0 && p50 <= p90)
+      assert(p90 <= r.getAs[Long]("max_days").toDouble)
+    }
+    val total = rows.map(_.getAs[Long]("n_lines")).sum
+    assert(total === Tables.t(spark, sf0, "lineitem").count())
+  }
 }
