@@ -27,7 +27,13 @@ object ScaleSmoke {
   private val ids = Seq("q_dedup_components", "q_dedup_ngram",
     "q_sim_kmeans", "q_embed_pca", "q_dedup_incremental",
     "q_graph_bfs", "q_stream_lsh_index", "q_text_bigram_lm",
-    "q_graph_labelprop", "q_ml_naive_bayes")
+    "q_graph_labelprop", "q_ml_naive_bayes",
+    // round-6 heavy tier: the fixed jaccard (no O(V) broadcast), the
+    // order-blocked pair explode, the percentile-cut bucketing, and
+    // the two stateful streams (user-disjoint replicas = 10
+    // independent copies of each per-user stream)
+    "q_graph_jaccard", "q_basket_lift", "q_agg_equidepth",
+    "q_stream_join", "q_stream_markov")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,8 +108,32 @@ object ScaleSmoke {
       .repartition(1)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     collapseToFile(s"$out/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    // events: 10 user-disjoint replicas (shifted user/event ids), ts
+    // kept as raw INT64 nanos — eventsStream and Tables.t both take the
+    // long branch, exactly like the driver's TIMESTAMP(NANOS) layout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evMx = ev.agg(max(col("event_id"))).first().getLong(0) + 1
+    val evUMx = ev.agg(max(col("user_id"))).first().getLong(0) + 1
+    ev.crossJoin(broadcast(rep))
+      .select((col("event_id") + col("rep") * evMx).as("event_id"),
+        (col("user_id") + col("rep") * evUMx).as("user_id"),
+        col("ts"), col("event_type"), col("value"), col("props"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    collapseToFile(s"$out/events.parquet")
+    // lineitem: shifted order keys keep orders at ~7 lines each, so the
+    // basket pair explode scales 10x, never 100x
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liMx = li.agg(max(col("l_orderkey"))).first().getLong(0) + 1
+    li.crossJoin(broadcast(rep))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * liMx)
+      .drop("rep")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    collapseToFile(s"$out/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.Paths.get(s"$src/$t.parquet"))

@@ -71,11 +71,16 @@ object Biz {
 
   /** RFM customer scoring (q_events_rfm): per user, recency (days
     * since last purchase relative to the corpus max day), frequency
-    * (purchase count), monetary (cents sum) — each cut into quintiles
-    * by ntile over a (metric, user) total order, concatenated into the
-    * classic three-digit segment. The per-user aggregate is one
-    * shuffle; the three ntile windows run over the users table (not
-    * the fact), which is the RFM cost model at any scale. */
+    * (purchase count), monetary (cents sum) — each cut into VALUE
+    * quintiles against the exact 20/40/60/80th-percentile boundaries,
+    * concatenated into the classic three-digit segment (5 = best:
+    * most recent, most frequent, highest spend; ties share a bucket).
+    * The per-user aggregate is one shuffle; the 12 cut doubles come
+    * from ONE two-phase percentile aggregate and are broadcast back —
+    * never a global ntile sort, which is a single-partition window
+    * over the users table at 100 TB (the q_agg_equidepth discipline,
+    * Audit.scala). Cut doubles are identical across engines (same
+    * (n−1)p interpolation), so bucket membership is exact. */
   val qEventsRfm = Q(
     "q_events_rfm",
     (sp, dir) => {
@@ -95,18 +100,30 @@ object Biz {
             .cast("long").as("recency_days"),
           count(lit(1)).as("frequency"),
           sum(col("cents")).as("monetary_cents"))
-      val rW = Window.orderBy(col("recency_days"), col("user_id"))
-      val fW = Window.orderBy(col("frequency").desc, col("user_id"))
-      val mW = Window.orderBy(col("monetary_cents").desc, col("user_id"))
+      val cuts = byUser.agg(
+        expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))")
+          .as("r_cuts"),
+        expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))")
+          .as("f_cuts"),
+        expr("percentile(monetary_cents, array(0.2, 0.4, 0.6, 0.8))")
+          .as("m_cuts"))
+      // bucket = #cuts strictly below the metric (0..4); recency is
+      // inverted so 5 always means best
       byUser
-        .withColumn("r_score", ntile(5).over(rW).cast("long"))
-        .withColumn("f_score", ntile(5).over(fW).cast("long"))
-        .withColumn("m_score", ntile(5).over(mW).cast("long"))
+        .crossJoin(broadcast(cuts))
         .select(col("user_id"), col("recency_days"), col("frequency"),
-          col("monetary_cents"), col("r_score"), col("f_score"),
-          col("m_score"),
-          concat(col("r_score"), col("f_score"), col("m_score"))
-            .as("segment"))
+          col("monetary_cents"),
+          (lit(5) - expr("""aggregate(r_cuts, 0, (acc, c) ->
+             acc + CASE WHEN recency_days > c THEN 1 ELSE 0 END)"""))
+            .cast("long").as("r_score"),
+          (lit(1) + expr("""aggregate(f_cuts, 0, (acc, c) ->
+             acc + CASE WHEN frequency > c THEN 1 ELSE 0 END)"""))
+            .cast("long").as("f_score"),
+          (lit(1) + expr("""aggregate(m_cuts, 0, (acc, c) ->
+             acc + CASE WHEN monetary_cents > c THEN 1 ELSE 0 END)"""))
+            .cast("long").as("m_score"))
+        .withColumn("segment",
+          concat(col("r_score"), col("f_score"), col("m_score")))
         .orderBy(col("user_id"))
     },
     Some("""WITH purchases AS (
@@ -121,19 +138,35 @@ object Biz {
                 CAST(count(*) AS BIGINT) AS frequency,
                 CAST(sum(cents) AS BIGINT) AS monetary_cents
               FROM purchases, mx
-              GROUP BY user_id)
+              GROUP BY user_id),
+            cuts AS (
+              SELECT
+                [quantile_cont(recency_days, 0.2),
+                 quantile_cont(recency_days, 0.4),
+                 quantile_cont(recency_days, 0.6),
+                 quantile_cont(recency_days, 0.8)] AS r_cuts,
+                [quantile_cont(frequency, 0.2),
+                 quantile_cont(frequency, 0.4),
+                 quantile_cont(frequency, 0.6),
+                 quantile_cont(frequency, 0.8)] AS f_cuts,
+                [quantile_cont(monetary_cents, 0.2),
+                 quantile_cont(monetary_cents, 0.4),
+                 quantile_cont(monetary_cents, 0.6),
+                 quantile_cont(monetary_cents, 0.8)] AS m_cuts
+              FROM by_user)
             SELECT user_id, recency_days, frequency, monetary_cents,
               r_score, f_score, m_score,
               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                 || CAST(m_score AS VARCHAR) AS segment
-            FROM (SELECT *,
-                    CAST(ntile(5) OVER (ORDER BY recency_days, user_id)
-                      AS BIGINT) AS r_score,
-                    CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
-                      AS BIGINT) AS f_score,
-                    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
-                      user_id) AS BIGINT) AS m_score
-                  FROM by_user)
+            FROM (SELECT user_id, recency_days, frequency,
+                    monetary_cents,
+                    CAST(5 - len(list_filter(r_cuts,
+                      c -> recency_days > c)) AS BIGINT) AS r_score,
+                    CAST(1 + len(list_filter(f_cuts,
+                      c -> frequency > c)) AS BIGINT) AS f_score,
+                    CAST(1 + len(list_filter(m_cuts,
+                      c -> monetary_cents > c)) AS BIGINT) AS m_score
+                  FROM by_user, cuts)
             ORDER BY user_id NULLS FIRST"""))
 
   /** Market-basket brand affinity (q_basket_lift): brand pairs
@@ -405,8 +438,13 @@ object Biz {
     * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-customer revenue sorted
     * ascending. Revenue stays integer cents; Σ i·x is exact BIGINT
     * (rank ≤ |customers|, cents < 2^40), so G is one fixed double
-    * expression. The window runs over the customers table, not the
-    * fact. Ties rank deterministically by customer key. */
+    * expression. The global rank is SHARDED, never a single-partition
+    * window: rows bucket against 31 broadcast percentile cuts of cents
+    * (order-preserving — ties share a bucket, so the per-bucket
+    * (cents, o_custkey) sort concatenates to the exact total order),
+    * rank within each bucket with a PARTITIONED row_number, and add
+    * each bucket's exact prefix offset from a ≤32-row self-joined
+    * count table (the q_event_count cross-shard carry, Daq.scala). */
   val qAggGini = Q(
     "q_agg_gini",
     (sp, dir) => {
@@ -417,9 +455,27 @@ object Biz {
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
         .groupBy(col("o_custkey"))
         .agg(sum(col("cents")).as("cents"))
-      val ranked = perCust
-        .withColumn("i", row_number().over(
-          Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      val fracs = (1 to 31).map(i => i / 32.0).mkString(", ")
+      val cuts = perCust.agg(
+        expr(s"percentile(cents, array($fracs))").as("cuts"))
+      val bucketed = perCust.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("cents"), expr(
+          """aggregate(cuts, 0, (acc, c) ->
+               acc + CASE WHEN cents > c THEN 1 ELSE 0 END)""")
+          .cast("long").as("bkt"))
+      val bcounts = bucketed.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("bn"))
+      val offsets = bcounts
+        .join(bcounts.select(col("bkt").as("pb"), col("bn").as("pn")),
+          col("pb") < col("bkt"), "left")
+        .groupBy(col("bkt"))
+        .agg(coalesce(sum(col("pn")), lit(0L)).as("off"))
+      val ranked = bucketed
+        .withColumn("li", row_number().over(
+          Window.partitionBy(col("bkt"))
+            .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+        .join(broadcast(offsets), "bkt")
+        .select(col("cents"), (col("off") + col("li")).as("i"))
       ranked
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).as("sx"),

@@ -1178,7 +1178,11 @@ object Insights {
     * centers (degree > 64) excluded from wedge generation, the standard
     * cap that keeps the Σdeg² candidate cost bounded at fleet scale
     * (a celebrity node may not generate |fans|² pairs). Jaccard is an
-    * integer ratio, divided once. */
+    * integer ratio, divided once. Only the deg ≤ 64 FILTERED slice is
+    * broadcast (bounded by the hub cut); the two closing degree joins
+    * stay un-hinted — deg is an O(V) per-node table, and a forced
+    * broadcast of a vertex-sized relation OOMs executors at fleet
+    * scale. The planner/AQE picks the strategy from size stats. */
   val qGraphJaccard = Q(
     "q_graph_jaccard",
     (s, d) => {
@@ -1198,10 +1202,10 @@ object Insights {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("common"))
       common
-        .join(broadcast(deg).withColumnRenamed("dn", "da"),
+        .join(deg.withColumnRenamed("dn", "da"),
           col("pa") === col("da"))
         .withColumnRenamed("deg", "dega")
-        .join(broadcast(deg).withColumnRenamed("dn", "db"),
+        .join(deg.withColumnRenamed("dn", "db"),
           col("pb") === col("db"))
         .withColumnRenamed("deg", "degb")
         .select(col("pa").as("a"), col("pb").as("b"), col("common"),

@@ -143,8 +143,13 @@ object Learn {
     * frequent terms (ties ranked by term). The regression inputs are
     * integer-quantized per term (nanos scale) so the closed-form
     * slope/intercept come from exact BIGINT sums; the corpus-sized work
-    * is one token-count aggregate — ranking and fitting run over the
-    * vocabulary-sized count table. */
+    * is one token-count aggregate. The top-100 cut is a partial top-k
+    * (orderBy + limit → TakeOrderedAndProject, map-side k per
+    * partition) — NEVER a row_number window over the full vocabulary,
+    * which is a single-partition sort of a table that grows with the
+    * corpus. Rank within the 100 survivors is a broadcast
+    * strict-predecessor count (100×100 nested loop), so no window at
+    * all remains in the plan. */
   val qTextZipf = Q(
     "q_text_zipf",
     (sp, dir) => {
@@ -153,11 +158,16 @@ object Learn {
       val freqs = t("documents")
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-      val ranked = freqs
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("freq").desc, col("term"))))
-        .filter(col("rank") <= 100)
+      val top = freqs
+        .orderBy(col("freq").desc, col("term")).limit(100)
+      val ranked = top
+        .join(broadcast(top.select(col("freq").as("pf"),
+          col("term").as("pt"))),
+          col("pf") > col("freq") ||
+            (col("pf") === col("freq") && col("pt") < col("term")),
+          "left")
+        .groupBy(col("term"), col("freq"))
+        .agg((count(col("pt")) + 1).as("rank"))
         .select(
           floor(log(col("rank").cast("double")) * 1000000 + 0.5)
             .cast("long").as("x"),

@@ -125,12 +125,16 @@ object Series {
       val base = events.select(col("event_type"),
         hour(col("ts")).cast("long").as("hod"), cents.as("c"))
       // per (type, hour): exact sums for the seasonal mean
+      // hod is aliased to shod on the aggregate side (like et): a
+      // self-derived seas("hod") resolves to the SAME attribute id as
+      // base("hod"), which Spark rewrites to a trivially-true predicate
+      // — correct today, a silent cross join after any refactor
       val seas = base.groupBy(col("event_type").as("et"), col("hod"))
         .agg(sum(col("c")).as("s1"), count(lit(1)).as("n"))
-        .select(col("et"), col("hod"),
+        .select(col("et"), col("hod").as("shod"),
           (col("s1").cast("double") / col("n")).as("smean"))
       val joined = base.join(broadcast(seas),
-        base("event_type") === col("et") && base("hod") === seas("hod"))
+        base("event_type") === col("et") && base("hod") === col("shod"))
       // residual r = c − smean (double, fixed expression); Var via
       // exact sums of c and deterministic per-row r, reduced as
       // integer-scaled residuals to stay order-free
@@ -151,9 +155,9 @@ object Series {
         col("rs1") / col("n")) / (col("n") - 1)
       val peak = seas
         .withColumn("rk", row_number().over(Window.partitionBy(col("et"))
-          .orderBy(col("smean").desc, col("hod"))))
+          .orderBy(col("smean").desc, col("shod"))))
         .filter(col("rk") === 1)
-        .select(col("et"), col("hod").as("peak_hour"))
+        .select(col("et"), col("shod").as("peak_hour"))
       stats
         .select(col("event_type"),
           round(greatest(lit(0.0), lit(1.0) - varR / varX), 6)

@@ -234,6 +234,92 @@ object Vector {
              ORDER BY cos_sim DESC NULLS LAST, vec_id NULLS FIRST
              LIMIT 10"""))
 
+  /** Parameterized multi-band sign-LSH candidate search: `bands`
+    * independent `bits`-wide hyperplane keys over disjoint dim slices
+    * (bands*bits <= 64); a vector is a candidate iff it collides with
+    * the probe on >= 1 band (OR-amplification, the q_dedup_near
+    * pattern). `flip` adds 1-bit multi-probe: each band also probes the
+    * `bits` Hamming-1 neighbors of the probe key, trading bits-x more
+    * (broadcast-sized) probe keys for recall without widening buckets.
+    * Bucket width is the scale knob q_sim_ann_lsh lacks: per-band
+    * candidate cost is ~n/2^bits per probed key, so a 100 TB corpus
+    * with real near-neighbor structure runs few wide bands (2x16 +
+    * multi-probe -> O(n/65536) candidates); a weakly-structured corpus
+    * runs many narrow bands. Candidates equi-join the broadcast probe
+    * keys on (band, bkey) - the corpus is never cross-joined. */
+  private[graft] def annMultiband(
+      s: SparkSession, d: String, bands: Int, bits: Int, flip: Boolean,
+      probeId: Long, k: Int, table: DataFrame = null): DataFrame = {
+    require(bands * bits <= 64, "band slices must fit the 64-dim vector")
+    val e0 = if (table == null) emb(s, d) else {
+      graft.functions.FloatDot.register(s)
+      table.withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+    }
+    def bkeySpark(b: Int): String = (1 to bits).map(i =>
+      s"(CASE WHEN element_at(embedding, ${bits * b + i}) > 0 " +
+        s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+    val bandRows = (0 until bands).map(b =>
+      s"CAST($b AS BIGINT), CAST(${bkeySpark(b)} AS BIGINT)")
+      .mkString(", ")
+    val keyed = e0.select(col("vec_id"),
+      expr(s"stack($bands, $bandRows) AS (band, bkey)"))
+    val exact = keyed.filter(col("vec_id") === probeId)
+      .select(col("band"), col("bkey"))
+    val probeKeys =
+      if (!flip) exact
+      else exact.select(col("band"), explode(expr(
+        s"array(bkey, ${(0 until bits)
+          .map(j => s"bkey ^ ${1L << j}").mkString(", ")})")).as("bkey"))
+    val cand = keyed.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probeKeys.distinct()), Seq("band", "bkey"))
+      .select(col("vec_id")).distinct()
+    val probe = e0.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    cand
+      .join(e0, "vec_id")
+      .crossJoin(broadcast(probe))
+      .withColumn("cos_sim",
+        cosinePre("embedding", "p_emb", col("nrm"), col("p_nrm")))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multi-band OR-amplified ANN (q_sim_ann_multiband): the registered
+    * instance runs 16 bands x 4 bits (no flips) - tuned on the fixture,
+    * whose quasi-random vectors (best cosine ~0.33) defeat wide buckets:
+    * measured per-probe recall@10 vs exact is >= 0.9 on every probe
+    * tried and 1.0 on probe 0 (VectorSpec asserts it). The banding is
+    * mirrored in the oracle CTE so the driver hash verifies the
+    * candidate generation itself, not just the rerank. */
+  val qSimAnnMultiband = Q(
+    "q_sim_ann_multiband",
+    (s, d) => annMultiband(s, d, bands = 16, bits = 4, flip = false,
+      probeId = 0L, k = 10),
+    Some {
+      val bkeySql = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[4 * b + $i] > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""$embCte,
+             keyed AS (
+               SELECT vec_id, b AS band, CAST($bkeySql AS BIGINT) AS bkey
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs),
+             pk AS (SELECT band, bkey FROM keyed WHERE vec_id = 0),
+             cand AS (
+               SELECT DISTINCT k.vec_id
+               FROM keyed k JOIN pk
+                 ON k.band = pk.band AND k.bkey = pk.bkey
+               WHERE k.vec_id != 0),
+             probe AS (SELECT emb_d AS p_emb FROM e WHERE vec_id = 0)
+             SELECT e.vec_id, label, ${cosSql("emb_d", "p_emb")} AS cos_sim
+             FROM cand
+             JOIN e ON cand.vec_id = e.vec_id
+             CROSS JOIN probe
+             ORDER BY cos_sim DESC NULLS LAST, e.vec_id NULLS FIRST
+             LIMIT 10"""
+    })
+
   /** Multimodal row (q_multimodal): text table joined to the vector
     * table, both modalities carried in one relation. */
   val qMultimodal = Q(
@@ -539,6 +625,7 @@ object Vector {
             ORDER BY t_label NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(
-    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qMultimodal, qSimQuantize,
+    qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
+    qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify)
 }

@@ -1136,9 +1136,18 @@ object StreamOps {
     * seen (us, event_id, type) across micro-batches and emit one
     * (prev_type, next_type) row per transition. Rows inside a batch are
     * sorted before the walk (the iterator order is undefined); the
-    * cross-batch seam is exactly the carried state. At fleet scale the
-    * key would shard to (user, epoch) with relational boundary
-    * stitching, per the q_stream_tws discipline. */
+    * cross-batch seam is exactly the carried state.
+    *
+    * PRECONDITION — per-key event-time-ordered micro-batches: state is
+    * only the last observation and pairs are emitted on arrival, so a
+    * row older than the carried state (a late row crossing a batch
+    * seam) would pair against the wrong predecessor. Satisfied here by
+    * construction (the drain is ONE AvailableNow batch, like
+    * q_stream_anomaly); a production deployment ingesting out-of-order
+    * sources must buffer by event time and flush on watermark advance
+    * instead of emitting on arrival. At fleet scale the key would also
+    * shard to (user, epoch) with relational boundary stitching, per
+    * the q_stream_tws discipline. */
   private[graft] class TransitionProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String), (String, String)] {
@@ -1271,7 +1280,14 @@ object StreamOps {
     * last TWO observations across micro-batches and emit the detection
     * timestamp whenever the 20%-down-20%-up integer test fires on a
     * sliding triple. Batch rows are sorted before the walk; the
-    * cross-batch seam is the carried pair. */
+    * cross-batch seam is the carried pair.
+    *
+    * PRECONDITION — per-key event-time-ordered micro-batches, exactly
+    * as q_stream_markov's TransitionProcessor documents: a late row
+    * spanning a batch seam would slide the triple out of order and
+    * miss (or fake) a V. Holds here because the drain is ONE
+    * AvailableNow batch; out-of-order sources need an event-time
+    * buffer flushed by watermark. */
   private[graft] class VshapeProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Long, Long, Long), (String, Long)] {

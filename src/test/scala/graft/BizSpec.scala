@@ -18,21 +18,41 @@ class BizSpec extends SparkSuite {
     }
   }
 
-  test("RFM quintiles are balanced and segments echo the scores") {
+  test("RFM scores equal a driver-side percentile-cut recompute") {
     val rows = q("q_events_rfm").collect()
     assert(rows.nonEmpty)
-    Seq("r_score", "f_score", "m_score").foreach { c =>
-      val counts = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length)
-      assert(counts.keys.forall(k => k >= 1L && k <= 5L))
-      // ntile balance: bucket sizes differ by at most 1
-      assert(counts.values.max - counts.values.min <= 1)
+    // the exact (n-1)p interpolation both engines use for the cuts
+    def cuts(xs: Seq[Long]): Seq[Double] = {
+      val s = xs.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { pt =>
+        val rank = (s.length - 1) * pt
+        val lo = rank.toInt
+        val frac = rank - lo
+        if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo))
+        else s(lo).toDouble
+      }
     }
+    def bucket(v: Long, cs: Seq[Double]): Long = cs.count(v > _).toLong
+    val rc = cuts(rows.map(_.getAs[Long]("recency_days")).toSeq)
+    val fc = cuts(rows.map(_.getAs[Long]("frequency")).toSeq)
+    val mc = cuts(rows.map(_.getAs[Long]("monetary_cents")).toSeq)
     rows.foreach { r =>
+      // value quintiles, 5 = best: recency inverted, freq/monetary up
+      assert(r.getAs[Long]("r_score") ===
+        5L - bucket(r.getAs[Long]("recency_days"), rc))
+      assert(r.getAs[Long]("f_score") ===
+        1L + bucket(r.getAs[Long]("frequency"), fc))
+      assert(r.getAs[Long]("m_score") ===
+        1L + bucket(r.getAs[Long]("monetary_cents"), mc))
       assert(r.getAs[String]("segment") ===
         s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}" +
           s"${r.getAs[Long]("m_score")}")
       assert(r.getAs[Long]("recency_days") >= 0L)
     }
+    // ties share a bucket, so scores are monotone in the metric
+    val byRec = rows.sortBy(_.getAs[Long]("recency_days"))
+    assert(byRec.sliding(2).forall(w =>
+      w(0).getAs[Long]("r_score") >= w(1).getAs[Long]("r_score")))
   }
 
   test("basket lift matches a driver-side recompute for the top pair") {

@@ -402,4 +402,78 @@ class PlanSpec extends SparkSuite {
     // the df-cutoff filter must sit in the candidate path
     assert(p.contains("0.05"), s"df cutoff missing from plan:\n$p")
   }
+
+  test("RFM buckets against broadcast percentile cuts - no window at all") {
+    // the users table grows with the data; a global ntile over it is a
+    // single-partition sort x3. The quintile cuts must come from one
+    // percentile aggregate, broadcast, and bucket scan-locally.
+    val p = plan("q_events_rfm")
+    assert(!p.contains("Window"),
+      s"RFM must not rank users through a window:\n$p")
+    assert(p.contains("percentile"), s"percentile cuts missing:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"cuts must broadcast back to the users table:\n$p")
+  }
+
+  test("gini rank window is sharded by the cut bucket, never global") {
+    val p = plan("q_agg_gini")
+    // every window spec in the plan must lead with the bkt partition
+    // key - an unpartitioned spec would start with the sort column
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"expected the sharded rank window:\n$p")
+    specs.foreach(sp => assert(sp.contains("bkt#"),
+      s"unpartitioned window spec found: $sp"))
+    // prefix offsets rejoin the bucketed rows by broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must re-join by broadcast:\n$p")
+  }
+
+  test("zipf top-100 is a partial top-k with no window") {
+    val p = plan("q_text_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut must plan as partial top-k:\n$p")
+    assert(!p.contains("Window"),
+      s"zipf must not rank the vocabulary through a window:\n$p")
+  }
+
+  test("jaccard broadcasts ONLY the hub-filtered degree slice") {
+    // deg is an O(V) per-node table: a forced broadcast of the
+    // unfiltered relation OOMs executors at fleet scale. The single
+    // allowed hint is the deg <= 64 slice bounded by the hub cut; the
+    // closing degree joins stay un-hinted (planner/AQE picks by stats).
+    val o = q("q_graph_jaccard").queryExecution.optimizedPlan.toString
+    val hinted = o.linesIterator
+      .filter(_.contains("Hint=(strategy=broadcast)")).toList
+    // only the wedge joins (nbr = dn) may carry the hint - once per
+    // side of the candidate self-join over the filtered slice
+    hinted.foreach(l => assert(l.contains("nbr#"),
+      s"broadcast hint on a non-wedge join: $l"))
+    // and the closing per-pair degree joins must be un-hinted
+    val closing = o.linesIterator
+      .filter(l => l.contains("Join Inner, (p") && l.contains("= d")).toList
+    assert(closing.nonEmpty, s"closing degree joins missing:\n$o")
+    closing.foreach(l => assert(!l.contains("Hint"),
+      s"forced broadcast left on an O(V) degree join: $l"))
+  }
+
+  test("heaps cumulative window input is one row per corpus bucket (bounded)") {
+    // q_text_heaps keeps a justified global running-sum window: its
+    // input is the per-bucket table - 20 fixed corpus-prefix steps, a
+    // bound set by the bucket formula, not the data volume. Assert the
+    // bound so a regression to a doc-sized window shows up here.
+    val n = q("q_text_heaps").count() // one output row per bucket
+    assert(n <= 32, s"heaps window input no longer bucket-bounded: $n rows")
+  }
+
+  test("KS cumulative window input is bounded by the cents domain") {
+    // q_stats_ks windows over DISTINCT cents of 2-decimal values - the
+    // domain bound (~33k grid points), not the event count. Assert the
+    // distinct-cents cardinality the window actually sees.
+    val dc = Tables.t(spark, sf0, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .distinct().count()
+    assert(dc <= 40000,
+      s"cents domain blew past the documented window bound: $dc")
+  }
 }
