@@ -87,13 +87,31 @@ object PlanDump {
       "dims), bit_count residual — no all-pairs distance matrix"),
     "q_graph_jaccard" -> ("common-neighbor wedge equi-join with hub " +
       "centers (deg > 64) excluded — candidate cost bounded, Jaccard " +
-      "an integer ratio divided once"),
+      "an integer ratio divided once; ONLY the filtered degree slice " +
+      "is hint-broadcast, the closing O(V) degree joins plan by stats"),
     "q_ml_naive_bayes" -> ("training IS one aggregation; the model " +
       "(term-lang log-likelihoods, priors) broadcasts; scoring is one " +
       "explode + one keyed aggregation — no driver loop"),
     "q_basket_lift" -> ("pair explode bounded by order size: the " +
       "orderkey self-join is linear in the fact, never quadratic in " +
-      "the catalog; brand counts broadcast back"))
+      "the catalog; brand counts broadcast back"),
+    "q_events_rfm" -> ("quintile cuts from ONE percentile aggregate " +
+      "broadcast back; users bucket scan-locally — NO Window operator " +
+      "anywhere (the old triple global ntile was a single-partition " +
+      "sort of a grow-with-data table)"),
+    "q_agg_gini" -> ("exact global rank SHARDED: rows bucket against " +
+      "31 broadcast percentile cuts, the only Window partitions by " +
+      "bkt, prefix offsets re-attach via BroadcastHashJoin"),
+    "q_text_zipf" -> ("vocab top-100 is TakeOrderedAndProject (map-" +
+      "side k); rank = broadcast predecessor count over the 100 " +
+      "survivors — no window, no vocab-sized single-partition sort"),
+    "q_sim_ann_multiband" -> ("OR-amplified multi-band sign-LSH: " +
+      "candidates equi-join the broadcast probe keys on (band, bkey); " +
+      "exact-cosine rerank only on collisions"),
+    "q_sim_ann_pq" -> ("product quantization: codebook (1024 rows) " +
+      "and probe LUT (128 rows) broadcast; ADC scoring scan-local + " +
+      "one aggregate; top-20 TakeOrderedAndProject, exact rerank on " +
+      "20 rows"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -19,7 +19,15 @@ object Audit {
     * global ntile sort — that is a single-partition window at 100 TB);
     * rows are then bucketed against the 7-cut broadcast and counted.
     * Cut doubles are identical across engines (same values, same
-    * (n−1)p interpolation), so bucket membership is exact. */
+    * (n−1)p interpolation), so bucket membership is exact.
+    *
+    * Buffer bound: exact `percentile` accumulates a (value → count)
+    * map, so its memory is O(#distinct values) — fine here because
+    * l_extendedprice is a PRICE GRID (cents × bounded magnitude,
+    * ≤ ~10^6 distinct at any corpus size), and that is the only class
+    * of column this query is registered for. A genuinely continuous
+    * column must switch to `approx_percentile` and pair the oracle
+    * with the same sketch parameters (the exact-vs-approx pattern). */
   val qAggEquidepth = Q(
     "q_agg_equidepth",
     (sp, dir) => {

@@ -320,6 +320,118 @@ object Vector {
              LIMIT 10"""
     })
 
+  /** Product-quantization ANN (q_sim_ann_pq): the indexing-grade
+    * compression a 100 TB vector store runs — 8 subspaces x 8 dims,
+    * 16 codes per subspace (deterministic one-iteration k-means:
+    * sign-bucket init on the subvector's first 4 dims, centroid =
+    * elementwise mean), asymmetric-distance scoring via a broadcast
+    * probe lookup table, exact-cosine rerank of the top-20.
+    *
+    * Arithmetic is exact end to end so the oracle hash verifies the
+    * CODEBOOK, not just the rerank: elements quantize to millionths
+    * (BIGINT) per row, centroid means round once through a <2^53
+    * double division (bit-identical across engines), LUT terms and
+    * ADC scores are pure BIGINT sums. Plan shape: the only corpus
+    * shuffles are the two training aggregates (codes, centroids);
+    * the 1024-row codebook and 128-row LUT broadcast; scoring is a
+    * scan-local 8-rows-per-vector join + one aggregate; top-20 is a
+    * TakeOrderedAndProject. */
+  val qSimAnnPq = Q(
+    "q_sim_ann_pq",
+    (s, d) => {
+      val e = emb(s, d)
+      // (vec_id, j, xq): 0-based dim, value in exact millionths
+      val elems = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          floor(col("x").cast("double") * 1000000 + 0.5)
+            .cast("long").as("xq"))
+      // code per (vector, subspace): 4 sign bits of dims 0..3
+      val codes = elems
+        .groupBy(col("vec_id"), (col("j") / 8).cast("long").as("m"))
+        .agg(sum(when(col("j") % 8 < 4 && col("xq") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j % 8 AS INT))"))
+          .otherwise(0L)).as("code"))
+      // codebook: elementwise mean per (subspace, code), rounded once
+      val cent = elems
+        .join(codes, Seq("vec_id"))
+        .filter((col("j") / 8).cast("long") === col("m"))
+        .groupBy(col("m"), col("code"), (col("j") % 8).as("jj"))
+        .agg(floor(sum(col("xq")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("cq"))
+      // probe LUT: dot of the probe slice with every code centroid
+      val pelems = elems.filter(col("vec_id") === 0)
+        .select((col("j") / 8).cast("long").as("pm"),
+          (col("j") % 8).as("pjj"), col("xq").as("pxq"))
+      val lut = cent
+        .join(broadcast(pelems),
+          col("pm") === col("m") && col("pjj") === col("jj"))
+        .groupBy(col("m").as("lm"), col("code").as("lcode"))
+        .agg(sum(col("pxq") * col("cq")).as("lut"))
+      // ADC score: sum the 8 table entries each vector's codes select
+      val scores = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(lut),
+          col("m") === col("lm") && col("code") === col("lcode"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("lut")).as("score"))
+      val cand = scores
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      cand
+        .join(e, "vec_id")
+        .crossJoin(broadcast(probe))
+        .withColumn("cos_sim",
+          cosinePre("embedding", "p_emb", col("nrm"), col("p_nrm")))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""$embCte,
+             elems AS (
+               SELECT vec_id, j - 1 AS j,
+                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT) AS xq
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
+             codes AS (
+               SELECT vec_id, j // 8 AS m,
+                 CAST(sum(CASE WHEN j % 8 < 4 AND xq > 0
+                   THEN (1 << (j % 8)) ELSE 0 END) AS BIGINT) AS code
+               FROM elems GROUP BY vec_id, j // 8),
+             cent AS (
+               SELECT c.m, c.code, el.j % 8 AS jj,
+                 CAST(floor(CAST(sum(el.xq) AS DOUBLE) / count(*) + 0.5)
+                   AS BIGINT) AS cq
+               FROM elems el JOIN codes c
+                 ON el.vec_id = c.vec_id AND el.j // 8 = c.m
+               GROUP BY c.m, c.code, el.j % 8),
+             pelems AS (
+               SELECT j // 8 AS pm, j % 8 AS pjj, xq AS pxq
+               FROM elems WHERE vec_id = 0),
+             lut AS (
+               SELECT m AS lm, code AS lcode,
+                 CAST(sum(pxq * cq) AS BIGINT) AS lut
+               FROM cent JOIN pelems ON pm = m AND pjj = jj
+               GROUP BY m, code),
+             scores AS (
+               SELECT c.vec_id, CAST(sum(l.lut) AS BIGINT) AS score
+               FROM codes c JOIN lut l ON c.m = l.lm AND c.code = l.lcode
+               WHERE c.vec_id != 0
+               GROUP BY c.vec_id),
+             cand AS (
+               SELECT vec_id FROM scores
+               ORDER BY score DESC, vec_id LIMIT 20),
+             probe AS (SELECT emb_d AS p_emb FROM e WHERE vec_id = 0)
+             SELECT e.vec_id, label, ${cosSql("emb_d", "p_emb")} AS cos_sim
+             FROM cand
+             JOIN e ON cand.vec_id = e.vec_id
+             CROSS JOIN probe
+             ORDER BY cos_sim DESC NULLS LAST, e.vec_id NULLS FIRST
+             LIMIT 10"""))
+
   /** Multimodal row (q_multimodal): text table joined to the vector
     * table, both modalities carried in one relation. */
   val qMultimodal = Q(
@@ -626,6 +738,6 @@ object Vector {
 
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
-    qMultimodal, qSimQuantize,
+    qSimAnnPq, qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify)
 }

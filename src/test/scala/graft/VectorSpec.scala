@@ -334,4 +334,21 @@ class VectorSpec extends SparkSuite {
     // the corpus - the wide buckets did the pruning
     assert(got.length <= 10)
   }
+
+  test("PQ ANN: ADC ranks the exact copy first; scores verify vs brute force") {
+    // on the planted fixture the probe's exact copy shares every
+    // subspace code, so its ADC score is the table maximum and the
+    // rerank must put it first with cosine 1.0
+    val got = q("q_sim_ann_pq", dir).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[Long]("vec_id") === 1L)
+    assert(got.head.getAs[Double]("cos_sim") === 1.0)
+    // every reranked cosine must equal the brute-force value
+    val brute = q("q_sim_topk", dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    got.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(c => assert(c === r.getAs[Double]("cos_sim")))
+    }
+  }
 }
