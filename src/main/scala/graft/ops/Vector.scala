@@ -640,6 +640,57 @@ object Vector {
           LEFT JOIN (SELECT vec_id AS a_vid FROM ($annSql)) a
             ON e.vec_id = a.a_vid""")
 
+  /** ANN evaluation harness (q_sim_ann_eval): recall@10 of every ANN
+    * variant against the exact brute-force top-10, one row per variant
+    * — the gate a pipeline consults before routing a corpus to an
+    * index. Each variant's registered query is reused verbatim (same
+    * plan as production) and its oracle SQL composes into this one, so
+    * the driver hash-checks the whole evaluation. On the driver's
+    * quasi-random fixture multiband wins (OR-amplified narrow bands);
+    * on corpora with genuine near-neighbor structure the wide-band /
+    * PQ configurations take over — which is exactly the decision this
+    * table feeds. */
+  val qSimAnnEval = Q(
+    "q_sim_ann_eval",
+    (s, d) => {
+      val exact = qSimTopk.fn(s, d).limit(10).select(col("vec_id"))
+      def recallOf(name: String, v: Q) = {
+        val ann = v.fn(s, d).select(col("vec_id").as("a_vid"))
+        exact.join(ann, col("vec_id") === col("a_vid"), "left")
+          .agg(count(lit(1)).as("k"), count(col("a_vid")).as("n_hit"))
+          .select(lit(name).as("variant"), col("k"), col("n_hit"),
+            round(col("n_hit") * lit(1.0) / col("k"), 6)
+              .as("recall_at_10"))
+      }
+      recallOf("ivf", qSimAnnIvf)
+        .unionAll(recallOf("lsh", qSimAnnLsh))
+        .unionAll(recallOf("multiband", qSimAnnMultiband))
+        .unionAll(recallOf("pq", qSimAnnPq))
+        .orderBy(col("variant"))
+    },
+    for {
+      exactSql <- qSimTopk.oracle
+      ivfSql <- qSimAnnIvf.oracle
+      lshSql <- qSimAnnLsh.oracle
+      mbSql <- qSimAnnMultiband.oracle
+      pqSql <- qSimAnnPq.oracle
+    } yield {
+      def one(name: String, annSql: String) =
+        s"""SELECT '$name' AS variant, CAST(count(*) AS BIGINT) AS k,
+              CAST(count(a_vid) AS BIGINT) AS n_hit,
+              round(count(a_vid) * 1.0 / count(*), 6) AS recall_at_10
+            FROM (SELECT vec_id FROM ($exactSql)
+                  ORDER BY cos_sim DESC, vec_id LIMIT 10) e
+            LEFT JOIN (SELECT vec_id AS a_vid FROM ($annSql)) a
+              ON e.vec_id = a.a_vid"""
+      s"""SELECT * FROM (
+            ${one("ivf", ivfSql)}
+            UNION ALL ${one("lsh", lshSql)}
+            UNION ALL ${one("multiband", mbSql)}
+            UNION ALL ${one("pq", pqSql)})
+          ORDER BY variant NULLS FIRST"""
+    })
+
   /** k-NN classification (q_ml_knn_classify): every 10th vector is a
     * held-out query, classified by majority vote of its 5 nearest
     * sign-LSH bucket-mates among the rest; output is per-label accuracy.
@@ -738,6 +789,6 @@ object Vector {
 
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
-    qSimAnnPq, qMultimodal, qSimQuantize,
+    qSimAnnPq, qSimAnnEval, qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify)
 }

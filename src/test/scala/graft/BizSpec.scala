@@ -175,4 +175,40 @@ class BizSpec extends SparkSuite {
     val total = rows.map(_.getAs[Long]("n_lines")).sum
     assert(total === Tables.t(spark, sf0, "lineitem").count())
   }
+
+  test("gini: sharded rank equals a driver-side global-sort recompute") {
+    // the sharded bucket/offset rank must reproduce the exact
+    // rank-weighted identity a single global sort would give
+    val row = q("q_agg_gini").collect().head
+    val per = Tables.t(spark, sf0, "orders")
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("cents")))
+    val sorted = per.sortBy { case (k, c) => (c, k) }
+    val n = sorted.length.toLong
+    val sx = sorted.map(_._2).sum
+    val six = sorted.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    val want = BigDecimal(six.toDouble * 2 / (n * sx.toDouble) -
+      (n + 1).toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Double]("gini") === want)
+  }
+
+  test("ANN eval table covers all four variants with recall in [0,1]") {
+    val rows = q("q_sim_ann_eval").collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq ===
+      Seq("ivf", "lsh", "multiband", "pq"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") === 10L)
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the OR-amplified multiband config must dominate single-bucket LSH
+    // on the quasi-random fixture (that is what it was tuned for)
+    val byV = rows.map(r => r.getAs[String]("variant") ->
+      r.getAs[Double]("recall_at_10")).toMap
+    assert(byV("multiband") >= byV("lsh"))
+  }
 }
