@@ -33,7 +33,10 @@ object ScaleSmoke {
     // the two stateful streams (user-disjoint replicas = 10
     // independent copies of each per-user stream)
     "q_graph_jaccard", "q_basket_lift", "q_agg_equidepth",
-    "q_stream_join", "q_stream_markov")
+    "q_stream_join", "q_stream_markov",
+    // round-6 embedding tier: PQ training is the corpus-wide explode,
+    // semantic dedup the banded pair path, multiband the probe path
+    "q_sim_ann_pq", "q_dedup_semantic", "q_sim_ann_multiband")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,58 @@ object Corpus {
             FROM s, tot
             ORDER BY source NULLS FIRST"""))
 
+  /** Epoch/repeat planning (q_mix_epochs): turn the temperature-mix
+    * weights into an executable ingest plan for a fixed global token
+    * budget (10x the corpus here) — per source, the target token
+    * count, the repeat factor (whole epochs of the source needed,
+    * ceil), and the oversampling ratio. This is the table a training
+    * launcher actually consumes after q_mix_temperature's rates: it
+    * says HOW MANY TIMES to cycle each source, not just its share.
+    * Dimension-sized end to end: one per-source aggregate, a one-row
+    * normalizer broadcast, integer ceil-division (identical in both
+    * engines on non-negatives) — the weight is rounded at 6dp before
+    * the budget multiply so both engines floor the same double. */
+  val qMixEpochs = Q(
+    "q_mix_epochs",
+    (s, d) => {
+      val bySource = docs(s, d)
+        .select(col("source"), size(split(col("text"), " ")).as("ntok"))
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("n"))
+      val z = bySource.agg(sum(pow(col("n"), 0.7)).as("z"),
+        sum(col("n")).as("total"))
+      bySource.crossJoin(broadcast(z))
+        .select(col("source"), col("n"),
+          round(pow(col("n"), 0.7) / col("z"), 6).as("weight"),
+          floor(col("total") * 10 *
+            round(pow(col("n"), 0.7) / col("z"), 6)).cast("long")
+            .as("target_tokens"))
+        .select(col("source"), col("n"), col("weight"),
+          col("target_tokens"),
+          ((col("target_tokens") + col("n") - 1) / col("n"))
+            .cast("long").as("epochs"),
+          round(col("target_tokens").cast("double") / col("n"), 6)
+            .as("oversample"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH s AS (
+              SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+              FROM documents GROUP BY source),
+            tot AS (SELECT sum(pow(n, 0.7)) AS z,
+                      CAST(sum(n) AS BIGINT) AS total FROM s),
+            plan AS (
+              SELECT source, n,
+                round(pow(n, 0.7) / z, 6) AS weight,
+                CAST(floor(total * 10 * round(pow(n, 0.7) / z, 6))
+                  AS BIGINT) AS target_tokens
+              FROM s, tot)
+            SELECT source, n, weight, target_tokens,
+              CAST((target_tokens + n - 1) // n AS BIGINT) AS epochs,
+              round(CAST(target_tokens AS DOUBLE) / n, 6) AS oversample
+            FROM plan
+            ORDER BY source NULLS FIRST"""))
+
   /** Per-source unigram entropy (q_text_entropy): Shannon entropy of
     * each source's token distribution — low entropy flags templated or
     * machine-generated sources, the cheap cousin of the KL drift
@@ -203,5 +255,5 @@ object Corpus {
             ORDER BY c.source NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
-    qMixTemperature, qTextEntropy)
+    qMixTemperature, qMixEpochs, qTextEntropy)
 }

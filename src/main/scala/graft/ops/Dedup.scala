@@ -756,8 +756,156 @@ object Dedup {
          ORDER BY new_id NULLS FIRST"""
     })
 
+  /** Semantic (cluster-based) dedup — the SemDeDup recipe LLM curation
+    * pipelines run on embeddings (Abbas et al. 2023, public method):
+    * coarse cells, a per-cell centroid, candidate pairs above a cosine
+    * threshold, and within each pair DROP the member CLOSER to the
+    * centroid (keep the "edge" example; ties by id). Unlike
+    * q_dedup_embed (which reports pairs), this emits the actionable
+    * drop list with the cell and centroid affinity that justified it.
+    *
+    * Scale shape: the centroid is an exact elementwise integer-sum
+    * vector per cell (explode + grid-sized agg; cosine is scale-
+    * invariant so the sum stands in for the mean); the ≤64-row cell
+    * table broadcasts back; candidates come from the same OR-amplified
+    * 4×4-bit sign-LSH bands as q_sim_pairs, equi-joined on (cell,
+    * band, bkey) — never within-cell all-pairs. Priorities and pair
+    * cosines round at 6dp through the sequential double_dot/
+    * list_dot_product pair, so both engines pick identical losers. */
+  val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, d) => {
+      graft.functions.FloatDot.register(s)
+      graft.functions.DoubleDot.register(s)
+      val e0 = Tables.t(s, d, "embeddings")
+        .withColumn("cell", expr(
+          """aggregate(sequence(1, 6), CAST(0 AS BIGINT),
+               (acc, i) -> acc + CASE WHEN element_at(embedding, 58 + i) > 0
+                 THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
+        .withColumn("emb_d",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      // exact per-cell centroid direction: elementwise BIGINT sums of
+      // millionth-quantized elements, assembled in dim order
+      val sums = e0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("jj", "x")))
+        .groupBy(col("cell"), col("jj"))
+        .agg(sum(floor(col("x").cast("double") * 1000000 + 0.5)
+          .cast("long")).as("sq"))
+        .groupBy(col("cell").as("c_cell"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(jj, sq))), p -> CAST(p.sq AS DOUBLE))")
+          .as("cent_d"))
+      val prio = e0.join(broadcast(sums), col("cell") === col("c_cell"))
+        .withColumn("prio", round(
+          expr("double_dot(emb_d, cent_d)") /
+            (sqrt(expr("double_dot(emb_d, emb_d)")) *
+             sqrt(expr("double_dot(cent_d, cent_d)"))), 6))
+        .select(col("vec_id"), col("cell"), col("emb_d"), col("prio"))
+      def bkey(b: Int): String = (1 to 4).map(i =>
+        s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"CAST($b AS BIGINT), CAST(${bkey(b)} AS BIGINT)").mkString(", ")
+      val bands = e0.select(col("vec_id").as("bv"), col("cell").as("bc"),
+        expr(s"stack(4, $bandRows) AS (band, bkey)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bc") === col("y.bc") &&
+          col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.bv") < col("y.bv"))
+        .select(col("x.bv").as("a_id"), col("y.bv").as("b_id"))
+        .distinct()
+      val verified = cand
+        .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea"),
+          col("prio").as("prio_a")), col("a_id") === col("pa"))
+        .join(prio.select(col("vec_id").as("pb"), col("cell").as("cb"),
+          col("emb_d").as("eb"), col("prio").as("prio_b")),
+          col("b_id") === col("pb"))
+        .withColumn("cos_sim", round(
+          expr("double_dot(ea, eb)") /
+            (sqrt(expr("double_dot(ea, ea)")) *
+             sqrt(expr("double_dot(eb, eb)"))), 6))
+        .filter(col("cos_sim") >= 0.3)
+      // drop the pair member CLOSER to the centroid (higher priority;
+      // tie toward the larger id so a survivor always exists)
+      verified
+        .select(col("cb").as("cell"),
+          when(col("prio_a") > col("prio_b") ||
+            (col("prio_a") === col("prio_b") && col("a_id") > col("b_id")),
+            col("a_id")).otherwise(col("b_id")).as("vec_id"),
+          when(col("prio_a") > col("prio_b") ||
+            (col("prio_a") === col("prio_b") && col("a_id") > col("b_id")),
+            col("prio_a")).otherwise(col("prio_b")).as("prio"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("cell")).as("cell"), first(col("prio")).as("prio"),
+          count(lit(1)).as("n_dominations"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val cellSql = (1 to 6).map(i =>
+        s"(CASE WHEN embedding[${58 + i}] > 0 THEN ${1 << (i - 1)} " +
+          "ELSE 0 END)").mkString(" + ")
+      val bkeySql = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[4 * b + $i] > 0 THEN ${1 << (i - 1)} " +
+          "ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (
+              SELECT vec_id,
+                CAST($cellSql AS BIGINT) AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+                embedding
+              FROM embeddings),
+            sums AS (
+              SELECT cell AS c_cell,
+                list(CAST(sq AS DOUBLE) ORDER BY jj) AS cent_d
+              FROM (
+                SELECT cell, jj,
+                  CAST(sum(CAST(floor(CAST(embedding[jj + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+                FROM e
+                CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS jj) js
+                GROUP BY cell, jj)
+              GROUP BY cell),
+            prio AS (
+              SELECT vec_id, cell, emb_d,
+                round(list_dot_product(emb_d, cent_d) /
+                  (sqrt(list_dot_product(emb_d, emb_d)) *
+                   sqrt(list_dot_product(cent_d, cent_d))), 6) AS prio
+              FROM e JOIN sums ON cell = c_cell),
+            bands AS (
+              SELECT vec_id AS bv, cell AS bc, b AS band,
+                CAST($bkeySql AS BIGINT) AS bkey
+              FROM e
+              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+            cand AS (
+              SELECT DISTINCT x.bv AS a_id, y.bv AS b_id
+              FROM bands x JOIN bands y
+                ON x.bc = y.bc AND x.band = y.band AND x.bkey = y.bkey
+               AND x.bv < y.bv),
+            verified AS (
+              SELECT a.prio AS prio_a, b.prio AS prio_b,
+                a_id, b_id, b.cell AS cb
+              FROM cand
+              JOIN prio a ON a_id = a.vec_id
+              JOIN prio b ON b_id = b.vec_id
+              WHERE round(list_dot_product(a.emb_d, b.emb_d) /
+                (sqrt(list_dot_product(a.emb_d, a.emb_d)) *
+                 sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) >= 0.3)
+            SELECT vec_id,
+              any_value(cell) AS cell, any_value(prio) AS prio,
+              CAST(count(*) AS BIGINT) AS n_dominations
+            FROM (
+              SELECT cb AS cell,
+                CASE WHEN prio_a > prio_b OR (prio_a = prio_b
+                  AND a_id > b_id) THEN a_id ELSE b_id END AS vec_id,
+                CASE WHEN prio_a > prio_b OR (prio_a = prio_b
+                  AND a_id > b_id) THEN prio_a ELSE prio_b END AS prio
+              FROM verified)
+            GROUP BY vec_id
+            ORDER BY vec_id NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
-    qDedupEmbed, qDedupDrop, qDedupComponents, qDedupPrefix,
-    qDedupSubstring, qTextContamination, qDedupIncremental)
+    qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
+    qDedupPrefix, qDedupSubstring, qTextContamination, qDedupIncremental)
 }

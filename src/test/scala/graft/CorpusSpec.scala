@@ -152,4 +152,28 @@ class CorpusSpec extends SparkSuite {
     val pct = q14(0).getAs[Double]("promo_pct")
     assert(pct > 0.0 && pct < 100.0, s"promo_pct=$pct")
   }
+
+  test("epoch plan: ceil-division repeat factors cover the target budget") {
+    val rows = q("q_mix_epochs").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val tgt = r.getAs[Long]("target_tokens")
+      val ep = r.getAs[Long]("epochs")
+      assert(ep === (tgt + n - 1) / n)
+      // epochs of the source must cover the target
+      assert(ep * n >= tgt)
+      assert(r.getAs[Double]("oversample") > 0.0)
+    }
+    // targets track the 10x budget (weights are rounded, so allow 1%)
+    val sumTgt = rows.map(_.getAs[Long]("target_tokens")).sum.toDouble
+    assert(math.abs(sumTgt - 10.0 * total) <= 0.01 * 10.0 * total)
+    // temperature mixing must boost low-resource sources: the smallest
+    // source oversamples at a higher ratio than the largest
+    val smallest = rows.minBy(_.getAs[Long]("n"))
+    val largest = rows.maxBy(_.getAs[Long]("n"))
+    assert(smallest.getAs[Double]("oversample") >
+      largest.getAs[Double]("oversample"))
+  }
 }

@@ -168,4 +168,25 @@ class DedupSpec extends SparkSuite {
         r.getAs[Double]("cos_sim")))
     assert(pairs.exists { case ((a, b), c) => a == 0L && b == 100L && c == 1.0 })
   }
+
+  test("semantic dedup: the planted twin drops, the original survives") {
+    import spark.implicits._
+    val base = (0 until 64).map(j => math.sin(j * 0.9 + 2).toFloat).toArray
+    val rows = Seq((0L, base, 0), (1L, base.clone(), 0)) ++
+      (2 until 50).map(i => (i.toLong,
+        (0 until 64).map(j => math.cos(i * 64 + j).toFloat).toArray, 1))
+    val d2 = fixtureDir("semdedup")(
+      "embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val dropped = q("q_dedup_semantic", d2).collect()
+    val ids = dropped.map(_.getAs[Long]("vec_id")).toSet
+    // identical twins share every cell/band and tie on centroid
+    // affinity - the policy drops the LARGER id
+    assert(ids.contains(1L), s"twin not dropped: $ids")
+    assert(!ids.contains(0L), "survivor was dropped")
+    dropped.foreach { r =>
+      assert(r.getAs[Long]("n_dominations") >= 1L)
+      val p = r.getAs[Double]("prio")
+      assert(p >= -1.0 && p <= 1.0)
+    }
+  }
 }

@@ -476,4 +476,26 @@ class PlanSpec extends SparkSuite {
     assert(dc <= 40000,
       s"cents domain blew past the documented window bound: $dc")
   }
+
+  test("multiband ANN probes by broadcast band keys, reranks via partial top-k") {
+    val p = plan("q_sim_ann_multiband")
+    // candidates must equi-join the broadcast probe keys, never scan-all
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe keys not broadcast into the candidate join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must be an equi-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rerank top-k must not global-sort:\n$p")
+  }
+
+  test("PQ ANN broadcasts the codebook and LUT; top-20 is a partial top-k") {
+    val p = plan("q_sim_ann_pq")
+    // the LUT (and probe) joins must broadcast - scoring is scan-local
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"LUT not broadcast into the scoring join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-20 must plan as partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed corpus product")
+  }
 }
