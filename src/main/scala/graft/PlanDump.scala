@@ -111,7 +111,15 @@ object PlanDump {
     "q_sim_ann_pq" -> ("product quantization: codebook (1024 rows) " +
       "and probe LUT (128 rows) broadcast; ADC scoring scan-local + " +
       "one aggregate; top-20 TakeOrderedAndProject, exact rerank on " +
-      "20 rows"))
+      "20 rows"),
+    "q_dedup_semantic" -> ("SemDeDup: 64-cell centroid table " +
+      "broadcast back for priorities; candidates equi-join on (cell, " +
+      "band, bkey) — never within-cell all-pairs; drop rule scan-local " +
+      "per verified pair"),
+    "q_mix_epochs" -> ("epoch/repeat plan: source-sized aggregate + " +
+      "one-row normalizer broadcast; ceil-division scan-local — " +
+      "dimension-sized end to end, no fact-table shuffle after the " +
+      "first aggregate"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
