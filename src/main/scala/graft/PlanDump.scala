@@ -119,7 +119,15 @@ object PlanDump {
     "q_mix_epochs" -> ("epoch/repeat plan: source-sized aggregate + " +
       "one-row normalizer broadcast; ceil-division scan-local — " +
       "dimension-sized end to end, no fact-table shuffle after the " +
-      "first aggregate"))
+      "first aggregate"),
+    "q_mix_dsir" -> ("DSIR importance weights: both bag-of-ngrams " +
+      "models come from ONE bucket-keyed aggregate (<=4096 rows, " +
+      "map-side combined); the log-ratio table broadcasts for " +
+      "scoring; the per-doc score is one corpus-linear aggregate"),
+    "q_sim_prune" -> ("prototype pruning: DROP-LIST output only; " +
+      "each rank filter is a single row_number predicate so both " +
+      "branches plan a partial WindowGroupLimit (map tasks keep <=5 " +
+      "rows per cell); centroid table is label-x-dim bounded"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

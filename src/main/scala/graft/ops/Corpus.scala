@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -254,6 +254,114 @@ object Corpus {
             GROUP BY c.source
             ORDER BY c.source NULLS FIRST"""))
 
+  /** DSIR importance weights (q_mix_dsir): data selection via
+    * importance resampling — score every document by how much more
+    * likely its hashed-bigram features are under a target-domain
+    * bag-of-ngrams model than under the raw-corpus model,
+    * log w(x) = Σ_b c_b·[ln p_t(b) − ln p_r(b)] with add-1 smoothing
+    * over 4096 md5 buckets (target = sources src0–src3 standing in
+    * for the curated domain). Both models come from ONE bucket-keyed
+    * aggregate over the bigram explode (count + conditional target
+    * count), so they stay ≤4096 rows however big the corpus is —
+    * map-side combine does the heavy lifting — and the joined
+    * log-ratio table broadcasts for scoring; the per-doc score is a
+    * second corpus-linear aggregate. Per-doc sums of double products
+    * are order-sensitive only at ulp level — absorbed by round 6 on
+    * both engines (the q_text_logprob argument). Docs shorter than
+    * two tokens have no features and are absent by construction in
+    * both engines. */
+  /** Feature-hash bucket count shared by the batch scorer and the
+    * streaming telemetry twin (q_stream_dsir). */
+  private[graft] val DsirBuckets = 4096
+
+  /** Hashed-bigram DSIR features over a (doc_id, source, text) frame:
+    * scan-local bigram explode → md5 buckets. Works on any source
+    * (batch table or file stream) — one output row per occurrence. */
+  private[graft] def dsirFeatures(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                    i -> concat_ws(' ', slice(toks, i, 2)))
+             ELSE array() END""")).as("bg"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(CAST(bg AS BINARY)), 1, 8), " +
+          s"16, 10) AS BIGINT) % $DsirBuckets").as("b"))
+
+  /** Bucket → add-1-smoothed log p_target/p_raw ratio from a feature
+    * frame (target = sources src0–src3). ≤[[DsirBuckets]] rows however
+    * big the corpus — always broadcastable. */
+  private[graft] def dsirLogRatio(feats: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    val isTgt = col("source").isin("src0", "src1", "src2", "src3")
+    val model = feats
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nr"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("nt"))
+    val tot = model.agg(sum(col("nr")).as("nr_tot"),
+      sum(col("nt")).as("nt_tot"))
+    model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("nt") + 1).cast("double") /
+            (col("nt_tot") + B).cast("double")) -
+          log((col("nr") + 1).cast("double") /
+            (col("nr_tot") + B).cast("double"))).as("lr"))
+  }
+
+  /** DuckDB CTEs mirroring [[dsirFeatures]] + [[dsirLogRatio]] over
+    * `documents` rows satisfying `pred`; defines big/model/tot/lr
+    * (callers open with WITH and append their scoring query). */
+  private[graft] def dsirLrSql(pred: String): String =
+    s"""big AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 4096 AS b
+          FROM (SELECT doc_id, source, unnest(
+                  CASE WHEN len(toks) >= 2
+                    THEN list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END) AS bg
+                FROM (SELECT doc_id, source,
+                        string_split(text, ' ') AS toks
+                      FROM documents WHERE $pred))),
+        model AS (
+          SELECT b, count(*) AS nr,
+            sum(CASE WHEN source IN ('src0','src1','src2','src3')
+                  THEN 1 ELSE 0 END) AS nt
+          FROM big GROUP BY b),
+        tot AS (SELECT sum(nr) AS nr_tot, sum(nt) AS nt_tot
+                FROM model),
+        lr AS (
+          SELECT b,
+            ln(CAST(nt + 1 AS DOUBLE) / CAST(nt_tot + 4096 AS DOUBLE))
+              - ln(CAST(nr + 1 AS DOUBLE)
+                   / CAST(nr_tot + 4096 AS DOUBLE)) AS lr
+          FROM model, tot)"""
+
+  val qMixDsir = Q(
+    "q_mix_dsir",
+    (s, d) => {
+      val big = dsirFeatures(docs(s, d))
+      val lr = dsirLogRatio(big)
+      big.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("bigint").as("n_feat"),
+          round(sum(col("c") * col("lr")), 6).as("logw"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${dsirLrSql("TRUE")},
+            db AS (SELECT doc_id, b, count(*) AS c
+                   FROM big GROUP BY doc_id, b)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feat,
+              round(sum(c * lr), 6) AS logw
+            FROM db JOIN lr USING (b)
+            GROUP BY doc_id
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
-    qMixTemperature, qMixEpochs, qTextEntropy)
+    qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir)
 }

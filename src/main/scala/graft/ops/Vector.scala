@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** T3 similarity search (BASELINE.json north star): brute-force cosine
@@ -787,8 +788,74 @@ object Vector {
             GROUP BY t_label
             ORDER BY t_label NULLS FIRST"""))
 
+  /** Prototype/outlier pruning (q_sim_prune): the cluster-quota data
+    * pruning of the "beyond neural scaling laws" recipe — per label
+    * cell, drop the k=5 members closest to the centroid (prototypes:
+    * redundant, easy examples) and the k=5 furthest (outliers: likely
+    * noise), keeping the informative middle. Builds on q_sim_centroid's
+    * scored table; the cosine is integer-quantized (millionths) before
+    * ranking so the cut is engine-exact. Each rank filter is a SINGLE
+    * row_number predicate, so Catalyst plans a partial WindowGroupLimit
+    * per branch — every map task keeps ≤5 rows per label before the
+    * shuffle (plan-asserted in VectorSpec); the output is the DROP LIST
+    * only, never a corpus-sized flagged table. A vector in both lists
+    * (tiny cells) counts as a prototype drop. */
+  val qSimPrune = Q(
+    "q_sim_prune",
+    (s, d) => {
+      val k = 5
+      val scored = qSimCentroid.fn(s, d)
+        .withColumn("cq",
+          floor(col("cos_to_centroid") * lit(1e6) + lit(0.5)).cast("bigint"))
+      val whi = Window.partitionBy(col("label"))
+        .orderBy(col("cq").desc, col("vec_id"))
+      val wlo = Window.partitionBy(col("label"))
+        .orderBy(col("cq").asc, col("vec_id"))
+      val proto = scored
+        .withColumn("rn", row_number().over(whi))
+        .filter(col("rn") <= k)
+        .select(col("label"), col("vec_id"),
+          col("cos_to_centroid").as("cos_c"),
+          lit("drop_proto").as("action"))
+      val outl = scored
+        .withColumn("rn", row_number().over(wlo))
+        .filter(col("rn") <= k)
+        .select(col("label"), col("vec_id"),
+          col("cos_to_centroid").as("cos_c"),
+          lit("drop_outlier").as("action"))
+      proto.union(
+          outl.join(proto.select(col("vec_id").as("p_vid")),
+            col("vec_id") === col("p_vid"), "left_anti"))
+        .orderBy(col("label"), col("action"), col("vec_id"))
+    },
+    qSimCentroid.oracle.map(centSql => s"""
+        WITH q AS (
+          SELECT label, vec_id, cos_to_centroid,
+            CAST(floor(cos_to_centroid * 1e6 + 0.5e0) AS BIGINT) AS cq
+          FROM ($centSql)),
+        proto AS (
+          SELECT label, vec_id, cos_to_centroid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY cq DESC, vec_id) AS rn
+            FROM q) x WHERE rn <= 5),
+        outl AS (
+          SELECT label, vec_id, cos_to_centroid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY cq ASC, vec_id) AS rn
+            FROM q) x WHERE rn <= 5)
+        SELECT label, vec_id, cos_to_centroid AS cos_c,
+          'drop_proto' AS action
+        FROM proto
+        UNION ALL
+        SELECT label, vec_id, cos_to_centroid AS cos_c,
+          'drop_outlier' AS action
+        FROM outl
+        WHERE vec_id NOT IN (SELECT vec_id FROM proto)
+        ORDER BY label NULLS FIRST, action NULLS FIRST,
+          vec_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnEval, qMultimodal, qSimQuantize,
-    qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify)
+    qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune)
 }

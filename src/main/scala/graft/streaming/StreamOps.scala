@@ -849,6 +849,54 @@ object StreamOps {
             FROM bands GROUP BY band, band_key
             ORDER BY band NULLS FIRST, band_key NULLS FIRST"""))
 
+  /** Streaming DSIR telemetry (q_stream_dsir): the ingest-side twin of
+    * q_mix_dsir — arriving documents' hashed-bigram features probe the
+    * STATIC DSIR log-ratio model fitted on the existing corpus
+    * (doc_id % 10 < 8, the q_dedup_incremental convention), and the
+    * settled table is per-source target-domain affinity: total
+    * log-importance mass and mean per-feature log-ratio. The model is
+    * ≤4096 rows whatever the corpus size (Corpus.dsirLogRatio) and
+    * broadcasts; stream-side work is a scan-local explode + broadcast
+    * probe, and the ONLY stateful operator is the source-keyed
+    * aggregate — state is one row per source, never per doc. Features
+    * hashing to buckets absent from the model are skipped (identical
+    * rule both engines). At 100 TB this is the drift monitor telling a
+    * mix controller whether arriving crawl still looks like the target
+    * domain. */
+  val qStreamDsir = Q(
+    "q_stream_dsir",
+    (s, d) => {
+      val model = graft.ops.Corpus.dsirLogRatio(
+        graft.ops.Corpus.dsirFeatures(
+          Tables.t(s, d, "documents").filter(col("doc_id") % 10 < 8)))
+      val scored = graft.ops.Corpus.dsirFeatures(documentsStream(s, d))
+        .join(broadcast(model), Seq("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_feat"),
+          round(sum(col("lr")), 6).as("logw_sum"),
+          round(sum(col("lr")) / count(lit(1)), 6).as("logw_per_feat"))
+      drain(s, scored, "stream_dsir_tbl", "complete")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ${graft.ops.Corpus.dsirLrSql("doc_id % 10 < 8")},
+            sb AS (
+              SELECT source,
+                CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 4096 AS b
+              FROM (SELECT source, unnest(
+                      CASE WHEN len(toks) >= 2
+                        THEN list_transform(
+                               generate_series(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+1], ' '))
+                        ELSE [] END) AS bg
+                    FROM (SELECT source, string_split(text, ' ') AS toks
+                          FROM documents)))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_feat,
+              round(sum(lr), 6) AS logw_sum,
+              round(sum(lr) / count(*), 6) AS logw_per_feat
+            FROM sb JOIN lr USING (b)
+            GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
   /** Streaming training-mix gate (q_stream_mix_sample): the ingest
     * twin of q_mix_sample — the per-source rate table is planned ONCE
     * from the static corpus (tiny, broadcast), and every arriving doc
@@ -1390,5 +1438,5 @@ object StreamOps {
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
-    qStreamPsi, qStreamVshape)
+    qStreamPsi, qStreamVshape, qStreamDsir)
 }

@@ -176,4 +176,34 @@ class CorpusSpec extends SparkSuite {
     assert(smallest.getAs[Double]("oversample") >
       largest.getAs[Double]("oversample"))
   }
+
+  test("DSIR: feature counts are ntok-1 and target docs score higher") {
+    val rows = q("q_mix_dsir").collect()
+    val ntok = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"),
+        col("source"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("nt"), r.getAs[String]("source")))
+      .toMap
+    // every >=2-token doc present, with n_feat = token count - 1
+    assert(rows.length === ntok.count(_._2._1 >= 2))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_feat") === ntok(id)._1 - 1, s"doc $id")
+    }
+    // the importance weight must separate the target domain in the
+    // mean (individual docs overlap; the estimator works in aggregate)
+    val tgtSrc = Set("src0", "src1", "src2", "src3")
+    val (tgt, rest) = rows.partition(r => tgtSrc(ntok(r.getAs[Long]("doc_id"))._2))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(tgt.map(_.getAs[Double]("logw"))) >
+      mean(rest.map(_.getAs[Double]("logw"))) + 1.0)
+  }
+
+  test("DSIR: model table broadcasts for scoring (no model-side shuffle join)") {
+    val p = q("q_mix_dsir").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "model join fell back to SMJ")
+  }
 }

@@ -700,4 +700,26 @@ class StreamSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
     }
   }
+
+  test("streaming DSIR telemetry settles to the batch scoring") {
+    val got = SparkEntry.queries("q_stream_dsir")(spark, sf0).collect()
+    assert(got.nonEmpty)
+    // batch replay: same model slice, same features, same per-source agg
+    val model = ops.Corpus.dsirLogRatio(
+      ops.Corpus.dsirFeatures(
+        Tables.t(spark, sf0, "documents").filter(col("doc_id") % 10 < 8)))
+    val batch = ops.Corpus.dsirFeatures(Tables.t(spark, sf0, "documents"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("lr")), 6).as("logw_sum"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_feat"), r.getAs[Double]("logw_sum"))).toMap
+    got.foreach { r =>
+      val (nf, lw) = batch(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_feat") === nf)
+      assert(math.abs(r.getAs[Double]("logw_sum") - lw) < 1e-5)
+    }
+  }
 }

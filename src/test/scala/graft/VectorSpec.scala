@@ -351,4 +351,29 @@ class VectorSpec extends SparkSuite {
         .foreach(c => assert(c === r.getAs[Double]("cos_sim")))
     }
   }
+
+  test("prune: 5 prototypes + 5 outliers per cell, proto above outlier") {
+    val rows = q("q_sim_prune").collect()
+    val byLabel = rows.groupBy(_.getAs[Number]("label").longValue)
+    byLabel.foreach { case (lbl, rs) =>
+      val proto = rs.filter(_.getAs[String]("action") == "drop_proto")
+      val outl = rs.filter(_.getAs[String]("action") == "drop_outlier")
+      assert(proto.length === 5, s"label $lbl proto count")
+      assert(outl.length <= 5, s"label $lbl outlier count")
+      // every kept-as-prototype cosine dominates every outlier cosine
+      if (proto.nonEmpty && outl.nonEmpty)
+        assert(proto.map(_.getAs[Double]("cos_c")).min >=
+          outl.map(_.getAs[Double]("cos_c")).max, s"label $lbl ordering")
+    }
+    // drop list is disjoint: a vector appears once
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("prune: both rank branches plan a partial WindowGroupLimit") {
+    val p = q("q_sim_prune").queryExecution.executedPlan.toString
+    val hits = p.split("\n").count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(hits >= 2, s"expected two partial group limits:\n$p")
+  }
 }
