@@ -127,7 +127,14 @@ object PlanDump {
     "q_sim_prune" -> ("prototype pruning: DROP-LIST output only; " +
       "each rank filter is a single row_number predicate so both " +
       "branches plan a partial WindowGroupLimit (map tasks keep <=5 " +
-      "rows per cell); centroid table is label-x-dim bounded"))
+      "rows per cell); centroid table is label-x-dim bounded"),
+    "q_dedup_trim" -> ("repeated-span cut: the span dictionary is " +
+      "duplicate-mass-bounded and meets positions in a hash " +
+      "equi-join; coverage is a x5 span explode + per-doc distinct " +
+      "count - every shuffle keyed by hash or doc_id, corpus-linear"),
+    "q_sim_hardneg" -> ("hard negatives: cross-label bucket " +
+      "collisions only (band equi-join, never all-pairs); per-anchor " +
+      "top-2 is a single rank predicate -> partial WindowGroupLimit"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -36,7 +36,10 @@ object ScaleSmoke {
     "q_stream_join", "q_stream_markov",
     // round-6 embedding tier: PQ training is the corpus-wide explode,
     // semantic dedup the banded pair path, multiband the probe path
-    "q_sim_ann_pq", "q_dedup_semantic", "q_sim_ann_multiband")
+    "q_sim_ann_pq", "q_dedup_semantic", "q_sim_ann_multiband",
+    // round-6 curation tier: DSIR batch scoring (corpus-linear explode
+    // against a bucket-bounded broadcast model) and its streaming twin
+    "q_mix_dsir", "q_stream_dsir")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

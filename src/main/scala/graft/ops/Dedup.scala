@@ -653,6 +653,77 @@ object Dedup {
              HAVING count(*) > 1
              ORDER BY h NULLS FIRST"""))
 
+  /** Repeated-span cut pass (q_dedup_trim): the APPLY half of
+    * q_dedup_substring — per document, how many token positions are
+    * covered by a 5-token window that also appears in another document,
+    * and the retained ratio after cutting those spans (the
+    * deduplicate-text-datasets trim, cross-doc flavor). Shape: the
+    * position-carrying shingle table is corpus-linear scan work; the
+    * repeated-span dictionary is duplicate-mass-bounded (one row per
+    * shingle hash seen in >1 doc) and meets the positions in an
+    * equi-join on the 32-bit hash; coverage is a ×5 span explode +
+    * per-doc distinct count — every shuffle is keyed by hash or doc_id
+    * and linear in the data. Docs with no repeated span (or <5 tokens)
+    * retain 1.0 via the left join. */
+  val qDedupTrim = Q(
+    "q_dedup_trim",
+    (s, d) => {
+      val toks = Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val pos = toks.filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 4)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr("CAST(conv(substring(md5(CAST(concat_ws(' ', " +
+            "slice(toks, i, 5)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"))
+      val rep = pos.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select(col("h"))
+      val cov = pos.join(rep, "h")
+        .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      toks
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          round(lit(1.0) -
+            coalesce(col("covered"), lit(0L)).cast("double") /
+              col("n_tokens"), 6).as("retained_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks_t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i,
+                CAST('0x' || substr(md5(
+                  array_to_string(toks[i:i+4], ' ')), 1, 8) AS BIGINT)
+                  AS h
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks) - 4)) AS i
+                    FROM toks_t WHERE len(toks) >= 5)),
+            rep AS (
+              SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS nd
+                FROM pos GROUP BY h) x
+              WHERE nd > 1),
+            cov AS (
+              SELECT doc_id, count(*) AS covered FROM (
+                SELECT DISTINCT doc_id, i + o AS p
+                FROM (SELECT doc_id, i FROM pos JOIN rep USING (h)) pr
+                CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) os) c
+              GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(covered, 0) AS BIGINT) AS covered,
+              round(1.0e0 - CAST(COALESCE(covered, 0) AS DOUBLE)
+                / len(toks), 6) AS retained_ratio
+            FROM toks_t t LEFT JOIN cov ON t.doc_id = cov.doc_id
+            ORDER BY t.doc_id NULLS FIRST"""))
+
   /** Eval-set decontamination (q_text_contamination): before training,
     * every corpus document is scored for shingle overlap against the
     * held-out set (here: doc_id < 10 stands in for the benchmark). One
@@ -907,5 +978,6 @@ object Dedup {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
-    qDedupPrefix, qDedupSubstring, qTextContamination, qDedupIncremental)
+    qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
+    qDedupIncremental)
 }

@@ -563,6 +563,78 @@ object Vector {
              ORDER BY a_id NULLS FIRST, rn NULLS FIRST"""
     })
 
+  /** Hard-negative mining (q_sim_hardneg): for every anchor, the two
+    * most-similar vectors of a DIFFERENT label — the contrastive-
+    * training pairs an embedding-model pipeline mines. Candidates are
+    * cross-label sign-LSH bucket collisions (same band key, different
+    * class = "similar direction, wrong label" — hard by construction),
+    * so the pair space is the bucket equi-join's output, never an
+    * all-pairs scan; the per-anchor top-2 is a single rank predicate
+    * (partial WindowGroupLimit, map-side prune). Same banding and
+    * rounded-cosine ordering as q_sim_knn_join, so the top-2 cut is
+    * engine-independent. */
+  val qSimHardneg = Q(
+    "q_sim_hardneg",
+    (s, d) => {
+      def bkeySpark(b: Int): String = (1 to 4).map(i =>
+        s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"CAST($b AS BIGINT), CAST(${bkeySpark(b)} AS BIGINT)")
+        .mkString(", ")
+      val e = emb(s, d)
+      val bands = e.select(col("vec_id"), col("label"),
+        expr(s"stack(4, $bandRows) AS (band, bkey)"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.label") =!= col("y.label"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("neg_id"))
+        .distinct()
+      cand
+        .join(e.as("a"), col("a_id") === col("a.vec_id"))
+        .join(e.as("b"), col("neg_id") === col("b.vec_id"))
+        .withColumn("cos_sim",
+          cosinePre("a.embedding", "b.embedding", col("a.nrm"), col("b.nrm")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a_id"))
+            .orderBy(col("cos_sim").desc, col("neg_id"))).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("a_id"), col("rn"), col("neg_id"),
+          col("b.label").as("neg_label"), col("cos_sim"))
+        .orderBy(col("a_id"), col("rn"))
+    },
+    Some {
+      val bkeySql = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[4 * b + $i] > 0 " +
+          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      s"""$embCte,
+             bands AS (
+               SELECT vec_id, label, b AS band,
+                 CAST($bkeySql AS BIGINT) AS bkey
+               FROM embeddings
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+             cand AS (
+               SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS neg_id
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey
+                AND x.label != y.label),
+             scored AS (
+               SELECT a_id, neg_id, b.label AS neg_label,
+                 ${cosSql("a.emb_d", "b.emb_d")} AS cos_sim
+               FROM cand
+               JOIN e a ON a.vec_id = a_id
+               JOIN e b ON b.vec_id = neg_id)
+             SELECT a_id, rn, neg_id, neg_label, cos_sim FROM (
+               SELECT a_id, neg_id, neg_label, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY a_id
+                   ORDER BY cos_sim DESC, neg_id) AS BIGINT) AS rn
+               FROM scored)
+             WHERE rn <= 2
+             ORDER BY a_id NULLS FIRST, rn NULLS FIRST"""
+    })
+
   /** Per-label centroid distance (q_sim_centroid): mean vector per label
     * (position-wise two-phase avg over a posexplode — one shuffle keyed
     * by (label, pos), never a collect) joined back position-wise to
@@ -857,5 +929,6 @@ object Vector {
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnEval, qMultimodal, qSimQuantize,
-    qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune)
+    qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
+    qSimHardneg)
 }

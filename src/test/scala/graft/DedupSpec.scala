@@ -87,6 +87,26 @@ class DedupSpec extends SparkSuite {
     assert(pairs.size === 2) // disjoint vocabularies → no other pairs
   }
 
+  test("trim: repeated-span coverage matches hand-computed spans") {
+    val rows = q("q_dedup_trim", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("covered"),
+          r.getAs[Double]("retained_ratio"))).toMap
+    // exact pair 0/100: every 5-gram repeats -> fully covered
+    assert(rows(0L) === ((40L, 40L, 0.0)))
+    assert(rows(100L) === ((40L, 40L, 0.0)))
+    // near pair 1/101: doc 1 fully covered; 101's trailing extra token
+    // is the one position outside any shared window
+    assert(rows(1L) === ((40L, 40L, 0.0)))
+    assert(rows(101L)._1 === 41L)
+    assert(rows(101L)._2 === 40L)
+    assert(math.abs(rows(101L)._3 - (1.0 - 40.0 / 41.0)) < 1e-6)
+    // disjoint-vocab docs retain everything
+    (2L to 7L).foreach { id =>
+      assert(rows(id) === ((40L, 0L, 1.0)), s"doc $id")
+    }
+  }
+
   test("components: a chain of near-copies collapses into one cluster") {
     // 0 ≈ 200 ≈ 201 form a chain (each one extra token on the last);
     // doc 5 is unrelated

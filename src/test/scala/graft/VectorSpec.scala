@@ -370,6 +370,29 @@ class VectorSpec extends SparkSuite {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("hardneg: negatives are cross-label, top-2, similarity-ordered") {
+    val rows = q("q_sim_hardneg").collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.t(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Number]("label").longValue).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("a_id")
+      assert(r.getAs[Number]("neg_label").longValue !== labels(a),
+        s"anchor $a got a same-label negative")
+      assert(r.getAs[Long]("rn") >= 1L && r.getAs[Long]("rn") <= 2L)
+    }
+    rows.groupBy(_.getAs[Long]("a_id")).values.foreach { rs =>
+      assert(rs.length <= 2)
+      if (rs.length == 2) {
+        val sorted = rs.sortBy(_.getAs[Long]("rn"))
+        assert(sorted(0).getAs[Double]("cos_sim") >=
+          sorted(1).getAs[Double]("cos_sim"))
+      }
+    }
+  }
+
   test("prune: both rank branches plan a partial WindowGroupLimit") {
     val p = q("q_sim_prune").queryExecution.executedPlan.toString
     val hits = p.split("\n").count(l =>
