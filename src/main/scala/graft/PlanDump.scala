@@ -134,7 +134,11 @@ object PlanDump {
       "count - every shuffle keyed by hash or doc_id, corpus-linear"),
     "q_sim_hardneg" -> ("hard negatives: cross-label bucket " +
       "collisions only (band equi-join, never all-pairs); per-anchor " +
-      "top-2 is a single rank predicate -> partial WindowGroupLimit"))
+      "top-2 is a single rank predicate -> partial WindowGroupLimit"),
+    "q_curate_v2" -> ("staged funnel reusing four verified ops: " +
+      "three hash equi-joins against dedup/DSIR stage tables, flags " +
+      "scan-local, ONE source-keyed aggregate - no window, no " +
+      "all-pairs anything"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

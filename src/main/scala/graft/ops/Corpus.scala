@@ -362,6 +362,46 @@ object Corpus {
             GROUP BY doc_id
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Shard manifest (q_shard_manifest): the publish/attestation step of
+    * a data release — every document is assigned to one of 16 shards by
+    * a deterministic content-independent hash of its id, and the
+    * manifest records per shard the doc count, token mass, id range,
+    * and an ORDER-INSENSITIVE content checksum (sum of 32-bit md5
+    * prefixes of the normalized text — any engine, any partitioning,
+    * any row order reproduces the same value, which is the whole point
+    * of the artifact). One scan + one 16-key aggregate with map-side
+    * combine; nothing here grows beyond 16 rows. */
+  val qShardManifest = Q(
+    "q_shard_manifest",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), " +
+            "16, 10) AS BIGINT) % 16").as("shard"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok"),
+          expr("CAST(conv(substring(md5(CAST(lower(trim(text)) " +
+            "AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("ch"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("ch")).as("content_sum"))
+        .orderBy(col("shard")),
+    Some("""SELECT
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 16 AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                AS n_tokens,
+              min(doc_id) AS min_id, max(doc_id) AS max_id,
+              CAST(sum(CAST('0x' || substr(md5(lower(trim(text))), 1, 8)
+                AS BIGINT)) AS BIGINT) AS content_sum
+            FROM documents
+            GROUP BY shard
+            ORDER BY shard NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
-    qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir)
+    qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest)
 }

@@ -334,6 +334,93 @@ object TextOps {
           ORDER BY lang NULLS FIRST"""
     })
 
+  /** Curation funnel v2 (q_curate_v2): the staged selection pipeline a
+    * modern pre-training build runs, with per-source survivor
+    * accounting at every stage — exact dedup (md5 keeper groups) →
+    * semantic dedup (SemDeDup drop list, embeddings keyed by
+    * vec_id = doc_id) → DSIR target-affinity gate (logw ≥ −15, the
+    * operating point from the q_mix_dsir calibration) → token-length
+    * gate. Every stage REUSES the registered operator verbatim (the
+    * q_sim_ann_eval discipline), so this funnel's oracle hash-checks
+    * the composition of four already-verified programs. Plan shape:
+    * three hash equi-joins against stage tables that are
+    * duplicate-mass- or corpus-bounded, flags scan-local, ONE
+    * source-keyed aggregate — no window, no all-pairs anything. */
+  val qCurateV2 = Q(
+    "q_curate_v2",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text"))).cast("binary")).as("th"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok"))
+      val eg = Dedup.qDedupExact.fn(s, d)
+        .select(col("text_hash"), col("keep_id"))
+      val sem = Dedup.qDedupSemantic.fn(s, d)
+        .select(col("vec_id"))
+      val dsir = Corpus.qMixDsir.fn(s, d)
+        .select(col("doc_id").as("w_id"), col("logw"))
+      val flagged = docs
+        .join(eg, col("th") === col("text_hash"))
+        .join(sem, col("doc_id") === col("vec_id"), "left")
+        .join(dsir, col("doc_id") === col("w_id"), "left")
+        .select(col("source"), col("ntok"),
+          (col("keep_id") === col("doc_id")).as("s1"),
+          col("vec_id").isNull.as("not_sem"),
+          coalesce(col("logw") >= lit(-15.0), lit(false)).as("dsir_ok"))
+        .select(col("source"), col("ntok"), col("s1"),
+          (col("s1") && col("not_sem")).as("s2"),
+          (col("s1") && col("not_sem") && col("dsir_ok")).as("s3"))
+        .withColumn("kept",
+          col("s3") && col("ntok") >= 20 && col("ntok") <= 1000)
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_exact"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_sem"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_after_dsir"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("ntok")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+    for {
+      semSql <- Dedup.qDedupSemantic.oracle
+      dsirSql <- Corpus.qMixDsir.oracle
+    } yield {
+      val semInner = semSql.substring(0, semSql.lastIndexOf("ORDER BY"))
+      val dsirInner = dsirSql.substring(0, dsirSql.lastIndexOf("ORDER BY"))
+      s"""WITH eg AS (
+            SELECT md5(lower(trim(text))) AS th, min(doc_id) AS keep_id
+            FROM documents GROUP BY th),
+          sem AS (SELECT vec_id FROM ($semInner) z),
+          dw AS (SELECT doc_id AS w_id, logw FROM ($dsirInner) z),
+          f AS (
+            SELECT d.source,
+              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok,
+              (eg.keep_id = d.doc_id) AS s1,
+              (eg.keep_id = d.doc_id
+                AND d.doc_id NOT IN (SELECT vec_id FROM sem)) AS s2,
+              (eg.keep_id = d.doc_id
+                AND d.doc_id NOT IN (SELECT vec_id FROM sem)
+                AND COALESCE(dw.logw >= -15.0e0, FALSE)) AS s3
+            FROM documents d
+            JOIN eg ON md5(lower(trim(d.text))) = eg.th
+            LEFT JOIN dw ON d.doc_id = dw.w_id)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_after_exact,
+            CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_after_sem,
+            CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_after_dsir,
+            CAST(sum(CASE WHEN s3 AND ntok >= 20 AND ntok <= 1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(sum(CASE WHEN s3 AND ntok >= 20 AND ntok <= 1000
+                     THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+          FROM f
+          GROUP BY source
+          ORDER BY source NULLS FIRST"""
+    })
+
   /** Repetition-ratio quality signals (q_text_repetition): the
     * Gopher/CCNet-style repetition filters — distinct-token ratio and
     * the fraction of all bigrams taken by the single most frequent
@@ -519,5 +606,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
-    qTextRepetition, qTextPack, qTextLangidEval, qTextDrift)
+    qTextRepetition, qTextPack, qTextLangidEval, qTextDrift, qCurateV2)
 }

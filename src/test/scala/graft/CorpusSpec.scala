@@ -201,6 +201,26 @@ class CorpusSpec extends SparkSuite {
       mean(rest.map(_.getAs[Double]("logw"))) + 1.0)
   }
 
+  test("shard manifest: shards partition the corpus; checksum is " +
+    "order-insensitive") {
+    val rows = q("q_shard_manifest").collect()
+    val total = Tables.t(spark, sf0, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    // driver-side replay in REVERSED row order must give the same sums
+    val perDoc = Tables.t(spark, sf0, "documents").selectExpr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+        "AS BIGINT) % 16 AS shard",
+      "CAST(conv(substring(md5(CAST(lower(trim(text)) AS BINARY)), 1, " +
+        "8), 16, 10) AS BIGINT) AS ch")
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("ch")))
+    val byShard = perDoc.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).reverse.sum }
+    rows.foreach { r =>
+      assert(byShard(r.getAs[Long]("shard")) ===
+        r.getAs[Long]("content_sum"))
+    }
+  }
+
   test("DSIR: model table broadcasts for scoring (no model-side shuffle join)") {
     val p = q("q_mix_dsir").queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")

@@ -96,4 +96,26 @@ class CurateSpec extends SparkSuite {
     assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") &&
       scrubbed.contains("<CARD>"))
   }
+
+  test("curation funnel v2: stages are monotone and cross-check the ops") {
+    val rows = q("q_curate_v2").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, e, sm, ds, k) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_after_exact"), r.getAs[Long]("n_after_sem"),
+        r.getAs[Long]("n_after_dsir"), r.getAs[Long]("n_kept"))
+      assert(n >= e && e >= sm && sm >= ds && ds >= k,
+        s"non-monotone funnel for ${r.getAs[String]("source")}")
+    }
+    // cross-check the semantic stage against the drop list it reuses:
+    // total sem-stage drops == drop-list entries among exact keepers
+    val semDrops = q("q_dedup_semantic").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val keepers = q("q_dedup_exact").collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    val expected = (semDrops & keepers).size
+    val got = rows.map(r => r.getAs[Long]("n_after_exact") -
+      r.getAs[Long]("n_after_sem")).sum
+    assert(got === expected.toLong, "semantic-stage drop accounting")
+  }
 }
