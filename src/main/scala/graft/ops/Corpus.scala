@@ -402,6 +402,75 @@ object Corpus {
             GROUP BY shard
             ORDER BY shard NULLS FIRST"""))
 
+  /** DSIR importance resampling (q_mix_dsir_sample): the SELECTION
+    * half of DSIR — draw the 64-doc subset with probability
+    * proportional to the importance weight via the deterministic
+    * Gumbel-top-k race, key = logw − ln(−ln(u)) with u the md5-derived
+    * uniform of q_sample_weighted. The race key is libm math: fine for
+    * ORDERING (keys are continuous and well separated — the
+    * q_sample_weighted argument) but never output; the published rank
+    * is a predecessor count over the MILLIONTH-quantized keys of the
+    * 64 survivors (the q_text_zipf discipline), so the emitted table
+    * is integer-exact. Plan: scoring reuses the q_mix_dsir model
+    * pipeline; the global top-64 is a TakeOrderedAndProject (map-side
+    * k, no global sort materialized); the rank join is 64×64 and
+    * broadcast. */
+  val qMixDsirSample = Q(
+    "q_mix_dsir_sample",
+    (s, d) => {
+      val big = dsirFeatures(docs(s, d))
+      val lr = dsirLogRatio(big)
+      val dw = big.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(sum(col("c") * col("lr")), 6).as("logw"))
+      val keyed = dw
+        .withColumn("u", expr(
+          "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), " +
+            "16, 10) AS BIGINT) + 0.5) / 4294967296.0"))
+        .withColumn("key", col("logw") - log(-log(col("u"))))
+      val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(64)
+        .select(col("doc_id"), col("source"), col("logw"),
+          floor(col("key") * lit(1e6) + lit(0.5)).cast("bigint").as("kq"))
+      top
+        .join(broadcast(top.select(col("kq").as("pk"),
+            col("doc_id").as("pd"))),
+          col("pk") > col("kq") ||
+            (col("pk") === col("kq") && col("pd") < col("doc_id")),
+          "left")
+        .groupBy(col("doc_id"), col("source"), col("logw"))
+        .agg((count(col("pd")) + 1).as("rk"))
+        .select(col("rk"), col("doc_id"), col("source"), col("logw"))
+        .orderBy(col("rk"), col("doc_id"))
+    },
+    Some(s"""WITH ${dsirLrSql("TRUE")},
+            db AS (SELECT doc_id, source, b, count(*) AS c
+                   FROM big GROUP BY doc_id, source, b),
+            dw AS (SELECT doc_id, source, round(sum(c * lr), 6) AS logw
+                   FROM db JOIN lr USING (b) GROUP BY doc_id, source),
+            kq AS (
+              SELECT doc_id, source, logw,
+                CAST(floor((logw - ln(-ln(
+                  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                     1, 8) AS BIGINT) + 0.5) / 4294967296.0)))
+                  * 1e6 + 0.5e0) AS BIGINT) AS kq
+              FROM dw
+              ORDER BY logw - ln(-ln(
+                (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT) + 0.5) / 4294967296.0)) DESC,
+                doc_id
+              LIMIT 64)
+            SELECT
+              CAST(1 + (SELECT count(*) FROM kq b
+                        WHERE b.kq > a.kq
+                           OR (b.kq = a.kq AND b.doc_id < a.doc_id))
+                AS BIGINT) AS rk,
+              a.doc_id, a.source, a.logw
+            FROM kq a
+            ORDER BY rk NULLS FIRST, doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
-    qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest)
+    qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
+    qMixDsirSample)
 }

@@ -897,6 +897,37 @@ object StreamOps {
             GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
+  /** Streaming shard manifest (q_stream_shard_manifest): the ingest
+    * twin of q_shard_manifest — every manifest column (doc count,
+    * token mass, id range, md5-prefix content checksum) is a
+    * COMMUTATIVE aggregate, so the manifest accumulates per micro-batch
+    * in any arrival order and the settled table is byte-identical to
+    * the batch publish (same oracle SQL, verbatim). State is 16 rows
+    * whatever the stream volume — the order-insensitivity that makes
+    * the checksum a usable attestation is exactly what makes it
+    * streamable. */
+  val qStreamShardManifest = Q(
+    "q_stream_shard_manifest",
+    (s, d) => {
+      val m = documentsStream(s, d)
+        .select(
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), " +
+            "16, 10) AS BIGINT) % 16").as("shard"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok"),
+          expr("CAST(conv(substring(md5(CAST(lower(trim(text)) " +
+            "AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("ch"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("ch")).as("content_sum"))
+      drain(s, m, "stream_shard_tbl", "complete")
+        .orderBy(col("shard"))
+    },
+    graft.ops.Corpus.qShardManifest.oracle)
+
   /** Streaming training-mix gate (q_stream_mix_sample): the ingest
     * twin of q_mix_sample — the per-source rate table is planned ONCE
     * from the static corpus (tiny, broadcast), and every arriving doc
@@ -1438,5 +1469,5 @@ object StreamOps {
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
-    qStreamPsi, qStreamVshape, qStreamDsir)
+    qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest)
 }

@@ -221,6 +221,20 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("DSIR resampling: 64 dense ranks, selection biased toward weight") {
+    val rows = q("q_mix_dsir_sample").collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to 64L))
+    // Gumbel-top-k must bias the draw toward high importance weights
+    val selected = rows.map(_.getAs[Double]("logw"))
+    val all = q("q_mix_dsir").collect().map(_.getAs[Double]("logw"))
+    assert(selected.sum / selected.length > all.sum / all.length + 2.0,
+      "selection not weight-biased")
+    // the selected set is a subset of the scored corpus
+    val ids = q("q_mix_dsir").collect().map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach(r => assert(ids(r.getAs[Long]("doc_id"))))
+  }
+
   test("DSIR: model table broadcasts for scoring (no model-side shuffle join)") {
     val p = q("q_mix_dsir").queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")

@@ -498,4 +498,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
       "no unkeyed corpus product")
   }
+
+  test("DSIR resample: top-64 is a partial top-k; rank join broadcasts") {
+    val p = plan("q_mix_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Gumbel top-64 must plan as partial top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"64-row predecessor-count join must broadcast:\n$p")
+  }
 }

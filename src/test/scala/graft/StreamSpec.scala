@@ -701,6 +701,14 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("streaming shard manifest settles to the batch manifest exactly") {
+    val got = SparkEntry.queries("q_stream_shard_manifest")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_shard_manifest")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch)
+  }
+
   test("streaming DSIR telemetry settles to the batch scoring") {
     val got = SparkEntry.queries("q_stream_dsir")(spark, sf0).collect()
     assert(got.nonEmpty)
