@@ -470,7 +470,119 @@ object Corpus {
             FROM kq a
             ORDER BY rk NULLS FIRST, doc_id NULLS FIRST"""))
 
+  /** Bigram-LM perplexity filter (q_text_perplexity): the CCNet-style
+    * quality gate — score every document's bits-per-bigram under an
+    * add-1-smoothed conditional bigram model trained on the corpus
+    * itself, then split the corpus into head/middle/tail perplexity
+    * tertiles. Complements q_text_logprob (unigram mean): the
+    * CONDITIONAL model is what CCNet actually thresholds on. Parity
+    * discipline: each bigram's -log2 P(w2|w1) is quantized to
+    * millionths (BIGINT) before any sum, so per-doc totals are exact
+    * integer sums; the tertile assignment compares the integer MEAN
+    * (floor of the quantized sum over the bigram count) against
+    * broadcast percentile cuts, never one float sum to another. Scale
+    * shape: the model (bigram counts, per-w1 totals) is vocabulary²-
+    * bounded — Heaps-sublinear in the corpus, so its two equi-joins
+    * carry NO broadcast hint and plan by size statistics; the cuts are
+    * a one-row broadcast; no windows anywhere, so nothing serializes
+    * through a single task. */
+  val qTextPerplexity = Q(
+    "q_text_perplexity",
+    (s, d) => {
+      val tk = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      // per-doc bigram multiset, pre-aggregated before the model join
+      val db = tk
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+                         i -> struct(element_at(ws, i) AS w1,
+                                     element_at(ws, i + 1) AS w2))"""))
+            .as("b"))
+        .groupBy(col("doc_id"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val cnt = db.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c")).as("n"))
+      val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("t"))
+      val voc = tk.select(explode(col("ws")).as("token"))
+        .agg(countDistinct(col("token")).as("v"))
+      val lq = cnt.join(tot, "w1")
+        .crossJoin(broadcast(voc))
+        .select(col("w1"), col("w2"),
+          floor(-log((col("n") + 1).cast("double") /
+              (col("t") + col("v"))) / log(lit(2.0)) * 1000000 + 0.5)
+            .cast("long").as("lqi"))
+      val m = db.join(lq, Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("c") * col("lqi")).as("sum_i"))
+        .withColumn("mi",
+          floor(col("sum_i") / col("nb")).cast("long"))
+      val cuts = m.agg(expr(
+        "percentile(mi, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
+        .as("cuts"))
+      m.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("source"),
+          col("nb").as("n_bigrams"),
+          round(col("sum_i") / lit(1e6) / col("nb"), 6)
+            .as("bits_per_bigram"),
+          expr("""CASE aggregate(cuts, 0, (acc, x) ->
+                    acc + CASE WHEN mi > x THEN 1 ELSE 0 END)
+                  WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                  ELSE 'tail' END""").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            db AS (
+              SELECT doc_id, source, w1, w2,
+                CAST(count(*) AS BIGINT) AS c
+              FROM big GROUP BY doc_id, source, w1, w2),
+            cnt AS (
+              SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
+              FROM db GROUP BY w1, w2),
+            tot AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt GROUP BY w1),
+            voc AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk)),
+            lq AS (
+              SELECT w1, w2,
+                CAST(floor(-ln(CAST(n + 1 AS DOUBLE) / (t + v))
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                  AS lqi
+              FROM cnt JOIN tot USING (w1), voc),
+            m AS (
+              SELECT doc_id, source,
+                CAST(sum(c) AS BIGINT) AS nb,
+                CAST(sum(c * lqi) AS BIGINT) AS sum_i,
+                CAST(floor(CAST(sum(c * lqi) AS DOUBLE) / sum(c))
+                  AS BIGINT) AS mi
+              FROM db JOIN lq USING (w1, w2)
+              GROUP BY doc_id, source),
+            cuts AS (
+              SELECT [quantile_cont(mi, CAST(1 AS DOUBLE)/3),
+                      quantile_cont(mi, CAST(2 AS DOUBLE)/3)] AS cuts
+              FROM m)
+            SELECT doc_id, source, nb AS n_bigrams,
+              round(sum_i / 1e6 / nb, 6) AS bits_per_bigram,
+              CASE len(list_filter(cuts, x -> mi > x))
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+            FROM m, cuts
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
-    qMixDsirSample)
+    qMixDsirSample, qTextPerplexity)
 }

@@ -224,5 +224,153 @@ object Learn {
                 AS intercept
             FROM fit"""))
 
-  val all: Seq[Q] = Seq(qMlNaiveBayes, qTextZipf)
+  /** Model-based quality classifier (q_quality_classify): the
+    * GPT-3/LLaMA-style quality filter — distill the rule-based gate
+    * (q_text_gopher's pass/fail label) into a multinomial naive-Bayes
+    * bag-of-words model on a train fold (doc_id % 5 != 0), then score
+    * EVERY document with the pass-vs-fail log-odds. This is the pipeline
+    * step that generalizes hand rules to a learned scorer whose
+    * threshold can be swept; emitted per doc: the rule label, the model
+    * decision, and the log-odds margin. Same integer discipline as the
+    * language NB above: every log term is quantized to millionths
+    * before summation, so the margin is an exact BIGINT and the
+    * keep/drop decision cannot flip on a float ulp. The feature bag is
+    * the token multiset PLUS one structural pseudo-token per document
+    * (the decade length bucket `lb<floor(n_words/10)>`) — the standard
+    * fastText-classifier trick that lets a bag-of-words model express
+    * the length rule a multinomial NB is otherwise blind to. Scale
+    * shape: the model (per-class stats: 2 rows; token likelihoods:
+    * 2×vocabulary rows) is broadcast; the corpus-side work is one
+    * explode + hash aggregate shuffled on (doc, class) — corpus-linear,
+    * no windows. */
+  val qQualityClassify = Q(
+    "q_quality_classify",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val base = t("documents")
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          (size(col("ws")).between(50, 100000) &&
+            round(length(translate(col("text"), " ", "")) /
+              size(col("ws")), 6).between(3.0, 10.0) &&
+            round(size(filter(col("ws"), w => w.rlike("^[a-z]+$"))) /
+              size(col("ws")), 6) >= 0.8 &&
+            size(filter(col("ws"), w => w.isin("the", "a"))) >= 2)
+            .cast("int").as("label"))
+        .select(col("doc_id"), col("label"),
+          concat(col("ws"), array(concat(lit("lb"),
+            floor(size(col("ws")) / lit(10)).cast("long")
+              .cast("string")))).as("ws"))
+      val train = base.filter(col("doc_id") % 5 =!= 0)
+      val trainToks = train
+        .select(col("label"), explode(col("ws")).as("term"))
+      val vocab = trainToks.agg(countDistinct(col("term")).as("v"))
+      val nDocs = train.agg(count(lit(1)).as("n_docs"))
+      val cls = trainToks.groupBy(col("label").as("ml"))
+        .agg(count(lit(1)).as("t_l"))
+        .join(train.groupBy(col("label").as("dl"))
+            .agg(count(lit(1)).as("docs_l")),
+          col("ml") === col("dl"))
+        .crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(nDocs))
+        .select(col("ml"), col("t_l"), col("v"),
+          floor(log(col("docs_l").cast("double") / col("n_docs")) *
+            1000000 + 0.5).cast("long").as("prior_i"),
+          floor(log(lit(1.0) / (col("t_l") + col("v"))) * 1000000 + 0.5)
+            .cast("long").as("unseen_i"))
+      val llh = trainToks
+        .groupBy(col("term").as("mt"), col("label").as("ll"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(cls), col("ll") === col("ml"))
+        .select(col("mt"), col("ll"),
+          floor(log((col("c") + 1).cast("double") /
+            (col("t_l") + col("v"))) * 1000000 + 0.5)
+            .cast("long").as("llh_i"))
+      val scored = base
+        .select(col("doc_id"), col("label"), explode(col("ws")).as("term"))
+        .crossJoin(broadcast(cls.select(col("ml"), col("prior_i"),
+          col("unseen_i"))))
+        .join(broadcast(llh),
+          col("term") === col("mt") && col("ml") === col("ll"), "left")
+        .select(col("doc_id"), col("label"), col("ml"), col("prior_i"),
+          coalesce(col("llh_i"), col("unseen_i")).as("si"))
+        .groupBy(col("doc_id"), col("label"), col("ml"), col("prior_i"))
+        .agg(sum(col("si")).as("ts"))
+        .select(col("doc_id"), col("label"),
+          when(col("ml") === 1, col("prior_i") + col("ts"))
+            .otherwise(-(col("prior_i") + col("ts"))).as("signed"))
+      scored
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(col("signed")).as("lo_i"))
+        .select(col("doc_id"), col("label").as("gopher_pass"),
+          (col("lo_i") > 0).cast("int").as("nb_keep"),
+          round(col("lo_i") / lit(1e6), 6).as("log_odds"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                list_append(string_split(text, ' '),
+                  'lb' || CAST(CAST(floor(len(string_split(text, ' ')) / 10)
+                    AS BIGINT) AS VARCHAR)) AS ws,
+                CAST(len(string_split(text, ' ')) BETWEEN 50 AND 100000
+                  AND round(length(replace(text, ' ', '')) * 1.0 /
+                    len(string_split(text, ' ')), 6) BETWEEN 3.0 AND 10.0
+                  AND round(len(list_filter(string_split(text, ' '),
+                      x -> regexp_full_match(x, '[a-z]+'))) * 1.0 /
+                    len(string_split(text, ' ')), 6) >= 0.8
+                  AND len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a'))) >= 2
+                AS INTEGER) AS label
+              FROM documents),
+            train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+            train_toks AS (
+              SELECT label, unnest(ws) AS term FROM train),
+            vocab AS (
+              SELECT count(DISTINCT term) AS v FROM train_toks),
+            cls AS (
+              SELECT tt.label AS ml,
+                count(*) AS t_l,
+                (SELECT v FROM vocab) AS v,
+                CAST(floor(ln(CAST(dc.docs_l AS DOUBLE) /
+                  (SELECT count(*) FROM train)) * 1000000 + 0.5)
+                  AS BIGINT) AS prior_i,
+                CAST(floor(ln(1.0 / (count(*) + (SELECT v FROM vocab)))
+                  * 1000000 + 0.5) AS BIGINT) AS unseen_i
+              FROM train_toks tt
+                JOIN (SELECT label, count(*) AS docs_l FROM train
+                      GROUP BY label) dc ON tt.label = dc.label
+              GROUP BY tt.label, dc.docs_l),
+            llh AS (
+              SELECT c.term AS mt, c.label AS ll,
+                CAST(floor(ln(CAST(c.c + 1 AS DOUBLE) / (cs.t_l + cs.v))
+                  * 1000000 + 0.5) AS BIGINT) AS llh_i
+              FROM (SELECT term, label, count(*) AS c FROM train_toks
+                    GROUP BY term, label) c
+                JOIN cls cs ON c.label = cs.ml),
+            tok AS (
+              SELECT b.doc_id, b.label, cs.ml, cs.prior_i,
+                coalesce(l.llh_i, cs.unseen_i) AS si
+              FROM (SELECT doc_id, label, unnest(ws) AS term
+                    FROM base) b
+                CROSS JOIN (SELECT ml, prior_i, unseen_i FROM cls) cs
+                LEFT JOIN llh l ON b.term = l.mt AND cs.ml = l.ll),
+            scored AS (
+              SELECT doc_id, label,
+                CASE WHEN ml = 1
+                  THEN prior_i + CAST(sum(si) AS BIGINT)
+                  ELSE -(prior_i + CAST(sum(si) AS BIGINT)) END AS signed
+              FROM tok
+              GROUP BY doc_id, label, ml, prior_i),
+            lo AS (
+              SELECT doc_id, label, CAST(sum(signed) AS BIGINT) AS lo_i
+              FROM scored GROUP BY doc_id, label)
+            SELECT doc_id, label AS gopher_pass,
+              CAST(lo_i > 0 AS INTEGER) AS nb_keep,
+              round(lo_i / 1e6, 6) AS log_odds
+            FROM lo
+            ORDER BY doc_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qMlNaiveBayes, qTextZipf, qQualityClassify)
 }

@@ -240,4 +240,21 @@ class CorpusSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"scoring join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), "model join fell back to SMJ")
   }
+
+  test("perplexity: tertiles balanced, bits ordered head < middle < tail") {
+    val rows = q("q_text_perplexity").collect()
+    assert(rows.length === 500)
+    val byBucket = rows.groupBy(_.getAs[String]("ppl_bucket"))
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // tertile split: bucket sizes differ by at most the tie width
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 10, s"skewed: $sizes")
+    def meanBits(b: String) = {
+      val xs = byBucket(b).map(_.getAs[Double]("bits_per_bigram"))
+      xs.sum / xs.length
+    }
+    assert(meanBits("head") < meanBits("middle"))
+    assert(meanBits("middle") < meanBits("tail"))
+    rows.foreach(r => assert(r.getAs[Double]("bits_per_bigram") > 0.0))
+  }
 }

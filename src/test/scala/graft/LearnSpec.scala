@@ -34,6 +34,25 @@ class LearnSpec extends SparkSuite {
     assert(r.getAs[Long]("n_terms") > 1L)
   }
 
+  test("quality classifier recovers the rule labels it was trained on") {
+    val rows = q("q_quality_classify").collect()
+    assert(rows.length === 500)
+    // decision is exactly the sign of the emitted margin
+    rows.foreach { r =>
+      assert((r.getAs[Double]("log_odds") > 0.0) ===
+        (r.getAs[Int]("nb_keep") === 1))
+    }
+    // held-out fold: the distilled model generalizes the rules
+    val holdout = rows.filter(_.getAs[Long]("doc_id") % 5 == 0)
+    val agree = holdout.count(r =>
+      r.getAs[Int]("gopher_pass") === r.getAs[Int]("nb_keep"))
+    assert(agree.toDouble / holdout.length >= 0.9,
+      s"holdout agreement ${agree.toDouble / holdout.length}")
+    // both classes are actually predicted (not a constant classifier)
+    assert(rows.count(_.getAs[Int]("nb_keep") === 1) > 50)
+    assert(rows.count(_.getAs[Int]("nb_keep") === 0) > 50)
+  }
+
   test("paths are bounded at 5 hops and counts conserve user-days") {
     val rows = q("q_events_paths").collect()
     assert(rows.nonEmpty)

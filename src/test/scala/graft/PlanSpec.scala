@@ -499,6 +499,22 @@ class PlanSpec extends SparkSuite {
       "no unkeyed corpus product")
   }
 
+  test("perplexity: no windows anywhere; tertile cuts broadcast") {
+    val p = plan("q_text_perplexity")
+    assert(!p.contains("WindowExec"),
+      s"perplexity must bucket against broadcast cuts, not rank:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"one-row cuts/vocab must broadcast:\n$p")
+  }
+
+  test("quality classifier: model joins broadcast, no shuffle on the model side") {
+    val p = plan("q_quality_classify")
+    assert(p.contains("BroadcastHashJoin"),
+      s"likelihood join must broadcast the vocab-sized model:\n$p")
+    assert(!p.contains("WindowExec"), s"no windows expected:\n$p")
+  }
+
   test("DSIR resample: top-64 is a partial top-k; rank join broadcasts") {
     val p = plan("q_mix_dsir_sample")
     assert(p.contains("TakeOrderedAndProject"),
