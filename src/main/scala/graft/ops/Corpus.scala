@@ -582,7 +582,104 @@ object Corpus {
             FROM m, cuts
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Two-stage anneal mix (q_mix_anneal): the LLaMA-3/MiniCPM-style
+    * midtraining schedule — stage 1 (90% of the token budget) samples
+    * by the plain temperature mix, stage 2 (the final 10%, the
+    * "anneal") re-weights each source by the SQUARE of its rule-gate
+    * pass rate, concentrating the end of training on the highest-
+    * quality sources. Emits the per-source budget table a training
+    * launcher consumes: both stage weights, both token allocations,
+    * and the anneal boost ratio. Parity discipline: the temperature
+    * term pow(n, 0.7) and the quality-weighted term are quantized to
+    * millionths (BIGINT) per source BEFORE normalization, so both
+    * stage normalizers are exact integer sums and the emitted
+    * allocations are floors of identically-ordered double products.
+    * Scale shape: two per-source aggregates + one-row normalizer
+    * broadcasts — dimension-sized end to end, like q_mix_epochs. */
+  val qMixAnneal = Q(
+    "q_mix_anneal",
+    (s, d) => {
+      val bySource = docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          split(col("text"), " ").as("ws"), col("text"))
+        .select(col("source"), col("ntok"),
+          (size(col("ws")).between(50, 100000) &&
+            round(length(translate(col("text"), " ", "")) /
+              size(col("ws")), 6).between(3.0, 10.0) &&
+            round(size(filter(col("ws"), w => w.rlike("^[a-z]+$"))) /
+              size(col("ws")), 6) >= 0.8 &&
+            size(filter(col("ws"), w => w.isin("the", "a"))) >= 2)
+            .cast("long").as("passes"))
+        .groupBy(col("source"))
+        .agg(sum(col("ntok")).as("n"),
+          count(lit(1)).as("nd"),
+          sum(col("passes")).as("np"))
+        .select(col("source"), col("n"),
+          round(col("np").cast("double") / col("nd"), 6).as("pass_rate"))
+        .select(col("source"), col("n"), col("pass_rate"),
+          floor(pow(col("n").cast("double"), 0.7) * 1000000 + 0.5)
+            .cast("long").as("q1i"))
+        .select(col("*"),
+          floor(pow(col("n").cast("double"), 0.7) * col("pass_rate") *
+            col("pass_rate") * 1000000 + 0.5).cast("long").as("q2i"))
+      val z = bySource.agg(sum(col("q1i")).as("z1"),
+        sum(col("q2i")).as("z2"), sum(col("n")).as("tot"))
+      bySource.crossJoin(broadcast(z))
+        .select(col("source"), col("n").as("n_tokens"), col("pass_rate"),
+          round(col("q1i").cast("double") / col("z1"), 6).as("w1"),
+          round(col("q2i").cast("double") / col("z2"), 6).as("w2"),
+          floor(lit(0.9) * (col("tot") * 10).cast("double") *
+            col("q1i") / col("z1")).cast("long").as("t1_tokens"),
+          floor(lit(0.1) * (col("tot") * 10).cast("double") *
+            col("q2i") / col("z2")).cast("long").as("t2_tokens"),
+          round((col("q2i").cast("double") / col("z2")) /
+            (col("q1i").cast("double") / col("z1")), 6).as("boost"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH per_doc AS (
+              SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                CAST(len(string_split(text, ' ')) BETWEEN 50 AND 100000
+                  AND round(length(replace(text, ' ', '')) * 1.0 /
+                    len(string_split(text, ' ')), 6) BETWEEN 3.0 AND 10.0
+                  AND round(len(list_filter(string_split(text, ' '),
+                      x -> regexp_full_match(x, '[a-z]+'))) * 1.0 /
+                    len(string_split(text, ' ')), 6) >= 0.8
+                  AND len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a'))) >= 2
+                AS BIGINT) AS passes
+              FROM documents),
+            by_source AS (
+              SELECT source, CAST(sum(ntok) AS BIGINT) AS n,
+                round(CAST(sum(passes) AS DOUBLE) / count(*), 6)
+                  AS pass_rate
+              FROM per_doc GROUP BY source),
+            quant AS (
+              SELECT source, n, pass_rate,
+                CAST(floor(pow(CAST(n AS DOUBLE), 0.7e0) * 1000000 + 0.5)
+                  AS BIGINT) AS q1i,
+                CAST(floor(pow(CAST(n AS DOUBLE), 0.7e0) * pass_rate *
+                  pass_rate * 1000000 + 0.5) AS BIGINT) AS q2i
+              FROM by_source),
+            z AS (
+              SELECT CAST(sum(q1i) AS BIGINT) AS z1,
+                CAST(sum(q2i) AS BIGINT) AS z2,
+                CAST(sum(n) AS BIGINT) AS tot
+              FROM quant)
+            SELECT source, n AS n_tokens, pass_rate,
+              round(CAST(q1i AS DOUBLE) / z1, 6) AS w1,
+              round(CAST(q2i AS DOUBLE) / z2, 6) AS w2,
+              CAST(floor(0.9e0 * CAST(tot * 10 AS DOUBLE) * q1i / z1)
+                AS BIGINT) AS t1_tokens,
+              CAST(floor(0.1e0 * CAST(tot * 10 AS DOUBLE) * q2i / z2)
+                AS BIGINT) AS t2_tokens,
+              round((CAST(q2i AS DOUBLE) / z2) /
+                (CAST(q1i AS DOUBLE) / z1), 6) AS boost
+            FROM quant, z
+            ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
-    qMixDsirSample, qTextPerplexity)
+    qMixDsirSample, qTextPerplexity, qMixAnneal)
 }

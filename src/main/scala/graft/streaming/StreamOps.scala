@@ -928,6 +928,58 @@ object StreamOps {
     },
     graft.ops.Corpus.qShardManifest.oracle)
 
+  /** Streaming curation funnel (q_stream_curate): the ingest twin of
+    * q_curate_v2 — every arriving document is graded through the same
+    * four stages (exact-keeper probe → SemDeDup drop list → DSIR gate →
+    * token-length gate) by probing STATIC stage stores with
+    * stream-static equi-joins. The keeper table and the DSIR weight
+    * store are corpus-bounded keyed stores, so they carry NO broadcast
+    * hint (at fleet scale they live bucketed or bloom-fronted and the
+    * planner picks the join strategy); the SemDeDup drop list is
+    * duplicate-mass-bounded. All stage flags are scan-local once the
+    * probes land, and the only STATEFUL operator is the per-source
+    * survivor rollup — one state row per source whatever the stream
+    * volume. The settled table is byte-equal to the batch funnel, so
+    * the oracle SQL is reused verbatim and the driver hash-checks the
+    * streaming path against the same composition of verified stages. */
+  val qStreamCurate = Q(
+    "q_stream_curate",
+    (s, d) => {
+      val eg = graft.ops.Dedup.qDedupExact.fn(s, d)
+        .select(col("text_hash"), col("keep_id"))
+      val sem = graft.ops.Dedup.qDedupSemantic.fn(s, d)
+        .select(col("vec_id"))
+      val dsir = graft.ops.Corpus.qMixDsir.fn(s, d)
+        .select(col("doc_id").as("w_id"), col("logw"))
+      val flagged = documentsStream(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text"))).cast("binary")).as("th"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok"))
+        .join(eg, col("th") === col("text_hash"))
+        .join(sem, col("doc_id") === col("vec_id"), "left")
+        .join(dsir, col("doc_id") === col("w_id"), "left")
+        .select(col("source"), col("ntok"),
+          (col("keep_id") === col("doc_id")).as("s1"),
+          col("vec_id").isNull.as("not_sem"),
+          coalesce(col("logw") >= lit(-15.0), lit(false)).as("dsir_ok"))
+        .select(col("source"), col("ntok"), col("s1"),
+          (col("s1") && col("not_sem")).as("s2"),
+          (col("s1") && col("not_sem") && col("dsir_ok")).as("s3"))
+        .withColumn("kept",
+          col("s3") && col("ntok") >= 20 && col("ntok") <= 1000)
+      val agg = flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_exact"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_sem"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_after_dsir"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("ntok")).otherwise(0L))
+            .as("kept_tokens"))
+      drain(s, agg, "stream_curate_tbl", "complete")
+        .orderBy(col("source"))
+    },
+    graft.ops.TextOps.qCurateV2.oracle)
+
   /** Streaming training-mix gate (q_stream_mix_sample): the ingest
     * twin of q_mix_sample — the per-source rate table is planned ONCE
     * from the static corpus (tiny, broadcast), and every arriving doc
@@ -1469,5 +1521,6 @@ object StreamOps {
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
-    qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest)
+    qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
+    qStreamCurate)
 }

@@ -241,6 +241,25 @@ class CorpusSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "model join fell back to SMJ")
   }
 
+  test("anneal mix: budgets split 90/10, boost follows the pass rate") {
+    val rows = q("q_mix_anneal").collect()
+    assert(rows.length === 20)
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val t1 = rows.map(_.getAs[Long]("t1_tokens")).sum
+    val t2 = rows.map(_.getAs[Long]("t2_tokens")).sum
+    // floors under-shoot by at most one token per source
+    assert(t1 <= (0.9 * tot * 10).toLong && t1 >= (0.9 * tot * 10).toLong - 20)
+    assert(t2 <= (0.1 * tot * 10).toLong && t2 >= (0.1 * tot * 10).toLong - 20)
+    // the anneal stage boosts the highest-quality source relative to
+    // the lowest-quality one
+    val best = rows.maxBy(_.getAs[Double]("pass_rate"))
+    val worst = rows.minBy(_.getAs[Double]("pass_rate"))
+    assert(best.getAs[Double]("boost") > worst.getAs[Double]("boost"))
+    // stage weights are distributions
+    assert(math.abs(rows.map(_.getAs[Double]("w1")).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("w2")).sum - 1.0) < 1e-3)
+  }
+
   test("perplexity: tertiles balanced, bits ordered head < middle < tail") {
     val rows = q("q_text_perplexity").collect()
     assert(rows.length === 500)

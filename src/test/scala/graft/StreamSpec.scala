@@ -701,6 +701,14 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("streaming curation funnel settles to the batch funnel exactly") {
+    val got = SparkEntry.queries("q_stream_curate")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_curate_v2")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch)
+  }
+
   test("streaming shard manifest settles to the batch manifest exactly") {
     val got = SparkEntry.queries("q_stream_shard_manifest")(spark, sf0)
       .collect().map(_.toSeq).toSeq
