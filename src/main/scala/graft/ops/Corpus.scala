@@ -486,35 +486,51 @@ object Corpus {
     * carry NO broadcast hint and plan by size statistics; the cuts are
     * a one-row broadcast; no windows anywhere, so nothing serializes
     * through a single task. */
+  /** (doc_id, source, w1, w2) bigram rows — a scan-local explode over
+    * documents with at least two tokens. */
+  private[graft] def bigramRows(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+                       i -> struct(element_at(ws, i) AS w1,
+                                   element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Add-1-smoothed conditional bigram model, quantized: (w1, w2,
+    * lqi = floor(-log2 P(w2|w1) * 1e6 + 0.5)). Vocabulary²-bounded —
+    * Heaps-sublinear in the corpus — so consumers join it WITHOUT a
+    * broadcast hint and let size statistics pick the strategy. */
+  private[graft] def bigramLq(docsDf: DataFrame): DataFrame = {
+    val cnt = bigramRows(docsDf).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("t"))
+    val voc = docsDf
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(col("ws")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    cnt.join(tot, "w1")
+      .crossJoin(broadcast(voc))
+      .select(col("w1"), col("w2"),
+        floor(-log((col("n") + 1).cast("double") /
+            (col("t") + col("v"))) / log(lit(2.0)) * 1000000 + 0.5)
+          .cast("long").as("lqi"))
+  }
+
   val qTextPerplexity = Q(
     "q_text_perplexity",
     (s, d) => {
-      val tk = docs(s, d)
-        .select(col("doc_id"), col("source"),
-          split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
       // per-doc bigram multiset, pre-aggregated before the model join
-      val db = tk
-        .select(col("doc_id"), col("source"),
-          explode(expr(
-            """transform(sequence(1, size(ws) - 1),
-                         i -> struct(element_at(ws, i) AS w1,
-                                     element_at(ws, i + 1) AS w2))"""))
-            .as("b"))
-        .groupBy(col("doc_id"), col("source"),
-          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val db = bigramRows(docs(s, d))
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
-      val cnt = db.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("c")).as("n"))
-      val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("t"))
-      val voc = tk.select(explode(col("ws")).as("token"))
-        .agg(countDistinct(col("token")).as("v"))
-      val lq = cnt.join(tot, "w1")
-        .crossJoin(broadcast(voc))
-        .select(col("w1"), col("w2"),
-          floor(-log((col("n") + 1).cast("double") /
-              (col("t") + col("v"))) / log(lit(2.0)) * 1000000 + 0.5)
-            .cast("long").as("lqi"))
+      val lq = bigramLq(docs(s, d))
       val m = db.join(lq, Seq("w1", "w2"))
         .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("c")).as("nb"),

@@ -975,9 +975,75 @@ object Dedup {
             ORDER BY vec_id NULLS FIRST"""
     })
 
+  /** Quality-aware cluster canonicalization (q_dedup_cluster_keep):
+    * inside every near-dup cluster, keep the HIGHEST-QUALITY member
+    * (q_text_quality's score, ties to the lowest doc_id) instead of the
+    * blind min-id keeper — the selection rule real pipelines prefer,
+    * because the best-formatted mirror of a page survives rather than
+    * whichever crawled first. Composes two verified programs: the
+    * pointer-doubling components and the scan-local quality score; the
+    * oracle recomputes the same fixpoint recursively and re-ranks with
+    * the same score. The argmax window partitions by cluster id
+    * (cluster-bounded, never global), and the quality join is an
+    * equi-join on doc_id over the cluster membership — duplicate-mass-
+    * sized, not corpus-sized. */
+  val qDedupClusterKeep = Q(
+    "q_dedup_cluster_keep",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
+      val members = connectedComponents(pairs)
+      val qual = TextOps.qTextQuality.fn(s, d)
+        .select(col("doc_id"), col("quality"))
+      val m = members.join(qual, "doc_id")
+      val sizes = m.groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"))
+      m.withColumn("rk", row_number().over(
+          Window.partitionBy(col("comp"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+        .join(sizes, "comp")
+        .filter(col("cluster_size") > 1)
+        .select(col("comp"), col("cluster_size"),
+          col("doc_id").as("keep_id"), col("quality").as("keep_quality"))
+        .orderBy(col("comp"))
+    },
+    qDedupNear.oracle.map { nearSql =>
+      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      s"""WITH RECURSIVE np AS ($inner),
+            edges AS (SELECT a_id AS u, b_id AS v FROM np
+                      UNION SELECT b_id, a_id FROM np),
+            reach(u, v) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+            memb AS (SELECT u AS doc_id, min(v) AS comp
+                     FROM reach GROUP BY u),
+            qual AS (
+              SELECT doc_id,
+                round(ln(1.0 + length(text)) *
+                  (1.0 - round(
+                    len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','and','of','to','in'))) * 1.0 /
+                    len(string_split(text, ' ')), 6)), 6) AS quality
+              FROM documents),
+            sized AS (SELECT comp, count(*) AS cluster_size
+                      FROM memb GROUP BY comp),
+            ranked AS (
+              SELECT m.comp, m.doc_id, q.quality,
+                row_number() OVER (PARTITION BY m.comp
+                  ORDER BY q.quality DESC, m.doc_id) AS rk
+              FROM memb m JOIN qual q USING (doc_id))
+          SELECT r.comp, s.cluster_size, r.doc_id AS keep_id,
+            r.quality AS keep_quality
+          FROM ranked r JOIN sized s USING (comp)
+          WHERE rk = 1 AND s.cluster_size > 1
+          ORDER BY comp NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
-    qDedupIncremental)
+    qDedupIncremental, qDedupClusterKeep)
 }

@@ -928,6 +928,61 @@ object StreamOps {
     },
     graft.ops.Corpus.qShardManifest.oracle)
 
+  /** Streaming perplexity telemetry (q_stream_perplexity): arriving
+    * documents are scored against the STATIC add-1 bigram model
+    * (Corpus.bigramLq, vocabulary²-bounded, planned once per
+    * micro-batch) and rolled up to per-source bits-per-bigram — the
+    * live quality monitor that flags a source whose new crawl drifts
+    * from the language model of the corpus it was tuned on. The stream
+    * side is one scan-local bigram explode + the model equi-join (no
+    * broadcast hint — the model is Heaps-sublinear, statistics pick
+    * the strategy); the ONLY stateful operator is the per-source sum
+    * pair, and because both sums are commutative the settled table
+    * equals the batch rollup regardless of arrival order. */
+  val qStreamPerplexity = Q(
+    "q_stream_perplexity",
+    (s, d) => {
+      val lq = graft.ops.Corpus.bigramLq(Tables.t(s, d, "documents"))
+      val scored = graft.ops.Corpus.bigramRows(documentsStream(s, d))
+        .join(lq, Seq("w1", "w2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lqi")).as("sum_i"))
+      drain(s, scored, "stream_ppl_tbl", "complete")
+        .select(col("source"), col("n_bigrams"),
+          round(col("sum_i") / lit(1e6) / col("n_bigrams"), 6)
+            .as("bits_per_bigram"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            cnt AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+              FROM big GROUP BY w1, w2),
+            tot AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt GROUP BY w1),
+            voc AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk)),
+            lq AS (
+              SELECT w1, w2,
+                CAST(floor(-ln(CAST(n + 1 AS DOUBLE) / (t + v))
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                  AS lqi
+              FROM cnt JOIN tot USING (w1), voc)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(CAST(sum(lqi) AS BIGINT) / 1e6 / count(*), 6)
+                AS bits_per_bigram
+            FROM big JOIN lq USING (w1, w2)
+            GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
   /** Streaming curation funnel (q_stream_curate): the ingest twin of
     * q_curate_v2 — every arriving document is graded through the same
     * four stages (exact-keeper probe → SemDeDup drop list → DSIR gate →
@@ -1522,5 +1577,5 @@ object StreamOps {
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
     qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
-    qStreamCurate)
+    qStreamCurate, qStreamPerplexity)
 }

@@ -209,4 +209,27 @@ class DedupSpec extends SparkSuite {
       assert(p >= -1.0 && p <= 1.0)
     }
   }
+
+  test("cluster keeper is the highest-quality member of each component") {
+    val keep = q("q_dedup_cluster_keep").collect()
+    val comps = q("q_dedup_components").collect()
+    // same clusters as the min-id canonicalization, same sizes
+    assert(keep.map(r => (r.getAs[Long]("comp"),
+      r.getAs[Long]("cluster_size"))).toSet ===
+      comps.map(r => (r.getAs[Long]("comp"),
+        r.getAs[Long]("cluster_size"))).toSet)
+    // the keeper's quality dominates the whole corpus-wide score of
+    // the blind min-id keeper for its own cluster
+    val qual = q("q_text_quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality"))
+      .toMap
+    val minIdKeep = comps
+      .map(r => r.getAs[Long]("comp") -> r.getAs[Long]("keep_id")).toMap
+    keep.foreach { r =>
+      val kq = r.getAs[Double]("keep_quality")
+      assert(kq === qual(r.getAs[Long]("keep_id")))
+      assert(kq >= qual(minIdKeep(r.getAs[Long]("comp"))),
+        s"keeper not quality-maximal in comp ${r.getAs[Long]("comp")}")
+    }
+  }
 }

@@ -499,6 +499,14 @@ class PlanSpec extends SparkSuite {
       "no unkeyed corpus product")
   }
 
+  test("cluster keeper: argmax window partitions by cluster id, never global") {
+    val p = plan("q_dedup_cluster_keep")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"expected the per-cluster argmax window:\n$p")
+    specs.foreach(sp => assert(sp.contains("comp#"),
+      s"unpartitioned window spec found: $sp"))
+  }
+
   test("perplexity: no windows anywhere; tertile cuts broadcast") {
     val p = plan("q_text_perplexity")
     assert(!p.contains("WindowExec"),

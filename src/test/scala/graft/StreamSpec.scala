@@ -701,6 +701,18 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("streaming perplexity settles to the per-source batch rollup") {
+    val got = SparkEntry.queries("q_stream_perplexity")(spark, sf0)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_bigrams"))
+      .toMap
+    val batch = SparkEntry.queries("q_text_perplexity")(spark, sf0)
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_bigrams")).sum).toMap
+    assert(got === batch)
+  }
+
   test("streaming curation funnel settles to the batch funnel exactly") {
     val got = SparkEntry.queries("q_stream_curate")(spark, sf0)
       .collect().map(_.toSeq).toSeq
