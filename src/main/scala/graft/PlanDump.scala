@@ -138,7 +138,21 @@ object PlanDump {
     "q_curate_v2" -> ("staged funnel reusing four verified ops: " +
       "three hash equi-joins against dedup/DSIR stage tables, flags " +
       "scan-local, ONE source-keyed aggregate - no window, no " +
-      "all-pairs anything"))
+      "all-pairs anything"),
+    "q_text_perplexity" -> ("conditional-LM gate: model tables are " +
+      "vocab²-bounded and join WITHOUT broadcast hints (stats pick); " +
+      "tertile cuts from ONE percentile aggregate broadcast back — " +
+      "docs bucket scan-local, no Window operator anywhere"),
+    "q_quality_classify" -> ("distilled NB quality filter: 2-class " +
+      "model + likelihood table broadcast; scoring is one explode + " +
+      "one (doc, class) keyed aggregate — corpus-linear, no window"),
+    "q_mix_dsir_sample" -> ("Gumbel-top-k resampling: the 64-survivor " +
+      "draw is TakeOrderedAndProject (map-side k, no global sort); " +
+      "the integer rank is a broadcast predecessor count over 64 rows"),
+    "q_dedup_cluster_keep" -> ("quality-argmax canonicalization: the " +
+      "only window partitions by cluster id (cluster-bounded); " +
+      "quality joins membership by doc_id equi-join — duplicate-mass " +
+      "sized, never corpus-wide"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -39,7 +39,14 @@ object ScaleSmoke {
     "q_sim_ann_pq", "q_dedup_semantic", "q_sim_ann_multiband",
     // round-6 curation tier: DSIR batch scoring (corpus-linear explode
     // against a bucket-bounded broadcast model) and its streaming twin
-    "q_mix_dsir", "q_stream_dsir")
+    "q_mix_dsir", "q_stream_dsir",
+    // round-6 quality tier: the conditional-LM perplexity gate (bigram
+    // explode + vocab²-bounded model join), the distilled NB quality
+    // classifier (corpus explode against a broadcast 2-class model),
+    // the end-to-end streaming funnel, and the quality-argmax cluster
+    // keeper (pair graph + per-cluster window)
+    "q_text_perplexity", "q_quality_classify", "q_stream_curate",
+    "q_dedup_cluster_keep")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
