@@ -372,5 +372,53 @@ object Learn {
             FROM lo
             ORDER BY doc_id NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qMlNaiveBayes, qTextZipf, qQualityClassify)
+  /** Classifier calibration (q_quality_calibrate): reliability table
+    * of the distilled quality classifier — fixed-width log-odds bins
+    * (width 5, clamped to [-4, 3]) with per-bin document counts, the
+    * empirical rule-label pass rate, and the mean margin. The QA pass
+    * any learned filter gets before its threshold ships: a calibrated
+    * model's pass rate should rise monotonically with the margin.
+    * Composes the registered classifier verbatim (oracle CTE reuse),
+    * so the driver hash-checks the composition. Binning is scan-local
+    * against FIXED literal edges (never a percentile of the data);
+    * the margin mean recovers the exact integer score (floor(lo·1e6))
+    * per row before summation, so the aggregate is order-insensitive. */
+  val qQualityCalibrate = Q(
+    "q_quality_calibrate",
+    (sp, dir) => {
+      qQualityClassify.fn(sp, dir)
+        .select(col("gopher_pass"), col("nb_keep"),
+          least(greatest(floor(col("log_odds") / 5), lit(-4)), lit(3))
+            .cast("long").as("bin"),
+          floor(col("log_odds") * 1000000 + 0.5).cast("long").as("li"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("gopher_pass").cast("long")).as("n_pass"),
+          sum(col("nb_keep").cast("long")).as("n_keep"),
+          round(sum(col("li")).cast("double") / 1000000 / count(lit(1)),
+            6).as("mean_log_odds"))
+        .withColumn("pass_rate",
+          round(col("n_pass").cast("double") / col("n_docs"), 6))
+        .orderBy(col("bin"))
+    },
+    qQualityClassify.oracle.map { sql =>
+      val inner = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+      s"""SELECT bin, count(*) AS n_docs,
+            CAST(sum(gopher_pass) AS BIGINT) AS n_pass,
+            CAST(sum(nb_keep) AS BIGINT) AS n_keep,
+            round(CAST(sum(li) AS DOUBLE) / 1000000 / count(*), 6)
+              AS mean_log_odds,
+            round(CAST(sum(gopher_pass) AS DOUBLE) / count(*), 6)
+              AS pass_rate
+          FROM (SELECT gopher_pass, nb_keep,
+                  least(greatest(CAST(floor(log_odds / 5) AS BIGINT),
+                    -4), 3) AS bin,
+                  CAST(floor(log_odds * 1000000 + 0.5) AS BIGINT) AS li
+                FROM ($inner) z) b
+          GROUP BY bin
+          ORDER BY bin NULLS FIRST"""
+    })
+
+  val all: Seq[Q] = Seq(qMlNaiveBayes, qTextZipf, qQualityClassify,
+    qQualityCalibrate)
 }

@@ -337,38 +337,79 @@ object Vector {
     * the 1024-row codebook and 128-row LUT broadcast; scoring is a
     * scan-local 8-rows-per-vector join + one aggregate; top-20 is a
     * TakeOrderedAndProject. */
+  /** (vec_id, j, xq): 0-based dim, value in exact millionths. */
+  private[graft] def pqElems(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j"),
+        floor(col("x").cast("double") * 1000000 + 0.5)
+          .cast("long").as("xq"))
+
+  /** PQ code per (vector, subspace): 4 sign bits of dims 0..3. */
+  private[graft] def pqCodes(elems: DataFrame): DataFrame =
+    elems
+      .groupBy(col("vec_id"), (col("j") / 8).cast("long").as("m"))
+      .agg(sum(when(col("j") % 8 < 4 && col("xq") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j % 8 AS INT))"))
+        .otherwise(0L)).as("code"))
+
+  /** Probe (vec 0) asymmetric-distance lookup table over the trained
+    * codebook: (lm, lcode, lut) — 128 rows, broadcast by consumers. */
+  private[graft] def pqLut(elems: DataFrame, codes: DataFrame): DataFrame = {
+    // codebook: elementwise mean per (subspace, code), rounded once
+    val cent = elems
+      .join(codes, Seq("vec_id"))
+      .filter((col("j") / 8).cast("long") === col("m"))
+      .groupBy(col("m"), col("code"), (col("j") % 8).as("jj"))
+      .agg(floor(sum(col("xq")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("cq"))
+    val pelems = elems.filter(col("vec_id") === 0)
+      .select((col("j") / 8).cast("long").as("pm"),
+        (col("j") % 8).as("pjj"), col("xq").as("pxq"))
+    cent
+      .join(broadcast(pelems),
+        col("pm") === col("m") && col("pjj") === col("jj"))
+      .groupBy(col("m").as("lm"), col("code").as("lcode"))
+      .agg(sum(col("pxq") * col("cq")).as("lut"))
+  }
+
+  /** The PQ training CTEs (elems → codes → cent → pelems → lut),
+    * shared verbatim by the PQ and IVF+PQ oracles. */
+  private val pqCteSql =
+    """elems AS (
+         SELECT vec_id, j - 1 AS j,
+           CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5)
+             AS BIGINT) AS xq
+         FROM embeddings
+         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
+       codes AS (
+         SELECT vec_id, j // 8 AS m,
+           CAST(sum(CASE WHEN j % 8 < 4 AND xq > 0
+             THEN (1 << (j % 8)) ELSE 0 END) AS BIGINT) AS code
+         FROM elems GROUP BY vec_id, j // 8),
+       cent AS (
+         SELECT c.m, c.code, el.j % 8 AS jj,
+           CAST(floor(CAST(sum(el.xq) AS DOUBLE) / count(*) + 0.5)
+             AS BIGINT) AS cq
+         FROM elems el JOIN codes c
+           ON el.vec_id = c.vec_id AND el.j // 8 = c.m
+         GROUP BY c.m, c.code, el.j % 8),
+       pelems AS (
+         SELECT j // 8 AS pm, j % 8 AS pjj, xq AS pxq
+         FROM elems WHERE vec_id = 0),
+       lut AS (
+         SELECT m AS lm, code AS lcode,
+           CAST(sum(pxq * cq) AS BIGINT) AS lut
+         FROM cent JOIN pelems ON pm = m AND pjj = jj
+         GROUP BY m, code)"""
+
   val qSimAnnPq = Q(
     "q_sim_ann_pq",
     (s, d) => {
       val e = emb(s, d)
-      // (vec_id, j, xq): 0-based dim, value in exact millionths
-      val elems = e.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("j", "x")))
-        .select(col("vec_id"), col("j"),
-          floor(col("x").cast("double") * 1000000 + 0.5)
-            .cast("long").as("xq"))
-      // code per (vector, subspace): 4 sign bits of dims 0..3
-      val codes = elems
-        .groupBy(col("vec_id"), (col("j") / 8).cast("long").as("m"))
-        .agg(sum(when(col("j") % 8 < 4 && col("xq") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(j % 8 AS INT))"))
-          .otherwise(0L)).as("code"))
-      // codebook: elementwise mean per (subspace, code), rounded once
-      val cent = elems
-        .join(codes, Seq("vec_id"))
-        .filter((col("j") / 8).cast("long") === col("m"))
-        .groupBy(col("m"), col("code"), (col("j") % 8).as("jj"))
-        .agg(floor(sum(col("xq")).cast("double") / count(lit(1)) + 0.5)
-          .cast("long").as("cq"))
-      // probe LUT: dot of the probe slice with every code centroid
-      val pelems = elems.filter(col("vec_id") === 0)
-        .select((col("j") / 8).cast("long").as("pm"),
-          (col("j") % 8).as("pjj"), col("xq").as("pxq"))
-      val lut = cent
-        .join(broadcast(pelems),
-          col("pm") === col("m") && col("pjj") === col("jj"))
-        .groupBy(col("m").as("lm"), col("code").as("lcode"))
-        .agg(sum(col("pxq") * col("cq")).as("lut"))
+      val elems = pqElems(e)
+      val codes = pqCodes(elems)
+      val lut = pqLut(elems, codes)
       // ADC score: sum the 8 table entries each vector's codes select
       val scores = codes.filter(col("vec_id") =!= 0)
         .join(broadcast(lut),
@@ -391,32 +432,7 @@ object Vector {
         .limit(10)
     },
     Some(s"""$embCte,
-             elems AS (
-               SELECT vec_id, j - 1 AS j,
-                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000 + 0.5)
-                   AS BIGINT) AS xq
-               FROM embeddings
-               CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js),
-             codes AS (
-               SELECT vec_id, j // 8 AS m,
-                 CAST(sum(CASE WHEN j % 8 < 4 AND xq > 0
-                   THEN (1 << (j % 8)) ELSE 0 END) AS BIGINT) AS code
-               FROM elems GROUP BY vec_id, j // 8),
-             cent AS (
-               SELECT c.m, c.code, el.j % 8 AS jj,
-                 CAST(floor(CAST(sum(el.xq) AS DOUBLE) / count(*) + 0.5)
-                   AS BIGINT) AS cq
-               FROM elems el JOIN codes c
-                 ON el.vec_id = c.vec_id AND el.j // 8 = c.m
-               GROUP BY c.m, c.code, el.j % 8),
-             pelems AS (
-               SELECT j // 8 AS pm, j % 8 AS pjj, xq AS pxq
-               FROM elems WHERE vec_id = 0),
-             lut AS (
-               SELECT m AS lm, code AS lcode,
-                 CAST(sum(pxq * cq) AS BIGINT) AS lut
-               FROM cent JOIN pelems ON pm = m AND pjj = jj
-               GROUP BY m, code),
+             $pqCteSql,
              scores AS (
                SELECT c.vec_id, CAST(sum(l.lut) AS BIGINT) AS score
                FROM codes c JOIN lut l ON c.m = l.lm AND c.code = l.lcode
@@ -426,6 +442,94 @@ object Vector {
                SELECT vec_id FROM scores
                ORDER BY score DESC, vec_id LIMIT 20),
              probe AS (SELECT emb_d AS p_emb FROM e WHERE vec_id = 0)
+             SELECT e.vec_id, label, ${cosSql("emb_d", "p_emb")} AS cos_sim
+             FROM cand
+             JOIN e ON cand.vec_id = e.vec_id
+             CROSS JOIN probe
+             ORDER BY cos_sim DESC NULLS LAST, e.vec_id NULLS FIRST
+             LIMIT 10"""))
+
+  /** IVF+PQ ANN (q_sim_ann_ivfpq): the FAISS-standard index layout —
+    * the coarse IVF probe (q_sim_ann_ivf's nprobe=2 cell selection)
+    * restricts the scan to the probed cells' members, and within them
+    * scoring is PQ asymmetric distance against the broadcast LUT
+    * (q_sim_ann_pq's trained codebook), with an exact-cosine rerank of
+    * the top-20. This is the composition a 100 TB vector store
+    * actually serves: the cell id is the partition key (only nprobe
+    * partitions are read), the codebook/LUT are fixed-size broadcasts,
+    * and full-precision vectors are touched only for the 20 rerank
+    * rows. Arithmetic is the PQ op's exact integer pipeline, so the
+    * oracle hash-checks codebook, cell routing, and rerank together. */
+  val qSimAnnIvfPq = Q(
+    "q_sim_ann_ivfpq",
+    (s, d) => {
+      val e = emb(s, d)
+      // coarse probe: 2 nearest cell representatives
+      val repIds = e.groupBy(col("label").as("cell"))
+        .agg(min(col("vec_id")).as("rep_id"))
+      val reps = e.join(repIds, col("vec_id") === col("rep_id"))
+        .select(col("cell"), col("embedding").as("rep_emb"),
+          col("nrm").as("rep_nrm"))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+      val nearCells = reps.crossJoin(broadcast(probe))
+        .withColumn("rep_cos",
+          cosinePre("rep_emb", "p_emb", col("rep_nrm"), col("p_nrm")))
+        .orderBy(col("rep_cos").desc, col("cell"))
+        .limit(2)
+        .select(col("cell"))
+      // PQ codebook + probe LUT trained on the full corpus
+      val elems = pqElems(e)
+      val codes = pqCodes(elems)
+      val lut = pqLut(elems, codes)
+      // ADC scoring ONLY over the probed cells' members
+      val members = e
+        .join(broadcast(nearCells), col("label") === col("cell"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      val scores = codes.join(members, "vec_id")
+        .join(broadcast(lut),
+          col("m") === col("lm") && col("code") === col("lcode"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("lut")).as("score"))
+      val cand = scores
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"))
+      cand
+        .join(e, "vec_id")
+        .crossJoin(broadcast(probe))
+        .withColumn("cos_sim",
+          cosinePre("embedding", "p_emb", col("nrm"), col("p_nrm")))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""$embCte,
+             $pqCteSql,
+             reps AS (
+               SELECT label AS cell, emb_d AS rep_emb
+               FROM e JOIN (SELECT label AS l2, min(vec_id) AS rep_id
+                            FROM e GROUP BY label) r
+                 ON e.vec_id = r.rep_id),
+             probe AS (SELECT emb_d AS p_emb FROM e WHERE vec_id = 0),
+             near_cells AS (
+               SELECT cell FROM reps CROSS JOIN probe
+               ORDER BY ${cosSql("rep_emb", "p_emb")} DESC NULLS LAST, cell
+               LIMIT 2),
+             members AS (
+               SELECT vec_id FROM e
+               JOIN near_cells ON e.label = near_cells.cell
+               WHERE vec_id != 0),
+             scores AS (
+               SELECT c.vec_id, CAST(sum(l.lut) AS BIGINT) AS score
+               FROM codes c
+               JOIN members mm ON c.vec_id = mm.vec_id
+               JOIN lut l ON c.m = l.lm AND c.code = l.lcode
+               GROUP BY c.vec_id),
+             cand AS (
+               SELECT vec_id FROM scores
+               ORDER BY score DESC, vec_id LIMIT 20)
              SELECT e.vec_id, label, ${cosSql("emb_d", "p_emb")} AS cos_sim
              FROM cand
              JOIN e ON cand.vec_id = e.vec_id
@@ -928,7 +1032,7 @@ object Vector {
 
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
-    qSimAnnPq, qSimAnnEval, qMultimodal, qSimQuantize,
+    qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
     qSimHardneg)
 }

@@ -53,6 +53,22 @@ class LearnSpec extends SparkSuite {
     assert(rows.count(_.getAs[Int]("nb_keep") === 0) > 50)
   }
 
+  test("calibration: bins clamp, counts conserve, pass rate monotone") {
+    val rows = q("q_quality_calibrate").collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= -4L && b <= 3L)
+      // the decision boundary is lo > 0, so sign(bin) pins n_keep
+      if (b >= 1) assert(r.getAs[Long]("n_keep") === r.getAs[Long]("n_docs"))
+      if (b <= -1) assert(r.getAs[Long]("n_keep") === 0L)
+    }
+    // reliability: empirical pass rate rises with the margin bin
+    val rates = rows.map(_.getAs[Double]("pass_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"calibration not monotone: ${rates.toSeq}")
+  }
+
   test("paths are bounded at 5 hops and counts conserve user-days") {
     val rows = q("q_events_paths").collect()
     assert(rows.nonEmpty)

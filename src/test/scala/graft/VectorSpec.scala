@@ -393,6 +393,31 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("ivfpq: scan restricted to nprobe cells, rerank exact, recall vs ivf") {
+    val rows = q("q_sim_ann_ivfpq").collect()
+    assert(rows.length === 10)
+    // all survivors come from at most nprobe = 2 coarse cells
+    assert(rows.map(_.getAs[Int]("label")).distinct.length <= 2)
+    // rerank output is exact-cosine ordered
+    val cs = rows.map(_.getAs[Double]("cos_sim"))
+    assert(cs.sameElements(cs.sortBy(-_)))
+    // PQ quantization loses some of the within-cell exact top-10 but
+    // must agree on at least half (measured: 5/10 at sf0.001, 7/10 at
+    // sf0.01 on the quasi-random fixture; deterministic pipeline)
+    val ivf = q("q_sim_ann_ivf").collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val overlap = rows.map(_.getAs[Long]("vec_id")).count(ivf)
+    assert(overlap >= 4, s"ivfpq recall vs ivf collapsed: $overlap/10")
+  }
+
+  test("ivfpq plan: codebook LUT and probe broadcast; top-k partial") {
+    val p = q("q_sim_ann_ivfpq").queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-20 / rerank top-10 must be partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LUT/cell joins must broadcast:\n$p")
+  }
+
   test("prune: both rank branches plan a partial WindowGroupLimit") {
     val p = q("q_sim_prune").queryExecution.executedPlan.toString
     val hits = p.split("\n").count(l =>
