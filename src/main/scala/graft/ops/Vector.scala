@@ -840,6 +840,7 @@ object Vector {
               .as("recall_at_10"))
       }
       recallOf("ivf", qSimAnnIvf)
+        .unionAll(recallOf("ivfpq", qSimAnnIvfPq))
         .unionAll(recallOf("lsh", qSimAnnLsh))
         .unionAll(recallOf("multiband", qSimAnnMultiband))
         .unionAll(recallOf("pq", qSimAnnPq))
@@ -848,6 +849,7 @@ object Vector {
     for {
       exactSql <- qSimTopk.oracle
       ivfSql <- qSimAnnIvf.oracle
+      ivfpqSql <- qSimAnnIvfPq.oracle
       lshSql <- qSimAnnLsh.oracle
       mbSql <- qSimAnnMultiband.oracle
       pqSql <- qSimAnnPq.oracle
@@ -862,6 +864,7 @@ object Vector {
               ON e.vec_id = a.a_vid"""
       s"""SELECT * FROM (
             ${one("ivf", ivfSql)}
+            UNION ALL ${one("ivfpq", ivfpqSql)}
             UNION ALL ${one("lsh", lshSql)}
             UNION ALL ${one("multiband", mbSql)}
             UNION ALL ${one("pq", pqSql)})

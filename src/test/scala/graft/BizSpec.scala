@@ -196,10 +196,10 @@ class BizSpec extends SparkSuite {
     assert(row.getAs[Double]("gini") === want)
   }
 
-  test("ANN eval table covers all four variants with recall in [0,1]") {
+  test("ANN eval table covers all five variants with recall in [0,1]") {
     val rows = q("q_sim_ann_eval").collect()
     assert(rows.map(_.getAs[String]("variant")).toSeq ===
-      Seq("ivf", "lsh", "multiband", "pq"))
+      Seq("ivf", "ivfpq", "lsh", "multiband", "pq"))
     rows.foreach { r =>
       assert(r.getAs[Long]("k") === 10L)
       val rec = r.getAs[Double]("recall_at_10")
