@@ -695,7 +695,61 @@ object Corpus {
             FROM quant, z
             ORDER BY source NULLS FIRST"""))
 
+  /** DSIR weight diagnostics (q_mix_dsir_ess): the effective sample
+    * size of the importance weights — ESS = (Σw)²/Σw² with
+    * w = exp(logw − max logw) (the log-sum-exp shift, so the largest
+    * weight is exactly 1 and exp never over/underflows) — plus the
+    * max-weight share. This is the check importance-sampling theory
+    * demands before resampling: an ESS near 1 means one document
+    * dominates the draw and the target model is over-fit to it; near n
+    * means the weights are uninformative. Parity: shifted weights are
+    * quantized to millionths (BIGINT) per doc, so both sums are exact
+    * integers and the two emitted ratios divide once. Shape: two tiny
+    * aggregates over the per-doc weight table + one-row broadcasts —
+    * nothing heavier than q_mix_dsir itself. */
+  val qMixDsirEss = Q(
+    "q_mix_dsir_ess",
+    (s, d) => {
+      val dw = qMixDsir.fn(s, d).select(col("doc_id"), col("logw"))
+      val mx = dw.agg(max(col("logw")).as("ml"))
+      val wq = dw.crossJoin(broadcast(mx))
+        .select(floor(exp(col("logw") - col("ml")) * 1000000 + 0.5)
+          .cast("long").as("w"))
+      wq.agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sww"),
+          max(col("w")).as("wmax"))
+        .select(col("n_docs"),
+          round(col("sw").cast("double") * col("sw") / col("sww"), 6)
+            .as("ess"),
+          round(col("sw").cast("double") * col("sw") / col("sww") /
+            col("n_docs"), 6).as("ess_ratio"),
+          round(col("wmax").cast("double") / col("sw"), 6)
+            .as("max_share"))
+    },
+    qMixDsir.oracle.map { dsirSql =>
+      val inner = dsirSql.substring(0, dsirSql.lastIndexOf("ORDER BY"))
+      s"""WITH dw AS (SELECT doc_id, logw FROM ($inner) z),
+            mx AS (SELECT max(logw) AS ml FROM dw),
+            wq AS (
+              SELECT CAST(floor(exp(logw - ml) * 1000000 + 0.5)
+                AS BIGINT) AS w
+              FROM dw, mx),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(w) AS BIGINT) AS sw,
+                CAST(sum(w * w) AS BIGINT) AS sww,
+                CAST(max(w) AS BIGINT) AS wmax
+              FROM wq)
+          SELECT n_docs,
+            round(CAST(sw AS DOUBLE) * sw / sww, 6) AS ess,
+            round(CAST(sw AS DOUBLE) * sw / sww / n_docs, 6)
+              AS ess_ratio,
+            round(CAST(wmax AS DOUBLE) / sw, 6) AS max_share
+          FROM agg"""
+    })
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
-    qMixDsirSample, qTextPerplexity, qMixAnneal)
+    qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss)
 }

@@ -1041,9 +1041,89 @@ object Dedup {
           ORDER BY comp NULLS FIRST"""
     })
 
+  /** Banding recall audit (q_dedup_lsh_audit): the QA gate for the
+    * minhash-LSH candidate generation — inside a FIXED sample
+    * (doc_id < 200, a literal bound that never grows with the corpus),
+    * compute the exact-Jaccard ≥ 0.5 ground-truth pairs by brute force
+    * and measure what fraction the 4×4 banding recalls. The all-pairs
+    * nested loop exists ONLY inside the literal-bounded sample
+    * (19 900 pairs forever); the banded side reuses the registered
+    * near-pair program verbatim. This is how a 100 TB pipeline audits
+    * its banding parameters: sample-bounded ground truth, never a
+    * corpus-wide all-pairs. */
+  val qDedupLshAudit = Q(
+    "q_dedup_lsh_audit",
+    (s, d) => {
+      val lim = 200L
+      val sample = minhashWithSets(s, d)
+        .filter(col("doc_id") < lim)
+        .select(col("doc_id"), col("hs"), col("sz"))
+      val exact = sample.as("za").join(sample.as("zb"),
+          col("za.doc_id") < col("zb.doc_id"))
+        .withColumn("n_common",
+          expr("size(array_intersect(za.hs, zb.hs))").cast("long"))
+        .withColumn("jaccard", round(col("n_common") * lit(1.0) /
+          (col("za.sz") + col("zb.sz") - col("n_common")), 6))
+        .select(col("za.doc_id").as("a_id"),
+          col("zb.doc_id").as("b_id"), col("jaccard"))
+      val truth = exact.filter(col("jaccard") >= 0.5)
+      val banded = nearPairs(s, d)
+        .filter(col("a_id") < lim && col("b_id") < lim)
+        .select(col("a_id").as("ca"), col("b_id").as("cb"))
+      val nPairs = exact.agg(count(lit(1)).as("n_pairs"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nHit = truth.join(banded,
+          col("a_id") === col("ca") && col("b_id") === col("cb"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val nBand = banded.agg(count(lit(1)).as("n_banded"))
+      nPairs.crossJoin(broadcast(nTrue))
+        .crossJoin(broadcast(nBand))
+        .crossJoin(broadcast(nHit))
+        .select(col("n_pairs"), col("n_true"), col("n_banded"),
+          col("n_hit"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_true"),
+              6)).as("recall"))
+    },
+    Some {
+      val jac = "round(len(list_intersect(za.hs, zb.hs)) * 1.0 / " +
+        "(za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))), 6)"
+      s"""$bandsCteSql,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+         banded AS (
+           SELECT c.a_id, c.b_id FROM cand c
+           JOIN shingle_sets za ON za.doc_id = c.a_id
+           JOIN shingle_sets zb ON zb.doc_id = c.b_id
+           WHERE c.a_id < 200 AND c.b_id < 200 AND $jac >= 0.5),
+         sample AS (
+           SELECT doc_id, hs, sz FROM shingle_sets WHERE doc_id < 200),
+         exact_pairs AS (
+           SELECT za.doc_id AS a_id, zb.doc_id AS b_id, $jac AS jaccard
+           FROM sample za JOIN sample zb ON za.doc_id < zb.doc_id),
+         truth AS (SELECT a_id, b_id FROM exact_pairs
+                   WHERE jaccard >= 0.5),
+         hit AS (
+           SELECT count(*) AS n_hit FROM truth t
+           WHERE EXISTS (SELECT 1 FROM banded b
+                         WHERE b.a_id = t.a_id AND b.b_id = t.b_id))
+         SELECT
+           CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM banded) AS BIGINT) AS n_banded,
+           CAST((SELECT n_hit FROM hit) AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+             ELSE round(CAST((SELECT n_hit FROM hit) AS DOUBLE) /
+               (SELECT count(*) FROM truth), 6) END AS recall"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
-    qDedupIncremental, qDedupClusterKeep)
+    qDedupIncremental, qDedupClusterKeep, qDedupLshAudit)
 }

@@ -241,6 +241,20 @@ class CorpusSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "model join fell back to SMJ")
   }
 
+  test("DSIR ESS: bounded by n, consistent ratios, weights concentrated") {
+    val r = q("q_mix_dsir_ess").collect()(0)
+    val n = r.getAs[Long]("n_docs")
+    val ess = r.getAs[Double]("ess")
+    assert(n === 500L)
+    assert(ess >= 1.0 && ess <= n.toDouble)
+    assert(math.abs(r.getAs[Double]("ess_ratio") - ess / n) < 1e-6)
+    val share = r.getAs[Double]("max_share")
+    assert(share > 0.0 && share <= 1.0)
+    // the ~7-nat DSIR weight spread concentrates the draw: ESS well
+    // below n (measured 15.2 at sf0.001, 25.4 at sf0.01)
+    assert(ess < n / 4.0)
+  }
+
   test("anneal mix: budgets split 90/10, boost follows the pass rate") {
     val rows = q("q_mix_anneal").collect()
     assert(rows.length === 20)

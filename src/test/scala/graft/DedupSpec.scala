@@ -210,6 +210,20 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("banding audit: sample-bounded ground truth, full recall at j>=0.5") {
+    val r = q("q_dedup_lsh_audit").collect()(0)
+    // the brute-force side is literal-bounded: C(200, 2) pairs forever
+    assert(r.getAs[Long]("n_pairs") === 19900L)
+    val nTrue = r.getAs[Long]("n_true")
+    val nHit = r.getAs[Long]("n_hit")
+    assert(nTrue > 0L, "fixture should plant sample dup pairs")
+    assert(nHit <= nTrue && nHit <= r.getAs[Long]("n_banded"))
+    // 4x4 minhash banding at j >= 0.5: P(miss) = (1-s^4)^4 < 7% even
+    // at the threshold, and planted dups sit far above it — measured
+    // 3/3 (sf0.01) and 11/11 (sf0.001)
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
+
   test("cluster keeper is the highest-quality member of each component") {
     val keep = q("q_dedup_cluster_keep").collect()
     val comps = q("q_dedup_components").collect()
