@@ -504,6 +504,22 @@ object Dedup {
     math.max(1L, math.min(confWidth.toLong, derived)).toInt
   }
 
+  private val compCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Component membership (doc_id, comp) over the verified near-pair
+    * graph, computed once per (session, sfDir) — the min-id and
+    * quality-argmax canonicalizations consume the SAME fixpoint, so
+    * the pointer-doubling loop runs once, not per consumer (the
+    * [[nearPairs]] reuse discipline). */
+  private[graft] def nearComponents(s: SparkSession, d: String): DataFrame =
+    compCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val df = connectedComponents(
+        nearPairs(s, d).select(col("a_id"), col("b_id"))).persist()
+      df.count()
+      df
+    })
+
   private[graft] def connectedComponents(
       pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     // materialize the edge list ONCE — every propagation step joins
@@ -580,8 +596,7 @@ object Dedup {
       // shuffles real data); connectedComponents then sizes its own
       // propagation shuffles from the counted edge list (see
       // propagationWidth) — width like the pair graph, not the corpus.
-      val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
-      connectedComponents(pairs)
+      nearComponents(s, d)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("cluster_size"),
           min(col("doc_id")).as("keep_id"))
@@ -991,8 +1006,7 @@ object Dedup {
     "q_dedup_cluster_keep",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
-      val members = connectedComponents(pairs)
+      val members = nearComponents(s, d)
       val qual = TextOps.qTextQuality.fn(s, d)
         .select(col("doc_id"), col("quality"))
       val m = members.join(qual, "doc_id")
