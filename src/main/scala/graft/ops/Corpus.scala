@@ -749,7 +749,103 @@ object Corpus {
           FROM agg"""
     })
 
+  /** Held-out perplexity (q_text_heldout_ppl): the honest version of
+    * q_text_perplexity — the add-1 bigram model is fit on the TRAIN
+    * fold only (doc_id % 5 != 0) and every held-out document is scored
+    * under it, with the full smoothing backoff chain an unseen test
+    * bigram needs: seen (w1,w2) → (n+1)/(t+V); unseen w2 under a seen
+    * w1 → 1/(t+V); wholly unseen w1 → 1/V. This is the actual CCNet
+    * setup (score under a FOREIGN model) and the generalization check
+    * q_text_perplexity's self-scored tertiles cannot give. Per-bigram
+    * bits are quantized to millionths before summation; the emitted
+    * unseen count makes the backoff auditable. Scale shape: model
+    * tables are vocab²-bounded with NO broadcast hints; the two left
+    * joins and the per-doc aggregate are the only shuffles. */
+  val qTextHeldoutPpl = Q(
+    "q_text_heldout_ppl",
+    (s, d) => {
+      val train = docs(s, d).filter(col("doc_id") % 5 =!= 0)
+      val test = docs(s, d).filter(col("doc_id") % 5 === 0)
+      val cnt = bigramRows(train).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("t"))
+      val voc = train
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(col("ws")).as("token"))
+        .agg(countDistinct(col("token")).as("v"))
+      val tb = bigramRows(test)
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      tb.join(cnt, Seq("w1", "w2"), "left")
+        .join(tot, Seq("w1"), "left")
+        .crossJoin(broadcast(voc))
+        .withColumn("lqi", floor(-log(
+            when(col("n").isNotNull,
+              (col("n") + 1).cast("double") / (col("t") + col("v")))
+              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
+              .otherwise(lit(1.0) / col("v")))
+          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
+        .withColumn("unseen", col("n").isNull.cast("long"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("c") * col("lqi")).as("sum_i"),
+          sum(col("c") * col("unseen")).as("n_unseen"))
+        .select(col("doc_id"), col("source"),
+          col("nb").as("n_bigrams"), col("n_unseen"),
+          round(col("sum_i") / lit(1e6) / col("nb"), 6)
+            .as("bits_per_bigram"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            cnt AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+              FROM big WHERE doc_id % 5 <> 0 GROUP BY w1, w2),
+            tot AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt GROUP BY w1),
+            voc AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk
+                    WHERE doc_id % 5 <> 0)),
+            tb AS (
+              SELECT doc_id, source, w1, w2,
+                CAST(count(*) AS BIGINT) AS c
+              FROM big WHERE doc_id % 5 = 0
+              GROUP BY doc_id, source, w1, w2),
+            scored AS (
+              SELECT tb.doc_id, tb.source, tb.c,
+                CAST(floor(-ln(
+                    CASE WHEN cnt.n IS NOT NULL
+                      THEN CAST(cnt.n + 1 AS DOUBLE) / (tot.t + voc.v)
+                    WHEN tot.t IS NOT NULL
+                      THEN 1.0 / (tot.t + voc.v)
+                    ELSE 1.0 / voc.v END)
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                  AS lqi,
+                CASE WHEN cnt.n IS NULL THEN 1 ELSE 0 END AS unseen
+              FROM tb
+              LEFT JOIN cnt ON tb.w1 = cnt.w1 AND tb.w2 = cnt.w2
+              LEFT JOIN tot ON tb.w1 = tot.w1
+              CROSS JOIN voc)
+            SELECT doc_id, source,
+              CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(sum(c * unseen) AS BIGINT) AS n_unseen,
+              round(CAST(sum(c * lqi) AS BIGINT) / 1e6 / sum(c), 6)
+                AS bits_per_bigram
+            FROM scored
+            GROUP BY doc_id, source
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
-    qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss)
+    qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss,
+    qTextHeldoutPpl)
 }

@@ -241,6 +241,25 @@ class CorpusSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "model join fell back to SMJ")
   }
 
+  test("held-out perplexity: foreign model costs more bits than self-scoring") {
+    val held = q("q_text_heldout_ppl").collect()
+    assert(held.length === 100)
+    val bigrams = held.map(_.getAs[Long]("n_bigrams")).sum
+    val unseen = held.map(_.getAs[Long]("n_unseen")).sum
+    // the folds share a generator, so the backoff fires rarely
+    assert(unseen.toDouble / bigrams < 0.05, s"unseen $unseen/$bigrams")
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val heldMean = mean(held.map(_.getAs[Double]("bits_per_bigram")))
+    // same docs scored under the self-trained corpus model: the
+    // held-out (train-fold) model must not look BETTER than the model
+    // that saw the documents
+    val self = q("q_text_perplexity").collect()
+      .filter(_.getAs[Long]("doc_id") % 5 == 0)
+    val selfMean = mean(self.map(_.getAs[Double]("bits_per_bigram")))
+    assert(heldMean >= selfMean - 1e-6,
+      s"generalization gap negative: $heldMean vs $selfMean")
+  }
+
   test("DSIR ESS: bounded by n, consistent ratios, weights concentrated") {
     val r = q("q_mix_dsir_ess").collect()(0)
     val n = r.getAs[Long]("n_docs")
