@@ -1135,9 +1135,62 @@ object Dedup {
                (SELECT count(*) FROM truth), 6) END AS recall"""
     })
 
+  /** Bloom-fronted incremental ingest (q_dedup_bloom_ingest): the
+    * "bloom-fronted signature store" design the streaming comments
+    * promise, made concrete — a ~KB bloom filter over the INCREMENT's
+    * combined (band, band_key) keys is built in one aggregate and
+    * inlined into the corpus scan's WHERE, so corpus signatures that
+    * cannot collide with anything arriving die AT THE SCAN, before any
+    * join or shuffle. At 100 TB this is the difference between
+    * streaming the whole signature store through the probe join and
+    * reading only the ~|increment|-proportional slice that might
+    * match. Bloom false positives are removed by the same band
+    * equi-join + exact-Jaccard verify as q_dedup_incremental, so the
+    * result — and the oracle, reused verbatim — is exactly the plain
+    * incremental check. */
+  val qDedupBloomIngest = Q(
+    "q_dedup_bloom_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.BloomFns.register(s)
+      val mh = minhashWithSets(s, d)
+      val corpusBands = lshBands(mh.filter(col("doc_id") % 10 < 8))
+        .withColumn("ck", col("band_key") * 4 + col("band"))
+      val incBands = lshBands(mh.filter(col("doc_id") % 10 >= 8))
+        .withColumn("ck", col("band_key") * 4 + col("band"))
+      incBands.createOrReplaceTempView("inc_bands_v")
+      corpusBands.createOrReplaceTempView("corpus_bands_v")
+      // the sketch is a scalar subquery: evaluated once, inlined as a
+      // literal into the corpus-side predicate (the broadcast)
+      val pruned = s.sql("""
+        SELECT doc_id, band, band_key FROM corpus_bands_v
+        WHERE might_contain(
+                (SELECT bloom_filter_agg(xxhash64(ck), 10000L, 100000L)
+                 FROM inc_bands_v),
+                xxhash64(ck))""")
+      val cand = pruned.as("a")
+        .join(broadcast(incBands).as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(col("b.doc_id").as("new_id"),
+          col("a.doc_id").as("corpus_id"))
+        .distinct()
+      val sets = mh.select(col("doc_id"), col("hs"), col("sz"))
+      jaccardVerify(cand, sets, "new_id", "corpus_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("new_id"))
+            .orderBy(col("jaccard").desc, col("corpus_id"))))
+        .filter(col("rn") === 1)
+        .select(col("new_id"), col("corpus_id").as("dup_of"),
+          col("jaccard"))
+        .orderBy(col("new_id"))
+    },
+    qDedupIncremental.oracle)
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
-    qDedupIncremental, qDedupClusterKeep, qDedupLshAudit)
+    qDedupIncremental, qDedupClusterKeep, qDedupLshAudit,
+    qDedupBloomIngest)
 }

@@ -537,6 +537,45 @@ object Vector {
              ORDER BY cos_sim DESC NULLS LAST, e.vec_id NULLS FIRST
              LIMIT 10"""))
 
+  /** Threshold sensitivity curve (q_sim_threshold_curve): how many
+    * verified near-dup pairs survive each candidate cosine threshold —
+    * the table an operator reads before moving the dedup operating
+    * point, because "how much MORE would 0.4 drop than 0.5" is
+    * unanswerable from a single-threshold run. Buckets the registered
+    * banded pair program's exact cosines at 0.1 width and emits, per
+    * bucket, the pair count and the surviving count at-or-above it
+    * (the descending cumulative — computed as a broadcast self-join
+    * over the ≤8-row bucket table, the q_text_zipf no-window
+    * discipline). Composes q_sim_pairs verbatim, so the driver
+    * hash-checks the curve against the same program production runs. */
+  val qSimThresholdCurve = Q(
+    "q_sim_threshold_curve",
+    (s, d) => {
+      val b = qSimPairs.fn(s, d)
+        .select(floor(col("cos_sim") * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+      b.as("b1")
+        .join(broadcast(b.select(col("bucket").as("b2b"),
+          col("n_pairs").as("b2n"))), col("b2b") >= col("bucket"))
+        .groupBy(col("bucket"), col("n_pairs"))
+        .agg(sum(col("b2n")).as("n_surviving"))
+        .orderBy(col("bucket"))
+    },
+    qSimPairs.oracle.map { pairsSql =>
+      val inner = pairsSql.substring(0, pairsSql.lastIndexOf("ORDER BY"))
+      s"""WITH p AS (SELECT cos_sim FROM ($inner) z),
+            b AS (
+              SELECT CAST(floor(cos_sim * 10) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs
+              FROM p GROUP BY 1)
+          SELECT b1.bucket, b1.n_pairs,
+            CAST(sum(b2.n_pairs) AS BIGINT) AS n_surviving
+          FROM b b1 JOIN b b2 ON b2.bucket >= b1.bucket
+          GROUP BY b1.bucket, b1.n_pairs
+          ORDER BY b1.bucket NULLS FIRST"""
+    })
+
   /** Multimodal row (q_multimodal): text table joined to the vector
     * table, both modalities carried in one relation. */
   val qMultimodal = Q(
@@ -1035,7 +1074,8 @@ object Vector {
 
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
-    qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qMultimodal, qSimQuantize,
+    qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qSimThresholdCurve,
+    qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
     qSimHardneg)
 }

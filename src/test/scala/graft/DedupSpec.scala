@@ -210,6 +210,18 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("bloom-fronted ingest equals the plain incremental check exactly") {
+    val bloom = q("q_dedup_bloom_ingest").collect().map(_.toSeq).toSeq
+    val plain = q("q_dedup_incremental").collect().map(_.toSeq).toSeq
+    // the bloom only prunes; false positives die in the exact verify
+    assert(bloom === plain)
+    assert(bloom.nonEmpty)
+    // the sketch predicate must reach the corpus scan side
+    val p = q("q_dedup_bloom_ingest").queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"bloom predicate missing from the plan:\n$p")
+  }
+
   test("banding audit: sample-bounded ground truth, full recall at j>=0.5") {
     val r = q("q_dedup_lsh_audit").collect()(0)
     // the brute-force side is literal-bounded: C(200, 2) pairs forever

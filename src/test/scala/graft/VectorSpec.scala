@@ -393,6 +393,20 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("threshold curve: descending cumulative conserves the pair count") {
+    val rows = q("q_sim_threshold_curve").collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    val total = q("q_sim_pairs").collect().length.toLong
+    // the lowest bucket's surviving count is every verified pair
+    assert(rows.head.getAs[Long]("n_surviving") === total)
+    // survivors can only shrink as the threshold rises
+    val surv = rows.map(_.getAs[Long]("n_surviving"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b })
+    // per-bucket counts sum back to the total
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === total)
+  }
+
   test("ivfpq: scan restricted to nprobe cells, rerank exact, recall vs ivf") {
     val rows = q("q_sim_ann_ivfpq").collect()
     assert(rows.length === 10)
