@@ -152,7 +152,15 @@ object PlanDump {
     "q_dedup_cluster_keep" -> ("quality-argmax canonicalization: the " +
       "only window partitions by cluster id (cluster-bounded); " +
       "quality joins membership by doc_id equi-join — duplicate-mass " +
-      "sized, never corpus-wide"))
+      "sized, never corpus-wide"),
+    "q_dedup_bloom_ingest" -> ("bloom-fronted ingest: the increment's " +
+      "~KB band-key sketch inlines into the corpus scan's predicate " +
+      "(might_contain BEFORE any join) — non-colliding signatures die " +
+      "at the scan; exact verify removes the false positives"),
+    "q_sim_ann_ivfpq" -> ("FAISS-standard IVF+PQ: 2-row cell table, " +
+      "128-row LUT and 1-row probe broadcast; ADC is scan-local + one " +
+      "aggregate; both top-k cuts are TakeOrderedAndProject; " +
+      "full-precision vectors touched only for the 20 rerank rows"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

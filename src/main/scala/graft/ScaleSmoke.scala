@@ -46,7 +46,11 @@ object ScaleSmoke {
     // the end-to-end streaming funnel, and the quality-argmax cluster
     // keeper (pair graph + per-cluster window)
     "q_text_perplexity", "q_quality_classify", "q_stream_curate",
-    "q_dedup_cluster_keep")
+    "q_dedup_cluster_keep",
+    // round-6 eval tier: held-out scoring (train-fold model joins),
+    // the bloom-fronted ingest (increment-bounded like incremental),
+    // and the composed IVF+PQ probe (fixed-size broadcasts)
+    "q_text_heldout_ppl", "q_dedup_bloom_ingest", "q_sim_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
