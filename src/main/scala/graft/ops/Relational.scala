@@ -277,6 +277,67 @@ object Relational {
             GROUP BY e.event_id, e.user_id
             ORDER BY e.event_id NULLS FIRST"""))
 
+  /** Nearest as-of join (q_join_asof_nearest): pandas merge_asof's
+    * third direction — for each error, the click by the same user
+    * closest in time on EITHER side, ties to the earlier (backward)
+    * match. One tagged union, one shuffle on user_id, and BOTH frame
+    * directions over the same sorted partition (the backward `last`
+    * and forward `first` share the sort, so the second window adds no
+    * exchange); the pick is a scan-local microsecond comparison. The
+    * emitted direction column makes the bracketing auditable. */
+  val qJoinAsofNearest = Q(
+    "q_join_asof_nearest",
+    (s, d) => {
+      val e = ev(s, d)
+      val tagged = e
+        .filter($"event_type".isin("error", "click"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("us"))
+      val wb = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("bt",
+          last(when($"event_type" === "click", $"us"), ignoreNulls = true)
+            .over(wb))
+        .withColumn("ft",
+          first(when($"event_type" === "click", $"us"), ignoreNulls = true)
+            .over(wf))
+        .filter($"event_type" === "error")
+        .withColumn("pick_b",
+          $"bt".isNotNull &&
+            ($"ft".isNull || ($"us" - $"bt") <= ($"ft" - $"us")))
+        .select($"event_id", $"user_id",
+          when($"pick_b", $"bt").otherwise($"ft").as("nearest_click_us"),
+          when($"pick_b", lit("backward"))
+            .when($"ft".isNotNull, lit("forward"))
+            .as("direction"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+            c AS (SELECT * FROM events WHERE event_type = 'click'),
+            b AS (SELECT e.event_id, max(epoch_us(c.ts)) AS bt
+                  FROM e LEFT JOIN c
+                    ON c.user_id = e.user_id AND c.ts <= e.ts
+                  GROUP BY e.event_id),
+            f AS (SELECT e.event_id, min(epoch_us(c.ts)) AS ft
+                  FROM e LEFT JOIN c
+                    ON c.user_id = e.user_id AND c.ts >= e.ts
+                  GROUP BY e.event_id)
+            SELECT e.event_id, e.user_id,
+              CASE WHEN bt IS NOT NULL AND (ft IS NULL
+                     OR (epoch_us(e.ts) - bt) <= (ft - epoch_us(e.ts)))
+                   THEN bt ELSE ft END AS nearest_click_us,
+              CASE WHEN bt IS NOT NULL AND (ft IS NULL
+                     OR (epoch_us(e.ts) - bt) <= (ft - epoch_us(e.ts)))
+                   THEN 'backward'
+                   WHEN ft IS NOT NULL THEN 'forward' END AS direction
+            FROM e
+            JOIN b ON b.event_id = e.event_id
+            JOIN f ON f.event_id = e.event_id
+            ORDER BY e.event_id NULLS FIRST"""))
+
   /** Tolerance-bounded as-of join (q_join_asof_tolerance): the backward
     * as-of match is DISCARDED when the latest prior click is more than
     * one hour stale — pandas merge_asof's `tolerance`, the guard every
@@ -1108,7 +1169,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanParquet, qProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
-    qJoinRange, qJoinAsof, qJoinAsofForward, qJoinAsofTolerance,
+    qJoinRange, qJoinAsof, qJoinAsofForward, qJoinAsofNearest,
+    qJoinAsofTolerance,
     qJoinAsofNative,
     qJoinAsofBcast, qJoinTheta,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,

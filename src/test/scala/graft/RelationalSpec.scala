@@ -169,6 +169,48 @@ class RelationalSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Long]("beam_energy") === 120L))
   }
 
+  test("nearest as-of picks the closer of the backward/forward matches") {
+    val back = q("q_join_asof").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.time.LocalDateTime]("last_click_ts"))).toMap
+    val fwd = q("q_join_asof_forward").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.time.LocalDateTime]("next_click_ts"))).toMap
+    val errUs = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def us(t: java.time.LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L
+    val rows = q("q_join_asof_nearest").collect()
+    assert(rows.length === back.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val got = Option(r.getAs[Long]("nearest_click_us"))
+        .filter(_ => !r.isNullAt(r.fieldIndex("nearest_click_us")))
+      val b = back(id).map(us)
+      val f = fwd(id).map(us)
+      val want = (b, f) match {
+        case (None, None) => None
+        case (Some(x), None) => Some(x)
+        case (None, Some(y)) => Some(y)
+        case (Some(x), Some(y)) =>
+          if (errUs(id) - x <= y - errUs(id)) Some(x) else Some(y)
+      }
+      assert(got === want, s"event $id: got $got want $want (b=$b f=$f)")
+      val dir = Option(r.getAs[String]("direction"))
+      assert(dir === (want match {
+        case None => None
+        case w if w == b && (b.isDefined) &&
+          (f.isEmpty || errUs(id) - b.get <= f.get - errUs(id)) =>
+          Some("backward")
+        case _ => Some("forward")
+      }))
+    }
+  }
+
   test("tolerance as-of equals plain as-of filtered at one hour") {
     val plain = q("q_join_asof").collect()
       .map(r => r.getAs[Long]("event_id") ->
