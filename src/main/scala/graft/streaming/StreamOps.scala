@@ -928,6 +928,57 @@ object StreamOps {
     },
     graft.ops.Corpus.qShardManifest.oracle)
 
+  /** Streaming run-log enrichment (q_stream_runlog_enrich): the ingest
+    * twin of the reference's run-log pass (md:249-263) — arriving
+    * monitoring samples roll up into the per-(run day, module)
+    * environment table live, instead of in the nightly batch. Every
+    * emitted statistic is ORDER-INSENSITIVE by construction: counts,
+    * integer cent sums (value carries exactly 2 decimals, so cents are
+    * lossless), and cent min/max — so the settled table equals the
+    * batch rollup no matter how micro-batches slice the stream, and
+    * the mean divides ONCE from an exact integer sum (the float-sum
+    * discipline the batch op gets from round-6 absorption). State is
+    * one row per (day, module) — run-calendar-bounded. */
+  val qStreamRunlogEnrich = Q(
+    "q_stream_runlog_enrich",
+    (s, d) => {
+      val agg = eventsStream(s, d)
+        .withColumn("run_day", date_trunc("day", col("ts"))
+          .cast("timestamp_ntz"))
+        .withColumn("module", expr("user_id % 4"))
+        .withColumn("cents",
+          floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy(col("run_day"), col("module"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("cents")).as("max_cents"),
+          min(col("cents")).as("min_cents"))
+      drain(s, agg, "stream_runlog_tbl", "complete")
+        .select(col("run_day"), col("module"), col("n_samples"),
+          round(col("sum_cents") / lit(100.0) / col("n_samples"), 6)
+            .as("vmon_avg"),
+          round(col("max_cents") / lit(100.0), 2).as("imon_max"),
+          round(col("min_cents") / lit(100.0), 2).as("vmon_min"))
+        .orderBy(col("run_day"), col("module"))
+    },
+    Some("""SELECT run_day, module, n_samples,
+              round(sum_cents / 100.0e0 / n_samples, 6) AS vmon_avg,
+              round(max_cents / 100.0e0, 2) AS imon_max,
+              round(min_cents / 100.0e0, 2) AS vmon_min
+            FROM (
+              SELECT date_trunc('day', ts) AS run_day,
+                user_id % 4 AS module,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+                CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS max_cents,
+                CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS min_cents
+              FROM events
+              GROUP BY run_day, module)
+            ORDER BY run_day NULLS FIRST, module NULLS FIRST"""))
+
   /** Streaming perplexity telemetry (q_stream_perplexity): arriving
     * documents are scored against the STATIC add-1 bigram model
     * (Corpus.bigramLq, vocabulary²-bounded, planned once per
@@ -1577,5 +1628,5 @@ object StreamOps {
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
     qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
-    qStreamCurate, qStreamPerplexity)
+    qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich)
 }

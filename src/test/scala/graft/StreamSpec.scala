@@ -701,6 +701,26 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("streaming run-log enrichment settles to the batch environment table") {
+    val got = SparkEntry.queries("q_stream_runlog_enrich")(spark, sf0)
+      .collect()
+    val batch = SparkEntry.queries("q_runlog_enrich")(spark, sf0)
+      .collect()
+      .map(r => (r.get(0), r.getAs[Int]("module")) -> r).toMap
+    assert(got.length === batch.size)
+    got.foreach { r =>
+      val b = batch((r.get(0), r.getAs[Int]("module")))
+      assert(r.getAs[Long]("n_samples") === b.getAs[Long]("n_samples"))
+      assert(r.getAs[Double]("imon_max") === b.getAs[Double]("imon_max"))
+      assert(r.getAs[Double]("vmon_min") === b.getAs[Double]("vmon_min"))
+      // exact-integer mean vs the batch float mean: equal to 1e-5
+      // (both round at 6dp; cents are lossless so only the division
+      // differs)
+      assert(math.abs(r.getAs[Double]("vmon_avg") -
+        b.getAs[Double]("vmon_avg")) < 1e-5)
+    }
+  }
+
   test("streaming perplexity settles to the per-source batch rollup") {
     val got = SparkEntry.queries("q_stream_perplexity")(spark, sf0)
       .collect()
