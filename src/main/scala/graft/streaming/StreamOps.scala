@@ -928,6 +928,31 @@ object StreamOps {
     },
     graft.ops.Corpus.qShardManifest.oracle)
 
+  /** Streaming reconciliation (q_stream_reconcile): the reference's
+    * injected-vs-observed golden counting test (html:239) running
+    * DURING the acquisition instead of after it — per-ETROC injected /
+    * observed / lost counters accumulate live, so a lossy channel is
+    * visible while the beam is still on rather than in the post-run
+    * report. All three emitted columns are counts (commutative), so
+    * the settled table is byte-equal to the batch reconciliation
+    * whatever the micro-batch slicing; state is 3 rows. Oracle reused
+    * verbatim from the batch op. */
+  val qStreamReconcile = Q(
+    "q_stream_reconcile",
+    (s, d) => {
+      val agg = eventsStream(s, d)
+        .withColumn("etroc", expr("user_id % 3"))
+        .groupBy(col("etroc"))
+        .agg(count(lit(1)).as("injected"),
+          count(when(col("value") <= 350.0, 1)).as("observed"))
+      drain(s, agg, "stream_reconcile_tbl", "complete")
+        .select(col("etroc"), col("injected"), col("observed"),
+          (col("injected") - col("observed")).as("lost"),
+          (col("injected") === col("observed")).as("ok"))
+        .orderBy(col("etroc"))
+    },
+    graft.ops.Daq.qReconcile.oracle)
+
   /** Streaming run-log enrichment (q_stream_runlog_enrich): the ingest
     * twin of the reference's run-log pass (md:249-263) — arriving
     * monitoring samples roll up into the per-(run day, module)
@@ -1628,5 +1653,6 @@ object StreamOps {
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
     qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
-    qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich)
+    qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich,
+    qStreamReconcile)
 }

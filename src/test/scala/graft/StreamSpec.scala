@@ -701,6 +701,14 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("streaming reconciliation settles to the batch golden count exactly") {
+    val got = SparkEntry.queries("q_stream_reconcile")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_reconcile")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch)
+  }
+
   test("streaming run-log enrichment settles to the batch environment table") {
     val got = SparkEntry.queries("q_stream_runlog_enrich")(spark, sf0)
       .collect()
