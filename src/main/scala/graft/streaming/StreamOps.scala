@@ -746,35 +746,94 @@ object StreamOps {
       .load(d)
   }
 
-  /** STREAM-STATIC join (q_stream_decontaminate): arriving documents are
-    * checked against a STATIC corpus hash table (doc_id % 10 < 8 — the
-    * same existing-corpus convention as q_dedup_incremental) — the
-    * streaming-ingest twin of exact dedup. The static side is aggregated
-    * to one row per hash (so the join never multiplies stream rows) and
-    * broadcast: each micro-batch probes a map, no stream-side shuffle
-    * before the keyed count. A streamed doc is a dup if its hash has a
-    * corpus holder other than itself. At 100 TB the static side is the
-    * signature store (bucketed or bloom-fronted); the per-batch cost
-    * stays linear in the batch. Stateless join + bounded keyed agg. */
+  /** Per-micro-batch decontamination probe shared by the registered
+    * query, StreamSpec and PlanSpec. The corpus hash table is O(corpus)
+    * — one row per distinct document — so it must NEVER be forced into
+    * a broadcast (at 100 TB that is billions of rows rebuilt on every
+    * executor). Instead the BATCH side (|micro-batch| rows, the small
+    * side by construction) builds a ~KB bloom sketch over its hashes in
+    * one aggregate; the sketch is inlined into the corpus scan's WHERE
+    * via might_contain (the q_dedup_bloom_ingest pattern,
+    * ops/Dedup.scala), so corpus signatures that cannot match anything
+    * arriving die AT THE SCAN, before any join or shuffle. The probe
+    * join is UN-hinted: the bloom-pruned static side is
+    * ~|batch|-proportional, and AQE broadcasts it by measured size when
+    * that is right — never by a forced O(corpus) hint. Bloom false
+    * positives only add non-matching rows to the left join (dropped by
+    * the join itself), so the settled result is exactly the plain
+    * stream-static check. */
+  private[graft] def deconBatchPartial(batch: DataFrame,
+      d: String): DataFrame = {
+    // foreachBatch hands the micro-batch over in a CLONED session with
+    // its own temp-view catalog: every frame and view here must live in
+    // that session, so rebuild the (re-planned-per-batch anyway) corpus
+    // aggregate against batch.sparkSession rather than capturing one
+    // from the outer session
+    val sess = batch.sparkSession
+    graft.functions.BloomFns.register(sess)
+    val hashed = batch.withColumn("h",
+      md5(lower(trim(col("text"))).cast("binary")))
+    hashed.createOrReplaceTempView("decon_batch_v")
+    Tables.t(sess, d, "documents")
+      .filter(col("doc_id") % 10 < 8)
+      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_corpus"), min(col("doc_id")).as("min_id"))
+      .createOrReplaceTempView("decon_corpus_v")
+    // the sketch is a scalar subquery over the BATCH: evaluated once per
+    // micro-batch, inlined as a literal predicate into the corpus scan
+    val pruned = sess.sql("""
+      SELECT h, n_corpus, min_id FROM decon_corpus_v
+      WHERE might_contain(
+              (SELECT bloom_filter_agg(xxhash64(h), 10000L, 100000L)
+               FROM decon_batch_v),
+              xxhash64(h))""")
+    hashed.join(pruned, Seq("h"), "left_outer")
+      .withColumn("is_dup", coalesce(
+        col("n_corpus") > 1 ||
+          (col("n_corpus") === 1 && col("min_id") =!= col("doc_id")),
+        lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+  }
+
+  /** Bloom-fronted stream decontamination (q_stream_decontaminate):
+    * arriving documents are checked against a STATIC corpus hash table
+    * (doc_id % 10 < 8 — the same existing-corpus convention as
+    * q_dedup_incremental) — the streaming-ingest twin of exact dedup.
+    * Each micro-batch runs [[deconBatchPartial]]: bloom-prune the
+    * corpus scan by the batch's own hashes, probe with an un-hinted
+    * join, emit per-source partial counts. The partials are plain
+    * commutative sums, so the settled totals are invariant to how the
+    * arrival splits into micro-batches; the final rollup is a
+    * #sources-row aggregate. Per-batch cost is linear in the batch —
+    * the corpus is touched only through the sketch-pruned scan. */
   val qStreamDecontaminate = Q(
     "q_stream_decontaminate",
     (s, d) => {
-      val corpusHashes = Tables.t(s, d, "documents")
-        .filter(col("doc_id") % 10 < 8)
-        .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
-        .groupBy(col("h"))
-        .agg(count(lit(1)).as("n_corpus"), min(col("doc_id")).as("min_id"))
-      val flagged = documentsStream(s, d)
-        .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
-        .join(broadcast(corpusHashes), Seq("h"), "left_outer")
-        .withColumn("is_dup", coalesce(
-          col("n_corpus") > 1 ||
-            (col("n_corpus") === 1 && col("min_id") =!= col("doc_id")),
-          lit(false)))
+      val dir = sys.props("java.io.tmpdir") + "/graft_stream_decon"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, saved.toInt).toString)
+      try {
+        val w = documentsStream(s, d)
+          .select(col("doc_id"), col("text"), col("source"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            deconBatchPartial(batch, d)
+              .write.mode("append").parquet(s"$dir/partials")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        w.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.read.parquet(s"$dir/partials")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
-      drain(s, flagged, "stream_decon_tbl", "complete")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_dup")).as("n_dup"))
         .orderBy(col("source"))
     },
     Some("""WITH ch AS (

@@ -456,6 +456,23 @@ class PlanSpec extends SparkSuite {
       s"forced broadcast left on an O(V) degree join: $l"))
   }
 
+  test("decontamination probe: bloom predicate prunes the corpus scan, " +
+    "no forced broadcast of the O(corpus) hash table") {
+    // the corpus hash table grows with the corpus — a forced broadcast
+    // is a fleet-scale OOM. The per-batch probe must instead inline a
+    // bloom sketch of the BATCH hashes into the corpus scan's WHERE and
+    // leave the probe join un-hinted (AQE sizes the pruned side).
+    val docs = Tables.t(spark, sf0, "documents")
+    val probe = graft.streaming.StreamOps.deconBatchPartial(
+      docs.limit(50).select(col("doc_id"), col("text"), col("source")),
+      sf0)
+    val o = probe.queryExecution.optimizedPlan.toString
+    assert(!o.contains("Hint=(strategy=broadcast)"),
+      s"corpus probe join must stay un-hinted:\n$o")
+    assert(o.toLowerCase.contains("might_contain"),
+      s"bloom sketch predicate missing from the corpus side:\n$o")
+  }
+
   test("heaps cumulative window input is one row per corpus bucket (bounded)") {
     // q_text_heaps keeps a justified global running-sum window: its
     // input is the per-bucket table - 20 fixed corpus-prefix steps, a

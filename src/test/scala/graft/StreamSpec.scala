@@ -337,7 +337,7 @@ class StreamSpec extends SparkSuite {
   }
 
   test("stream-static decontamination: multi-batch arrival matches batch, " +
-    "static side broadcasts") {
+    "bloom-pruned probe per batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     // corpus: ids 0,10,20 hold texts A,B,C; stream: 5 docs across TWO
@@ -350,39 +350,38 @@ class StreamSpec extends SparkSuite {
     val dir = fixtureDir("decon_static")(
       "documents" -> corpus.toDF("doc_id", "text", "lang", "source",
         "n_chars"))
-    val corpusHashes = Tables.t(spark, dir, "documents")
-      .filter(col("doc_id") % 10 < 8)
-      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("n_corpus"), min(col("doc_id")).as("min_id"))
     val mem = MemoryStream[(Long, String, String)]
-    val flagged = mem.toDF().toDF("doc_id", "text", "source")
-      .withColumn("h", md5(lower(trim(col("text"))).cast("binary")))
-      .join(broadcast(corpusHashes), Seq("h"), "left_outer")
-      .withColumn("is_dup", coalesce(
-        col("n_corpus") > 1 ||
-          (col("n_corpus") === 1 && col("min_id") =!= col("doc_id")),
-        lit(false)))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
-    val qy = flagged.writeStream.outputMode("complete")
-      .format("memory").queryName("spec_decon").start()
+    // drive the REGISTERED per-batch probe (bloom-front + un-hinted
+    // join) across two micro-batches; partial sums are commutative so
+    // the settled totals must not depend on the batch split
+    val partials = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Long, Long)]
+    val qy = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        partials ++= graft.streaming.StreamOps
+          .deconBatchPartial(batch, dir)
+          .collect()
+          .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_dup")))
+        ()
+      }
+      .start()
     mem.addData((0L, "aaa bbb ccc", "s0"), (9L, "aaa bbb ccc", "s0"))
     qy.processAllAvailable()
     mem.addData((19L, "ddd eee fff", "s1"), (100L, "novel one", "s1"),
       (101L, "novel two", "s2"))
     qy.processAllAvailable()
     qy.stop()
-    val got = spark.table("spec_decon").collect()
-      .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"))).toMap
+    val got = partials.groupBy(_._1).map { case (src, rows) =>
+      src -> ((rows.map(_._2).sum, rows.map(_._3).sum))
+    }
     // id 0 is its own corpus entry (NOT a dup); 9 and 19 are dups
     assert(got === Map("s0" -> ((2L, 1L)), "s1" -> ((2L, 1L)),
       "s2" -> ((1L, 0L))))
   }
 
-  test("q_stream_decontaminate settles to its batch answer and broadcasts") {
+  test("q_stream_decontaminate settles to its batch answer") {
     val settled = q("q_stream_decontaminate").collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_dup"))).toSeq.sorted
