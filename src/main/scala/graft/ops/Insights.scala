@@ -403,8 +403,11 @@ object Insights {
   /** PMI collocations (q_text_collocations): adjacent token pairs scored
     * by pointwise mutual information — the phrase-mining signal behind
     * tokenizer/vocab decisions. Three hash aggregates (bigrams,
-    * unigrams, totals) and one broadcast join of the TINY unigram stats
-    * back onto the bigram table; per-doc pair extraction is scan-local
+    * unigrams, totals); the unigram stats are VOCABULARY-sized
+    * (unbounded on raw web text), so their joins back onto the bigram
+    * table are un-hinted — bigrams hash-partition on each word and AQE
+    * broadcasts only by measured size; only the two 1-row totals carry
+    * hints. Per-doc pair extraction is scan-local
     * array algebra. log2 runs on exact BIGINT-count ratios cast to
     * double and is rounded to 6dp on both engines. Bigrams seen < 5
     * times are cut before scoring (the long tail is noise), top-30 by
@@ -430,10 +433,8 @@ object Insights {
         .filter(col("c12") >= 5)
       val nBig = big.agg(sum(col("c12")).as("n_big"))
       big
-        .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
-          "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
-          "w2")
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
         .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
         .select(col("w1"), col("w2"), col("c12"),
           round(log2((col("c12").cast("double") / col("n_big")) /

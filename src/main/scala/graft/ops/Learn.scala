@@ -18,11 +18,14 @@ object Learn {
 
   /** Multinomial naive Bayes over `documents`: train on doc_id%5!=0,
     * Laplace-smoothed token likelihoods, score the held-out fold,
-    * emit the confusion matrix. Scale shape: the model — (term, lang)
-    * log-likelihoods, per-lang totals, priors — is vocabulary-sized and
-    * broadcast; the corpus-side work is one explode + one aggregation
-    * per test token, shuffled on (doc, lang). No driver loop: training
-    * IS an aggregation. */
+    * emit the confusion matrix. Scale shape: the (term, lang)
+    * log-likelihood table is VOCABULARY-sized (unbounded on raw web
+    * text), so its scoring join is un-hinted — test tokens
+    * hash-partition to the model terms, AQE broadcasting only by
+    * measured size; only the #langs-row stats and 1-row totals carry
+    * hints. Corpus-side work is one explode + one aggregation per test
+    * token, shuffled on (doc, lang). No driver loop: training IS an
+    * aggregation. */
   val qMlNaiveBayes = Q(
     "q_ml_naive_bayes",
     (sp, dir) => {
@@ -64,7 +67,7 @@ object Learn {
           explode(col("toks")).as("term"))
         .crossJoin(broadcast(langStats.select(col("ml"), col("prior_i"),
           col("unseen_i"))))
-        .join(broadcast(llh),
+        .join(llh,
           col("term") === col("mt") && col("ml") === col("ll"), "left")
         .select(col("doc_id"), col("true_lang"), col("ml").as("cand"),
           col("prior_i"), coalesce(col("llh_i"), col("unseen_i")).as("si"))
@@ -239,8 +242,10 @@ object Learn {
     * (the decade length bucket `lb<floor(n_words/10)>`) — the standard
     * fastText-classifier trick that lets a bag-of-words model express
     * the length rule a multinomial NB is otherwise blind to. Scale
-    * shape: the model (per-class stats: 2 rows; token likelihoods:
-    * 2×vocabulary rows) is broadcast; the corpus-side work is one
+    * shape: the per-class stats (2 rows) broadcast by hint; the token
+    * likelihood table (2×vocabulary rows, unbounded on raw web text)
+    * joins UN-hinted — tokens hash-partition to the model terms, AQE
+    * broadcasting only by measured size. Corpus-side work is one
     * explode + hash aggregate shuffled on (doc, class) — corpus-linear,
     * no windows. */
   val qQualityClassify = Q(
@@ -292,7 +297,7 @@ object Learn {
         .select(col("doc_id"), col("label"), explode(col("ws")).as("term"))
         .crossJoin(broadcast(cls.select(col("ml"), col("prior_i"),
           col("unseen_i"))))
-        .join(broadcast(llh),
+        .join(llh,
           col("term") === col("mt") && col("ml") === col("ll"), "left")
         .select(col("doc_id"), col("label"), col("ml"), col("prior_i"),
           coalesce(col("llh_i"), col("unseen_i")).as("si"))

@@ -48,8 +48,12 @@ object TextOps {
              ORDER BY token NULLS FIRST"""))
 
   /** TF-IDF (q_text_tfidf): top-5 scored terms per document. Two-level
-    * aggregate + broadcast of the tiny df table; deterministic tie-break
-    * (score desc, token asc). */
+    * aggregate; deterministic tie-break (score desc, token asc). The df
+    * table is VOCABULARY-sized — Heaps-law unbounded on raw web text —
+    * so its join is left un-hinted: both sides hash-partition on token
+    * (tf is already shuffled there), and AQE may still broadcast by
+    * measured size when the vocab genuinely is small. Only the 1-row
+    * doc-count frame carries a hint. */
   val qTextTfidf = Q(
     "q_text_tfidf",
     (s, d) => {
@@ -61,7 +65,7 @@ object TextOps {
         .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf
-        .join(broadcast(df), "token")
+        .join(df, "token")
         .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("n_docs") / col("df")), 6))
@@ -261,10 +265,12 @@ object TextOps {
   /** Unigram LM scoring (q_text_logprob): per-doc mean token
     * log-probability under the corpus unigram model — the
     * perplexity-style quality filter of pre-training pipelines. The
-    * model is a tiny broadcast table; scoring is one explode + join +
-    * aggregate. Summed in deterministic token order (ts-free: sum of
-    * identical doubles is order-sensitive only at ulp level, absorbed by
-    * round 6 on both engines). */
+    * model is VOCABULARY-sized (unbounded on raw web text), so the
+    * scoring join is un-hinted: tokens hash-partition to the model's
+    * terms, and AQE broadcasts only when the measured size warrants it.
+    * Scoring is one explode + join + aggregate. Summed in deterministic
+    * token order (ts-free: sum of identical doubles is order-sensitive
+    * only at ulp level, absorbed by round 6 on both engines). */
   val qTextLogprob = Q(
     "q_text_logprob",
     (s, d) => {
@@ -276,7 +282,7 @@ object TextOps {
         .crossJoin(broadcast(totals))
         .select(col("token"),
           log(col("tf") / col("n_total")).as("logp"))
-      ex.join(broadcast(model), "token")
+      ex.join(model, "token")
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens"),
@@ -554,8 +560,13 @@ object TextOps {
     * different text than the mix was tuned on). Every source word
     * appears in the corpus by construction, so KL is finite. Shape:
     * one explode → (source, word) counts → join the VOCABULARY-sized
-    * corpus table (broadcast; vocab ≪ corpus at any scale) → per-source
-    * sum. Rounded after summation so cross-engine log ulps wash out. */
+    * corpus table UN-hinted ("vocab ≪ corpus" is a relative bound;
+    * broadcast cost is absolute, and Heaps-law vocab is 10⁸–10⁹ terms
+    * at fleet scale — both sides hash-partition on the word instead,
+    * AQE broadcasting only by measured size) → per-source sum. The
+    * per-source totals (O(#sources), a genuinely bounded dimension) and
+    * the 1-row corpus total keep their hints. Rounded after summation
+    * so cross-engine log ulps wash out. */
   val qTextDrift = Q(
     "q_text_drift",
     (s, d) => {
@@ -568,7 +579,7 @@ object TextOps {
       val corpus = words.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
       val corpusTot = corpus.agg(sum(col("n_w")).as("tot_c"))
       bySource
-        .join(broadcast(corpus), Seq("w"))
+        .join(corpus, Seq("w"))
         .join(broadcast(srcTot), Seq("source"))
         .crossJoin(broadcast(corpusTot))
         .groupBy(col("source"))

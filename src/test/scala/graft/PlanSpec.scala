@@ -533,11 +533,34 @@ class PlanSpec extends SparkSuite {
       s"one-row cuts/vocab must broadcast:\n$p")
   }
 
-  test("quality classifier: model joins broadcast, no shuffle on the model side") {
+  test("quality classifier: no windows; likelihood join un-hinted") {
     val p = plan("q_quality_classify")
-    assert(p.contains("BroadcastHashJoin"),
-      s"likelihood join must broadcast the vocab-sized model:\n$p")
     assert(!p.contains("WindowExec"), s"no windows expected:\n$p")
+  }
+
+  test("vocab-sized model/stat tables join un-hinted " +
+    "(tfidf, logprob, drift, collocations, NB, quality)") {
+    // Heaps-law vocabulary grows without bound on raw web text (every
+    // URL, number and typo is a term — 10⁸-10⁹ strings at fleet scale):
+    // a forced broadcast of a vocab-sized table is an executor OOM even
+    // when correct today. Bounded frames (1-row totals, #langs/#sources
+    // stats, 2-row class stats) may keep their hints; the vocab-table
+    // join keys must never appear on a hinted join.
+    val vocabKeys = Map(
+      "q_text_tfidf" -> Seq("token#"),
+      "q_text_logprob" -> Seq("token#"),
+      "q_text_drift" -> Seq("(w#", " w#"),
+      "q_text_collocations" -> Seq("w1#", "w2#"),
+      "q_ml_naive_bayes" -> Seq("mt#"),
+      "q_quality_classify" -> Seq("mt#"))
+    vocabKeys.foreach { case (name, keys) =>
+      val o = q(name).queryExecution.optimizedPlan.toString
+      val hinted = o.linesIterator
+        .filter(_.contains("Hint=(strategy=broadcast)")).toList
+      hinted.foreach(l => keys.foreach(k =>
+        assert(!l.contains(k),
+          s"$name forces a broadcast on a vocab-sized join: $l")))
+    }
   }
 
   test("DSIR resample: top-64 is a partial top-k; rank join broadcasts") {
