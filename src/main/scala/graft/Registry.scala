@@ -18,6 +18,30 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+object Oracle {
+
+  /** Strip the outermost trailing ORDER BY from a registered oracle so
+    * the remainder can be embedded as a CTE in a composed oracle
+    * (q_curate_v2 / q_sim_ann_eval discipline). The cut is validated,
+    * not assumed: if the source oracle is ever edited so its LAST
+    * "ORDER BY" is not the outermost final clause (e.g. a trailing
+    * subquery ORDER BY ... LIMIT), blind substring surgery would
+    * silently yield wrong SQL that the driver then hash-checks as if it
+    * were the intended query. Fail loudly instead. */
+  def stripOrderBy(sql: String): String = {
+    val i = sql.lastIndexOf("ORDER BY")
+    require(i >= 0, s"composed oracle has no ORDER BY tail:\n$sql")
+    val tail = sql.substring(i)
+    require(!tail.contains("(") && !tail.contains(")"),
+      s"ORDER BY tail holds parens - cut lands inside a subquery?\n$tail")
+    val keywords = Seq("SELECT", "FROM", "WHERE", "GROUP BY", "LIMIT",
+      "WITH", "JOIN", "UNION")
+    keywords.foreach(k => require(!tail.contains(k),
+      s"ORDER BY tail holds '$k' - not the outermost clause:\n$tail"))
+    sql.substring(0, i)
+  }
+}
+
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -80,7 +80,19 @@ object Biz {
     * never a global ntile sort, which is a single-partition window
     * over the users table at 100 TB (the q_agg_equidepth discipline,
     * Audit.scala). Cut doubles are identical across engines (same
-    * (n−1)p interpolation), so bucket membership is exact. */
+    * (n−1)p interpolation), so bucket membership is exact.
+    *
+    * Buffer bound (the Audit.scala grid rule): exact `percentile`
+    * accumulates a (value → count) map, one entry per DISTINCT input.
+    * Here the input is the per-user ROLLUP, never the fact table:
+    * recency is day-grid-bounded, frequency is a small-integer count,
+    * and the cent sums contribute at most one entry per user — so the
+    * buffer is capped by the user dimension (the operator's own output
+    * size), merged tree-wise as a single long→count map. These cuts
+    * are SEMANTIC (the oracle mirrors them with quantile_cont), so
+    * they cannot move to approx_percentile without breaking
+    * cross-engine parity; the dimension bound is what licenses exact.
+    * PlanSpec asserts the bound mechanically. */
   val qEventsRfm = Q(
     "q_events_rfm",
     (sp, dir) => {
@@ -456,8 +468,18 @@ object Biz {
         .groupBy(col("o_custkey"))
         .agg(sum(col("cents")).as("cents"))
       val fracs = (1 to 31).map(i => i / 32.0).mkString(", ")
+      // the cuts only SHARD the rank — their exact position is
+      // irrelevant to the result (ties share a bucket by construction,
+      // and the per-bucket sort + prefix offsets stitch the exact
+      // global order whatever the cuts are). So the derivation can use
+      // approx_percentile, whose GK sketch keeps the aggregation
+      // buffer FIXED-SIZE (O(accuracy)), where exact percentile's
+      // (value → count) map would grow with the near-unique
+      // per-customer cent sums — the Audit.scala grid rule. The final
+      // gini doubles are exact either way.
       val cuts = perCust.agg(
-        expr(s"percentile(cents, array($fracs))").as("cuts"))
+        expr(s"approx_percentile(cents, array($fracs), 10000)")
+          .as("cuts"))
       val bucketed = perCust.crossJoin(broadcast(cuts))
         .select(col("o_custkey"), col("cents"), expr(
           """aggregate(cuts, 0, (acc, c) ->

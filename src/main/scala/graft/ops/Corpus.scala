@@ -192,8 +192,11 @@ object Corpus {
             .as("target_tokens"))
         .select(col("source"), col("n"), col("weight"),
           col("target_tokens"),
-          ((col("target_tokens") + col("n") - 1) / col("n"))
-            .cast("long").as("epochs"),
+          // integral `div`, not `/`: the double quotient of `/` can
+          // round across an integer boundary (or lose precision past
+          // 2^53) at fleet-scale token counts, diverging from DuckDB's
+          // exact integer `//`
+          expr("(target_tokens + n - 1) div n").as("epochs"),
           round(col("target_tokens").cast("double") / col("n"), 6)
             .as("oversample"))
         .orderBy(col("source"))
@@ -728,7 +731,7 @@ object Corpus {
             .as("max_share"))
     },
     qMixDsir.oracle.map { dsirSql =>
-      val inner = dsirSql.substring(0, dsirSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(dsirSql)
       s"""WITH dw AS (SELECT doc_id, logw FROM ($inner) z),
             mx AS (SELECT max(logw) AS ml FROM dw),
             wq AS (

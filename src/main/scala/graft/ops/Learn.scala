@@ -407,7 +407,7 @@ object Learn {
         .orderBy(col("bin"))
     },
     qQualityClassify.oracle.map { sql =>
-      val inner = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(sql)
       s"""SELECT bin, count(*) AS n_docs,
             CAST(sum(gopher_pass) AS BIGINT) AS n_pass,
             CAST(sum(nb_keep) AS BIGINT) AS n_keep,

@@ -223,9 +223,12 @@ object Relational {
       val tagged = e
         .filter($"event_type".isin("error", "click"))
         .select($"event_id", $"user_id", $"ts", $"event_type")
+      // clicks sort before errors at equal ts ('click' < 'error'), so
+      // the backward frame sees a same-timestamp click — matching the
+      // oracle's inclusive c.ts <= e.ts branch on ties
       val w = Window
         .partitionBy($"user_id")
-        .orderBy($"ts", $"event_id")
+        .orderBy($"ts", $"event_type", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
         .withColumn(
@@ -257,9 +260,12 @@ object Relational {
       val tagged = e
         .filter($"event_type".isin("error", "click"))
         .select($"event_id", $"user_id", $"ts", $"event_type")
+      // errors sort before clicks at equal ts (event_type DESC), so the
+      // forward frame sees a same-timestamp click — matching the
+      // oracle's inclusive c.ts >= e.ts branch on ties
       val w = Window
         .partitionBy($"user_id")
-        .orderBy($"ts", $"event_id")
+        .orderBy($"ts", $"event_type".desc, $"event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       tagged
         .withColumn(
@@ -293,9 +299,18 @@ object Relational {
         .filter($"event_type".isin("error", "click"))
         .select($"event_id", $"user_id", $"ts", $"event_type",
           unix_micros($"ts".cast("timestamp")).as("us"))
-      val wb = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      // clicks sort before errors at equal ts ('click' < 'error'): the
+      // backward frame then includes a same-timestamp click (bt = us,
+      // distance 0) and the tie-prefers-backward pick emits it — the
+      // same row the oracle's inclusive c.ts <= e.ts branch picks. The
+      // forward frame misses same-ts clicks under this shared sort, but
+      // whenever one exists the backward branch already wins the tie,
+      // so the emitted (value, direction) still matches the oracle.
+      val wb = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_type", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wf = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_type", $"event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       tagged
         .withColumn("bt",
@@ -352,9 +367,11 @@ object Relational {
       val tagged = e
         .filter($"event_type".isin("error", "click"))
         .select($"event_id", $"user_id", $"ts", $"event_type")
+      // clicks before errors at equal ts: the backward frame includes a
+      // same-timestamp click, matching the oracle's c.ts <= e.ts
       val w = Window
         .partitionBy($"user_id")
-        .orderBy($"ts", $"event_id")
+        .orderBy($"ts", $"event_type", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
         .withColumn(

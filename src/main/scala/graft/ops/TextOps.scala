@@ -327,7 +327,7 @@ object TextOps {
         .orderBy(col("lang"))
     },
     Dedup.qDedupNear.oracle.map { nearSql =>
-      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(nearSql)
       s"""WITH np AS ($inner)
           SELECT lang, count(*) AS n_docs,
             round(avg(n_chars), 6) AS avg_chars,
@@ -339,6 +339,47 @@ object TextOps {
           GROUP BY lang
           ORDER BY lang NULLS FIRST"""
     })
+
+  /** Shared flag/rollup construction for the curation funnel: grade a
+    * (doc_id, source, th, ntok) frame — batch table or stream — through
+    * the four stages (exact-keeper probe → SemDeDup drop list → DSIR
+    * logw ≥ −15 gate → 20..1000 token-length gate) and roll up
+    * per-source survivor counts. Both q_curate_v2 and its streaming
+    * twin q_stream_curate call THIS, so a threshold change lands in
+    * both paths at once and cannot silently diverge from the shared
+    * oracle. */
+  private[graft] def curateFunnelAgg(docs: DataFrame, eg: DataFrame,
+      sem: DataFrame, dsir: DataFrame): DataFrame = {
+    val flagged = docs
+      .join(eg, col("th") === col("text_hash"))
+      .join(sem, col("doc_id") === col("vec_id"), "left")
+      .join(dsir, col("doc_id") === col("w_id"), "left")
+      .select(col("source"), col("ntok"),
+        (col("keep_id") === col("doc_id")).as("s1"),
+        col("vec_id").isNull.as("not_sem"),
+        coalesce(col("logw") >= lit(-15.0), lit(false)).as("dsir_ok"))
+      .select(col("source"), col("ntok"), col("s1"),
+        (col("s1") && col("not_sem")).as("s2"),
+        (col("s1") && col("not_sem") && col("dsir_ok")).as("s3"))
+      .withColumn("kept",
+        col("s3") && col("ntok") >= 20 && col("ntok") <= 1000)
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_exact"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_sem"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_after_dsir"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("ntok")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
+  /** The three static stage stores the funnel probes, each the
+    * registered operator's output verbatim. */
+  private[graft] def curateStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = (
+    Dedup.qDedupExact.fn(s, d).select(col("text_hash"), col("keep_id")),
+    Dedup.qDedupSemantic.fn(s, d).select(col("vec_id")),
+    Corpus.qMixDsir.fn(s, d).select(col("doc_id").as("w_id"), col("logw")))
 
   /** Curation funnel v2 (q_curate_v2): the staged selection pipeline a
     * modern pre-training build runs, with per-source survivor
@@ -359,41 +400,15 @@ object TextOps {
         .select(col("doc_id"), col("source"),
           md5(lower(trim(col("text"))).cast("binary")).as("th"),
           size(split(col("text"), " ")).cast("bigint").as("ntok"))
-      val eg = Dedup.qDedupExact.fn(s, d)
-        .select(col("text_hash"), col("keep_id"))
-      val sem = Dedup.qDedupSemantic.fn(s, d)
-        .select(col("vec_id"))
-      val dsir = Corpus.qMixDsir.fn(s, d)
-        .select(col("doc_id").as("w_id"), col("logw"))
-      val flagged = docs
-        .join(eg, col("th") === col("text_hash"))
-        .join(sem, col("doc_id") === col("vec_id"), "left")
-        .join(dsir, col("doc_id") === col("w_id"), "left")
-        .select(col("source"), col("ntok"),
-          (col("keep_id") === col("doc_id")).as("s1"),
-          col("vec_id").isNull.as("not_sem"),
-          coalesce(col("logw") >= lit(-15.0), lit(false)).as("dsir_ok"))
-        .select(col("source"), col("ntok"), col("s1"),
-          (col("s1") && col("not_sem")).as("s2"),
-          (col("s1") && col("not_sem") && col("dsir_ok")).as("s3"))
-        .withColumn("kept",
-          col("s3") && col("ntok") >= 20 && col("ntok") <= 1000)
-      flagged.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_exact"),
-          sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_sem"),
-          sum(when(col("s3"), 1L).otherwise(0L)).as("n_after_dsir"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("ntok")).otherwise(0L))
-            .as("kept_tokens"))
-        .orderBy(col("source"))
+      val (eg, sem, dsir) = curateStages(s, d)
+      curateFunnelAgg(docs, eg, sem, dsir).orderBy(col("source"))
     },
     for {
       semSql <- Dedup.qDedupSemantic.oracle
       dsirSql <- Corpus.qMixDsir.oracle
     } yield {
-      val semInner = semSql.substring(0, semSql.lastIndexOf("ORDER BY"))
-      val dsirInner = dsirSql.substring(0, dsirSql.lastIndexOf("ORDER BY"))
+      val semInner = graft.Oracle.stripOrderBy(semSql)
+      val dsirInner = graft.Oracle.stripOrderBy(dsirSql)
       s"""WITH eg AS (
             SELECT md5(lower(trim(text))) AS th, min(doc_id) AS keep_id
             FROM documents GROUP BY th),
@@ -545,7 +560,7 @@ object TextOps {
         .withColumn("correct", col("lang") === col("guess_lang"))
         .orderBy(col("lang"), col("guess_lang")),
     qTextLangid.oracle.map { langidSql =>
-      val inner = langidSql.substring(0, langidSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(langidSql)
       s"""SELECT lang, guess_lang, count(*) AS n,
             lang = guess_lang AS correct
           FROM ($inner)

@@ -563,7 +563,7 @@ object Vector {
         .orderBy(col("bucket"))
     },
     qSimPairs.oracle.map { pairsSql =>
-      val inner = pairsSql.substring(0, pairsSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(pairsSql)
       s"""WITH p AS (SELECT cos_sim FROM ($inner) z),
             b AS (
               SELECT CAST(floor(cos_sim * 10) AS BIGINT) AS bucket,

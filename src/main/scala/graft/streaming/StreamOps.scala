@@ -1135,36 +1135,16 @@ object StreamOps {
   val qStreamCurate = Q(
     "q_stream_curate",
     (s, d) => {
-      val eg = graft.ops.Dedup.qDedupExact.fn(s, d)
-        .select(col("text_hash"), col("keep_id"))
-      val sem = graft.ops.Dedup.qDedupSemantic.fn(s, d)
-        .select(col("vec_id"))
-      val dsir = graft.ops.Corpus.qMixDsir.fn(s, d)
-        .select(col("doc_id").as("w_id"), col("logw"))
-      val flagged = documentsStream(s, d)
+      // same stage stores + same flag/rollup construction as the batch
+      // funnel, via the SHARED helper — only the docs frame differs
+      // (file-arrival stream vs stored table)
+      val (eg, sem, dsir) = graft.ops.TextOps.curateStages(s, d)
+      val streamDocs = documentsStream(s, d)
         .select(col("doc_id"), col("source"),
           md5(lower(trim(col("text"))).cast("binary")).as("th"),
           size(split(col("text"), " ")).cast("bigint").as("ntok"))
-        .join(eg, col("th") === col("text_hash"))
-        .join(sem, col("doc_id") === col("vec_id"), "left")
-        .join(dsir, col("doc_id") === col("w_id"), "left")
-        .select(col("source"), col("ntok"),
-          (col("keep_id") === col("doc_id")).as("s1"),
-          col("vec_id").isNull.as("not_sem"),
-          coalesce(col("logw") >= lit(-15.0), lit(false)).as("dsir_ok"))
-        .select(col("source"), col("ntok"), col("s1"),
-          (col("s1") && col("not_sem")).as("s2"),
-          (col("s1") && col("not_sem") && col("dsir_ok")).as("s3"))
-        .withColumn("kept",
-          col("s3") && col("ntok") >= 20 && col("ntok") <= 1000)
-      val agg = flagged.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("s1"), 1L).otherwise(0L)).as("n_after_exact"),
-          sum(when(col("s2"), 1L).otherwise(0L)).as("n_after_sem"),
-          sum(when(col("s3"), 1L).otherwise(0L)).as("n_after_dsir"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("ntok")).otherwise(0L))
-            .as("kept_tokens"))
+      val agg = graft.ops.TextOps.curateFunnelAgg(
+        streamDocs, eg, sem, dsir)
       drain(s, agg, "stream_curate_tbl", "complete")
         .orderBy(col("source"))
     },

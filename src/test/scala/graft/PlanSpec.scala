@@ -428,6 +428,39 @@ class PlanSpec extends SparkSuite {
       s"bucket offsets must re-join by broadcast:\n$p")
   }
 
+  test("gini shard cuts come from the fixed-size GK sketch, not exact " +
+    "percentile over near-unique sums") {
+    // exact percentile's buffer is a (value -> count) map - O(#distinct)
+    // - and per-customer cent sums are near-unique, so the cut
+    // derivation (sharding only; result-invariant) must run on
+    // approx_percentile's bounded sketch instead
+    val p = plan("q_agg_gini")
+    assert(p.contains("approx_percentile"),
+      s"gini cuts must derive from the bounded sketch:\n$p")
+  }
+
+  test("RFM percentile input is the per-user rollup (dimension-bounded " +
+    "buffer), never the fact table") {
+    // the RFM cuts are semantic (quantile_cont-mirrored) so they stay
+    // exact; the license is that the percentile INPUT is one row per
+    // user - assert the buffer bound that documentation claims
+    val ev = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "purchase")
+    val users = ev.select(col("user_id")).distinct().count()
+    val byUser = ev
+      .withColumn("cents",
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+    assert(byUser.count() === users)
+    val dm = byUser.select(col("monetary_cents")).distinct().count()
+    val df = byUser.select(col("frequency")).distinct().count()
+    assert(dm <= users && df <= users,
+      s"percentile buffer entries ($dm monetary, $df freq) must be " +
+        s"capped by the user dimension ($users)")
+  }
+
   test("zipf top-100 is a partial top-k with no window") {
     val p = plan("q_text_zipf")
     assert(p.contains("TakeOrderedAndProject"),

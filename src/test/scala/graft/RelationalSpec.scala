@@ -211,6 +211,55 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("as-of family includes a click sharing the error's exact ts, " +
+    "whatever the event_id order (oracle tie parity)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-03-01 12:00:00")
+    val before = Timestamp.valueOf("2024-03-01 11:00:00")
+    val after = Timestamp.valueOf("2024-03-01 13:00:00")
+    // user 7: the ADVICE case — same-ts click with HIGHER event_id than
+    // the error (sorts after it on (ts, event_id) and was missed by the
+    // backward frame); user 8: same-ts click with LOWER event_id (the
+    // mirror case the forward frame used to miss)
+    val rows = Seq(
+      (1L, before, 7L, "click", 1.0, "{}"),
+      (3L, t0, 7L, "error", 1.0, "{}"),
+      (5L, t0, 7L, "click", 1.0, "{}"),
+      (9L, after, 7L, "click", 1.0, "{}"),
+      (11L, t0, 8L, "click", 1.0, "{}"),
+      (12L, t0, 8L, "error", 1.0, "{}"))
+    val dir = fixtureDir("asof_ties")("events" ->
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props"))
+    val ldt0 = t0.toLocalDateTime
+    val us0 = ldt0.toInstant(java.time.ZoneOffset.UTC)
+      .getEpochSecond * 1000000L
+    // backward: the oracle's c.ts <= e.ts includes the same-ts click
+    val back = q("q_join_asof", dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[java.time.LocalDateTime]("last_click_ts")).toMap
+    assert(back(3L) === ldt0, "backward must see the same-ts click")
+    assert(back(12L) === ldt0)
+    // forward: the oracle's c.ts >= e.ts includes the same-ts click
+    val fwd = q("q_join_asof_forward", dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[java.time.LocalDateTime]("next_click_ts")).toMap
+    assert(fwd(3L) === ldt0, "forward must see the same-ts click")
+    assert(fwd(12L) === ldt0)
+    // nearest: distance 0, tie prefers backward — value is the same-ts
+    // click in both engines
+    q("q_join_asof_nearest", dir).collect().foreach { r =>
+      assert(r.getAs[Long]("nearest_click_us") === us0)
+      assert(r.getAs[String]("direction") === "backward")
+    }
+    // tolerance: a same-ts click is maximally fresh
+    q("q_join_asof_tolerance", dir).collect().foreach { r =>
+      assert(r.getAs[java.time.LocalDateTime]("last_click_ts") === ldt0)
+      assert(r.getAs[Boolean]("matched"))
+    }
+  }
+
   test("tolerance as-of equals plain as-of filtered at one hour") {
     val plain = q("q_join_asof").collect()
       .map(r => r.getAs[Long]("event_id") ->
