@@ -474,7 +474,7 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
     qDedupNear.oracle.map { nearSql =>
-      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(nearSql)
       s"""SELECT doc_id, lang FROM documents
           WHERE doc_id IN (SELECT b_id FROM ($inner))
           ORDER BY doc_id NULLS FIRST"""
@@ -604,7 +604,7 @@ object Dedup {
         .orderBy(col("comp"))
     },
     qDedupNear.oracle.map { nearSql =>
-      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(nearSql)
       s"""WITH RECURSIVE np AS ($inner),
             edges AS (SELECT a_id AS u, b_id AS v FROM np
                       UNION SELECT b_id, a_id FROM np),
@@ -842,6 +842,155 @@ object Dedup {
          ORDER BY new_id NULLS FIRST"""
     })
 
+  /** Embeddings with the 6-bit sign cell and double-typed vector — the
+    * shared base frame of the semantic-dedup tier. */
+  private def semE0(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    graft.functions.DoubleDot.register(s)
+    Tables.t(s, d, "embeddings")
+      .withColumn("cell", expr(
+        """aggregate(sequence(1, 6), CAST(0 AS BIGINT),
+             (acc, i) -> acc + CASE WHEN element_at(embedding, 58 + i) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
+      .withColumn("emb_d",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+  }
+
+  /** Centroid-affinity priority per vector: exact per-cell elementwise
+    * BIGINT sums of millionth-quantized elements (cosine is scale-
+    * invariant so the sum stands in for the mean), broadcast back. */
+  private def semPrio(e0: DataFrame): DataFrame = {
+    val sums = e0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("jj", "x")))
+      .groupBy(col("cell"), col("jj"))
+      .agg(sum(floor(col("x").cast("double") * 1000000 + 0.5)
+        .cast("long")).as("sq"))
+      .groupBy(col("cell").as("c_cell"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(jj, sq))), p -> CAST(p.sq AS DOUBLE))")
+        .as("cent_d"))
+    e0.join(broadcast(sums), col("cell") === col("c_cell"))
+      .withColumn("prio", round(
+        expr("double_dot(emb_d, cent_d)") /
+          (sqrt(expr("double_dot(emb_d, emb_d)")) *
+           sqrt(expr("double_dot(cent_d, cent_d)"))), 6))
+      .select(col("vec_id"), col("cell"), col("emb_d"), col("prio"))
+  }
+
+  /** Corpus-adaptive band keys (bv, bc, kx, band, base, extra): 4 bands
+    * of a fixed 4-bit base key (dims 4b+1..4b+4) widened by kx extra
+    * sign bits (dims 16+8b+1..16+8b+kx), where kx = min(8,
+    * floor(log2(n div 500))) grows with the corpus so the bucket count
+    * scales WITH the data — per-bucket occupancy (and so per-doc
+    * candidate count) stays constant instead of n/1024 linear growth.
+    * kx derives from one count aggregate via integer bit-length
+    * (length(bin(...))−1), exact in both engines; at the sf fixtures
+    * (n ≤ 500) kx = 0 and the space is bit-identical to the original
+    * fixed 64-cell × 4-bit scheme. `adaptive = false` pins kx = 0 (the
+    * fixed reference the audit measures against). */
+  private def semBands(e0: DataFrame, adaptive: Boolean): DataFrame = {
+    val kTab =
+      if (!adaptive) e0.sparkSession.range(1).select(lit(0).as("kx"))
+      else e0.agg(count(lit(1)).as("n_vec"))
+        .select(least(lit(8), when(expr("n_vec div 500") <= 0, lit(0))
+          .otherwise(expr("length(bin(n_vec div 500)) - 1")))
+          .cast("int").as("kx"))
+    def baseKey(b: Int): String = (1 to 4).map(i =>
+      s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
+        s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+    def extraKey(b: Int): String = (1 to 8).map(j =>
+      s"(CASE WHEN $j <= kx AND element_at(embedding, ${16 + 8 * b + j}) > 0 " +
+        s"THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+    val bandRows = (0 until 4).map(b =>
+      s"CAST($b AS BIGINT), CAST(${baseKey(b)} AS BIGINT), " +
+        s"CAST(${extraKey(b)} AS BIGINT)").mkString(", ")
+    e0.crossJoin(broadcast(kTab))
+      .select(col("vec_id").as("bv"), col("cell").as("bc"), col("kx"),
+        expr(s"stack(4, $bandRows) AS (band, base, extra)"))
+  }
+
+  /** Candidate pairs from the band keys. `probe` adds Hamming-≤1
+    * multi-probe over the EXTRA bits (the q_sim_ann_multiband flip
+    * pattern): one side of the self-join also probes each single-bit
+    * flip of its extra key, recovering the pairs the widened buckets
+    * split at a (kx+1)-factor key-expansion cost — O(log n) per doc,
+    * never a wider bucket. At kx = 0 the probe set is the exact key
+    * alone and candidates equal the fixed scheme's. */
+  private def semCands(e0: DataFrame, adaptive: Boolean,
+      probe: Boolean): DataFrame = {
+    val bands = semBands(e0, adaptive)
+    val probed =
+      if (!probe) bands.select(col("bv"), col("bc"), col("band"),
+        col("base"), col("extra").as("probe"))
+      else bands.select(col("bv"), col("bc"), col("band"), col("base"),
+        explode(expr(
+          """filter(transform(sequence(0, 8), p ->
+               CASE WHEN p = 0 THEN extra
+                    WHEN p <= kx THEN extra ^ shiftleft(CAST(1 AS BIGINT), p - 1)
+               END),
+             x -> x IS NOT NULL)""")).as("probe"))
+    probed.as("x").join(bands.as("y"),
+        col("x.bc") === col("y.bc") &&
+        col("x.band") === col("y.band") &&
+        col("x.base") === col("y.base") &&
+        col("x.probe") === col("y.extra") &&
+        col("x.bv") < col("y.bv"))
+      .select(col("x.bv").as("a_id"), col("y.bv").as("b_id"))
+      .distinct()
+  }
+
+  /** DuckDB mirrors of semE0/semBands/semCands — shared by the
+    * q_dedup_semantic oracle and the audit's three schemes. */
+  private val semCellSql = (1 to 6).map(i =>
+    s"(CASE WHEN embedding[${58 + i}] > 0 THEN ${1 << (i - 1)} " +
+      "ELSE 0 END)").mkString(" + ")
+  private val semBaseSql = (1 to 4).map(i =>
+    s"(CASE WHEN embedding[4 * b + $i] > 0 THEN ${1 << (i - 1)} " +
+      "ELSE 0 END)").mkString(" + ")
+  private val semExtraSql = (1 to 8).map(j =>
+    s"(CASE WHEN $j <= kk.kx AND embedding[16 + 8 * b + $j] > 0 " +
+      s"THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+  private val semKkSql =
+    """kk AS (
+         SELECT CAST(least(8, CASE WHEN count(*) // 500 = 0 THEN 0
+             ELSE length(bin(CAST(count(*) // 500 AS BIGINT))) - 1 END)
+           AS INT) AS kx
+         FROM embeddings)"""
+
+  /** bands/probes/cand CTE text with a scheme suffix, matching the
+    * Spark semCands construction bit for bit. */
+  private def semCandSql(sfx: String, adaptive: Boolean,
+      probe: Boolean): String = {
+    val kx = if (adaptive) "kk.kx" else "CAST(0 AS INT)"
+    val extra = if (adaptive) semExtraSql else "0"
+    val probes =
+      if (probe)
+        s"""probes$sfx AS (
+              SELECT bv, bc, band, base,
+                CASE WHEN p = 0 THEN extra
+                     ELSE xor(extra, CAST(1 << (p - 1) AS BIGINT)) END
+                  AS probe
+              FROM bands$sfx
+              CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS p) ps
+              WHERE p = 0 OR p <= kx),"""
+      else
+        s"""probes$sfx AS (
+              SELECT bv, bc, band, base, extra AS probe FROM bands$sfx),"""
+    s"""bands$sfx AS (
+          SELECT vec_id AS bv, cell AS bc, $kx AS kx, b AS band,
+            CAST($semBaseSql AS BIGINT) AS base,
+            CAST($extra AS BIGINT) AS extra
+          FROM e
+          CROSS JOIN kk
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+        $probes
+        cand$sfx AS (
+          SELECT DISTINCT x.bv AS a_id, y.bv AS b_id
+          FROM probes$sfx x JOIN bands$sfx y
+            ON x.bc = y.bc AND x.band = y.band AND x.base = y.base
+           AND x.probe = y.extra AND x.bv < y.bv)"""
+  }
+
   /** Semantic (cluster-based) dedup — the SemDeDup recipe LLM curation
     * pipelines run on embeddings (Abbas et al. 2023, public method):
     * coarse cells, a per-cell centroid, candidate pairs above a cosine
@@ -851,56 +1000,21 @@ object Dedup {
     * drop list with the cell and centroid affinity that justified it.
     *
     * Scale shape: the centroid is an exact elementwise integer-sum
-    * vector per cell (explode + grid-sized agg; cosine is scale-
-    * invariant so the sum stands in for the mean); the ≤64-row cell
-    * table broadcasts back; candidates come from the same OR-amplified
-    * 4×4-bit sign-LSH bands as q_sim_pairs, equi-joined on (cell,
-    * band, bkey) — never within-cell all-pairs. Priorities and pair
+    * vector per cell; the ≤64-row cell table broadcasts back;
+    * candidates come from the CORPUS-ADAPTIVE multi-probe sign-LSH
+    * bands (semBands/semCands above), equi-joined on (cell, band,
+    * base, extra) — never within-cell all-pairs, and never a fixed
+    * 1024-bucket space whose per-bucket pair count grows quadratically
+    * with the corpus. q_dedup_semantic_audit measures the recall of
+    * this banding against the fixed reference. Priorities and pair
     * cosines round at 6dp through the sequential double_dot/
     * list_dot_product pair, so both engines pick identical losers. */
   val qDedupSemantic = Q(
     "q_dedup_semantic",
     (s, d) => {
-      graft.functions.FloatDot.register(s)
-      graft.functions.DoubleDot.register(s)
-      val e0 = Tables.t(s, d, "embeddings")
-        .withColumn("cell", expr(
-          """aggregate(sequence(1, 6), CAST(0 AS BIGINT),
-               (acc, i) -> acc + CASE WHEN element_at(embedding, 58 + i) > 0
-                 THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE 0 END)"""))
-        .withColumn("emb_d",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      // exact per-cell centroid direction: elementwise BIGINT sums of
-      // millionth-quantized elements, assembled in dim order
-      val sums = e0
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("jj", "x")))
-        .groupBy(col("cell"), col("jj"))
-        .agg(sum(floor(col("x").cast("double") * 1000000 + 0.5)
-          .cast("long")).as("sq"))
-        .groupBy(col("cell").as("c_cell"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(jj, sq))), p -> CAST(p.sq AS DOUBLE))")
-          .as("cent_d"))
-      val prio = e0.join(broadcast(sums), col("cell") === col("c_cell"))
-        .withColumn("prio", round(
-          expr("double_dot(emb_d, cent_d)") /
-            (sqrt(expr("double_dot(emb_d, emb_d)")) *
-             sqrt(expr("double_dot(cent_d, cent_d)"))), 6))
-        .select(col("vec_id"), col("cell"), col("emb_d"), col("prio"))
-      def bkey(b: Int): String = (1 to 4).map(i =>
-        s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
-          s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
-      val bandRows = (0 until 4).map(b =>
-        s"CAST($b AS BIGINT), CAST(${bkey(b)} AS BIGINT)").mkString(", ")
-      val bands = e0.select(col("vec_id").as("bv"), col("cell").as("bc"),
-        expr(s"stack(4, $bandRows) AS (band, bkey)"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.bc") === col("y.bc") &&
-          col("x.band") === col("y.band") &&
-          col("x.bkey") === col("y.bkey") &&
-          col("x.bv") < col("y.bv"))
-        .select(col("x.bv").as("a_id"), col("y.bv").as("b_id"))
-        .distinct()
+      val e0 = semE0(s, d)
+      val prio = semPrio(e0)
+      val cand = semCands(e0, adaptive = true, probe = true)
       val verified = cand
         .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea"),
           col("prio").as("prio_a")), col("a_id") === col("pa"))
@@ -928,18 +1042,13 @@ object Dedup {
         .orderBy(col("vec_id"))
     },
     Some {
-      val cellSql = (1 to 6).map(i =>
-        s"(CASE WHEN embedding[${58 + i}] > 0 THEN ${1 << (i - 1)} " +
-          "ELSE 0 END)").mkString(" + ")
-      val bkeySql = (1 to 4).map(i =>
-        s"(CASE WHEN embedding[4 * b + $i] > 0 THEN ${1 << (i - 1)} " +
-          "ELSE 0 END)").mkString(" + ")
       s"""WITH e AS (
               SELECT vec_id,
-                CAST($cellSql AS BIGINT) AS cell,
+                CAST($semCellSql AS BIGINT) AS cell,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
                 embedding
               FROM embeddings),
+            $semKkSql,
             sums AS (
               SELECT cell AS c_cell,
                 list(CAST(sq AS DOUBLE) ORDER BY jj) AS cent_d
@@ -957,16 +1066,7 @@ object Dedup {
                   (sqrt(list_dot_product(emb_d, emb_d)) *
                    sqrt(list_dot_product(cent_d, cent_d))), 6) AS prio
               FROM e JOIN sums ON cell = c_cell),
-            bands AS (
-              SELECT vec_id AS bv, cell AS bc, b AS band,
-                CAST($bkeySql AS BIGINT) AS bkey
-              FROM e
-              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
-            cand AS (
-              SELECT DISTINCT x.bv AS a_id, y.bv AS b_id
-              FROM bands x JOIN bands y
-                ON x.bc = y.bc AND x.band = y.band AND x.bkey = y.bkey
-               AND x.bv < y.bv),
+            ${semCandSql("", adaptive = true, probe = true)},
             verified AS (
               SELECT a.prio AS prio_a, b.prio AS prio_b,
                 a_id, b_id, b.cell AS cb
@@ -1023,7 +1123,7 @@ object Dedup {
         .orderBy(col("comp"))
     },
     qDedupNear.oracle.map { nearSql =>
-      val inner = nearSql.substring(0, nearSql.lastIndexOf("ORDER BY"))
+      val inner = graft.Oracle.stripOrderBy(nearSql)
       s"""WITH RECURSIVE np AS ($inner),
             edges AS (SELECT a_id AS u, b_id AS v FROM np
                       UNION SELECT b_id, a_id FROM np),
@@ -1135,6 +1235,124 @@ object Dedup {
                (SELECT count(*) FROM truth), 6) END AS recall"""
     })
 
+  /** Banding audit for the semantic tier (q_dedup_semantic_audit) —
+    * the q_dedup_lsh_audit discipline applied to SemDeDup's candidate
+    * generation: measure the corpus-adaptive schemes against the
+    * original fixed 64-cell × 4-bit space. One row per scheme with its
+    * candidate-pair count (the cost column SCALE.md tracks per doc),
+    * verified-pair count (cos ≥ 0.3), and recall vs the fixed
+    * reference's verified set. `adaptive_base` shows the flat-bucket
+    * cost floor; `adaptive_probe` (the registered q_dedup_semantic
+    * instance) shows what Hamming-≤1 multi-probe recovers. On the
+    * quasi-random fixture the ≥0.3 pairs sit near the 0.3 floor
+    * (median cos ≈ 0.33, sign-bit agreement ≈ 0.6), the hardest recall
+    * regime — real SemDeDup duplicates (cos ≥ 0.9) agree on extra bits
+    * far more often, so these numbers are a lower bound. */
+  val qDedupSemanticAudit = Q(
+    "q_dedup_semantic_audit",
+    (s, d) => {
+      val e0 = semE0(s, d)
+      val prio = semPrio(e0)
+      def ver(cand: DataFrame): DataFrame = cand
+        .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea")),
+          col("a_id") === col("pa"))
+        .join(prio.select(col("vec_id").as("pb"), col("emb_d").as("eb")),
+          col("b_id") === col("pb"))
+        .filter(round(
+          expr("double_dot(ea, eb)") /
+            (sqrt(expr("double_dot(ea, ea)")) *
+             sqrt(expr("double_dot(eb, eb)"))), 6) >= 0.3)
+        .select(col("a_id"), col("b_id"))
+      val candF = semCands(e0, adaptive = false, probe = false)
+      val candB = semCands(e0, adaptive = true, probe = false)
+      val candP = semCands(e0, adaptive = true, probe = true)
+      val verF = ver(candF)
+      val nTrue = verF.agg(count(lit(1)).as("n_true"))
+      def row(scheme: String, cand: DataFrame, v: DataFrame): DataFrame = {
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nv = v.agg(count(lit(1)).as("n_verified"))
+        val nh = v.join(verF, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nc.crossJoin(broadcast(nv)).crossJoin(broadcast(nh))
+          .crossJoin(broadcast(nTrue))
+          .select(lit(scheme).as("scheme"), col("n_cand"),
+            col("n_verified"), col("n_hit"),
+            when(col("n_true") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                col("n_hit").cast("double") / col("n_true"), 6))
+              .as("recall"))
+      }
+      row("adaptive_base", candB, ver(candB))
+        .unionByName(row("adaptive_probe", candP, ver(candP)))
+        .unionByName(row("fixed_1024", candF, verF))
+        .orderBy(col("scheme"))
+    },
+    Some {
+      def verSql(sfx: String): String =
+        s"""ver$sfx AS (
+              SELECT a_id, b_id FROM cand$sfx
+              JOIN prio a ON a_id = a.vec_id
+              JOIN prio b ON b_id = b.vec_id
+              WHERE round(list_dot_product(a.emb_d, b.emb_d) /
+                (sqrt(list_dot_product(a.emb_d, a.emb_d)) *
+                 sqrt(list_dot_product(b.emb_d, b.emb_d))), 6) >= 0.3)"""
+      def hitSql(sfx: String): String =
+        s"""CAST((SELECT count(*) FROM ver$sfx v WHERE EXISTS
+              (SELECT 1 FROM ver_f f
+               WHERE f.a_id = v.a_id AND f.b_id = v.b_id)) AS BIGINT)"""
+      s"""WITH e AS (
+              SELECT vec_id,
+                CAST($semCellSql AS BIGINT) AS cell,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+                embedding
+              FROM embeddings),
+            $semKkSql,
+            sums AS (
+              SELECT cell AS c_cell,
+                list(CAST(sq AS DOUBLE) ORDER BY jj) AS cent_d
+              FROM (
+                SELECT cell, jj,
+                  CAST(sum(CAST(floor(CAST(embedding[jj + 1] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+                FROM e
+                CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS jj) js
+                GROUP BY cell, jj)
+              GROUP BY cell),
+            prio AS (
+              SELECT vec_id, cell, emb_d,
+                round(list_dot_product(emb_d, cent_d) /
+                  (sqrt(list_dot_product(emb_d, emb_d)) *
+                   sqrt(list_dot_product(cent_d, cent_d))), 6) AS prio
+              FROM e JOIN sums ON cell = c_cell),
+            ${semCandSql("_f", adaptive = false, probe = false)},
+            ${verSql("_f")},
+            ${semCandSql("_b", adaptive = true, probe = false)},
+            ${verSql("_b")},
+            ${semCandSql("_p", adaptive = true, probe = true)},
+            ${verSql("_p")}
+          SELECT scheme, n_cand, n_verified, n_hit,
+            CASE WHEN n_true = 0 THEN NULL
+              ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+          FROM (
+            SELECT 'adaptive_base' AS scheme,
+              CAST((SELECT count(*) FROM cand_b) AS BIGINT) AS n_cand,
+              CAST((SELECT count(*) FROM ver_b) AS BIGINT) AS n_verified,
+              ${hitSql("_b")} AS n_hit
+            UNION ALL
+            SELECT 'adaptive_probe',
+              CAST((SELECT count(*) FROM cand_p) AS BIGINT),
+              CAST((SELECT count(*) FROM ver_p) AS BIGINT),
+              ${hitSql("_p")}
+            UNION ALL
+            SELECT 'fixed_1024',
+              CAST((SELECT count(*) FROM cand_f) AS BIGINT),
+              CAST((SELECT count(*) FROM ver_f) AS BIGINT),
+              ${hitSql("_f")}) z
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_true
+                      FROM ver_f) t
+          ORDER BY scheme NULLS FIRST"""
+    })
+
   /** Bloom-fronted incremental ingest (q_dedup_bloom_ingest): the
     * "bloom-fronted signature store" design the streaming comments
     * promise, made concrete — a ~KB bloom filter over the INCREMENT's
@@ -1192,5 +1410,5 @@ object Dedup {
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
     qDedupIncremental, qDedupClusterKeep, qDedupLshAudit,
-    qDedupBloomIngest)
+    qDedupSemanticAudit, qDedupBloomIngest)
 }

@@ -210,6 +210,39 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("semantic banding adapts to the corpus: wider buckets at 4x the " +
+    "fixture scale, multi-probe recovers recall, twins still drop") {
+    import spark.implicits._
+    val base = (0 until 64).map(j => math.sin(j * 1.7 + 1).toFloat).toArray
+    // independent per-row gaussians (a shared trig formula would make
+    // the rows shifted copies of each other and collapse every scheme
+    // into the same buckets)
+    val rows = Seq((0L, base, 0), (1L, base.clone(), 0)) ++
+      (2 until 2048).map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong, Array.fill(64)(r.nextGaussian.toFloat), 1)
+      }
+    val d2 = fixtureDir("semadapt")(
+      "embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val audit = q("q_dedup_semantic_audit", d2).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Double]("recall")))).toMap
+    val (fc, fr) = audit("fixed_1024")
+    val (bc, br) = audit("adaptive_base")
+    val (pc, pr) = audit("adaptive_probe")
+    assert(fr === 1.0)
+    // n = 2048 -> kx = 2: the bucket space is 4x the fixed scheme's,
+    // so the candidate load must drop well below the fixed load
+    assert(bc < fc, s"adaptive base must prune candidates: $bc vs $fc")
+    assert(pc < fc, s"multi-probe must stay below the fixed load: $pc vs $fc")
+    // Hamming-<=1 probing recovers verified pairs the wider keys split
+    assert(pr >= br, s"probe recall $pr below base recall $br")
+    // identical twins agree on every sign bit - dropped at any kx
+    val ids = q("q_dedup_semantic", d2).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(1L) && !ids.contains(0L))
+  }
+
   test("bloom-fronted ingest equals the plain incremental check exactly") {
     val bloom = q("q_dedup_bloom_ingest").collect().map(_.toSeq).toSeq
     val plain = q("q_dedup_incremental").collect().map(_.toSeq).toSeq

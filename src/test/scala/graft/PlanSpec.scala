@@ -461,6 +461,16 @@ class PlanSpec extends SparkSuite {
         s"capped by the user dimension ($users)")
   }
 
+  test("semantic dedup pairs come from band equi-joins, never a " +
+    "cartesian product over the corpus") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic banding must never cross-join the corpus:\n$p")
+    val pa = plan("q_dedup_semantic_audit")
+    assert(!pa.contains("CartesianProduct"),
+      s"audit schemes must also stay banded:\n$pa")
+  }
+
   test("zipf top-100 is a partial top-k with no window") {
     val p = plan("q_text_zipf")
     assert(p.contains("TakeOrderedAndProject"),
