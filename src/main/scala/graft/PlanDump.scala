@@ -114,8 +114,25 @@ object PlanDump {
       "20 rows"),
     "q_dedup_semantic" -> ("SemDeDup: 64-cell centroid table " +
       "broadcast back for priorities; candidates equi-join on (cell, " +
-      "band, bkey) — never within-cell all-pairs; drop rule scan-local " +
+      "band, base, extra) where the extra key widens with the corpus " +
+      "(kx from one count aggregate, broadcast as a 1-row frame) and " +
+      "Hamming-1 probes recover split pairs — never within-cell " +
+      "all-pairs, never a fixed bucket space; drop rule scan-local " +
       "per verified pair"),
+    "q_dedup_semantic_audit" -> ("adaptive-banding audit: three " +
+      "schemes share one scan lineage; every candidate set is a band " +
+      "equi-join (no CartesianProduct); count/recall rows assembled " +
+      "from 1-row broadcast aggregates"),
+    "q_text_tfidf" -> ("tf-idf without the vocab broadcast: df and tf " +
+      "hash-partition on the term and join un-hinted (AQE may still " +
+      "broadcast when measured-small); no forced BroadcastExchange of " +
+      "a Heaps-law table"),
+    "q_text_logprob" -> ("unigram logprob scoring: model join keyed " +
+      "on the token, un-hinted; the only forced broadcast is the " +
+      "1-row total"),
+    "q_text_collocations" -> ("PMI collocations: bigram and unigram " +
+      "tables co-partition on the word keys, joins un-hinted; " +
+      "top-30 is a TakeOrderedAndProject"),
     "q_mix_epochs" -> ("epoch/repeat plan: source-sized aggregate + " +
       "one-row normalizer broadcast; ceil-division scan-local — " +
       "dimension-sized end to end, no fact-table shuffle after the " +

@@ -50,7 +50,18 @@ object ScaleSmoke {
     // round-6 eval tier: held-out scoring (train-fold model joins),
     // the bloom-fronted ingest (increment-bounded like incremental),
     // and the composed IVF+PQ probe (fixed-size broadcasts)
-    "q_text_heldout_ppl", "q_dedup_bloom_ingest", "q_sim_ann_ivfpq")
+    "q_text_heldout_ppl", "q_dedup_bloom_ingest", "q_sim_ann_ivfpq",
+    // round-7 broadcast-fix tier: the ex-forced-broadcast sites (tfidf
+    // df, logprob model, drift distribution, collocation unigrams, the
+    // bloom-fronted stream decontamination) measured before/after the
+    // un-hinting — the fix must be invisible at sf0.1 and the growth
+    // honest-linear in the model table, never a broadcast rebuild
+    "q_text_tfidf", "q_text_logprob", "q_text_drift",
+    "q_text_collocations", "q_stream_decontaminate",
+    // round-7 remaining >=3s entries + the adaptive-banding audit
+    // (its n_cand column is the per-doc candidate-load evidence)
+    "q_mix_dsir_sample", "q_stream_reconcile", "q_stream_runlog_enrich",
+    "q_dedup_semantic_audit")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
