@@ -764,36 +764,57 @@ object Corpus {
     * unseen count makes the backoff auditable. Scale shape: model
     * tables are vocab²-bounded with NO broadcast hints; the two left
     * joins and the per-doc aggregate are the only shuffles. */
+  /** Add-1-smoothed bigram model over a document subset: bigram counts
+    * `cnt(w1, w2, n)`, per-history totals `tot(w1, t)`, and the one-row
+    * vocabulary size `voc(v)`. cnt/tot are vocabulary²-bounded (Heaps-
+    * sublinear in the corpus) so consumers join them UNHINTED; only the
+    * one-row voc is broadcast. */
+  private def addOneModel(docsDf: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cnt = bigramRows(docsDf).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("t"))
+    val voc = docsDf
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(col("ws")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    (cnt, tot, voc)
+  }
+
+  /** Score a per-doc bigram multiset `db(doc_id, source, w1, w2, c)`
+    * under a possibly-FOREIGN add-1 model with the full backoff chain:
+    * seen (w1,w2) → (n+1)/(t+V); unseen w2 under a seen w1 → 1/(t+V);
+    * wholly unseen w1 → 1/V. Per-bigram bits are quantized to
+    * millionths (BIGINT) before summation. Returns one row per doc:
+    * (doc_id, source, nb, sum_i, n_unseen). */
+  private def scoreUnder(db: DataFrame, cnt: DataFrame, tot: DataFrame,
+      voc: DataFrame): DataFrame =
+    db.join(cnt, Seq("w1", "w2"), "left")
+      .join(tot, Seq("w1"), "left")
+      .crossJoin(broadcast(voc))
+      .withColumn("lqi", floor(-log(
+          when(col("n").isNotNull,
+            (col("n") + 1).cast("double") / (col("t") + col("v")))
+            .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
+            .otherwise(lit(1.0) / col("v")))
+        / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
+      .withColumn("unseen", col("n").isNull.cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("nb"),
+        sum(col("c") * col("lqi")).as("sum_i"),
+        sum(col("c") * col("unseen")).as("n_unseen"))
+
   val qTextHeldoutPpl = Q(
     "q_text_heldout_ppl",
     (s, d) => {
       val train = docs(s, d).filter(col("doc_id") % 5 =!= 0)
       val test = docs(s, d).filter(col("doc_id") % 5 === 0)
-      val cnt = bigramRows(train).groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n"))
-      val tot = cnt.groupBy(col("w1")).agg(sum(col("n")).as("t"))
-      val voc = train
-        .select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(col("ws")).as("token"))
-        .agg(countDistinct(col("token")).as("v"))
+      val (cnt, tot, voc) = addOneModel(train)
       val tb = bigramRows(test)
         .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c"))
-      tb.join(cnt, Seq("w1", "w2"), "left")
-        .join(tot, Seq("w1"), "left")
-        .crossJoin(broadcast(voc))
-        .withColumn("lqi", floor(-log(
-            when(col("n").isNotNull,
-              (col("n") + 1).cast("double") / (col("t") + col("v")))
-              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
-              .otherwise(lit(1.0) / col("v")))
-          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
-        .withColumn("unseen", col("n").isNull.cast("long"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c")).as("nb"),
-          sum(col("c") * col("lqi")).as("sum_i"),
-          sum(col("c") * col("unseen")).as("n_unseen"))
+      scoreUnder(tb, cnt, tot, voc)
         .select(col("doc_id"), col("source"),
           col("nb").as("n_bigrams"), col("n_unseen"),
           round(col("sum_i") / lit(1e6) / col("nb"), 6)
@@ -847,8 +868,254 @@ object Corpus {
             GROUP BY doc_id, source
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Perplexity-contrast filter (q_text_contrast): the CCNet
+    * contrastive gate — score every document under TWO add-1 bigram
+    * models, one fit on a literal in-domain source set (src0..src3,
+    * standing in for the "wiki-like" target corpus) and one fit on the
+    * whole corpus, and keep documents whose in-domain cost is no higher
+    * than their general cost. This is the discriminative form of DSIR:
+    * instead of hashed-n-gram importance weights, the score is the
+    * exact per-bigram bit difference mi_in − mi_gen, negative when the
+    * document reads like the target domain. Measured on the fixture:
+    * in-domain docs average −0.093 bits, out-domain +0.130, so the
+    * keep ≤ 0 literal separates the classes. Parity discipline: both
+    * per-doc means are exact integer quotients (`sum_i div nb`, both
+    * engines integral division — the q_mix_epochs lesson) of millionth-
+    * quantized bit sums, so the contrast is a BIGINT difference and the
+    * keep flag compares integers, never floats. Scale shape: one
+    * per-doc bigram multiset feeds both scorings; model tables are
+    * vocab²-bounded and join UNHINTED; only the one-row vocab sizes
+    * broadcast; no windows. */
+  val qTextContrast = Q(
+    "q_text_contrast",
+    (s, d) => {
+      val db = bigramRows(docs(s, d))
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val (cg, tg, vg) = addOneModel(docs(s, d))
+      val (ci, ti, vi) = addOneModel(docs(s, d)
+        .filter(col("source").isin("src0", "src1", "src2", "src3")))
+      val g = scoreUnder(db, cg, tg, vg)
+        .select(col("doc_id"), col("source"), col("nb"),
+          col("sum_i").as("sg"))
+      val i = scoreUnder(db, ci, ti, vi)
+        .select(col("doc_id"), col("sum_i").as("si"),
+          col("n_unseen").as("n_oov_in"))
+      g.join(i, Seq("doc_id"))
+        .withColumn("mg", expr("sg div nb"))
+        .withColumn("mi", expr("si div nb"))
+        .select(col("doc_id"), col("source"),
+          col("nb").as("n_bigrams"), col("n_oov_in"),
+          round(col("sg") / lit(1e6) / col("nb"), 6).as("bits_gen"),
+          round(col("si") / lit(1e6) / col("nb"), 6).as("bits_in"),
+          round((col("mi") - col("mg")) / lit(1e6), 6)
+            .as("contrast_bits"),
+          (col("mi") <= col("mg")).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            db AS (
+              SELECT doc_id, source, w1, w2,
+                CAST(count(*) AS BIGINT) AS c
+              FROM big GROUP BY doc_id, source, w1, w2),
+            cnt_g AS (
+              SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
+              FROM db GROUP BY w1, w2),
+            tot_g AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt_g GROUP BY w1),
+            voc_g AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk)),
+            cnt_i AS (
+              SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
+              FROM db WHERE source IN ('src0', 'src1', 'src2', 'src3')
+              GROUP BY w1, w2),
+            tot_i AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt_i GROUP BY w1),
+            voc_i AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk
+                    WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+            sg AS (
+              SELECT db.doc_id, db.source,
+                CAST(sum(db.c) AS BIGINT) AS nb,
+                CAST(sum(db.c * CAST(floor(-ln(
+                    CASE WHEN cnt_g.n IS NOT NULL
+                      THEN CAST(cnt_g.n + 1 AS DOUBLE) / (tot_g.t + voc_g.v)
+                    WHEN tot_g.t IS NOT NULL
+                      THEN 1.0 / (tot_g.t + voc_g.v)
+                    ELSE 1.0 / voc_g.v END)
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sg
+              FROM db
+              LEFT JOIN cnt_g ON db.w1 = cnt_g.w1 AND db.w2 = cnt_g.w2
+              LEFT JOIN tot_g ON db.w1 = tot_g.w1
+              CROSS JOIN voc_g
+              GROUP BY db.doc_id, db.source),
+            si AS (
+              SELECT db.doc_id,
+                CAST(sum(db.c * CAST(floor(-ln(
+                    CASE WHEN cnt_i.n IS NOT NULL
+                      THEN CAST(cnt_i.n + 1 AS DOUBLE) / (tot_i.t + voc_i.v)
+                    WHEN tot_i.t IS NOT NULL
+                      THEN 1.0 / (tot_i.t + voc_i.v)
+                    ELSE 1.0 / voc_i.v END)
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS si,
+                CAST(sum(db.c * CASE WHEN cnt_i.n IS NULL THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_oov_in
+              FROM db
+              LEFT JOIN cnt_i ON db.w1 = cnt_i.w1 AND db.w2 = cnt_i.w2
+              LEFT JOIN tot_i ON db.w1 = tot_i.w1
+              CROSS JOIN voc_i
+              GROUP BY db.doc_id)
+            SELECT sg.doc_id, sg.source, sg.nb AS n_bigrams, si.n_oov_in,
+              round(sg.sg / 1e6 / sg.nb, 6) AS bits_gen,
+              round(si.si / 1e6 / sg.nb, 6) AS bits_in,
+              round((si.si // sg.nb - sg.sg // sg.nb) / 1e6, 6)
+                AS contrast_bits,
+              CAST(CASE WHEN si.si // sg.nb <= sg.sg // sg.nb
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM sg JOIN si ON sg.doc_id = si.doc_id
+            ORDER BY sg.doc_id NULLS FIRST"""))
+
+  /** Quality-curriculum schedule (q_mix_curriculum): order the corpus
+    * into three training phases, easy → hard, by self-scored bigram
+    * bits-per-doc tertiles (curriculum learning: warm up on the
+    * most-predictable text, finish on the hardest), and emit the
+    * per-(phase, source) manifest a training launcher consumes —
+    * document and token counts, each source's share of its phase, and
+    * the phase's absolute token span [tok_start, tok_end) in the
+    * concatenated schedule. Parity discipline: the per-doc difficulty
+    * is the integer quotient `sum_i div nb` of millionth-quantized
+    * bits (exact in both engines); phase cuts are ONE interpolated-
+    * percentile aggregate over those integers, broadcast, compared
+    * integer-to-cut (the q_agg_equidepth pattern); the token spans are
+    * exact BIGINT sums. Scale shape: model joins unhinted and vocab²-
+    * bounded as in q_text_perplexity; the phase-offset self-join runs
+    * on the LITERAL 3-row phase table (strict-predecessor sum, the
+    * q_text_zipf idiom) so no window ever sees a grow-with-data
+    * table. */
+  val qMixCurriculum = Q(
+    "q_mix_curriculum",
+    (s, d) => {
+      val db = bigramRows(docs(s, d))
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val lq = bigramLq(docs(s, d))
+      val m = db.join(lq, Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("c") * col("lqi")).as("sum_i"))
+        .withColumn("mi", expr("sum_i div nb"))
+      val cuts = m.agg(expr(
+        "percentile(mi, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
+        .as("cuts"))
+      val phased = m.crossJoin(broadcast(cuts))
+        .withColumn("phase",
+          expr("""CAST(1 + aggregate(cuts, 0, (acc, x) ->
+                    acc + CASE WHEN mi > x THEN 1 ELSE 0 END)
+                  AS BIGINT)"""))
+      val perPs = phased.groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb") + 1).as("n_tokens"),
+          sum(col("sum_i")).as("s_i"), sum(col("nb")).as("s_nb"))
+      val pt = perPs.groupBy(col("phase"))
+        .agg(sum(col("n_tokens")).as("p_tokens"))
+      val spans = pt.as("a")
+        .join(pt.as("b"), col("b.phase") < col("a.phase"), "left")
+        .groupBy(col("a.phase").as("phase"),
+          col("a.p_tokens").as("p_tokens"))
+        .agg(coalesce(sum(col("b.p_tokens")), lit(0L)).as("tok_start"))
+      perPs.join(broadcast(spans), Seq("phase"))
+        .select(col("phase"), col("source"), col("n_docs"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("p_tokens"), 6)
+            .as("share"),
+          round(col("s_i") / lit(1e6) / col("s_nb"), 6)
+            .as("mean_bits"),
+          col("tok_start"),
+          (col("tok_start") + col("p_tokens")).as("tok_end"))
+        .orderBy(col("phase"), col("source"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            db AS (
+              SELECT doc_id, source, w1, w2,
+                CAST(count(*) AS BIGINT) AS c
+              FROM big GROUP BY doc_id, source, w1, w2),
+            cnt AS (
+              SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
+              FROM db GROUP BY w1, w2),
+            tot AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt GROUP BY w1),
+            voc AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk)),
+            lq AS (
+              SELECT w1, w2,
+                CAST(floor(-ln(CAST(n + 1 AS DOUBLE) / (t + v))
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                  AS lqi
+              FROM cnt JOIN tot USING (w1), voc),
+            m AS (
+              SELECT doc_id, source,
+                CAST(sum(c) AS BIGINT) AS nb,
+                CAST(sum(c * lqi) AS BIGINT) AS sum_i,
+                CAST(sum(c * lqi) AS BIGINT) // sum(c) AS mi
+              FROM db JOIN lq USING (w1, w2)
+              GROUP BY doc_id, source),
+            cuts AS (
+              SELECT [quantile_cont(mi, CAST(1 AS DOUBLE)/3),
+                      quantile_cont(mi, CAST(2 AS DOUBLE)/3)] AS cuts
+              FROM m),
+            phased AS (
+              SELECT m.*,
+                CAST(1 + len(list_filter(cuts, x -> mi > x)) AS BIGINT)
+                  AS phase
+              FROM m, cuts),
+            per_ps AS (
+              SELECT phase, source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nb + 1) AS BIGINT) AS n_tokens,
+                CAST(sum(sum_i) AS BIGINT) AS s_i,
+                CAST(sum(nb) AS BIGINT) AS s_nb
+              FROM phased GROUP BY phase, source),
+            pt AS (
+              SELECT phase, CAST(sum(n_tokens) AS BIGINT) AS p_tokens
+              FROM per_ps GROUP BY phase),
+            spans AS (
+              SELECT a.phase, a.p_tokens,
+                CAST(coalesce(sum(b.p_tokens), 0) AS BIGINT)
+                  AS tok_start
+              FROM pt a LEFT JOIN pt b ON b.phase < a.phase
+              GROUP BY a.phase, a.p_tokens)
+            SELECT per_ps.phase, source, n_docs, n_tokens,
+              round(CAST(n_tokens AS DOUBLE) / p_tokens, 6) AS share,
+              round(s_i / 1e6 / s_nb, 6) AS mean_bits,
+              tok_start,
+              CAST(tok_start + p_tokens AS BIGINT) AS tok_end
+            FROM per_ps JOIN spans ON per_ps.phase = spans.phase
+            ORDER BY per_ps.phase NULLS FIRST, source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
     qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss,
-    qTextHeldoutPpl)
+    qTextHeldoutPpl, qTextContrast, qMixCurriculum)
 }

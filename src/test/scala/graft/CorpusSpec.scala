@@ -309,4 +309,69 @@ class CorpusSpec extends SparkSuite {
     assert(meanBits("middle") < meanBits("tail"))
     rows.foreach(r => assert(r.getAs[Double]("bits_per_bigram") > 0.0))
   }
+
+  test("contrast filter: in-domain scores below out-of-domain, keep " +
+    "flag matches the integer contrast sign") {
+    val rows = q("q_text_contrast").collect()
+    assert(rows.length === 500)
+    val inDomain = Set("src0", "src1", "src2", "src3")
+    val (ins, outs) = rows.partition(r =>
+      inDomain(r.getAs[String]("source")))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val mIn = mean(ins.map(_.getAs[Double]("contrast_bits")))
+    val mOut = mean(outs.map(_.getAs[Double]("contrast_bits")))
+    // the in-domain model fits its own sources: clear class separation
+    assert(mIn < 0.0 && mOut > 0.0 && mOut - mIn > 0.1,
+      s"no contrast separation: in=$mIn out=$mOut")
+    // the gate keeps most of the target domain, rejects most of the rest
+    def keepRate(xs: Array[org.apache.spark.sql.Row]) =
+      xs.count(_.getAs[Long]("keep") == 1L).toDouble / xs.length
+    assert(keepRate(ins) > 0.7, s"in-domain keep ${keepRate(ins)}")
+    assert(keepRate(outs) < 0.4, s"out-domain keep ${keepRate(outs)}")
+    rows.foreach { r =>
+      // keep is exactly the sign test on the (rounded) integer contrast
+      val c = r.getAs[Double]("contrast_bits")
+      assert((r.getAs[Long]("keep") == 1L) === (c <= 0.0), r.toString)
+      // foreign-model cost never beats the model that saw every doc by
+      // more than the add-1 smoothing can explain; OOV counted
+      assert(r.getAs[Long]("n_oov_in") >= 0L)
+      assert(r.getAs[Double]("bits_in") > 0.0)
+      assert(r.getAs[Double]("bits_gen") > 0.0)
+    }
+    // out-of-domain text hits the in-model's backoff more often
+    val oovIn = mean(ins.map(_.getAs[Long]("n_oov_in").toDouble))
+    val oovOut = mean(outs.map(_.getAs[Long]("n_oov_in").toDouble))
+    assert(oovOut > oovIn, s"backoff rates: in=$oovIn out=$oovOut")
+  }
+
+  test("curriculum: contiguous phase spans, per-phase shares sum to 1, " +
+    "difficulty rises with the phase") {
+    val rows = q("q_mix_curriculum").collect()
+    assert(rows.length === 60) // 3 phases x 20 sources
+    val byPhase = rows.groupBy(_.getAs[Long]("phase"))
+    assert(byPhase.keySet === Set(1L, 2L, 3L))
+    // shares are a distribution within each phase
+    byPhase.values.foreach { ps =>
+      assert(math.abs(ps.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+      // every row in a phase carries the same span
+      assert(ps.map(_.getAs[Long]("tok_start")).distinct.length === 1)
+      assert(ps.map(_.getAs[Long]("tok_end")).distinct.length === 1)
+    }
+    // spans tile the concatenated schedule: 0 ... total, no gaps
+    def span(p: Long) = (byPhase(p)(0).getAs[Long]("tok_start"),
+      byPhase(p)(0).getAs[Long]("tok_end"))
+    assert(span(1)._1 === 0L)
+    assert(span(1)._2 === span(2)._1)
+    assert(span(2)._2 === span(3)._1)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(span(3)._2 === total)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
+    // curriculum orders easy -> hard: average difficulty rises
+    def meanBits(p: Long) = {
+      val xs = byPhase(p).map(_.getAs[Double]("mean_bits"))
+      xs.sum / xs.length
+    }
+    assert(meanBits(1) < meanBits(2) && meanBits(2) < meanBits(3),
+      s"phases not ordered: ${meanBits(1)} ${meanBits(2)} ${meanBits(3)}")
+  }
 }

@@ -606,6 +606,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("contrast + curriculum: no windows; bigram-model joins un-hinted") {
+    Seq("q_text_contrast", "q_mix_curriculum").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("WindowExec"), s"$name must not rank/window:\n$p")
+      // the vocab²-sized bigram-model joins must never be forced to
+      // broadcast (Heaps-law unbounded on raw web text); only one-row
+      // frames (vocab size, tertile cuts) and the literal 3-row phase
+      // table may carry hints
+      val o = q(name).queryExecution.optimizedPlan.toString
+      val hinted = o.linesIterator
+        .filter(_.contains("Hint=(strategy=broadcast)")).toList
+      hinted.foreach(l => Seq("w1#", "w2#").foreach(k =>
+        assert(!l.contains(k),
+          s"$name forces a broadcast on a bigram-model join: $l")))
+    }
+  }
+
   test("DSIR resample: top-64 is a partial top-k; rank join broadcasts") {
     val p = plan("q_mix_dsir_sample")
     assert(p.contains("TakeOrderedAndProject"),
