@@ -24,17 +24,22 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamOps {
 
   /** Streaming view of `events` (schema from a batch footer read; same
-    * nanos→micros NTZ rebuild as Tables.t). */
+    * physical-type-dependent ts normalization as Tables.t — driver data
+    * may store TIMESTAMP(NANOS) (read as long under nanosAsLong) or a
+    * plain timestamp, depending on the generation round). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the streaming file source wants a directory: point it at the sf dir
     // and glob-filter down to the events file (watchdog arrival pattern)
-    s.readStream.schema(schema).format("parquet")
+    val raw = s.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "events.parquet")
       .load(d)
-      .withColumn("ts", expr(
-        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw.withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case _ => raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    }
   }
 
   /** Run a streaming frame to completion into a memory sink; return the
