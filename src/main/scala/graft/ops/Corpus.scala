@@ -769,7 +769,7 @@ object Corpus {
     * vocabulary size `voc(v)`. cnt/tot are vocabulary²-bounded (Heaps-
     * sublinear in the corpus) so consumers join them UNHINTED; only the
     * one-row voc is broadcast. */
-  private def addOneModel(docsDf: DataFrame)
+  private[graft] def addOneModel(docsDf: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val cnt = bigramRows(docsDf).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
@@ -788,7 +788,7 @@ object Corpus {
     * wholly unseen w1 → 1/V. Per-bigram bits are quantized to
     * millionths (BIGINT) before summation. Returns one row per doc:
     * (doc_id, source, nb, sum_i, n_unseen). */
-  private def scoreUnder(db: DataFrame, cnt: DataFrame, tot: DataFrame,
+  private[graft] def scoreUnder(db: DataFrame, cnt: DataFrame, tot: DataFrame,
       voc: DataFrame): DataFrame =
     db.join(cnt, Seq("w1", "w2"), "left")
       .join(tot, Seq("w1"), "left")

@@ -491,7 +491,467 @@ object Refine {
             GROUP BY m.sa, m.sb, ea.d_est, eb.d_est
             ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
 
+  // ---- q_ts_holt --------------------------------------------------------
+
+  /** Holt linear-trend smoothing (q_ts_holt): double exponential
+    * smoothing (α = 0.5, β = 0.3) over the per-type DAILY mean series,
+    * emitting level, trend, and the one-step-ahead forecast for every
+    * day. The recurrence l_t = αv_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is inherently sequential, so
+    * it runs as a per-series fold over the collected daily array —
+    * TIME-bounded (days per type), never corpus-bounded: at 100 TB the
+    * daily rollup is still one map-side-combined aggregate and the
+    * fold touches ~365 elements per key. The DuckDB oracle replays the
+    * identical recurrence as a recursive CTE; both engines execute the
+    * same IEEE double sequence (daily means are single divisions of
+    * exact cent sums), so the smoothed series matches bit-for-bit
+    * before the final rounding. Series with fewer than 2 days are
+    * excluded on both sides (the trend seed needs v₂ − v₁). */
+  val qTsHolt = Q(
+    "q_ts_holt",
+    (s, d) => {
+      val daily = ev(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"), col("day"))
+        .agg((sum(col("c")).cast("double") / count(lit(1))).as("v"))
+      import org.apache.spark.sql.expressions.Window
+      val idxed = daily.withColumn("idx", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day")))
+        .cast("long"))
+      val folded = idxed
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(
+          expr("named_struct('i', idx, 'day', day, 'v', v)"))).as("vs"))
+        .filter(size(col("vs")) >= 2)
+        .select(col("event_type"), explode(expr("""
+          aggregate(
+            slice(vs, 2, size(vs) - 1),
+            named_struct(
+              'lvl', CAST(vs[0].v AS DOUBLE),
+              'trd', CAST(vs[1].v - vs[0].v AS DOUBLE),
+              'hist', array(
+                named_struct('i', vs[0].i, 'day', vs[0].day,
+                  'lvl', CAST(vs[0].v AS DOUBLE),
+                  'trd', CAST(vs[1].v - vs[0].v AS DOUBLE)))),
+            (acc, x) -> named_struct(
+              'lvl', 0.5D * x.v + 0.5D * (acc.lvl + acc.trd),
+              'trd', 0.3D * ((0.5D * x.v + 0.5D * (acc.lvl + acc.trd))
+                       - acc.lvl) + 0.7D * acc.trd,
+              'hist', concat(acc.hist, array(named_struct(
+                'i', x.i, 'day', x.day,
+                'lvl', 0.5D * x.v + 0.5D * (acc.lvl + acc.trd),
+                'trd', 0.3D * ((0.5D * x.v + 0.5D * (acc.lvl + acc.trd))
+                         - acc.lvl) + 0.7D * acc.trd)))),
+            acc -> acc.hist)""")).as("h"))
+        .select(col("event_type"), col("h.i").as("idx"),
+          col("h.day").as("day"),
+          round(col("h.lvl") / 100.0, 6).as("level"),
+          round(col("h.trd") / 100.0, 6).as("trend"),
+          round((col("h.lvl") + col("h.trd")) / 100.0, 6)
+            .as("forecast_next"))
+      folded.orderBy(col("event_type"), col("idx"))
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            daily AS (
+              SELECT event_type, day,
+                CAST(sum(c) AS DOUBLE) / count(*) AS v,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS BIGINT) AS idx
+              FROM base GROUP BY event_type, day),
+            holt(event_type, idx, day, lvl, trd) AS (
+              SELECT d1.event_type, d1.idx, d1.day,
+                d1.v, d2.v - d1.v
+              FROM daily d1 JOIN daily d2
+                ON d1.event_type = d2.event_type
+               AND d1.idx = 1 AND d2.idx = 2
+              UNION ALL
+              SELECT d.event_type, d.idx, d.day,
+                0.5e0 * d.v + 0.5e0 * (h.lvl + h.trd),
+                0.3e0 * ((0.5e0 * d.v + 0.5e0 * (h.lvl + h.trd)) - h.lvl)
+                  + 0.7e0 * h.trd
+              FROM holt h JOIN daily d
+                ON d.event_type = h.event_type AND d.idx = h.idx + 1)
+            SELECT event_type, idx, day,
+              round(lvl / 100.0e0, 6) AS level,
+              round(trd / 100.0e0, 6) AS trend,
+              round((lvl + trd) / 100.0e0, 6) AS forecast_next
+            FROM holt
+            ORDER BY event_type NULLS FIRST, idx NULLS FIRST"""))
+
+  // ---- q_graph_kcore ----------------------------------------------------
+
+  /** k-core peeling census (q_graph_kcore): iteratively remove nodes of
+    * degree < 3 from the shared link graph and report the survivor/edge
+    * counts after each of 4 peel rounds (round 0 = the raw graph) plus
+    * the per-round delta — the density profile a graph pipeline reads
+    * before committing to an expensive community pass. Rounds are a
+    * FIXED literal (the q_graph_labelprop bounded-iteration
+    * discipline): each is two semi-joins against the current alive set
+    * and one degree aggregate, all edge-count-sized; the convergence
+    * delta column shows on-fixture the peel has stabilized by round 4.
+    * The oracle unrolls the identical 4 rounds as a CTE chain. */
+  val qGraphKcore = Q(
+    "q_graph_kcore",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      def summarize(round: Int, alive: DataFrame, e: DataFrame)
+          : DataFrame =
+        alive.agg(count(lit(1)).as("n_alive"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round.toLong).as("round"), col("n_alive"),
+            col("n_edges"))
+      var alive = degrees(und).select(col("v"))
+      var e = und
+      var out = summarize(0, alive, e)
+      for (r <- 1 to 4) {
+        alive = degrees(e).filter(col("deg") >= 3).select(col("v"))
+        // lazy checkpoint per round: without the plan cut, round r's
+        // lineage re-embeds every earlier round's joins and the final
+        // 5-way union re-evaluates the whole pyramid (the
+        // connectedComponentsLoop lesson — persist alone doesn't cut
+        // Catalyst re-analysis of a growing plan)
+        e = e
+          .join(alive.select(col("v").as("va")), col("a") === col("va"),
+            "left_semi")
+          .join(alive.select(col("v").as("vb")), col("b") === col("vb"),
+            "left_semi")
+          .localCheckpoint(false)
+        out = out.unionAll(summarize(r, alive, e))
+      }
+      out.orderBy(col("round"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            d0 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            a1 AS (SELECT v FROM d0 WHERE deg >= 3),
+            e1 AS (SELECT a, b FROM und
+                   WHERE a IN (SELECT v FROM a1)
+                     AND b IN (SELECT v FROM a1)),
+            d1 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) x
+              GROUP BY v),
+            a2 AS (SELECT v FROM d1 WHERE deg >= 3),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT v FROM a2)
+                     AND b IN (SELECT v FROM a2)),
+            d2 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) x
+              GROUP BY v),
+            a3 AS (SELECT v FROM d2 WHERE deg >= 3),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT v FROM a3)
+                     AND b IN (SELECT v FROM a3)),
+            d3 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) x
+              GROUP BY v),
+            a4 AS (SELECT v FROM d3 WHERE deg >= 3),
+            e4 AS (SELECT a, b FROM e3
+                   WHERE a IN (SELECT v FROM a4)
+                     AND b IN (SELECT v FROM a4))
+            SELECT CAST(0 AS BIGINT) AS round,
+              (SELECT count(*) FROM d0) AS n_alive,
+              (SELECT count(*) FROM und) AS n_edges
+            UNION ALL SELECT 1, (SELECT count(*) FROM a1),
+              (SELECT count(*) FROM e1)
+            UNION ALL SELECT 2, (SELECT count(*) FROM a2),
+              (SELECT count(*) FROM e2)
+            UNION ALL SELECT 3, (SELECT count(*) FROM a3),
+              (SELECT count(*) FROM e3)
+            UNION ALL SELECT 4, (SELECT count(*) FROM a4),
+              (SELECT count(*) FROM e4)
+            ORDER BY round NULLS FIRST"""))
+
+  // ---- q_curate_ablation ------------------------------------------------
+
+  /** Per-filter ablation of the curation funnel (q_curate_ablation):
+    * for each of the four gates (exact-dup keeper, SemDeDup, DSIR
+    * affinity, token length) treated as INDEPENDENT predicates, how
+    * many documents fail it, how many fail ONLY it (its unique
+    * contribution — the number FineWeb-style ablation reports quote),
+    * and how many would survive if it were removed (leave-one-out).
+    * This is the table that justifies each filter's existence before a
+    * 100 TB run pays for it. Every gate REUSES the registered
+    * operator's stage store verbatim (the q_curate_v2 discipline), the
+    * flags collapse to ONE global 13-sum aggregate, and the 4 output
+    * rows come from a literal stack — scan cost is the funnel's three
+    * hash joins, nothing more. */
+  val qCurateAblation = Q(
+    "q_curate_ablation",
+    (s, d) => {
+      val docsF = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text"))).cast("binary")).as("th"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok"))
+      val (eg, sem, dsir) = TextOps.curateStages(s, d)
+      val fl = docsF
+        .join(eg, col("th") === col("text_hash"))
+        .join(sem, col("doc_id") === col("vec_id"), "left")
+        .join(dsir, col("doc_id") === col("w_id"), "left")
+        .select(
+          (col("keep_id") === col("doc_id")).as("f1"),
+          col("vec_id").isNull.as("f2"),
+          coalesce(col("logw") >= lit(-15.0), lit(false)).as("f3"),
+          (col("ntok") >= 20 && col("ntok") <= 1000).as("f4"))
+      def cnt(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(p, 1L).otherwise(0L))
+      val Seq(f1, f2, f3, f4) = Seq("f1", "f2", "f3", "f4").map(col)
+      val agg = fl.agg(
+        count(lit(1)).as("n_docs"),
+        cnt(f1 && f2 && f3 && f4).as("n_kept"),
+        cnt(!f1).as("fail_1"), cnt(!f2).as("fail_2"),
+        cnt(!f3).as("fail_3"), cnt(!f4).as("fail_4"),
+        cnt(!f1 && f2 && f3 && f4).as("uniq_1"),
+        cnt(f1 && !f2 && f3 && f4).as("uniq_2"),
+        cnt(f1 && f2 && !f3 && f4).as("uniq_3"),
+        cnt(f1 && f2 && f3 && !f4).as("uniq_4"),
+        cnt(f2 && f3 && f4).as("loo_1"),
+        cnt(f1 && f3 && f4).as("loo_2"),
+        cnt(f1 && f2 && f4).as("loo_3"),
+        cnt(f1 && f2 && f3).as("loo_4"))
+      agg.select(expr("""stack(4,
+          'dsir',     fail_3, uniq_3, loo_3,
+          'exact',    fail_1, uniq_1, loo_1,
+          'length',   fail_4, uniq_4, loo_4,
+          'semdedup', fail_2, uniq_2, loo_2)
+          AS (gate, n_fail, n_unique_fail, n_kept_without)"""),
+          col("n_docs"), col("n_kept"))
+        .orderBy(col("gate"))
+    },
+    for {
+      semSql <- Dedup.qDedupSemantic.oracle
+      dsirSql <- Corpus.qMixDsir.oracle
+    } yield {
+      val semInner = graft.Oracle.stripOrderBy(semSql)
+      val dsirInner = graft.Oracle.stripOrderBy(dsirSql)
+      s"""WITH eg AS (
+            SELECT md5(lower(trim(text))) AS th, min(doc_id) AS keep_id
+            FROM documents GROUP BY th),
+          sem AS (SELECT vec_id FROM ($semInner) z),
+          dw AS (SELECT doc_id AS w_id, logw FROM ($dsirInner) z),
+          fl AS (
+            SELECT
+              (eg.keep_id = d.doc_id) AS f1,
+              (d.doc_id NOT IN (SELECT vec_id FROM sem)) AS f2,
+              COALESCE(dw.logw >= -15.0e0, FALSE) AS f3,
+              (len(string_split(d.text, ' ')) >= 20
+                AND len(string_split(d.text, ' ')) <= 1000) AS f4
+            FROM documents d
+            JOIN eg ON md5(lower(trim(d.text))) = eg.th
+            LEFT JOIN dw ON d.doc_id = dw.w_id),
+          a AS (
+            SELECT count(*) AS n_docs,
+              CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0
+                END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_1,
+              CAST(sum(CASE WHEN NOT f2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_2,
+              CAST(sum(CASE WHEN NOT f3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_3,
+              CAST(sum(CASE WHEN NOT f4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_4,
+              CAST(sum(CASE WHEN NOT f1 AND f2 AND f3 AND f4 THEN 1
+                ELSE 0 END) AS BIGINT) AS uniq_1,
+              CAST(sum(CASE WHEN f1 AND NOT f2 AND f3 AND f4 THEN 1
+                ELSE 0 END) AS BIGINT) AS uniq_2,
+              CAST(sum(CASE WHEN f1 AND f2 AND NOT f3 AND f4 THEN 1
+                ELSE 0 END) AS BIGINT) AS uniq_3,
+              CAST(sum(CASE WHEN f1 AND f2 AND f3 AND NOT f4 THEN 1
+                ELSE 0 END) AS BIGINT) AS uniq_4,
+              CAST(sum(CASE WHEN f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS loo_1,
+              CAST(sum(CASE WHEN f1 AND f3 AND f4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS loo_2,
+              CAST(sum(CASE WHEN f1 AND f2 AND f4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS loo_3,
+              CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS loo_4
+            FROM fl)
+          SELECT 'dsir' AS gate, fail_3 AS n_fail, uniq_3 AS
+            n_unique_fail, loo_3 AS n_kept_without, n_docs, n_kept FROM a
+          UNION ALL SELECT 'exact', fail_1, uniq_1, loo_1, n_docs,
+            n_kept FROM a
+          UNION ALL SELECT 'length', fail_4, uniq_4, loo_4, n_docs,
+            n_kept FROM a
+          UNION ALL SELECT 'semdedup', fail_2, uniq_2, loo_2, n_docs,
+            n_kept FROM a
+          ORDER BY gate NULLS FIRST"""
+    })
+
+  // ---- q_mix_doremi -----------------------------------------------------
+
+  /** DoReMi-style domain reweighting (q_mix_doremi): one multiplicative-
+    * weights round over sources — per domain, the EXCESS LOSS of the
+    * general (mixture-trained) model over the domain's own model, and
+    * the exponentiated reweight w_s ∝ exp(η·excess_s) (η = 1) that
+    * upweights domains the mixture underserves. Model plumbing reuses
+    * the shared add-1 bigram scorer (q_text_contrast's backoff chain);
+    * the per-source models are ONE source-keyed aggregate (cnt/tot
+    * tables vocab²-bounded, joined UNHINTED; only the one-row-per-
+    * source vocab sizes broadcast — domain counts are bounded in any
+    * real mixture). Per-doc means are exact integral divisions of
+    * micro-quantized bit sums; excess clamps at 0 per doc (the DoReMi
+    * rule), aggregates as an exact BIGINT sum, and the normalizer
+    * follows the q_mix_temperature round(raw/z, 6) discipline. */
+  val qMixDoremi = Q(
+    "q_mix_doremi",
+    (s, d) => {
+      val db = Corpus.bigramRows(docs(s, d))
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+      val (cg, tg, vg) = Corpus.addOneModel(docs(s, d))
+      val gen = Corpus.scoreUnder(db, cg, tg, vg)
+        .select(col("doc_id"), col("nb"), col("sum_i").as("sg"))
+      val cntS = db.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(sum(col("c")).as("n"))
+      val totS = cntS.groupBy(col("source"), col("w1"))
+        .agg(sum(col("n")).as("t"))
+      val vocS = docs(s, d)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(col("ws")).as("token"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("token")).as("v"))
+      val own = db
+        .join(cntS, Seq("source", "w1", "w2"), "left")
+        .join(totS, Seq("source", "w1"), "left")
+        .join(broadcast(vocS), Seq("source"))
+        .withColumn("lqi", floor(-log(
+            when(col("n").isNotNull,
+              (col("n") + 1).cast("double") / (col("t") + col("v")))
+              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
+              .otherwise(lit(1.0) / col("v")))
+          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("lqi")).as("so"))
+      val perDoc = own.join(gen, Seq("doc_id"))
+        .withColumn("mg", expr("sg div nb"))
+        .withColumn("mo", expr("so div nb"))
+        .withColumn("ex", greatest(col("mg") - col("mo"), lit(0L)))
+      val perSource = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mg")).as("sum_mg"), sum(col("mo")).as("sum_mo"),
+          sum(col("ex")).as("sum_ex"))
+        .withColumn("ex_micro", expr("sum_ex div n_docs"))
+      val z = perSource
+        .agg(sum(exp(col("ex_micro") / lit(1e6))).as("z"))
+      perSource.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(col("sum_mg").cast("double") / 1e6 / col("n_docs"), 6)
+            .as("bits_gen"),
+          round(col("sum_mo").cast("double") / 1e6 / col("n_docs"), 6)
+            .as("bits_own"),
+          round(col("ex_micro") / lit(1e6), 6).as("excess_bits"),
+          round(exp(col("ex_micro") / lit(1e6)) / col("z"), 6)
+            .as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            db AS (
+              SELECT doc_id, source, w1, w2,
+                CAST(count(*) AS BIGINT) AS c
+              FROM big GROUP BY doc_id, source, w1, w2),
+            cnt_g AS (
+              SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
+              FROM db GROUP BY w1, w2),
+            tot_g AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt_g GROUP BY w1),
+            voc_g AS (
+              SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM tk)),
+            cnt_s AS (
+              SELECT source, w1, w2, CAST(sum(c) AS BIGINT) AS n
+              FROM db GROUP BY source, w1, w2),
+            tot_s AS (
+              SELECT source, w1, CAST(sum(n) AS BIGINT) AS t
+              FROM cnt_s GROUP BY source, w1),
+            voc_s AS (
+              SELECT source, count(DISTINCT token) AS v
+              FROM (SELECT source, unnest(w) AS token FROM tk)
+              GROUP BY source),
+            gen AS (
+              SELECT db.doc_id,
+                CAST(sum(db.c) AS BIGINT) AS nb,
+                CAST(sum(db.c * CAST(floor(-ln(
+                    CASE WHEN cnt_g.n IS NOT NULL
+                      THEN CAST(cnt_g.n + 1 AS DOUBLE)
+                        / (tot_g.t + voc_g.v)
+                    WHEN tot_g.t IS NOT NULL
+                      THEN 1.0 / (tot_g.t + voc_g.v)
+                    ELSE 1.0 / voc_g.v END)
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sg
+              FROM db
+              LEFT JOIN cnt_g ON db.w1 = cnt_g.w1 AND db.w2 = cnt_g.w2
+              LEFT JOIN tot_g ON db.w1 = tot_g.w1
+              CROSS JOIN voc_g
+              GROUP BY db.doc_id),
+            own AS (
+              SELECT db.doc_id, db.source,
+                CAST(sum(db.c * CAST(floor(-ln(
+                    CASE WHEN cnt_s.n IS NOT NULL
+                      THEN CAST(cnt_s.n + 1 AS DOUBLE)
+                        / (tot_s.t + voc_s.v)
+                    WHEN tot_s.t IS NOT NULL
+                      THEN 1.0 / (tot_s.t + voc_s.v)
+                    ELSE 1.0 / voc_s.v END)
+                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS so
+              FROM db
+              LEFT JOIN cnt_s ON db.source = cnt_s.source
+                AND db.w1 = cnt_s.w1 AND db.w2 = cnt_s.w2
+              LEFT JOIN tot_s ON db.source = tot_s.source
+                AND db.w1 = tot_s.w1
+              JOIN voc_s ON db.source = voc_s.source
+              GROUP BY db.doc_id, db.source),
+            per_doc AS (
+              SELECT o.source, g.sg // g.nb AS mg, o.so // g.nb AS mo,
+                greatest(g.sg // g.nb - o.so // g.nb, 0) AS ex
+              FROM own o JOIN gen g ON o.doc_id = g.doc_id),
+            per_source AS (
+              SELECT source, count(*) AS n_docs,
+                CAST(sum(mg) AS BIGINT) AS sum_mg,
+                CAST(sum(mo) AS BIGINT) AS sum_mo,
+                CAST(sum(ex) AS BIGINT) // count(*) AS ex_micro
+              FROM per_doc GROUP BY source),
+            z AS (SELECT sum(exp(ex_micro / 1e6)) AS z FROM per_source)
+            SELECT source, n_docs,
+              round(CAST(sum_mg AS DOUBLE) / 1e6 / n_docs, 6)
+                AS bits_gen,
+              round(CAST(sum_mo AS DOUBLE) / 1e6 / n_docs, 6)
+                AS bits_own,
+              round(ex_micro / 1e6, 6) AS excess_bits,
+              round(exp(ex_micro / 1e6) / z, 6) AS weight
+            FROM per_source, z
+            ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
-    qTextNovelty, qAggKmv)
+    qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
+    qMixDoremi)
+
+  /** DuckDB mirror of the shared link graph (one definition with
+    * Insights — referenced, not duplicated). */
+  private def undirectedLinkEdgesSqlRef: String =
+    Insights.undirectedLinkEdgesSql
 }

@@ -631,4 +631,48 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"),
       s"64-row predecessor-count join must broadcast:\n$p")
   }
+
+  test("KMV sketch: per-source top-64 is a partial WindowGroupLimit") {
+    val p = plan("q_agg_kmv")
+    assert(p.contains("WindowGroupLimit"),
+      s"sketch must map-side prune to 64 rows per source:\n$p")
+    assert(p.contains("Partial"),
+      s"expected a partial (map-side) group limit:\n$p")
+  }
+
+  test("doremi + novelty: vocab-keyed model joins stay un-hinted") {
+    // cnt_s/tot_s/cnt_g/owner tables are vocab(²)-sized (Heaps-law
+    // unbounded); only the per-source vocab sizes (one row per domain)
+    // and the one-row normalizer may carry broadcast hints.
+    Seq("q_mix_doremi", "q_text_novelty").foreach { name =>
+      val o = q(name).queryExecution.optimizedPlan.toString
+      val hinted = o.linesIterator
+        .filter(_.contains("Hint=(strategy=broadcast)")).toList
+      hinted.foreach(l => Seq("w1#", "w2#").foreach(k =>
+        assert(!l.contains(k),
+          s"$name forces a broadcast on a vocab-sized join: $l")))
+    }
+  }
+
+  test("spearman rank windows run over literal-bounded value grids") {
+    // the rank transform must never sort the fact table: its windows
+    // see one row per (flag, grid value) — quantity 1..50, discount
+    // per-cent 0..10 — so the window input is ≤ 3 × 50 rows at any sf.
+    val li = Tables.t(spark, sf0, "lineitem")
+    val dx = li.select(col("l_returnflag"), col("l_quantity"))
+      .distinct().count()
+    val dy = li.select(col("l_returnflag"),
+      floor(col("l_discount") * 100 + 0.5)).distinct().count()
+    assert(dx <= 150, s"quantity grid blew the window bound: $dx")
+    assert(dy <= 33, s"discount grid blew the window bound: $dy")
+  }
+
+  test("holt fold input is one row per (type, day) — time-bounded") {
+    // the sequential recurrence only ever touches the DAILY rollup:
+    // rows per series = calendar days, not event volume
+    val n = Tables.t(spark, sf0, "events")
+      .select(col("event_type"), col("ts").cast("date")).distinct()
+      .count()
+    assert(n <= 400, s"daily series no longer day-bounded: $n rows")
+  }
 }

@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 tier: robust stats, privacy audit, novelty, KMV sketches,
+  * Holt smoothing, k-core peeling, curation ablation, DoReMi. */
+class RefineSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- q_agg_trimmed ----------------------------------------------------
+
+  test("trimmed/winsorized means match a scalar replay") {
+    val rows = q("q_agg_trimmed").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val data = Tables.t(spark, sf0, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(xs: Seq[Long], p: Double): Double = {
+      val rank = (xs.length - 1) * p
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < xs.length) xs(lo) + frac * (xs(lo + 1) - xs(lo))
+      else xs(lo).toDouble
+    }
+    data.foreach { case (rf, xs) =>
+      val (p10, p90) = (interp(xs, 0.1), interp(xs, 0.9))
+      val mid = xs.filter(x => x >= p10 && x <= p90)
+      val trimmed = mid.sum.toDouble / mid.length
+      val winsor = (mid.sum.toDouble + xs.count(_ < p10) * p10 +
+        xs.count(_ > p90) * p90) / xs.length
+      val r = rows(rf)
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - trimmed) < 1e-5,
+        s"flag $rf trimmed")
+      assert(math.abs(r.getAs[Double]("winsor_mean") - winsor) < 1e-5,
+        s"flag $rf winsor")
+      assert(r.getAs[Double]("p10") <= r.getAs[Double]("p90"))
+    }
+  }
+
+  // ---- q_agg_spearman ---------------------------------------------------
+
+  test("spearman: planted monotone pairs hit +1/-1, ties average") {
+    val li = Seq(
+      // flag M: y strictly increases with x -> rho = 1
+      ("M", 1.0, 0.01), ("M", 2.0, 0.02), ("M", 3.0, 0.03),
+      ("M", 4.0, 0.04),
+      // flag D: y strictly decreases with x -> rho = -1
+      ("D", 1.0, 0.04), ("D", 2.0, 0.03), ("D", 3.0, 0.02),
+      ("D", 4.0, 0.01))
+      .toDF("l_returnflag", "l_quantity", "l_discount")
+      .withColumn("l_extendedprice", lit(100.0))
+    val dir = fixtureDir("refine_spear")("lineitem" -> li)
+    val got = q("q_agg_spearman", dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Double]("spearman")).toMap
+    assert(math.abs(got("M") - 1.0) < 1e-9, s"got $got")
+    assert(math.abs(got("D") + 1.0) < 1e-9, s"got $got")
+  }
+
+  test("spearman on driver data stays in [-1, 1]") {
+    q("q_agg_spearman").collect().foreach { r =>
+      val v = r.getAs[Double]("spearman")
+      assert(v >= -1.0 && v <= 1.0, s"rho out of range: $v")
+    }
+  }
+
+  // ---- q_agg_skew_kurt --------------------------------------------------
+
+  test("skew/kurt: symmetric two-point mass has skew 0, excess -2") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (0 until 40).map { i =>
+      (i.toLong, ts0, i.toLong, "flat",
+        if (i % 2 == 0) 10.0 else 20.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("refine_sk")("events" -> ev)
+    val r = q("q_agg_skew_kurt", dir).collect()
+      .find(_.getAs[String]("event_type") == "flat").get
+    assert(math.abs(r.getAs[Double]("skewness")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kurtosis_excess") + 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_value") - 15.0) < 1e-9)
+  }
+
+  // ---- q_audit_kanon ----------------------------------------------------
+
+  test("k-anonymity: planted singleton class is flagged at risk") {
+    val cust = Seq(
+      // 6 identical-QI rows: class size 6, safe at k=5
+      (1L, 0L, "SEG_A", 1500.0), (2L, 0L, "SEG_A", 1501.0),
+      (3L, 0L, "SEG_A", 1502.0), (4L, 0L, "SEG_A", 1503.0),
+      (5L, 0L, "SEG_A", 1504.0), (6L, 0L, "SEG_A", 1505.0),
+      // singleton class: at risk
+      (7L, 1L, "SEG_A", 5500.0),
+      // pair class in another segment: at risk
+      (8L, 2L, "SEG_B", 100.0), (9L, 2L, "SEG_B", 101.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val dir = fixtureDir("refine_kanon")("customer" -> cust)
+    val got = q("q_audit_kanon", dir).collect()
+      .map(r => r.getAs[String]("c_mktsegment") -> r).toMap
+    assert(got("SEG_A").getAs[Long]("n_classes") === 2L)
+    assert(got("SEG_A").getAs[Long]("rows_at_risk") === 1L)
+    assert(got("SEG_B").getAs[Long]("rows_at_risk") === 2L)
+    assert(math.abs(got("SEG_B").getAs[Double]("risk_frac") - 1.0) < 1e-9)
+  }
+
+  // ---- q_text_novelty ---------------------------------------------------
+
+  test("novelty: exact copies contribute zero, unique text full") {
+    val docsDf = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),
+      (1L, "alpha beta gamma delta", "en", "s1"), // copy -> 0 novelty
+      (2L, "wholly unseen fresh phrase", "en", "s1")) // -> 1.0
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("refine_novel")("documents" -> docsDf)
+    val got = q("q_text_novelty", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(math.abs(got("s0").getAs[Double]("avg_novelty") - 1.0) < 1e-9)
+    // s1: one doc at 0, one at 1 -> mean 0.5
+    assert(math.abs(got("s1").getAs[Double]("avg_novelty") - 0.5) < 1e-9)
+    assert(got("s1").getAs[Long]("n_novel") === 3L)
+  }
+
+  // ---- q_agg_kmv --------------------------------------------------------
+
+  test("KMV: unsaturated sketches give exact distincts; copies share") {
+    // sf0.001 sources hold < 64 distinct texts, so d_est is exact
+    val est = q("q_agg_kmv").collect()
+    val exact = Tables.t(spark, sf0, "documents")
+      .select(col("source"),
+        md5(lower(trim(col("text")))).as("h"))
+      .distinct().groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("sa"), r.getAs[String]("sb"))
+      assert(r.getAs[Double]("est_a") === exact(sa).toDouble, sa)
+      assert(r.getAs[Double]("est_b") === exact(sb).toDouble, sb)
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("KMV: identical sources estimate Jaccard 1, disjoint 0") {
+    val texts = (0 until 30).map(i => s"text body number $i distinct")
+    val rows =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "sA") } ++
+      texts.zipWithIndex.map { case (t, i) =>
+        (100L + i, t, "en", "sB") } ++ // sB = copy of sA
+      (0 until 30).map(i =>
+        (200L + i, s"other corpus entry $i unrelated", "en", "sC"))
+    val docsDf = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("refine_kmv")("documents" -> docsDf)
+    val got = q("q_agg_kmv", dir).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) ->
+        r.getAs[Double]("jaccard_est")).toMap
+    assert(got(("sA", "sB")) === 1.0)
+    assert(got(("sA", "sC")) === 0.0)
+    assert(got(("sB", "sC")) === 0.0)
+  }
+
+  // ---- q_ts_holt --------------------------------------------------------
+
+  test("holt: recurrence matches a scalar replay on a planted series") {
+    val ev = Seq(
+      (0L, "2024-01-01 06:00:00", 10.0), (1L, "2024-01-01 18:00:00", 20.0),
+      (2L, "2024-01-02 12:00:00", 30.0),
+      (3L, "2024-01-03 12:00:00", 24.0),
+      (4L, "2024-01-04 12:00:00", 40.0))
+      .map { case (id, t, v) =>
+        (id, java.sql.Timestamp.valueOf(t), id, "s", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("refine_holt")("events" -> ev)
+    val got = q("q_ts_holt", dir).collect()
+      .map(r => r.getAs[Long]("idx") ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast_next"))).toMap
+    // daily means (cents): d1 = 1500, d2 = 3000, d3 = 2400, d4 = 4000
+    val vs = Seq(1500.0, 3000.0, 2400.0, 4000.0)
+    var lvl = vs(0); var trd = vs(1) - vs(0)
+    val expect = scala.collection.mutable.Map(1L -> ((lvl, trd)))
+    (1 until vs.length).foreach { i =>
+      val nl = 0.5 * vs(i) + 0.5 * (lvl + trd)
+      trd = 0.3 * (nl - lvl) + 0.7 * trd
+      lvl = nl
+      expect((i + 1).toLong) = (lvl, trd)
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (i, (l, t)) =>
+      assert(math.abs(got(i)._1 - l / 100) < 1e-6, s"level at $i")
+      assert(math.abs(got(i)._2 - t / 100) < 1e-6, s"trend at $i")
+      assert(math.abs(got(i)._3 - (l + t) / 100) < 1e-6, s"fc at $i")
+    }
+  }
+
+  // ---- q_graph_kcore ----------------------------------------------------
+
+  test("kcore: counts match a scalar peel replay; census is monotone") {
+    val rows = q("q_graph_kcore").collect()
+      .map(r => r.getAs[Long]("round") ->
+        (r.getAs[Long]("n_alive"), r.getAs[Long]("n_edges"))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // monotone non-increasing in both columns
+    (1 to 4).foreach { r =>
+      assert(rows(r.toLong)._1 <= rows(r - 1L)._1)
+      assert(rows(r.toLong)._2 <= rows(r - 1L)._2)
+    }
+    // scalar replay of the same 4 peel rounds over the tiny sf0 graph
+    var edges = ops.Insights.undirectedLinkEdges(spark, sf0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1 to 4).foreach { r =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+      assert(rows(r.toLong) === ((alive.size.toLong, edges.size.toLong)),
+        s"round $r")
+    }
+  }
+
+  // ---- q_curate_ablation ------------------------------------------------
+
+  test("ablation: leave-one-out identity and curate_v2 consistency") {
+    val ab = q("q_curate_ablation").collect()
+      .map(r => r.getAs[String]("gate") -> r).toMap
+    assert(ab.keySet === Set("exact", "semdedup", "dsir", "length"))
+    val nKept = ab("exact").getAs[Long]("n_kept")
+    ab.values.foreach { r =>
+      // removing gate g admits exactly the docs failing ONLY g
+      assert(r.getAs[Long]("n_kept_without") ===
+        nKept + r.getAs[Long]("n_unique_fail"), r.getAs[String]("gate"))
+      assert(r.getAs[Long]("n_unique_fail") <= r.getAs[Long]("n_fail"))
+      assert(r.getAs[Long]("n_kept") === nKept)
+    }
+    // the funnel's final survivor count is the same program composed
+    // in q_curate_v2 (cumulative flags) — cross-check totals
+    val v2 = q("q_curate_v2").collect()
+    assert(v2.map(_.getAs[Long]("n_kept")).sum === nKept)
+    assert(v2.map(_.getAs[Long]("n_docs")).sum ===
+      ab("exact").getAs[Long]("n_docs"))
+  }
+
+  // ---- q_mix_doremi -----------------------------------------------------
+
+  test("doremi: weights normalize, excess is non-negative and " +
+    "monotone into weights") {
+    val rows = q("q_mix_doremi").collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("excess_bits") >= 0.0)
+      assert(r.getAs[Double]("bits_gen") > 0.0)
+      assert(r.getAs[Double]("bits_own") > 0.0)
+    }
+    val byExcess = rows.sortBy(_.getAs[Double]("excess_bits"))
+      .map(_.getAs[Double]("weight"))
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
+      "weight must be monotone in excess loss")
+  }
+
+  test("doremi: a domain the mixture underserves gets upweighted") {
+    // sX: tight repetitive phrasing its own model nails but the
+    // general model (dominated by diverse sY text) scores poorly
+    val rep = (0 until 8).map(i =>
+      (i.toLong, "spin spin spin spin spin spin spin spin", "en", "sX"))
+    val div = (0 until 8).map(i =>
+      (10L + i, s"varied passage number $i with changing words ${i * 7}",
+        "en", "sY"))
+    val docsDf = (rep ++ div).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("refine_doremi")("documents" -> docsDf)
+    val got = q("q_mix_doremi", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("excess_bits"), r.getAs[Double]("weight"))).toMap
+    assert(got("sX")._1 > got("sY")._1,
+      s"repetitive domain should carry higher excess: $got")
+    assert(got("sX")._2 > got("sY")._2, s"and the higher weight: $got")
+  }
+}
