@@ -61,7 +61,15 @@ object ScaleSmoke {
     // round-7 remaining >=3s entries + the adaptive-banding audit
     // (its n_cand column is the per-doc candidate-load evidence)
     "q_mix_dsir_sample", "q_stream_reconcile", "q_stream_runlog_enrich",
-    "q_dedup_semantic_audit")
+    "q_dedup_semantic_audit",
+    // round-8 document-tier additions: first-occurrence novelty (vocab
+    // min-agg + un-hinted join-back), DoReMi (general + per-source
+    // model fits and two scorings), the KMV sketch build (partial
+    // top-64 per source), the 4-gate ablation (three stage joins, one
+    // 13-sum aggregate), and the k-core peel (4 checkpointed rounds
+    // over the link graph)
+    "q_text_novelty", "q_mix_doremi", "q_agg_kmv", "q_curate_ablation",
+    "q_graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
