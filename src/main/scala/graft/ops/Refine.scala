@@ -945,10 +945,84 @@ object Refine {
             FROM per_source, z
             ORDER BY source NULLS FIRST"""))
 
+  // ---- q_win_percent ----------------------------------------------------
+
+  /** Relative-position window pair (q_win_percent): percent_rank and
+    * cume_dist of every event's value within its type — the two
+    * standard relative-rank functions completing the T2 window surface
+    * (rank/lag/running/sliding/ntile/first-last/range-frame already
+    * covered). Ordering key (value, event_id) is total, so both
+    * engines assign identical positions; the per-row doubles are exact
+    * rational k/n in both engines and compare raw. */
+  val qWinPercent = Q(
+    "q_win_percent",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      ev(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("event_type"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type,
+              round(percent_rank() OVER w, 6) AS pr,
+              round(cume_dist() OVER w, 6) AS cd
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value, event_id)
+            ORDER BY event_id NULLS FIRST"""))
+
+  // ---- q_join_skew_census -----------------------------------------------
+
+  /** Join-key skew census (q_join_skew_census): the distribution of
+    * per-key multiplicities on lineitem's join key — the table a
+    * planner (or the q_join_salted / q_join_skew_aqe decision rule)
+    * reads BEFORE choosing a strategy for a 100 TB join. Two hash
+    * aggregates: per-key counts, then count-of-counts statistics; the
+    * exact percentile runs over the multiplicity DOMAIN (≤ 7 for
+    * TPC-H-shaped orders), so the aggregation buffer is domain-bounded
+    * (the Audit.scala exact-percentile rule). skew_ratio = max/mean
+    * is the number that decides salting. */
+  val qJoinSkewCensus = Q(
+    "q_join_skew_census",
+    (s, d) => {
+      val perKey = li(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"))
+      perKey.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50"),
+          expr("percentile(cnt, 0.99)").as("p99"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          round(col("p50"), 6).as("p50_cnt"),
+          round(col("p99"), 6).as("p99_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6)
+            .as("mean_cnt"),
+          round(col("max_cnt") * col("n_keys").cast("double") /
+            col("n_rows"), 6).as("skew_ratio"))
+    },
+    Some("""WITH per_key AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT count(*) AS n_keys,
+              CAST(sum(cnt) AS BIGINT) AS n_rows,
+              CAST(max(cnt) AS BIGINT) AS max_cnt,
+              round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+              round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+              round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_cnt,
+              round(max(cnt) * CAST(count(*) AS DOUBLE) / sum(cnt), 6)
+                AS skew_ratio
+            FROM per_key"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
-    qMixDoremi)
+    qMixDoremi, qWinPercent, qJoinSkewCensus)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

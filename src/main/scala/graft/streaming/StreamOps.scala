@@ -1689,7 +1689,56 @@ object StreamOps {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Streaming KMV distinct-cardinality telemetry (q_stream_kmv): the
+    * per-source k-minimum-values sketch maintained ON INGEST by the
+    * typed [[graft.functions.KmvSketch]] aggregator — state is ≤ 64
+    * longs per source at any stream volume, reduce/merge are
+    * commutative, associative and duplicate-absorbing, so the settled
+    * sketch equals the batch q_agg_kmv build exactly (same portable
+    * 32-bit text hash, same estimator CASE) and the per-source slice of
+    * that oracle applies. This is the live "how many distinct docs has
+    * each crawl contributed" dashboard a 100 TB ingest runs without
+    * ever re-scanning the corpus. */
+  val qStreamKmv = Q(
+    "q_stream_kmv",
+    (s, d) => {
+      val kmv = org.apache.spark.sql.functions.udaf(
+        graft.functions.KmvSketch)
+      val sketches = documentsStream(s, d)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"))
+        .groupBy(col("source"))
+        .agg(kmv(col("h")).as("sk"))
+      drain(s, sketches, "stream_kmv_tbl", "complete")
+        .select(col("source"), size(col("sk")).cast("long").as("k_used"),
+          expr("sk[size(sk) - 1]").as("tau"))
+        .select(col("source"), col("k_used"), col("tau"),
+          round(when(col("k_used") < 64, col("k_used").cast("double"))
+            .otherwise(lit(63) * lit(4294967296.0) / col("tau")), 2)
+            .as("d_est"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH hashes AS (
+              SELECT DISTINCT source,
+                CAST('0x' || substr(md5(lower(trim(text))), 1, 8)
+                  AS BIGINT) AS h
+              FROM documents),
+            sk AS (
+              SELECT source, h FROM (
+                SELECT source, h, row_number() OVER (
+                  PARTITION BY source ORDER BY h) AS rn
+                FROM hashes) z WHERE rn <= 64)
+            SELECT source, count(*) AS k_used,
+              CAST(max(h) AS BIGINT) AS tau,
+              round(CASE WHEN count(*) < 64
+                THEN CAST(count(*) AS DOUBLE)
+                ELSE 63 * 4294967296.0 / max(h) END, 2) AS d_est
+            FROM sk GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    qStreamKmv,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,

@@ -777,4 +777,44 @@ class StreamSpec extends SparkSuite {
       assert(math.abs(r.getAs[Double]("logw_sum") - lw) < 1e-5)
     }
   }
+
+  test("streaming KMV sketch: bounded state carries across batches, " +
+    "duplicates absorbed, settles to the k smallest distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val kmv = org.apache.spark.sql.functions.udaf(functions.KmvSketch)
+    val mem = MemoryStream[(String, Long)]
+    val agg = mem.toDF().toDF("source", "h")
+      .groupBy(col("source")).agg(kmv(col("h")).as("sk"))
+    val qy = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("spec_stream_kmv").start()
+    // batch 1: 70 values 100..169 (sketch saturates at 64) + a dup
+    mem.addData((100L to 169L).map(h => ("sA", h)) :+ ("sA", 100L): _*)
+    qy.processAllAvailable()
+    // batch 2: smaller values must DISPLACE the tail; dups absorbed
+    mem.addData(("sA", 5L), ("sA", 7L), ("sA", 5L), ("sA", 100L))
+    qy.processAllAvailable()
+    qy.stop()
+    val sk = spark.table("spec_stream_kmv").collect()
+      .find(_.getAs[String]("source") == "sA").get
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+    val expect = (Seq(5L, 7L) ++ (100L to 169L)).distinct.sorted.take(64)
+    assert(sk === expect)
+  }
+
+  test("q_stream_kmv settles to the batch q_agg_kmv per-source estimates") {
+    val got = SparkEntry.queries("q_stream_kmv")(spark, sf0).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("d_est"))
+      .toMap
+    // batch twin: per-source estimates appear as est_a/est_b on pairs
+    val pairs = SparkEntry.queries("q_agg_kmv")(spark, sf0).collect()
+    val batch = (pairs.map(r => r.getAs[String]("sa") ->
+        r.getAs[Double]("est_a")) ++
+      pairs.map(r => r.getAs[String]("sb") ->
+        r.getAs[Double]("est_b"))).toMap
+    assert(got.nonEmpty)
+    batch.foreach { case (src, est) =>
+      assert(got(src) === est, s"source $src")
+    }
+  }
 }
