@@ -177,7 +177,22 @@ object PlanDump {
     "q_sim_ann_ivfpq" -> ("FAISS-standard IVF+PQ: 2-row cell table, " +
       "128-row LUT and 1-row probe broadcast; ADC is scan-local + one " +
       "aggregate; both top-k cuts are TakeOrderedAndProject; " +
-      "full-precision vectors touched only for the 20 rerank rows"))
+      "full-precision vectors touched only for the 20 rerank rows"),
+    "q_agg_kmv" -> ("KMV sketch build: per-source top-64 as a partial " +
+      "WindowGroupLimit (map-side keeps 64 rows per source); the pair " +
+      "stage joins only ≤128-row sketches"),
+    "q_agg_spearman" -> ("rank transform WITHOUT ranking rows: windows " +
+      "run over the ≤50-row per-(flag, grid-value) count tables, the " +
+      "fact joins the broadcast rank maps, one DECIMAL-sum aggregate"),
+    "q_mix_doremi" -> ("DoReMi reweight: vocab²-sized cnt/tot model " +
+      "tables join UN-hinted (AQE sizes them); only one-row-per-domain " +
+      "vocab sizes and the 1-row normalizer broadcast"),
+    "q_text_novelty" -> ("first-occurrence ownership: one bigram " +
+      "explode, one (w1,w2)-keyed min aggregate, un-hinted vocab-keyed " +
+      "join-back, two bounded rollups — no windows"),
+    "q_graph_kcore" -> ("4-round degree peel: per-round lazy " +
+      "checkpoints cut the plan pyramid; each round is two semi-joins " +
+      "+ one edge-count-sized aggregate"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
