@@ -1019,10 +1019,71 @@ object Refine {
                 AS skew_ratio
             FROM per_key"""))
 
+  // ---- q_split_leakage --------------------------------------------------
+
+  /** Dedup-aware split audit (q_split_leakage): assign every document
+    * to train/val/test by a deterministic portable hash of its id
+    * (90/5/5), then count the verified NEAR-DUP pairs that cross split
+    * boundaries — the leakage a random split silently ships when the
+    * corpus still holds near-duplicates (the C4/Pile eval-
+    * contamination lesson: a test doc whose twin sits in train is a
+    * memorization freebie). Reuses the registered near-pair program
+    * verbatim (q_dedup_near's banded candidates + exact-Jaccard
+    * verify), so the leakage matrix is an oracle-checked composition
+    * of an already-verified operator; split labels are pure per-row
+    * hash arithmetic — no extra scan, no join back to the corpus.
+    * Output: the 3×3 upper-triangle pair matrix, cross-split rows
+    * flagged leaky. */
+  val qSplitLeakage = Q(
+    "q_split_leakage",
+    (s, d) => {
+      def splitOf(name: String) = {
+        val b = expr("CAST(conv(substring(md5(CAST(CAST(" + name +
+          " AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100")
+        when(b < 90, "train").when(b < 95, "val").otherwise("test")
+      }
+      Dedup.nearPairs(s, d)
+        .select(splitOf("a_id").as("split_lo_raw"),
+          splitOf("b_id").as("split_hi_raw"))
+        .select(least(col("split_lo_raw"), col("split_hi_raw"))
+            .as("split_a"),
+          greatest(col("split_lo_raw"), col("split_hi_raw"))
+            .as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", (col("split_a") =!= col("split_b"))
+          .cast("long"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+    Dedup.qDedupNear.oracle.map { nearSql =>
+      val inner = graft.Oracle.stripOrderBy(nearSql)
+      s"""WITH np AS ($inner),
+          lab AS (
+            SELECT
+              CASE WHEN CAST('0x' || substr(md5(CAST(a_id AS VARCHAR)),
+                  1, 4) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(a_id AS VARCHAR)),
+                  1, 4) AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS sa,
+              CASE WHEN CAST('0x' || substr(md5(CAST(b_id AS VARCHAR)),
+                  1, 4) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(b_id AS VARCHAR)),
+                  1, 4) AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS sb
+            FROM np)
+          SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+            count(*) AS n_pairs,
+            CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb) THEN 1
+              ELSE 0 END AS BIGINT) AS leaky
+          FROM lab
+          GROUP BY least(sa, sb), greatest(sa, sb)
+          ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
-    qMixDoremi, qWinPercent, qJoinSkewCensus)
+    qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

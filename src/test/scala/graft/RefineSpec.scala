@@ -259,6 +259,23 @@ class RefineSpec extends SparkSuite {
       "weight must be monotone in excess loss")
   }
 
+  // ---- q_split_leakage --------------------------------------------------
+
+  test("split leakage: matrix partitions the near-pair set, " +
+    "cross-split rows flagged") {
+    val rows = q("q_split_leakage").collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nPairs = q("q_dedup_near").count()
+    assert(total === nPairs, "matrix must partition ALL near-dup pairs")
+    val splits = Set("train", "val", "test")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(splits(a) && splits(b))
+      assert(a <= b, "upper triangle only")
+      assert(r.getAs[Long]("leaky") === (if (a == b) 0L else 1L))
+    }
+  }
+
   test("doremi: a domain the mixture underserves gets upweighted") {
     // sX: tight repetitive phrasing its own model nails but the
     // general model (dominated by diverse sY text) scores poorly
