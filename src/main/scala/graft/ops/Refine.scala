@@ -1080,10 +1080,163 @@ object Refine {
           ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""
     })
 
+  // ---- q_quality_kappa --------------------------------------------------
+
+  /** Inter-gate agreement (q_quality_kappa): Cohen's kappa between the
+    * two independent quality raters the funnel runs — the Gopher rule
+    * set and the distilled naive-Bayes classifier — from their 2×2
+    * confusion counts. Raw agreement (po) overstates concordance when
+    * both gates pass almost everything; kappa subtracts the
+    * chance-agreement floor (pe), which is exactly the question a
+    * pipeline owner asks before dropping one of two redundant filters.
+    * Composes the registered q_quality_classify output verbatim (it
+    * already carries both verdicts per doc); the whole operator is one
+    * global 5-sum aggregate over integer flags — double math enters
+    * only in the final closed-form kappa. */
+  val qQualityKappa = Q(
+    "q_quality_kappa",
+    (s, d) => {
+      val flags = Learn.qQualityClassify.fn(s, d)
+        .select(col("gopher_pass").cast("long").as("g"),
+          col("nb_keep").cast("long").as("c"))
+      val n = col("n").cast("double")
+      val po = (col("both_keep") + col("both_drop")) / n
+      val pe = ((col("both_keep") + col("gopher_only")) *
+          (col("both_keep") + col("nb_only")) +
+        (col("nb_only") + col("both_drop")) *
+          (col("gopher_only") + col("both_drop"))) / (n * n)
+      flags.agg(
+          count(lit(1)).as("n"),
+          sum(col("g") * col("c")).as("both_keep"),
+          sum(col("g") * (lit(1) - col("c"))).as("gopher_only"),
+          sum((lit(1) - col("g")) * col("c")).as("nb_only"),
+          sum((lit(1) - col("g")) * (lit(1) - col("c")))
+            .as("both_drop"))
+        .select(col("n"), col("both_keep"), col("gopher_only"),
+          col("nb_only"), col("both_drop"),
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    },
+    Learn.qQualityClassify.oracle.map { qcSql =>
+      val inner = graft.Oracle.stripOrderBy(qcSql)
+      s"""WITH qc AS ($inner),
+          flags AS (
+            SELECT CAST(gopher_pass AS BIGINT) AS g,
+              CAST(nb_keep AS BIGINT) AS c
+            FROM qc),
+          cm AS (
+            SELECT count(*) AS n,
+              CAST(sum(g * c) AS BIGINT) AS both_keep,
+              CAST(sum(g * (1 - c)) AS BIGINT) AS gopher_only,
+              CAST(sum((1 - g) * c) AS BIGINT) AS nb_only,
+              CAST(sum((1 - g) * (1 - c)) AS BIGINT) AS both_drop
+            FROM flags)
+          SELECT n, both_keep, gopher_only, nb_only, both_drop,
+            round((both_keep + both_drop) / CAST(n AS DOUBLE), 6) AS po,
+            round(((both_keep + gopher_only) * (both_keep + nb_only)
+              + (nb_only + both_drop) * (gopher_only + both_drop))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+            round(((both_keep + both_drop) / CAST(n AS DOUBLE)
+              - ((both_keep + gopher_only) * (both_keep + nb_only)
+                + (nb_only + both_drop) * (gopher_only + both_drop))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0e0 - ((both_keep + gopher_only) * (both_keep + nb_only)
+                + (nb_only + both_drop) * (gopher_only + both_drop))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+          FROM cm"""
+    })
+
+  // ---- q_text_langmix ---------------------------------------------------
+
+  /** Mixed-language detection (q_text_langmix): per document, the TOP
+    * TWO language-profile overlaps from q_text_langid's stopword-
+    * profile method and the margin between them — the confidence
+    * signal that separates a clean single-language page from the
+    * code-switched / boilerplate-dominated ones a multilingual corpus
+    * must route differently. margin ≤ 1 flags the doc mixed. The
+    * per-doc window ranks ≤ #languages rows per doc (literal-bounded);
+    * the profile build is the registered langid's (top-10 tokens per
+    * language, broadcast). */
+  val qTextLangmix = Q(
+    "q_text_langmix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+      val wProf = Window.partitionBy(col("plang"))
+        .orderBy(col("cnt").desc, col("token"))
+      val profile = ex
+        .groupBy(col("lang").as("plang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wProf))
+        .filter(col("rn") <= 10)
+        .select(col("plang"), col("token"))
+      val overlap = ex.select(col("doc_id"), col("lang"), col("token"))
+        .distinct()
+        .join(broadcast(profile), "token")
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("ov"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("ov").desc, col("plang"))
+      overlap
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= 2)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          max(when(col("rn") === 1, col("plang"))).as("top1"),
+          max(when(col("rn") === 1, col("ov"))).as("ov1"),
+          max(when(col("rn") === 2, col("plang"))).as("top2"),
+          coalesce(max(when(col("rn") === 2, col("ov"))), lit(0L))
+            .as("ov2"))
+        .select(col("doc_id"), col("lang"), col("top1"), col("ov1"),
+          col("top2"), col("ov2"),
+          (col("ov1") - col("ov2")).as("margin"),
+          (col("ov1") - col("ov2") <= 1).cast("long").as("mixed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ex AS (
+              SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            profile AS (
+              SELECT plang, token FROM (
+                SELECT lang AS plang, token, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY count(*) DESC, token) AS rn
+                FROM ex GROUP BY lang, token)
+              WHERE rn <= 10),
+            overlap AS (
+              SELECT e.doc_id, e.lang, p.plang,
+                CAST(count(*) AS BIGINT) AS ov
+              FROM (SELECT DISTINCT doc_id, lang, token FROM ex) e
+              JOIN profile p USING (token)
+              GROUP BY e.doc_id, e.lang, p.plang),
+            ranked AS (
+              SELECT doc_id, lang, plang, ov,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY ov DESC, plang) AS rn
+              FROM overlap)
+            SELECT doc_id, lang,
+              max(CASE WHEN rn = 1 THEN plang END) AS top1,
+              max(CASE WHEN rn = 1 THEN ov END) AS ov1,
+              max(CASE WHEN rn = 2 THEN plang END) AS top2,
+              coalesce(max(CASE WHEN rn = 2 THEN ov END), 0) AS ov2,
+              max(CASE WHEN rn = 1 THEN ov END)
+                - coalesce(max(CASE WHEN rn = 2 THEN ov END), 0)
+                AS margin,
+              CAST(CASE WHEN max(CASE WHEN rn = 1 THEN ov END)
+                - coalesce(max(CASE WHEN rn = 2 THEN ov END), 0) <= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS mixed
+            FROM ranked
+            WHERE rn <= 2
+            GROUP BY doc_id, lang
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
-    qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage)
+    qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
+    qQualityKappa, qTextLangmix)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */
