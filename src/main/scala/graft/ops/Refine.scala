@@ -1232,11 +1232,69 @@ object Refine {
             GROUP BY doc_id, lang
             ORDER BY doc_id NULLS FIRST"""))
 
+  // ---- q_embed_norms ----------------------------------------------------
+
+  /** Embedding-space health census (q_embed_norms): per label, the
+    * vector-norm statistics an ANN index build checks BEFORE trusting
+    * cosine geometry — count, mean norm, min/max, zero vectors
+    * (cosine-undefined: they poison normalization) and large outliers
+    * (norm > 2× the label mean — norm disparity that breaks
+    * dot-for-cosine shortcuts). Norms come from the native codegen'd
+    * float_dot (one pass, no explode); each norm micro-quantizes to an
+    * exact BIGINT before any aggregation, so every statistic is an
+    * exact integer sum and the two-pass mean-then-flag composition is
+    * engine-deterministic (broadcast 1-row-per-label means, the RFM
+    * cuts discipline). */
+  val qEmbedNorms = Q(
+    "q_embed_norms",
+    (s, d) => {
+      graft.functions.FloatDot.register(s)
+      val nq = Tables.t(s, d, "embeddings")
+        .select(col("label"),
+          floor(sqrt(expr("float_dot(embedding, embedding)")) * 1e6
+            + 0.5).cast("long").as("nq"))
+      val means = nq.groupBy(col("label").as("ml"))
+        .agg((sum(col("nq")) / count(lit(1))).as("mean_nq"))
+      nq.join(broadcast(means), col("label") === col("ml"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(max(col("mean_nq")) / 1e6, 6).as("mean_norm"),
+          round(min(col("nq")) / 1e6, 6).as("min_norm"),
+          round(max(col("nq")) / 1e6, 6).as("max_norm"),
+          sum(when(col("nq") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("nq") > lit(2.0) * col("mean_nq"), 1L)
+            .otherwise(0L)).as("n_outlier"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH nq AS (
+              SELECT label,
+                CAST(floor(sqrt(list_dot_product(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                  * 1e6 + 0.5) AS BIGINT) AS nq
+              FROM embeddings),
+            means AS (
+              SELECT label AS ml, sum(nq) / count(*) AS mean_nq
+              FROM nq GROUP BY label)
+            SELECT label,
+              count(*) AS n_vecs,
+              round(max(mean_nq) / 1e6, 6) AS mean_norm,
+              round(min(nq) / 1e6, 6) AS min_norm,
+              round(max(nq) / 1e6, 6) AS max_norm,
+              CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_zero,
+              CAST(sum(CASE WHEN nq > 2.0e0 * mean_nq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outlier
+            FROM nq JOIN means ON label = ml
+            GROUP BY label
+            ORDER BY label NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
-    qQualityKappa, qTextLangmix)
+    qQualityKappa, qTextLangmix, qEmbedNorms)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

@@ -259,6 +259,73 @@ class RefineSpec extends SparkSuite {
       "weight must be monotone in excess loss")
   }
 
+  // ---- q_quality_kappa --------------------------------------------------
+
+  test("kappa: cells partition the corpus and the closed form replays") {
+    val r = q("q_quality_kappa").collect().head
+    val Seq(n, a, b, c, d0) = Seq("n", "both_keep", "gopher_only",
+      "nb_only", "both_drop").map(r.getAs[Long](_))
+    assert(a + b + c + d0 === n)
+    val po = (a + d0).toDouble / n
+    val pe = ((a + b).toDouble * (a + c) + (c + d0).toDouble * (b + d0)) /
+      (n.toDouble * n)
+    val kappa = (po - pe) / (1.0 - pe)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-5)
+    assert(r.getAs[Double]("kappa") <= 1.0)
+  }
+
+  // ---- q_text_langmix ---------------------------------------------------
+
+  test("langmix: disjoint-vocab languages are clean, a blend flags mixed") {
+    // each language fills its ENTIRE top-10 profile (10 distinct
+    // tokens, each count >= 3) so the blend doc's count-1 foreign
+    // tokens can never leak into a profile
+    val en = (0 until 3).flatMap(i => Seq(
+      (i.toLong, "house tree river cloud stone brook", "en", "s0"),
+      (3L + i, "stone brook field hill lake shore", "en", "s0")))
+    val fr = (10 until 13).flatMap(i => Seq(
+      (i.toLong, "maison arbre fleuve nuage pierre bois", "fr", "s0"),
+      (3L + i, "pierre bois champ colline lac rive", "fr", "s0")))
+    val blend = Seq(
+      (20L, "house tree river maison arbre fleuve", "en", "s0"))
+    val docsDf = (en ++ fr ++ blend)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("refine_langmix")("documents" -> docsDf)
+    val got = q("q_text_langmix", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[String]("top1") === "en")
+    assert(got(0L).getAs[Long]("mixed") === 0L)
+    assert(got(10L).getAs[String]("top1") === "fr")
+    assert(got(10L).getAs[Long]("mixed") === 0L)
+    assert(got(20L).getAs[Long]("mixed") === 1L,
+      "the half-and-half doc must flag mixed")
+  }
+
+  // ---- q_embed_norms ----------------------------------------------------
+
+  test("embed norms: stats match a scalar replay") {
+    val rows = q("q_embed_norms").collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val vecs = Tables.t(spark, sf0, "embeddings").collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    vecs.foreach { case (label, vs) =>
+      val nqs = vs.map { v =>
+        val ss = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        math.floor(math.sqrt(ss) * 1e6 + 0.5).toLong
+      }
+      val r = rows(label)
+      assert(r.getAs[Long]("n_vecs") === vs.length.toLong)
+      val mean = nqs.sum.toDouble / nqs.length
+      assert(math.abs(r.getAs[Double]("mean_norm") - mean / 1e6) < 1e-5)
+      assert(r.getAs[Long]("n_zero") === nqs.count(_ == 0L).toLong)
+      assert(r.getAs[Long]("n_outlier") ===
+        nqs.count(_ > 2.0 * mean).toLong)
+    }
+  }
+
   // ---- q_split_leakage --------------------------------------------------
 
   test("split leakage: matrix partitions the near-pair set, " +
