@@ -343,6 +343,30 @@ class RefineSpec extends SparkSuite {
     }
   }
 
+  test("doremi rounds: refit mixture contracts the excess of the " +
+    "upweighted domain; every round stays normalized") {
+    val rep = (0 until 8).map(i =>
+      (i.toLong, "spin spin spin spin spin spin spin spin", "en", "sX"))
+    val div = (0 until 8).map(i =>
+      (10L + i, s"varied passage number $i with changing words ${i * 7}",
+        "en", "sY"))
+    val docsDf = (rep ++ div).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("refine_doremi_r")("documents" -> docsDf)
+    val got = q("q_mix_doremi_rounds", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val sX = got("sX")
+    // round 1 upweights the underserved domain...
+    assert(sX.getAs[Double]("w1") > sX.getAs[Double]("w0"))
+    // ...which pulls the refit mixture toward it, shrinking its excess
+    assert(sX.getAs[Double]("excess_r2") < sX.getAs[Double]("excess_r1"),
+      s"refit mixture must close the gap: $sX")
+    Seq("w1", "w2").foreach { c =>
+      val tot = got.values.map(_.getAs[Double](c)).sum
+      assert(math.abs(tot - 1.0) < 1e-3, s"$c sums to $tot")
+    }
+  }
+
   test("doremi: a domain the mixture underserves gets upweighted") {
     // sX: tight repetitive phrasing its own model nails but the
     // general model (dominated by diverse sY text) scores poorly
