@@ -1453,6 +1453,92 @@ object Refine {
           ORDER BY w0.source NULLS FIRST"""
     })
 
+  // ---- q_sample_coreset -------------------------------------------------
+
+  /** k-center coreset selection (q_sample_coreset): greedy farthest-
+    * point sampling over the embedding table — the data-pruning method
+    * that keeps the most GEOMETRICALLY SPREAD k examples (a 2-approx
+    * of the k-center cover), versus the density-blind random sample.
+    * Seed = min vec_id; each of 7 rounds adds the vector farthest from
+    * the chosen set and reports the coverage radius it closed. Fully
+    * lazy plan: the running min-distance column updates by ONE
+    * crossJoin against the (1-row, broadcast) newest center per round
+    * — never a k-way distance recompute — with a lazy checkpoint per
+    * round cutting the plan pyramid (the q_graph_kcore lesson); the
+    * argmax is TakeOrderedAndProject on MICRO-QUANTIZED distances, so
+    * both engines pick identical centers (ulp-independent ties).
+    * Distances via the native codegen'd float_dot
+    * (‖a‖² + ‖b‖² − 2a·b). The oracle unrolls the identical 7 rounds. */
+  val qSampleCoreset = Q(
+    "q_sample_coreset",
+    (s, d) => {
+      graft.functions.FloatDot.register(s)
+      val sq = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("float_dot(embedding, embedding)").as("n2"))
+      val c0 = sq.orderBy(col("vec_id")).limit(1)
+      def distTo(center: DataFrame)(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(center
+            .select(col("embedding").as("ce"), col("n2").as("cn2"))))
+          .withColumn("dq2", floor((col("n2") + col("cn2") -
+              lit(2.0) * expr("float_dot(embedding, ce)")) * 1e6 + 0.5)
+            .cast("long"))
+      var mind = distTo(c0)(sq)
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          col("dq2").as("dq"))
+        .localCheckpoint(false)
+      var out = c0.select(lit(0L).as("round"),
+        col("vec_id").as("center_id"),
+        lit(null).cast("double").as("radius"))
+      for (r <- 1 to 7) {
+        val sel = mind.orderBy(col("dq").desc, col("vec_id")).limit(1)
+        out = out.unionAll(sel.select(lit(r.toLong).as("round"),
+          col("vec_id").as("center_id"),
+          round(col("dq") / 1e6, 6).as("radius")))
+        val cFull = sel.select(col("vec_id").as("cid"))
+          .join(sq, col("cid") === sq("vec_id"))
+        mind = distTo(cFull)(mind)
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            least(col("dq"), col("dq2")).as("dq"))
+          .localCheckpoint(false)
+      }
+      out.orderBy(col("round"))
+    },
+    Some {
+      def roundSql(r: Int): String =
+        s"""p$r AS (SELECT vec_id, dq FROM m${r - 1}
+                    ORDER BY dq DESC, vec_id LIMIT 1),
+            c$r AS (SELECT s.vec_id, s.v, s.n2 FROM sq s
+                    JOIN p$r USING (vec_id)),
+            m$r AS (
+              SELECT s.vec_id, s.v, s.n2,
+                least(s.dq, CAST(floor((s.n2 + c.n2
+                  - 2.0e0 * list_dot_product(s.v, c.v)) * 1e6 + 0.5)
+                  AS BIGINT)) AS dq
+              FROM m${r - 1} s, c$r c)"""
+      s"""WITH sq AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              list_dot_product(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(embedding, x -> CAST(x AS DOUBLE))) AS n2
+            FROM embeddings),
+          c0 AS (SELECT vec_id, v, n2 FROM sq ORDER BY vec_id LIMIT 1),
+          m0 AS (
+            SELECT s.vec_id, s.v, s.n2,
+              CAST(floor((s.n2 + c.n2
+                - 2.0e0 * list_dot_product(s.v, c.v)) * 1e6 + 0.5)
+                AS BIGINT) AS dq
+            FROM sq s, c0 c),
+          ${(1 to 7).map(roundSql).mkString(",\n")}
+          SELECT CAST(0 AS BIGINT) AS round, vec_id AS center_id,
+            CAST(NULL AS DOUBLE) AS radius FROM c0
+          ${(1 to 7).map(r =>
+            s"UNION ALL SELECT $r, vec_id, round(dq / 1e6, 6) FROM p$r")
+            .mkString("\n")}
+          ORDER BY round NULLS FIRST"""
+    })
+
   // ---- q_embed_norms ----------------------------------------------------
 
   /** Embedding-space health census (q_embed_norms): per label, the
@@ -1515,7 +1601,8 @@ object Refine {
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
-    qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds)
+    qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
+    qSampleCoreset)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

@@ -302,6 +302,47 @@ class RefineSpec extends SparkSuite {
       "the half-and-half doc must flag mixed")
   }
 
+  // ---- q_sample_coreset -------------------------------------------------
+
+  test("coreset: greedy farthest-point replay matches; radius contracts") {
+    val got = q("q_sample_coreset").collect()
+      .sortBy(_.getAs[Long]("round"))
+    val vecs = Tables.t(spark, sf0, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .sortBy(_._1)
+    def d2q(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < math.min(x.length, y.length)) {
+          acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      math.floor((dot(a, a) + dot(b, b) - 2.0 * dot(a, b)) * 1e6 + 0.5)
+        .toLong
+    }
+    var centers = Seq(vecs.head)
+    var mind = vecs.map { case (id, v) => (id, d2q(v, centers.head._2)) }
+    val replay = scala.collection.mutable.ListBuffer((0L, vecs.head._1))
+    (1 to 7).foreach { r =>
+      val (selId, selDq) = mind.maxBy { case (id, dq) => (dq, -id) }
+      replay += ((r.toLong, selId))
+      val selV = vecs.find(_._1 == selId).get._2
+      assert(math.abs(got(r).getAs[Double]("radius") - selDq / 1e6) < 1e-5,
+        s"radius at round $r")
+      mind = mind.map { case (id, dq) =>
+        (id, math.min(dq, d2q(vecs.find(_._1 == id).get._2, selV))) }
+    }
+    assert(got.map(r => (r.getAs[Long]("round"),
+      r.getAs[Long]("center_id"))).toSeq === replay.toSeq)
+    // coverage radius is non-increasing (greedy k-center invariant)
+    val radii = got.drop(1).map(_.getAs[Double]("radius")).toSeq
+    radii.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"radius grew: $radii")
+      case _ => ()
+    }
+  }
+
   // ---- q_embed_norms ----------------------------------------------------
 
   test("embed norms: stats match a scalar replay") {
