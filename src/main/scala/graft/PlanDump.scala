@@ -192,7 +192,16 @@ object PlanDump {
       "join-back, two bounded rollups — no windows"),
     "q_graph_kcore" -> ("4-round degree peel: per-round lazy " +
       "checkpoints cut the plan pyramid; each round is two semi-joins " +
-      "+ one edge-count-sized aggregate"))
+      "+ one edge-count-sized aggregate"),
+    "q_sample_coreset" -> ("greedy k-center: per round ONE broadcast " +
+      "1-row-center crossJoin updates the running min-distance; argmax " +
+      "is TakeOrderedAndProject on micro-quantized distances"),
+    "q_split_leakage" -> ("split labels are per-row hash arithmetic " +
+      "over the cached near-pair table — no corpus rejoin; one " +
+      "3x3-bounded aggregate"),
+    "q_mix_doremi_rounds" -> ("weighted mixture refits: integer " +
+      "micro-weight joins keep the model sums exact BIGINT; vocab2 " +
+      "tables un-hinted, only 1-row-per-domain frames broadcast"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -69,7 +69,13 @@ object ScaleSmoke {
     // 13-sum aggregate), and the k-core peel (4 checkpointed rounds
     // over the link graph)
     "q_text_novelty", "q_mix_doremi", "q_agg_kmv", "q_curate_ablation",
-    "q_graph_kcore")
+    "q_graph_kcore",
+    // round-8 closers: the iterated DoReMi (two weighted-mixture
+    // refits), the k-center coreset (7 argmax rounds over the corpus),
+    // the near-pair split audit (rides the pair cache), language-mix
+    // margins, the norm census, and the streaming KMV sketch
+    "q_mix_doremi_rounds", "q_sample_coreset", "q_split_leakage",
+    "q_text_langmix", "q_embed_norms", "q_stream_kmv")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
