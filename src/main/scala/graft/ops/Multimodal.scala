@@ -873,8 +873,124 @@ object Multimodal {
             WHERE bit_count(xor(a_hash, b_hash)) <= 2
             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
 
+  /** Deterministic animated GIF89a: logical screen + 4-entry global
+    * color table + (1 + id%3) frames, each a graphics-control
+    * extension (delay 10·(f+1) cs) + image descriptor + a fixed 8-byte
+    * data sub-block (structure-valid, payload deterministic from id —
+    * the LZW stream itself is a fake, the CONTAINER layout is real). */
+  private def gifBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 3).toInt
+    val h = (2 + docId % 2).toInt
+    val n = (1 + docId % 3).toInt
+    val bb = java.nio.ByteBuffer.allocate(26 + n * 29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+      .putShort(w.toShort).putShort(h.toShort)
+      .put(0x91.toByte)                  // GCT flag, color res 1, size 1
+      .put((docId % 4).toByte).put(0.toByte)
+    (0 until 4).foreach { j =>
+      bb.put(((docId * 7 + j * 31) % 256).toByte)
+        .put(((docId * 11 + j * 37) % 256).toByte)
+        .put(((docId * 13 + j * 41) % 256).toByte)
+    }
+    (0 until n).foreach { f =>
+      bb.put(0x21.toByte).put(0xF9.toByte).put(0x04.toByte)
+        .put(0.toByte).putShort((10 * (f + 1)).toShort)
+        .put(0.toByte).put(0.toByte)
+      bb.put(0x2C.toByte).putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+      bb.put(2.toByte).put(8.toByte)
+      (0 until 8).foreach(k =>
+        bb.put(((docId + 3 * f + k) % 256).toByte))
+      bb.put(0.toByte)
+    }
+    bb.put(0x3B.toByte)
+    bb.array()
+  }
+
+  /** Real animation-container decode (q_multimodal_gif): GIF89a is the
+    * third pure-byte-layout image family next to BMP and PNG — header
+    * magic, little-endian screen descriptor, packed GCT flags
+    * (bit-sliced with div/mod), then the frame chain walked by FIXED
+    * STRIDE (our generator emits one 8-byte sub-block per frame, so
+    * frame f sits at 26 + 29·f): per frame the 0x21/0x2C separators
+    * are verified, the GCE delay is read LE16 and summed, and the
+    * payload bytes fold into a checksum — all as codegen'd
+    * substring+conv expressions over the binary column, one explode
+    * per frame (bounded by the container's own length field, the
+    * n_mdat lesson). The oracle recomputes every field from the same
+    * doc_id arithmetic. */
+  val qMultimodalGif = Q(
+    "q_multimodal_gif",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, gifBytes(id))))
+        .toDF("doc_id", "gif")
+      def le(pos: String, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(gif, CAST(($pos) + $k AS INT), 1))," +
+            s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
+          .mkString("(", " + ", ")")
+      blobs
+        .withColumn("magic_ok",
+          expr("CAST(substring(gif, 1, 6) AS STRING) = 'GIF89a'"))
+        .withColumn("w", expr(le("7", 2)))
+        .withColumn("h", expr(le("9", 2)))
+        .withColumn("packed", expr(le("11", 1)))
+        .withColumn("gct_flag", expr("packed div 128"))
+        .withColumn("n_gct",
+          expr("CAST(pow(2, 1 + packed % 8) AS BIGINT)"))
+        .withColumn("bg_idx", expr(le("12", 1)))
+        .withColumn("n_frames",
+          expr("(length(gif) - 26) div 29").cast("long"))
+        .withColumn("f", explode(expr(
+          "sequence(CAST(0 AS BIGINT), least(n_frames, 64) - 1)")))
+        .withColumn("b", lit(26L) + col("f") * 29)
+        .withColumn("sep_ok",
+          expr(le("b", 1)) === 0x21 && expr(le("b + 8", 1)) === 0x2C)
+        .withColumn("delay_cs", expr(le("b + 4", 2)))
+        .withColumn("payload", (0 until 8)
+          .map(k => expr(le(s"b + 20 + $k", 1)))
+          .reduce(_ + _))
+        .groupBy(col("doc_id"), col("magic_ok"), col("w"), col("h"),
+          col("gct_flag"), col("n_gct"), col("bg_idx"), col("n_frames"))
+        .agg(
+          min(col("sep_ok").cast("long")).as("frames_ok"),
+          sum(col("delay_cs")).as("total_delay_cs"),
+          sum(col("payload")).as("payload_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, TRUE AS magic_ok,
+                4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+                CAST(1 AS BIGINT) AS gct_flag,
+                CAST(4 AS BIGINT) AS n_gct,
+                doc_id % 4 AS bg_idx,
+                1 + doc_id % 3 AS n
+              FROM documents),
+            per_frame AS (
+              SELECT s.doc_id, f.f,
+                10 * (f.f + 1) AS delay_cs,
+                (SELECT sum((s.doc_id + 3 * f.f + k.k) % 256)
+                 FROM (SELECT unnest(generate_series(0, 7)) AS k) k)
+                  AS payload
+              FROM spec s, LATERAL (
+                SELECT unnest(generate_series(0, s.n - 1)) AS f) f)
+            SELECT s.doc_id, s.magic_ok, s.w, s.h, s.gct_flag, s.n_gct,
+              s.bg_idx, CAST(s.n AS BIGINT) AS n_frames,
+              CAST(1 AS BIGINT) AS frames_ok,
+              CAST(sum(p.delay_cs) AS BIGINT) AS total_delay_cs,
+              CAST(sum(p.payload) AS BIGINT) AS payload_sum
+            FROM spec s JOIN per_frame p USING (doc_id)
+            GROUP BY s.doc_id, s.magic_ok, s.w, s.h, s.gct_flag,
+              s.n_gct, s.bg_idx, s.n
+            ORDER BY s.doc_id NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
-      qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs)
+      qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs,
+      qMultimodalGif)
 }
