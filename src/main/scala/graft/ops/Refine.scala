@@ -1597,12 +1597,146 @@ object Refine {
             GROUP BY label
             ORDER BY label NULLS FIRST"""))
 
+  // ---- q_stats_benford --------------------------------------------------
+
+  /** Benford first-digit audit (q_stats_benford): observed vs expected
+    * leading-digit distribution of extended prices with the chi-square
+    * distance — the classic synthetic-data / fraud smell test a data
+    * QA pass runs over any money-like column. First digit extracted by
+    * integer arithmetic (value → cents BIGINT → leading digit via
+    * repeated division, branch-free with log-free floor(c/10^floor())
+    * avoided: a 19-step CASE is exact at any magnitude); observed
+    * counts are exact, expectations are the closed-form log10(1+1/d),
+    * and the chi-square statistic assembles from the 9-row table. */
+  val qStatsBenford = Q(
+    "q_stats_benford",
+    (s, d) => {
+      // leading digit of a positive BIGINT: a FLAT range-CASE (a
+      // folded when(acc…, acc/10) nests the tree 2^18-fold — OOM)
+      val firstDigit = expr("CASE WHEN c < 10 THEN c " +
+        (1 to 18).map(p =>
+          s"WHEN c < ${BigInt(10).pow(p + 1)} " +
+            s"THEN c div ${BigInt(10).pow(p)}").mkString(" ") + " END")
+      val base = li(s, d)
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("c"))
+        .filter(col("c") > 0)
+        .select(firstDigit.as("d"))
+      val obs = base.groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("total"))
+      obs.crossJoin(broadcast(tot))
+        .select(col("d"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("obs_p"),
+          round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("exp_p"),
+          round(pow(col("n").cast("double") / col("total") -
+              log10(lit(1.0) + lit(1.0) / col("d")), 2) /
+            log10(lit(1.0) + lit(1.0) / col("d")), 6).as("chi_term"))
+        .orderBy(col("d"))
+    },
+    Some {
+      // exact integer leading digit: a range CASE chain (never
+      // double log10/pow — DuckDB CAST(double AS BIGINT) ROUNDS, so
+      // 9.5 would become digit 10)
+      val digCase = (1 to 18).map(p =>
+        s"WHEN c < ${BigInt(10).pow(p + 1)} " +
+          s"THEN c // ${BigInt(10).pow(p)}").mkString(" ")
+      s"""WITH base AS (
+              SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                AS c
+              FROM lineitem
+              WHERE floor(l_extendedprice * 100 + 0.5) > 0),
+            dig AS (
+              SELECT CASE WHEN c < 10 THEN c $digCase END AS d
+              FROM base),
+            obs AS (
+              SELECT d, CAST(count(*) AS BIGINT) AS n FROM dig
+              GROUP BY d),
+            tot AS (SELECT sum(n) AS total FROM obs)
+            SELECT d, n,
+              round(CAST(n AS DOUBLE) / total, 6) AS obs_p,
+              round(log10(1.0e0 + 1.0e0 / d), 6) AS exp_p,
+              round(pow(CAST(n AS DOUBLE) / total
+                - log10(1.0e0 + 1.0e0 / d), 2)
+                / log10(1.0e0 + 1.0e0 / d), 6) AS chi_term
+            FROM obs, tot
+            ORDER BY d NULLS FIRST"""
+    })
+
+  // ---- q_graph_assortativity --------------------------------------------
+
+  /** Degree assortativity (q_graph_assortativity): the Pearson
+    * correlation of endpoint degrees over every edge of the shared
+    * link graph — one number that says whether hubs attach to hubs
+    * (assortative, > 0) or to leaves (disassortative, < 0), which
+    * decides whether degree-based partitioning will balance. Degrees
+    * are exact integers; each undirected edge contributes both
+    * orientations (the standard symmetrization), and the correlation
+    * assembles from five DECIMAL(38,0) sufficient sums cast to double
+    * once — the q_agg_spearman discipline on the graph tier. */
+  val qGraphAssortativity = Q(
+    "q_graph_assortativity",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val sym = und.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+      val pairs = sym
+        .join(deg.select(col("v").as("du_v"), col("deg").as("du")),
+          col("u") === col("du_v"))
+        .join(deg.select(col("v").as("dw_v"), col("deg").as("dw")),
+          col("w") === col("dw_v"))
+      val n = col("m").cast("double")
+      val Seq(sx, sy, sxx, syy, sxy) =
+        Seq("sx", "sy", "sxx", "syy", "sxy").map(c => col(c).cast("double"))
+      pairs.agg(
+          count(lit(1)).as("m"),
+          sum(col("du").cast("decimal(38,0)")).as("sx"),
+          sum(col("dw").cast("decimal(38,0)")).as("sy"),
+          sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("dw") * col("dw")).cast("decimal(38,0)")).as("syy"),
+          sum((col("du") * col("dw")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("m"),
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            .as("assortativity"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            sym AS (
+              SELECT a AS u, b AS w FROM und
+              UNION ALL SELECT b, a FROM und),
+            pairs AS (
+              SELECT da.deg AS du, dw.deg AS dw
+              FROM sym
+              JOIN deg da ON sym.u = da.v
+              JOIN deg dw ON sym.w = dw.v),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                sum(du) AS sx, sum(dw) AS sy,
+                sum(du * du) AS sxx, sum(dw * dw) AS syy,
+                sum(du * dw) AS sxy
+              FROM pairs)
+            SELECT m,
+              round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                AS assortativity
+            FROM st"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
-    qSampleCoreset)
+    qSampleCoreset, qStatsBenford, qGraphAssortativity)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */
