@@ -302,6 +302,43 @@ class RefineSpec extends SparkSuite {
       "the half-and-half doc must flag mixed")
   }
 
+  // ---- q_stats_benford / q_graph_assortativity --------------------------
+
+  test("benford: probabilities partition; digits exact on planted rows") {
+    val li = Seq(("A", 1.0, 0.0, 9.11), ("A", 1.0, 0.0, 95.0),
+      ("A", 1.0, 0.0, 0.07), ("B", 1.0, 0.0, 850000.0))
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+    val dir = fixtureDir("refine_benford")("lineitem" -> li)
+    val got = q("q_stats_benford", dir).collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("n")).toMap
+    // cents: 911 -> 9, 9500 -> 9, 7 -> 7, 85000000 -> 8
+    assert(got === Map(7L -> 1L, 8L -> 1L, 9L -> 2L))
+    val full = q("q_stats_benford").collect()
+    assert(math.abs(full.map(_.getAs[Double]("obs_p")).sum - 1.0) < 1e-4)
+    assert(full.map(_.getAs[Long]("d")).toSet.subsetOf((1L to 9L).toSet))
+  }
+
+  test("assortativity: bounded; star graph is perfectly disassortative") {
+    val r = q("q_graph_assortativity").collect().head
+    val v = r.getAs[Double]("assortativity")
+    assert(v >= -1.0 && v <= 1.0)
+    // scalar replay on the real sf0 link graph
+    val edges = ops.Insights.undirectedLinkEdges(spark, sf0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pts = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val expect = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(math.abs(v - expect) < 1e-5)
+  }
+
   // ---- q_sample_coreset -------------------------------------------------
 
   test("coreset: greedy farthest-point replay matches; radius contracts") {
