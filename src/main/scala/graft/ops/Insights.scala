@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1093,31 +1093,82 @@ object Insights {
     * a vote aggregate — the LPA cost model (O(E) per round, rounds
     * fixed), the same shape as q_graph_pagerank's iterations. The
     * all-integer vote → argmax pipeline is engine-exact. */
+  /** Final (node, lbl) assignment after the 3 bounded label-propagation
+    * rounds — shared by q_graph_labelprop's size census and
+    * q_graph_modularity's partition-quality score, so the propagation
+    * has ONE definition. */
+  private[graft] def labelPropLabels(s: SparkSession, d: String)
+      : DataFrame = {
+    val und = undirectedLinkEdges(s, d)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    var labels = Tables.t(s, d, "documents")
+      .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val votes = edges
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("src").as("wnode"), col("lbl").as("wlbl"))
+      labels = labels
+        .join(winner, col("node") === col("wnode"), "left")
+        .select(col("node"),
+          coalesce(col("wlbl"), col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
+  /** The matching DuckDB CTE chain (edges → l0 → w1/l1 → w2/l2 → w3/l3);
+    * prepend `WITH $undirectedLinkEdgesSql,` at the use site. */
+  private[graft] val labelPropCteSql: String =
+    """edges AS (
+         SELECT a AS src, b AS dst FROM und
+         UNION ALL
+         SELECT b AS src, a AS dst FROM und),
+       l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+       w1 AS (
+         SELECT src AS node, lbl FROM (
+           SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
+               PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lbl) AS rk
+           FROM edges e JOIN l0 l ON e.dst = l.node
+           GROUP BY e.src, l.lbl)
+         WHERE rk = 1),
+       l1 AS (
+         SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+         FROM l0 l LEFT JOIN w1 w ON l.node = w.node),
+       w2 AS (
+         SELECT src AS node, lbl FROM (
+           SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
+               PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lbl) AS rk
+           FROM edges e JOIN l1 l ON e.dst = l.node
+           GROUP BY e.src, l.lbl)
+         WHERE rk = 1),
+       l2 AS (
+         SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+         FROM l1 l LEFT JOIN w2 w ON l.node = w.node),
+       w3 AS (
+         SELECT src AS node, lbl FROM (
+           SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
+               PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lbl) AS rk
+           FROM edges e JOIN l2 l ON e.dst = l.node
+           GROUP BY e.src, l.lbl)
+         WHERE rk = 1),
+       l3 AS (
+         SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+         FROM l2 l LEFT JOIN w3 w ON l.node = w.node)"""
+
   val qGraphLabelprop = Q(
     "q_graph_labelprop",
     (s, d) => {
-      val und = undirectedLinkEdges(s, d)
-      val edges = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst")))
-      var labels = Tables.t(s, d, "documents")
-        .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 3) {
-        val votes = edges
-          .join(labels, col("dst") === col("node"))
-          .groupBy(col("src"), col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-        val winner = votes
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("src"))
-              .orderBy(col("cnt").desc, col("lbl"))))
-          .filter(col("rk") === 1)
-          .select(col("src").as("wnode"), col("lbl").as("wlbl"))
-        labels = labels
-          .join(winner, col("node") === col("wnode"), "left")
-          .select(col("node"),
-            coalesce(col("wlbl"), col("lbl")).as("lbl"))
-      }
-      labels
+      labelPropLabels(s, d)
         .groupBy(col("lbl"))
         .agg(count(lit(1)).as("community_size"))
         .groupBy(col("community_size"))
@@ -1125,44 +1176,7 @@ object Insights {
         .orderBy(col("community_size"))
     },
     Some(s"""WITH $undirectedLinkEdgesSql,
-             edges AS (
-               SELECT a AS src, b AS dst FROM und
-               UNION ALL
-               SELECT b AS src, a AS dst FROM und),
-             l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
-             w1 AS (
-               SELECT src AS node, lbl FROM (
-                 SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
-                     PARTITION BY e.src
-                     ORDER BY count(*) DESC, l.lbl) AS rk
-                 FROM edges e JOIN l0 l ON e.dst = l.node
-                 GROUP BY e.src, l.lbl)
-               WHERE rk = 1),
-             l1 AS (
-               SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
-               FROM l0 l LEFT JOIN w1 w ON l.node = w.node),
-             w2 AS (
-               SELECT src AS node, lbl FROM (
-                 SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
-                     PARTITION BY e.src
-                     ORDER BY count(*) DESC, l.lbl) AS rk
-                 FROM edges e JOIN l1 l ON e.dst = l.node
-                 GROUP BY e.src, l.lbl)
-               WHERE rk = 1),
-             l2 AS (
-               SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
-               FROM l1 l LEFT JOIN w2 w ON l.node = w.node),
-             w3 AS (
-               SELECT src AS node, lbl FROM (
-                 SELECT e.src, l.lbl, count(*) AS cnt, row_number() OVER (
-                     PARTITION BY e.src
-                     ORDER BY count(*) DESC, l.lbl) AS rk
-                 FROM edges e JOIN l2 l ON e.dst = l.node
-                 GROUP BY e.src, l.lbl)
-               WHERE rk = 1),
-             l3 AS (
-               SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
-               FROM l2 l LEFT JOIN w3 w ON l.node = w.node)
+             $labelPropCteSql
              SELECT community_size,
                CAST(count(*) AS BIGINT) AS n_communities
              FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size

@@ -1608,15 +1608,20 @@ object Refine {
     * avoided: a 19-step CASE is exact at any magnitude); observed
     * counts are exact, expectations are the closed-form log10(1+1/d),
     * and the chi-square statistic assembles from the 9-row table. */
+  /** Exact leading digit of a positive BIGINT column as a FLAT
+    * range-CASE (a folded conditional nests the expression tree
+    * 2^18-fold — OOM; double log10/pow hits DuckDB's rounding BIGINT
+    * cast). `intDiv` is "div" for Spark, "//" for DuckDB. */
+  private[graft] def leadingDigitSql(c: String, intDiv: String): String =
+    s"CASE WHEN $c < 10 THEN $c " +
+      (1 to 18).map(p =>
+        s"WHEN $c < ${BigInt(10).pow(p + 1)} " +
+          s"THEN $c $intDiv ${BigInt(10).pow(p)}").mkString(" ") + " END"
+
   val qStatsBenford = Q(
     "q_stats_benford",
     (s, d) => {
-      // leading digit of a positive BIGINT: a FLAT range-CASE (a
-      // folded when(acc…, acc/10) nests the tree 2^18-fold — OOM)
-      val firstDigit = expr("CASE WHEN c < 10 THEN c " +
-        (1 to 18).map(p =>
-          s"WHEN c < ${BigInt(10).pow(p + 1)} " +
-            s"THEN c div ${BigInt(10).pow(p)}").mkString(" ") + " END")
+      val firstDigit = expr(leadingDigitSql("c", "div"))
       val base = li(s, d)
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
           .as("c"))
@@ -1634,19 +1639,13 @@ object Refine {
         .orderBy(col("d"))
     },
     Some {
-      // exact integer leading digit: a range CASE chain (never
-      // double log10/pow — DuckDB CAST(double AS BIGINT) ROUNDS, so
-      // 9.5 would become digit 10)
-      val digCase = (1 to 18).map(p =>
-        s"WHEN c < ${BigInt(10).pow(p + 1)} " +
-          s"THEN c // ${BigInt(10).pow(p)}").mkString(" ")
       s"""WITH base AS (
               SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                 AS c
               FROM lineitem
               WHERE floor(l_extendedprice * 100 + 0.5) > 0),
             dig AS (
-              SELECT CASE WHEN c < 10 THEN c $digCase END AS d
+              SELECT ${leadingDigitSql("c", "//")} AS d
               FROM base),
             obs AS (
               SELECT d, CAST(count(*) AS BIGINT) AS n FROM dig
@@ -1731,12 +1730,78 @@ object Refine {
                 AS assortativity
             FROM st"""))
 
+  // ---- q_graph_modularity -----------------------------------------------
+
+  /** Partition modularity (q_graph_modularity): Newman's Q for the
+    * label-propagation communities — intra-community edge fraction
+    * minus the degree-weighted chance expectation,
+    * Q = e_in/m − Σ_c (a_c/2m)². THE acceptance number for a
+    * community detection pass: positive and large = real structure,
+    * ≈ 0 = the partition explains nothing beyond degree. Composes the
+    * SHARED labelPropLabels program (one definition with
+    * q_graph_labelprop), all sums exact integers (a_c² in
+    * DECIMAL(38,0)/HUGEINT), two joins against the vertex-sized label
+    * table — un-hinted, the jaccard lesson. */
+  val qGraphModularity = Q(
+    "q_graph_modularity",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val labels = Insights.labelPropLabels(s, d)
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val flagged = und
+        .join(labels.select(col("node").as("na"), col("lbl").as("la")),
+          col("a") === col("na"))
+        .join(labels.select(col("node").as("nb"), col("lbl").as("lb")),
+          col("b") === col("nb"))
+      val counts = flagged.agg(count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .as("intra"))
+      val aSq = deg
+        .join(labels, col("v") === col("node"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("a_c"))
+        .agg(count(lit(1)).as("n_comm"),
+          sum((col("a_c") * col("a_c")).cast("decimal(38,0)"))
+            .as("sum_a2"))
+      counts.crossJoin(broadcast(aSq))
+        .select(col("m"), col("intra"), col("n_comm"),
+          round(col("intra").cast("double") / col("m") -
+            col("sum_a2").cast("double") /
+              (lit(4.0) * col("m").cast("double") * col("m")), 6)
+            .as("modularity"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            ${Insights.labelPropCteSql},
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            cnts AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
+                  AS BIGINT) AS intra
+              FROM und
+              JOIN l3 la ON und.a = la.node
+              JOIN l3 lb ON und.b = lb.node),
+            a2 AS (
+              SELECT count(*) AS n_comm, sum(a_c * a_c) AS sum_a2
+              FROM (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS a_c
+                    FROM deg d JOIN l3 l ON d.v = l.node
+                    GROUP BY l.lbl))
+            SELECT m, intra, n_comm,
+              round(CAST(intra AS DOUBLE) / m
+                - CAST(sum_a2 AS DOUBLE)
+                  / (4.0e0 * CAST(m AS DOUBLE) * m), 6) AS modularity
+            FROM cnts, a2"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
-    qSampleCoreset, qStatsBenford, qGraphAssortativity)
+    qSampleCoreset, qStatsBenford, qGraphAssortativity,
+    qGraphModularity)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

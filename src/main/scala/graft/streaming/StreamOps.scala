@@ -1737,8 +1737,49 @@ object StreamOps {
             FROM sk GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
+  /** Streaming Benford telemetry (q_stream_benford): the leading-digit
+    * distribution of arriving event values maintained on ingest —
+    * per-digit counts are commutative streaming aggregates (9-key
+    * state), the probability/chi-square assembly runs on the settled
+    * 9-row table, and the digit extraction shares ONE definition with
+    * the batch op (Refine.leadingDigitSql). The live "does today's
+    * feed still look like money" alarm. */
+  val qStreamBenford = Q(
+    "q_stream_benford",
+    (s, d) => {
+      val counts = eventsStream(s, d)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .select(expr(graft.ops.Refine.leadingDigitSql("c", "div")).as("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"))
+      val obs = drain(s, counts, "stream_benford_tbl", "complete")
+      val tot = obs.agg(sum(col("n")).as("total"))
+      obs.crossJoin(broadcast(tot))
+        .select(col("d"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("obs_p"),
+          round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("exp_p"))
+        .orderBy(col("d"))
+    },
+    Some(s"""WITH base AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE floor(value * 100 + 0.5) > 0),
+            dig AS (
+              SELECT ${graft.ops.Refine.leadingDigitSql("c", "//")} AS d
+              FROM base),
+            obs AS (
+              SELECT d, CAST(count(*) AS BIGINT) AS n FROM dig
+              GROUP BY d),
+            tot AS (SELECT sum(n) AS total FROM obs)
+            SELECT d, n,
+              round(CAST(n AS DOUBLE) / total, 6) AS obs_p,
+              round(log10(1.0e0 + 1.0e0 / d), 6) AS exp_p
+            FROM obs, tot
+            ORDER BY d NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    qStreamKmv,
+    qStreamKmv, qStreamBenford,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
