@@ -75,7 +75,9 @@ object ScaleSmoke {
     // the near-pair split audit (rides the pair cache), language-mix
     // margins, the norm census, and the streaming KMV sketch
     "q_mix_doremi_rounds", "q_sample_coreset", "q_split_leakage",
-    "q_text_langmix", "q_embed_norms", "q_stream_kmv")
+    "q_text_langmix", "q_embed_norms", "q_stream_kmv",
+    // graph scores over the docs-derived link graph
+    "q_graph_modularity", "q_graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

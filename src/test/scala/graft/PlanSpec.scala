@@ -667,6 +667,20 @@ class PlanSpec extends SparkSuite {
     assert(dy <= 33, s"discount grid blew the window bound: $dy")
   }
 
+  test("graph score ops: vertex-sized label/degree joins stay un-hinted") {
+    // labels and degrees are O(V) tables — the jaccard degree-broadcast
+    // lesson applies: only literal-bounded frames (the 1-row community
+    // rollup, the 1-row sufficient-stats row) may carry hints
+    Seq("q_graph_modularity", "q_graph_assortativity").foreach { name =>
+      val o = q(name).queryExecution.optimizedPlan.toString
+      val hinted = o.linesIterator
+        .filter(_.contains("Hint=(strategy=broadcast)")).toList
+      hinted.foreach(l => Seq("node#", "= d", "dw_v#", "du_v#").foreach(k =>
+        assert(!l.contains(k),
+          s"$name forces a broadcast on a vertex-sized join: $l")))
+    }
+  }
+
   test("holt fold input is one row per (type, day) — time-bounded") {
     // the sequential recurrence only ever touches the DAILY rollup:
     // rows per series = calendar days, not event volume

@@ -802,6 +802,22 @@ class StreamSpec extends SparkSuite {
     assert(sk === expect)
   }
 
+  test("q_stream_benford settles to the batch digit distribution") {
+    val got = SparkEntry.queries("q_stream_benford")(spark, sf0).collect()
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_.getAs[Double]("obs_p")).sum - 1.0) < 1e-4)
+    // batch replay over the same events table
+    val batch = Tables.t(spark, sf0, "events")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(expr(ops.Refine.leadingDigitSql("c", "div")).as("d"))
+      .groupBy(col("d")).count().collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("count")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("n") === batch(r.getAs[Long]("d")))
+    }
+  }
+
   test("q_stream_kmv settles to the batch q_agg_kmv per-source estimates") {
     val got = SparkEntry.queries("q_stream_kmv")(spark, sf0).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("d_est"))
