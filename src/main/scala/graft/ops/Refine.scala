@@ -1730,6 +1730,54 @@ object Refine {
                 AS assortativity
             FROM st"""))
 
+  // ---- q_cust_pareto ----------------------------------------------------
+
+  /** Revenue concentration (q_cust_pareto): the 80/20 readout next to
+    * q_agg_gini's coefficient — what share of revenue the top decile
+    * of customers carries, with the decile cut an exact interpolated
+    * percentile over per-customer cent totals (broadcast back, zero
+    * windows — the RFM cuts discipline; the per-customer aggregation
+    * buffer bound is the same one Biz.scala documents). All revenue
+    * sums are exact BIGINT cents; the shares divide once at the end. */
+  val qCustPareto = Q(
+    "q_cust_pareto",
+    (s, d) => {
+      val perCust = Tables.t(s, d, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("rc"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rc")).as("rev"))
+      val cut = perCust.agg(expr("percentile(rev, 0.9)").as("c90"))
+      perCust.crossJoin(broadcast(cut))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(col("rev")).as("total_cents"),
+          max(col("c90")).as("cut_c90"),
+          sum(when(col("rev") >= col("c90"), col("rev"))
+            .otherwise(0L)).as("top_cents"),
+          sum(when(col("rev") >= col("c90"), 1L).otherwise(0L))
+            .as("n_top"))
+        .select(col("n_cust"), col("n_top"),
+          round(col("cut_c90") / 100.0, 6).as("cut_rev"),
+          round(col("total_cents") / lit(100.0), 2).as("total_rev"),
+          round(col("top_cents").cast("double") / col("total_cents"), 6)
+            .as("top_decile_share"))
+    },
+    Some("""WITH per_cust AS (
+              SELECT o_custkey,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+              FROM orders GROUP BY o_custkey),
+            cut AS (SELECT quantile_cont(rev, 0.9) AS c90 FROM per_cust)
+            SELECT count(*) AS n_cust,
+              CAST(sum(CASE WHEN rev >= c90 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_top,
+              round(max(c90) / 100.0e0, 6) AS cut_rev,
+              round(sum(rev) / 100.0e0, 2) AS total_rev,
+              round(CAST(sum(CASE WHEN rev >= c90 THEN rev ELSE 0 END)
+                AS DOUBLE) / sum(rev), 6) AS top_decile_share
+            FROM per_cust, cut"""))
+
   // ---- q_graph_modularity -----------------------------------------------
 
   /** Partition modularity (q_graph_modularity): Newman's Q for the
@@ -1801,7 +1849,7 @@ object Refine {
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
     qSampleCoreset, qStatsBenford, qGraphAssortativity,
-    qGraphModularity)
+    qGraphModularity, qCustPareto)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */
