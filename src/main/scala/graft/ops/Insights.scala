@@ -1098,7 +1098,7 @@ object Insights {
     * q_graph_modularity's partition-quality score, so the propagation
     * has ONE definition. */
   private[graft] def labelPropLabels(s: SparkSession, d: String)
-      : DataFrame = {
+      : DataFrame = cacheOnce(s, d, "lpl") {
     val und = undirectedLinkEdges(s, d)
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
