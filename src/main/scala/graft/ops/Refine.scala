@@ -1730,6 +1730,112 @@ object Refine {
                 AS assortativity
             FROM st"""))
 
+  // ---- q_sim_mmr --------------------------------------------------------
+
+  /** Maximal-marginal-relevance re-ranking (q_sim_mmr): the diversity-
+    * aware top-5 for the query vector (vec_id 0) — each round picks
+    * argmax of λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7), so near-
+    * duplicates of an already-picked result are displaced by relevant-
+    * but-different ones (the retrieval twin of the dedup tier). Same
+    * lazy shape as q_sample_coreset: the running max-similarity column
+    * updates by ONE broadcast 1-row crossJoin per round with a lazy
+    * checkpoint; every score is micro-quantized to BIGINT before the
+    * argmax and the MMR combination is pure integer arithmetic
+    * (7·rel − 3·maxsim, the ×10-scaled combination — no division at
+    * all: Spark div truncates where DuckDB // floors on negatives), so
+    * both engines pick identical results at every round. Cosines via
+    * the native float_dot. */
+  val qSimMmr = Q(
+    "q_sim_mmr",
+    (s, d) => {
+      graft.functions.FloatDot.register(s)
+      val base = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+      val qv = base.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val cands = base.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          floor(expr("float_dot(embedding, qe)") /
+            (col("nrm") * col("qn")) * 1e6 + 0.5).cast("long")
+            .as("rel_q"))
+      def simTo(center: DataFrame)(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(center
+            .select(col("embedding").as("ce"), col("nrm").as("cn"))))
+          .withColumn("sim2", floor(expr("float_dot(embedding, ce)") /
+            (col("nrm") * col("cn")) * 1e6 + 0.5).cast("long"))
+      val mmr = expr("7 * rel_q - 3 * maxsim")
+      var pool = cands.withColumn("maxsim", lit(Long.MinValue))
+        .localCheckpoint(false)
+      var picked: DataFrame = null
+      for (r <- 1 to 5) {
+        val score = if (r == 1) expr("7 * rel_q") else mmr
+        val sel = pool
+          .withColumn("mmr_q", score)
+          .orderBy(col("mmr_q").desc, col("vec_id")).limit(1)
+        val row = sel.select(lit(r.toLong).as("rank"),
+          col("vec_id").as("pick_id"),
+          round(col("rel_q") / 1e6, 6).as("relevance"),
+          when(lit(r) === 1, lit(null).cast("double"))
+            .otherwise(round(col("maxsim") / 1e6, 6)).as("max_sim"),
+          round(col("mmr_q") / 1e7, 6).as("mmr_score"))
+        picked = if (picked == null) row else picked.unionAll(row)
+        val cFull = sel.select(col("vec_id").as("cid"))
+          .join(base, col("cid") === base("vec_id"))
+        pool = simTo(cFull)(
+            pool.join(sel.select(col("vec_id").as("dropped")),
+              col("vec_id") === col("dropped"), "left_anti"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("rel_q"), greatest(col("maxsim"), col("sim2"))
+              .as("maxsim"))
+          .localCheckpoint(false)
+      }
+      picked.orderBy(col("rank"))
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"CAST(floor(list_dot_product($a.v, $b.v) / ($a.nrm * $b.nrm)" +
+          s" * 1e6 + 0.5) AS BIGINT)"
+      def roundSql(r: Int): String = {
+        val score = if (r == 1) "7 * rel_q" else "7 * rel_q - 3 * maxsim"
+        s"""p$r AS (
+              SELECT vec_id, rel_q, maxsim, $score AS mmr_q
+              FROM m${r - 1}
+              ORDER BY $score DESC, vec_id LIMIT 1),
+            c$r AS (SELECT s.vec_id, s.v, s.nrm FROM sq s
+                    JOIN p$r USING (vec_id)),
+            m$r AS (
+              SELECT s.vec_id, s.v, s.nrm, s.rel_q,
+                greatest(s.maxsim, ${cos("s", "c")}) AS maxsim
+              FROM m${r - 1} s, c$r c
+              WHERE s.vec_id <> c.vec_id)"""
+      }
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          sq AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+          qv AS (SELECT v, nrm FROM sq WHERE vec_id = 0),
+          m0 AS (
+            SELECT s.vec_id, s.v, s.nrm,
+              CAST(floor(list_dot_product(s.v, q.v)
+                / (s.nrm * q.nrm) * 1e6 + 0.5) AS BIGINT) AS rel_q,
+              CAST(-9223372036854775808 AS BIGINT) AS maxsim
+            FROM sq s, qv q WHERE s.vec_id <> 0),
+          ${(1 to 5).map(roundSql).mkString(",\n")}
+          ${(1 to 5).map { r =>
+            val ms = if (r == 1) "CAST(NULL AS DOUBLE)"
+              else "round(maxsim / 1e6, 6)"
+            s"SELECT CAST($r AS BIGINT) AS rank, vec_id AS pick_id, " +
+              s"round(rel_q / 1e6, 6) AS relevance, $ms AS max_sim, " +
+              s"round(mmr_q / 1e7, 6) AS mmr_score FROM p$r"
+          }.mkString("\nUNION ALL ")}
+          ORDER BY rank NULLS FIRST"""
+    })
+
   // ---- q_cust_pareto ----------------------------------------------------
 
   /** Revenue concentration (q_cust_pareto): the 80/20 readout next to
@@ -1849,7 +1955,7 @@ object Refine {
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
     qSampleCoreset, qStatsBenford, qGraphAssortativity,
-    qGraphModularity, qCustPareto)
+    qGraphModularity, qCustPareto, qSimMmr)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

@@ -380,6 +380,31 @@ class RefineSpec extends SparkSuite {
     }
   }
 
+  // ---- q_sim_mmr --------------------------------------------------------
+
+  test("mmr: displaces the near-duplicate of the top pick in favor " +
+    "of a diverse result") {
+    // all four candidates equally relevant (cos = 0.85 to the query);
+    // 1..3 are exact copies, 4 mirrors across the query axis so its
+    // similarity to pick 1 is only ~0.445: MMR must rank it 2nd where
+    // plain relevance would tie-break to the copy
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),       // query
+      (1L, Seq(0.85f, 0.527f, 0.0f), 0),
+      (2L, Seq(0.85f, 0.527f, 0.0f), 0),    // exact copy of 1
+      (3L, Seq(0.85f, 0.527f, 0.0f), 0),    // exact copy of 1
+      (4L, Seq(0.85f, -0.527f, 0.0f), 0))   // mirrored: diverse
+      .toDF("vec_id", "embedding", "label")
+    val dir = fixtureDir("refine_mmr")("embeddings" -> emb)
+    val got = q("q_sim_mmr", dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("pick_id"))
+    assert(got.head === 1L, s"rank 1 must be the most relevant: $got")
+    assert(got(1) === 4L,
+      s"rank 2 must be the DIVERSE vector, not a near-dup: $got")
+    // plain relevance order would have been 1,2,3,4
+  }
+
   // ---- q_embed_norms ----------------------------------------------------
 
   test("embed norms: stats match a scalar replay") {
