@@ -1730,6 +1730,63 @@ object Refine {
                 AS assortativity
             FROM st"""))
 
+  // ---- q_agg_weighted_median --------------------------------------------
+
+  /** Weighted median (q_agg_weighted_median): the quantity-weighted
+    * median unit price per return flag — the weighted order statistic
+    * built-in aggregates don't offer. Computed on the per-(flag,
+    * dollar) WEIGHT-SUM table: the cumulative window runs over the
+    * bounded dollar grid (the KS/heaps window discipline — ~1e5 rows
+    * per flag at any corpus size, never the fact table), and the pick
+    * rule is pure integer comparison (2·cum ≥ total — no total/2
+    * float, no rounding divergence). One fact-table aggregate + one
+    * grid window + one 3-row rollup. */
+  val qAggWeightedMedian = Q(
+    "q_agg_weighted_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = li(s, d)
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") + 0.5).cast("long").as("dollars"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("rf"), col("dollars"))
+        .agg(sum(col("w")).as("wsum"))
+      val win = Window.partitionBy(col("rf")).orderBy(col("dollars"))
+      val tot = grid.groupBy(col("rf").as("tf"))
+        .agg(sum(col("wsum")).as("total"))
+      grid
+        .withColumn("cum", sum(col("wsum")).over(
+          win.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(tot), col("rf") === col("tf"))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("rf"))
+        .agg(min(col("dollars")).as("wmedian_dollars"),
+          max(col("total")).as("total_weight"))
+        .select(col("rf").as("l_returnflag"), col("wmedian_dollars"),
+          col("total_weight"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH grid AS (
+              SELECT l_returnflag AS rf,
+                CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS dollars,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+              FROM lineitem
+              GROUP BY rf, dollars),
+            cum AS (
+              SELECT rf, dollars, wsum,
+                sum(wsum) OVER (PARTITION BY rf ORDER BY dollars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+                sum(wsum) OVER (PARTITION BY rf) AS total
+              FROM grid)
+            SELECT rf AS l_returnflag,
+              CAST(min(dollars) AS BIGINT) AS wmedian_dollars,
+              CAST(max(total) AS BIGINT) AS total_weight
+            FROM cum
+            WHERE cum * 2 >= total
+            GROUP BY rf
+            ORDER BY l_returnflag NULLS FIRST"""))
+
   // ---- q_sim_mmr --------------------------------------------------------
 
   /** Maximal-marginal-relevance re-ranking (q_sim_mmr): the diversity-
@@ -1955,7 +2012,7 @@ object Refine {
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
     qSampleCoreset, qStatsBenford, qGraphAssortativity,
-    qGraphModularity, qCustPareto, qSimMmr)
+    qGraphModularity, qCustPareto, qSimMmr, qAggWeightedMedian)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */
