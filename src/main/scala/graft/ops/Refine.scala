@@ -1730,6 +1730,135 @@ object Refine {
                 AS assortativity
             FROM st"""))
 
+  // ---- q_events_entropy_rate --------------------------------------------
+
+  /** Markov entropy rate (q_events_entropy_rate): per-state conditional
+    * entropy H(next | prev) of the user event chains, weighted by the
+    * state's share of transitions — how PREDICTABLE the event stream
+    * is, the information-theoretic companion to q_events_markov's raw
+    * transition matrix (whose count tables this reuses shape-for-
+    * shape). Transition counts are exact integers; each state's
+    * entropy sums ≤ |event-type|² bounded terms and rounds at 6dp (the
+    * q_text_entropy discipline). */
+  val qEventsEntropyRate = Q(
+    "q_events_entropy_rate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev_type").as("pt"))
+        .agg(sum(col("n")).as("total"))
+      val grand = totals.agg(sum(col("total")).as("g"))
+      trans
+        .join(broadcast(totals), col("prev_type") === col("pt"))
+        .groupBy(col("prev_type"))
+        .agg(max(col("total")).as("n_obs"),
+          sum(-col("n").cast("double") / col("total") *
+            log(2.0, col("n").cast("double") / col("total")))
+            .as("h"))
+        .crossJoin(broadcast(grand))
+        .select(col("prev_type"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("g"), 6)
+            .as("p_state"),
+          round(col("h"), 6).as("entropy_bits"),
+          round(col("n_obs").cast("double") / col("g") * col("h"), 6)
+            .as("weighted_bits"))
+        .orderBy(col("prev_type"))
+    },
+    Some("""WITH seq AS (
+              SELECT event_type AS next_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            trans AS (
+              SELECT prev_type, next_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, next_type),
+            totals AS (
+              SELECT prev_type AS pt, CAST(sum(n) AS BIGINT) AS total
+              FROM trans GROUP BY prev_type),
+            grand AS (SELECT sum(total) AS g FROM totals),
+            hs AS (
+              SELECT prev_type, max(total) AS n_obs,
+                sum(-(CAST(n AS DOUBLE) / total)
+                  * log2(CAST(n AS DOUBLE) / total)) AS h
+              FROM trans JOIN totals ON prev_type = pt
+              GROUP BY prev_type)
+            SELECT prev_type, n_obs,
+              round(CAST(n_obs AS DOUBLE) / g, 6) AS p_state,
+              round(h, 6) AS entropy_bits,
+              round(CAST(n_obs AS DOUBLE) / g * h, 6) AS weighted_bits
+            FROM hs, grand
+            ORDER BY prev_type NULLS FIRST"""))
+
+  // ---- q_agg_tukey ------------------------------------------------------
+
+  /** Tukey five-number fence census (q_agg_tukey): Q1/Q3, the IQR
+    * fences (1.5·IQR), and the per-side outlier counts per event type
+    * — the box-plot statistic batch QA runs next to the MAD census.
+    * Exact interpolated quartiles over integer cents (grid-bounded
+    * buffer, the q_agg_percentile idiom), fences derived in one fixed
+    * expression, outlier counts from a second aggregate against the
+    * broadcast 5-row cut table — zero windows. */
+  val qAggTukey = Q(
+    "q_agg_tukey",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val cuts = base.groupBy(col("event_type").as("ct"))
+        .agg(expr("percentile(c, 0.25)").as("q1"),
+          expr("percentile(c, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      base.join(broadcast(cuts), col("event_type") === col("ct"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("q1")) / 100.0, 6).as("q1"),
+          round(max(col("q3")) / 100.0, 6).as("q3"),
+          round(max(col("lo")) / 100.0, 6).as("fence_lo"),
+          round(max(col("hi")) / 100.0, 6).as("fence_hi"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L))
+            .as("n_above"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            cuts AS (
+              SELECT event_type AS ct,
+                quantile_cont(c, 0.25) AS q1,
+                quantile_cont(c, 0.75) AS q3,
+                quantile_cont(c, 0.25)
+                  - 1.5 * (quantile_cont(c, 0.75)
+                    - quantile_cont(c, 0.25)) AS lo,
+                quantile_cont(c, 0.75)
+                  + 1.5 * (quantile_cont(c, 0.75)
+                    - quantile_cont(c, 0.25)) AS hi
+              FROM base GROUP BY event_type)
+            SELECT event_type, count(*) AS n,
+              round(max(q1) / 100.0e0, 6) AS q1,
+              round(max(q3) / 100.0e0, 6) AS q3,
+              round(max(lo) / 100.0e0, 6) AS fence_lo,
+              round(max(hi) / 100.0e0, 6) AS fence_hi,
+              CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_below,
+              CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_above
+            FROM base JOIN cuts ON event_type = ct
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   // ---- q_agg_weighted_median --------------------------------------------
 
   /** Weighted median (q_agg_weighted_median): the quantity-weighted
@@ -2012,7 +2141,8 @@ object Refine {
     qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
     qSampleCoreset, qStatsBenford, qGraphAssortativity,
-    qGraphModularity, qCustPareto, qSimMmr, qAggWeightedMedian)
+    qGraphModularity, qCustPareto, qSimMmr, qAggWeightedMedian,
+    qAggTukey, qEventsEntropyRate)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

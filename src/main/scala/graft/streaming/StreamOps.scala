@@ -1778,8 +1778,69 @@ object StreamOps {
             FROM obs, tot
             ORDER BY d NULLS FIRST"""))
 
+  /** Streaming value-trend telemetry (q_stream_trend): the per-type OLS
+    * slope of value-over-time maintained ON INGEST from five
+    * commutative sufficient sums (n, Σt, Σv, Σtv, Σt²) — the live
+    * "is this module's rate drifting" alarm (the reference's rate
+    * characterization, html:194-239, as a running regression instead
+    * of a batch fit). Time is integer SECONDS from a fixed epoch and
+    * values integer cents, sums accumulate in DECIMAL(38,0) (exact at
+    * any volume, merge-order-free), so the settled slope equals the
+    * batch fit bit-for-bit and the batch SQL is the oracle. The
+    * q_ml_linreg normal-equations shape, streamified. */
+  val qStreamTrend = Q(
+    "q_stream_trend",
+    (s, d) => {
+      val base = eventsStream(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000" +
+            " - 1704067200").as("t"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val sums = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t").cast("decimal(38,0)")).as("st"),
+          sum(col("v").cast("decimal(38,0)")).as("sv"),
+          sum((col("t") * col("v")).cast("decimal(38,0)")).as("stv"),
+          sum((col("t") * col("t")).cast("decimal(38,0)")).as("stt"))
+      val r = drain(s, sums, "stream_trend_tbl", "complete")
+      val n = col("n").cast("double")
+      val Seq(st, sv, stv, stt) =
+        Seq("st", "sv", "stv", "stt").map(c => col(c).cast("double"))
+      r.select(col("event_type"), col("n"),
+          round((n * stv - st * sv) / (n * stt - st * st) * 3600, 6)
+            .as("slope_cents_per_hour"),
+          round((sv - (n * stv - st * sv) / (n * stt - st * st) * st)
+            / n / 100.0, 6).as("intercept_at_epoch"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS t,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+            sums AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                sum(t) AS st, sum(v) AS sv,
+                sum(t * v) AS stv, sum(t * t) AS stt
+              FROM base GROUP BY event_type)
+            SELECT event_type, n,
+              round((CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                * 3600, 6) AS slope_cents_per_hour,
+              round((CAST(sv AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                  * CAST(st AS DOUBLE))
+                / n / 100.0e0, 6) AS intercept_at_epoch
+            FROM sums
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    qStreamKmv, qStreamBenford,
+    qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,
     qStreamDaqPipeline, qStreamResetCounter, qStreamJoin, qStreamJoinOuter,
