@@ -338,8 +338,44 @@ object Daq {
         .orderBy(col("file_name")),
     None)
 
+  /** Merge attestation (q_merge_archive_digest): the oracle-eligible
+    * companion to q_merge_archive — per merged (run, rb) archive the
+    * event count, id range, and an ORDER-INSENSITIVE content checksum
+    * (sum of 32-bit md5 prefixes of the canonical
+    * event_id|user_id|event_type|µs record string — the
+    * q_shard_manifest idiom: any engine, any partitioning, any merge
+    * order reproduces the same value, which is what the watchdog's
+    * merged-file check needs). One scan, one (run, rb) hash aggregate
+    * with map-side combine — nothing grows beyond the run×rb grid. */
+  val qMergeArchiveDigest = Q(
+    "q_merge_archive_digest",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("run", expr("event_id div 250"))
+        .withColumn("rb", expr("user_id % 2"))
+        .withColumn("ch", expr(
+          "CAST(conv(substring(md5(CAST(concat_ws('|', event_id, " +
+            "user_id, event_type, unix_micros(CAST(ts AS TIMESTAMP))) " +
+            "AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .groupBy(col("run"), col("rb"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("ch")).as("content_sum"))
+        .orderBy(col("run"), col("rb")),
+    Some("""SELECT event_id // 250 AS run, user_id % 2 AS rb,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(event_id) AS min_id, max(event_id) AS max_id,
+              CAST(sum(CAST('0x' || substr(md5(concat_ws('|', event_id,
+                user_id, event_type, epoch_us(ts))), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+            FROM events
+            GROUP BY run, rb
+            ORDER BY run NULLS FIRST, rb NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qEventCount, qDaqStats, qRunRange, qRunlogEnrich, qReconcile,
     qDoubleTrigger, qRateByModule, qConfigParse, qPartitionWrite,
-    qPartitionPruned, qMergeArchive)
+    qPartitionPruned, qMergeArchive, qMergeArchiveDigest)
 }

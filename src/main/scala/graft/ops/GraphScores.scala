@@ -1,0 +1,249 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-graph health scores over the shared derived link graph
+  * (Insights.undirectedLinkEdges): k-core density profile, degree
+  * assortativity, and partition modularity — the acceptance numbers a
+  * graph pipeline reads before/after a community pass. Carved out of
+  * Refine.scala (round 9) purely for review tractability; behavior,
+  * registry ids, and oracles are unchanged. */
+object GraphScores {
+
+  // ---- q_graph_kcore ----------------------------------------------------
+
+  /** k-core peeling census (q_graph_kcore): iteratively remove nodes of
+    * degree < 3 from the shared link graph and report the survivor/edge
+    * counts after each of 4 peel rounds (round 0 = the raw graph) plus
+    * the per-round delta — the density profile a graph pipeline reads
+    * before committing to an expensive community pass. Rounds are a
+    * FIXED literal (the q_graph_labelprop bounded-iteration
+    * discipline): each is two semi-joins against the current alive set
+    * and one degree aggregate, all edge-count-sized; the convergence
+    * delta column shows on-fixture the peel has stabilized by round 4.
+    * The oracle unrolls the identical 4 rounds as a CTE chain. */
+  val qGraphKcore = Q(
+    "q_graph_kcore",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      def summarize(round: Int, alive: DataFrame, e: DataFrame)
+          : DataFrame =
+        alive.agg(count(lit(1)).as("n_alive"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round.toLong).as("round"), col("n_alive"),
+            col("n_edges"))
+      var alive = degrees(und).select(col("v"))
+      var e = und
+      var out = summarize(0, alive, e)
+      for (r <- 1 to 4) {
+        alive = degrees(e).filter(col("deg") >= 3).select(col("v"))
+        // lazy checkpoint per round: without the plan cut, round r's
+        // lineage re-embeds every earlier round's joins and the final
+        // 5-way union re-evaluates the whole pyramid (the
+        // connectedComponentsLoop lesson — persist alone doesn't cut
+        // Catalyst re-analysis of a growing plan)
+        e = e
+          .join(alive.select(col("v").as("va")), col("a") === col("va"),
+            "left_semi")
+          .join(alive.select(col("v").as("vb")), col("b") === col("vb"),
+            "left_semi")
+          .localCheckpoint(false)
+        out = out.unionAll(summarize(r, alive, e))
+      }
+      out.orderBy(col("round"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            d0 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            a1 AS (SELECT v FROM d0 WHERE deg >= 3),
+            e1 AS (SELECT a, b FROM und
+                   WHERE a IN (SELECT v FROM a1)
+                     AND b IN (SELECT v FROM a1)),
+            d1 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) x
+              GROUP BY v),
+            a2 AS (SELECT v FROM d1 WHERE deg >= 3),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT v FROM a2)
+                     AND b IN (SELECT v FROM a2)),
+            d2 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) x
+              GROUP BY v),
+            a3 AS (SELECT v FROM d2 WHERE deg >= 3),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT v FROM a3)
+                     AND b IN (SELECT v FROM a3)),
+            d3 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) x
+              GROUP BY v),
+            a4 AS (SELECT v FROM d3 WHERE deg >= 3),
+            e4 AS (SELECT a, b FROM e3
+                   WHERE a IN (SELECT v FROM a4)
+                     AND b IN (SELECT v FROM a4))
+            SELECT CAST(0 AS BIGINT) AS round,
+              (SELECT count(*) FROM d0) AS n_alive,
+              (SELECT count(*) FROM und) AS n_edges
+            UNION ALL SELECT 1, (SELECT count(*) FROM a1),
+              (SELECT count(*) FROM e1)
+            UNION ALL SELECT 2, (SELECT count(*) FROM a2),
+              (SELECT count(*) FROM e2)
+            UNION ALL SELECT 3, (SELECT count(*) FROM a3),
+              (SELECT count(*) FROM e3)
+            UNION ALL SELECT 4, (SELECT count(*) FROM a4),
+              (SELECT count(*) FROM e4)
+            ORDER BY round NULLS FIRST"""))
+
+
+  // ---- q_graph_assortativity --------------------------------------------
+
+  /** Degree assortativity (q_graph_assortativity): the Pearson
+    * correlation of endpoint degrees over every edge of the shared
+    * link graph — one number that says whether hubs attach to hubs
+    * (assortative, > 0) or to leaves (disassortative, < 0), which
+    * decides whether degree-based partitioning will balance. Degrees
+    * are exact integers; each undirected edge contributes both
+    * orientations (the standard symmetrization), and the correlation
+    * assembles from five DECIMAL(38,0) sufficient sums cast to double
+    * once — the q_agg_spearman discipline on the graph tier. */
+  val qGraphAssortativity = Q(
+    "q_graph_assortativity",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val sym = und.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+      val pairs = sym
+        .join(deg.select(col("v").as("du_v"), col("deg").as("du")),
+          col("u") === col("du_v"))
+        .join(deg.select(col("v").as("dw_v"), col("deg").as("dw")),
+          col("w") === col("dw_v"))
+      val n = col("m").cast("double")
+      val Seq(sx, sy, sxx, syy, sxy) =
+        Seq("sx", "sy", "sxx", "syy", "sxy").map(c => col(c).cast("double"))
+      pairs.agg(
+          count(lit(1)).as("m"),
+          sum(col("du").cast("decimal(38,0)")).as("sx"),
+          sum(col("dw").cast("decimal(38,0)")).as("sy"),
+          sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("dw") * col("dw")).cast("decimal(38,0)")).as("syy"),
+          sum((col("du") * col("dw")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("m"),
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            .as("assortativity"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            sym AS (
+              SELECT a AS u, b AS w FROM und
+              UNION ALL SELECT b, a FROM und),
+            pairs AS (
+              SELECT da.deg AS du, dw.deg AS dw
+              FROM sym
+              JOIN deg da ON sym.u = da.v
+              JOIN deg dw ON sym.w = dw.v),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                sum(du) AS sx, sum(dw) AS sy,
+                sum(du * du) AS sxx, sum(dw * dw) AS syy,
+                sum(du * dw) AS sxy
+              FROM pairs)
+            SELECT m,
+              round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                AS assortativity
+            FROM st"""))
+
+
+  // ---- q_graph_modularity -----------------------------------------------
+
+  /** Partition modularity (q_graph_modularity): Newman's Q for the
+    * label-propagation communities — intra-community edge fraction
+    * minus the degree-weighted chance expectation,
+    * Q = e_in/m − Σ_c (a_c/2m)². THE acceptance number for a
+    * community detection pass: positive and large = real structure,
+    * ≈ 0 = the partition explains nothing beyond degree. Composes the
+    * SHARED labelPropLabels program (one definition with
+    * q_graph_labelprop), all sums exact integers (a_c² in
+    * DECIMAL(38,0)/HUGEINT), two joins against the vertex-sized label
+    * table — un-hinted, the jaccard lesson. */
+  val qGraphModularity = Q(
+    "q_graph_modularity",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val labels = Insights.labelPropLabels(s, d)
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val flagged = und
+        .join(labels.select(col("node").as("na"), col("lbl").as("la")),
+          col("a") === col("na"))
+        .join(labels.select(col("node").as("nb"), col("lbl").as("lb")),
+          col("b") === col("nb"))
+      val counts = flagged.agg(count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .as("intra"))
+      val aSq = deg
+        .join(labels, col("v") === col("node"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("a_c"))
+        .agg(count(lit(1)).as("n_comm"),
+          sum((col("a_c") * col("a_c")).cast("decimal(38,0)"))
+            .as("sum_a2"))
+      counts.crossJoin(broadcast(aSq))
+        .select(col("m"), col("intra"), col("n_comm"),
+          round(col("intra").cast("double") / col("m") -
+            col("sum_a2").cast("double") /
+              (lit(4.0) * col("m").cast("double") * col("m")), 6)
+            .as("modularity"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            ${Insights.labelPropCteSql},
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            cnts AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
+                  AS BIGINT) AS intra
+              FROM und
+              JOIN l3 la ON und.a = la.node
+              JOIN l3 lb ON und.b = lb.node),
+            a2 AS (
+              SELECT count(*) AS n_comm, sum(a_c * a_c) AS sum_a2
+              FROM (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS a_c
+                    FROM deg d JOIN l3 l ON d.v = l.node
+                    GROUP BY l.lbl))
+            SELECT m, intra, n_comm,
+              round(CAST(intra AS DOUBLE) / m
+                - CAST(sum_a2 AS DOUBLE)
+                  / (4.0e0 * CAST(m AS DOUBLE) * m), 6) AS modularity
+            FROM cnts, a2"""))
+
+  val all: Seq[Q] = Seq(qGraphKcore, qGraphAssortativity,
+    qGraphModularity)
+
+  /** DuckDB mirror of the shared link graph (one definition with
+    * Insights — referenced, not duplicated). */
+  private def undirectedLinkEdgesSqlRef: String =
+    Insights.undirectedLinkEdgesSql
+}

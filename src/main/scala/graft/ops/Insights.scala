@@ -36,7 +36,13 @@ object Insights {
     * repeated bench/verify pass used to re-persist these on every
     * invocation and never unpersist, leaking cached blocks for the life
     * of the session (same fix as Extras.ensureFixture for format
-    * fixtures). Keyed by (session, dir, name) so scales never collide. */
+    * fixtures). Keyed by (session, dir, name) so scales never collide.
+    * Deliberately UNBOUNDED: entries are one cached table per
+    * (session, sf-dir) and the bench/verify/test drivers touch a
+    * handful of dirs per JVM. A long-lived service iterating many data
+    * dirs would want an eviction hook here — add a bounded map or an
+    * unpersist-on-dir-change policy before exposing this tier through
+    * such an entry point. */
   private val cachedDf = scala.collection.concurrent
     .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
 

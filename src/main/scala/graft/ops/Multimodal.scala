@@ -730,44 +730,67 @@ object Multimodal {
     * is engine-exact; byte decode reuses the BMP pipeline and the
     * oracle recomputes pixels from doc_id arithmetic, proving the
     * byte-level decode THROUGH the fingerprint. */
+  /** Shared fingerprint frame (doc_id, w, h, phash, dhash): the aHash
+    * plus a circular gradient hash — bit i set when
+    * gray(i) > gray((i+1) mod w·h) in row-major order. The dHash is the
+    * adaptive-banding EXTRA-bit pool for the pairs query: a true
+    * near-dup perturbs few pixels, so both hashes move together —
+    * the same role the extra sign bits play in q_dedup_semantic. Both
+    * hashes decode from the BMP bytes in one pass over one exploded
+    * per-pixel frame. */
+  private[graft] def phashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.t(s, d, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, bmpBytes(id))))
+      .toDF("doc_id", "bmp")
+    def le(pos: String, nbytes: Int): String =
+      (0 until nbytes).map(k =>
+        s"(CAST(conv(hex(substring(bmp, CAST(($pos) + $k AS INT), 1))," +
+          s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
+        .mkString("(", " + ", ")")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    blobs
+      .withColumn("offset", expr(le("11", 4)))
+      .withColumn("w", expr(le("19", 4)))
+      .withColumn("h", expr(le("23", 4)))
+      .withColumn("stride", expr("CAST((3 * w + 3) / 4 AS BIGINT) * 4"))
+      .withColumn("i", explode(expr(
+        "sequence(CAST(0 AS BIGINT), w * h - 1)")))
+      .withColumn("x", col("i") % col("w"))
+      .withColumn("y", (col("i") / col("w")).cast("long"))
+      .withColumn("pos", col("offset") +
+        (col("h") - 1 - col("y")) * col("stride") + col("x") * 3 + 1)
+      .withColumn("gray",
+        expr(le("pos", 1)) + expr(le("pos + 1", 1)) +
+          expr(le("pos + 2", 1)))
+      .withColumn("i2", (col("i") + 1) % (col("w") * col("h")))
+      .withColumn("x2", col("i2") % col("w"))
+      .withColumn("y2", (col("i2") / col("w")).cast("long"))
+      .withColumn("pos2", col("offset") +
+        (col("h") - 1 - col("y2")) * col("stride") + col("x2") * 3 + 1)
+      .withColumn("gray2",
+        expr(le("pos2", 1)) + expr(le("pos2 + 1", 1)) +
+          expr(le("pos2 + 2", 1)))
+      .withColumn("tg", sum(col("gray")).over(w2))
+      .withColumn("n", count(lit(1)).over(w2))
+      .groupBy(col("doc_id"), col("w"), col("h"))
+      .agg(
+        sum(when(col("gray") * col("n") > col("tg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+          .otherwise(0L)).as("phash"),
+        sum(when(col("gray") > col("gray2"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+          .otherwise(0L)).as("dhash"))
+  }
+
   val qMultimodalPhash = Q(
     "q_multimodal_phash",
-    (s, d) => {
-      import s.implicits._
-      val blobs = Tables.t(s, d, "documents")
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, bmpBytes(id))))
-        .toDF("doc_id", "bmp")
-      def le(pos: String, nbytes: Int): String =
-        (0 until nbytes).map(k =>
-          s"(CAST(conv(hex(substring(bmp, CAST(($pos) + $k AS INT), 1))," +
-            s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
-          .mkString("(", " + ", ")")
-      val w2 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-      blobs
-        .withColumn("offset", expr(le("11", 4)))
-        .withColumn("w", expr(le("19", 4)))
-        .withColumn("h", expr(le("23", 4)))
-        .withColumn("stride", expr("CAST((3 * w + 3) / 4 AS BIGINT) * 4"))
-        .withColumn("i", explode(expr(
-          "sequence(CAST(0 AS BIGINT), w * h - 1)")))
-        .withColumn("x", col("i") % col("w"))
-        .withColumn("y", (col("i") / col("w")).cast("long"))
-        .withColumn("pos", col("offset") +
-          (col("h") - 1 - col("y")) * col("stride") + col("x") * 3 + 1)
-        .withColumn("gray",
-          expr(le("pos", 1)) + expr(le("pos + 1", 1)) +
-            expr(le("pos + 2", 1)))
-        .withColumn("tg", sum(col("gray")).over(w2))
-        .withColumn("n", count(lit(1)).over(w2))
-        .groupBy(col("doc_id"), col("w"), col("h"))
-        .agg(sum(when(col("gray") * col("n") > col("tg"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
-          .otherwise(0L)).as("phash"))
+    (s, d) =>
+      phashFrame(s, d)
         .select(col("doc_id"), col("w"), col("h"), col("phash"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""WITH spec AS (
               SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
               FROM documents),
@@ -793,85 +816,240 @@ object Multimodal {
             GROUP BY g.doc_id, w, h
             ORDER BY g.doc_id NULLS FIRST"""))
 
+  /** Corpus-adaptive band candidates over the fingerprint frame: 3
+    * bands of a 6-bit aHash slice (two hashes within Hamming 2 share a
+    * whole band by pigeonhole) WIDENED by kx = min(8,
+    * floor(log2(n div 500))) low dHash bits, so the bucket space grows
+    * WITH the corpus and per-bucket occupancy — hence per-doc candidate
+    * count — stays flat instead of the fixed ~10³-key space whose
+    * buckets fill linearly and pair quadratically (the
+    * q_dedup_semantic/semBands discipline, Dedup.scala). `probe` adds
+    * Hamming-≤1 multi-probe over the extra bits: one join side also
+    * probes each single-bit flip of its extra key, recovering twins
+    * whose perturbation crossed one widened-bucket boundary at a
+    * (kx+1)-factor key expansion — O(log n) per doc, never a wider
+    * bucket. At n ≤ 500 (the sf0.001/0.01 fixtures) kx = 0 and the
+    * scheme is bit-identical to the fixed 3×6-bit reference. */
+  private[graft] def phashCands(hashes: DataFrame, adaptive: Boolean,
+      probe: Boolean): DataFrame = {
+    val kTab =
+      if (!adaptive) hashes.sparkSession.range(1).select(lit(0).as("kx"))
+      else hashes.agg(count(lit(1)).as("n_img"))
+        .select(least(lit(8), when(expr("n_img div 500") <= 0, lit(0))
+          .otherwise(expr("length(bin(n_img div 500)) - 1")))
+          .cast("int").as("kx"))
+    val bands = hashes.crossJoin(broadcast(kTab))
+      .select(col("doc_id").as("bv"), col("w"), col("h"), col("kx"),
+        expr("dhash & (shiftleft(CAST(1 AS BIGINT), kx) - 1)")
+          .as("extra"),
+        expr("""stack(3,
+             CAST(0 AS INT), phash & 63,
+             CAST(1 AS INT), shiftright(phash, 6) & 63,
+             CAST(2 AS INT), shiftright(phash, 12) & 63)
+           AS (band, base)"""))
+    val probed =
+      if (!probe) bands.select(col("bv"), col("w"), col("h"),
+        col("band"), col("base"), col("extra").as("probe"))
+      else bands.select(col("bv"), col("w"), col("h"), col("band"),
+        col("base"),
+        explode(expr(
+          """filter(transform(sequence(0, 8), p ->
+               CASE WHEN p = 0 THEN extra
+                    WHEN p <= kx THEN extra ^ shiftleft(CAST(1 AS BIGINT), p - 1)
+               END),
+             x -> x IS NOT NULL)""")).as("probe"))
+    probed.as("x").join(bands.as("y"),
+        col("x.w") === col("y.w") && col("x.h") === col("y.h") &&
+        col("x.band") === col("y.band") &&
+        col("x.base") === col("y.base") &&
+        col("x.probe") === col("y.extra") &&
+        col("x.bv") < col("y.bv"))
+      .select(col("x.bv").as("a_id"), col("y.bv").as("b_id"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of phashFrame: hashes(doc_id, w, h, phash, dhash)
+    * recomputed from the generator arithmetic, plus the kx CTE. */
+  private val phashHashesSql =
+    """spec AS (
+         SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+         FROM documents),
+       px AS (
+         SELECT doc_id, w, h, i, i % w AS x,
+           CAST(i // w AS BIGINT) AS y,
+           ((i + 1) % (w * h)) % w AS x2,
+           CAST((i + 1) % (w * h) // w AS BIGINT) AS y2
+         FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
+               FROM spec)),
+       gr AS (
+         SELECT doc_id, w, h, i,
+           (doc_id * 7 + x * 19 + y * 23) % 256
+             + (doc_id * 5 + x * 11 + y * 17) % 256
+             + (doc_id * 3 + x * 7 + y * 13) % 256 AS gray,
+           (doc_id * 7 + x2 * 19 + y2 * 23) % 256
+             + (doc_id * 5 + x2 * 11 + y2 * 17) % 256
+             + (doc_id * 3 + x2 * 7 + y2 * 13) % 256 AS gray2
+         FROM px),
+       tot AS (
+         SELECT doc_id, CAST(sum(gray) AS BIGINT) AS tg,
+           CAST(count(*) AS BIGINT) AS n
+         FROM gr GROUP BY doc_id),
+       hashes AS (
+         SELECT g.doc_id, w, h,
+           CAST(sum(CASE WHEN g.gray * t.n > t.tg
+                    THEN 1 << i ELSE 0 END) AS BIGINT) AS phash,
+           CAST(sum(CASE WHEN g.gray > g.gray2
+                    THEN 1 << i ELSE 0 END) AS BIGINT) AS dhash
+         FROM gr g JOIN tot t ON g.doc_id = t.doc_id
+         GROUP BY g.doc_id, w, h),
+       kk AS (
+         SELECT CAST(least(8, CASE WHEN count(*) // 500 = 0 THEN 0
+             ELSE length(bin(CAST(count(*) // 500 AS BIGINT))) - 1 END)
+           AS INT) AS kx
+         FROM hashes)"""
+
+  /** bands/probes/cand CTE text with a scheme suffix, matching the
+    * Spark phashCands construction bit for bit. */
+  private def phashCandSql(sfx: String, adaptive: Boolean,
+      probe: Boolean): String = {
+    val kx = if (adaptive) "kk.kx" else "CAST(0 AS INT)"
+    val probes =
+      if (probe)
+        s"""probes$sfx AS (
+              SELECT bv, w, h, kx, band, base,
+                CASE WHEN p = 0 THEN extra
+                     ELSE xor(extra, CAST(1 << (p - 1) AS BIGINT)) END
+                  AS probe
+              FROM bands$sfx
+              CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS p) ps
+              WHERE p = 0 OR p <= kx),"""
+      else
+        s"""probes$sfx AS (
+              SELECT bv, w, h, kx, band, base, extra AS probe
+              FROM bands$sfx),"""
+    s"""bands$sfx AS (
+          SELECT doc_id AS bv, w, h, $kx AS kx, b AS band,
+            CAST((phash >> (6 * b)) & 63 AS BIGINT) AS base,
+            CAST(dhash & ((1 << $kx) - 1) AS BIGINT) AS extra
+          FROM hashes CROSS JOIN kk
+          CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) bs),
+        $probes
+        cand$sfx AS (
+          SELECT DISTINCT x.bv AS a_id, y.bv AS b_id
+          FROM probes$sfx x JOIN bands$sfx y
+            ON x.w = y.w AND x.h = y.h AND x.band = y.band
+           AND x.base = y.base AND x.probe = y.extra
+           AND x.bv < y.bv)"""
+  }
+
   /** Near-duplicate images by banded Hamming join
-    * (q_multimodal_phash_pairs): split each 18-bit aHash into three
-    * 6-bit bands — two hashes within Hamming distance 2 must agree on
-    * at least one whole band (pigeonhole), so candidate generation is
-    * an EQUI-join on (band index, band value, dims) exactly like the
-    * minhash LSH path, never an all-pairs Hamming matrix; bit_count of
-    * the xor is the residual filter. Completes the multimodal story:
-    * decode → fingerprint (q_multimodal_phash) → dedup pairs. */
+    * (q_multimodal_phash_pairs): candidates from the CORPUS-ADAPTIVE
+    * multi-probe banding above (equi-join on band key, never an
+    * all-pairs Hamming matrix and never a fixed bucket space that
+    * pairs quadratically at 100×); bit_count of the xor is the
+    * residual filter. At the ≤500-doc fixtures kx = 0 so the result
+    * equals the fixed pigeonhole scheme exactly; at larger corpora
+    * q_multimodal_phash_audit measures the recall the widening trades.
+    * Completes the multimodal story: decode → fingerprint
+    * (q_multimodal_phash) → dedup pairs. */
   val qMultimodalPhashPairs = Q(
     "q_multimodal_phash_pairs",
     (s, d) => {
-      val hashes = qMultimodalPhash.fn(s, d)
-      val banded = hashes.select(col("doc_id"), col("w"), col("h"),
-          col("phash"),
-          explode(expr(
-            """array(
-                 struct(CAST(0 AS INT) AS band,
-                        phash & 63 AS bv),
-                 struct(CAST(1 AS INT) AS band,
-                        shiftright(phash, 6) & 63 AS bv),
-                 struct(CAST(2 AS INT) AS band,
-                        shiftright(phash, 12) & 63 AS bv))"""))
-            .as("bk"))
-        .select(col("doc_id"), col("w"), col("h"), col("phash"),
-          col("bk.band"), col("bk.bv"))
-      val left = banded.select(col("doc_id").as("a_id"),
-        col("w"), col("h"), col("phash").as("a_hash"),
-        col("band"), col("bv"))
-      val right = banded.select(col("doc_id").as("b_id"),
-        col("w").as("rw"), col("h").as("rh"),
-        col("phash").as("b_hash"), col("band").as("rband"),
-        col("bv").as("rbv"))
-      left
-        .join(right, col("band") === col("rband") &&
-          col("bv") === col("rbv") && col("w") === col("rw") &&
-          col("h") === col("rh") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
-        .distinct()
+      // one hash row per doc (tiny); localCheckpoint so the pixel
+      // explode + window runs ONCE, not once per downstream join
+      val hashes = phashFrame(s, d).localCheckpoint()
+      phashCands(hashes, adaptive = true, probe = true)
+        .join(hashes.select(col("doc_id").as("ja"),
+          col("phash").as("a_hash")), col("a_id") === col("ja"))
+        .join(hashes.select(col("doc_id").as("jb"),
+          col("phash").as("b_hash")), col("b_id") === col("jb"))
         .withColumn("hamming",
           expr("bit_count(a_hash ^ b_hash)").cast("long"))
         .filter(col("hamming") <= 2)
+        .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"),
+          col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some("""WITH spec AS (
-              SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
-              FROM documents),
-            px AS (
-              SELECT doc_id, w, h, i, i % w AS x,
-                CAST(i // w AS BIGINT) AS y
-              FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
-                    FROM spec)),
-            gr AS (
-              SELECT doc_id, w, h, i,
-                (doc_id * 7 + x * 19 + y * 23) % 256
-                  + (doc_id * 5 + x * 11 + y * 17) % 256
-                  + (doc_id * 3 + x * 7 + y * 13) % 256 AS gray
-              FROM px),
-            tot AS (
-              SELECT doc_id, CAST(sum(gray) AS BIGINT) AS tg,
-                CAST(count(*) AS BIGINT) AS n
-              FROM gr GROUP BY doc_id),
-            hashes AS (
-              SELECT g.doc_id, w, h,
-                CAST(sum(CASE WHEN g.gray * t.n > t.tg
-                         THEN 1 << i ELSE 0 END) AS BIGINT) AS phash
-              FROM gr g JOIN tot t ON g.doc_id = t.doc_id
-              GROUP BY g.doc_id, w, h)
+    Some(s"""WITH $phashHashesSql,
+            ${phashCandSql("", adaptive = true, probe = true)}
             SELECT a_id, b_id, a_hash, b_hash,
               CAST(bit_count(xor(a_hash, b_hash)) AS BIGINT) AS hamming
-            FROM (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
-                    l.phash AS a_hash, r.phash AS b_hash
-                  FROM (SELECT *, unnest([0, 1, 2]) AS band FROM hashes) l
-                  JOIN (SELECT *, unnest([0, 1, 2]) AS band FROM hashes) r
-                    ON l.band = r.band AND l.w = r.w AND l.h = r.h
-                   AND l.doc_id < r.doc_id
-                   AND ((l.phash >> (6 * l.band)) & 63)
-                     = ((r.phash >> (6 * r.band)) & 63))
+            FROM (SELECT c.a_id, c.b_id, ha.phash AS a_hash,
+                    hb.phash AS b_hash
+                  FROM cand c
+                  JOIN hashes ha ON ha.doc_id = c.a_id
+                  JOIN hashes hb ON hb.doc_id = c.b_id)
             WHERE bit_count(xor(a_hash, b_hash)) <= 2
             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
+
+  /** Banding recall audit for the image tier
+    * (q_multimodal_phash_audit) — the q_dedup_semantic_audit
+    * discipline applied to the phash pairs: one row per scheme with
+    * its candidate-pair count (the cost column SCALE.md tracks) and
+    * verified Hamming-≤2 pair count, plus recall vs the fixed
+    * 3×6-bit pigeonhole reference (which is exhaustive at d ≤ 2 by
+    * construction). On the fixtures the Hamming-≤2 "twins" are random
+    * hash collisions — true near-dup images share dHash bits far more
+    * often, so adaptive recall here is a lower bound. */
+  val qMultimodalPhashAudit = Q(
+    "q_multimodal_phash_audit",
+    (s, d) => {
+      val hashes = phashFrame(s, d).localCheckpoint()
+      def verified(cand: DataFrame): DataFrame = cand
+        .join(hashes.select(col("doc_id").as("ja"),
+          col("phash").as("a_hash")), col("a_id") === col("ja"))
+        .join(hashes.select(col("doc_id").as("jb"),
+          col("phash").as("b_hash")), col("b_id") === col("jb"))
+        .filter(expr("bit_count(a_hash ^ b_hash)") <= 2)
+        .select(col("a_id"), col("b_id"))
+      def row(scheme: String, cand: DataFrame): DataFrame = {
+        val v = verified(cand)
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(broadcast(v.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(scheme).as("scheme"), col("n_cand"),
+            col("n_pairs"))
+      }
+      val fixedC = phashCands(hashes, adaptive = false, probe = false)
+      val adptC = phashCands(hashes, adaptive = true, probe = true)
+      val base = verified(fixedC).agg(count(lit(1)).as("n_base"))
+      row("adaptive_probe", adptC).union(row("fixed", fixedC))
+        .crossJoin(broadcast(base))
+        .withColumn("recall",
+          when(col("n_base") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              col("n_pairs").cast("double") / col("n_base"), 6)))
+        .select(col("scheme"), col("n_cand"), col("n_pairs"),
+          col("recall"))
+        .orderBy(col("scheme"))
+    },
+    Some(s"""WITH $phashHashesSql,
+            ${phashCandSql("_f", adaptive = false, probe = false)},
+            ${phashCandSql("_a", adaptive = true, probe = true)},
+            ver_f AS (
+              SELECT c.a_id, c.b_id FROM cand_f c
+              JOIN hashes ha ON ha.doc_id = c.a_id
+              JOIN hashes hb ON hb.doc_id = c.b_id
+              WHERE bit_count(xor(ha.phash, hb.phash)) <= 2),
+            ver_a AS (
+              SELECT c.a_id, c.b_id FROM cand_a c
+              JOIN hashes ha ON ha.doc_id = c.a_id
+              JOIN hashes hb ON hb.doc_id = c.b_id
+              WHERE bit_count(xor(ha.phash, hb.phash)) <= 2),
+            base AS (SELECT count(*) AS n_base FROM ver_f)
+            SELECT scheme, n_cand, n_pairs,
+              CASE WHEN n_base = 0 THEN NULL
+                ELSE round(CAST(n_pairs AS DOUBLE) / n_base, 6) END
+                AS recall
+            FROM (
+              SELECT 'adaptive_probe' AS scheme,
+                CAST((SELECT count(*) FROM cand_a) AS BIGINT) AS n_cand,
+                CAST((SELECT count(*) FROM ver_a) AS BIGINT) AS n_pairs
+              UNION ALL
+              SELECT 'fixed' AS scheme,
+                CAST((SELECT count(*) FROM cand_f) AS BIGINT) AS n_cand,
+                CAST((SELECT count(*) FROM ver_f) AS BIGINT) AS n_pairs)
+            CROSS JOIN base
+            ORDER BY scheme NULLS FIRST"""))
 
   /** Deterministic animated GIF89a: logical screen + 4-entry global
     * color table + (1 + id%3) frames, each a graphics-control
@@ -992,5 +1170,5 @@ object Multimodal {
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
       qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs,
-      qMultimodalGif)
+      qMultimodalPhashAudit, qMultimodalGif)
 }

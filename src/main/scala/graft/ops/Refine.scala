@@ -198,10 +198,12 @@ object Refine {
   /** Higher central moments (q_agg_skew_kurt): population skewness and
     * excess kurtosis per event type, from the four raw power sums over
     * integer cents — the one-pass sufficient-statistics shape
-    * (q_ml_linreg discipline). Per-row powers stay in BIGINT range
-    * (cents ≤ ~5e4 → c⁴ ≤ 5.8e18); the SUMS accumulate in
-    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so any corpus size is
-    * exact, and each sum converts to double exactly once before the
+    * (q_ml_linreg discipline). The 3rd/4th per-row powers multiply in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) from the FIRST factor —
+    * c⁴ would overflow BIGINT (silently, on Spark) already at
+    * c > ~5.5e4 cents — and the SUMS accumulate in the same wide types
+    * so any corpus size and value domain is exact; each sum converts
+    * to double exactly once before the
     * closed-form moment algebra — no engine-order float reduction
     * anywhere. Built-in skewness()/kurtosis() are deliberately NOT
     * used: Spark's are population moments, DuckDB's are sample-
@@ -225,10 +227,13 @@ object Refine {
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast("decimal(38,0)")).as("s1"),
           sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"),
-          sum((col("c") * col("c") * col("c")).cast("decimal(38,0)"))
+          // cast BEFORE the 3rd/4th multiply: c³ overflows BIGINT at
+          // c > ~2.1e6 cents and c⁴ at c > ~5.5e4 — decimal-first
+          // keeps every per-row power exact whatever the value domain
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("c"))
             .as("s3"),
-          sum((col("c") * col("c") * col("c") * col("c"))
-            .cast("decimal(38,0)")).as("s4"))
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("c") *
+            col("c")).as("s4"))
         .select(col("event_type"), col("n"),
           round(mean / 100.0, 6).as("mean_value"),
           round(m3 / pow(m2, 1.5), 6).as("skewness"),
@@ -242,7 +247,8 @@ object Refine {
             sums AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 sum(c) AS s1, sum(c * c) AS s2,
-                sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+                sum(CAST(c AS HUGEINT) * c * c) AS s3,
+                sum(CAST(c AS HUGEINT) * c * c * c) AS s4
               FROM base GROUP BY event_type),
             m AS (
               SELECT event_type, n,
@@ -582,97 +588,6 @@ object Refine {
             FROM holt
             ORDER BY event_type NULLS FIRST, idx NULLS FIRST"""))
 
-  // ---- q_graph_kcore ----------------------------------------------------
-
-  /** k-core peeling census (q_graph_kcore): iteratively remove nodes of
-    * degree < 3 from the shared link graph and report the survivor/edge
-    * counts after each of 4 peel rounds (round 0 = the raw graph) plus
-    * the per-round delta — the density profile a graph pipeline reads
-    * before committing to an expensive community pass. Rounds are a
-    * FIXED literal (the q_graph_labelprop bounded-iteration
-    * discipline): each is two semi-joins against the current alive set
-    * and one degree aggregate, all edge-count-sized; the convergence
-    * delta column shows on-fixture the peel has stabilized by round 4.
-    * The oracle unrolls the identical 4 rounds as a CTE chain. */
-  val qGraphKcore = Q(
-    "q_graph_kcore",
-    (s, d) => {
-      val und = Insights.undirectedLinkEdges(s, d)
-      def degrees(e: DataFrame): DataFrame =
-        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      def summarize(round: Int, alive: DataFrame, e: DataFrame)
-          : DataFrame =
-        alive.agg(count(lit(1)).as("n_alive"))
-          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .select(lit(round.toLong).as("round"), col("n_alive"),
-            col("n_edges"))
-      var alive = degrees(und).select(col("v"))
-      var e = und
-      var out = summarize(0, alive, e)
-      for (r <- 1 to 4) {
-        alive = degrees(e).filter(col("deg") >= 3).select(col("v"))
-        // lazy checkpoint per round: without the plan cut, round r's
-        // lineage re-embeds every earlier round's joins and the final
-        // 5-way union re-evaluates the whole pyramid (the
-        // connectedComponentsLoop lesson — persist alone doesn't cut
-        // Catalyst re-analysis of a growing plan)
-        e = e
-          .join(alive.select(col("v").as("va")), col("a") === col("va"),
-            "left_semi")
-          .join(alive.select(col("v").as("vb")), col("b") === col("vb"),
-            "left_semi")
-          .localCheckpoint(false)
-        out = out.unionAll(summarize(r, alive, e))
-      }
-      out.orderBy(col("round"))
-    },
-    Some(s"""WITH $undirectedLinkEdgesSqlRef,
-            d0 AS (
-              SELECT v, count(*) AS deg FROM (
-                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
-              GROUP BY v),
-            a1 AS (SELECT v FROM d0 WHERE deg >= 3),
-            e1 AS (SELECT a, b FROM und
-                   WHERE a IN (SELECT v FROM a1)
-                     AND b IN (SELECT v FROM a1)),
-            d1 AS (
-              SELECT v, count(*) AS deg FROM (
-                SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) x
-              GROUP BY v),
-            a2 AS (SELECT v FROM d1 WHERE deg >= 3),
-            e2 AS (SELECT a, b FROM e1
-                   WHERE a IN (SELECT v FROM a2)
-                     AND b IN (SELECT v FROM a2)),
-            d2 AS (
-              SELECT v, count(*) AS deg FROM (
-                SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) x
-              GROUP BY v),
-            a3 AS (SELECT v FROM d2 WHERE deg >= 3),
-            e3 AS (SELECT a, b FROM e2
-                   WHERE a IN (SELECT v FROM a3)
-                     AND b IN (SELECT v FROM a3)),
-            d3 AS (
-              SELECT v, count(*) AS deg FROM (
-                SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) x
-              GROUP BY v),
-            a4 AS (SELECT v FROM d3 WHERE deg >= 3),
-            e4 AS (SELECT a, b FROM e3
-                   WHERE a IN (SELECT v FROM a4)
-                     AND b IN (SELECT v FROM a4))
-            SELECT CAST(0 AS BIGINT) AS round,
-              (SELECT count(*) FROM d0) AS n_alive,
-              (SELECT count(*) FROM und) AS n_edges
-            UNION ALL SELECT 1, (SELECT count(*) FROM a1),
-              (SELECT count(*) FROM e1)
-            UNION ALL SELECT 2, (SELECT count(*) FROM a2),
-              (SELECT count(*) FROM e2)
-            UNION ALL SELECT 3, (SELECT count(*) FROM a3),
-              (SELECT count(*) FROM e3)
-            UNION ALL SELECT 4, (SELECT count(*) FROM a4),
-              (SELECT count(*) FROM e4)
-            ORDER BY round NULLS FIRST"""))
-
   // ---- q_curate_ablation ------------------------------------------------
 
   /** Per-filter ablation of the curation funnel (q_curate_ablation):
@@ -789,161 +704,6 @@ object Refine {
             n_kept FROM a
           ORDER BY gate NULLS FIRST"""
     })
-
-  // ---- q_mix_doremi -----------------------------------------------------
-
-  /** DoReMi-style domain reweighting (q_mix_doremi): one multiplicative-
-    * weights round over sources — per domain, the EXCESS LOSS of the
-    * general (mixture-trained) model over the domain's own model, and
-    * the exponentiated reweight w_s ∝ exp(η·excess_s) (η = 1) that
-    * upweights domains the mixture underserves. Model plumbing reuses
-    * the shared add-1 bigram scorer (q_text_contrast's backoff chain);
-    * the per-source models are ONE source-keyed aggregate (cnt/tot
-    * tables vocab²-bounded, joined UNHINTED; only the one-row-per-
-    * source vocab sizes broadcast — domain counts are bounded in any
-    * real mixture). Per-doc means are exact integral divisions of
-    * micro-quantized bit sums; excess clamps at 0 per doc (the DoReMi
-    * rule), aggregates as an exact BIGINT sum, and the normalizer
-    * follows the q_mix_temperature round(raw/z, 6) discipline. */
-  val qMixDoremi = Q(
-    "q_mix_doremi",
-    (s, d) => {
-      val db = Corpus.bigramRows(docs(s, d))
-        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c"))
-      val (cg, tg, vg) = Corpus.addOneModel(docs(s, d))
-      val gen = Corpus.scoreUnder(db, cg, tg, vg)
-        .select(col("doc_id"), col("nb"), col("sum_i").as("sg"))
-      val cntS = db.groupBy(col("source"), col("w1"), col("w2"))
-        .agg(sum(col("c")).as("n"))
-      val totS = cntS.groupBy(col("source"), col("w1"))
-        .agg(sum(col("n")).as("t"))
-      val vocS = docs(s, d)
-        .select(col("source"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("source"), explode(col("ws")).as("token"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("token")).as("v"))
-      val own = db
-        .join(cntS, Seq("source", "w1", "w2"), "left")
-        .join(totS, Seq("source", "w1"), "left")
-        .join(broadcast(vocS), Seq("source"))
-        .withColumn("lqi", floor(-log(
-            when(col("n").isNotNull,
-              (col("n") + 1).cast("double") / (col("t") + col("v")))
-              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
-              .otherwise(lit(1.0) / col("v")))
-          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c") * col("lqi")).as("so"))
-      val perDoc = own.join(gen, Seq("doc_id"))
-        .withColumn("mg", expr("sg div nb"))
-        .withColumn("mo", expr("so div nb"))
-        .withColumn("ex", greatest(col("mg") - col("mo"), lit(0L)))
-      val perSource = perDoc.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("mg")).as("sum_mg"), sum(col("mo")).as("sum_mo"),
-          sum(col("ex")).as("sum_ex"))
-        .withColumn("ex_micro", expr("sum_ex div n_docs"))
-      val z = perSource
-        .agg(sum(exp(col("ex_micro") / lit(1e6))).as("z"))
-      perSource.crossJoin(broadcast(z))
-        .select(col("source"), col("n_docs"),
-          round(col("sum_mg").cast("double") / 1e6 / col("n_docs"), 6)
-            .as("bits_gen"),
-          round(col("sum_mo").cast("double") / 1e6 / col("n_docs"), 6)
-            .as("bits_own"),
-          round(col("ex_micro") / lit(1e6), 6).as("excess_bits"),
-          round(exp(col("ex_micro") / lit(1e6)) / col("z"), 6)
-            .as("weight"))
-        .orderBy(col("source"))
-    },
-    Some("""WITH tk AS (
-              SELECT doc_id, source, string_split(text, ' ') AS w
-              FROM documents
-              WHERE len(string_split(text, ' ')) >= 2),
-            big AS (
-              SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
-              FROM tk, LATERAL (
-                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
-            db AS (
-              SELECT doc_id, source, w1, w2,
-                CAST(count(*) AS BIGINT) AS c
-              FROM big GROUP BY doc_id, source, w1, w2),
-            cnt_g AS (
-              SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
-              FROM db GROUP BY w1, w2),
-            tot_g AS (
-              SELECT w1, CAST(sum(n) AS BIGINT) AS t
-              FROM cnt_g GROUP BY w1),
-            voc_g AS (
-              SELECT count(DISTINCT token) AS v
-              FROM (SELECT unnest(w) AS token FROM tk)),
-            cnt_s AS (
-              SELECT source, w1, w2, CAST(sum(c) AS BIGINT) AS n
-              FROM db GROUP BY source, w1, w2),
-            tot_s AS (
-              SELECT source, w1, CAST(sum(n) AS BIGINT) AS t
-              FROM cnt_s GROUP BY source, w1),
-            voc_s AS (
-              SELECT source, count(DISTINCT token) AS v
-              FROM (SELECT source, unnest(w) AS token FROM tk)
-              GROUP BY source),
-            gen AS (
-              SELECT db.doc_id,
-                CAST(sum(db.c) AS BIGINT) AS nb,
-                CAST(sum(db.c * CAST(floor(-ln(
-                    CASE WHEN cnt_g.n IS NOT NULL
-                      THEN CAST(cnt_g.n + 1 AS DOUBLE)
-                        / (tot_g.t + voc_g.v)
-                    WHEN tot_g.t IS NOT NULL
-                      THEN 1.0 / (tot_g.t + voc_g.v)
-                    ELSE 1.0 / voc_g.v END)
-                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
-                  AS BIGINT) AS sg
-              FROM db
-              LEFT JOIN cnt_g ON db.w1 = cnt_g.w1 AND db.w2 = cnt_g.w2
-              LEFT JOIN tot_g ON db.w1 = tot_g.w1
-              CROSS JOIN voc_g
-              GROUP BY db.doc_id),
-            own AS (
-              SELECT db.doc_id, db.source,
-                CAST(sum(db.c * CAST(floor(-ln(
-                    CASE WHEN cnt_s.n IS NOT NULL
-                      THEN CAST(cnt_s.n + 1 AS DOUBLE)
-                        / (tot_s.t + voc_s.v)
-                    WHEN tot_s.t IS NOT NULL
-                      THEN 1.0 / (tot_s.t + voc_s.v)
-                    ELSE 1.0 / voc_s.v END)
-                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
-                  AS BIGINT) AS so
-              FROM db
-              LEFT JOIN cnt_s ON db.source = cnt_s.source
-                AND db.w1 = cnt_s.w1 AND db.w2 = cnt_s.w2
-              LEFT JOIN tot_s ON db.source = tot_s.source
-                AND db.w1 = tot_s.w1
-              JOIN voc_s ON db.source = voc_s.source
-              GROUP BY db.doc_id, db.source),
-            per_doc AS (
-              SELECT o.source, g.sg // g.nb AS mg, o.so // g.nb AS mo,
-                greatest(g.sg // g.nb - o.so // g.nb, 0) AS ex
-              FROM own o JOIN gen g ON o.doc_id = g.doc_id),
-            per_source AS (
-              SELECT source, count(*) AS n_docs,
-                CAST(sum(mg) AS BIGINT) AS sum_mg,
-                CAST(sum(mo) AS BIGINT) AS sum_mo,
-                CAST(sum(ex) AS BIGINT) // count(*) AS ex_micro
-              FROM per_doc GROUP BY source),
-            z AS (SELECT sum(exp(ex_micro / 1e6)) AS z FROM per_source)
-            SELECT source, n_docs,
-              round(CAST(sum_mg AS DOUBLE) / 1e6 / n_docs, 6)
-                AS bits_gen,
-              round(CAST(sum_mo AS DOUBLE) / 1e6 / n_docs, 6)
-                AS bits_own,
-              round(ex_micro / 1e6, 6) AS excess_bits,
-              round(exp(ex_micro / 1e6) / z, 6) AS weight
-            FROM per_source, z
-            ORDER BY source NULLS FIRST"""))
 
   // ---- q_win_percent ----------------------------------------------------
 
@@ -1232,227 +992,6 @@ object Refine {
             GROUP BY doc_id, lang
             ORDER BY doc_id NULLS FIRST"""))
 
-  // ---- q_mix_doremi_rounds ----------------------------------------------
-
-  /** Iterated DoReMi (q_mix_doremi_rounds): TWO multiplicative-weights
-    * updates with the mixture model REFIT between rounds — the part of
-    * DoReMi the single-round q_mix_doremi cannot show: upweighted
-    * domains pull the mixture toward themselves, so their excess loss
-    * SHRINKS in the next round and the weights converge instead of
-    * running away. The weighted mixture model is kept EXACT: weights
-    * live as integer micro-weights (wm, Σ ≈ 1e6), so the round-r
-    * mixture counts Σ_s wm_r(s)·cnt_s are exact BIGINT sums (never a
-    * data-order float reduction over the vocabulary), smoothing adds
-    * K = 1e6 in the same milli-units ((c+K)/(t+K·V)), and one double
-    * division per bigram is the only float before the usual
-    * micro-quantized bits. Per-source models fit once; two scoring
-    * passes reuse ONE per-doc bigram multiset. Output: weight
-    * trajectory w0 → w1 → w2 with each round's excess. */
-  val qMixDoremiRounds = Q(
-    "q_mix_doremi_rounds",
-    (s, d) => {
-      val db = Corpus.bigramRows(docs(s, d))
-        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c"))
-      val cntS = db.groupBy(col("source"), col("w1"), col("w2"))
-        .agg(sum(col("c")).as("n"))
-      val totS = cntS.groupBy(col("source"), col("w1"))
-        .agg(sum(col("n")).as("t"))
-      val vocS = docs(s, d)
-        .select(col("source"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("source"), explode(col("ws")).as("token"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("token")).as("v"))
-      val vocG = docs(s, d)
-        .select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(col("ws")).as("token"))
-        .agg(countDistinct(col("token")).as("v"))
-      // own-model per-doc integer mean micro-bits (fixed across rounds)
-      val own = db
-        .join(cntS, Seq("source", "w1", "w2"), "left")
-        .join(totS, Seq("source", "w1"), "left")
-        .join(broadcast(vocS), Seq("source"))
-        .withColumn("lqi", floor(-log(
-            when(col("n").isNotNull,
-              (col("n") + 1).cast("double") / (col("t") + col("v")))
-              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
-              .otherwise(lit(1.0) / col("v")))
-          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c")).as("nb"), sum(col("c") * col("lqi")).as("so"))
-        .withColumn("mo", expr("so div nb"))
-        .select(col("doc_id"), col("source"), col("nb"), col("mo"))
-      // one MW round: score docs under the wm-weighted mixture, clamp
-      // per-doc excess at 0, integral-mean per source, reweight
-      def mwRound(wm: DataFrame): DataFrame = {
-        val K = 1000000L
-        val cntR = cntS.join(broadcast(wm), Seq("source"))
-          .groupBy(col("w1"), col("w2"))
-          .agg(sum(col("n") * col("wm")).as("cr"))
-        val totR = cntR.groupBy(col("w1")).agg(sum(col("cr")).as("tr"))
-        val mix = db
-          .join(cntR, Seq("w1", "w2"), "left")
-          .join(totR, Seq("w1"), "left")
-          .crossJoin(broadcast(vocG))
-          .withColumn("lqi", floor(-log(
-              when(col("cr").isNotNull,
-                (col("cr") + K).cast("double") /
-                  (col("tr") + lit(K) * col("v")))
-                .when(col("tr").isNotNull,
-                  lit(K).cast("double") / (col("tr") + lit(K) * col("v")))
-                .otherwise(lit(1.0) / col("v")))
-            / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c") * col("lqi")).as("sm"))
-        val perSource = own.join(mix, Seq("doc_id"))
-          .withColumn("ex",
-            greatest(expr("sm div nb") - col("mo"), lit(0L)))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ex")).as("sum_ex"))
-          .withColumn("ex_micro", expr("sum_ex div n_docs"))
-        val raw = perSource.join(broadcast(wm), Seq("source"))
-          .withColumn("raw",
-            col("wm").cast("double") * exp(col("ex_micro") / lit(1e6)))
-        val z = raw.agg(sum(col("raw")).as("z"))
-        raw.crossJoin(broadcast(z))
-          .select(col("source"), col("n_docs"), col("ex_micro"),
-            floor(col("raw") / col("z") * 1e6 + 0.5).cast("long")
-              .as("wm_next"))
-      }
-      val w0 = docs(s, d).select(col("source")).distinct()
-        .crossJoin(broadcast(
-          docs(s, d).agg(countDistinct(col("source")).as("ns"))))
-        .select(col("source"),
-          expr("1000000 div ns").cast("long").as("wm"))
-      val r1 = mwRound(w0)
-      val w1 = r1.select(col("source"), col("wm_next").as("wm"))
-      val r2 = mwRound(w1)
-      r1.select(col("source"), col("n_docs"),
-          round(col("ex_micro") / lit(1e6), 6).as("excess_r1"),
-          col("wm_next").as("wm1"))
-        .join(r2.select(col("source"),
-          round(col("ex_micro") / lit(1e6), 6).as("excess_r2"),
-          col("wm_next").as("wm2")), Seq("source"))
-        .join(broadcast(w0.select(col("source"), col("wm").as("wm0"))),
-          Seq("source"))
-        .select(col("source"), col("n_docs"),
-          round(col("wm0") / lit(1e6), 6).as("w0"),
-          col("excess_r1"),
-          round(col("wm1") / lit(1e6), 6).as("w1"),
-          col("excess_r2"),
-          round(col("wm2") / lit(1e6), 6).as("w2"))
-        .orderBy(col("source"))
-    },
-    Some {
-      // one scoring round under the wm-weighted mixture as SQL; the
-      // weight table CTE name is parameterized so the round unrolls
-      def roundSql(wTab: String, exTab: String): String =
-        s"""cnt_$exTab AS (
-              SELECT c.w1, c.w2, CAST(sum(c.n * w.wm) AS BIGINT) AS cr
-              FROM cnt_s c JOIN $wTab w USING (source)
-              GROUP BY c.w1, c.w2),
-            tot_$exTab AS (
-              SELECT w1, CAST(sum(cr) AS BIGINT) AS tr
-              FROM cnt_$exTab GROUP BY w1),
-            mix_$exTab AS (
-              SELECT db.doc_id,
-                CAST(sum(db.c * CAST(floor(-ln(
-                    CASE WHEN m.cr IS NOT NULL
-                      THEN CAST(m.cr + 1000000 AS DOUBLE)
-                        / (t.tr + 1000000 * voc_g.v)
-                    WHEN t.tr IS NOT NULL
-                      THEN CAST(1000000 AS DOUBLE)
-                        / (t.tr + 1000000 * voc_g.v)
-                    ELSE 1.0 / voc_g.v END)
-                  / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
-                  AS BIGINT) AS sm
-              FROM db
-              LEFT JOIN cnt_$exTab m ON db.w1 = m.w1 AND db.w2 = m.w2
-              LEFT JOIN tot_$exTab t ON db.w1 = t.w1
-              CROSS JOIN voc_g
-              GROUP BY db.doc_id),
-            $exTab AS (
-              SELECT o.source, count(*) AS n_docs,
-                CAST(sum(greatest(x.sm // o.nb - o.mo, 0)) AS BIGINT)
-                  // count(*) AS ex_micro
-              FROM own o JOIN mix_$exTab x USING (doc_id)
-              GROUP BY o.source),
-            raw_$exTab AS (
-              SELECT e.source, e.n_docs, e.ex_micro,
-                CAST(w.wm AS DOUBLE) * exp(e.ex_micro / 1e6) AS raw
-              FROM $exTab e JOIN $wTab w USING (source)),
-            next_$exTab AS (
-              SELECT source, n_docs, ex_micro,
-                CAST(floor(raw / (SELECT sum(raw) FROM raw_$exTab)
-                  * 1e6 + 0.5) AS BIGINT) AS wm
-              FROM raw_$exTab)"""
-      s"""WITH tk AS (
-            SELECT doc_id, source, string_split(text, ' ') AS w
-            FROM documents
-            WHERE len(string_split(text, ' ')) >= 2),
-          big AS (
-            SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
-            FROM tk, LATERAL (
-              SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
-          db AS (
-            SELECT doc_id, source, w1, w2, CAST(count(*) AS BIGINT) AS c
-            FROM big GROUP BY doc_id, source, w1, w2),
-          cnt_s AS (
-            SELECT source, w1, w2, CAST(sum(c) AS BIGINT) AS n
-            FROM db GROUP BY source, w1, w2),
-          tot_s AS (
-            SELECT source, w1, CAST(sum(n) AS BIGINT) AS t
-            FROM cnt_s GROUP BY source, w1),
-          voc_s AS (
-            SELECT source, count(DISTINCT token) AS v
-            FROM (SELECT source, unnest(w) AS token FROM tk)
-            GROUP BY source),
-          voc_g AS (
-            SELECT count(DISTINCT token) AS v
-            FROM (SELECT unnest(w) AS token FROM tk)),
-          own AS (
-            SELECT db.doc_id, db.source,
-              CAST(sum(db.c) AS BIGINT) AS nb,
-              CAST(sum(db.c * CAST(floor(-ln(
-                  CASE WHEN cnt_s.n IS NOT NULL
-                    THEN CAST(cnt_s.n + 1 AS DOUBLE)
-                      / (tot_s.t + voc_s.v)
-                  WHEN tot_s.t IS NOT NULL
-                    THEN 1.0 / (tot_s.t + voc_s.v)
-                  ELSE 1.0 / voc_s.v END)
-                / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
-                AS BIGINT) // CAST(sum(db.c) AS BIGINT) AS mo
-            FROM db
-            LEFT JOIN cnt_s ON db.source = cnt_s.source
-              AND db.w1 = cnt_s.w1 AND db.w2 = cnt_s.w2
-            LEFT JOIN tot_s ON db.source = tot_s.source
-              AND db.w1 = tot_s.w1
-            JOIN voc_s ON db.source = voc_s.source
-            GROUP BY db.doc_id, db.source),
-          w0 AS (
-            SELECT source,
-              CAST(1000000 // (SELECT count(DISTINCT source)
-                FROM documents) AS BIGINT) AS wm
-            FROM (SELECT DISTINCT source FROM documents)),
-          ${roundSql("w0", "r1")},
-          w1 AS (SELECT source, wm FROM next_r1),
-          ${roundSql("w1", "r2")}
-          SELECT w0.source, r1.n_docs,
-            round(w0.wm / 1e6, 6) AS w0,
-            round(r1.ex_micro / 1e6, 6) AS excess_r1,
-            round(n1.wm / 1e6, 6) AS w1,
-            round(r2.ex_micro / 1e6, 6) AS excess_r2,
-            round(n2.wm / 1e6, 6) AS w2
-          FROM w0
-          JOIN r1 ON w0.source = r1.source
-          JOIN next_r1 n1 ON w0.source = n1.source
-          JOIN r2 ON w0.source = r2.source
-          JOIN next_r2 n2 ON w0.source = n2.source
-          ORDER BY w0.source NULLS FIRST"""
-    })
-
   // ---- q_sample_coreset -------------------------------------------------
 
   /** k-center coreset selection (q_sample_coreset): greedy farthest-
@@ -1460,7 +999,9 @@ object Refine {
     * that keeps the most GEOMETRICALLY SPREAD k examples (a 2-approx
     * of the k-center cover), versus the density-blind random sample.
     * Seed = min vec_id; each of 7 rounds adds the vector farthest from
-    * the chosen set and reports the coverage radius it closed. Fully
+    * the chosen set and reports the SQUARED coverage distance it
+    * closed (radius_sq — the monotone argmax key; callers wanting the
+    * metric radius take the square root). Fully
     * lazy plan: the running min-distance column updates by ONE
     * crossJoin against the (1-row, broadcast) newest center per round
     * — never a k-way distance recompute — with a lazy checkpoint per
@@ -1489,12 +1030,12 @@ object Refine {
         .localCheckpoint(false)
       var out = c0.select(lit(0L).as("round"),
         col("vec_id").as("center_id"),
-        lit(null).cast("double").as("radius"))
+        lit(null).cast("double").as("radius_sq"))
       for (r <- 1 to 7) {
         val sel = mind.orderBy(col("dq").desc, col("vec_id")).limit(1)
         out = out.unionAll(sel.select(lit(r.toLong).as("round"),
           col("vec_id").as("center_id"),
-          round(col("dq") / 1e6, 6).as("radius")))
+          round(col("dq") / 1e6, 6).as("radius_sq")))
         val cFull = sel.select(col("vec_id").as("cid"))
           .join(sq, col("cid") === sq("vec_id"))
         mind = distTo(cFull)(mind)
@@ -1532,7 +1073,7 @@ object Refine {
             FROM sq s, c0 c),
           ${(1 to 7).map(roundSql).mkString(",\n")}
           SELECT CAST(0 AS BIGINT) AS round, vec_id AS center_id,
-            CAST(NULL AS DOUBLE) AS radius FROM c0
+            CAST(NULL AS DOUBLE) AS radius_sq FROM c0
           ${(1 to 7).map(r =>
             s"UNION ALL SELECT $r, vec_id, round(dq / 1e6, 6) FROM p$r")
             .mkString("\n")}
@@ -1660,75 +1201,6 @@ object Refine {
             FROM obs, tot
             ORDER BY d NULLS FIRST"""
     })
-
-  // ---- q_graph_assortativity --------------------------------------------
-
-  /** Degree assortativity (q_graph_assortativity): the Pearson
-    * correlation of endpoint degrees over every edge of the shared
-    * link graph — one number that says whether hubs attach to hubs
-    * (assortative, > 0) or to leaves (disassortative, < 0), which
-    * decides whether degree-based partitioning will balance. Degrees
-    * are exact integers; each undirected edge contributes both
-    * orientations (the standard symmetrization), and the correlation
-    * assembles from five DECIMAL(38,0) sufficient sums cast to double
-    * once — the q_agg_spearman discipline on the graph tier. */
-  val qGraphAssortativity = Q(
-    "q_graph_assortativity",
-    (s, d) => {
-      val und = Insights.undirectedLinkEdges(s, d)
-      val deg = und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val sym = und.select(col("a").as("u"), col("b").as("w"))
-        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
-      val pairs = sym
-        .join(deg.select(col("v").as("du_v"), col("deg").as("du")),
-          col("u") === col("du_v"))
-        .join(deg.select(col("v").as("dw_v"), col("deg").as("dw")),
-          col("w") === col("dw_v"))
-      val n = col("m").cast("double")
-      val Seq(sx, sy, sxx, syy, sxy) =
-        Seq("sx", "sy", "sxx", "syy", "sxy").map(c => col(c).cast("double"))
-      pairs.agg(
-          count(lit(1)).as("m"),
-          sum(col("du").cast("decimal(38,0)")).as("sx"),
-          sum(col("dw").cast("decimal(38,0)")).as("sy"),
-          sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("dw") * col("dw")).cast("decimal(38,0)")).as("syy"),
-          sum((col("du") * col("dw")).cast("decimal(38,0)")).as("sxy"))
-        .select(col("m"),
-          round((n * sxy - sx * sy) /
-            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-            .as("assortativity"))
-    },
-    Some(s"""WITH $undirectedLinkEdgesSqlRef,
-            deg AS (
-              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
-                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
-              GROUP BY v),
-            sym AS (
-              SELECT a AS u, b AS w FROM und
-              UNION ALL SELECT b, a FROM und),
-            pairs AS (
-              SELECT da.deg AS du, dw.deg AS dw
-              FROM sym
-              JOIN deg da ON sym.u = da.v
-              JOIN deg dw ON sym.w = dw.v),
-            st AS (
-              SELECT CAST(count(*) AS BIGINT) AS m,
-                sum(du) AS sx, sum(dw) AS sy,
-                sum(du * du) AS sxx, sum(dw * dw) AS syy,
-                sum(du * dw) AS sxy
-              FROM pairs)
-            SELECT m,
-              round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-                AS assortativity
-            FROM st"""))
 
   // ---- q_events_entropy_rate --------------------------------------------
 
@@ -2070,78 +1542,13 @@ object Refine {
                 AS DOUBLE) / sum(rev), 6) AS top_decile_share
             FROM per_cust, cut"""))
 
-  // ---- q_graph_modularity -----------------------------------------------
-
-  /** Partition modularity (q_graph_modularity): Newman's Q for the
-    * label-propagation communities — intra-community edge fraction
-    * minus the degree-weighted chance expectation,
-    * Q = e_in/m − Σ_c (a_c/2m)². THE acceptance number for a
-    * community detection pass: positive and large = real structure,
-    * ≈ 0 = the partition explains nothing beyond degree. Composes the
-    * SHARED labelPropLabels program (one definition with
-    * q_graph_labelprop), all sums exact integers (a_c² in
-    * DECIMAL(38,0)/HUGEINT), two joins against the vertex-sized label
-    * table — un-hinted, the jaccard lesson. */
-  val qGraphModularity = Q(
-    "q_graph_modularity",
-    (s, d) => {
-      val und = Insights.undirectedLinkEdges(s, d)
-      val labels = Insights.labelPropLabels(s, d)
-      val deg = und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val flagged = und
-        .join(labels.select(col("node").as("na"), col("lbl").as("la")),
-          col("a") === col("na"))
-        .join(labels.select(col("node").as("nb"), col("lbl").as("lb")),
-          col("b") === col("nb"))
-      val counts = flagged.agg(count(lit(1)).as("m"),
-        sum(when(col("la") === col("lb"), 1L).otherwise(0L))
-          .as("intra"))
-      val aSq = deg
-        .join(labels, col("v") === col("node"))
-        .groupBy(col("lbl")).agg(sum(col("deg")).as("a_c"))
-        .agg(count(lit(1)).as("n_comm"),
-          sum((col("a_c") * col("a_c")).cast("decimal(38,0)"))
-            .as("sum_a2"))
-      counts.crossJoin(broadcast(aSq))
-        .select(col("m"), col("intra"), col("n_comm"),
-          round(col("intra").cast("double") / col("m") -
-            col("sum_a2").cast("double") /
-              (lit(4.0) * col("m").cast("double") * col("m")), 6)
-            .as("modularity"))
-    },
-    Some(s"""WITH $undirectedLinkEdgesSqlRef,
-            ${Insights.labelPropCteSql},
-            deg AS (
-              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
-                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
-              GROUP BY v),
-            cnts AS (
-              SELECT CAST(count(*) AS BIGINT) AS m,
-                CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
-                  AS BIGINT) AS intra
-              FROM und
-              JOIN l3 la ON und.a = la.node
-              JOIN l3 lb ON und.b = lb.node),
-            a2 AS (
-              SELECT count(*) AS n_comm, sum(a_c * a_c) AS sum_a2
-              FROM (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS a_c
-                    FROM deg d JOIN l3 l ON d.v = l.node
-                    GROUP BY l.lbl))
-            SELECT m, intra, n_comm,
-              round(CAST(intra AS DOUBLE) / m
-                - CAST(sum_a2 AS DOUBLE)
-                  / (4.0e0 * CAST(m AS DOUBLE) * m), 6) AS modularity
-            FROM cnts, a2"""))
-
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
-    qTextNovelty, qAggKmv, qTsHolt, qGraphKcore, qCurateAblation,
-    qMixDoremi, qWinPercent, qJoinSkewCensus, qSplitLeakage,
-    qQualityKappa, qTextLangmix, qEmbedNorms, qMixDoremiRounds,
-    qSampleCoreset, qStatsBenford, qGraphAssortativity,
-    qGraphModularity, qCustPareto, qSimMmr, qAggWeightedMedian,
+    qTextNovelty, qAggKmv, qTsHolt, qCurateAblation,
+    qWinPercent, qJoinSkewCensus, qSplitLeakage,
+    qQualityKappa, qTextLangmix, qEmbedNorms,
+    qSampleCoreset, qStatsBenford,
+    qCustPareto, qSimMmr, qAggWeightedMedian,
     qAggTukey, qEventsEntropyRate)
 
   /** DuckDB mirror of the shared link graph (one definition with

@@ -1072,10 +1072,94 @@ object Vector {
         ORDER BY label NULLS FIRST, action NULLS FIRST,
           vec_id NULLS FIRST"""))
 
+  /** Truncated-dimension recall curve (q_sim_matryoshka): the
+    * evaluation a pipeline runs before shipping PREFIX-TRUNCATED
+    * embeddings (the Matryoshka representation-learning deployment
+    * pattern, Kusupati et al. 2022, public method): for each prefix
+    * width k ∈ {8, 16, 32, 64}, rank the corpus by k-dim cosine for a
+    * FIXED literal-bounded probe set (vec_id < 20 — the
+    * q_dedup_lsh_audit sample discipline, never corpus-wide all-pairs)
+    * and report recall@10 against the full-64-dim ranking. Cosines go
+    * through the sequential double_dot / list_dot_product pair, so
+    * both engines produce bit-identical doubles and the row_number
+    * rankings (ties to the smaller vec_id) agree exactly. Cost: one
+    * broadcast of 20 probes against the corpus, one bounded window per
+    * width — linear in the corpus, probe-bounded, no pair explosion. */
+  val qSimMatryoshka = Q(
+    "q_sim_matryoshka",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.DoubleDot.register(s)
+      val e = Tables.t(s, d, "embeddings")
+        .withColumn("emb_d",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"), col("emb_d"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("p_id"), col("emb_d").as("p_emb"))
+      val pairs = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+      def top10(k: Int): DataFrame = pairs
+        .withColumn("c", expr(
+          s"double_dot(slice(emb_d, 1, $k), slice(p_emb, 1, $k)) / " +
+            s"(sqrt(double_dot(slice(emb_d, 1, $k), slice(emb_d, 1, $k)))" +
+            s" * sqrt(double_dot(slice(p_emb, 1, $k), slice(p_emb, 1, $k))))"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("p_id"))
+            .orderBy(col("c").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("p_id"), col("vec_id"))
+      val full = top10(64)
+        .select(col("p_id").as("f_pid"), col("vec_id").as("f_vid"))
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      Seq(8, 16, 32, 64).map { k =>
+        val hits = full.join(top10(k),
+            col("f_pid") === col("p_id") && col("f_vid") === col("vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        np.crossJoin(broadcast(hits))
+          .select(lit(k.toLong).as("dim"), col("n_probes"), col("n_hit"))
+      }.reduce(_ unionAll _)
+        .withColumn("recall",
+          round(col("n_hit") * lit(1.0) / (col("n_probes") * 10), 6))
+        .orderBy(col("dim"))
+    },
+    Some {
+      def rk(k: Int): String =
+        s"""r$k AS (
+              SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+                ORDER BY list_dot_product(emb_d[1:$k], p_emb[1:$k])
+                  / (sqrt(list_dot_product(emb_d[1:$k], emb_d[1:$k]))
+                    * sqrt(list_dot_product(p_emb[1:$k], p_emb[1:$k])))
+                  DESC, vec_id) AS rk
+              FROM pairs)"""
+      def hit(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS dim, np.n_probes,
+              CAST((SELECT count(*) FROM f
+                    JOIN (SELECT p_id, vec_id FROM r$k WHERE rk <= 10) t
+                      USING (p_id, vec_id)) AS BIGINT) AS n_hit
+            FROM np"""
+      s"""WITH e AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+            FROM embeddings),
+          probes AS (
+            SELECT vec_id AS p_id, emb_d AS p_emb FROM e
+            WHERE vec_id < 20),
+          pairs AS (
+            SELECT p.p_id, p.p_emb, e.vec_id, e.emb_d
+            FROM e CROSS JOIN probes p WHERE e.vec_id <> p.p_id),
+          ${Seq(8, 16, 32, 64).map(rk).mkString(",\n")},
+          f AS (SELECT p_id, vec_id FROM r64 WHERE rk <= 10),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)
+          SELECT dim, n_probes, n_hit,
+            round(n_hit * 1.0 / (n_probes * 10), 6) AS recall
+          FROM (${Seq(8, 16, 32, 64).map(hit).mkString("\nUNION ALL ")})
+          ORDER BY dim NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qSimThresholdCurve,
     qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
-    qSimHardneg)
+    qSimHardneg, qSimMatryoshka)
 }

@@ -23,13 +23,43 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps {
 
+  /** Stateful-drain shuffle width: every stateful operator instantiates
+    * one state store PER shuffle partition PER micro-batch, and that
+    * fixed cost — not row volume — dominates a finite drain (32 → 8
+    * measured 11.7 s → 3.6 s on the stream-stream join at sf0.1).
+    * 8 is the measured sweet spot at sf0.1: a round-9 A/B over the 8
+    * slowest drains gave warm sums 19.5 s (w=8) / 21.0 s (w=4) /
+    * 22.4 s (w=2) — below 8 the lost processing parallelism costs more
+    * than the saved state-store instances. Production streams size
+    * this to sustained throughput via the same session conf; the cap
+    * only lowers the session value, never raises it.
+    * SPARK_GRAFT_STREAM_WIDTH overrides for A/B measurement only. */
+  private[streaming] val drainWidth =
+    sys.env.get("SPARK_GRAFT_STREAM_WIDTH").map(_.toInt).getOrElse(8)
+
+
   /** Streaming view of `events` (schema from a batch footer read; same
     * physical-type-dependent ts normalization as Tables.t — driver data
     * may store TIMESTAMP(NANOS) (read as long under nanosAsLong) or a
     * plain timestamp, depending on the generation round). */
+  /** Footer-schema memo: ~30 stream queries each open the same parquet
+    * footer to type their readStream; one listing per (session, dir,
+    * table) is enough (the Tables.t caching argument — sf dirs are
+    * immutable for the JVM's life). */
+  private val schemaCache = scala.collection.concurrent
+    .TrieMap[(Int, String), org.apache.spark.sql.types.StructType]()
+
+  private[graft] def footerSchema(s: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.getOrElseUpdate(
+      (System.identityHashCode(s), path), {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path).schema
+      })
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val schema = footerSchema(s, s"$d/events.parquet")
     // the streaming file source wants a directory: point it at the sf dir
     // and glob-filter down to the events file (watchdog arrival pattern)
     val raw = s.readStream.schema(schema).format("parquet")
@@ -45,19 +75,15 @@ object StreamOps {
   /** Run a streaming frame to completion into a memory sink; return the
     * settled table.
     *
-    * The streaming query runs with shuffle width capped at 8: every
-    * stateful operator instantiates one state store PER shuffle
-    * partition PER micro-batch, and that fixed cost — not row volume —
-    * dominates a finite drain (measured 11.7 s → 3.6 s on the
-    * stream-stream join at sf0.1 going 32 → 8). Production streams size
-    * this to sustained throughput via the same session conf; the cap
-    * only lowers it, never raises it. Batch queries are unaffected (the
-    * width is restored once the drain settles). */
+    * The streaming query runs with shuffle width capped at
+    * [[drainWidth]] (see its note on state-store instance cost). Batch
+    * queries are unaffected (the width is restored once the drain
+    * settles). */
   private def drain(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, saved.toInt).toString)
+      math.min(StreamOps.drainWidth, saved.toInt).toString)
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -231,7 +257,7 @@ object StreamOps {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, saved.toInt).toString)
+        math.min(StreamOps.drainWidth, saved.toInt).toString)
       try {
         val q = eventsStream(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -508,7 +534,7 @@ object StreamOps {
       new java.io.File(dir).mkdirs()
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, saved.toInt).toString)
+        math.min(StreamOps.drainWidth, saved.toInt).toString)
       try {
         val w = eventsStream(s, d)
           .select(unix_micros(col("ts").cast("timestamp")).as("us"),
@@ -716,7 +742,7 @@ object StreamOps {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, saved.toInt).toString)
+        math.min(StreamOps.drainWidth, saved.toInt).toString)
       try {
         val w = eventsStream(s, d)
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
@@ -745,7 +771,7 @@ object StreamOps {
   /** Streaming view of `documents` (same glob-filtered file-arrival
     * pattern as [[eventsStream]]). */
   private def documentsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val schema = footerSchema(s, s"$d/documents.parquet")
     s.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "documents.parquet")
       .load(d)
@@ -821,7 +847,7 @@ object StreamOps {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, saved.toInt).toString)
+        math.min(StreamOps.drainWidth, saved.toInt).toString)
       try {
         val w = documentsStream(s, d)
           .select(col("doc_id"), col("text"), col("source"))
@@ -1220,7 +1246,7 @@ object StreamOps {
   val qStreamCentroid = Q(
     "q_stream_centroid",
     (s, d) => {
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = footerSchema(s, s"$d/embeddings.parquet")
       val es = s.readStream.schema(schema).format("parquet")
         .option("pathGlobFilter", "embeddings.parquet")
         .load(d)

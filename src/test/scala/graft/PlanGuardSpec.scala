@@ -1,0 +1,76 @@
+package graft
+
+/** Plan-hash snapshot regression guard: PLANS.md documents the headline
+  * physical plans, PlanSpec asserts their load-bearing shapes — but
+  * nothing caught an UNINTENDED plan change in a query whose shape
+  * isn't individually asserted. This spec hashes the canonicalized
+  * physical plan of every PlanDump headliner against a checked-in
+  * snapshot (`src/test/resources/plan_hashes.tsv`).
+  *
+  * On an INTENTIONAL plan change (new optimization, Spark upgrade):
+  * regenerate with
+  * `SPARK_GRAFT_UPDATE_PLANS=1 sbt "testOnly graft.PlanGuardSpec"`,
+  * eyeball the PLANS.md diff (rerun PlanDump), and commit both.
+  *
+  * Canonicalization strips run-variant tokens (expression ids, plan
+  * ids, codegen stage ids, file paths, object hashes, statistics) so
+  * the hash is stable across JVMs while still pinning the operator
+  * tree, join strategies, exchanges, and pushed filters. */
+class PlanGuardSpec extends SparkSuite {
+
+  private val snapshotPath =
+    java.nio.file.Paths.get("src/test/resources/plan_hashes.tsv")
+
+  private def canonical(plan: String): String = plan
+    .replaceAll("#\\d+", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=")
+    .replaceAll("id=#?\\d+", "id=")
+    .replaceAll("@[0-9a-fA-F]{4,}", "@")
+    .replaceAll("\\*\\(\\d+\\)", "*(N)")
+    .replaceAll("\\[file:[^\\]]*\\]", "[FILE]")
+    .replaceAll("file:[^\\s\\],)]+", "FILE")
+    .replaceAll("/[-A-Za-z0-9_./]*(?:tmp|testdata)[-A-Za-z0-9_./]*",
+      "PATH")
+    .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+    .replaceAll("\\d+ paths", "N paths")
+
+  private def hash(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def currentHashes(): Seq[(String, String)] =
+    PlanDump.headliners.map { case (name, _) =>
+      val p = q(name).queryExecution.executedPlan.toString
+      name -> hash(canonical(p))
+    }
+
+  test("headline physical plans match the checked-in snapshot") {
+    val got = currentHashes()
+    if (sys.env.get("SPARK_GRAFT_UPDATE_PLANS").contains("1")) {
+      java.nio.file.Files.createDirectories(snapshotPath.getParent)
+      java.nio.file.Files.writeString(snapshotPath,
+        got.map { case (n, h) => s"$n\t$h" }.mkString("", "\n", "\n"))
+      info(s"snapshot rewritten: ${got.size} plans")
+    } else {
+      assert(java.nio.file.Files.exists(snapshotPath),
+        "no plan snapshot — run with SPARK_GRAFT_UPDATE_PLANS=1 once")
+      val want = java.nio.file.Files.readString(snapshotPath)
+        .linesIterator.filter(_.nonEmpty)
+        .map { l => val Array(n, h) = l.split("\t"); n -> h }.toMap
+      val missing = got.collect {
+        case (n, _) if !want.contains(n) => n
+      }
+      val changed = got.collect {
+        case (n, h) if want.contains(n) && want(n) != h => n
+      }
+      assert(missing.isEmpty && changed.isEmpty,
+        s"physical plans drifted.\n" +
+          s"  new headliners (no snapshot): ${missing.mkString(", ")}\n" +
+          s"  changed plans: ${changed.mkString(", ")}\n" +
+          "If intentional: inspect with `sbt \"runMain graft.PlanDump\"`," +
+          " then accept via SPARK_GRAFT_UPDATE_PLANS=1" +
+          " sbt \"testOnly graft.PlanGuardSpec\" and commit both.")
+    }
+  }
+}

@@ -365,7 +365,7 @@ class RefineSpec extends SparkSuite {
       val (selId, selDq) = mind.maxBy { case (id, dq) => (dq, -id) }
       replay += ((r.toLong, selId))
       val selV = vecs.find(_._1 == selId).get._2
-      assert(math.abs(got(r).getAs[Double]("radius") - selDq / 1e6) < 1e-5,
+      assert(math.abs(got(r).getAs[Double]("radius_sq") - selDq / 1e6) < 1e-5,
         s"radius at round $r")
       mind = mind.map { case (id, dq) =>
         (id, math.min(dq, d2q(vecs.find(_._1 == id).get._2, selV))) }
@@ -373,7 +373,7 @@ class RefineSpec extends SparkSuite {
     assert(got.map(r => (r.getAs[Long]("round"),
       r.getAs[Long]("center_id"))).toSeq === replay.toSeq)
     // coverage radius is non-increasing (greedy k-center invariant)
-    val radii = got.drop(1).map(_.getAs[Double]("radius")).toSeq
+    val radii = got.drop(1).map(_.getAs[Double]("radius_sq")).toSeq
     radii.sliding(2).foreach {
       case Seq(a, b) => assert(a >= b, s"radius grew: $radii")
       case _ => ()

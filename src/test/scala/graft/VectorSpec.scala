@@ -278,6 +278,56 @@ class VectorSpec extends SparkSuite {
     assert(got === want) // pigeonhole banding loses nothing at d<=2
   }
 
+  test("adaptive phash banding: planted twins 100% recalled at kx > 0") {
+    // 4040 hash rows force kx = 3 (4040 div 500 = 8 -> 3 extra bits);
+    // each planted twin flips <= 2 phash bits (so one 6-bit band still
+    // matches by pigeonhole) and <= 1 dhash bit (the perturbation
+    // envelope of a true near-dup image) — Hamming-<=1 multi-probe
+    // over the extra bits must recover every one
+    val n = 4000
+    val base = (0 until n).map { i =>
+      val w = 4L + i % 3; val h = 2L + i % 2
+      val bits = (w * h).toInt
+      ((i.toLong, w, h,
+        (i * 2654435761L) & ((1L << bits) - 1),
+        (i * 40503L + 7) & ((1L << bits) - 1)))
+    }
+    val twins = (0 until 40).map { j =>
+      val (_, w, h, p, dh) = base(j * 97)
+      val bits = (w * h).toInt
+      val p2 = p ^ (1L << (j % bits)) ^ (1L << ((j * 5 + 3) % bits))
+      val d2 = dh ^ (if (j % 2 == 0) 1L << (j % 8) else 0L)
+      (100000L + j, w, h, p2, d2)
+    }
+    val hashes = (base ++ twins)
+      .toDF("doc_id", "w", "h", "phash", "dhash")
+    val cand = graft.ops.Multimodal
+      .phashCands(hashes, adaptive = true, probe = true)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    (0 until 40).foreach { j =>
+      val a = base(j * 97)._1
+      assert(cand.contains((a, 100000L + j)),
+        s"planted twin ($a, ${100000L + j}) missed at kx=3")
+    }
+    // the widened space stays bounded: far fewer candidates than the
+    // all-pairs matrix (n^2/2 ~ 8.1M)
+    assert(cand.size < 2000000, s"candidate load ${cand.size} too high")
+  }
+
+  test("matryoshka curve: recall rises with prefix width, 64-dim is exact") {
+    val rows = q("q_sim_matryoshka", "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("recall"))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(8L, 16L, 32L, 64L))
+    // truncating dims can only lose ranking signal on average; the
+    // full-width row ranks against itself so must be exactly 1.0
+    rows.toSeq.sliding(2).foreach { case Seq((ka, ra), (kb, rb)) =>
+      assert(ra <= rb + 1e-9, s"recall fell $ka->$kb: $ra > $rb")
+    }
+    assert(rows.last._2 === 1.0)
+  }
+
   test("multiband ANN: recall@10 >= 0.9 vs exact top-k on the driver fixture") {
     // the registered 16x4 config, measured per probe against the exact
     // ranking - the fixture's quasi-random vectors are the adversarial
