@@ -77,7 +77,14 @@ object ScaleSmoke {
     "q_mix_doremi_rounds", "q_sample_coreset", "q_split_leakage",
     "q_text_langmix", "q_embed_norms", "q_stream_kmv",
     // graph scores over the docs-derived link graph
-    "q_graph_modularity", "q_graph_assortativity")
+    "q_graph_modularity", "q_graph_assortativity",
+    // round-9 additions: the ex-fixed-width image pair banding (now
+    // corpus-adaptive; the audit's n_cand column is the candidate-load
+    // evidence), the outer stream-stream join (last expensive stream
+    // without a 10x row), and the truncated-dim recall harness
+    // (probe-bounded — growth must track corpus, never probes²)
+    "q_multimodal_phash_pairs", "q_multimodal_phash_audit",
+    "q_stream_join_outer", "q_sim_matryoshka")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -830,6 +830,83 @@ object Insights {
             FROM m
             ORDER BY event_type NULLS FIRST"""))
 
+  // ---- q_stats_mannwhitney ----------------------------------------------
+
+  /** Mann-Whitney U rank-sum test (q_stats_mannwhitney): the
+    * nonparametric two-sample test a drift monitor reaches for when
+    * value distributions are non-normal — purchase vs error event
+    * values, tie-corrected normal approximation. All ranking is
+    * INTEGER-exact: values snap to the cent grid, ties get the doubled
+    * average rank 2·(#below) + count + 1 (a BIGINT), and the rank-sum
+    * accumulates in DECIMAL(38,0)/HUGEINT, so both engines reach the
+    * identical U before the single double conversion for z. The rank
+    * window runs over the DISTINCT cent grid (grid-bounded — the
+    * q_agg_equidepth buffer argument), never over raw rows: one scan,
+    * one keyed count, one bounded window, a one-row rollup. */
+  val qStatsMannwhitney = Q(
+    "q_stats_mannwhitney",
+    (s, d) => {
+      val base = Tables.t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("c"),
+          (col("event_type") === "purchase").as("g1"))
+      val vc = base.groupBy(col("c"))
+        .agg(count(lit(1)).as("na"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1c"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = vc
+        .withColumn("cum", sum(col("na")).over(w))
+        .withColumn("rank2",
+          lit(2) * (col("cum") - col("na")) + col("na") + 1)
+      val st = ranked.agg(
+        sum(col("n1c")).as("n1"),
+        sum(col("na") - col("n1c")).as("n2"),
+        sum(col("n1c").cast("decimal(38,0)") * col("rank2")).as("r1_2"),
+        sum(col("na") * col("na") * col("na") - col("na")).as("ties"))
+      val u1d = (col("r1_2") - col("n1") * (col("n1") + 1))
+        .cast("double") / 2
+      st.select(col("n1"), col("n2"), u1d.as("u1"),
+        round((u1d - col("n1").cast("double") * col("n2") / 2) /
+          sqrt(col("n1").cast("double") * col("n2") / lit(12.0) *
+            ((col("n1") + col("n2") + 1) -
+              col("ties").cast("double") /
+                ((col("n1") + col("n2")) *
+                  (col("n1") + col("n2") - lit(1.0))))), 6).as("z"))
+    },
+    Some("""WITH base AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                event_type = 'purchase' AS g1
+              FROM events
+              WHERE event_type IN ('purchase', 'error')),
+            vc AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1c
+              FROM base GROUP BY c),
+            ranked AS (
+              SELECT c, na, n1c,
+                2 * (sum(na) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - na) + na + 1 AS rank2
+              FROM vc),
+            st AS (
+              SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+                CAST(sum(na - n1c) AS BIGINT) AS n2,
+                sum(CAST(n1c AS HUGEINT) * rank2) AS r1_2,
+                CAST(sum(na*na*na - na) AS BIGINT) AS ties
+              FROM ranked)
+            SELECT n1, n2,
+              CAST(r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+                AS u1,
+              round((CAST(r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                     AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+                        / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+            FROM st"""))
+
   // ---- q_stats_chisq ----------------------------------------------------
 
   /** Chi-squared independence test (q_stats_chisq): is document
@@ -1265,5 +1342,6 @@ object Insights {
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qStatsTtest,
-    qStatsChisq, qStatsKs, qGraphLabelprop, qGraphJaccard)
+    qStatsChisq, qStatsKs, qStatsMannwhitney, qGraphLabelprop,
+    qGraphJaccard)
 }

@@ -347,8 +347,108 @@ object More {
             WHERE sample_rank <= 10
             ORDER BY source NULLS FIRST, sample_rank NULLS FIRST"""))
 
+  /** Neyman-optimal stratified allocation (q_sample_neyman): given a
+    * fixed label/annotation budget of 1000 rows, how many to draw per
+    * event_type stratum — n_h ∝ N_h·σ_h (the minimum-variance
+    * allocation for estimating the overall mean), next to the naive
+    * proportional n_h ∝ N_h for comparison. This is the budgeting
+    * step upstream of q_sample_stratified's rate-based draw: decide
+    * the counts here, then convert to per-class hash-gate rates.
+    *
+    * Engine-exactness: σ_h comes from exact DECIMAL/HUGEINT cent sums
+    * converted to double once (sqrt and IEEE ops are correctly
+    * rounded, so both engines produce the identical double); the
+    * weight micro-quantizes to a BIGINT, and the largest-remainder
+    * apportionment runs on INTEGER floor/mod arithmetic — ties and
+    * boundaries cannot diverge. Cost: one scan, one stratum aggregate,
+    * windows over the #strata-row table (bounded by the type domain,
+    * never rows). */
+  val qSampleNeyman = Q(
+    "q_sample_neyman",
+    (s, d) => {
+      val st = ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("qc"))
+        .withColumn("sigma", sqrt(
+          (col("qc").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double") /
+              col("n_rows")) / (col("n_rows") - 1) / lit(10000.0)))
+        .withColumn("wq",
+          floor(col("n_rows") * col("sigma") * 1e6 + 0.5).cast("long"))
+      val tot = st.agg(sum(col("wq")).as("w_tot"),
+        sum(col("n_rows")).as("n_tot"))
+      val a = st.crossJoin(broadcast(tot))
+        .withColumn("fl", expr("1000 * wq div w_tot"))
+        .withColumn("rem", expr("(1000 * wq) % w_tot"))
+        .withColumn("flp", expr("1000 * n_rows div n_tot"))
+        .withColumn("remp", expr("(1000 * n_rows) % n_tot"))
+      val fsum = a.agg(sum(col("fl")).as("f_tot"),
+        sum(col("flp")).as("fp_tot"))
+      a.crossJoin(broadcast(fsum))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("event_type"))))
+        .withColumn("rkp", row_number().over(
+          Window.orderBy(col("remp").desc, col("event_type"))))
+        .select(col("event_type"), col("n_rows"),
+          round(col("sigma"), 6).as("sigma"),
+          (col("fl") + when(col("rk") <= lit(1000) - col("f_tot"), 1L)
+            .otherwise(0L)).as("n_neyman"),
+          (col("flp") + when(col("rkp") <= lit(1000) - col("fp_tot"), 1L)
+            .otherwise(0L)).as("n_prop"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  AS HUGEINT)) AS sc,
+                sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  AS HUGEINT) * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS qc
+              FROM events GROUP BY event_type),
+            sg AS (
+              SELECT event_type, n_rows,
+                sqrt((CAST(qc AS DOUBLE)
+                    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_rows)
+                  / (n_rows - 1) / 10000.0) AS sigma
+              FROM st),
+            wq AS (
+              SELECT event_type, n_rows, sigma,
+                CAST(floor(n_rows * sigma * 1e6 + 0.5) AS BIGINT) AS wq
+              FROM sg),
+            tot AS (
+              SELECT CAST(sum(wq) AS BIGINT) AS w_tot,
+                CAST(sum(n_rows) AS BIGINT) AS n_tot
+              FROM wq),
+            a AS (
+              SELECT event_type, n_rows, sigma,
+                1000 * wq // w_tot AS fl, (1000 * wq) % w_tot AS rem,
+                1000 * n_rows // n_tot AS flp,
+                (1000 * n_rows) % n_tot AS remp
+              FROM wq, tot),
+            fsum AS (
+              SELECT CAST(sum(fl) AS BIGINT) AS f_tot,
+                CAST(sum(flp) AS BIGINT) AS fp_tot
+              FROM a),
+            rk AS (
+              SELECT a.*, f_tot, fp_tot,
+                row_number() OVER (ORDER BY rem DESC, event_type) AS rk,
+                row_number() OVER (ORDER BY remp DESC, event_type)
+                  AS rkp
+              FROM a, fsum)
+            SELECT event_type, n_rows, round(sigma, 6) AS sigma,
+              CAST(fl + CASE WHEN rk <= 1000 - f_tot THEN 1 ELSE 0 END
+                AS BIGINT) AS n_neyman,
+              CAST(flp + CASE WHEN rkp <= 1000 - fp_tot THEN 1 ELSE 0
+                END AS BIGINT) AS n_prop
+            FROM rk
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
     qSubqueryScalar, qUpsertLatest, qProfile, qAggMode, qSampleMod,
-    qSampleStratified, qSampleWeighted)
+    qSampleStratified, qSampleWeighted, qSampleNeyman)
 }

@@ -830,11 +830,15 @@ object Multimodal {
     * (kx+1)-factor key expansion — O(log n) per doc, never a wider
     * bucket. At n ≤ 500 (the sf0.001/0.01 fixtures) kx = 0 and the
     * scheme is bit-identical to the fixed 3×6-bit reference. */
+  /** `kxFrom`: corpus whose COUNT sets the adaptive width — defaults
+    * to `hashes` itself; the audit passes the full corpus here while
+    * generating pairs only inside its bounded sample, so recall is
+    * measured at the production operating point. */
   private[graft] def phashCands(hashes: DataFrame, adaptive: Boolean,
-      probe: Boolean): DataFrame = {
+      probe: Boolean, kxFrom: Option[DataFrame] = None): DataFrame = {
     val kTab =
       if (!adaptive) hashes.sparkSession.range(1).select(lit(0).as("kx"))
-      else hashes.agg(count(lit(1)).as("n_img"))
+      else kxFrom.getOrElse(hashes).agg(count(lit(1)).as("n_img"))
         .select(least(lit(8), when(expr("n_img div 500") <= 0, lit(0))
           .otherwise(expr("length(bin(n_img div 500)) - 1")))
           .cast("int").as("kx"))
@@ -911,7 +915,7 @@ object Multimodal {
   /** bands/probes/cand CTE text with a scheme suffix, matching the
     * Spark phashCands construction bit for bit. */
   private def phashCandSql(sfx: String, adaptive: Boolean,
-      probe: Boolean): String = {
+      probe: Boolean, src: String = "hashes"): String = {
     val kx = if (adaptive) "kk.kx" else "CAST(0 AS INT)"
     val probes =
       if (probe)
@@ -931,7 +935,7 @@ object Multimodal {
           SELECT doc_id AS bv, w, h, $kx AS kx, b AS band,
             CAST((phash >> (6 * b)) & 63 AS BIGINT) AS base,
             CAST(dhash & ((1 << $kx) - 1) AS BIGINT) AS extra
-          FROM hashes CROSS JOIN kk
+          FROM $src CROSS JOIN kk
           CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) bs),
         $probes
         cand$sfx AS (
@@ -983,22 +987,28 @@ object Multimodal {
             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
 
   /** Banding recall audit for the image tier
-    * (q_multimodal_phash_audit) — the q_dedup_semantic_audit
-    * discipline applied to the phash pairs: one row per scheme with
-    * its candidate-pair count (the cost column SCALE.md tracks) and
-    * verified Hamming-≤2 pair count, plus recall vs the fixed
-    * 3×6-bit pigeonhole reference (which is exhaustive at d ≤ 2 by
-    * construction). On the fixtures the Hamming-≤2 "twins" are random
-    * hash collisions — true near-dup images share dHash bits far more
+    * (q_multimodal_phash_audit) — the q_dedup_lsh_audit discipline
+    * applied to the phash pairs: inside a FIXED literal sample
+    * (doc_id < 2000, a bound that never grows with the corpus), one
+    * row per scheme with its candidate-pair count and verified
+    * Hamming-≤2 pair count, plus recall vs the fixed 3×6-bit
+    * pigeonhole reference (exhaustive at d ≤ 2 by construction). The
+    * exhaustive reference — whose candidate load is inherently
+    * quadratic in bucket occupancy — exists ONLY inside the sample;
+    * the adaptive kx is still derived from the FULL corpus count
+    * (kxFrom), so recall is measured at the production operating
+    * point. On the fixtures the Hamming-≤2 "twins" are random hash
+    * collisions — true near-dup images share dHash bits far more
     * often, so adaptive recall here is a lower bound. */
   val qMultimodalPhashAudit = Q(
     "q_multimodal_phash_audit",
     (s, d) => {
       val hashes = phashFrame(s, d).localCheckpoint()
+      val sample = hashes.filter(col("doc_id") < 2000)
       def verified(cand: DataFrame): DataFrame = cand
-        .join(hashes.select(col("doc_id").as("ja"),
+        .join(sample.select(col("doc_id").as("ja"),
           col("phash").as("a_hash")), col("a_id") === col("ja"))
-        .join(hashes.select(col("doc_id").as("jb"),
+        .join(sample.select(col("doc_id").as("jb"),
           col("phash").as("b_hash")), col("b_id") === col("jb"))
         .filter(expr("bit_count(a_hash ^ b_hash)") <= 2)
         .select(col("a_id"), col("b_id"))
@@ -1009,8 +1019,9 @@ object Multimodal {
           .select(lit(scheme).as("scheme"), col("n_cand"),
             col("n_pairs"))
       }
-      val fixedC = phashCands(hashes, adaptive = false, probe = false)
-      val adptC = phashCands(hashes, adaptive = true, probe = true)
+      val fixedC = phashCands(sample, adaptive = false, probe = false)
+      val adptC = phashCands(sample, adaptive = true, probe = true,
+        kxFrom = Some(hashes))
       val base = verified(fixedC).agg(count(lit(1)).as("n_base"))
       row("adaptive_probe", adptC).union(row("fixed", fixedC))
         .crossJoin(broadcast(base))
@@ -1023,17 +1034,20 @@ object Multimodal {
         .orderBy(col("scheme"))
     },
     Some(s"""WITH $phashHashesSql,
-            ${phashCandSql("_f", adaptive = false, probe = false)},
-            ${phashCandSql("_a", adaptive = true, probe = true)},
+            sample AS (SELECT * FROM hashes WHERE doc_id < 2000),
+            ${phashCandSql("_f", adaptive = false, probe = false,
+              src = "sample")},
+            ${phashCandSql("_a", adaptive = true, probe = true,
+              src = "sample")},
             ver_f AS (
               SELECT c.a_id, c.b_id FROM cand_f c
-              JOIN hashes ha ON ha.doc_id = c.a_id
-              JOIN hashes hb ON hb.doc_id = c.b_id
+              JOIN sample ha ON ha.doc_id = c.a_id
+              JOIN sample hb ON hb.doc_id = c.b_id
               WHERE bit_count(xor(ha.phash, hb.phash)) <= 2),
             ver_a AS (
               SELECT c.a_id, c.b_id FROM cand_a c
-              JOIN hashes ha ON ha.doc_id = c.a_id
-              JOIN hashes hb ON hb.doc_id = c.b_id
+              JOIN sample ha ON ha.doc_id = c.a_id
+              JOIN sample hb ON hb.doc_id = c.b_id
               WHERE bit_count(xor(ha.phash, hb.phash)) <= 2),
             base AS (SELECT count(*) AS n_base FROM ver_f)
             SELECT scheme, n_cand, n_pairs,

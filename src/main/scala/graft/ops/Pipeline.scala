@@ -355,6 +355,157 @@ object Pipeline {
           ORDER BY cluster_id NULLS FIRST"""
     })
 
+  // ---- q_text_bpe_train -------------------------------------------------
+
+  /** Two real BPE merge rounds (q_text_bpe_train): the training loop
+    * q_text_bpe_pairs only ranks — round 1 picks the top adjacent
+    * symbol pair (count desc, pair lexicographic), APPLIES the merge
+    * to the word-type table left-to-right non-overlapping (a run of k
+    * identical symbols merges ⌊k/2⌋ times — the in-run parity rule),
+    * and round 2 re-counts and merges again on the updated sequences,
+    * exactly like Sennrich-style learn-BPE (count all adjacent
+    * positions, merge non-overlapping). One row per round: the chosen
+    * pair, its weighted count, merges applied, and the weighted symbol
+    * total before/after — the compression trajectory.
+    *
+    * Scale shape: everything runs on the WORD-TYPE table (vocabulary-
+    * bounded — the whole point of BPE training; the corpus is touched
+    * once for the frequency count). Merging is pure positional window
+    * algebra — lead/lag and a gaps-and-islands parity index per word,
+    * partitions bounded by word length — no folds, no recursion, no
+    * driver loop; round 2 reuses round 1's checkpointed output. All
+    * counts are exact integers, the argmax tie-breaks on the pair
+    * strings, so both engines pick identical merges. */
+  val qTextBpeTrain = Q(
+    "q_text_bpe_train",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = Tables.t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false)
+      val c0 = wf
+        .withColumn("pos",
+          explode(expr("sequence(1, CAST(length(w) AS BIGINT))")))
+        .withColumn("sym", expr("substring(w, CAST(pos AS INT), 1)"))
+      // one merge round: argmax pair, parity-pruned merge positions,
+      // rebuilt sequences, and the (top, next-frame, stats) triple
+      def bpeRound(cur: DataFrame) = {
+        val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+        val nx = cur.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        val top = nx.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("a"), col("nxt").as("b"))
+          .agg(sum(col("freq")).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("a"), col("b")).limit(1)
+        val mt = nx.crossJoin(broadcast(top))
+          .filter(col("sym") === col("a") && col("nxt") === col("b"))
+          .withColumn("rn", row_number().over(wOrd))
+          .select(col("w").as("mw"), col("pos").as("mpos"),
+            (col("pos") - col("rn")).as("grp"))
+        val mp = mt.withColumn("i0", row_number().over(
+            Window.partitionBy(col("mw"), col("grp"))
+              .orderBy(col("mpos"))) - 1)
+          .filter(col("i0") % 2 === 0)
+          .select(col("mw"), col("mpos"))
+        val fl = nx.join(mp,
+            col("w") === col("mw") && col("pos") === col("mpos"), "left")
+          .withColumn("is_m", col("mpos").isNotNull)
+          .withColumn("prev_m",
+            coalesce(lag(col("is_m"), 1).over(wOrd), lit(false)))
+        val out = fl.filter(col("is_m") || !col("prev_m"))
+          .select(col("w"), col("freq"), col("pos"),
+            when(col("is_m"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint(false)
+        val stats = cur.agg(sum(col("freq")).as("symbols_before"))
+          .crossJoin(broadcast(mp
+            .join(wf.select(col("w").as("fw"), col("freq").as("ff")),
+              col("mw") === col("fw"))
+            .agg(coalesce(sum(col("ff")), lit(0L)).as("n_merges"))))
+        (top, out, stats)
+      }
+      def row(r: Int, top: DataFrame, stats: DataFrame) =
+        top.crossJoin(broadcast(stats))
+          .select(lit(r.toLong).as("round"), col("a").as("sym_a"),
+            col("b").as("sym_b"), col("n_pairs").as("pair_count"),
+            col("n_merges"), col("symbols_before"),
+            (col("symbols_before") - col("n_merges"))
+              .as("symbols_after"))
+      val (top1, out1, st1) = bpeRound(c0)
+      val (top2, _, st2) = bpeRound(out1)
+      row(1, top1, st1).unionAll(row(2, top2, st2))
+        .orderBy(col("round"))
+    },
+    Some {
+      def roundSql(in: String, r: String): String =
+        s"""nx_$r AS (
+              SELECT w, freq, pos, sym,
+                lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+              FROM $in),
+            pc_$r AS (
+              SELECT sym AS a, nxt AS b,
+                CAST(sum(freq) AS BIGINT) AS n_pairs
+              FROM nx_$r WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+            top_$r AS (
+              SELECT a, b, n_pairs FROM pc_$r
+              ORDER BY n_pairs DESC, a, b LIMIT 1),
+            mt_$r AS (
+              SELECT n.w, n.pos,
+                row_number() OVER (PARTITION BY n.w ORDER BY n.pos)
+                  AS rn
+              FROM nx_$r n, top_$r t
+              WHERE n.sym = t.a AND n.nxt = t.b),
+            mp_$r AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                  row_number() OVER (PARTITION BY w, pos - rn
+                    ORDER BY pos) - 1 AS i0
+                FROM mt_$r)
+              WHERE i0 % 2 = 0),
+            fl_$r AS (
+              SELECT n.w, n.freq, n.pos, n.sym, n.nxt,
+                m.pos IS NOT NULL AS is_m,
+                coalesce(lag(m.pos IS NOT NULL) OVER (
+                  PARTITION BY n.w ORDER BY n.pos), FALSE) AS prev_m
+              FROM nx_$r n
+              LEFT JOIN mp_$r m ON n.w = m.w AND n.pos = m.pos),
+            out_$r AS (
+              SELECT w, freq, pos,
+                CASE WHEN is_m THEN sym || nxt ELSE sym END AS sym
+              FROM fl_$r WHERE is_m OR NOT prev_m),
+            st_$r AS (
+              SELECT
+                (SELECT CAST(sum(freq) AS BIGINT) FROM $in)
+                  AS symbols_before,
+                (SELECT CAST(coalesce(sum(f.freq), 0) AS BIGINT)
+                 FROM mp_$r m JOIN wf f ON m.w = f.w) AS n_merges)"""
+      s"""WITH wf AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE len(w) >= 1 GROUP BY w),
+          c0 AS (
+            SELECT w, freq, CAST(i AS BIGINT) AS pos,
+              substr(w, i, 1) AS sym
+            FROM wf, LATERAL (
+              SELECT unnest(generate_series(1, len(w))) AS i) g),
+          ${roundSql("c0", "r1")},
+          ${roundSql("out_r1", "r2")}
+          SELECT round, sym_a, sym_b, pair_count, n_merges,
+            symbols_before, symbols_before - n_merges AS symbols_after
+          FROM (
+            SELECT CAST(1 AS BIGINT) AS round, t.a AS sym_a,
+              t.b AS sym_b, t.n_pairs AS pair_count, s.n_merges,
+              s.symbols_before
+            FROM top_r1 t, st_r1 s
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), t.a, t.b, t.n_pairs, s.n_merges,
+              s.symbols_before
+            FROM top_r2 t, st_r2 s)
+          ORDER BY round NULLS FIRST"""
+    })
+
   // ---- q_text_bpe_pairs -------------------------------------------------
 
   /** BPE merge-candidate statistics: global frequencies of adjacent
@@ -589,5 +740,5 @@ object Pipeline {
 
   val all: Seq[Q] =
     Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs,
-      qGraphPagerank, qSessionize, qTextWinnow)
+      qTextBpeTrain, qGraphPagerank, qSessionize, qTextWinnow)
 }

@@ -892,7 +892,14 @@ object StreamOps {
     * bucket whatever the stream volume. An incoming doc is near-dup-
     * checked by probing this settled index (the q_dedup_incremental
     * broadcast pattern); here the index contents are the deterministic
-    * settled output. */
+    * settled output.
+    *
+    * Scale shape (SCALE.md round-9 note): this is the BUILD path —
+    * every arriving doc must be signed and indexed, so the cost is
+    * data-linear signature arithmetic (~0.5 ms/doc measured) plus
+    * bucket-linear state; a bloom front has nothing to prune here.
+    * The PROBE-side twins (q_stream_decontaminate,
+    * q_dedup_incremental) carry the per-batch bloom front instead. */
   /** Scan-local per-row minhash + LSH banding over a (doc_id, text)
     * frame — works on any source (file stream, MemoryStream, batch):
     * no keyed aggregate, one output row per (doc, band). Shared by the

@@ -448,6 +448,31 @@ class InsightsSpec extends SparkSuite {
     assert(r.getAs[Double]("d_stat") === want)
   }
 
+  test("Mann-Whitney U matches an exact driver-side recomputation") {
+    val r = q("q_stats_mannwhitney").collect()(0)
+    val rows = Tables.t(spark, sf0, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0),
+        math.floor(x.getDouble(1) * 100 + 0.5).toLong))
+    val all = rows.map(_._2).sorted
+    // average rank per value over the pooled sample (1-based)
+    val rankOf = all.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> xs.map(_._2 + 1).sum.toDouble / xs.length }
+    val g1 = rows.filter(_._1 == "purchase").map(_._2)
+    val n1 = g1.length.toLong
+    val n2 = rows.length - n1
+    val r1 = g1.map(rankOf).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    assert(r.getAs[Double]("u1") === u1)
+    // z located in the two-sided normal range for same-generator draws
+    val z = r.getAs[Double]("z")
+    assert(math.abs(z) < 6.0, s"implausible z $z")
+  }
+
   test("label propagation census conserves node count") {
     val rows = q("q_graph_labelprop").collect()
     val nodes = rows.map(r => r.getAs[Long]("community_size") *

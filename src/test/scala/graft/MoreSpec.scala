@@ -140,6 +140,24 @@ class MoreSpec extends SparkSuite {
     assert(again === sampled)
   }
 
+  test("Neyman allocation: both apportionments exhaust the 1000 budget") {
+    val rows = q("q_sample_neyman").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_neyman")).sum === 1000L)
+    assert(rows.map(_.getAs[Long]("n_prop")).sum === 1000L)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sigma") > 0.0)
+      // no stratum can be allocated more than the whole budget, and
+      // the optimal allocation tracks N_h*sigma_h ordering
+      assert(r.getAs[Long]("n_neyman") <= 1000L)
+    }
+    // strata ordered by N*sigma must receive non-decreasing n_neyman
+    val byWeight = rows.sortBy(r =>
+      r.getAs[Long]("n_rows") * r.getAs[Double]("sigma"))
+    val allocs = byWeight.map(_.getAs[Long]("n_neyman")).toSeq
+    assert(allocs === allocs.sorted, s"allocation not monotone: $allocs")
+  }
+
   test("weighted sample: 10 per source, biased toward long docs, " +
     "deterministic") {
     val rows = q("q_sample_weighted").collect()

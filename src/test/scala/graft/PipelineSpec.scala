@@ -110,6 +110,43 @@ class PipelineSpec extends SparkSuite {
 
   // ---- q_text_bm25 ------------------------------------------------------
 
+  test("bpe train: run-parity merges and re-ranked round 2 on a " +
+      "constructed corpus") {
+    import spark.implicits._
+    // 'aaa aaaa baab': top pair (a,a) counts all adjacent positions
+    // (2+3+1=6) but merges left-to-right non-overlapping (1+2+1=4)
+    val dir = fixtureDir("bpe_parity")(
+      "documents" -> Seq(
+        (0L, "aaa aaaa baab", "en", "src0", 13L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = q("q_text_bpe_train", dir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    val r1 = rows(0)
+    assert(r1.getAs[String]("sym_a") === "a")
+    assert(r1.getAs[String]("sym_b") === "a")
+    assert(r1.getAs[Long]("pair_count") === 6L)
+    assert(r1.getAs[Long]("n_merges") === 4L)
+    assert(r1.getAs[Long]("symbols_before") === 11L)
+    assert(r1.getAs[Long]("symbols_after") === 7L)
+    // round 2 runs on [aa,a] [aa,aa] [b,aa,b]: all pairs count 1,
+    // lexicographic tie-break picks (aa, a); only 'aaa' merges
+    val r2 = rows(1)
+    assert(r2.getAs[String]("sym_a") === "aa")
+    assert(r2.getAs[String]("sym_b") === "a")
+    assert(r2.getAs[Long]("pair_count") === 1L)
+    assert(r2.getAs[Long]("n_merges") === 1L)
+    assert(r2.getAs[Long]("symbols_after") === 6L)
+  }
+
+  test("bpe train: round-1 argmax equals the bpe_pairs top candidate") {
+    val top = q("q_text_bpe_pairs").collect().head
+    val r1 = q("q_text_bpe_train").collect()
+      .sortBy(_.getAs[Long]("round")).head
+    assert(r1.getAs[String]("sym_a") + r1.getAs[String]("sym_b")
+      === top.getAs[String]("pair"))
+    assert(r1.getAs[Long]("pair_count") === top.getAs[Long]("n"))
+  }
+
   test("bm25: top-20, positive scores, descending, docs contain a term") {
     val rows = q("q_text_bm25").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))

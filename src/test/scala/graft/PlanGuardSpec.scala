@@ -39,10 +39,30 @@ class PlanGuardSpec extends SparkSuite {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private def currentHashes(): Seq[(String, String)] =
+  private def currentHashes(): Seq[(String, String)] = {
+    // metadata fields (DataFilters etc.) truncate at
+    // maxMetadataStringLength CHARACTERS, and the cut position shifts
+    // with expression-id digit width (ids are JVM-allocation-order
+    // dependent) — capture untruncated so the #id strip below leaves
+    // a stable string
+    val saved = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try currentHashesInner()
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+  }
+
+  private def currentHashesInner(): Seq[(String, String)] =
     PlanDump.headliners.map { case (name, _) =>
       val p = q(name).queryExecution.executedPlan.toString
-      name -> hash(canonical(p))
+      val c = canonical(p)
+      // debug aid: dump the canonical text for out-of-band diffing
+      sys.env.get("SPARK_GRAFT_PLAN_DEBUG").foreach { dir =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/$name.txt"), c)
+      }
+      name -> hash(c)
     }
 
   test("headline physical plans match the checked-in snapshot") {
