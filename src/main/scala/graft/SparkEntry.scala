@@ -16,7 +16,7 @@ object SparkEntry {
       ops.Pipeline.all ++ ops.Insights.all ++ ops.Corpus.all ++
       ops.Mart.all ++ ops.Series.all ++ ops.Learn.all ++ ops.Audit.all ++
       ops.Drift.all ++ ops.Biz.all ++ ops.Refine.all ++
-      ops.GraphScores.all ++ ops.Doremi.all ++
+      ops.GraphScores.all ++ ops.Doremi.all ++ ops.Inference.all ++
       streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

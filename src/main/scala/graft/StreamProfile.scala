@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Dev-only profiler for the stream drain's fixed cost: drains one
+  * trivial pipeline N times and prints wall time alongside the
+  * micro-batch durationMs breakdown from StreamingQueryProgress, so the
+  * non-batch overhead (query start/stop, checkpoint setup, listing) is
+  * separable from batch execution. Usage:
+  *   sbt "runMain graft.StreamProfile [n]" */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5)
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // batch equivalent for comparison
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      spark.read.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")).collect()
+      println(f"[prof] batch-equiv run $i: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val w = src.writeStream.outputMode("complete").format("memory")
+        .queryName(s"prof_$i").trigger(Trigger.AvailableNow())
+      val q = (if (sys.env.contains("SPARK_GRAFT_SHM"))
+        w.option("checkpointLocation", s"/dev/shm/graft-prof/ck_$i")
+      else w).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e6
+      val prog = q.recentProgress
+      println(f"[prof] run $i wall=$wall%.0f ms batches=${prog.length}")
+      prog.foreach { p =>
+        val dm = p.durationMs
+        println(s"  batch ${p.batchId}: " +
+          dm.entrySet.toArray.mkString(", ") +
+          s" rows=${p.numInputRows}")
+      }
+    }
+    spark.stop()
+  }
+}

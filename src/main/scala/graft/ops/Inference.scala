@@ -1,0 +1,602 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference tier (round 9): the hypothesis tests and
+  * effect-size measures a data-quality/drift platform runs ON TOP of the
+  * grouped telemetry the rest of the engine produces — one-way ANOVA,
+  * Kruskal-Wallis, Kendall tau-b, Cramér's V, ROC AUC, winsorized means,
+  * readability scoring and HITS authority.
+  *
+  * Scale discipline shared by every op here: the raw table is touched by
+  * exactly ONE keyed aggregate (or rank window over the bounded distinct
+  * grid — the q_agg_equidepth argument); everything after is algebra over
+  * group/cell tables whose size is domain-bounded (event types, cent
+  * grid, quantity×discount cells), so a 100× corpus changes only the
+  * first aggregate's input. Rank statistics accumulate INTEGER-exact
+  * (doubled average ranks in DECIMAL(38,0)/HUGEINT — the
+  * q_stats_mannwhitney idiom) so both engines reach the identical
+  * sufficient statistics before the single double conversion. */
+object Inference {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "events")
+
+  // ---- q_stats_anova ----------------------------------------------------
+
+  /** One-way ANOVA F over event-type value distributions
+    * (q_stats_anova): the parametric sibling of q_stats_mannwhitney —
+    * does mean monetary value differ across event types? Sufficient
+    * statistics only: per-group (n, Σc, Σc²) on the cent grid in
+    * BIGINT/DECIMAL(38,0), so SSB/SSW are exact rationals until the
+    * final F division. One keyed aggregate over the corpus; the rollup
+    * is k rows. */
+  val qStatsAnova = Q(
+    "q_stats_anova",
+    (s, d) => {
+      val g = ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+      // SSW = Σ_g (sc2_g - sc_g²/n_g); SSB = Σ_g sc_g²/n_g - (Σsc)²/N
+      val st = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("nn"),
+        sum(col("sc")).as("tsc"),
+        sum(col("sc2")).as("tsc2"),
+        sum(col("sc").cast("double") * col("sc").cast("double") /
+          col("n")).as("sgr"))
+      st.select(
+        col("k"), col("nn").as("n"),
+        round(
+          ((col("sgr") - col("tsc").cast("double") *
+            col("tsc").cast("double") / col("nn")) / (col("k") - 1)) /
+            ((col("tsc2").cast("double") - col("sgr")) /
+              (col("nn") - col("k"))), 6).as("f"))
+    },
+    Some("""WITH g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    AS HUGEINT)) AS sc,
+                sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    AS HUGEINT)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc2
+              FROM events GROUP BY event_type),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS nn,
+                sum(sc) AS tsc, sum(sc2) AS tsc2,
+                sum(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) AS sgr
+              FROM g)
+            SELECT k, nn AS n,
+              round(
+                ((sgr - CAST(tsc AS DOUBLE) * CAST(tsc AS DOUBLE) / nn)
+                   / (k - 1))
+                / ((CAST(tsc2 AS DOUBLE) - sgr) / (nn - k)), 6) AS f
+            FROM st"""))
+
+  // ---- q_stats_kruskal --------------------------------------------------
+
+  /** Kruskal-Wallis H across ALL event types (q_stats_kruskal): the
+    * k-group extension of the Mann-Whitney rank machinery — tie-corrected
+    * H over the doubled-average-rank grid. The rank window runs over the
+    * DISTINCT cent grid (grid-bounded), never raw rows; per-group
+    * doubled rank sums accumulate in DECIMAL(38,0)/HUGEINT; with
+    * rank2 = 2·rank, H = 3·(12·Σ R2_j²/n_j − N·(N+1)²) / (N(N+1)) / 12
+    * simplifies to using R2²/4 — kept explicit below so both engines
+    * run the identical expression. */
+  val qStatsKruskal = Q(
+    "q_stats_kruskal",
+    (s, d) => {
+      val vc = ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("c"), col("event_type"))
+        .agg(count(lit(1)).as("ng"))
+      val perC = vc.groupBy(col("c")).agg(sum(col("ng")).as("na"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = perC
+        .withColumn("cum", sum(col("na")).over(w))
+        .withColumn("rank2",
+          lit(2) * (col("cum") - col("na")) + col("na") + 1)
+      val grp = vc.join(ranked.select(col("c"), col("rank2")), "c")
+        .groupBy(col("event_type"))
+        .agg(sum(col("ng")).as("nj"),
+          sum(col("ng").cast("decimal(38,0)") * col("rank2")).as("r2j"))
+      val ties = ranked.agg(
+        sum(col("na") * col("na") * col("na") - col("na")).as("tt"),
+        sum(col("na")).as("nn"))
+      val st = grp.crossJoin(broadcast(ties))
+        .agg(
+          count(lit(1)).as("k"),
+          first(col("nn")).as("nn"),
+          first(col("tt")).as("tt"),
+          // Σ (R2_j/2)² / n_j  with R2 exact → doubles at the last step
+          sum(col("r2j").cast("double") * col("r2j").cast("double") /
+            (lit(4.0) * col("nj"))).as("srj"))
+      st.select(col("k"), col("nn").as("n"),
+        round(
+          (lit(12.0) * col("srj") /
+            (col("nn").cast("double") * (col("nn") + 1)) -
+            lit(3.0) * (col("nn") + 1)) /
+            (lit(1.0) - col("tt").cast("double") /
+              (col("nn").cast("double") * col("nn") * col("nn") -
+                col("nn"))), 6).as("h"))
+    },
+    Some("""WITH vc AS (
+              SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                event_type, CAST(count(*) AS BIGINT) AS ng
+              FROM events GROUP BY c, event_type),
+            per_c AS (
+              SELECT c, CAST(sum(ng) AS BIGINT) AS na
+              FROM vc GROUP BY c),
+            ranked AS (
+              SELECT c, na,
+                2 * (sum(na) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - na) + na + 1 AS rank2
+              FROM per_c),
+            grp AS (
+              SELECT vc.event_type, CAST(sum(vc.ng) AS BIGINT) AS nj,
+                sum(CAST(vc.ng AS HUGEINT) * r.rank2) AS r2j
+              FROM vc JOIN ranked r ON vc.c = r.c
+              GROUP BY vc.event_type),
+            ties AS (
+              SELECT CAST(sum(na*na*na - na) AS BIGINT) AS tt,
+                CAST(sum(na) AS BIGINT) AS nn
+              FROM ranked),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                any_value(nn) AS nn, any_value(tt) AS tt,
+                sum(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                    / (4.0 * nj)) AS srj
+              FROM grp, ties)
+            SELECT k, nn AS n,
+              round(
+                (12.0 * srj / (CAST(nn AS DOUBLE) * (nn + 1))
+                   - 3.0 * (nn + 1))
+                / (1.0 - CAST(tt AS DOUBLE)
+                    / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6) AS h
+            FROM st"""))
+
+  // ---- q_stats_kendall --------------------------------------------------
+
+  /** Kendall tau-b between order quantity and discount percent
+    * (q_stats_kendall): rank correlation on a DOMAIN-BOUNDED grid —
+    * lineitem collapses to ≤ 50×11 (quantity, disc_pct) cells by one
+    * keyed count, then concordant/discordant/tied pair masses come from
+    * the cell-table self-join (≤ 550² comparisons — constant whatever
+    * the corpus size; the raw-row formulation would be O(n²) and is the
+    * trap). All pair masses are products of BIGINT counts accumulated in
+    * DECIMAL(38,0)/HUGEINT — exact until the final sqrt. */
+  val qStatsKendall = Q(
+    "q_stats_kendall",
+    (s, d) => {
+      val cells = Tables.t(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 100).cast("long").as("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+        col("cnt").as("ca"))
+      val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("cnt").as("cb"))
+      // every UNORDERED cell pair once: (a,b) with a-cell before b-cell
+      // in (x, y) lexicographic order, plus the within-cell tie mass
+      val pairs = a.join(b,
+        col("xa") < col("xb") ||
+          (col("xa") === col("xb") && col("ya") < col("yb")))
+      val cross = pairs.agg(
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")),
+          col("ca").cast("decimal(38,0)") * col("cb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("conc"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")),
+          col("ca").cast("decimal(38,0)") * col("cb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("disc"),
+        sum(when(col("xa") === col("xb"),
+          col("ca").cast("decimal(38,0)") * col("cb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("tx"),
+        sum(when(col("ya") === col("yb"),
+          col("ca").cast("decimal(38,0)") * col("cb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ty"))
+      val n = cells.agg(sum(col("cnt")).as("nn"),
+        sum(col("cnt").cast("decimal(38,0)") *
+          (col("cnt") - 1) / 2).as("within"))
+      cross.crossJoin(broadcast(n))
+        .select(
+          col("nn").as("n"),
+          col("conc").cast("double").as("concordant"),
+          col("disc").cast("double").as("discordant"),
+          round((col("conc").cast("double") - col("disc").cast("double")) /
+            sqrt(
+              (col("nn").cast("double") * (col("nn") - 1) / 2 -
+                (col("tx").cast("double") + col("within").cast("double"))) *
+              (col("nn").cast("double") * (col("nn") - 1) / 2 -
+                (col("ty").cast("double") + col("within").cast("double")))),
+            6).as("tau_b"))
+    },
+    Some("""WITH cells AS (
+              SELECT CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_discount * 100) AS BIGINT) AS y,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY x, y),
+            pairs AS (
+              SELECT a.x AS xa, a.y AS ya, a.cnt AS ca,
+                b.x AS xb, b.y AS yb, b.cnt AS cb
+              FROM cells a JOIN cells b
+                ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+            cross_m AS (
+              SELECT
+                sum(CASE WHEN (xa < xb AND ya < yb)
+                        OR (xa > xb AND ya > yb)
+                    THEN CAST(ca AS HUGEINT) * cb
+                    ELSE CAST(0 AS HUGEINT) END) AS conc,
+                sum(CASE WHEN (xa < xb AND ya > yb)
+                        OR (xa > xb AND ya < yb)
+                    THEN CAST(ca AS HUGEINT) * cb
+                    ELSE CAST(0 AS HUGEINT) END) AS disc,
+                sum(CASE WHEN xa = xb
+                    THEN CAST(ca AS HUGEINT) * cb
+                    ELSE CAST(0 AS HUGEINT) END) AS tx,
+                sum(CASE WHEN ya = yb
+                    THEN CAST(ca AS HUGEINT) * cb
+                    ELSE CAST(0 AS HUGEINT) END) AS ty
+              FROM pairs),
+            nt AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+                sum(CAST(cnt AS HUGEINT) * (cnt - 1) // 2) AS within
+              FROM cells)
+            SELECT nn AS n,
+              CAST(conc AS DOUBLE) AS concordant,
+              CAST(disc AS DOUBLE) AS discordant,
+              round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                / sqrt(
+                  (CAST(nn AS DOUBLE) * (nn - 1) / 2
+                    - (CAST(tx AS DOUBLE) + CAST(within AS DOUBLE)))
+                  * (CAST(nn AS DOUBLE) * (nn - 1) / 2
+                    - (CAST(ty AS DOUBLE) + CAST(within AS DOUBLE)))),
+                6) AS tau_b
+            FROM cross_m, nt"""))
+
+  // ---- q_stats_cramer ---------------------------------------------------
+
+  /** Cramér's V between order status and priority (q_stats_cramer): the
+    * normalized effect size on top of the chi-squared machinery
+    * (q_stats_chisq reports the raw statistic; a drift dashboard wants
+    * the 0..1 strength). One keyed count over orders; margins, the full
+    * R×C grid (zero cells included) and V are cell algebra. */
+  val qStatsCramer = Q(
+    "q_stats_cramer",
+    (s, d) => {
+      val o = Tables.t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("obs"))
+      val r = o.groupBy(col("o_orderstatus")).agg(sum(col("obs")).as("rl"))
+      val c = o.groupBy(col("o_orderpriority")).agg(sum(col("obs")).as("cs"))
+      val t = o.agg(sum(col("obs")).as("nn"))
+      val chi = r.crossJoin(broadcast(c))
+        .join(o, Seq("o_orderstatus", "o_orderpriority"), "left")
+        .na.fill(Map("obs" -> 0.0))
+        .crossJoin(broadcast(t))
+        .agg(
+          sum((col("obs") - col("rl") * col("cs") / col("nn")) *
+            (col("obs") - col("rl") * col("cs") / col("nn")) /
+            (col("rl") * col("cs") / col("nn"))).as("chi2"),
+          first(col("nn")).as("nn"))
+        .crossJoin(broadcast(r.agg(count(lit(1)).as("nr"))))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"))))
+      chi.select(
+        round(col("chi2"), 6).as("chi2"),
+        col("nn").cast("long").as("n"),
+        round(sqrt(col("chi2") / (col("nn") *
+          least(col("nr") - 1, col("nc") - 1))), 6).as("cramer_v"))
+    },
+    Some("""WITH o AS (
+              SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS DOUBLE) AS obs
+              FROM orders GROUP BY o_orderstatus, o_orderpriority),
+            r AS (SELECT o_orderstatus, sum(obs) AS rl
+                  FROM o GROUP BY o_orderstatus),
+            c AS (SELECT o_orderpriority, sum(obs) AS cs
+                  FROM o GROUP BY o_orderpriority),
+            t AS (SELECT sum(obs) AS nn FROM o),
+            fo AS (
+              SELECT g.rl, g.cs, coalesce(o.obs, 0) AS obs, t.nn
+              FROM (SELECT r.o_orderstatus, c.o_orderpriority, r.rl, c.cs
+                    FROM r CROSS JOIN c) g
+              LEFT JOIN o ON g.o_orderstatus = o.o_orderstatus
+                AND g.o_orderpriority = o.o_orderpriority
+              CROSS JOIN t),
+            chi AS (
+              SELECT sum((obs - rl*cs/nn)*(obs - rl*cs/nn)
+                       / (rl*cs/nn)) AS chi2,
+                any_value(nn) AS nn
+              FROM fo)
+            SELECT round(chi2, 6) AS chi2,
+              CAST(nn AS BIGINT) AS n,
+              round(sqrt(chi2 / (nn * least(
+                (SELECT count(*) FROM r) - 1,
+                (SELECT count(*) FROM c) - 1))), 6) AS cramer_v
+            FROM chi"""))
+
+  // ---- q_ml_auc ---------------------------------------------------------
+
+  /** ROC AUC via the rank-sum identity (q_ml_auc): does document length
+    * predict English? AUC(score=n_chars, label=lang='en') =
+    * U₁/(n₁·n₀) with midrank tie handling — the Mann-Whitney doubled-rank
+    * grid reused as a model-evaluation metric, so the WHOLE curve-free
+    * AUC needs one keyed count over the corpus plus a window over the
+    * distinct length grid. The classifier-eval shape for 100 TB: no
+    * sort of raw scores, no per-threshold sweep. */
+  val qMlAuc = Q(
+    "q_ml_auc",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents")
+        .select(col("n_chars").as("c"), (col("lang") === "en").as("pos"))
+      val vc = base.groupBy(col("c"))
+        .agg(count(lit(1)).as("na"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n1c"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = vc
+        .withColumn("cum", sum(col("na")).over(w))
+        .withColumn("rank2",
+          lit(2) * (col("cum") - col("na")) + col("na") + 1)
+      val st = ranked.agg(
+        sum(col("n1c")).as("n1"),
+        sum(col("na") - col("n1c")).as("n0"),
+        sum(col("n1c").cast("decimal(38,0)") * col("rank2")).as("r1_2"))
+      st.select(col("n1"), col("n0"),
+        round((col("r1_2").cast("double") / 2 -
+          col("n1").cast("double") * (col("n1") + 1) / 2) /
+          (col("n1").cast("double") * col("n0")), 6).as("auc"))
+    },
+    Some("""WITH base AS (
+              SELECT n_chars AS c, lang = 'en' AS pos FROM documents),
+            vc AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1c
+              FROM base GROUP BY c),
+            ranked AS (
+              SELECT c, na, n1c,
+                2 * (sum(na) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - na) + na + 1 AS rank2
+              FROM vc),
+            st AS (
+              SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+                CAST(sum(na - n1c) AS BIGINT) AS n0,
+                sum(CAST(n1c AS HUGEINT) * rank2) AS r1_2
+              FROM ranked)
+            SELECT n1, n0,
+              round((CAST(r1_2 AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+                / (CAST(n1 AS DOUBLE) * n0), 6) AS auc
+            FROM st"""))
+
+  // ---- q_agg_winsorized -------------------------------------------------
+
+  /** Winsorized mean per event type (q_agg_winsorized): the
+    * clamp-don't-drop sibling of q_agg_trimmed — outliers are pulled to
+    * the p05/p95 fences instead of discarded. Decomposed EXACTLY so no
+    * engine ever sums clamped doubles in its own order: mean_w =
+    * (n_below·lo + n_above·hi + Σ_mid c) / n where the interior sum and
+    * the boundary counts are BIGINT on the cent grid and only lo/hi are
+    * (interpolated-percentile) doubles. Two keyed aggregates + a
+    * broadcast fence join. */
+  val qAggWinsorized = Q(
+    "q_agg_winsorized",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val fences = base.groupBy(col("event_type"))
+        .agg(expr("percentile(c, 0.05)").as("lo"),
+          expr("percentile(c, 0.95)").as("hi"))
+      base.join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          first(col("lo")).as("lo_f"),
+          first(col("hi")).as("hi_f"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("na_"),
+          sum(when(col("c") >= col("lo") && col("c") <= col("hi"),
+            col("c")).otherwise(0L)).as("smid"))
+        .select(col("event_type"), col("n"),
+          round(col("lo_f") / 100, 6).as("lo"),
+          round(col("hi_f") / 100, 6).as("hi"),
+          round((col("nb") * col("lo_f") + col("na_") * col("hi_f") +
+            col("smid")) / (col("n") * lit(100.0)), 6).as("mean_w"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            fences AS (
+              SELECT event_type, quantile_cont(c, 0.05) AS lo,
+                quantile_cont(c, 0.95) AS hi
+              FROM base GROUP BY event_type)
+            SELECT b.event_type, CAST(count(*) AS BIGINT) AS n,
+              round(any_value(f.lo) / 100, 6) AS lo,
+              round(any_value(f.hi) / 100, 6) AS hi,
+              round((sum(CASE WHEN b.c < f.lo THEN 1 ELSE 0 END)
+                       * any_value(f.lo)
+                     + sum(CASE WHEN b.c > f.hi THEN 1 ELSE 0 END)
+                       * any_value(f.hi)
+                     + sum(CASE WHEN b.c >= f.lo AND b.c <= f.hi
+                           THEN b.c ELSE 0 END))
+                    / (count(*) * 100.0), 6) AS mean_w
+            FROM base b JOIN fences f ON b.event_type = f.event_type
+            GROUP BY b.event_type
+            ORDER BY b.event_type NULLS FIRST"""))
+
+  // ---- q_text_readability -----------------------------------------------
+
+  /** Flesch reading-ease per source (q_text_readability): the
+    * text-quality gate's readability axis — words, sentence marks and
+    * vowel-group syllable estimates counted as INTEGER per-row regex
+    * algebra (group count = len difference under replace-with-one-char
+    * vs replace-with-nothing, a regex-engine-neutral formulation), then
+    * one keyed rollup and a single double expression per source. Scan
+    * once, no explode. */
+  val qTextReadability = Q(
+    "q_text_readability",
+    (s, d) => {
+      val t = Tables.t(s, d, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("wrd"),
+          (length(regexp_replace(lower(col("text")), "[aeiouy]+", "#")) -
+            length(regexp_replace(lower(col("text")), "[aeiouy]+", "")))
+            .cast("long").as("syl"),
+          greatest(
+            (length(regexp_replace(col("text"), "[.!?]+", "#")) -
+              length(regexp_replace(col("text"), "[.!?]+", "")))
+              .cast("long"), lit(1L)).as("sen"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wrd")).as("words"),
+          sum(col("syl")).as("syllables"),
+          sum(col("sen")).as("sentences"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("syllables"), col("sentences"),
+          round(lit(206.835) -
+            lit(1.015) * col("words").cast("double") / col("sentences") -
+            lit(84.6) * col("syllables").cast("double") / col("words"),
+            6).as("flesch"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+              SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS wrd,
+                CAST(length(regexp_replace(lower(text),
+                       '[aeiouy]+', '#', 'g'))
+                   - length(regexp_replace(lower(text),
+                       '[aeiouy]+', '', 'g')) AS BIGINT) AS syl,
+                greatest(CAST(length(regexp_replace(text,
+                       '[.!?]+', '#', 'g'))
+                   - length(regexp_replace(text,
+                       '[.!?]+', '', 'g')) AS BIGINT), 1) AS sen
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(wrd) AS BIGINT) AS words,
+              CAST(sum(syl) AS BIGINT) AS syllables,
+              CAST(sum(sen) AS BIGINT) AS sentences,
+              round(206.835
+                - 1.015 * CAST(sum(wrd) AS DOUBLE) / sum(sen)
+                - 84.6 * CAST(sum(syl) AS DOUBLE) / sum(wrd), 6)
+                AS flesch
+            FROM t GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
+  // ---- q_graph_hits -----------------------------------------------------
+
+  /** HITS hubs & authorities (q_graph_hits): the bidirectional sibling
+    * of q_graph_pagerank on the same deterministic link graph — 2
+    * unrolled mutual-reinforcement rounds (authority from in-links' hub
+    * mass, hub from out-links' authority mass, L1-normalized), each new
+    * score ROUNDED to 10 decimals so both engines carry bit-identical
+    * state across iterations. Per round: two edge-keyed shuffled
+    * aggregates + a broadcast normalizer — O(|E|), never quadratic. */
+  val qGraphHits = Q(
+    "q_graph_hits",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val nodes = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      val edges = nodes
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      var scores = nodes.select(col("doc_id"),
+        lit(1.0).as("hub"), lit(1.0).as("auth"))
+      for (_ <- 0 until 2) {
+        // authority <- sum of in-neighbors' hub; then L1-normalize
+        val aRaw = scores
+          .join(edges, col("doc_id") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+        val aTot = aRaw.agg(sum(col("a_raw")).as("a_sum"))
+        val withA = scores
+          .join(aRaw, col("doc_id") === col("dst"), "left")
+          .crossJoin(broadcast(aTot))
+          .select(col("doc_id"), col("hub"),
+            round(coalesce(col("a_raw"), lit(0.0)) / col("a_sum"), 10)
+              .as("auth"))
+        // hub <- sum of out-neighbors' authority; then L1-normalize
+        val hRaw = withA
+          .join(edges, col("doc_id") === col("dst"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+        val hTot = hRaw.agg(sum(col("h_raw")).as("h_sum"))
+        scores = withA
+          .join(hRaw, col("doc_id") === col("src"), "left")
+          .crossJoin(broadcast(hTot))
+          .select(col("doc_id"),
+            round(coalesce(col("h_raw"), lit(0.0)) / col("h_sum"), 10)
+              .as("hub"),
+            col("auth"))
+      }
+      scores
+        .select(col("doc_id"), round(col("hub"), 8).as("hub"),
+          round(col("auth"), 8).as("auth"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def roundCtes(i: Int): String =
+        s"""a${i + 1}_raw AS (
+              SELECT e.dst, sum(s$i.hub) AS a_raw
+              FROM s$i JOIN e ON s$i.doc_id = e.src
+              GROUP BY e.dst),
+            a${i + 1} AS (
+              SELECT n.doc_id, s$i.hub,
+                round(coalesce(r.a_raw, 0)
+                  / (SELECT sum(a_raw) FROM a${i + 1}_raw), 10) AS auth
+              FROM nodes n
+              JOIN s$i ON n.doc_id = s$i.doc_id
+              LEFT JOIN a${i + 1}_raw r ON n.doc_id = r.dst),
+            h${i + 1}_raw AS (
+              SELECT e.src, sum(a${i + 1}.auth) AS h_raw
+              FROM a${i + 1} JOIN e ON a${i + 1}.doc_id = e.dst
+              GROUP BY e.src),
+            s${i + 1} AS (
+              SELECT a.doc_id,
+                round(coalesce(r.h_raw, 0)
+                  / (SELECT sum(h_raw) FROM h${i + 1}_raw), 10) AS hub,
+                a.auth
+              FROM a${i + 1} a
+              LEFT JOIN h${i + 1}_raw r ON a.doc_id = r.src)"""
+      s"""WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
+          nodes AS (SELECT doc_id, n_nodes FROM documents, s),
+          e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id AS src,
+                unnest([doc_id // 2,
+                        (doc_id * 31 + 17) % n_nodes,
+                        (doc_id * doc_id + 1) % n_nodes]) AS dst
+              FROM nodes) u
+            WHERE dst <> src),
+          s0 AS (SELECT doc_id, 1.0 AS hub, 1.0 AS auth FROM nodes),
+          ${(0 until 2).map(roundCtes).mkString(",\n")}
+          SELECT doc_id, round(hub, 8) AS hub, round(auth, 8) AS auth
+          FROM s2
+          ORDER BY doc_id NULLS FIRST"""
+    })
+
+  val all: Seq[Q] = Seq(
+    qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
+    qAggWinsorized, qTextReadability, qGraphHits)
+}

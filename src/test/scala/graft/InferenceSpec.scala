@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scalar replays + plan shape for the inference tier: every statistic is
+  * recomputed here with naive O(n²)-tolerant driver-side code on sf0.001
+  * and compared against the distributed result. */
+class InferenceSpec extends SparkSuite {
+
+  private def eventVals(): Array[(String, Long)] =
+    Tables.t(spark, sf0, "events")
+      .select(col("event_type"), floor(col("value") * 100 + 0.5)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("anova: F matches a scalar sufficient-statistics replay") {
+    val row = q("q_stats_anova").collect().head
+    val vs = eventVals()
+    val groups = vs.groupBy(_._1).view.mapValues(_.map(_._2.toDouble))
+    val n = vs.length.toDouble
+    val k = groups.size
+    val grand = vs.map(_._2.toDouble).sum / n
+    val ssb = groups.values.map(g =>
+      g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.values.map(g => {
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum
+    }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("n") === vs.length.toLong)
+    assert(math.abs(row.getAs[Double]("f") - f) < 1e-3,
+      s"got ${row.getAs[Double]("f")} want $f")
+  }
+
+  test("kruskal: H matches a scalar midrank replay") {
+    val row = q("q_stats_kruskal").collect().head
+    val vs = eventVals()
+    val n = vs.length
+    // midranks over the full sample
+    val byVal = vs.map(_._2).sorted
+    val rankOf = byVal.zipWithIndex.groupBy(_._1).view
+      .mapValues(ps => ps.map(_._2 + 1.0).sum / ps.length).toMap
+    val groups = vs.groupBy(_._1)
+    val srj = groups.values.map { g =>
+      val rj = g.map(v => rankOf(v._2)).sum
+      rj * rj / g.length
+    }.sum
+    val tieCnt = vs.groupBy(_._2).values
+      .map(t => math.pow(t.length, 3) - t.length).sum
+    val h0 = 12.0 * srj / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val h = h0 / (1.0 - tieCnt / (math.pow(n, 3) - n))
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(math.abs(row.getAs[Double]("h") - h) < 1e-3,
+      s"got ${row.getAs[Double]("h")} want $h")
+  }
+
+  test("kendall: tau-b matches a scalar all-pairs replay") {
+    val row = q("q_stats_kendall").collect().head
+    val xs = Tables.t(spark, sf0, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    var i = 0
+    while (i < xs.length) {
+      var j = i + 1
+      while (j < xs.length) {
+        val s = java.lang.Long.signum(xs(i)._1 - xs(j)._1) *
+          java.lang.Long.signum(xs(i)._2 - xs(j)._2)
+        if (s > 0) conc += 1
+        else if (s < 0) disc += 1
+        else {
+          if (xs(i)._1 == xs(j)._1) tx += 1
+          if (xs(i)._2 == xs(j)._2) ty += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // the query counts within-cell pairs in BOTH tx and ty (they tie on
+    // x and y); the replay above puts an x&y tie in both too — aligned.
+    val n0 = xs.length.toDouble * (xs.length - 1) / 2
+    // replay tx/ty exclude pairs tied on both axes only when counted
+    // once; recompute inclusively to mirror the query's tie masses
+    var txAll = 0L; var tyAll = 0L
+    i = 0
+    while (i < xs.length) {
+      var j = i + 1
+      while (j < xs.length) {
+        if (xs(i)._1 == xs(j)._1) txAll += 1
+        if (xs(i)._2 == xs(j)._2) tyAll += 1
+        j += 1
+      }
+      i += 1
+    }
+    val tau = (conc - disc) / math.sqrt((n0 - txAll) * (n0 - tyAll))
+    assert(row.getAs[Double]("concordant") === conc.toDouble)
+    assert(row.getAs[Double]("discordant") === disc.toDouble)
+    assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-4,
+      s"got ${row.getAs[Double]("tau_b")} want $tau")
+  }
+
+  test("auc: rank formulation equals the brute-force pair count") {
+    val row = q("q_ml_auc").collect().head
+    val ds = Tables.t(spark, sf0, "documents")
+      .select(col("n_chars"), (col("lang") === "en").as("p"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = ds.filter(_._2).map(_._1)
+    val neg = ds.filterNot(_._2).map(_._1)
+    var mass = 0.0
+    pos.foreach(p => neg.foreach { q2 =>
+      if (p > q2) mass += 1.0 else if (p == q2) mass += 0.5
+    })
+    val auc = mass / (pos.length.toDouble * neg.length)
+    assert(row.getAs[Long]("n1") === pos.length.toLong)
+    assert(row.getAs[Long]("n0") === neg.length.toLong)
+    assert(math.abs(row.getAs[Double]("auc") - auc) < 1e-6,
+      s"got ${row.getAs[Double]("auc")} want $auc")
+  }
+
+  test("winsorized mean: fences clamp, never drop") {
+    val rows = q("q_agg_winsorized").collect()
+    assert(rows.nonEmpty)
+    val plain = Tables.t(spark, sf0, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      // winsorization keeps every row (clamp semantics)
+      assert(r.getAs[Long]("n") === plain(r.getAs[String]("event_type")))
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      val m = r.getAs[Double]("mean_w")
+      assert(m >= r.getAs[Double]("lo") - 1e-9 &&
+        m <= r.getAs[Double]("hi") + 1e-9,
+        "winsorized mean must lie inside the fences")
+    }
+  }
+
+  test("cramer: V in [0,1] and chi2 consistent with margins replay") {
+    val row = q("q_stats_cramer").collect().head
+    val v = row.getAs[Double]("cramer_v")
+    assert(v >= 0.0 && v <= 1.0)
+    val cells = Tables.t(spark, sf0, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("o"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    val n = cells.map(_._2).sum
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum)
+    val chi = (for { (rk, rv) <- rm; (ck, cv) <- cm } yield {
+      val obs = cells.find(c => c._1 == ((rk, ck))).map(_._2).getOrElse(0.0)
+      val e = rv * cv / n
+      (obs - e) * (obs - e) / e
+    }).sum
+    assert(math.abs(row.getAs[Double]("chi2") - chi) < 1e-3)
+    assert(row.getAs[Long]("n") === n.toLong)
+  }
+
+  test("readability: per-source counts match a scalar regex replay") {
+    val rows = q("q_text_readability").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val ds = bySrc(r.getAs[String]("source"))
+      val words = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val syl = ds.map(d =>
+        "[aeiouy]+".r.findAllIn(d._2.toLowerCase).length.toLong).sum
+      val sen = ds.map(d =>
+        math.max("[.!?]+".r.findAllIn(d._2).length.toLong, 1L)).sum
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+      assert(r.getAs[Long]("words") === words)
+      assert(r.getAs[Long]("syllables") === syl)
+      assert(r.getAs[Long]("sentences") === sen)
+      val flesch = 206.835 - 1.015 * words.toDouble / sen -
+        84.6 * syl.toDouble / words
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-4)
+    }
+  }
+
+  test("hits: authority concentrates on the contraction target ids") {
+    val rows = q("q_graph_hits").collect()
+    val n = rows.length
+    assert(n > 0)
+    // L1 normalization: scores sum to ~1 on each axis
+    assert(math.abs(rows.map(_.getAs[Double]("hub")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("auth")).sum - 1.0) < 1e-4)
+    // node i links to i/2: low ids accumulate in-links → top authority
+    // mass must sit in the low-id half
+    val sorted = rows.sortBy(-_.getAs[Double]("auth")).take(10)
+    assert(sorted.count(_.getAs[Long]("doc_id") < n / 2) >= 8,
+      "authority should concentrate on contraction targets (low ids)")
+  }
+
+  test("kendall plan: raw table collapses to the cell grid before the self-join") {
+    // the self-join must consume the ≤550-cell aggregate, not raw rows:
+    // the NLJ's broadcast input is the keyed (x, y) count table
+    val p = q("q_stats_kendall").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cell-pair join is a theta join (expected NLJ):\n${p.take(800)}")
+    assert(!p.contains("CartesianProductExec"),
+      "cell-pair join must not be a partitioned cartesian")
+    assert(p.contains("HashAggregate(keys=[x"),
+      "self-join inputs must be the aggregated cell table")
+  }
+}
