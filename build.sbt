@@ -31,4 +31,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // Scratch on tmpfs when the host has one: java.io.tmpdir holds the
+  // streaming drains' temp checkpoints (offset WAL + state deltas) and
+  // Spark's local dirs hold shuffle files — on a memory-rich node both
+  // are classic RAM-disk targets (round-9 A/B at sf0.1: 267 s on ext4
+  // /tmp vs 238 s on /dev/shm, ~11% of the whole bench). Production
+  // clusters configure spark.local.dir per node; this only tunes the
+  // local single-JVM harness. SPARK_GRAFT_TMPDIR overrides; set it to a
+  // disk path to opt out.
+  val shm = new java.io.File("/dev/shm")
+  val tmp = sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+    if (shm.isDirectory && shm.canWrite) {
+      val t = new java.io.File(shm, "graft-tmp"); t.mkdirs()
+      Some(t.getAbsolutePath)
+    } else None
+  }
+  tmp.toSeq.flatMap(t =>
+    Seq(s"-Djava.io.tmpdir=$t", s"-Dspark.local.dir=$t"))
+}

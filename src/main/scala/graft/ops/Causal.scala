@@ -1,0 +1,852 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival / attribution / resampling tier (round 9): time-to-event
+  * statistics and revenue-credit models over the order and event
+  * streams — Kaplan-Meier curves, the log-rank test, multi-touch
+  * attribution, probability-proportional-to-size sampling and the
+  * Poisson bootstrap (the distributed-resampling idiom: multiplicities
+  * are computed per row from a hash, so a resample never materializes
+  * a shuffled copy of the data).
+  *
+  * Scale discipline: every op touches the raw table with ONE keyed
+  * window or aggregate (per-customer order sequences, per-purchase
+  * touch windows, per-resample sums); everything downstream runs over
+  * domain-bounded frames (the day grid, the 100-resample grid, the
+  * channel grid). Float policy per the house rules: money enters as
+  * exact cents, sums/credits stay BIGINT to the end (largest-remainder
+  * splits, never fractional credits), and the only doubles are single
+  * divisions or ln/exp chains evaluated in identical order by both
+  * engines, rounded on emission.
+  */
+object Causal {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "events")
+  private def ord(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "orders")
+
+  /** Shared (t, e [, g]) observation frame for the survival ops:
+    * per customer, consecutive-order gaps in days are uncensored
+    * "repurchase" events; the tail after the last order is censored at
+    * the corpus max date. One per-customer window + one broadcast of
+    * the global max date. */
+  private def survObs(s: SparkSession, d: String,
+      withGroup: Boolean): DataFrame = {
+    val o = ord(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seq0 = o.select(col("o_custkey"), col("o_orderdate"),
+      lead(col("o_orderdate"), 1).over(w).as("nxt"))
+    val mx = o.agg(max(col("o_orderdate")).as("mxd"))
+    val base = seq0.crossJoin(broadcast(mx)).select(
+      col("o_custkey"),
+      when(col("nxt").isNull,
+        datediff(col("mxd").cast("date"), col("o_orderdate").cast("date")))
+        .otherwise(
+          datediff(col("nxt").cast("date"), col("o_orderdate").cast("date")))
+        .cast("long").as("t"),
+      when(col("nxt").isNull, lit(0L)).otherwise(lit(1L)).as("e"))
+    if (!withGroup) base
+    else {
+      val cust = Tables.t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", lit(1L))
+            .otherwise(lit(0L)).as("g"))
+      base.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("t"), col("e"), col("g"))
+    }
+  }
+
+  /** The identical observation frame as DuckDB CTEs. */
+  private def survObsSql(withGroup: Boolean): String = {
+    val base = """seq AS (
+        SELECT o_custkey, o_orderdate,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders),
+      mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+      obs0 AS (
+        SELECT o_custkey,
+          CAST(CASE WHEN nxt IS NULL
+            THEN date_diff('day', CAST(o_orderdate AS DATE), CAST(mxd AS DATE))
+            ELSE date_diff('day', CAST(o_orderdate AS DATE), CAST(nxt AS DATE))
+          END AS BIGINT) AS t,
+          CAST(CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS BIGINT) AS e
+        FROM seq CROSS JOIN mx)"""
+    if (!withGroup) base + ",\n      obs AS (SELECT t, e FROM obs0)"
+    else base + """,
+      obs AS (
+        SELECT t, e,
+          CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+            AS BIGINT) AS g
+        FROM obs0 JOIN customer ON o_custkey = c_custkey)"""
+  }
+
+  // ---- q_surv_km --------------------------------------------------------
+
+  /** Kaplan-Meier survival curve over repurchase gaps (q_surv_km): the
+    * time-to-next-order distribution with the censored tails handled
+    * properly — the canonical churn/retention statistic. Per distinct
+    * day t: events d, censorings c, at-risk n (total minus everything
+    * that left strictly before t), and the product-limit estimate
+    * S(t) = Π_{u≤t} (1 - d_u/n_u).
+    *
+    * Float discipline: the product runs as exp(Σ ln(factor)) over the
+    * ordered day grid — a sequential, identically-ordered summation in
+    * both engines (the q_text_perplexity precedent) — EXCEPT that a
+    * factor of exactly 0 (the last at-risk observation is an event)
+    * must bypass ln: DuckDB raises on ln(0) where the JVM returns -Inf,
+    * so both sides carry a cumulative zero-seen flag instead.
+    *
+    * Scale shape: one per-customer window over orders (keyed, no
+    * global sort), one aggregate to the day grid (≤ date-range days
+    * whatever the corpus size), windows over that bounded grid only. */
+  val qSurvKm = Q(
+    "q_surv_km",
+    (s, d) => {
+      val byT = survObs(s, d, withGroup = false)
+        .groupBy(col("t"))
+        .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_at_risk",
+          sum(col("d") + col("c")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)) -
+            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("fac",
+          lit(1.0) - col("d").cast("double") / col("n_at_risk"))
+        .withColumn("surv",
+          when(max(when(col("fac") === 0.0, 1L).otherwise(0L))
+            .over(wCum) === 1L, lit(0.0))
+            .otherwise(round(exp(sum(
+              when(col("fac") > 0.0, log(col("fac"))).otherwise(lit(0.0)))
+              .over(wCum)), 6)))
+        .select(col("t"), col("n_at_risk"), col("d"), col("c"), col("surv"))
+        .orderBy(col("t"))
+    },
+    Some(s"""WITH ${survObsSql(withGroup = false)},
+      byt AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                     CAST(sum(1 - e) AS BIGINT) AS c
+              FROM obs GROUP BY t),
+      risk AS (
+        SELECT t, d, c,
+          CAST(sum(d + c) OVER ()
+               - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n_at_risk
+        FROM byt),
+      fac AS (SELECT *, 1.0e0 - d * 1.0e0 / n_at_risk AS fac FROM risk)
+      SELECT t, n_at_risk, d, c,
+        CASE WHEN max(CASE WHEN fac = 0.0e0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) = 1
+          THEN 0.0e0
+          ELSE round(exp(sum(CASE WHEN fac > 0.0e0 THEN ln(fac)
+                             ELSE 0.0e0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)), 6)
+        END AS surv
+      FROM fac
+      ORDER BY t NULLS FIRST"""))
+
+  // ---- q_surv_logrank ---------------------------------------------------
+
+  /** Log-rank test between customer segments (q_surv_logrank): does the
+    * BUILDING market segment repurchase on a different clock than the
+    * rest? The standard chi-squared statistic over the shared event-day
+    * grid: per day, observed group-1 events d1 vs hypergeometric
+    * expectation d·n1/n and variance d·(n1/n)(1-n1/n)(n-d)/(n-1).
+    *
+    * Float discipline: per-day expectation/variance are single-division
+    * doubles quantized to integer MILLIONTHS per row, then summed as
+    * BIGINT — aggregate summation order can differ between engines, so
+    * no raw double ever crosses an aggregate (the q_stats_mannwhitney
+    * rule). One row out. */
+  val qSurvLogrank = Q(
+    "q_surv_logrank",
+    (s, d) => {
+      val byT = survObs(s, d, withGroup = true)
+        .groupBy(col("t"))
+        .agg(
+          sum(when(col("g") === 1L, col("e")).otherwise(0L)).as("d1"),
+          sum(when(col("g") === 1L, lit(1L) - col("e")).otherwise(0L))
+            .as("c1"),
+          sum(col("e")).as("dd"),
+          sum(lit(1L) - col("e")).as("cc"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val perT = byT
+        .withColumn("n1",
+          sum(col("d1") + col("c1")).over(wAll) -
+            coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+        .withColumn("nn",
+          sum(col("dd") + col("cc")).over(wAll) -
+            coalesce(sum(col("dd") + col("cc")).over(wPrev), lit(0L)))
+        .filter(col("dd") > 0 && col("nn") > 1)
+        .withColumn("e1",
+          col("dd").cast("double") * col("n1") / col("nn"))
+        .withColumn("v",
+          col("dd").cast("double") * (col("n1").cast("double") / col("nn")) *
+            (lit(1.0) - col("n1").cast("double") / col("nn")) *
+            (col("nn") - col("dd")) / (col("nn") - lit(1L)))
+        .select(col("d1"),
+          floor(col("e1") * 1e6 + 0.5).cast("long").as("e1_q"),
+          floor(col("v") * 1e6 + 0.5).cast("long").as("v_q"))
+      perT.agg(
+        sum(col("d1")).as("d1_total"),
+        round(sum(col("e1_q")) / 1e6, 6).as("e1_total"),
+        round(
+          pow(sum(col("d1") * 1000000L - col("e1_q")) / 1e6, 2.0) /
+            (sum(col("v_q")) / 1e6), 6).as("chi2"))
+    },
+    Some(s"""WITH ${survObsSql(withGroup = true)},
+      byt AS (
+        SELECT t,
+          CAST(sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+          CAST(sum(CASE WHEN g = 1 THEN 1 - e ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(e) AS BIGINT) AS dd,
+          CAST(sum(1 - e) AS BIGINT) AS cc
+        FROM obs GROUP BY t),
+      risk AS (
+        SELECT t, d1, dd,
+          CAST(sum(d1 + c1) OVER ()
+               - coalesce(sum(d1 + c1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n1,
+          CAST(sum(dd + cc) OVER ()
+               - coalesce(sum(dd + cc) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nn
+        FROM byt),
+      pert AS (
+        SELECT d1,
+          CAST(floor(dd * 1.0e0 * n1 / nn * 1e6 + 0.5e0) AS BIGINT) AS e1_q,
+          CAST(floor(dd * 1.0e0 * (n1 * 1.0e0 / nn)
+               * (1.0e0 - n1 * 1.0e0 / nn)
+               * (nn - dd) / (nn - 1) * 1e6 + 0.5e0) AS BIGINT) AS v_q
+        FROM risk WHERE dd > 0 AND nn > 1)
+      SELECT CAST(sum(d1) AS BIGINT) AS d1_total,
+        round(sum(e1_q) / 1e6, 6) AS e1_total,
+        round(pow(sum(d1 * 1000000 - e1_q) / 1e6, 2)
+              / (sum(v_q) / 1e6), 6) AS chi2
+      FROM pert"""))
+
+  // ---- q_surv_hazard ----------------------------------------------------
+
+  /** Nelson-Aalen cumulative hazard (q_surv_hazard): the additive
+    * sibling of the KM product — H(t) = Σ_{u≤t} d_u/n_u over the same
+    * (events, censorings, at-risk) day grid. Unlike KM there is NO
+    * float at all: each increment is the exact integer
+    * d·1000000 div n (micro-hazard), the cumulative sum is a BIGINT
+    * window over the bounded day grid, and both engines agree to the
+    * last digit by construction. Same one-window-one-aggregate scale
+    * shape as q_surv_km. */
+  val qSurvHazard = Q(
+    "q_surv_hazard",
+    (s, d) => {
+      val byT = survObs(s, d, withGroup = false)
+        .groupBy(col("t"))
+        .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_at_risk",
+          sum(col("d") + col("c")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)) -
+            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("h_micro", expr("d * 1000000L div n_at_risk"))
+        .withColumn("cumhaz_micro", sum(col("h_micro")).over(wCum))
+        .select(col("t"), col("n_at_risk"), col("d"), col("h_micro"),
+          col("cumhaz_micro"))
+        .orderBy(col("t"))
+    },
+    Some(s"""WITH ${survObsSql(withGroup = false)},
+      byt AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                     CAST(sum(1 - e) AS BIGINT) AS c
+              FROM obs GROUP BY t),
+      risk AS (
+        SELECT t, d,
+          CAST(sum(d + c) OVER ()
+               - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n_at_risk
+        FROM byt)
+      SELECT t, n_at_risk, d,
+        CAST(d * 1000000 // n_at_risk AS BIGINT) AS h_micro,
+        CAST(sum(d * 1000000 // n_at_risk) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cumhaz_micro
+      FROM risk
+      ORDER BY t NULLS FIRST"""))
+
+  // ---- q_ml_logreg ------------------------------------------------------
+
+  /** Logistic regression by unrolled gradient descent (q_ml_logreg):
+    * fit P(error | value, hour) with three full-scan gradient steps —
+    * the distributed-GD shape where each iteration is ONE map-side-
+    * combined aggregate over the corpus and the weight update is
+    * constant driver-side algebra (the q_ml_linreg one-pass discipline,
+    * iterated). Cross-engine float policy: features are scaled by fixed
+    * constants into [0,1); per-iteration gradient sums take the 4dp
+    * snap (hundreds of ulps wide — summation-order noise cannot cross
+    * it, the linreg/kmeans rule) and weights re-snap to 8dp after every
+    * update, so both engines walk the identical trajectory. */
+  val qMlLogreg = Q(
+    "q_ml_logreg",
+    (s, d) => {
+      val base = ev(s, d).select(
+        when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 50000.0).as("x1"),
+        (hour(col("ts")).cast("long") / 24.0).as("x2"))
+      var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"))
+      for (_ <- 1 to 3) {
+        val g = base.crossJoin(broadcast(w))
+          .withColumn("p",
+            expr("1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2)))"))
+          .agg(round(sum(col("p") - col("y")), 4).as("g0"),
+            round(sum((col("p") - col("y")) * col("x1")), 4).as("g1"),
+            round(sum((col("p") - col("y")) * col("x2")), 4).as("g2"),
+            count(lit(1)).cast("double").as("n"))
+        w = w.crossJoin(g).select(
+          round(col("w0") - lit(2.0) * col("g0") / col("n"), 8).as("w0"),
+          round(col("w1") - lit(2.0) * col("g1") / col("n"), 8).as("w1"),
+          round(col("w2") - lit(2.0) * col("g2") / col("n"), 8).as("w2"))
+      }
+      base.crossJoin(broadcast(w))
+        .withColumn("pred",
+          when(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            > 0.0, 1.0).otherwise(0.0))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"),
+          first(col("w0")).as("f0"), first(col("w1")).as("f1"),
+          first(col("w2")).as("f2"))
+        .selectExpr("n", "n_correct", "round(f0, 8) AS w0",
+          "round(f1, 8) AS w1", "round(f2, 8) AS w2",
+          "round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy")
+    },
+    Some("""WITH base AS (
+        SELECT CASE WHEN event_type = 'error' THEN 1.0e0 ELSE 0.0e0 END
+            AS y,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) / 50000.0e0 AS x1,
+          CAST(extract(hour FROM ts) AS BIGINT) / 24.0e0 AS x2
+        FROM events),
+      w0_ AS (SELECT 0.0e0 AS w0, 0.0e0 AS w1, 0.0e0 AS w2),
+      g1_ AS (
+        SELECT round(sum(p - y), 4) AS g0,
+          round(sum((p - y) * x1), 4) AS g1,
+          round(sum((p - y) * x2), 4) AS g2,
+          CAST(count(*) AS DOUBLE) AS n
+        FROM (SELECT y, x1, x2,
+                1.0e0 / (1.0e0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+              FROM base CROSS JOIN w0_) t),
+      w1_ AS (
+        SELECT round(w0 - 2.0e0 * g0 / n, 8) AS w0,
+          round(w1 - 2.0e0 * g1 / n, 8) AS w1,
+          round(w2 - 2.0e0 * g2 / n, 8) AS w2
+        FROM w0_ CROSS JOIN g1_),
+      g2_ AS (
+        SELECT round(sum(p - y), 4) AS g0,
+          round(sum((p - y) * x1), 4) AS g1,
+          round(sum((p - y) * x2), 4) AS g2,
+          CAST(count(*) AS DOUBLE) AS n
+        FROM (SELECT y, x1, x2,
+                1.0e0 / (1.0e0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+              FROM base CROSS JOIN w1_) t),
+      w2_ AS (
+        SELECT round(w0 - 2.0e0 * g0 / n, 8) AS w0,
+          round(w1 - 2.0e0 * g1 / n, 8) AS w1,
+          round(w2 - 2.0e0 * g2 / n, 8) AS w2
+        FROM w1_ CROSS JOIN g2_),
+      g3_ AS (
+        SELECT round(sum(p - y), 4) AS g0,
+          round(sum((p - y) * x1), 4) AS g1,
+          round(sum((p - y) * x2), 4) AS g2,
+          CAST(count(*) AS DOUBLE) AS n
+        FROM (SELECT y, x1, x2,
+                1.0e0 / (1.0e0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+              FROM base CROSS JOIN w2_) t),
+      w3_ AS (
+        SELECT round(w0 - 2.0e0 * g0 / n, 8) AS w0,
+          round(w1 - 2.0e0 * g1 / n, 8) AS w1,
+          round(w2 - 2.0e0 * g2 / n, 8) AS w2
+        FROM w2_ CROSS JOIN g3_)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN (CASE WHEN w0 + w1 * x1 + w2 * x2 > 0.0e0
+                            THEN 1.0e0 ELSE 0.0e0 END) = y
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        round(min(w0), 8) AS w0, round(min(w1), 8) AS w1,
+        round(min(w2), 8) AS w2,
+        round(sum(CASE WHEN (CASE WHEN w0 + w1 * x1 + w2 * x2 > 0.0e0
+                             THEN 1.0e0 ELSE 0.0e0 END) = y
+                  THEN 1 ELSE 0 END) * 1.0e0 / count(*), 6) AS accuracy
+      FROM base CROSS JOIN w3_"""))
+
+  // ---- q_events_attribution ---------------------------------------------
+
+  /** Multi-touch revenue attribution (q_events_attribution): each
+    * purchase's value is credited back to the click/view touches of the
+    * same user in the prior 7 days, under four standard models at once —
+    * first-touch, last-touch, linear, and position-based (40/20/40).
+    * Purchases with no prior touch credit a synthetic 'direct' channel.
+    *
+    * Credits are INTEGER CENTS with largest-remainder splits (earliest
+    * touches absorb remainders), so every model conserves total revenue
+    * exactly — no fractional-cent drift, and the final per-channel sums
+    * are BIGINT-exact in both engines.
+    *
+    * Scale shape: the touch↔purchase join is keyed on user_id with a
+    * 7-day range predicate — per-user-bounded state, the q_join_range
+    * shape; the credit windows partition by purchase (small groups);
+    * the output is the 3-row channel grid. */
+  val qEventsAttribution = Q(
+    "q_events_attribution",
+    (s, d) => {
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val tch = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+          col("ts").as("t_ts"), col("event_type").as("t_channel"))
+      val j = p.join(tch,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ts"), col("t_id"))
+      val wk = Window.partitionBy(col("p_id"))
+      val pos = j
+        .withColumn("i", when(col("t_id").isNotNull,
+          row_number().over(w)).otherwise(lit(0L)))
+        .withColumn("k", count(col("t_id")).over(wk))
+      // integer `div`/`%` only — largest-remainder credit splits must be
+      // BIGINT-exact, never a truncated double division
+      val credited = pos.selectExpr(
+        "CASE WHEN t_id IS NULL THEN 'direct' ELSE t_channel END " +
+          "AS channel",
+        "CASE WHEN k = 0 OR i = 1 THEN pc ELSE 0 END AS first_c",
+        "CASE WHEN k = 0 OR i = k THEN pc ELSE 0 END AS last_c",
+        """CASE WHEN k = 0 THEN pc
+           ELSE pc div k + CASE WHEN i <= pc % k THEN 1 ELSE 0 END
+           END AS linear_c""",
+        """CASE WHEN k = 0 THEN pc
+           WHEN k = 1 THEN pc
+           WHEN k = 2 THEN CASE WHEN i = 1 THEN pc - pc div 2
+                           ELSE pc div 2 END
+           WHEN i = 1 OR i = k THEN pc * 2 div 5
+           ELSE (pc - (pc * 2 div 5) * 2) div (k - 2)
+                + CASE WHEN i - 1 <= (pc - (pc * 2 div 5) * 2) % (k - 2)
+                       THEN 1 ELSE 0 END
+           END AS pos_c""")
+      credited.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("first_c")).as("first_cents"),
+          sum(col("last_c")).as("last_cents"),
+          sum(col("linear_c")).as("linear_cents"),
+          sum(col("pos_c")).as("pos_cents"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS pc
+        FROM events WHERE event_type = 'purchase'),
+      tch AS (
+        SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+          event_type AS t_channel
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT p.*, t_id, t_ts, t_channel
+        FROM p LEFT JOIN tch
+          ON p_user = t_user AND t_ts < p_ts
+          AND t_ts >= p_ts - INTERVAL 7 DAY),
+      pos AS (
+        SELECT *,
+          CAST(CASE WHEN t_id IS NULL THEN 0 ELSE
+            row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
+          END AS BIGINT) AS i,
+          CAST(count(t_id) OVER (PARTITION BY p_id) AS BIGINT) AS k
+        FROM j),
+      credited AS (
+        SELECT
+          CASE WHEN t_id IS NULL THEN 'direct' ELSE t_channel END
+            AS channel,
+          CASE WHEN k = 0 OR i = 1 THEN pc ELSE 0 END AS first_c,
+          CASE WHEN k = 0 OR i = k THEN pc ELSE 0 END AS last_c,
+          CASE WHEN k = 0 THEN pc
+            ELSE pc // k + CASE WHEN i <= pc % k THEN 1 ELSE 0 END
+          END AS linear_c,
+          CASE WHEN k = 0 THEN pc
+            WHEN k = 1 THEN pc
+            WHEN k = 2 THEN CASE WHEN i = 1 THEN pc - pc // 2
+                            ELSE pc // 2 END
+            WHEN i = 1 OR i = k THEN pc * 2 // 5
+            ELSE (pc - (pc * 2 // 5) * 2) // (k - 2)
+                 + CASE WHEN i - 1 <= (pc - (pc * 2 // 5) * 2) % (k - 2)
+                        THEN 1 ELSE 0 END
+          END AS pos_c
+        FROM pos)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(first_c) AS BIGINT) AS first_cents,
+        CAST(sum(last_c) AS BIGINT) AS last_cents,
+        CAST(sum(linear_c) AS BIGINT) AS linear_cents,
+        CAST(sum(pos_c) AS BIGINT) AS pos_cents
+      FROM credited
+      GROUP BY channel
+      ORDER BY channel NULLS FIRST"""))
+
+  // ---- q_sample_pps -----------------------------------------------------
+
+  /** Probability-proportional-to-size sample (q_sample_pps): sequential
+    * Poisson sampling — each order draws a deterministic uniform from
+    * its key hash, priority = u / weight (weight = order value in
+    * cents), and the 200 smallest priorities form the sample. The
+    * standard one-pass distributed PPS design: priorities are computed
+    * scan-locally and the selection is a bounded top-k (TakeOrdered —
+    * per-partition heads then a driver merge, never a global sort of
+    * the corpus). */
+  val qSamplePps = Q(
+    "q_sample_pps",
+    (s, d) =>
+      ord(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("w_cents"),
+          expr("""CAST(conv(substring(md5(CAST(CAST(o_orderkey AS STRING)
+                    AS BINARY)), 1, 8), 16, 10) AS BIGINT)""").as("h"))
+        .select(col("o_orderkey"), col("w_cents"),
+          round(((col("h") + 1L) / lit(4294967296.0) / col("w_cents")) *
+            1e9, 6).as("pri_scaled"))
+        .orderBy(col("pri_scaled"), col("o_orderkey"))
+        .limit(200),
+    Some("""SELECT o_orderkey,
+        CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT) AS w_cents,
+        round((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) + 1) / 4294967296.0e0
+              / CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT)
+              * 1e9, 6) AS pri_scaled
+      FROM orders
+      ORDER BY pri_scaled NULLS FIRST, o_orderkey NULLS FIRST
+      LIMIT 200"""))
+
+  // ---- q_ml_stump -------------------------------------------------------
+
+  /** Best decision stump by Gini impurity (q_ml_stump): the one-split
+    * tree that best separates error events from the rest, searched over
+    * two features at once — hour-of-day (24-value grid) and value cents
+    * (the bounded price grid). For every candidate threshold t the
+    * weighted Gini of the (x ≤ t | x > t) split comes from cumulative
+    * INTEGER counts over the per-feature value grid (one hash aggregate
+    * over the corpus, then windows over the grid only — the
+    * q_agg_equidepth discipline); the winner is the lexicographic
+    * (gini, feature, threshold) minimum, so ties break identically in
+    * both engines. Count squares ride in DECIMAL(38,0)/HUGEINT before
+    * the one double division (the q_agg_skew_kurt overflow rule). */
+  val qMlStump = Q(
+    "q_ml_stump",
+    (s, d) => {
+      val rows = ev(s, d).select(
+        when(col("event_type") === "error", 1L).otherwise(0L).as("y"),
+        hour(col("ts")).cast("long").as("f_hour"),
+        floor(col("value") * 100 + 0.5).cast("long").as("f_cents"))
+      val stacked = rows.selectExpr(
+        "stack(2, 'hour', f_hour, 'cents', f_cents) AS (feature, x)", "y")
+      val grid = stacked.groupBy(col("feature"), col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val wCum = Window.partitionBy(col("feature")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("feature"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("nl", sum(col("n")).over(wCum))
+        .withColumn("pl", sum(col("pos")).over(wCum))
+        .withColumn("nn", sum(col("n")).over(wAll))
+        .withColumn("pp", sum(col("pos")).over(wAll))
+        .filter(col("nl") < col("nn"))
+        .selectExpr("feature", "x AS threshold", "nl AS n_left",
+          "nn - nl AS n_right",
+          """(CAST(nl AS DOUBLE)
+              - CAST(CAST(pl AS DECIMAL(38,0)) * pl
+                     + CAST(nl - pl AS DECIMAL(38,0)) * (nl - pl)
+                  AS DOUBLE) / nl
+              + CAST(nn - nl AS DOUBLE)
+              - CAST(CAST(pp - pl AS DECIMAL(38,0)) * (pp - pl)
+                     + CAST((nn - nl) - (pp - pl) AS DECIMAL(38,0))
+                       * ((nn - nl) - (pp - pl))
+                  AS DOUBLE) / (nn - nl)) / nn AS gini""")
+        .orderBy(col("gini"), col("feature"), col("threshold"))
+        .limit(1)
+        .selectExpr("feature", "threshold", "n_left", "n_right",
+          "round(gini, 6) AS gini")
+    },
+    Some("""WITH rows_ AS (
+        SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+          CAST(extract(hour FROM ts) AS BIGINT) AS f_hour,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS f_cents
+        FROM events),
+      stacked AS (
+        SELECT 'hour' AS feature, f_hour AS x, y FROM rows_
+        UNION ALL
+        SELECT 'cents', f_cents, y FROM rows_),
+      grid AS (
+        SELECT feature, x, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS pos
+        FROM stacked GROUP BY feature, x),
+      cum AS (
+        SELECT feature, x,
+          CAST(sum(n) OVER (PARTITION BY feature ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS nl,
+          CAST(sum(pos) OVER (PARTITION BY feature ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS pl,
+          CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nn,
+          CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pp
+        FROM grid),
+      scored AS (
+        SELECT feature, x AS threshold, nl AS n_left, nn - nl AS n_right,
+          (CAST(nl AS DOUBLE)
+           - CAST(CAST(pl AS HUGEINT) * pl
+                  + CAST(nl - pl AS HUGEINT) * (nl - pl) AS DOUBLE) / nl
+           + CAST(nn - nl AS DOUBLE)
+           - CAST(CAST(pp - pl AS HUGEINT) * (pp - pl)
+                  + CAST((nn - nl) - (pp - pl) AS HUGEINT)
+                    * ((nn - nl) - (pp - pl)) AS DOUBLE) / (nn - nl))
+          / nn AS gini
+        FROM cum WHERE nl < nn)
+      SELECT feature, threshold, n_left, n_right,
+        round(gini, 6) AS gini
+      FROM scored
+      ORDER BY gini NULLS FIRST, feature NULLS FIRST,
+               threshold NULLS FIRST
+      LIMIT 1"""))
+
+  // ---- q_stats_bootstrap ------------------------------------------------
+
+  /** Poisson-bootstrap confidence interval (q_stats_bootstrap): the
+    * distributed bootstrap — instead of materializing B shuffled
+    * resamples, every purchase row draws a deterministic Poisson(1)
+    * multiplicity per resample from a hash of (event_id, b), so the
+    * whole procedure is one scan-local explode plus one keyed aggregate
+    * over the fixed 100-resample grid. Resample means are exact integer
+    * MICRO-cents (BIGINT sums, one integer division), the 95% CI is the
+    * nearest-rank 3rd/98th of the 100 means — no double ever crosses an
+    * aggregate. Poisson inverse-CDF thresholds are e-notation double
+    * literals (the DECIMAL-literal trap). */
+  val qStatsBootstrap = Q(
+    "q_stats_bootstrap",
+    (s, d) => {
+      val pur = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val drawn = pur
+        .select(col("event_id"), col("c"),
+          explode(expr("sequence(0, 99)")).as("b"))
+        .withColumn("u", expr(
+          """(CAST(conv(substring(md5(CAST(concat(CAST(event_id AS STRING),
+               ':', CAST(b AS STRING)) AS BINARY)), 1, 8), 16, 10)
+             AS BIGINT) + 0.5) / 4294967296.0"""))
+        .withColumn("m", expr(
+          """CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847  THEN 1
+                  WHEN u < 0.9196986029286058  THEN 2
+                  WHEN u < 0.9810118431238462  THEN 3
+                  WHEN u < 0.9963401531726563  THEN 4
+                  WHEN u < 0.9994058151824183  THEN 5
+                  WHEN u < 0.9999167589426509  THEN 6
+                  ELSE 7 END"""))
+      // Σ(m·c) rides in DECIMAL(38,0) before the ×1e6 blow-up: at corpus
+      // scale sum(m*c)*1e6 clears BIGINT (the q_agg_skew_kurt overflow
+      // rule); DuckDB's sum(BIGINT) is HUGEINT already.
+      val means = drawn.groupBy(col("b"))
+        .agg(expr("CAST(CAST(sum(m * c) AS DECIMAL(38,0)) * 1000000" +
+          " div sum(m) AS BIGINT)").as("mean_micro"))
+      val ranked = means
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_micro"), col("b"))))
+      val point = pur.agg(
+        expr("sum(c) * 1000000L div count(*)").as("point_micro"))
+      point.crossJoin(
+        ranked.filter(col("rk") === 3)
+          .select(col("mean_micro").as("lo_micro")))
+        .crossJoin(
+          ranked.filter(col("rk") === 98)
+            .select(col("mean_micro").as("hi_micro")))
+        .selectExpr("round(point_micro / 1e6, 6) AS mean_cents",
+          "round(lo_micro / 1e6, 6) AS ci_lo",
+          "round(hi_micro / 1e6, 6) AS ci_hi")
+    },
+    Some("""WITH pur AS (
+        SELECT event_id, CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      drawn AS (
+        SELECT event_id, c, b,
+          (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+             || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) + 0.5e0)
+          / 4294967296.0e0 AS u
+        FROM pur CROSS JOIN (SELECT unnest(range(0, 100)) AS b)),
+      mult AS (
+        SELECT b, c,
+          CASE WHEN u < 0.36787944117144233e0 THEN 0
+               WHEN u < 0.7357588823428847e0  THEN 1
+               WHEN u < 0.9196986029286058e0  THEN 2
+               WHEN u < 0.9810118431238462e0  THEN 3
+               WHEN u < 0.9963401531726563e0  THEN 4
+               WHEN u < 0.9994058151824183e0  THEN 5
+               WHEN u < 0.9999167589426509e0  THEN 6
+               ELSE 7 END AS m
+        FROM drawn),
+      means AS (
+        SELECT b, CAST(sum(m * c) * 1000000 // sum(m) AS BIGINT)
+          AS mean_micro
+        FROM mult GROUP BY b),
+      ranked AS (
+        SELECT mean_micro,
+          row_number() OVER (ORDER BY mean_micro, b) AS rk
+        FROM means),
+      pt AS (
+        SELECT CAST(sum(c) * 1000000 // count(*) AS BIGINT)
+          AS point_micro FROM pur)
+      SELECT round(point_micro / 1e6, 6) AS mean_cents,
+        round((SELECT mean_micro FROM ranked WHERE rk = 3) / 1e6, 6)
+          AS ci_lo,
+        round((SELECT mean_micro FROM ranked WHERE rk = 98) / 1e6, 6)
+          AS ci_hi
+      FROM pt"""))
+
+  // ---- q_agg_loghist ----------------------------------------------------
+
+  /** Power-of-two log histogram (q_agg_loghist): the HdrHistogram /
+    * DDSketch family's integer-exact cousin — bucket = bit length of
+    * the value in cents, so bucketing is string-length arithmetic with
+    * NO floating log whose boundary rounding could differ between
+    * engines. Emits the bucket census with cumulative counts plus an
+    * interpolated median estimate on the crossing bucket (uniform
+    * within-bucket assumption, all-BIGINT algebra). One hash aggregate
+    * over the corpus; windows over the ≤64-row bucket grid. */
+  val qAggLoghist = Q(
+    "q_agg_loghist",
+    (s, d) => {
+      val g = ev(s, d)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .filter(col("c") >= 1L)
+        .select(length(expr("conv(c, 10, 2)")).cast("long").as("bucket"),
+          col("c"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
+          max(col("c")).as("max_c"))
+      val wCum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("nn", sum(col("n")).over(wAll))
+        .selectExpr("bucket", "n", "cum_n", "min_c", "max_c",
+          "CAST(pow(2, bucket - 1) AS BIGINT) AS lo_bound",
+          "CAST(pow(2, bucket) AS BIGINT) - 1 AS hi_bound",
+          """CASE WHEN cum_n - n < (nn + 1) div 2 AND cum_n >= (nn + 1) div 2
+             THEN CAST(pow(2, bucket - 1) AS BIGINT)
+                  + ((nn + 1) div 2 - (cum_n - n) - 1)
+                    * (CAST(pow(2, bucket - 1) AS BIGINT)) div n
+             ELSE NULL END AS median_est""")
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH g AS (
+        SELECT CAST(length(to_base(c, 2)) AS BIGINT) AS bucket,
+          c
+        FROM (SELECT CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+              FROM events) x
+        WHERE c >= 1),
+      byb AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          min(c) AS min_c, max(c) AS max_c
+        FROM g GROUP BY bucket),
+      cum AS (
+        SELECT *,
+          CAST(sum(n) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_n,
+          CAST(sum(n) OVER () AS BIGINT) AS nn
+        FROM byb)
+      SELECT bucket, n, cum_n, min_c, max_c,
+        CAST(2 ** (bucket - 1) AS BIGINT) AS lo_bound,
+        CAST(2 ** bucket AS BIGINT) - 1 AS hi_bound,
+        CASE WHEN cum_n - n < (nn + 1) // 2 AND cum_n >= (nn + 1) // 2
+        THEN CAST(2 ** (bucket - 1) AS BIGINT)
+             + ((nn + 1) // 2 - (cum_n - n) - 1)
+               * CAST(2 ** (bucket - 1) AS BIGINT) // n
+        ELSE NULL END AS median_est
+      FROM cum
+      ORDER BY bucket NULLS FIRST"""))
+
+  // ---- q_graph_closeness ------------------------------------------------
+
+  /** Landmark harmonic closeness (q_graph_closeness): approximate
+    * closeness centrality over the derived link graph — multi-source
+    * BFS from 8 fixed landmark nodes for 4 fixed rounds, then per node
+    * the harmonic sum Σ 1/dist over reached landmarks, in exact integer
+    * MILLIONTHS (1000000 div dist — no float division at all). The
+    * landmark trick is the scale story: exact closeness is all-pairs
+    * BFS (quadratic); k landmarks cost k·|E| per round with rounds
+    * bounded by the probe radius, independent of node count. Frontier
+    * propagation reuses the cached undirected edge list and the
+    * min-dist merge discipline of q_graph_bfs. */
+  val qGraphCloseness = Q(
+    "q_graph_closeness",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+      var labels = s.range(8)
+        .select(col("id").as("l"), col("id").as("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        val cand = labels.join(edges, col("v") === col("u"))
+          .select(col("l"), col("w").as("v"), (col("dist") + 1L).as("dist"))
+        labels = labels.unionAll(cand)
+          .groupBy(col("l"), col("v")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(false)
+      }
+      labels.filter(col("dist") > 0L)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          sum(expr("1000000L div dist")).as("harmonic_micro"))
+        .orderBy(col("v"))
+    },
+    Some(s"""WITH RECURSIVE ${Insights.undirectedLinkEdgesSql},
+      edges AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+      bfs(l, v, dist) AS (
+        SELECT CAST(x AS BIGINT), CAST(x AS BIGINT), CAST(0 AS BIGINT)
+        FROM (SELECT unnest(range(0, 8)) AS x)
+        UNION
+        SELECT bfs.l, e.v, bfs.dist + 1
+        FROM bfs JOIN edges e ON e.u = bfs.v
+        WHERE bfs.dist < 4),
+      best AS (
+        SELECT l, v, min(dist) AS dist FROM bfs GROUP BY l, v)
+      SELECT v, CAST(count(*) AS BIGINT) AS n_landmarks,
+        CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+      FROM best WHERE dist > 0
+      GROUP BY v
+      ORDER BY v NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
+    qEventsAttribution, qSamplePps, qMlStump, qMlLogreg, qStatsBootstrap,
+    qAggLoghist, qGraphCloseness)
+}
+

@@ -37,19 +37,30 @@ object Insights {
     * invocation and never unpersist, leaking cached blocks for the life
     * of the session (same fix as Extras.ensureFixture for format
     * fixtures). Keyed by (session, dir, name) so scales never collide.
-    * Deliberately UNBOUNDED: entries are one cached table per
-    * (session, sf-dir) and the bench/verify/test drivers touch a
-    * handful of dirs per JVM. A long-lived service iterating many data
-    * dirs would want an eviction hook here — add a bounded map or an
-    * unpersist-on-dir-change policy before exposing this tier through
-    * such an entry point. */
+    * BOUNDED: a handful of cached tables exist per (session, sf-dir)
+    * and the bench/verify/test drivers touch few dirs per JVM, but a
+    * long-lived service iterating many data dirs must not pin storage
+    * forever — past maxCachedDfs entries the whole memo is unpersisted
+    * and cleared (always correct: entries are pure derived tables, the
+    * next consumer just rebuilds). */
+  private val maxCachedDfs = 64
   private val cachedDf = scala.collection.concurrent
     .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
 
   private def cacheOnce(s: SparkSession, d: String, name: String)(
       build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    if (cachedDf.size >= maxCachedDfs && !cachedDf.contains((s, d, name)))
+      cachedDf.synchronized {
+        if (cachedDf.size >= maxCachedDfs) {
+          cachedDf.values.foreach(df =>
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+          cachedDf.clear()
+        }
+      }
     cachedDf.getOrElseUpdate((s, d, name), build.persist())
+  }
 
   /** Undirected edge list of the deterministic derived link graph shared
     * by the graph tier (same generator as q_graph_pagerank). Persisted

@@ -515,6 +515,154 @@ object Series {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  // ---- q_ts_changepoint -------------------------------------------------
+
+  /** Single change-point detection over the daily revenue series
+    * (q_ts_changepoint): the CUSUM-style argmax — the day k maximizing
+    * |m·cum_k − k·total|, the scaled distance between the observed
+    * cumulative revenue and the no-change linear ramp (binary
+    * segmentation's first split). INTEGER-exact throughout: revenue is
+    * cents, the score is the cross-multiplied BIGINT form (never a
+    * divided double), argmax ties break on the earlier day. One hash
+    * aggregate to the bounded day grid; windows over that grid only. */
+  val qTsChangepoint = Q(
+    "q_ts_changepoint",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      days
+        .withColumn("i", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("rev")).over(wAll))
+        .withColumn("cum", sum(col("rev")).over(wCum))
+        .filter(col("i") < col("m"))
+        .withColumn("score", abs(col("m") * col("cum") -
+          col("i") * col("total")))
+        .orderBy(col("score").desc, col("day"))
+        .limit(1)
+        .selectExpr("day", "i AS split_idx", "m AS n_days", "score",
+          "cum div i AS mean_before_cents",
+          "(total - cum) div (m - i) AS mean_after_cents")
+    },
+    Some("""WITH days AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM events GROUP BY 1),
+      cum AS (
+        SELECT day,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+          CAST(count(*) OVER () AS BIGINT) AS m,
+          CAST(sum(rev) OVER () AS BIGINT) AS total,
+          CAST(sum(rev) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+        FROM days)
+      SELECT day, i AS split_idx, m AS n_days,
+        abs(m * cum - i * total) AS score,
+        cum // i AS mean_before_cents,
+        (total - cum) // (m - i) AS mean_after_cents
+      FROM cum WHERE i < m
+      ORDER BY abs(m * cum - i * total) DESC, day NULLS FIRST
+      LIMIT 1"""))
+
+  // ---- q_agg_theilsen ---------------------------------------------------
+
+  /** Theil-Sen robust trend (q_agg_theilsen): the median-of-pairwise-
+    * slopes estimator over the daily revenue series — outlier-immune
+    * where least squares is not. The pair generation is a self-join of
+    * the DAY GRID, not the corpus: the grid is date-range-bounded, so
+    * the m·(m−1)/2 slope pairs are domain-constant however large the
+    * raw table (the q_stats_kendall cell-table discipline). Each slope
+    * is one exact double division; the median is positional selection
+    * (row_number over the sorted pairs — no double ever crosses an
+    * aggregate), and the intercept is the median of per-day residuals
+    * against that slope. */
+  val qAggTheilsen = Q(
+    "q_agg_theilsen",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+        .withColumn("i", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+      val a = days.select(col("i").as("ia"), col("rev").as("ra"))
+      val b = days.select(col("i").as("ib"), col("rev").as("rb"))
+      val slopes = a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          ((col("rb") - col("ra")).cast("double") /
+            (col("ib") - col("ia"))).as("slope"))
+      val wR = Window.orderBy(col("slope"), col("ia"), col("ib"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = slopes
+        .withColumn("r", row_number().over(wR).cast("long"))
+        .withColumn("np", count(lit(1)).over(wAll))
+        .filter(expr("r = (np + 1) div 2 OR r = (np + 2) div 2"))
+        .agg((sum(col("slope")) / count(lit(1))).as("slope"))
+      val wRes = Window.orderBy(col("res"), col("i"))
+      val resid = days.crossJoin(broadcast(med))
+        .select(col("i"), (col("rev").cast("double") -
+          col("slope") * col("i")).as("res"), col("slope"))
+      resid
+        .withColumn("r", row_number().over(wRes).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .filter(expr("r = (m + 1) div 2 OR r = (m + 2) div 2"))
+        .agg(round(min(col("slope")), 6).as("slope_cents_per_day"),
+          round(sum(col("res")) / count(lit(1)), 6)
+            .as("intercept_cents"),
+          min(col("m")).as("n_days"))
+    },
+    Some("""WITH days AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM events GROUP BY 1),
+      grid AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+          rev
+        FROM days),
+      slopes AS (
+        SELECT a.i AS ia, b.i AS ib,
+          (b.rev - a.rev) * 1.0e0 / (b.i - a.i) AS slope
+        FROM grid a JOIN grid b ON a.i < b.i),
+      ranked AS (
+        SELECT slope,
+          CAST(row_number() OVER (ORDER BY slope, ia, ib) AS BIGINT)
+            AS r,
+          CAST(count(*) OVER () AS BIGINT) AS np
+        FROM slopes),
+      med AS (
+        SELECT sum(slope) / count(*) AS slope
+        FROM ranked
+        WHERE r = (np + 1) // 2 OR r = (np + 2) // 2),
+      resid AS (
+        SELECT i, rev * 1.0e0 - slope * i AS res, slope
+        FROM grid CROSS JOIN med),
+      rranked AS (
+        SELECT res, slope,
+          CAST(row_number() OVER (ORDER BY res, i) AS BIGINT) AS r,
+          CAST(count(*) OVER () AS BIGINT) AS m
+        FROM resid)
+      SELECT round(min(slope), 6) AS slope_cents_per_day,
+        round(sum(res) / count(*), 6) AS intercept_cents,
+        min(m) AS n_days
+      FROM rranked
+      WHERE r = (m + 1) // 2 OR r = (m + 2) // 2"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
-    qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape)
+    qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
+    qTsChangepoint, qAggTheilsen)
 }

@@ -1,0 +1,372 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scalar replays for the survival / attribution / resampling tier:
+  * every statistic is recomputed with naive driver-side code on sf0.001
+  * and compared against the distributed result, plus the exact-credit
+  * conservation laws the largest-remainder splits must obey. */
+class CausalSpec extends SparkSuite {
+
+  private def md5u32(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** (t, e) observations: per-customer gaps, censored tail at max date. */
+  private def survObs(): Array[(Long, Int)] = {
+    val rows = Tables.t(spark, sf0, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate))
+    val mx = rows.map(_._3).max
+    rows.groupBy(_._1).values.flatMap { os =>
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._2))
+      val gaps = sorted.sliding(2).collect {
+        case Array(a, b) => (b._3.toEpochDay - a._3.toEpochDay, 1)
+      }.toSeq
+      gaps :+ ((mx.toEpochDay - sorted.last._3.toEpochDay, 0))
+    }.toArray
+  }
+
+  test("surv_km: curve matches a scalar product-limit replay") {
+    val got = q("q_surv_km").collect()
+    val obs = survObs()
+    val byT = obs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong)
+    }.toMap
+    val ts = byT.keys.toSeq.sorted
+    var atRisk = obs.length.toLong
+    var surv = 1.0
+    val want = ts.map { t =>
+      val (d, c) = byT(t)
+      val row = (t, atRisk, d, c, {
+        surv *= 1.0 - d.toDouble / atRisk; surv
+      })
+      atRisk -= d + c
+      row
+    }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, (t, n, d, c, s)) =>
+      assert(g.getAs[Long]("t") === t)
+      assert(g.getAs[Long]("n_at_risk") === n)
+      assert(g.getAs[Long]("d") === d)
+      assert(g.getAs[Long]("c") === c)
+      assert(math.abs(g.getAs[Double]("surv") - s) < 1e-5,
+        s"t=$t got ${g.getAs[Double]("surv")} want $s")
+    }
+    // monotone non-increasing survival
+    val survs = got.map(_.getAs[Double]("surv"))
+    assert(survs.zip(survs.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("surv_logrank: chi2 matches a scalar replay") {
+    val row = q("q_surv_logrank").collect().head
+    val seg = Tables.t(spark, sf0, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables.t(spark, sf0, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val mx = rows.map(_._3).max
+    val obs = rows.groupBy(_._1).toSeq.flatMap { case (cust, os) =>
+      val g = if (seg(cust) == "BUILDING") 1 else 0
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._2))
+      val gaps = sorted.sliding(2).collect {
+        case Array(a, b) => (b._3.toEpochDay - a._3.toEpochDay, 1, g)
+      }.toSeq
+      gaps :+ ((mx.toEpochDay - sorted.last._3.toEpochDay, 0, g))
+    }
+    val byT = obs.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(r => r._2 == 1 && r._3 == 1).toLong,
+        rs.count(r => r._2 == 0 && r._3 == 1).toLong,
+        rs.count(_._2 == 1).toLong, rs.count(_._2 == 0).toLong)
+    }.toMap
+    var n1 = obs.count(_._3 == 1).toLong
+    var nn = obs.length.toLong
+    var sumOe = 0L; var sumV = 0L; var d1Total = 0L
+    byT.keys.toSeq.sorted.foreach { t =>
+      val (d1, c1, d, c) = byT(t)
+      if (d > 0 && nn > 1) {
+        val e1 = d.toDouble * n1 / nn
+        val v = d.toDouble * (n1.toDouble / nn) * (1.0 - n1.toDouble / nn) *
+          (nn - d) / (nn - 1)
+        sumOe += d1 * 1000000L - math.floor(e1 * 1e6 + 0.5).toLong
+        sumV += math.floor(v * 1e6 + 0.5).toLong
+        d1Total += d1
+      }
+      n1 -= d1 + c1; nn -= d + c
+    }
+    val chi2 = math.pow(sumOe / 1e6, 2) / (sumV / 1e6)
+    assert(row.getAs[Long]("d1_total") === d1Total)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-5,
+      s"got ${row.getAs[Double]("chi2")} want $chi2")
+  }
+
+  test("attribution: every model conserves total purchase cents exactly") {
+    val rows = q("q_events_attribution").collect()
+    val totalPc = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      .collect().map(_.getLong(0)).sum
+    Seq("first_cents", "last_cents", "linear_cents", "pos_cents")
+      .foreach { m =>
+        val s = rows.map(_.getAs[Long](m)).sum
+        assert(s === totalPc, s"$m sums $s, want $totalPc")
+      }
+    // channels restricted to the modeled grid
+    assert(rows.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("click", "view", "direct")))
+  }
+
+  test("pps: deterministic priorities, ascending, exactly 200 rows") {
+    val got = q("q_sample_pps", "/root/testdata/sf0.01").collect()
+    assert(got.length === 200)
+    val pris = got.map(_.getAs[Double]("pri_scaled"))
+    assert(pris.zip(pris.tail).forall { case (a, b) => a <= b })
+    // replay the winning set scalar-side from the same hash
+    val want = Tables.t(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val k = r.getLong(0)
+        val w = math.floor(r.getDouble(1) * 100 + 0.5).toLong
+        val pri = (md5u32(k.toString) + 1L) / 4294967296.0 / w
+        (k, pri)
+      }
+      .sortBy { case (k, pri) => (pri, k) }
+      .take(200).map(_._1).toSet
+    assert(got.map(_.getAs[Long]("o_orderkey")).toSet === want)
+  }
+
+  test("ml_stump: winner matches a naive exhaustive split search") {
+    val row = q("q_ml_stump").collect().head
+    val data = Tables.t(spark, sf0, "events")
+      .select(when(col("event_type") === "error", 1L).otherwise(0L),
+        hour(col("ts")).cast("long"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bestFor(feature: String, xs: Array[(Long, Long)])
+        : Seq[(Double, String, Long)] = {
+      val nn = xs.length.toLong
+      val pp = xs.map(_._2).sum
+      xs.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(
+        (0L, 0L, Seq.empty[(Double, String, Long)])) {
+        case ((nl0, pl0, acc), (x, g)) =>
+          val nl = nl0 + g.length; val pl = pl0 + g.map(_._2).sum
+          if (nl < nn) {
+            val nr = nn - nl; val pr = pp - pl
+            val gini = (nl - (pl.toDouble * pl +
+              (nl - pl).toDouble * (nl - pl)) / nl +
+              nr - (pr.toDouble * pr +
+                (nr - pr).toDouble * (nr - pr)) / nr) / nn
+            (nl, pl, acc :+ ((gini, feature, x)))
+          } else (nl, pl, acc)
+      }._3
+    }
+    val cands =
+      bestFor("hour", data.map(r => (r._2, r._1))) ++
+        bestFor("cents", data.map(r => (r._3, r._1)))
+    val (gini, feature, thr) = cands.minBy(c => (c._1, c._2, c._3))
+    assert(row.getAs[String]("feature") === feature)
+    assert(row.getAs[Long]("threshold") === thr)
+    assert(math.abs(row.getAs[Double]("gini") - gini) < 1e-5)
+  }
+
+  test("bootstrap: CI matches a scalar Poisson-multiplicity replay") {
+    val row = q("q_stats_bootstrap").collect().head
+    val pur = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val th = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167589426509)
+    val means = (0 until 100).map { b =>
+      var num = BigInt(0); var den = 0L
+      pur.foreach { case (id, c) =>
+        val u = (md5u32(s"$id:$b") + 0.5) / 4294967296.0
+        val m = th.indexWhere(u < _) match {
+          case -1 => 7
+          case i  => i
+        }
+        num += BigInt(m) * c; den += m
+      }
+      ((num * 1000000) / den).toLong -> b
+    }.sortBy(identity)
+    val point = pur.map(_._2).sum * 1000000L / pur.length
+    assert(math.abs(row.getAs[Double]("mean_cents") - point / 1e6) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ci_lo") - means(2)._1 / 1e6) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ci_hi") - means(97)._1 / 1e6) < 1e-5)
+    assert(row.getAs[Double]("ci_lo") <= row.getAs[Double]("ci_hi"))
+  }
+
+  test("loghist: bit-length buckets match, median_est on one row only") {
+    val rows = q("q_agg_loghist").collect()
+    val cs = Tables.t(spark, sf0, "events")
+      .select(floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).filter(_ >= 1)
+    val want = cs.groupBy(c => 64 - java.lang.Long.numberOfLeadingZeros(c))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket").toInt
+      assert(r.getAs[Long]("n") === want(b).length.toLong)
+      assert(r.getAs[Long]("lo_bound") === (1L << (b - 1)))
+      assert(r.getAs[Long]("hi_bound") === (1L << b) - 1)
+      assert(r.getAs[Long]("min_c") >= r.getAs[Long]("lo_bound"))
+      assert(r.getAs[Long]("max_c") <= r.getAs[Long]("hi_bound"))
+    }
+    val ests = rows.flatMap(r => Option(r.getAs[Any]("median_est")))
+    assert(ests.length === 1, "median estimate must land on one bucket")
+    // the estimate sits inside its bucket's bounds
+    val est = ests.head.asInstanceOf[Long]
+    val crossing = rows.find(r => !r.isNullAt(r.fieldIndex("median_est"))).get
+    assert(est >= crossing.getAs[Long]("lo_bound") &&
+      est <= crossing.getAs[Long]("hi_bound"))
+  }
+
+  test("surv_hazard: cumulative hazard matches an integer replay") {
+    val got = q("q_surv_hazard").collect()
+    val obs = survObs()
+    val byT = obs.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong)
+    }.toMap
+    var atRisk = obs.length.toLong
+    var cum = 0L
+    val want = byT.keys.toSeq.sorted.map { t =>
+      val (d, c) = byT(t)
+      val h = d * 1000000L / atRisk
+      cum += h
+      val row = (t, atRisk, d, h, cum)
+      atRisk -= d + c
+      row
+    }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, (t, n, d, h, hh)) =>
+      assert(g.getAs[Long]("t") === t)
+      assert(g.getAs[Long]("n_at_risk") === n)
+      assert(g.getAs[Long]("h_micro") === h)
+      assert(g.getAs[Long]("cumhaz_micro") === hh)
+    }
+  }
+
+  test("ml_logreg: weights match a scalar snapped-GD replay") {
+    val row = q("q_ml_logreg").collect().head
+    val data = Tables.t(spark, sf0, "events")
+      .select(when(col("event_type") === "error", 1.0).otherwise(0.0),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        hour(col("ts")).cast("long"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1) / 50000.0,
+        r.getLong(2) / 24.0))
+    def snap(x: Double, dp: Int): Double = {
+      val f = math.pow(10, dp); math.floor(x * f + 0.5) / f
+    }
+    var w = (0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      var g0 = 0.0; var g1 = 0.0; var g2 = 0.0
+      data.foreach { case (y, x1, x2) =>
+        val p = 1.0 / (1.0 + math.exp(-(w._1 + w._2 * x1 + w._3 * x2)))
+        g0 += p - y; g1 += (p - y) * x1; g2 += (p - y) * x2
+      }
+      val n = data.length.toDouble
+      w = (snap(w._1 - 2.0 * snap(g0, 4) / n, 8),
+        snap(w._2 - 2.0 * snap(g1, 4) / n, 8),
+        snap(w._3 - 2.0 * snap(g2, 4) / n, 8))
+    }
+    assert(math.abs(row.getAs[Double]("w0") - w._1) < 1e-6)
+    assert(math.abs(row.getAs[Double]("w1") - w._2) < 1e-6)
+    assert(math.abs(row.getAs[Double]("w2") - w._3) < 1e-6)
+    val correct = data.count { case (y, x1, x2) =>
+      (if (w._1 + w._2 * x1 + w._3 * x2 > 0) 1.0 else 0.0) == y
+    }
+    assert(row.getAs[Long]("n_correct") === correct.toLong)
+  }
+
+  test("ts_changepoint: argmax matches a naive cumulative scan") {
+    val row = SparkEntry.queries("q_ts_changepoint")(spark, sf0)
+      .collect().head
+    val days = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    val m = days.length.toLong
+    val total = days.map(_._2).sum
+    var cum = 0L
+    val scored = days.zipWithIndex.flatMap { case ((day, rev), idx) =>
+      cum += rev
+      val i = idx + 1L
+      if (i < m) Some((math.abs(m * cum - i * total), day, i, cum))
+      else None
+    }
+    val best = scored.minBy(s => (-s._1, s._2.toEpochDay))
+    assert(row.getAs[Long]("score") === best._1)
+    assert(row.getAs[java.sql.Date]("day").toLocalDate === best._2)
+    assert(row.getAs[Long]("split_idx") === best._3)
+    assert(row.getAs[Long]("mean_before_cents") === best._4 / best._3)
+  }
+
+  test("agg_theilsen: slope matches a naive pairwise-median replay") {
+    val row = SparkEntry.queries("q_agg_theilsen")(spark, sf0)
+      .collect().head
+    val days = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+      .zipWithIndex.map { case ((_, rev), idx) => (idx + 1L, rev) }
+    val slopes = (for {
+      (ia, ra) <- days; (ib, rb) <- days if ia < ib
+    } yield (rb - ra).toDouble / (ib - ia)).sorted
+    val np = slopes.length
+    val medSlope =
+      (slopes((np + 1) / 2 - 1) + slopes((np + 2) / 2 - 1)) / 2
+    val resid = days.map { case (i, rev) => rev - medSlope * i }.sorted
+    val mm = resid.length
+    val medRes = (resid((mm + 1) / 2 - 1) + resid((mm + 2) / 2 - 1)) / 2
+    assert(row.getAs[Long]("n_days") === days.length.toLong)
+    assert(math.abs(row.getAs[Double]("slope_cents_per_day") - medSlope)
+      < 1e-5)
+    assert(math.abs(row.getAs[Double]("intercept_cents") - medRes) < 1e-4)
+  }
+
+  test("closeness: harmonic sums match a scalar multi-source BFS") {
+    val got = q("q_graph_closeness").collect()
+      .map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("n_landmarks"), r.getAs[Long]("harmonic_micro")))
+      .toMap
+    val n = Tables.t(spark, sf0, "documents").count()
+    val adj = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).flatMap(dst => Seq(src -> dst, dst -> src))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.Map[Long, (Long, Long)]()
+    (0L until 8L).foreach { l =>
+      val dist = scala.collection.mutable.Map(l -> 0L)
+      var frontier = Set(l)
+      (1 to 4).foreach { dd =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = dd.toLong)
+      }
+      dist.foreach { case (v, dd) =>
+        if (dd > 0) {
+          val (c, h) = want.getOrElse(v, (0L, 0L))
+          want(v) = (c + 1, h + 1000000L / dd)
+        }
+      }
+    }
+    assert(got === want.toMap)
+  }
+}
