@@ -544,6 +544,73 @@ object Causal {
       ORDER BY pri_scaled NULLS FIRST, o_orderkey NULLS FIRST
       LIMIT 200"""))
 
+  // ---- q_sample_ht ------------------------------------------------------
+
+  /** Horvitz-Thompson estimation under Poisson PPS (q_sample_ht): the
+    * unbiasedness half of the sampling tier — draw a Poisson sample
+    * with inclusion probability π_i = min(1, 200·w_i/W) (w = order
+    * value in cents, W the corpus total), then estimate the population
+    * SIZE as Σ 1/π_i over the sample and the value TOTAL as Σ w_i/π_i.
+    * The size estimator is the non-trivial one (the total is
+    * self-weighted under PPS: every non-certainty unit contributes
+    * exactly W/200). Per-row doubles are single divisions; both HT sums
+    * are quantized to integer micro per row before aggregation (the
+    * no-double-crosses-an-aggregate rule). One broadcast of the scalar
+    * W; selection is scan-local — the classic one-pass design that
+    * needs no sort at any scale. */
+  val qSampleHt = Q(
+    "q_sample_ht",
+    (s, d) => {
+      val o = ord(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("w"))
+      val tot = o.agg(sum(col("w")).as("ww"), count(lit(1)).as("n_pop"))
+      o.crossJoin(broadcast(tot))
+        .withColumn("u", expr(
+          """(CAST(conv(substring(md5(CAST(CAST(o_orderkey AS STRING)
+               AS BINARY)), 1, 8), 16, 10) AS BIGINT) + 1)
+             / 4294967296.0"""))
+        // 200.0D not 200.0: a bare decimal literal drags the whole ratio
+        // into rounded DECIMAL division (Spark parses 200.0 as
+        // DECIMAL(4,1)), silently diverging from DuckDB's double math —
+        // caught by the sf0.001 replay where w·100/pi lands exactly on a
+        // floor half-boundary.
+        .withColumn("pi", expr(
+          "CASE WHEN 200.0D * w / ww > 1.0D THEN 1.0D " +
+            "ELSE 200.0D * w / ww END"))
+        .filter(col("u") < col("pi"))
+        .agg(
+          max(col("n_pop")).as("n_pop"),
+          max(col("ww")).as("true_total_cents"),
+          count(lit(1)).as("n_sampled"),
+          sum(expr("CAST(floor(1e6 / pi + 0.5) AS BIGINT)"))
+            .as("ht_n_micro"),
+          sum(expr("CAST(floor(w * 1e2 / pi + 0.5) AS BIGINT)"))
+            .as("ht_total_centi"))
+        .selectExpr("n_pop", "true_total_cents", "n_sampled",
+          "round(ht_n_micro / 1e6, 6) AS ht_n_est",
+          "round(ht_total_centi / 1e2, 6) AS ht_total_est")
+    },
+    Some("""WITH o AS (
+        SELECT o_orderkey,
+          CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT) AS w
+        FROM orders),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) AS ww,
+                CAST(count(*) AS BIGINT) AS n_pop FROM o),
+      drawn AS (
+        SELECT w, ww, n_pop,
+          (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             AS BIGINT) + 1) / 4294967296.0e0 AS u,
+          CASE WHEN 200.0e0 * w / ww > 1.0e0 THEN 1.0e0
+               ELSE 200.0e0 * w / ww END AS pi
+        FROM o CROSS JOIN tot)
+      SELECT max(n_pop) AS n_pop, max(ww) AS true_total_cents,
+        CAST(count(*) AS BIGINT) AS n_sampled,
+        round(sum(CAST(floor(1e6 / pi + 0.5e0) AS BIGINT)) / 1e6, 6)
+          AS ht_n_est,
+        round(sum(CAST(floor(w * 1e2 / pi + 0.5e0) AS BIGINT)) / 1e2, 6)
+          AS ht_total_est
+      FROM drawn WHERE u < pi"""))
+
   // ---- q_ml_stump -------------------------------------------------------
 
   /** Best decision stump by Gini impurity (q_ml_stump): the one-split
@@ -636,6 +703,181 @@ object Causal {
                threshold NULLS FIRST
       LIMIT 1"""))
 
+  // ---- q_ml_adaboost ----------------------------------------------------
+
+  /** Weighted-error stump search over the stacked (hour, cents) grids:
+    * cumulative integer weight sums per candidate threshold, each side
+    * predicting its weighted-majority label (ties → 0), minimizing
+    * min(wl_pos, wl_neg) + min(wr_pos, wr_neg); lexicographic
+    * tie-break. Weights are integer micro-units so every comparison is
+    * BIGINT-exact. */
+  private def stumpSearch(rows: DataFrame): DataFrame = {
+    val grid = rows.selectExpr(
+      "stack(2, 'hour', f_hour, 'cents', f_cents) AS (feature, x)",
+      "y", "wgt")
+      .groupBy(col("feature"), col("x"))
+      .agg(sum(col("wgt")).as("sw"), sum(col("wgt") * col("y")).as("swp"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("wl", sum(col("sw")).over(wCum))
+      .withColumn("wlp", sum(col("swp")).over(wCum))
+      .withColumn("wt", sum(col("sw")).over(wAll))
+      .withColumn("wtp", sum(col("swp")).over(wAll))
+      .filter(col("wl") < col("wt"))
+      .selectExpr("feature", "x AS thr",
+        "CASE WHEN 2 * wlp > wl THEN 1L ELSE 0L END AS pred_l",
+        "CASE WHEN 2 * (wtp - wlp) > wt - wl THEN 1L ELSE 0L END AS pred_r",
+        """CASE WHEN wlp < wl - wlp THEN wlp ELSE wl - wlp END
+           + CASE WHEN wtp - wlp < (wt - wl) - (wtp - wlp)
+             THEN wtp - wlp ELSE (wt - wl) - (wtp - wlp) END AS werr""",
+        "wt")
+      .orderBy(col("werr"), col("feature"), col("thr"))
+      .limit(1)
+  }
+
+  /** The identical search as DuckDB CTEs reading (y, f_hour, f_cents,
+    * wgt) from `src`; emits a 1-row CTE named `out`. */
+  private def stumpSql(src: String, out: String): String =
+    s"""${out}_grid AS (
+        SELECT feature, x, CAST(sum(wgt) AS BIGINT) AS sw,
+          CAST(sum(wgt * y) AS BIGINT) AS swp
+        FROM (SELECT 'hour' AS feature, f_hour AS x, y, wgt FROM $src
+              UNION ALL
+              SELECT 'cents', f_cents, y, wgt FROM $src) u
+        GROUP BY feature, x),
+      ${out}_cum AS (
+        SELECT feature, x,
+          CAST(sum(sw) OVER (PARTITION BY feature ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS wl,
+          CAST(sum(swp) OVER (PARTITION BY feature ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS wlp,
+          CAST(sum(sw) OVER (PARTITION BY feature) AS BIGINT) AS wt,
+          CAST(sum(swp) OVER (PARTITION BY feature) AS BIGINT) AS wtp
+        FROM ${out}_grid),
+      $out AS (
+        SELECT feature, x AS thr,
+          CASE WHEN 2 * wlp > wl THEN 1 ELSE 0 END AS pred_l,
+          CASE WHEN 2 * (wtp - wlp) > wt - wl THEN 1 ELSE 0 END
+            AS pred_r,
+          CASE WHEN wlp < wl - wlp THEN wlp ELSE wl - wlp END
+          + CASE WHEN wtp - wlp < (wt - wl) - (wtp - wlp)
+            THEN wtp - wlp ELSE (wt - wl) - (wtp - wlp) END AS werr,
+          wt
+        FROM ${out}_cum WHERE wl < wt
+        ORDER BY CASE WHEN wlp < wl - wlp THEN wlp ELSE wl - wlp END
+          + CASE WHEN wtp - wlp < (wt - wl) - (wtp - wlp)
+            THEN wtp - wlp ELSE (wt - wl) - (wtp - wlp) END,
+          feature, x
+        LIMIT 1)"""
+
+  /** Two-round AdaBoost over decision stumps (q_ml_adaboost): round 1
+    * fits the best unweighted stump for the error label; misclassified
+    * rows are reweighted by the exact AdaBoost factor (1−e)/e in
+    * integer micro-units (DECIMAL/HUGEINT for the blow-up product, the
+    * skew_kurt rule) and round 2 fits the best stump under those
+    * weights; αs and the ensemble accuracy come last. Every pass is
+    * one stacked-grid aggregate plus windows over the bounded value
+    * grids — boosting at 100 TB is K sequential scans, nothing more.
+    * Ties in the weighted-majority labels and the argmin break
+    * lexicographically, so both engines pick the identical model. */
+  val qMlAdaboost = Q(
+    "q_ml_adaboost",
+    (s, d) => {
+      val base = ev(s, d).select(
+        when(col("event_type") === "error", 1L).otherwise(0L).as("y"),
+        hour(col("ts")).cast("long").as("f_hour"),
+        floor(col("value") * 100 + 0.5).cast("long").as("f_cents"))
+      val r1 = base.withColumn("wgt", lit(1000000L))
+      val s1 = stumpSearch(r1).selectExpr("feature AS f1", "thr AS t1",
+        "pred_l AS pl1", "pred_r AS pr1", "werr AS werr1", "wt AS wt1")
+      val tagged = base.crossJoin(broadcast(s1))
+        .withColumn("p1", expr(
+          """CASE WHEN (CASE WHEN f1 = 'hour' THEN f_hour ELSE f_cents
+             END) <= t1 THEN pl1 ELSE pr1 END"""))
+        .withColumn("wgt", expr(
+          """CASE WHEN p1 = y THEN 1000000L
+             ELSE CAST(CAST(wt1 - werr1 AS DECIMAL(38,0)) * 1000000
+               div werr1 AS BIGINT) END"""))
+      val s2 = stumpSearch(tagged).selectExpr("feature AS f2",
+        "thr AS t2", "pred_l AS pl2", "pred_r AS pr2", "werr AS werr2",
+        "wt AS wt2")
+      base.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+        .withColumn("p1", expr(
+          """CASE WHEN (CASE WHEN f1 = 'hour' THEN f_hour ELSE f_cents
+             END) <= t1 THEN pl1 ELSE pr1 END"""))
+        .withColumn("p2", expr(
+          """CASE WHEN (CASE WHEN f2 = 'hour' THEN f_hour ELSE f_cents
+             END) <= t2 THEN pl2 ELSE pr2 END"""))
+        .withColumn("a1", expr(
+          "0.5 * ln((CAST(wt1 AS DOUBLE) - werr1) / werr1)"))
+        .withColumn("a2", expr(
+          "0.5 * ln((CAST(wt2 AS DOUBLE) - werr2) / werr2)"))
+        .withColumn("pred", expr(
+          """CASE WHEN a1 * (2 * p1 - 1) + a2 * (2 * p2 - 1) > 0.0
+             THEN 1L ELSE 0L END"""))
+        .groupBy(col("f1"), col("t1"), col("f2"), col("t2"))
+        .agg(round(max(col("a1")), 6).as("alpha1"),
+          round(max(col("a2")), 6).as("alpha2"),
+          count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .selectExpr("f1", "t1", "round(alpha1, 6) AS alpha1",
+          "f2", "t2", "round(alpha2, 6) AS alpha2", "n", "n_correct",
+          "round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy")
+    },
+    Some(s"""WITH base AS (
+        SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+          CAST(extract(hour FROM ts) AS BIGINT) AS f_hour,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS f_cents
+        FROM events),
+      r1 AS (SELECT *, CAST(1000000 AS BIGINT) AS wgt FROM base),
+      ${stumpSql("r1", "s1")},
+      tagged AS (
+        SELECT base.*,
+          CASE WHEN (CASE WHEN s1.feature = 'hour' THEN f_hour
+                     ELSE f_cents END) <= s1.thr
+            THEN s1.pred_l ELSE s1.pred_r END AS p1,
+          s1.werr AS werr1, s1.wt AS wt1
+        FROM base CROSS JOIN s1),
+      r2 AS (
+        SELECT y, f_hour, f_cents,
+          CASE WHEN p1 = y THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(CAST(wt1 - werr1 AS HUGEINT) * 1000000
+              // werr1 AS BIGINT) END AS wgt
+        FROM tagged),
+      ${stumpSql("r2", "s2")},
+      scored AS (
+        SELECT base.y,
+          CASE WHEN (CASE WHEN s1.feature = 'hour' THEN f_hour
+                     ELSE f_cents END) <= s1.thr
+            THEN s1.pred_l ELSE s1.pred_r END AS p1,
+          CASE WHEN (CASE WHEN s2.feature = 'hour' THEN f_hour
+                     ELSE f_cents END) <= s2.thr
+            THEN s2.pred_l ELSE s2.pred_r END AS p2,
+          0.5e0 * ln((CAST(s1.wt AS DOUBLE) - s1.werr) / s1.werr) AS a1,
+          0.5e0 * ln((CAST(s2.wt AS DOUBLE) - s2.werr) / s2.werr) AS a2,
+          s1.feature AS f1, s1.thr AS t1,
+          s2.feature AS f2, s2.thr AS t2
+        FROM base CROSS JOIN s1 CROSS JOIN s2)
+      SELECT f1, t1, round(max(a1), 6) AS alpha1,
+        f2, t2, round(max(a2), 6) AS alpha2,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN (CASE WHEN a1 * (2 * p1 - 1)
+                        + a2 * (2 * p2 - 1) > 0.0e0
+                      THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct,
+        round(sum(CASE WHEN (CASE WHEN a1 * (2 * p1 - 1)
+                         + a2 * (2 * p2 - 1) > 0.0e0
+                       THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)
+              * 1.0e0 / count(*), 6) AS accuracy
+      FROM scored
+      GROUP BY f1, t1, f2, t2"""))
+
   // ---- q_stats_bootstrap ------------------------------------------------
 
   /** Poisson-bootstrap confidence interval (q_stats_bootstrap): the
@@ -654,13 +896,20 @@ object Causal {
       val pur = ev(s, d).filter(col("event_type") === "purchase")
         .select(col("event_id"),
           floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      // ONE md5 per row; per-resample uniforms come from a Lehmer-style
+      // integer mix of (row hash, b) — 100× fewer digest calls than
+      // hashing (event_id, b) pairs (3.0 s → ~1 s at sf0.1), identical
+      // integer algebra in both engines, products bounded far below
+      // BIGINT (2^31 · 48271 ≈ 1e14) so neither wraps nor errors.
       val drawn = pur
-        .select(col("event_id"), col("c"),
+        .withColumn("h", expr(
+          """CAST(conv(substring(md5(CAST(CAST(event_id AS STRING)
+               AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2147483647L"""))
+        .select(col("event_id"), col("c"), col("h"),
           explode(expr("sequence(0, 99)")).as("b"))
         .withColumn("u", expr(
-          """(CAST(conv(substring(md5(CAST(concat(CAST(event_id AS STRING),
-               ':', CAST(b AS STRING)) AS BINARY)), 1, 8), 16, 10)
-             AS BIGINT) + 0.5) / 4294967296.0"""))
+          """((h * 48271L + b * 16807L) % 2147483647L + 0.5D)
+             / 2147483647.0D"""))
         .withColumn("m", expr(
           """CASE WHEN u < 0.36787944117144233 THEN 0
                   WHEN u < 0.7357588823428847  THEN 1
@@ -694,12 +943,16 @@ object Causal {
     Some("""WITH pur AS (
         SELECT event_id, CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
         FROM events WHERE event_type = 'purchase'),
+      hashed AS (
+        SELECT event_id, c,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 2147483647 AS h
+        FROM pur),
       drawn AS (
         SELECT event_id, c, b,
-          (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-             || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) + 0.5e0)
-          / 4294967296.0e0 AS u
-        FROM pur CROSS JOIN (SELECT unnest(range(0, 100)) AS b)),
+          ((h * 48271 + b * 16807) % 2147483647 + 0.5e0)
+          / 2147483647.0e0 AS u
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 100)) AS b)),
       mult AS (
         SELECT b, c,
           CASE WHEN u < 0.36787944117144233e0 THEN 0
@@ -846,7 +1099,7 @@ object Causal {
       ORDER BY v NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
-    qEventsAttribution, qSamplePps, qMlStump, qMlLogreg, qStatsBootstrap,
-    qAggLoghist, qGraphCloseness)
+    qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
+    qMlAdaboost, qStatsBootstrap, qAggLoghist, qGraphCloseness)
 }
 

@@ -1872,6 +1872,124 @@ object StreamOps {
             FROM sums
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Streaming last-touch attribution (q_stream_attribution): per-user
+    * keyed state carries the (channel, micros) of the most recent
+    * click/view across micro-batches; each arriving purchase is
+    * credited to that touch if it is strictly earlier and within 7
+    * days, else to 'direct' — the online half of the batch
+    * q_events_attribution model family, as flatMapGroupsWithState
+    * (built-in aggregates can't express "value of the latest preceding
+    * row of a DIFFERENT filter"). State is two fields per user
+    * whatever the stream volume; the user key is high-cardinality so
+    * groups stay small (the reset-counter keying lesson). Credits are
+    * exact integer cents; the settled per-channel rollup gets the
+    * window-SQL oracle. */
+  private[graft] def lastTouchCredits(
+      src: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Long)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    import src.sparkSession.implicits._
+    val sevenDaysUs = 7L * 86400000000L
+    // rows: (event_id, us, user_id, event_type, cents). State carries
+    // the latest touch AND the latest touch at a STRICTLY earlier
+    // micros: a touch sharing the purchase's exact timestamp must not
+    // take the credit (the oracle's t_ts < p_ts is strict), but an
+    // earlier in-window touch behind it still does.
+    src
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, String, Long)],
+          state: GroupState[(String, Long, String, Long)]) =>
+          var (lastCh, lastUs, prevCh, prevUs) =
+            state.getOption.getOrElse(("", Long.MinValue, "", Long.MinValue))
+          val out = it.toSeq.sortBy(r => (r._2, r._1)).flatMap { r =>
+            r._4 match {
+              case "click" | "view" =>
+                if (r._2 > lastUs) { prevCh = lastCh; prevUs = lastUs }
+                lastCh = r._4; lastUs = r._2; Nil
+              case "purchase" =>
+                val (ch, us) =
+                  if (lastUs < r._2) (lastCh, lastUs) else (prevCh, prevUs)
+                val credit =
+                  if (us > Long.MinValue && r._2 - us <= sevenDaysUs) ch
+                  else "direct"
+                Seq((credit, r._5))
+              case _ => Nil
+            }
+          }
+          state.update((lastCh, lastUs, prevCh, prevUs))
+          out.iterator
+      }
+      .toDF("channel", "pc")
+  }
+
+  val qStreamAttribution = Q(
+    "q_stream_attribution",
+    (s, d) => {
+      import s.implicits._
+      val src = eventsStream(s, d)
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+        .as[(Long, Long, Long, String, Long)]
+      drain(s, lastTouchCredits(src), "stream_attr_tbl", "append")
+      s.table("stream_attr_tbl")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("pc")).as("cents"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS pc
+        FROM events WHERE event_type = 'purchase'),
+      tch AS (
+        SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+          event_type AS t_channel
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT p_id, pc, t_channel,
+          row_number() OVER (PARTITION BY p_id
+            ORDER BY t_ts DESC, t_id DESC) AS rn
+        FROM p LEFT JOIN tch
+          ON user_id = t_user AND t_ts < p_ts
+          AND t_ts >= p_ts - INTERVAL 7 DAY)
+      SELECT coalesce(t_channel, 'direct') AS channel,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(pc) AS BIGINT) AS cents
+      FROM j WHERE rn = 1
+      GROUP BY 1
+      ORDER BY channel NULLS FIRST"""))
+
+  /** Streaming power-of-two histogram (q_stream_loghist): the
+    * q_agg_loghist bucketing as a complete-mode streaming aggregate —
+    * bit-length buckets are scan-local integer algebra, so the only
+    * stateful operator is the ≤64-key census itself (state one row per
+    * bucket at any stream volume). */
+  val qStreamLoghist = Q(
+    "q_stream_loghist",
+    (s, d) =>
+      drain(s,
+        eventsStream(s, d)
+          .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+          .filter(col("c") >= 1L)
+          .select(length(expr("conv(c, 10, 2)")).cast("long").as("bucket"),
+            col("c"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
+            max(col("c")).as("max_c")),
+        "stream_loghist_tbl", "complete")
+        .orderBy(col("bucket")),
+    Some("""SELECT CAST(length(to_base(c, 2)) AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n, min(c) AS min_c, max(c) AS max_c
+      FROM (SELECT CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+            FROM events) x
+      WHERE c >= 1
+      GROUP BY 1
+      ORDER BY bucket NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
@@ -1882,5 +2000,5 @@ object StreamOps {
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
     qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
     qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich,
-    qStreamReconcile)
+    qStreamReconcile, qStreamAttribution, qStreamLoghist)
 }

@@ -145,6 +145,86 @@ class CausalSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("o_orderkey")).toSet === want)
   }
 
+  test("sample_ht: estimator matches a scalar Poisson-PPS replay") {
+    val row = q("q_sample_ht").collect().head
+    val os = Tables.t(spark, sf0, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ww = os.map(_._2).sum
+    var nS = 0L; var htN = 0L; var htT = 0L
+    os.foreach { case (k, w) =>
+      val u = (md5u32(k.toString) + 1L) / 4294967296.0
+      val pi = math.min(1.0, 200.0 * w / ww)
+      if (u < pi) {
+        nS += 1
+        htN += math.floor(1e6 / pi + 0.5).toLong
+        htT += math.floor(w * 1e2 / pi + 0.5).toLong
+      }
+    }
+    assert(row.getAs[Long]("n_pop") === os.length.toLong)
+    assert(row.getAs[Long]("true_total_cents") === ww)
+    assert(row.getAs[Long]("n_sampled") === nS)
+    assert(math.abs(row.getAs[Double]("ht_n_est") - htN / 1e6) < 1e-5)
+    assert(math.abs(row.getAs[Double]("ht_total_est") - htT / 1e2) < 1e-5)
+    // HT size estimate should land in the right ballpark of the truth
+    assert(math.abs(row.getAs[Double]("ht_n_est") - os.length) <
+      0.5 * os.length)
+  }
+
+  test("ml_adaboost: two boosted stumps match a scalar replay") {
+    val row = q("q_ml_adaboost").collect().head
+    val data = Tables.t(spark, sf0, "events")
+      .select(when(col("event_type") === "error", 1L).otherwise(0L),
+        hour(col("ts")).cast("long"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // weighted stump search: (feature, thr, predL, predR, werr, wt)
+    def search(wgt: ((Long, Long, Long)) => Long)
+        : (String, Long, Long, Long, Long, Long) = {
+      def forF(f: String, x: ((Long, Long, Long)) => Long) = {
+        val cells = data.groupBy(x).toSeq.sortBy(_._1)
+        val wt = data.map(wgt).sum
+        val wtp = data.filter(_._1 == 1L).map(wgt).sum
+        var wl = 0L; var wlp = 0L
+        cells.dropRight(1).map { case (xv, g) =>
+          wl += g.map(wgt).sum; wlp += g.filter(_._1 == 1L).map(wgt).sum
+          val predL = if (2 * wlp > wl) 1L else 0L
+          val predR = if (2 * (wtp - wlp) > wt - wl) 1L else 0L
+          val werr = math.min(wlp, wl - wlp) +
+            math.min(wtp - wlp, (wt - wl) - (wtp - wlp))
+          (werr, f, xv, predL, predR, wt)
+        }
+      }
+      val all = forF("hour", _._2) ++ forF("cents", _._3)
+      val b = all.minBy(c => (c._1, c._2, c._3))
+      (b._2, b._3, b._4, b._5, b._1, b._6)
+    }
+    val s1 = search(_ => 1000000L)
+    val rq = (BigInt(s1._6 - s1._5) * 1000000 / s1._5).toLong
+    def p1(r: (Long, Long, Long)): Long = {
+      val x = if (s1._1 == "hour") r._2 else r._3
+      if (x <= s1._2) s1._3 else s1._4
+    }
+    val s2 = search(r => if (p1(r) == r._1) 1000000L else rq)
+    assert(row.getAs[String]("f1") === s1._1)
+    assert(row.getAs[Long]("t1") === s1._2)
+    assert(row.getAs[String]("f2") === s2._1)
+    assert(row.getAs[Long]("t2") === s2._2)
+    val a1 = 0.5 * math.log((s1._6.toDouble - s1._5) / s1._5)
+    val a2 = 0.5 * math.log((s2._6.toDouble - s2._5) / s2._5)
+    assert(math.abs(row.getAs[Double]("alpha1") - a1) < 1e-5)
+    assert(math.abs(row.getAs[Double]("alpha2") - a2) < 1e-5)
+    def p2(r: (Long, Long, Long)): Long = {
+      val x = if (s2._1 == "hour") r._2 else r._3
+      if (x <= s2._2) s2._3 else s2._4
+    }
+    val correct = data.count(r =>
+      (if (a1 * (2 * p1(r) - 1) + a2 * (2 * p2(r) - 1) > 0.0) 1L
+       else 0L) == r._1)
+    assert(row.getAs[Long]("n_correct") === correct.toLong)
+  }
+
   test("ml_stump: winner matches a naive exhaustive split search") {
     val row = q("q_ml_stump").collect().head
     val data = Tables.t(spark, sf0, "events")
@@ -192,7 +272,9 @@ class CausalSpec extends SparkSuite {
     val means = (0 until 100).map { b =>
       var num = BigInt(0); var den = 0L
       pur.foreach { case (id, c) =>
-        val u = (md5u32(s"$id:$b") + 0.5) / 4294967296.0
+        val h = md5u32(id.toString) % 2147483647L
+        val u = ((h * 48271L + b * 16807L) % 2147483647L + 0.5) /
+          2147483647.0
         val m = th.indexWhere(u < _) match {
           case -1 => 7
           case i  => i

@@ -833,4 +833,34 @@ class StreamSpec extends SparkSuite {
       assert(got(src) === est, s"source $src")
     }
   }
+
+  test("attribution state carries the last touch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // rows: (event_id, us, user_id, event_type, cents)
+    val mem = MemoryStream[(Long, Long, Long, String, Long)]
+    val day = 86400000000L
+    val out = graft.streaming.StreamOps.lastTouchCredits(mem.toDS())
+    val qy = out.writeStream.outputMode("append")
+      .format("memory").queryName("spec_attr").start()
+    // batch 1: user 1 clicks, user 2 views then goes stale
+    mem.addData((1L, 10L * day, 1L, "click", 0L),
+      (2L, 10L * day, 2L, "view", 0L))
+    qy.processAllAvailable()
+    // batch 2: user 1 purchases within 7 days (credit carried 'click');
+    // user 2 purchases after 8 days (stale → 'direct'); user 3 has a
+    // same-micros view AND an earlier in-window click — the strict
+    // inequality must pass credit to the click
+    mem.addData((3L, 12L * day, 1L, "purchase", 500L),
+      (4L, 18L * day + 1L, 2L, "purchase", 700L),
+      (5L, 13L * day, 3L, "click", 0L),
+      (6L, 14L * day, 3L, "view", 0L),
+      (7L, 14L * day, 3L, "purchase", 900L))
+    qy.processAllAvailable()
+    qy.stop()
+    val got = spark.table("spec_attr")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // user 3's same-us view (event 6) must NOT take the credit; the
+    // 13-day click (within 1 day of the purchase) must
+    assert(got === Seq(("click", 500L), ("click", 900L), ("direct", 700L)))
+  }
 }
