@@ -201,7 +201,13 @@ object PlanDump {
       "3x3-bounded aggregate"),
     "q_mix_doremi_rounds" -> ("weighted mixture refits: integer " +
       "micro-weight joins keep the model sums exact BIGINT; vocab2 " +
-      "tables un-hinted, only 1-row-per-domain frames broadcast"))
+      "tables un-hinted, only 1-row-per-domain frames broadcast"),
+    "q_events_attribution" -> ("touch-purchase range join keyed on " +
+      "user_id (per-user-bounded state); credit windows partition by " +
+      "purchase; output is the 3-row channel grid"),
+    "q_surv_km" -> ("per-customer lead() window is the only " +
+      "corpus-wide exchange; the KM product runs over the bounded " +
+      "day grid with the global max date broadcast"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -84,7 +84,13 @@ object ScaleSmoke {
     // without a 10x row), and the truncated-dim recall harness
     // (probe-bounded — growth must track corpus, never probes²)
     "q_multimodal_phash_pairs", "q_multimodal_phash_audit",
-    "q_stream_join_outer", "q_sim_matryoshka")
+    "q_stream_join_outer", "q_sim_matryoshka",
+    // round-9 causal/resampling tier (events are blown up user-disjoint,
+    // so the touch windows and per-user attribution state are 10
+    // independent copies; the bootstrap's B=100 grid and adaboost's
+    // value grids are domain-fixed — growth must be scan-linear)
+    "q_events_attribution", "q_stream_attribution", "q_stats_bootstrap",
+    "q_ml_adaboost")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1059,22 +1059,30 @@ object Causal {
     * bounded by the probe radius, independent of node count. Frontier
     * propagation reuses the cached undirected edge list and the
     * min-dist merge discipline of q_graph_bfs. */
+  /** (landmark, node, dist) labels from a fixed-round multi-source BFS
+    * over the cached link graph — shared by closeness and the effective
+    * diameter. */
+  private def landmarkBfs(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val und = Insights.undirectedLinkEdges(s, d)
+    val edges = und.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+    var labels = s.range(8)
+      .select(col("id").as("l"), col("id").as("v"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val cand = labels.join(edges, col("v") === col("u"))
+        .select(col("l"), col("w").as("v"), (col("dist") + 1L).as("dist"))
+      labels = labels.unionAll(cand)
+        .groupBy(col("l"), col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   val qGraphCloseness = Q(
     "q_graph_closeness",
     (s, d) => {
-      val und = Insights.undirectedLinkEdges(s, d)
-      val edges = und.select(col("a").as("u"), col("b").as("w"))
-        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
-      var labels = s.range(8)
-        .select(col("id").as("l"), col("id").as("v"), lit(0L).as("dist"))
-      for (_ <- 1 to 4) {
-        val cand = labels.join(edges, col("v") === col("u"))
-          .select(col("l"), col("w").as("v"), (col("dist") + 1L).as("dist"))
-        labels = labels.unionAll(cand)
-          .groupBy(col("l"), col("v")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(false)
-      }
-      labels.filter(col("dist") > 0L)
+      landmarkBfs(s, d, 4).filter(col("dist") > 0L)
         .groupBy(col("v"))
         .agg(count(lit(1)).as("n_landmarks"),
           sum(expr("1000000L div dist")).as("harmonic_micro"))
@@ -1098,8 +1106,68 @@ object Causal {
       GROUP BY v
       ORDER BY v NULLS FIRST"""))
 
+  // ---- q_graph_eff_diameter ---------------------------------------------
+
+  /** Effective diameter estimate (q_graph_eff_diameter): the smallest
+    * hop count within which 90% of reachable (landmark, node) pairs
+    * sit — the ANF/HyperANF summary statistic, here from the same
+    * 8-landmark BFS labels (6 rounds for deeper reach). The distance
+    * histogram is grid-bounded (≤7 rows); the 0.9 crossing
+    * interpolates in exact integer MICRO-hops: target = ceil(0.9·N)
+    * via (9N+9) div 10, d90 = (d−1) + (target − cum_prev)/(cum −
+    * cum_prev), all BIGINT until the single emission division. */
+  val qGraphEffDiameter = Q(
+    "q_graph_eff_diameter",
+    (s, d) => {
+      val hist = landmarkBfs(s, d, 6).filter(col("dist") > 0L)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      val wCum = Window.orderBy(col("dist"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum", sum(col("n_pairs")).over(wCum))
+        .withColumn("nn", sum(col("n_pairs")).over(wAll))
+        .withColumn("target", expr("(9 * nn + 9) div 10"))
+        .filter(col("cum") - col("n_pairs") < col("target") &&
+          col("cum") >= col("target"))
+        .selectExpr("dist AS d90_hop", "nn AS n_pairs_total",
+          """round(((dist - 1) * 1000000
+               + (target - (cum - n_pairs)) * 1000000 div n_pairs)
+             / 1e6, 6) AS eff_diameter""")
+    },
+    Some(s"""WITH RECURSIVE ${Insights.undirectedLinkEdgesSql},
+      edges AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+      bfs(l, v, dist) AS (
+        SELECT CAST(x AS BIGINT), CAST(x AS BIGINT), CAST(0 AS BIGINT)
+        FROM (SELECT unnest(range(0, 8)) AS x)
+        UNION
+        SELECT bfs.l, e.v, bfs.dist + 1
+        FROM bfs JOIN edges e ON e.u = bfs.v
+        WHERE bfs.dist < 6),
+      best AS (
+        SELECT l, v, min(dist) AS dist FROM bfs GROUP BY l, v),
+      hist AS (
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM best WHERE dist > 0 GROUP BY dist),
+      cum AS (
+        SELECT dist, n_pairs,
+          CAST(sum(n_pairs) OVER (ORDER BY dist
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum,
+          CAST(sum(n_pairs) OVER () AS BIGINT) AS nn
+        FROM hist)
+      SELECT dist AS d90_hop, nn AS n_pairs_total,
+        round(((dist - 1) * 1000000
+            + (target - (cum - n_pairs)) * 1000000 // n_pairs)
+          / 1e6, 6) AS eff_diameter
+      FROM (SELECT *, (9 * nn + 9) // 10 AS target FROM cum)
+      WHERE cum - n_pairs < target AND cum >= target"""))
+
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
-    qMlAdaboost, qStatsBootstrap, qAggLoghist, qGraphCloseness)
+    qMlAdaboost, qStatsBootstrap, qAggLoghist, qGraphCloseness,
+    qGraphEffDiameter)
 }
 

@@ -218,6 +218,62 @@ object Curate {
             FROM c
             ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST"""))
 
+  /** Pareto-frontier curation (q_mix_pareto): multi-objective document
+    * selection — keep every document not dominated on (lexical
+    * diversity, length), the skyline a curation pipeline hands to a
+    * budgeted sampler when no single quality scalar exists. Diversity
+    * is the type-token ratio on a 0..100 integer grid computed
+    * SCAN-LOCALLY (size(array_distinct(tokens)) — no token explode,
+    * no shuffle); the skyline then reduces to: per TTR cell the
+    * longest doc (ties → lowest doc_id), then a running-max filter
+    * over the ≤101-row cell grid ordered by TTR descending. The
+    * corpus-wide work is ONE keyed aggregate; dominance never
+    * compares document pairs — that is what makes the skyline safe at
+    * 100 TB (the q_stats_kendall cell-grid discipline). */
+  val qMixPareto = Q(
+    "q_mix_pareto",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.t(s, d, "documents")
+        .selectExpr("doc_id", "n_chars",
+          """size(array_distinct(split(text, ' '))) * 100L
+             div size(split(text, ' ')) AS ttr""")
+      val cells = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ttr"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("ttr"), col("n_chars"), col("doc_id"))
+      val wDesc = Window.orderBy(col("ttr").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("best_above",
+          coalesce(max(col("n_chars")).over(wDesc), lit(-1L)))
+        .filter(col("n_chars") > col("best_above"))
+        .select(col("ttr"), col("n_chars"), col("doc_id"))
+        .orderBy(col("ttr").desc)
+    },
+    Some("""WITH scored AS (
+        SELECT doc_id, n_chars,
+          len(list_distinct(string_split(text, ' '))) * 100
+            // len(string_split(text, ' ')) AS ttr
+        FROM documents),
+      cells AS (
+        SELECT ttr, n_chars, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY ttr
+            ORDER BY n_chars DESC, doc_id) AS rn
+          FROM scored) x
+        WHERE rn = 1),
+      sky AS (
+        SELECT ttr, n_chars, doc_id,
+          coalesce(max(n_chars) OVER (ORDER BY ttr DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            AS best_above
+        FROM cells)
+      SELECT CAST(ttr AS BIGINT) AS ttr, n_chars, doc_id
+      FROM sky WHERE n_chars > best_above
+      ORDER BY ttr DESC"""))
+
   val all: Seq[Q] = Seq(qMixSample, qPiiRedact, qDocChunks,
-    qSampleReservoir)
+    qSampleReservoir, qMixPareto)
 }

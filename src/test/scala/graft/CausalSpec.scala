@@ -423,6 +423,67 @@ class CausalSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("intercept_cents") - medRes) < 1e-4)
   }
 
+  test("mix_pareto: skyline matches a naive dominance scan") {
+    val got = SparkEntry.queries("q_mix_pareto")(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("ttr"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("doc_id")))
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ")
+        (toks.distinct.length.toLong * 100 / toks.length,
+          r.getLong(1), r.getLong(0))
+      }
+    // cell representatives: per ttr the longest doc, lowest id on ties
+    val cells = docs.groupBy(_._1).map { case (_, g) =>
+      g.minBy(x => (-x._2, x._3))
+    }.toSeq
+    val want = cells.filter { c =>
+      !cells.exists(o => o._1 > c._1 && o._2 >= c._2)
+    }.sortBy(-_._1)
+    assert(got.toSeq === want)
+    // every returned doc is truly non-dominated in the raw corpus
+    got.foreach { c =>
+      assert(!docs.exists(o =>
+        o._1 >= c._1 && o._2 >= c._2 && (o._1 > c._1 || o._2 > c._2) &&
+          o._3 != c._3),
+        s"dominated skyline point $c")
+    }
+  }
+
+  test("eff_diameter: interpolated 90th crossing matches a BFS replay") {
+    val row = SparkEntry.queries("q_graph_eff_diameter")(spark, sf0)
+      .collect().head
+    val n = Tables.t(spark, sf0, "documents").count()
+    val adj = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).flatMap(dst => Seq(src -> dst, dst -> src))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hist = scala.collection.mutable.Map[Long, Long]()
+    (0L until 8L).foreach { l =>
+      val dist = scala.collection.mutable.Map(l -> 0L)
+      var frontier = Set(l)
+      (1 to 6).foreach { dd =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = dd.toLong)
+      }
+      dist.values.filter(_ > 0).foreach(dd =>
+        hist(dd) = hist.getOrElse(dd, 0L) + 1)
+    }
+    val nn = hist.values.sum
+    val target = (9 * nn + 9) / 10
+    var cum = 0L
+    val (d90, prevCum, nAt) = hist.keys.toSeq.sorted.iterator.map { dd =>
+      val p = cum; cum += hist(dd); (dd, p, hist(dd))
+    }.find { case (_, p, nb) => p < target && p + nb >= target }.get
+    val eff = ((d90 - 1) * 1000000L +
+      (target - prevCum) * 1000000L / nAt) / 1e6
+    assert(row.getAs[Long]("d90_hop") === d90)
+    assert(row.getAs[Long]("n_pairs_total") === nn)
+    assert(math.abs(row.getAs[Double]("eff_diameter") - eff) < 1e-5)
+  }
+
   test("closeness: harmonic sums match a scalar multi-source BFS") {
     val got = q("q_graph_closeness").collect()
       .map(r => r.getAs[Long]("v") ->
