@@ -982,6 +982,99 @@ object Causal {
           AS ci_hi
       FROM pt"""))
 
+  // ---- q_stats_permutation ----------------------------------------------
+
+  /** Randomization test for the weekend effect (q_stats_permutation):
+    * does mean purchase value differ between weekend and weekday? The
+    * observed |mean difference| is compared against 200 deterministic
+    * label reallocations — each resample reassigns every purchase to
+    * the "weekend" group with probability n_A/n via the same hashed
+    * Lehmer stream as the bootstrap, the random-allocation form of the
+    * permutation test that needs NO global shuffle (a true permutation
+    * would sort the corpus; reallocation is scan-local per row, THE
+    * distributed substitute). Group means are exact integer
+    * micro-cents; the p-value is the add-one count estimate
+    * (1 + #{T_b ≥ T_obs}) / (B + 1). Weekday masks: Spark dayofweek is
+    * 1=Sun..7=Sat, DuckDB 0=Sun..6=Sat — the oracle uses (0,6). */
+  val qStatsPermutation = Q(
+    "q_stats_permutation",
+    (s, d) => {
+      val pur = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"),
+          when(expr("dayofweek(ts) IN (1, 7)"), 1L).otherwise(0L)
+            .as("g"))
+      val obs = pur.agg(
+        sum(when(col("g") === 1L, col("c"))).as("sa"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 0L, col("c"))).as("sb"),
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("nb"))
+        .selectExpr("sa", "na", "sb", "nb",
+          "abs(sa * 1000000L div na - sb * 1000000L div nb) AS t_obs")
+      val drawn = pur
+        .withColumn("h", expr(
+          """CAST(conv(substring(md5(CAST(CAST(event_id AS STRING)
+               AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2147483647L"""))
+        .select(col("c"), col("h"),
+          explode(expr("sequence(100, 299)")).as("b"))
+        .crossJoin(broadcast(obs.select(col("na"), col("nb"))))
+        // u < nA/n as the exact integer cross-product (no division)
+        .withColumn("ga", expr(
+          """CASE WHEN ((h * 48271L + b * 16807L) % 2147483647L)
+               * (na + nb) < na * 2147483647L THEN 1L ELSE 0L END"""))
+      val perB = drawn.groupBy(col("b"))
+        .agg(sum(when(col("ga") === 1L, col("c"))).as("sa"),
+          sum(col("ga")).as("na2"),
+          sum(when(col("ga") === 0L, col("c"))).as("sb"),
+          sum(lit(1L) - col("ga")).as("nb2"))
+        .selectExpr("b",
+          """coalesce(abs(sa * 1000000L div nullif(na2, 0L)
+             - sb * 1000000L div nullif(nb2, 0L)), 0L) AS t_b""")
+      obs.crossJoin(
+        perB.crossJoin(broadcast(obs.select(col("t_obs").as("t_o"))))
+          .agg(sum(when(col("t_b") >= col("t_o"), 1L).otherwise(0L))
+            .as("n_exceed")))
+        .selectExpr("na", "nb",
+          "round(t_obs / 1e6, 6) AS diff_obs_cents", "n_exceed",
+          "round((1 + n_exceed) / 201.0D, 6) AS p_value")
+    },
+    Some("""WITH pur AS (
+        SELECT event_id, CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c,
+          CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type = 'purchase'),
+      obs AS (
+        SELECT CAST(sum(CASE WHEN g = 1 THEN c END) AS BIGINT) AS sa,
+          CAST(sum(g) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN g = 0 THEN c END) AS BIGINT) AS sb,
+          CAST(sum(1 - g) AS BIGINT) AS nb
+        FROM pur),
+      obs2 AS (
+        SELECT *, abs(sa * 1000000 // na - sb * 1000000 // nb) AS t_obs
+        FROM obs),
+      drawn AS (
+        SELECT c, b, na, nb,
+          CASE WHEN ((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                 1, 8) AS BIGINT) % 2147483647 * 48271 + b * 16807)
+               % 2147483647) * (na + nb) < na * 2147483647
+            THEN 1 ELSE 0 END AS ga
+        FROM pur CROSS JOIN (SELECT unnest(range(100, 300)) AS b)
+          CROSS JOIN obs),
+      perb AS (
+        SELECT b,
+          coalesce(abs(
+            CAST(sum(CASE WHEN ga = 1 THEN c END) AS BIGINT) * 1000000
+              // nullif(CAST(sum(ga) AS BIGINT), 0)
+            - CAST(sum(CASE WHEN ga = 0 THEN c END) AS BIGINT) * 1000000
+              // nullif(CAST(sum(1 - ga) AS BIGINT), 0)), 0) AS t_b
+        FROM drawn GROUP BY b)
+      SELECT na, nb, round(t_obs / 1e6, 6) AS diff_obs_cents,
+        CAST(sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exceed,
+        round((1 + sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END))
+              / 201.0e0, 6) AS p_value
+      FROM perb CROSS JOIN obs2
+      GROUP BY na, nb, t_obs"""))
+
   // ---- q_agg_loghist ----------------------------------------------------
 
   /** Power-of-two log histogram (q_agg_loghist): the HdrHistogram /
@@ -1167,7 +1260,7 @@ object Causal {
 
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
-    qMlAdaboost, qStatsBootstrap, qAggLoghist, qGraphCloseness,
-    qGraphEffDiameter)
+    qMlAdaboost, qStatsBootstrap, qStatsPermutation, qAggLoghist,
+    qGraphCloseness, qGraphEffDiameter)
 }
 

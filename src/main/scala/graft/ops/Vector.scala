@@ -1156,10 +1156,69 @@ object Vector {
           ORDER BY dim NULLS FIRST"""
     })
 
+  /** Rank-weighted ANN quality (q_sim_ndcg): NDCG@10 of the IVF probe
+    * against the exact top-10 — recall@10 (q_sim_ann_eval) treats all
+    * ten hits equally, NDCG grades WHERE the index puts them.
+    * Relevance of an exact-rank-r item is 11−r; the discount uses ln
+    * rather than log2 so both engines evaluate the SAME libm function
+    * (ln cancels in the DCG/IDCG ratio, NDCG is unchanged). Per-
+    * position contributions are micro-quantized BIGINT before summing
+    * (floats never cross an aggregate); both lists are ten rows, so
+    * everything after the reused production queries is constant work. */
+  val qSimNdcg = Q(
+    "q_sim_ndcg",
+    (s, d) => {
+      val wOrd = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+      val exact10 = qSimTopk.fn(s, d).limit(10)
+        .withColumn("e_rank", row_number().over(wOrd).cast("long"))
+        .select(col("vec_id").as("e_vid"), col("e_rank"))
+      val ann10 = qSimAnnIvf.fn(s, d)
+        .withColumn("a_rank", row_number().over(wOrd).cast("long"))
+        .select(col("vec_id").as("a_vid"), col("a_rank"))
+      val dcg = ann10
+        .join(exact10, col("a_vid") === col("e_vid"), "left")
+        .withColumn("rel", coalesce(lit(11L) - col("e_rank"), lit(0L)))
+        .agg(sum(expr(
+          "CAST(floor(rel * 1e6 / ln(a_rank + 1) + 0.5D) AS BIGINT)"))
+          .as("dcg_micro"))
+      val idcg = exact10.agg(sum(expr(
+        "CAST(floor((11 - e_rank) * 1e6 / ln(e_rank + 1) + 0.5D)" +
+          " AS BIGINT)")).as("idcg_micro"))
+      dcg.crossJoin(idcg).selectExpr("dcg_micro", "idcg_micro",
+        "round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg_at_10")
+    },
+    for {
+      exactSql <- qSimTopk.oracle
+      ivfSql <- qSimAnnIvf.oracle
+    } yield s"""WITH exact10 AS (
+        SELECT vec_id AS e_vid,
+          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+            AS BIGINT) AS e_rank
+        FROM (SELECT * FROM ($exactSql) x
+              ORDER BY cos_sim DESC, vec_id LIMIT 10)),
+      ann10 AS (
+        SELECT vec_id AS a_vid,
+          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+            AS BIGINT) AS a_rank
+        FROM ($ivfSql)),
+      dcg AS (
+        SELECT CAST(sum(CAST(floor(
+            coalesce(11 - e_rank, 0) * 1e6 / ln(a_rank + 1) + 0.5e0)
+          AS BIGINT)) AS BIGINT) AS dcg_micro
+        FROM ann10 LEFT JOIN exact10 ON a_vid = e_vid),
+      idcg AS (
+        SELECT CAST(sum(CAST(floor(
+            (11 - e_rank) * 1e6 / ln(e_rank + 1) + 0.5e0)
+          AS BIGINT)) AS BIGINT) AS idcg_micro
+        FROM exact10)
+      SELECT dcg_micro, idcg_micro,
+        round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg_at_10
+      FROM dcg CROSS JOIN idcg""")
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qSimThresholdCurve,
     qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
-    qSimHardneg, qSimMatryoshka)
+    qSimHardneg, qSimMatryoshka, qSimNdcg)
 }

@@ -290,6 +290,71 @@ class CausalSpec extends SparkSuite {
     assert(row.getAs[Double]("ci_lo") <= row.getAs[Double]("ci_hi"))
   }
 
+  test("stats_permutation: p-value matches a scalar reallocation replay") {
+    val row = q("q_stats_permutation").collect().head
+    val pur = Tables.t(spark, sf0, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        when(expr("dayofweek(ts) IN (1, 7)"), 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (sa, na) = (pur.filter(_._3 == 1).map(_._2).sum,
+      pur.count(_._3 == 1).toLong)
+    val (sb, nb) = (pur.filter(_._3 == 0).map(_._2).sum,
+      pur.count(_._3 == 0).toLong)
+    val tObs = math.abs(sa * 1000000L / na - sb * 1000000L / nb)
+    val n = na + nb
+    val nExceed = (100 until 300).count { b =>
+      var sa2 = 0L; var na2 = 0L; var sb2 = 0L; var nb2 = 0L
+      pur.foreach { case (id, c, _) =>
+        val h = md5u32(id.toString) % 2147483647L
+        val u = (h * 48271L + b * 16807L) % 2147483647L
+        if (u * n < na * 2147483647L) { sa2 += c; na2 += 1 }
+        else { sb2 += c; nb2 += 1 }
+      }
+      val tB =
+        if (na2 == 0 || nb2 == 0) 0L
+        else math.abs(sa2 * 1000000L / na2 - sb2 * 1000000L / nb2)
+      tB >= tObs
+    }
+    assert(row.getAs[Long]("na") === na)
+    assert(row.getAs[Long]("nb") === nb)
+    assert(math.abs(row.getAs[Double]("diff_obs_cents") - tObs / 1e6)
+      < 1e-5)
+    assert(row.getAs[Long]("n_exceed") === nExceed.toLong)
+    assert(math.abs(row.getAs[Double]("p_value") -
+      (1.0 + nExceed) / 201.0) < 1e-5)
+  }
+
+  test("sim_ndcg: micro-quantized DCG matches a scalar replay") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf0)
+      .limit(10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      .sortBy { case (v, c) => (-c, v) }
+    val ann = SparkEntry.queries("q_sim_ann_ivf")(spark, sf0)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      .sortBy { case (v, c) => (-c, v) }
+    val eRank = exact.zipWithIndex.map { case ((v, _), i) =>
+      v -> (i + 1L)
+    }.toMap
+    val dcg = ann.zipWithIndex.map { case ((v, _), i) =>
+      val rel = eRank.get(v).map(11L - _).getOrElse(0L)
+      math.floor(rel * 1e6 / math.log(i + 2.0) + 0.5).toLong
+    }.sum
+    val idcg = (1 to exact.length).map(r =>
+      math.floor((11L - r) * 1e6 / math.log(r + 1.0) + 0.5).toLong).sum
+    val row = SparkEntry.queries("q_sim_ndcg")(spark, sf0)
+      .collect().head
+    assert(row.getAs[Long]("dcg_micro") === dcg)
+    assert(row.getAs[Long]("idcg_micro") === idcg)
+    assert(math.abs(row.getAs[Double]("ndcg_at_10") -
+      dcg.toDouble / idcg) < 1e-5)
+    // sanity: a correct index scores in (0, 1]
+    assert(row.getAs[Double]("ndcg_at_10") > 0.0 &&
+      row.getAs[Double]("ndcg_at_10") <= 1.0)
+  }
+
   test("loghist: bit-length buckets match, median_est on one row only") {
     val rows = q("q_agg_loghist").collect()
     val cs = Tables.t(spark, sf0, "events")
