@@ -655,10 +655,45 @@ object Extras {
           ORDER BY z_tile NULLS FIRST"""
     })
 
+  /** Recursive SQL (q_sql_recursive): Spark 4's WITH RECURSIVE through
+    * the textual front door — the hierarchy rollup every catalog/
+    * lineage system runs. Documents form an implicit binary tree
+    * (parent = doc_id div 2); each document's ancestor chain unwinds
+    * recursively (UNION ALL, guaranteed terminating: the id at least
+    * halves per step, ≤ log2(n) rounds of the recursion's fixpoint
+    * loop) and the per-depth census joins ancestor n_chars back in —
+    * integer-exact, identical recursive SQL on the DuckDB side modulo
+    * `div` vs `//`. */
+  val qSqlRecursive = Q(
+    "q_sql_recursive",
+    (s, d) => {
+      Tables.t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+          SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents_v
+          UNION ALL
+          SELECT doc_id, anc_id div 2, depth + 1
+          FROM anc WHERE anc_id > 0)
+        SELECT depth, count(*) AS n_chains,
+          sum(dd.n_chars) AS sum_anc_chars
+        FROM anc JOIN documents_v dd ON anc.anc_id = dd.doc_id
+        GROUP BY depth
+        ORDER BY depth""")
+    },
+    Some("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+        SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, anc_id // 2, depth + 1
+        FROM anc WHERE anc_id > 0)
+      SELECT depth, CAST(count(*) AS BIGINT) AS n_chains,
+        CAST(sum(dd.n_chars) AS BIGINT) AS sum_anc_chars
+      FROM anc JOIN documents dd ON anc.anc_id = dd.doc_id
+      GROUP BY depth
+      ORDER BY depth NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qScanCsv, qScanJson, qScanOrc, qScanXml, qScanText, qSqlApi,
     qScanEvolution, qScanCorrupt,
     qSinkParquet, qFilterBitops, qUdfScalar,
     qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder,
-    qFnNull, qTypedPipeline, qFnStructJson)
+    qFnNull, qTypedPipeline, qFnStructJson, qSqlRecursive)
 }

@@ -1963,6 +1963,45 @@ object StreamOps {
       GROUP BY 1
       ORDER BY channel NULLS FIRST"""))
 
+  /** Streaming Pareto skyline (q_stream_pareto): the q_mix_pareto
+    * dominance frontier maintained online — TTR is scan-local per
+    * arriving document, the stateful operator is the per-TTR-cell
+    * argmax (state ≤101 rows: max(struct(n_chars, −doc_id)) picks the
+    * longest doc, lowest id on ties), and the running-max dominance
+    * filter runs over the settled cell grid after the drain. Identical
+    * output and oracle as the batch skyline. */
+  val qStreamPareto = Q(
+    "q_stream_pareto",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = documentsStream(s, d)
+        .selectExpr("doc_id",
+          """size(array_distinct(split(text, ' '))) * 100L
+             div size(split(text, ' ')) AS ttr""")
+        // n_chars is the batch table's column; a stream-static
+        // broadcast join projects it (the runlog-enrich shape)
+        .join(
+          org.apache.spark.sql.functions.broadcast(
+            graft.Tables.t(s, d, "documents")
+              .select(col("doc_id").as("d2"), col("n_chars"))),
+          col("doc_id") === col("d2"))
+        .groupBy(col("ttr"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      val settled = drain(s, cells, "stream_pareto_tbl", "complete")
+        .select(col("ttr"), col("best.n_chars").as("n_chars"),
+          (-col("best.neg_id")).as("doc_id"))
+      val wDesc = Window.orderBy(col("ttr").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      settled
+        .withColumn("best_above",
+          coalesce(max(col("n_chars")).over(wDesc), lit(-1L)))
+        .filter(col("n_chars") > col("best_above"))
+        .select(col("ttr"), col("n_chars"), col("doc_id"))
+        .orderBy(col("ttr").desc)
+    },
+    graft.ops.Curate.qMixPareto.oracle)
+
   /** Streaming power-of-two histogram (q_stream_loghist): the
     * q_agg_loghist bucketing as a complete-mode streaming aggregate —
     * bit-length buckets are scan-local integer algebra, so the only
@@ -2000,5 +2039,5 @@ object StreamOps {
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
     qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
     qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich,
-    qStreamReconcile, qStreamAttribution, qStreamLoghist)
+    qStreamReconcile, qStreamAttribution, qStreamLoghist, qStreamPareto)
 }

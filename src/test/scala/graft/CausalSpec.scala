@@ -549,6 +549,30 @@ class CausalSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("eff_diameter") - eff) < 1e-5)
   }
 
+  test("sql_recursive: ancestor census matches a scalar chain walk") {
+    val got = SparkEntry.queries("q_sql_recursive")(spark, sf0)
+      .collect().map(r => (r.getAs[Long]("depth"), r.getAs[Long]("n_chains"),
+        r.getAs[Long]("sum_anc_chars")))
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = docs.toMap
+    val agg = scala.collection.mutable.Map[Long, (Long, Long)]()
+    docs.foreach { case (id, _) =>
+      var a = id; var depth = 0L
+      var go = true
+      while (go) {
+        chars.get(a).foreach { nc =>
+          val (c, sc) = agg.getOrElse(depth, (0L, 0L))
+          agg(depth) = (c + 1, sc + nc)
+        }
+        if (a > 0) { a = a / 2; depth += 1 } else go = false
+      }
+    }
+    val want = agg.toSeq.sortBy(_._1).map { case (d, (c, sc)) => (d, c, sc) }
+    assert(got.toSeq === want)
+  }
+
   test("closeness: harmonic sums match a scalar multi-source BFS") {
     val got = q("q_graph_closeness").collect()
       .map(r => r.getAs[Long]("v") ->
