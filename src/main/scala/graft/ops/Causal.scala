@@ -1258,9 +1258,131 @@ object Causal {
       FROM (SELECT *, (9 * nn + 9) // 10 AS target FROM cum)
       WHERE cum - n_pairs < target AND cum >= target"""))
 
+  // ---- q_graph_betweenness ----------------------------------------------
+
+  /** Radius-bounded landmark betweenness (q_graph_betweenness): Brandes'
+    * algorithm from the 8 fixed landmarks, truncated at radius 4 — the
+    * standard sampled estimator (exact betweenness is all-sources, i.e.
+    * quadratic; k landmarks cost k·|E| per round, rounds bounded by the
+    * probe radius). Forward phase: BFS distances (shared landmarkBfs)
+    * plus shortest-path COUNTS σ accumulated level by level (integer
+    * sums along dist-(k−1)→k edges). Backward phase: the dependency
+    * δ(v) = Σ_{w child} σ(v)/σ(w)·(1+δ(w)) unwinds from depth R to 0
+    * with every term in exact integer MICRO units — σ_v·(1e6+δ_w) div
+    * σ_w — so both engines accumulate the identical floor sequence and
+    * the result hash-matches without any float tolerance. Output: the
+    * top-20 bridge nodes by Σ_l δ_l(v)/2. The oracle unrolls the same
+    * fixed number of σ/δ stages as SQL CTEs generated by the same
+    * Scala loop bounds. */
+  private val betwRounds = 4
+
+  val qGraphBetweenness = Q(
+    "q_graph_betweenness",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+      val labels = landmarkBfs(s, d, betwRounds)
+      // forward: shortest-path counts per (landmark, node, depth)
+      var all0 = labels.filter(col("dist") === 0L)
+        .select(col("l"), col("v"), lit(1L).as("sigma"),
+          lit(0L).as("dist"))
+      for (k <- 1 to betwRounds) {
+        val stage = all0.filter(col("dist") === (k - 1).toLong)
+          .join(edges, col("v") === col("u"))
+          .select(col("l"), col("w").as("v2"), col("sigma"))
+          .join(labels.filter(col("dist") === k.toLong)
+            .select(col("l").as("l2"), col("v").as("v3")),
+            col("l") === col("l2") && col("v2") === col("v3"))
+          .groupBy(col("l"), col("v2"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("l"), col("v2").as("v"), col("sigma"),
+            lit(k.toLong).as("dist"))
+        all0 = all0.unionAll(stage).localCheckpoint(false)
+      }
+      // backward: integer micro dependency accumulation
+      var del = all0.filter(col("dist") === betwRounds.toLong)
+        .select(col("l"), col("v"), col("sigma"), lit(0L).as("del"))
+      var acc = del
+      for (k <- (betwRounds - 1) to 0 by -1) {
+        val children = del.select(col("l").as("cl"), col("v").as("cv"),
+          col("sigma").as("csig"), col("del").as("cdel"))
+        del = all0.filter(col("dist") === k.toLong)
+          .join(edges, col("v") === col("u"), "left")
+          .join(children,
+            col("l") === col("cl") && col("w") === col("cv"), "left")
+          .groupBy(col("l"), col("v"), col("sigma"))
+          .agg(coalesce(
+            sum(expr("sigma * (1000000L + cdel) div csig")), lit(0L))
+            .as("del"))
+          .localCheckpoint(false)
+        acc = acc.unionAll(del)
+      }
+      acc.filter(col("l") =!= col("v"))
+        .groupBy(col("v")).agg(sum(col("del")).as("del_sum"))
+        .orderBy(col("del_sum").desc, col("v"))
+        .limit(20)
+        .selectExpr("v", "del_sum",
+          "round(del_sum / 2e6, 6) AS betweenness")
+    },
+    Some {
+      val sigStages = (1 to betwRounds).map { k =>
+        s"""sig$k AS (
+            SELECT p.l, e.v AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+            FROM sig${k - 1} p
+            JOIN edges e ON e.u = p.v
+            JOIN best b ON b.l = p.l AND b.v = e.v AND b.dist = $k
+            GROUP BY p.l, e.v)"""
+      }.mkString(",\n")
+      val sigAll = (0 to betwRounds).map(k =>
+        s"SELECT l, v, sigma, CAST($k AS BIGINT) AS dist FROM sig$k")
+        .mkString("\n UNION ALL ")
+      val delStages = ((betwRounds - 1) to 0 by -1).map { k =>
+        s"""del$k AS (
+            SELECT s.l, s.v, s.sigma,
+              CAST(coalesce(sum(
+                s.sigma * (1000000 + c.del) // c.sigma), 0)
+                AS BIGINT) AS del
+            FROM (SELECT * FROM sigd WHERE dist = $k) s
+            LEFT JOIN edges e ON e.u = s.v
+            LEFT JOIN del${k + 1} c ON c.l = s.l AND c.v = e.v
+            GROUP BY s.l, s.v, s.sigma)"""
+      }.mkString(",\n")
+      val delAll = (0 to betwRounds).map(k =>
+        s"SELECT l, v, del FROM del$k").mkString("\n UNION ALL ")
+      s"""WITH RECURSIVE ${Insights.undirectedLinkEdgesSql},
+        edges AS (SELECT a AS u, b AS v FROM und
+                  UNION ALL SELECT b, a FROM und),
+        bfs(l, v, dist) AS (
+          SELECT CAST(x AS BIGINT), CAST(x AS BIGINT), CAST(0 AS BIGINT)
+          FROM (SELECT unnest(range(0, 8)) AS x)
+          UNION
+          SELECT bfs.l, e.v, bfs.dist + 1
+          FROM bfs JOIN edges e ON e.u = bfs.v
+          WHERE bfs.dist < $betwRounds),
+        best AS (
+          SELECT l, v, min(dist) AS dist FROM bfs GROUP BY l, v),
+        sig0 AS (
+          SELECT l, v, CAST(1 AS BIGINT) AS sigma FROM best
+          WHERE dist = 0),
+        $sigStages,
+        sigd AS ($sigAll),
+        del$betwRounds AS (
+          SELECT l, v, sigma, CAST(0 AS BIGINT) AS del FROM sigd
+          WHERE dist = $betwRounds),
+        $delStages,
+        dall AS ($delAll)
+        SELECT v, CAST(sum(del) AS BIGINT) AS del_sum,
+          round(sum(del) / 2e6, 6) AS betweenness
+        FROM dall WHERE l <> v
+        GROUP BY v
+        ORDER BY del_sum DESC, v NULLS FIRST
+        LIMIT 20"""
+    })
+
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
     qMlAdaboost, qStatsBootstrap, qStatsPermutation, qAggLoghist,
-    qGraphCloseness, qGraphEffDiameter)
+    qGraphCloseness, qGraphEffDiameter, qGraphBetweenness)
 }
 

@@ -655,6 +655,48 @@ object Extras {
           ORDER BY z_tile NULLS FIRST"""
     })
 
+  /** Parquet footer introspection (q_scan_parquet_meta): the layout
+    * census a lakehouse maintenance job runs before compaction —
+    * row-group count, row counts per group, leaf-column count —
+    * straight from the events file's footer via parquet-hadoop (a
+    * metadata read: no data pages touched, the same O(footer) cost at
+    * any table size). The DuckDB oracle reads the identical footer
+    * through parquet_file_metadata()/parquet_metadata(); those take a
+    * literal path, so the oracle pins the driver's verify scale
+    * (sf0.01) — the Spark side stays dir-parameterized. */
+  val qScanParquetMeta = Q(
+    "q_scan_parquet_meta",
+    (s, d) => {
+      val conf = s.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$d/events.parquet"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val (nRows, nGroups, maxGroupRows, nCols) =
+        try {
+          val blocks = reader.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          (blocks.asScala.map(_.getRowCount).sum,
+            blocks.size().toLong,
+            blocks.asScala.map(_.getRowCount).max,
+            reader.getFooter.getFileMetaData.getSchema.getFieldCount.toLong)
+        } finally reader.close()
+      import s.implicits._
+      Seq((nRows, nGroups, maxGroupRows, nCols))
+        .toDF("n_rows", "n_row_groups", "max_group_rows", "n_columns")
+    },
+    Some("""SELECT CAST(num_rows AS BIGINT) AS n_rows,
+        CAST(num_row_groups AS BIGINT) AS n_row_groups,
+        (SELECT CAST(max(nv) AS BIGINT) FROM (
+           SELECT row_group_id, max(row_group_num_rows) AS nv
+           FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+           GROUP BY row_group_id))
+          AS max_group_rows,
+        (SELECT CAST(count(DISTINCT column_id) AS BIGINT)
+         FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+         WHERE row_group_id = 0) AS n_columns
+      FROM parquet_file_metadata(
+        '/root/testdata/sf0.01/events.parquet')"""))
+
   /** Recursive SQL (q_sql_recursive): Spark 4's WITH RECURSIVE through
     * the textual front door — the hierarchy rollup every catalog/
     * lineage system runs. Documents form an implicit binary tree
@@ -695,5 +737,6 @@ object Extras {
     qScanEvolution, qScanCorrupt,
     qSinkParquet, qFilterBitops, qUdfScalar,
     qUdafTyped, qUdtfExplode, qDedupSimhashPairs, qUdafBitset, qZorder,
-    qFnNull, qTypedPipeline, qFnStructJson, qSqlRecursive)
+    qFnNull, qTypedPipeline, qFnStructJson, qSqlRecursive,
+    qScanParquetMeta)
 }

@@ -549,6 +549,57 @@ class CausalSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("eff_diameter") - eff) < 1e-5)
   }
 
+  test("graph_betweenness: top-20 matches a scalar truncated Brandes") {
+    val got = SparkEntry.queries("q_graph_betweenness")(spark, sf0)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("del_sum")))
+    val n = Tables.t(spark, sf0, "documents").count()
+    val adj = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).flatMap(dst => Seq(src -> dst, dst -> src))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val R = 4
+    val delSum = scala.collection.mutable.Map[Long, Long]()
+    (0L until 8L).foreach { l =>
+      val dist = scala.collection.mutable.Map(l -> 0)
+      var frontier = Set(l)
+      (1 to R).foreach { dd =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = dd)
+      }
+      val sigma = scala.collection.mutable.Map(l -> 1L)
+      (1 to R).foreach { dd =>
+        dist.filter(_._2 == dd).keys.foreach { v =>
+          sigma(v) = adj(v).filter(u => dist.get(u).contains(dd - 1))
+            .toSeq.map(sigma).sum
+        }
+      }
+      val del = scala.collection.mutable.Map[Long, Long]()
+      dist.filter(_._2 == R).keys.foreach(v => del(v) = 0L)
+      (R - 1 to 0 by -1).foreach { dd =>
+        dist.filter(_._2 == dd).keys.foreach { v =>
+          del(v) = adj(v).filter(w => dist.get(w).contains(dd + 1))
+            .toSeq.map(w => sigma(v) * (1000000L + del(w)) / sigma(w))
+            .sum
+        }
+      }
+      del.foreach { case (v, dl) =>
+        if (v != l) delSum(v) = delSum.getOrElse(v, 0L) + dl
+      }
+    }
+    val want = delSum.toSeq.sortBy { case (v, s) => (-s, v) }.take(20)
+    assert(got.toSeq === want)
+  }
+
+  test("scan_parquet_meta: footer stats agree with the table read") {
+    val row = q("q_scan_parquet_meta").collect().head
+    val ev = Tables.t(spark, sf0, "events")
+    assert(row.getAs[Long]("n_rows") === ev.count())
+    assert(row.getAs[Long]("n_columns") === 6L)
+    assert(row.getAs[Long]("n_row_groups") >= 1L)
+    assert(row.getAs[Long]("max_group_rows") <= row.getAs[Long]("n_rows"))
+  }
+
   test("sql_recursive: ancestor census matches a scalar chain walk") {
     val got = SparkEntry.queries("q_sql_recursive")(spark, sf0)
       .collect().map(r => (r.getAs[Long]("depth"), r.getAs[Long]("n_chains"),
