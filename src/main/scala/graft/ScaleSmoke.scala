@@ -90,7 +90,10 @@ object ScaleSmoke {
     // independent copies; the bootstrap's B=100 grid and adaboost's
     // value grids are domain-fixed — growth must be scan-linear)
     "q_events_attribution", "q_stream_attribution", "q_stats_bootstrap",
-    "q_ml_adaboost")
+    "q_ml_adaboost",
+    // radius-bounded Brandes over the docs-derived link graph: 2R
+    // checkpointed join rounds, cost ∝ k·|E| per round
+    "q_graph_betweenness")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -447,8 +447,55 @@ object More {
             FROM rk
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Class-balanced downsample (q_sample_balanced): exactly 300 rows
+    * per event type — the majority classes cut to parity with the
+    * rarest, the standard rebalancing step before classifier training.
+    * Unlike the rate-gated q_sample_stratified (approximate counts, no
+    * shuffle), parity needs EXACT counts, so each class takes its 300
+    * smallest md5 priorities via one rank window partitioned by class
+    * — a single exchange on the class key, heap-bounded per partition,
+    * deterministic on any layout. Emits the per-class census plus an
+    * exact-cents mean of the kept rows. */
+  val qSampleBalanced = Q(
+    "q_sample_balanced",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      ev(s, d)
+        .withColumn("pri", expr(
+          """CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),
+             16, 10) AS BIGINT)"""))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("pri"), col("event_id"))))
+        .filter(col("rk") <= 300)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
+          min(col("pri")).as("min_pri"))
+        .selectExpr("event_type", "n_kept", "cents",
+          "round(CAST(cents AS DOUBLE) / n_kept / 100, 6) AS mean_value",
+          "min_pri")
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(c) AS BIGINT) AS cents,
+        round(CAST(sum(c) AS DOUBLE) / count(*) / 100, 6) AS mean_value,
+        min(pri) AS min_pri
+      FROM (
+        SELECT event_type, value,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c, pri,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY pri, event_id) AS rk
+        FROM (SELECT *,
+                CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS pri
+              FROM events) h) x
+      WHERE rk <= 300
+      GROUP BY event_type
+      ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qJoinFull, qJoinCross, qPivot, qUnpivot, qAggCollect, qWinNtile,
     qSubqueryScalar, qUpsertLatest, qProfile, qAggMode, qSampleMod,
-    qSampleStratified, qSampleWeighted, qSampleNeyman)
+    qSampleStratified, qSampleWeighted, qSampleNeyman, qSampleBalanced)
 }

@@ -629,8 +629,69 @@ object TextOps {
             GROUP BY b.source
             ORDER BY b.source NULLS FIRST"""))
 
+  /** Term burstiness (q_text_burstiness): variance-to-mean ratio of
+    * per-document counts for the 30 highest-frequency terms — the
+    * corpus statistic separating topical terms (bursty, VMR ≫ 1) from
+    * function words (Poisson-like, VMR ≈ 1), a standard stopword/
+    * keyword discriminator. Zero-count documents enter through the
+    * sufficient statistics, never materialized: with N docs, Σx and
+    * Σx² over occurring docs give mean = Σx/N and population variance
+    * (Σx² − (Σx)²/N)/N exactly (integer sums in DECIMAL/HUGEINT, two
+    * divisions at emission). One token explode + per-(term, doc)
+    * count, then per-term sufficient stats, then a rank window over
+    * the term table only. */
+  val qTextBurstiness = Q(
+    "q_text_burstiness",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("x"))
+      val perTerm = perDoc.groupBy(col("term"))
+        .agg(sum(col("x")).as("sx"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"),
+          count(lit(1)).as("df"))
+      perTerm.crossJoin(broadcast(n))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sx").desc, col("term"))))
+        .filter(col("rk") <= 30)
+        .selectExpr("term", "sx AS tf", "df",
+          "round(CAST(sx AS DOUBLE) / n_docs, 6) AS mean_x",
+          """round((CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sx / n_docs) / n_docs
+             / (CAST(sx AS DOUBLE) / n_docs), 6) AS vmr""")
+        .orderBy(col("tf").desc, col("term"))
+    },
+    Some("""WITH n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      perdoc AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        GROUP BY term, doc_id),
+      perterm AS (
+        SELECT term, CAST(sum(x) AS BIGINT) AS sx,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+          CAST(count(*) AS BIGINT) AS df
+        FROM perdoc GROUP BY term),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY sx DESC, term) AS rk
+        FROM perterm CROSS JOIN n)
+      SELECT term, sx AS tf, df,
+        round(CAST(sx AS DOUBLE) / n_docs, 6) AS mean_x,
+        round((CAST(sx2 AS DOUBLE)
+            - CAST(sx AS DOUBLE) * sx / n_docs) / n_docs
+          / (CAST(sx AS DOUBLE) / n_docs), 6) AS vmr
+      FROM ranked
+      WHERE rk <= 30
+      ORDER BY tf DESC, term NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
-    qTextRepetition, qTextPack, qTextLangidEval, qTextDrift, qCurateV2)
+    qTextRepetition, qTextPack, qTextLangidEval, qTextDrift, qCurateV2,
+    qTextBurstiness)
 }

@@ -300,4 +300,58 @@ class MoreSpec extends SparkSuite {
       .toMap
     assert(got === expected)
   }
+
+  test("sample_balanced: exactly 300 per class, lowest hash priorities") {
+    val got = q("q_sample_balanced", "/root/testdata/sf0.01").collect()
+    got.foreach(r => assert(r.getAs[Long]("n_kept") === 300L))
+    // replay one class: the kept cents must equal the 300 smallest
+    // md5 priorities of that class
+    val rows = Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long")).collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+          r.getLong(0), r.getLong(1))
+      }
+    val keep = rows.sortBy(x => (x._1, x._2)).take(300)
+    val p = got.find(_.getAs[String]("event_type") == "purchase").get
+    assert(p.getAs[Long]("cents") === keep.map(_._3).sum)
+    assert(p.getAs[Long]("min_pri") === keep.map(_._1).min)
+  }
+
+  test("text_burstiness: VMR matches a scalar sufficient-stats replay") {
+    val got = SparkEntry.queries("q_text_burstiness")(spark, sf0)
+      .collect()
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toDouble
+    val counts = scala.collection.mutable
+      .Map[(String, Long), Long]().withDefaultValue(0L)
+    docs.foreach { case (id, t) =>
+      t.split(" ").foreach(w => counts((w, id)) += 1)
+    }
+    val perTerm = counts.toSeq.groupBy(_._1._1).map { case (term, g) =>
+      val xs = g.map(_._2)
+      (term, xs.sum, xs.map(x => x.toDouble * x).sum, xs.length.toLong)
+    }
+    got.foreach { r =>
+      val term = r.getAs[String]("term")
+      val (_, sx, sx2, df) = perTerm.find(_._1 == term).get
+      assert(r.getAs[Long]("tf") === sx)
+      assert(r.getAs[Long]("df") === df)
+      val mean = sx / nDocs
+      val vmr = (sx2 - sx.toDouble * sx / nDocs) / nDocs / mean
+      assert(math.abs(r.getAs[Double]("vmr") - vmr) < 1e-4,
+        s"$term got ${r.getAs[Double]("vmr")} want $vmr")
+    }
+    // the top-30 really are the highest-frequency terms
+    val minTf = got.map(_.getAs[Long]("tf")).min
+    val better = perTerm.count(_._2 > minTf)
+    assert(better <= 30)
+  }
 }
