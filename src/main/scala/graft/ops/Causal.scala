@@ -1160,16 +1160,24 @@ object Causal {
     val und = Insights.undirectedLinkEdges(s, d)
     val edges = und.select(col("a").as("u"), col("b").as("w"))
       .unionAll(und.select(col("b").as("u"), col("a").as("w")))
-    var labels = s.range(8)
-      .select(col("id").as("l"), col("id").as("v"), lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
-      val cand = labels.join(edges, col("v") === col("u"))
-        .select(col("l"), col("w").as("v"), (col("dist") + 1L).as("dist"))
-      labels = labels.unionAll(cand)
-        .groupBy(col("l"), col("v")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
-    }
-    labels
+    // size the tiny per-round shuffles to the (cached, counted) edge
+    // list, not the session default — the q_graph_bfs discipline
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, saved.toInt).toString)
+    try {
+      var labels = s.range(8)
+        .select(col("id").as("l"), col("id").as("v"), lit(0L).as("dist"))
+      for (_ <- 1 to rounds) {
+        val cand = labels.join(edges, col("v") === col("u"))
+          .select(col("l"), col("w").as("v"),
+            (col("dist") + 1L).as("dist"))
+        labels = labels.unionAll(cand)
+          .groupBy(col("l"), col("v")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint() // eager: materialize under the capped width
+      }
+      labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   val qGraphCloseness = Q(
@@ -1283,6 +1291,12 @@ object Causal {
       val edges = und.select(col("a").as("u"), col("b").as("w"))
         .unionAll(und.select(col("b").as("u"), col("a").as("w")))
       val labels = landmarkBfs(s, d, betwRounds)
+      // the 2R sigma/delta rounds shuffle tiny frontier tables — cap
+      // their width like the BFS itself
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, saved.toInt).toString)
+      try {
       // forward: shortest-path counts per (landmark, node, depth)
       var all0 = labels.filter(col("dist") === 0L)
         .select(col("l"), col("v"), lit(1L).as("sigma"),
@@ -1298,7 +1312,7 @@ object Causal {
           .agg(sum(col("sigma")).as("sigma"))
           .select(col("l"), col("v2").as("v"), col("sigma"),
             lit(k.toLong).as("dist"))
-        all0 = all0.unionAll(stage).localCheckpoint(false)
+        all0 = all0.unionAll(stage).localCheckpoint()
       }
       // backward: integer micro dependency accumulation
       var del = all0.filter(col("dist") === betwRounds.toLong)
@@ -1315,7 +1329,7 @@ object Causal {
           .agg(coalesce(
             sum(expr("sigma * (1000000L + cdel) div csig")), lit(0L))
             .as("del"))
-          .localCheckpoint(false)
+          .localCheckpoint()
         acc = acc.unionAll(del)
       }
       acc.filter(col("l") =!= col("v"))
@@ -1324,6 +1338,7 @@ object Causal {
         .limit(20)
         .selectExpr("v", "del_sum",
           "round(del_sum / 2e6, 6) AS betweenness")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     },
     Some {
       val sigStages = (1 to betwRounds).map { k =>

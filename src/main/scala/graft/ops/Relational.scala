@@ -1040,6 +1040,38 @@ object Relational {
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             ORDER BY event_id NULLS FIRST"""))
 
+  /** Distribution window functions (q_win_distribution): cume_dist —
+    * tie-aware, so equal cents share one value in both engines — and
+    * nth_value over a running frame, the two analytic functions the
+    * window tier didn't yet cover. cume_dist's division is the single
+    * per-row rational count(≤x)/N (deterministic); the per-series
+    * exchange on event_type is the only shuffle. */
+  val qWinDistribution = Q(
+    "q_win_distribution",
+    (s, d) => {
+      val wVal = Window.partitionBy($"event_type")
+        .orderBy(floor($"value" * 100 + 0.5).cast("long"))
+      val wSeq = Window.partitionBy($"event_type")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .select($"event_id", $"event_type",
+          round(cume_dist().over(wVal), 6).as("value_cume"),
+          nth_value(floor($"value" * 100 + 0.5).cast("long"), 3)
+            .over(wSeq).as("third_seen_cents"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, event_type,
+          round(cume_dist() OVER (PARTITION BY event_type
+            ORDER BY CAST(floor(value * 100 + 0.5e0) AS BIGINT)), 6)
+            AS value_cume,
+          nth_value(CAST(floor(value * 100 + 0.5e0) AS BIGINT), 3)
+            OVER (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS third_seen_cents
+        FROM events
+        ORDER BY event_id NULLS FIRST"""))
+
   /** Correlated EXISTS / NOT EXISTS (q_subquery_exists): customers with
     * at least one high-value order and no low-priority one — the
     * decorrelation path (Catalyst rewrites both predicates into
@@ -1194,7 +1226,8 @@ object Relational {
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,
     qWinRank, qWinLag, qWinRunning, qWinSliding, qWinFirstLast,
-    qWinRangeFrame, qSubqueryExists, qAggApproxPercentile, qAggCms,
+    qWinRangeFrame, qWinDistribution, qSubqueryExists,
+    qAggApproxPercentile, qAggCms,
     qSort, qTopk, qLimit,
     qUnion, qIntersect, qExcept,
     qFnString, qFnDate, qFnMath, qFnArray, qFnMap, qFnJson, qFnCond)
