@@ -609,7 +609,59 @@ object Biz {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority NULLS FIRST"""))
 
+  /** Daily open-order backlog (q_orders_backlog): interval accounting —
+    * an order opens at o_orderdate and closes when its LAST line ships
+    * (max l_shipdate per order); the backlog curve is
+    * cum(opened) − cum(closed) over the day grid. Two keyed aggregates
+    * over the facts (orders by day; lineitem collapsed per order then
+    * by close day), one full-outer align on the bounded day grid,
+    * integer window sums — the WIP/inventory census shape that stays
+    * two scans at any corpus size. */
+  val qOrdersBacklog = Q(
+    "q_orders_backlog",
+    (s, d) => {
+      val opens = Tables.t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_open"))
+      val closes = Tables.t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("ship"))
+        .groupBy(col("ship").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_close"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opens.join(closes, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_open"), lit(0L)).as("opened"),
+          coalesce(col("n_close"), lit(0L)).as("closed"))
+        .withColumn("backlog",
+          sum(col("opened")).over(wCum) - sum(col("closed")).over(wCum))
+        .orderBy(col("day"))
+    },
+    Some("""WITH opens AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n_open
+        FROM orders GROUP BY 1),
+      closes AS (
+        SELECT CAST(ship AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n_close
+        FROM (SELECT l_orderkey, max(l_shipdate) AS ship
+              FROM lineitem GROUP BY l_orderkey) x
+        GROUP BY 1),
+      grid AS (
+        SELECT coalesce(o.day, c.day) AS day,
+          coalesce(n_open, 0) AS opened,
+          coalesce(n_close, 0) AS closed
+        FROM opens o FULL JOIN closes c ON o.day = c.day)
+      SELECT day, opened, closed,
+        CAST(sum(opened) OVER w - sum(closed) OVER w AS BIGINT)
+          AS backlog
+      FROM grid
+      WINDOW w AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY day NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
     qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,
-    qAggGini, qEventsDauMau, qOrdersLeadtime)
+    qAggGini, qEventsDauMau, qOrdersLeadtime, qOrdersBacklog)
 }

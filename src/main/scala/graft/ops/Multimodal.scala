@@ -1180,9 +1180,78 @@ object Multimodal {
               s.n_gct, s.bg_idx, s.n
             ORDER BY s.doc_id NULLS FIRST"""))
 
+  /** Scene-cut segmentation (q_multimodal_scenecut): the step after
+    * frame sampling (q_multimodal_frames) in a video curation
+    * pipeline — adjacent-frame feature deltas above a threshold mark
+    * shot boundaries, and clips are described by their cut census.
+    * Frame features vary per frame through a different md5 header byte
+    * (ascii of hex digit 1 + frame mod 8) plus a stride term, so cuts
+    * land content-dependently; the lag runs per video (keyed window,
+    * frames-per-video bounded by the container header). Output: per
+    * video the frame count, cut count and first cut index — all
+    * integer arithmetic. */
+  val qMultimodalScenecut = Q(
+    "q_multimodal_scenecut",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = media(s, d)
+        .filter(col("modality") === "video")
+        .withColumn("n_frames",
+          (lit(1) + ascii(substring(col("md5_hex"), 3, 1)) % 7)
+            .cast("long"))
+        .withColumn("frame_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1)")))
+        .withColumn("feat", expr(
+          """CAST((ascii(substring(md5_hex,
+               CAST(1 + frame_idx % 8 AS INT), 1)) * 7
+             + frame_idx * 13) % 256 AS BIGINT)"""))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("prev", lag(col("feat"), 1).over(w))
+        .withColumn("is_cut",
+          when(col("prev").isNotNull &&
+            abs(col("feat") - col("prev")) > 64L, 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          sum(col("is_cut")).as("n_cuts"),
+          min(when(col("is_cut") === 1L, col("frame_idx")))
+            .as("first_cut_idx"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH vid AS (
+        SELECT doc_id, md5(text) AS md5_hex,
+          CAST(1 + ascii(substr(md5(text), 3, 1)) % 7 AS BIGINT)
+            AS n_frames
+        FROM documents WHERE doc_id % 3 = 2),
+      frames AS (
+        SELECT doc_id, n_frames,
+          unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1))
+            AS frame_idx,
+          md5_hex
+        FROM vid),
+      feats AS (
+        SELECT doc_id, n_frames, frame_idx,
+          CAST((ascii(substr(md5_hex,
+              CAST(1 + frame_idx % 8 AS INT), 1)) * 7
+            + frame_idx * 13) % 256 AS BIGINT) AS feat
+        FROM frames),
+      lagged AS (
+        SELECT doc_id, n_frames, frame_idx, feat,
+          lag(feat, 1) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+            AS prev
+        FROM feats)
+      SELECT doc_id, max(n_frames) AS n_frames,
+        CAST(sum(CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 64
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        min(CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 64
+            THEN frame_idx END) AS first_cut_idx
+      FROM lagged
+      GROUP BY doc_id
+      ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
       qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs,
-      qMultimodalPhashAudit, qMultimodalGif)
+      qMultimodalPhashAudit, qMultimodalGif, qMultimodalScenecut)
 }

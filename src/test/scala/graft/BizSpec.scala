@@ -211,4 +211,45 @@ class BizSpec extends SparkSuite {
       r.getAs[Double]("recall_at_10")).toMap
     assert(byV("multiband") >= byV("lsh"))
   }
+
+  test("orders_backlog: interval accounting conserves and replays") {
+    val rows = q("q_orders_backlog").collect()
+    val nOrders = Tables.t(spark, sf0, "orders").count()
+    val nClosed = Tables.t(spark, sf0, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("opened")).sum === nOrders)
+    assert(rows.map(_.getAs[Long]("closed")).sum === nClosed)
+    // running identity: backlog == cum(opened) - cum(closed) row by row
+    var co = 0L; var cc = 0L
+    rows.foreach { r =>
+      co += r.getAs[Long]("opened"); cc += r.getAs[Long]("closed")
+      assert(r.getAs[Long]("backlog") === co - cc)
+    }
+    // final backlog = orders that never shipped a line
+    assert(rows.last.getAs[Long]("backlog") === nOrders - nClosed)
+  }
+
+  test("multimodal_scenecut: cut census matches a scalar feature walk") {
+    val got = SparkEntry.queries("q_multimodal_scenecut")(spark, sf0)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts")))
+      .toMap
+    val docs = Tables.t(spark, sf0, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, hex) =>
+      val nf = 1 + (hex.charAt(2).toInt % 7)
+      val feats = (0 until nf).map(i =>
+        (hex.charAt(i % 8).toInt * 7 + i * 13) % 256)
+      val cuts = feats.sliding(2).count {
+        case Seq(a, b) => math.abs(b - a) > 64
+        case _ => false
+      }
+      val (gn, gc) = got(id)
+      assert(gn === nf.toLong, s"doc $id frames")
+      assert(gc === cuts.toLong, s"doc $id cuts")
+    }
+  }
 }
