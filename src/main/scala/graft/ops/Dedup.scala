@@ -1405,10 +1405,78 @@ object Dedup {
     },
     qDedupIncremental.oracle)
 
+  /** Containment near-superset pairs (q_dedup_containment): the
+    * one-sided overlap C = |A∩B| / min(|A|,|B|) ≥ 0.8 — the measure
+    * that catches a small document embedded in a larger one, where
+    * symmetric Jaccard is diluted by the size gap (the classic
+    * quote/aggregate-page case). Candidates come from the SAME shared
+    * minhash banding as q_dedup_near (both engines walk identical
+    * candidate sets, so the oracle is exact); the sub/sup roles assign
+    * by set size with the lower doc_id breaking ties. A production
+    * corpus tuned for containment recall would band the SMALLER set's
+    * shingles (prefix-filter style) — noted here because Jaccard-LSH
+    * bands under-recall extreme size ratios; on this corpus the
+    * containment pairs are also band-collisions, verified by the
+    * all-pairs audit in DedupSpec. */
+  val qDedupContainment = Q(
+    "q_dedup_containment",
+    (s, d) => {
+      val sets = minhashWithSets(s, d)
+        .select(col("doc_id"), col("hs"), col("sz"))
+      val bands = lshBands(minhashWithSets(s, d))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sets.as("za"), col("a_id") === col("za.doc_id"))
+        .join(sets.as("zb"), col("b_id") === col("zb.doc_id"))
+        .withColumn("n_common",
+          expr("size(array_intersect(za.hs, zb.hs))").cast("long"))
+        .withColumn("containment", round(col("n_common") * lit(1.0) /
+          least(col("za.sz"), col("zb.sz")), 6))
+        .filter(col("containment") >= 0.8)
+        .selectExpr(
+          "CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND a_id < b_id)" +
+            " THEN a_id ELSE b_id END AS sub_id",
+          "CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND a_id < b_id)" +
+            " THEN b_id ELSE a_id END AS sup_id",
+          "n_common", "containment",
+          "round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)" +
+            " AS jaccard")
+        .orderBy(col("sub_id"), col("sup_id"))
+    },
+    Some(s"""$bandsCteSql,
+       cand AS (
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+       scored AS (
+         SELECT a_id, b_id, za.sz AS asz, zb.sz AS bsz,
+           CAST(len(list_intersect(za.hs, zb.hs)) AS BIGINT) AS n_common
+         FROM cand
+         JOIN shingle_sets za ON za.doc_id = a_id
+         JOIN shingle_sets zb ON zb.doc_id = b_id)
+       SELECT
+         CASE WHEN asz < bsz OR (asz = bsz AND a_id < b_id)
+           THEN a_id ELSE b_id END AS sub_id,
+         CASE WHEN asz < bsz OR (asz = bsz AND a_id < b_id)
+           THEN b_id ELSE a_id END AS sup_id,
+         n_common,
+         round(n_common * 1.0 / least(asz, bsz), 6) AS containment,
+         round(n_common * 1.0 / (asz + bsz - n_common), 6) AS jaccard
+       FROM scored
+       WHERE n_common * 1.0 / least(asz, bsz) >= 0.8
+       ORDER BY sub_id NULLS FIRST, sup_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
     qDedupIncremental, qDedupClusterKeep, qDedupLshAudit,
-    qDedupSemanticAudit, qDedupBloomIngest)
+    qDedupSemanticAudit, qDedupBloomIngest, qDedupContainment)
 }

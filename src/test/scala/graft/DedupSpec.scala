@@ -291,4 +291,45 @@ class DedupSpec extends SparkSuite {
         s"keeper not quality-maximal in comp ${r.getAs[Long]("comp")}")
     }
   }
+
+  test("containment: banded pairs cover the all-pairs >= 0.8 ground truth") {
+    val got = SparkEntry.queries("q_dedup_containment")(spark, sf0)
+      .collect()
+      .map(r => (r.getAs[Long]("sub_id"), r.getAs[Long]("sup_id")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("containment")))
+      .toMap
+    // scalar shingle sets: distinct md5-first8 hashes of 5-gram strings
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(sh: String): Long = {
+      val hex = md.digest(sh.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val sets = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        if (toks.length < 5) None
+        else Some(r.getLong(0) -> toks.sliding(5)
+          .map(w => h32(w.mkString(" "))).toSet)
+      }.toMap
+    val ids = sets.keys.toSeq.sorted
+    var truth = 0
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val nc = (sets(a) & sets(b)).size.toLong
+      val cont = nc.toDouble / math.min(sets(a).size, sets(b).size)
+      if (cont >= 0.8) {
+        truth += 1
+        val (sub, sup) =
+          if (sets(a).size < sets(b).size ||
+            (sets(a).size == sets(b).size && a < b)) (a, b)
+          else (b, a)
+        val hit = got.get((sub, sup))
+        assert(hit.isDefined, s"missing containment pair ($sub,$sup)")
+        assert(hit.get._1 === nc)
+      }
+    }
+    // banding produced no false pairs beyond the ground truth either
+    assert(got.size === truth)
+  }
 }
