@@ -878,6 +878,143 @@ object Causal {
       FROM scored
       GROUP BY f1, t1, f2, t2"""))
 
+  // ---- q_ml_kfold -------------------------------------------------------
+
+  /** 5-fold cross-validated stump accuracy (q_ml_kfold): the model-
+    * selection harness — rows hash into 5 folds, each fold's stump
+    * trains on the other four and scores on its own. The trick that
+    * keeps this ONE pass over the corpus: the per-(fold, feature,
+    * value) grid plus the per-(feature, value) totals give every
+    * fold's TRAINING counts by subtraction (total − own fold), so 5
+    * models train from a single aggregate — k-fold CV at 100 TB costs
+    * one scan + domain-bounded grid algebra, not k scans. Stumps pick
+    * weighted-majority labels with the q_ml_adaboost tie rules;
+    * argmin per fold breaks ties lexicographically. */
+  val qMlKfold = Q(
+    "q_ml_kfold",
+    (s, d) => {
+      val rows = ev(s, d).select(
+        when(col("event_type") === "error", 1L).otherwise(0L).as("y"),
+        hour(col("ts")).cast("long").as("f_hour"),
+        floor(col("value") * 100 + 0.5).cast("long").as("f_cents"),
+        expr("""CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),
+             16, 10) AS BIGINT) % 5""").as("fold"))
+      val stacked = rows.selectExpr(
+        "stack(2, 'hour', f_hour, 'cents', f_cents) AS (feature, x)",
+        "y", "fold")
+      val perFold = stacked.groupBy(col("fold"), col("feature"), col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val cells = stacked.groupBy(col("feature"), col("x"))
+        .agg(count(lit(1)).as("tn"), sum(col("y")).as("tpos"))
+      val folds = s.range(5).select(col("id").as("fold"))
+      val train = cells.crossJoin(broadcast(folds))
+        .join(perFold, Seq("fold", "feature", "x"), "left")
+        .select(col("fold"), col("feature"), col("x"),
+          (col("tn") - coalesce(col("n"), lit(0L))).as("n"),
+          (col("tpos") - coalesce(col("pos"), lit(0L))).as("pos"))
+      val wCum = Window.partitionBy(col("fold"), col("feature"))
+        .orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("fold"), col("feature"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = train
+        .withColumn("wl", sum(col("n")).over(wCum))
+        .withColumn("wlp", sum(col("pos")).over(wCum))
+        .withColumn("wt", sum(col("n")).over(wAll))
+        .withColumn("wtp", sum(col("pos")).over(wAll))
+        .filter(col("wl") < col("wt"))
+        .selectExpr("fold", "feature", "x AS thr",
+          "CASE WHEN 2 * wlp > wl THEN 1L ELSE 0L END AS pred_l",
+          "CASE WHEN 2 * (wtp - wlp) > wt - wl THEN 1L ELSE 0L END" +
+            " AS pred_r",
+          """CASE WHEN wlp < wl - wlp THEN wlp ELSE wl - wlp END
+             + CASE WHEN wtp - wlp < (wt - wl) - (wtp - wlp)
+               THEN wtp - wlp ELSE (wt - wl) - (wtp - wlp) END
+             AS werr""")
+      val best = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("fold"))
+            .orderBy(col("werr"), col("feature"), col("thr"))))
+        .filter(col("rk") === 1)
+        .select(col("fold").as("bfold"), col("feature"), col("thr"),
+          col("pred_l"), col("pred_r"))
+      rows.join(broadcast(best), col("fold") === col("bfold"))
+        .withColumn("pred", expr(
+          """CASE WHEN (CASE WHEN feature = 'hour' THEN f_hour
+             ELSE f_cents END) <= thr THEN pred_l ELSE pred_r END"""))
+        .groupBy(col("fold"), col("feature"), col("thr"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .selectExpr("fold", "feature", "thr AS threshold", "n_test",
+          "n_correct",
+          "round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy")
+        .orderBy(col("fold"))
+    },
+    Some("""WITH rows_ AS (
+        SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+          CAST(extract(hour FROM ts) AS BIGINT) AS f_hour,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS f_cents,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 5 AS fold
+        FROM events),
+      stacked AS (
+        SELECT 'hour' AS feature, f_hour AS x, y, fold FROM rows_
+        UNION ALL SELECT 'cents', f_cents, y, fold FROM rows_),
+      perfold AS (
+        SELECT fold, feature, x, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS pos
+        FROM stacked GROUP BY fold, feature, x),
+      cells AS (
+        SELECT feature, x, CAST(count(*) AS BIGINT) AS tn,
+          CAST(sum(y) AS BIGINT) AS tpos
+        FROM stacked GROUP BY feature, x),
+      train AS (
+        SELECT f.fold, c.feature, c.x,
+          tn - coalesce(n, 0) AS n, tpos - coalesce(pos, 0) AS pos
+        FROM cells c
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS fold) f
+        LEFT JOIN perfold p ON p.fold = f.fold
+          AND p.feature = c.feature AND p.x = c.x),
+      cum AS (
+        SELECT fold, feature, x,
+          CAST(sum(n) OVER wc AS BIGINT) AS wl,
+          CAST(sum(pos) OVER wc AS BIGINT) AS wlp,
+          CAST(sum(n) OVER wa AS BIGINT) AS wt,
+          CAST(sum(pos) OVER wa AS BIGINT) AS wtp
+        FROM train
+        WINDOW wc AS (PARTITION BY fold, feature ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wa AS (PARTITION BY fold, feature)),
+      scored AS (
+        SELECT fold, feature, x AS thr,
+          CASE WHEN 2 * wlp > wl THEN 1 ELSE 0 END AS pred_l,
+          CASE WHEN 2 * (wtp - wlp) > wt - wl THEN 1 ELSE 0 END
+            AS pred_r,
+          CASE WHEN wlp < wl - wlp THEN wlp ELSE wl - wlp END
+          + CASE WHEN wtp - wlp < (wt - wl) - (wtp - wlp)
+            THEN wtp - wlp ELSE (wt - wl) - (wtp - wlp) END AS werr
+        FROM cum WHERE wl < wt),
+      best AS (
+        SELECT fold, feature, thr, pred_l, pred_r FROM (
+          SELECT *, row_number() OVER (PARTITION BY fold
+            ORDER BY werr, feature, thr) AS rk
+          FROM scored) b
+        WHERE rk = 1)
+      SELECT r.fold, b.feature, b.thr AS threshold,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN (CASE WHEN (CASE WHEN b.feature = 'hour'
+                    THEN r.f_hour ELSE r.f_cents END) <= b.thr
+                  THEN b.pred_l ELSE b.pred_r END) = r.y
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        round(sum(CASE WHEN (CASE WHEN (CASE WHEN b.feature = 'hour'
+                     THEN r.f_hour ELSE r.f_cents END) <= b.thr
+                   THEN b.pred_l ELSE b.pred_r END) = r.y
+                THEN 1 ELSE 0 END) * 1.0e0 / count(*), 6) AS accuracy
+      FROM rows_ r JOIN best b ON r.fold = b.fold
+      GROUP BY r.fold, b.feature, b.thr
+      ORDER BY r.fold NULLS FIRST"""))
+
   // ---- q_stats_bootstrap ------------------------------------------------
 
   /** Poisson-bootstrap confidence interval (q_stats_bootstrap): the
@@ -1397,7 +1534,8 @@ object Causal {
 
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
-    qMlAdaboost, qStatsBootstrap, qStatsPermutation, qAggLoghist,
+    qMlAdaboost, qMlKfold, qStatsBootstrap, qStatsPermutation,
+    qAggLoghist,
     qGraphCloseness, qGraphEffDiameter, qGraphBetweenness)
 }
 

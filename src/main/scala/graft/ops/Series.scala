@@ -662,7 +662,100 @@ object Series {
       FROM rranked
       WHERE r = (m + 1) // 2 OR r = (m + 2) // 2"""))
 
+  // ---- q_ts_stl ---------------------------------------------------------
+
+  /** STL-lite decomposition (q_ts_stl): daily revenue split into trend
+    * + weekly seasonal + residual — the classical decomposition
+    * (centered 7-day moving-average trend, per-weekday mean seasonal
+    * re-centered to sum zero) that q_ts_seasonal's strength score
+    * summarizes. INTEGER-exact: revenue is cents, the trend is
+    * (7-day sum × 1e6) div 7 micro-cents over a full ±3 window, the
+    * seasonal means and their centering are BIGINT divisions, and the
+    * residual is a subtraction — both engines agree to the last digit
+    * before the single emission rounding. Weekday keys use Spark's
+    * 1=Sun..7=Sat convention (the oracle maps DuckDB's 0-based). All
+    * windows run over the bounded day grid after one keyed aggregate
+    * of the corpus. */
+  val qTsStl = Q(
+    "q_ts_stl",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+        .withColumn("wd", dayofweek(col("day")).cast("long"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val withTrend = days
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend_micro",
+          when(col("n7") === 7L,
+            expr("sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING" +
+              " AND 3 FOLLOWING) * 1000000L div 7")))
+        .withColumn("detr",
+          when(col("trend_micro").isNotNull,
+            col("rev") * 1000000L - col("trend_micro")))
+      val wWd = Window.partitionBy(col("wd"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      withTrend
+        .withColumn("s_raw", expr(
+          "sum(detr) OVER (PARTITION BY wd) div count(detr) OVER" +
+            " (PARTITION BY wd)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("wd")).orderBy(col("day"))))
+        .withColumn("s_mean", expr(
+          "(sum(CASE WHEN rn = 1 THEN s_raw END) OVER ()) div 7"))
+        .withColumn("seasonal_micro", col("s_raw") - col("s_mean"))
+        .withColumn("resid_micro",
+          col("detr") - col("seasonal_micro"))
+        .selectExpr("day", "wd", "rev",
+          "round(trend_micro / 1e6, 6) AS trend",
+          "round(seasonal_micro / 1e6, 6) AS seasonal",
+          "round(resid_micro / 1e6, 6) AS resid")
+        .orderBy(col("day"))
+    },
+    Some("""WITH days AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM events GROUP BY 1),
+      wd_t AS (
+        SELECT day, rev, CAST(dayofweek(day) + 1 AS BIGINT) AS wd
+        FROM days),
+      tr AS (
+        SELECT *,
+          CASE WHEN count(*) OVER w7 = 7
+            THEN CAST(sum(rev) OVER w7 * 1000000 // 7 AS BIGINT)
+          END AS trend_micro
+        FROM wd_t
+        WINDOW w7 AS (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      de AS (
+        SELECT *, CASE WHEN trend_micro IS NOT NULL
+          THEN rev * 1000000 - trend_micro END AS detr
+        FROM tr),
+      sr AS (
+        SELECT *,
+          CAST(sum(detr) OVER (PARTITION BY wd)
+               // count(detr) OVER (PARTITION BY wd) AS BIGINT)
+            AS s_raw,
+          row_number() OVER (PARTITION BY wd ORDER BY day) AS rn
+        FROM de),
+      sm AS (
+        SELECT *,
+          CAST((sum(CASE WHEN rn = 1 THEN s_raw END) OVER ()) // 7
+            AS BIGINT) AS s_mean
+        FROM sr)
+      SELECT day, wd, rev,
+        round(trend_micro / 1e6, 6) AS trend,
+        round((s_raw - s_mean) / 1e6, 6) AS seasonal,
+        round((detr - (s_raw - s_mean)) / 1e6, 6) AS resid
+      FROM sm
+      ORDER BY day NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
-    qTsChangepoint, qAggTheilsen)
+    qTsChangepoint, qAggTheilsen, qTsStl)
 }

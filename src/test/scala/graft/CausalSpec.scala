@@ -355,6 +355,75 @@ class CausalSpec extends SparkSuite {
       row.getAs[Double]("ndcg_at_10") <= 1.0)
   }
 
+  test("ts_stl: decomposition reconstructs revenue exactly") {
+    val rows = SparkEntry.queries("q_ts_stl")(spark, sf0).collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("trend"))) {
+        val rev = r.getAs[Long]("rev").toDouble
+        val recon = r.getAs[Double]("trend") +
+          r.getAs[Double]("seasonal") + r.getAs[Double]("resid")
+        assert(math.abs(recon - rev) < 1e-3,
+          s"day ${r.get(0)}: $recon != $rev")
+      }
+    }
+    // trend only where the 7-day window is full (edges null)
+    assert(rows.take(3).forall(_.isNullAt(rows.head.fieldIndex("trend"))))
+    assert(rows.takeRight(3)
+      .forall(_.isNullAt(rows.head.fieldIndex("trend"))))
+    // weekday seasonal is constant per weekday
+    val byWd = rows.filter(!_.isNullAt(rows.head.fieldIndex("seasonal")))
+      .groupBy(_.getAs[Long]("wd"))
+    byWd.values.foreach { g =>
+      assert(g.map(_.getAs[Double]("seasonal")).distinct.length === 1)
+    }
+  }
+
+  test("ml_kfold: per-fold stumps match a scalar train/test replay") {
+    val got = SparkEntry.queries("q_ml_kfold")(spark, sf0).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        (r.getAs[String]("feature"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("n_test"), r.getAs[Long]("n_correct")))
+      .toMap
+    val data = Tables.t(spark, sf0, "events")
+      .select(when(col("event_type") === "error", 1L).otherwise(0L),
+        hour(col("ts")).cast("long"),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        col("event_id"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          md5u32(r.getLong(3).toString) % 5L)
+      }
+    (0L until 5L).foreach { f =>
+      val train = data.filter(_._4 != f)
+      def search(feat: String, x: ((Long, Long, Long, Long)) => Long) = {
+        val wt = train.length.toLong
+        val wtp = train.count(_._1 == 1L).toLong
+        val cells = train.groupBy(x).toSeq.sortBy(_._1)
+        var wl = 0L; var wlp = 0L
+        cells.dropRight(1).map { case (xv, g) =>
+          wl += g.length; wlp += g.count(_._1 == 1L)
+          val werr = math.min(wlp, wl - wlp) +
+            math.min(wtp - wlp, (wt - wl) - (wtp - wlp))
+          (werr, feat, xv,
+            if (2 * wlp > wl) 1L else 0L,
+            if (2 * (wtp - wlp) > wt - wl) 1L else 0L)
+        }
+      }
+      val cands = search("hour", _._2) ++ search("cents", _._3)
+      val (_, feat, thr, pl, pr) = cands.minBy(c => (c._1, c._2, c._3))
+      val test = data.filter(_._4 == f)
+      val correct = test.count { r =>
+        val x = if (feat == "hour") r._2 else r._3
+        (if (x <= thr) pl else pr) == r._1
+      }
+      val (gf, gt, gn, gc) = got(f)
+      assert(gf === feat, s"fold $f feature")
+      assert(gt === thr, s"fold $f threshold")
+      assert(gn === test.length.toLong)
+      assert(gc === correct.toLong, s"fold $f correct")
+    }
+  }
+
   test("loghist: bit-length buckets match, median_est on one row only") {
     val rows = q("q_agg_loghist").collect()
     val cs = Tables.t(spark, sf0, "events")
