@@ -239,8 +239,92 @@ object GraphScores {
                   / (4.0e0 * CAST(m AS DOUBLE) * m), 6) AS modularity
             FROM cnts, a2"""))
 
+  // ---- q_graph_conductance ----------------------------------------------
+
+  /** Per-community conductance (q_graph_conductance): the cut-quality
+    * companion to modularity — φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    * for the 10 largest label-propagation communities. Modularity
+    * scores the whole partition; conductance flags WHICH communities
+    * leak (a well-separated cluster has φ ≪ 1 even when the global Q
+    * is mediocre). Composes the same shared labelPropLabels program
+    * and cached edge list; volumes and cuts are exact integer
+    * aggregates over the labeled edges, the ratio is one integer
+    * micro-division (1e6·cut div min-vol). */
+  val qGraphConductance = Q(
+    "q_graph_conductance",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = Insights.undirectedLinkEdges(s, d)
+      val labels = Insights.labelPropLabels(s, d)
+      val flagged = und
+        .join(labels.select(col("node").as("na"), col("lbl").as("la")),
+          col("a") === col("na"))
+        .join(labels.select(col("node").as("nb"), col("lbl").as("lb")),
+          col("b") === col("nb"))
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val vol = deg.join(labels, col("v") === col("node"))
+        .groupBy(col("lbl"))
+        .agg(sum(col("deg")).as("vol"), count(lit(1)).as("n_nodes"))
+      val cutA = flagged.filter(col("la") =!= col("lb"))
+        .select(col("la").as("lbl"))
+      val cutB = flagged.filter(col("la") =!= col("lb"))
+        .select(col("lb").as("lbl"))
+      val cut = cutA.unionAll(cutB)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("cut"))
+      val m2 = und.agg((count(lit(1)) * 2L).as("vol_total"))
+      vol.join(cut, Seq("lbl"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("lbl"), col("n_nodes"), col("vol"),
+          coalesce(col("cut"), lit(0L)).as("cut"), col("vol_total"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_nodes").desc, col("lbl"))))
+        .filter(col("rk") <= 10)
+        .selectExpr("lbl", "n_nodes", "vol", "cut",
+          """round(CASE WHEN least(vol, vol_total - vol) > 0
+             THEN (1000000L * cut div least(vol, vol_total - vol)) / 1e6
+             END, 6) AS conductance""")
+        .orderBy(col("n_nodes").desc, col("lbl"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+        ${Insights.labelPropCteSql},
+        flagged AS (
+          SELECT u.a, u.b, la.lbl AS la, lb.lbl AS lb
+          FROM und u
+          JOIN l3 la ON u.a = la.node
+          JOIN l3 lb ON u.b = lb.node),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+          GROUP BY v),
+        vol AS (
+          SELECT lbl, CAST(sum(deg) AS BIGINT) AS vol,
+            CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg JOIN l3 ON v = node GROUP BY lbl),
+        cut AS (
+          SELECT lbl, CAST(count(*) AS BIGINT) AS cut FROM (
+            SELECT la AS lbl FROM flagged WHERE la <> lb
+            UNION ALL SELECT lb FROM flagged WHERE la <> lb) c
+          GROUP BY lbl),
+        m2 AS (SELECT CAST(count(*) * 2 AS BIGINT) AS vol_total
+               FROM und),
+        ranked AS (
+          SELECT v.lbl, n_nodes, vol, coalesce(cut, 0) AS cut,
+            vol_total,
+            row_number() OVER (ORDER BY n_nodes DESC, v.lbl) AS rk
+          FROM vol v LEFT JOIN cut c ON v.lbl = c.lbl
+          CROSS JOIN m2)
+      SELECT lbl, n_nodes, vol, cut,
+        round(CASE WHEN least(vol, vol_total - vol) > 0
+          THEN (1000000 * cut // least(vol, vol_total - vol)) / 1e6
+          END, 6) AS conductance
+      FROM ranked
+      WHERE rk <= 10
+      ORDER BY n_nodes DESC, lbl NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qGraphKcore, qGraphAssortativity,
-    qGraphModularity)
+    qGraphModularity, qGraphConductance)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

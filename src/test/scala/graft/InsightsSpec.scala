@@ -494,4 +494,41 @@ class InsightsSpec extends SparkSuite {
       assert(r.getAs[Long]("common") >= 1L)
     }
   }
+
+  test("conductance: per-community cut ratios match a scalar replay") {
+    val got = SparkEntry.queries("q_graph_conductance")(spark, sf0)
+      .collect()
+      .map(r => r.getAs[Long]("lbl") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("vol"),
+          r.getAs[Long]("cut"), r.getAs[Double]("conductance")))
+      .toMap
+    val lbl = ops.Insights.labelPropLabels(spark, sf0).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    val und = ops.Insights.undirectedLinkEdges(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val volTotal = 2L * und.length
+    val deg = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    und.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val vol = deg.toSeq.groupBy(x => lbl(x._1)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nNodes = lbl.toSeq.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val cut = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    und.foreach { case (a, b) =>
+      if (lbl(a) != lbl(b)) { cut(lbl(a)) += 1; cut(lbl(b)) += 1 }
+    }
+    got.foreach { case (c, (gn, gv, gc, gphi)) =>
+      assert(gn === nNodes(c))
+      assert(gv === vol(c))
+      assert(gc === cut(c))
+      val mn = math.min(vol(c), volTotal - vol(c))
+      if (mn > 0)
+        assert(math.abs(gphi - (1000000L * cut(c) / mn) / 1e6) < 1e-9)
+    }
+    // top-10 by size really are the largest communities
+    val minN = got.values.map(_._1).min
+    assert(nNodes.values.count(_ > minN) <= 10)
+  }
 }
