@@ -1212,6 +1212,65 @@ object Causal {
       FROM perb CROSS JOIN obs2
       GROUP BY na, nb, t_obs"""))
 
+  // ---- q_stats_power ----------------------------------------------------
+
+  /** Two-sample power analysis (q_stats_power): the experiment-design
+    * calculator — given the OBSERVED purchase-value variance, how many
+    * samples per arm detect a 1%/2%/5%/10% lift of the observed mean
+    * at α=0.05, power 0.8? n = 2σ²(z_{α/2}+z_β)²/δ². Variance comes
+    * from the exact cent sufficient statistics (Σc, Σc² in
+    * DECIMAL/HUGEINT — population σ²); z constants are fixed double
+    * literals; one corpus aggregate, four output rows of constant
+    * algebra, ceil to whole samples identically in both engines. */
+  val qStatsPower = Q(
+    "q_stats_power",
+    (s, d) => {
+      val st = ev(s, d).filter(col("event_type") === "purchase")
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+      st.crossJoin(
+        s.range(1).selectExpr(
+          "explode(array(1L, 2L, 5L, 10L)) AS lift_pct"))
+        .selectExpr("lift_pct", "n",
+          "round(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_value",
+          """round(sqrt((CAST(sc2 AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / n)
+             / 100, 6) AS stddev_value""",
+          // z_{0.025}=1.959963985, z_{0.2}=0.8416212336
+          """CAST(ceil(
+               2.0D * ((CAST(sc2 AS DOUBLE)
+                   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / n)
+               * (1.959963985D + 0.8416212336D)
+               * (1.959963985D + 0.8416212336D)
+               / ((CAST(sc AS DOUBLE) / n * lift_pct / 100.0D)
+                  * (CAST(sc AS DOUBLE) / n * lift_pct / 100.0D)))
+             AS BIGINT) AS n_per_arm""")
+        .orderBy(col("lift_pct"))
+    },
+    Some("""WITH st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(c AS HUGEINT)) AS sc,
+          sum(CAST(c AS HUGEINT) * c) AS sc2
+        FROM (SELECT CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+              FROM events WHERE event_type = 'purchase') x)
+      SELECT lift_pct, n,
+        round(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_value,
+        round(sqrt((CAST(sc2 AS DOUBLE)
+            - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / n)
+          / 100, 6) AS stddev_value,
+        CAST(ceil(
+          2.0e0 * ((CAST(sc2 AS DOUBLE)
+              - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / n)
+          * (1.959963985e0 + 0.8416212336e0)
+          * (1.959963985e0 + 0.8416212336e0)
+          / ((CAST(sc AS DOUBLE) / n * lift_pct / 100.0e0)
+             * (CAST(sc AS DOUBLE) / n * lift_pct / 100.0e0)))
+          AS BIGINT) AS n_per_arm
+      FROM st CROSS JOIN (SELECT unnest([1, 2, 5, 10]) AS lift_pct)
+      ORDER BY lift_pct NULLS FIRST"""))
+
   // ---- q_agg_loghist ----------------------------------------------------
 
   /** Power-of-two log histogram (q_agg_loghist): the HdrHistogram /
@@ -1535,7 +1594,7 @@ object Causal {
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
     qMlAdaboost, qMlKfold, qStatsBootstrap, qStatsPermutation,
-    qAggLoghist,
+    qStatsPower, qAggLoghist,
     qGraphCloseness, qGraphEffDiameter, qGraphBetweenness)
 }
 

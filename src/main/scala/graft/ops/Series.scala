@@ -676,47 +676,41 @@ object Series {
     * 1=Sun..7=Sat convention (the oracle maps DuckDB's 0-based). All
     * windows run over the bounded day grid after one keyed aggregate
     * of the corpus. */
-  val qTsStl = Q(
-    "q_ts_stl",
-    (sp, dir) => {
-      implicit val s: SparkSession = sp
-      implicit val d: String = dir
-      val days = events
-        .select(to_date(col("ts")).as("day"),
-          floor(col("value") * 100 + 0.5).cast("long").as("c"))
-        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
-        .withColumn("wd", dayofweek(col("day")).cast("long"))
-      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
-      val withTrend = days
-        .withColumn("n7", count(lit(1)).over(w7))
-        .withColumn("trend_micro",
-          when(col("n7") === 7L,
-            expr("sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING" +
-              " AND 3 FOLLOWING) * 1000000L div 7")))
-        .withColumn("detr",
-          when(col("trend_micro").isNotNull,
-            col("rev") * 1000000L - col("trend_micro")))
-      val wWd = Window.partitionBy(col("wd"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      withTrend
-        .withColumn("s_raw", expr(
-          "sum(detr) OVER (PARTITION BY wd) div count(detr) OVER" +
-            " (PARTITION BY wd)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("wd")).orderBy(col("day"))))
-        .withColumn("s_mean", expr(
-          "(sum(CASE WHEN rn = 1 THEN s_raw END) OVER ()) div 7"))
-        .withColumn("seasonal_micro", col("s_raw") - col("s_mean"))
-        .withColumn("resid_micro",
-          col("detr") - col("seasonal_micro"))
-        .selectExpr("day", "wd", "rev",
-          "round(trend_micro / 1e6, 6) AS trend",
-          "round(seasonal_micro / 1e6, 6) AS seasonal",
-          "round(resid_micro / 1e6, 6) AS resid")
-        .orderBy(col("day"))
-    },
-    Some("""WITH days AS (
+  /** The STL-lite decomposition over a settled (day, rev-cents) frame —
+    * shared by the batch query and its streaming twin (the stream
+    * drains the daily aggregate, then decomposes the settled grid). */
+  private[graft] def stlDecompose(days0: DataFrame): DataFrame = {
+    val days = days0.withColumn("wd", dayofweek(col("day")).cast("long"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val withTrend = days
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend_micro",
+        when(col("n7") === 7L,
+          expr("sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING" +
+            " AND 3 FOLLOWING) * 1000000L div 7")))
+      .withColumn("detr",
+        when(col("trend_micro").isNotNull,
+          col("rev") * 1000000L - col("trend_micro")))
+    withTrend
+      .withColumn("s_raw", expr(
+        "sum(detr) OVER (PARTITION BY wd) div count(detr) OVER" +
+          " (PARTITION BY wd)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("wd")).orderBy(col("day"))))
+      .withColumn("s_mean", expr(
+        "(sum(CASE WHEN rn = 1 THEN s_raw END) OVER ()) div 7"))
+      .withColumn("seasonal_micro", col("s_raw") - col("s_mean"))
+      .withColumn("resid_micro",
+        col("detr") - col("seasonal_micro"))
+      .selectExpr("day", "wd", "rev",
+        "round(trend_micro / 1e6, 6) AS trend",
+        "round(seasonal_micro / 1e6, 6) AS seasonal",
+        "round(resid_micro / 1e6, 6) AS resid")
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB mirror shared by batch and streaming STL. */
+  private[graft] val stlOracleSql: String = """WITH days AS (
         SELECT CAST(ts AS DATE) AS day,
           CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
             AS BIGINT) AS rev
@@ -753,7 +747,19 @@ object Series {
         round((s_raw - s_mean) / 1e6, 6) AS seasonal,
         round((detr - (s_raw - s_mean)) / 1e6, 6) AS resid
       FROM sm
-      ORDER BY day NULLS FIRST"""))
+      ORDER BY day NULLS FIRST"""
+
+  val qTsStl = Q(
+    "q_ts_stl",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      stlDecompose(events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev")))
+    },
+    Some(stlOracleSql))
 
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,

@@ -2002,6 +2002,26 @@ object StreamOps {
     },
     graft.ops.Curate.qMixPareto.oracle)
 
+  /** Streaming STL-lite (q_stream_stl): the daily revenue aggregate
+    * maintained as complete-mode keyed state (one row per day whatever
+    * the stream volume), decomposed into trend + weekly seasonal +
+    * residual AFTER the drain by the exact batch helper
+    * (Series.stlDecompose) — centered moving averages need the settled
+    * grid, so the decomposition belongs to the finalize step, the
+    * reference's drain-then-finalize shape. Identical output and
+    * oracle as q_ts_stl. */
+  val qStreamStl = Q(
+    "q_stream_stl",
+    (s, d) => {
+      val daily = eventsStream(s, d)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+      graft.ops.Series.stlDecompose(
+        drain(s, daily, "stream_stl_tbl", "complete"))
+    },
+    Some(graft.ops.Series.stlOracleSql))
+
   /** Streaming power-of-two histogram (q_stream_loghist): the
     * q_agg_loghist bucketing as a complete-mode streaming aggregate —
     * bit-length buckets are scan-local integer algebra, so the only
@@ -2039,5 +2059,6 @@ object StreamOps {
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
     qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
     qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich,
-    qStreamReconcile, qStreamAttribution, qStreamLoghist, qStreamPareto)
+    qStreamReconcile, qStreamAttribution, qStreamLoghist, qStreamPareto,
+    qStreamStl)
 }
