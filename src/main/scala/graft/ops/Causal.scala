@@ -305,42 +305,38 @@ object Causal {
     * snap (hundreds of ulps wide — summation-order noise cannot cross
     * it, the linreg/kmeans rule) and weights re-snap to 8dp after every
     * update, so both engines walk the identical trajectory. */
-  val qMlLogreg = Q(
-    "q_ml_logreg",
-    (s, d) => {
-      val base = ev(s, d).select(
-        when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
-        (floor(col("value") * 100 + 0.5).cast("long") / 50000.0).as("x1"),
-        (hour(col("ts")).cast("long") / 24.0).as("x2"))
-      var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
-        lit(0.0).as("w2"))
-      for (_ <- 1 to 3) {
-        val g = base.crossJoin(broadcast(w))
-          .withColumn("p",
-            expr("1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2)))"))
-          .agg(round(sum(col("p") - col("y")), 4).as("g0"),
-            round(sum((col("p") - col("y")) * col("x1")), 4).as("g1"),
-            round(sum((col("p") - col("y")) * col("x2")), 4).as("g2"),
-            count(lit(1)).cast("double").as("n"))
-        w = w.crossJoin(g).select(
-          round(col("w0") - lit(2.0) * col("g0") / col("n"), 8).as("w0"),
-          round(col("w1") - lit(2.0) * col("g1") / col("n"), 8).as("w1"),
-          round(col("w2") - lit(2.0) * col("g2") / col("n"), 8).as("w2"))
-      }
-      base.crossJoin(broadcast(w))
-        .withColumn("pred",
-          when(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
-            > 0.0, 1.0).otherwise(0.0))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
-            .as("n_correct"),
-          first(col("w0")).as("f0"), first(col("w1")).as("f1"),
-          first(col("w2")).as("f2"))
-        .selectExpr("n", "n_correct", "round(f0, 8) AS w0",
-          "round(f1, 8) AS w1", "round(f2, 8) AS w2",
-          "round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy")
-    },
-    Some("""WITH base AS (
+  /** Feature frame (y, x1, x2) shared by logreg and the importance
+    * harness. */
+  private def logregBase(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(
+      when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
+      (floor(col("value") * 100 + 0.5).cast("long") / 50000.0).as("x1"),
+      (hour(col("ts")).cast("long") / 24.0).as("x2"))
+
+  /** Three snapped GD steps → the 1-row (w0, w1, w2) weight frame. */
+  private def logregWeights(s: SparkSession, d: String): DataFrame = {
+    val base = logregBase(s, d)
+    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"))
+    for (_ <- 1 to 3) {
+      val g = base.crossJoin(broadcast(w))
+        .withColumn("p",
+          expr("1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2)))"))
+        .agg(round(sum(col("p") - col("y")), 4).as("g0"),
+          round(sum((col("p") - col("y")) * col("x1")), 4).as("g1"),
+          round(sum((col("p") - col("y")) * col("x2")), 4).as("g2"),
+          count(lit(1)).cast("double").as("n"))
+      w = w.crossJoin(g).select(
+        round(col("w0") - lit(2.0) * col("g0") / col("n"), 8).as("w0"),
+        round(col("w1") - lit(2.0) * col("g1") / col("n"), 8).as("w1"),
+        round(col("w2") - lit(2.0) * col("g2") / col("n"), 8).as("w2"))
+    }
+    w
+  }
+
+  /** The 3-step snapped-GD weight chain as DuckDB CTEs (base ..
+    * w3_) — shared by the logreg oracle and the importance harness. */
+  private val logregWeightsCteSql: String = """WITH base AS (
         SELECT CASE WHEN event_type = 'error' THEN 1.0e0 ELSE 0.0e0 END
             AS y,
           CAST(floor(value * 100 + 0.5e0) AS BIGINT) / 50000.0e0 AS x1,
@@ -385,7 +381,27 @@ object Causal {
         SELECT round(w0 - 2.0e0 * g0 / n, 8) AS w0,
           round(w1 - 2.0e0 * g1 / n, 8) AS w1,
           round(w2 - 2.0e0 * g2 / n, 8) AS w2
-        FROM w2_ CROSS JOIN g3_)
+        FROM w2_ CROSS JOIN g3_)"""
+
+  val qMlLogreg = Q(
+    "q_ml_logreg",
+    (s, d) => {
+      val base = logregBase(s, d)
+      val w = logregWeights(s, d)
+      base.crossJoin(broadcast(w))
+        .withColumn("pred",
+          when(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            > 0.0, 1.0).otherwise(0.0))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"),
+          first(col("w0")).as("f0"), first(col("w1")).as("f1"),
+          first(col("w2")).as("f2"))
+        .selectExpr("n", "n_correct", "round(f0, 8) AS w0",
+          "round(f1, 8) AS w1", "round(f2, 8) AS w2",
+          "round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy")
+    },
+    Some(s"""$logregWeightsCteSql
       SELECT CAST(count(*) AS BIGINT) AS n,
         CAST(sum(CASE WHEN (CASE WHEN w0 + w1 * x1 + w2 * x2 > 0.0e0
                             THEN 1.0e0 ELSE 0.0e0 END) = y
@@ -396,6 +412,108 @@ object Causal {
                              THEN 1.0e0 ELSE 0.0e0 END) = y
                   THEN 1 ELSE 0 END) * 1.0e0 / count(*), 6) AS accuracy
       FROM base CROSS JOIN w3_"""))
+
+  // ---- q_ml_featimp -----------------------------------------------------
+
+  /** Permutation feature importance (q_ml_featimp): score the trained
+    * logreg under a deterministic DERANGEMENT of one feature at a time
+    * — the accuracy drop is that feature's importance, the
+    * model-agnostic eval every feature-selection pass runs. The
+    * permutation is hash-cyclic: rows rank by md5(event_id), row i
+    * takes the permuted value of row i mod n + 1 (a single cycle, no
+    * fixed points beyond n=1), so both engines shuffle identically
+    * with no RNG. The rank is a global sort — acceptable for an EVAL
+    * harness (production permutes within partitions or on a sample;
+    * the estimate is unchanged in expectation). One model fit (the
+    * shared 3-step GD weights) + one scan scoring all three variants
+    * via a stacked projection. */
+  val qMlFeatimp = Q(
+    "q_ml_featimp",
+    (s, d) => {
+      val base = ev(s, d).select(
+        when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"),
+        (floor(col("value") * 100 + 0.5).cast("long") / 50000.0)
+          .as("x1"),
+        (hour(col("ts")).cast("long") / 24.0).as("x2"),
+        expr("""CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),
+             16, 10) AS BIGINT)""").as("hsh"),
+        col("event_id"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = base
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("hsh"), col("event_id"))).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wAll))
+      val donor = ranked.select(col("rn").as("drn"),
+        col("x1").as("x1p"), col("x2").as("x2p"))
+      val joined = ranked
+        .join(donor, expr("rn % nn + 1") === col("drn"))
+        .crossJoin(broadcast(logregWeights(s, d)))
+      val scored = joined.selectExpr("y",
+        """stack(3,
+           'base',       CASE WHEN w0 + w1 * x1  + w2 * x2  > 0.0D
+                         THEN 1.0D ELSE 0.0D END,
+           'perm_value', CASE WHEN w0 + w1 * x1p + w2 * x2  > 0.0D
+                         THEN 1.0D ELSE 0.0D END,
+           'perm_hour',  CASE WHEN w0 + w1 * x1  + w2 * x2p > 0.0D
+                         THEN 1.0D ELSE 0.0D END)
+           AS (variant, pred)""")
+      scored.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_base", max(when(col("variant") === "base",
+          col("n_correct"))).over(wAll))
+        .selectExpr("variant", "n", "n_correct",
+          "round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy",
+          "round(CAST(acc_base - n_correct AS DOUBLE) / n, 6)" +
+            " AS importance")
+        .orderBy(col("variant"))
+    },
+    Some(s"""$logregWeightsCteSql,
+      base2 AS (
+        SELECT CASE WHEN event_type = 'error' THEN 1.0e0 ELSE 0.0e0 END
+            AS y,
+          CAST(floor(value * 100 + 0.5e0) AS BIGINT) / 50000.0e0 AS x1,
+          CAST(extract(hour FROM ts) AS BIGINT) / 24.0e0 AS x2,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS hsh,
+          event_id
+        FROM events),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY hsh, event_id)
+            AS BIGINT) AS rn,
+          CAST(count(*) OVER () AS BIGINT) AS nn
+        FROM base2),
+      joined AS (
+        SELECT r.y, r.x1, r.x2, d.x1 AS x1p, d.x2 AS x2p
+        FROM ranked r JOIN ranked d ON r.rn % r.nn + 1 = d.rn),
+      scored AS (
+        SELECT y, 'base' AS variant,
+          CASE WHEN w0 + w1 * x1 + w2 * x2 > 0.0e0
+            THEN 1.0e0 ELSE 0.0e0 END AS pred
+        FROM joined CROSS JOIN w3_
+        UNION ALL
+        SELECT y, 'perm_value',
+          CASE WHEN w0 + w1 * x1p + w2 * x2 > 0.0e0
+            THEN 1.0e0 ELSE 0.0e0 END
+        FROM joined CROSS JOIN w3_
+        UNION ALL
+        SELECT y, 'perm_hour',
+          CASE WHEN w0 + w1 * x1 + w2 * x2p > 0.0e0
+            THEN 1.0e0 ELSE 0.0e0 END
+        FROM joined CROSS JOIN w3_),
+      agg AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct
+        FROM scored GROUP BY variant)
+      SELECT variant, n, n_correct,
+        round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+        round(CAST((SELECT n_correct FROM agg WHERE variant = 'base')
+            - n_correct AS DOUBLE) / n, 6) AS importance
+      FROM agg
+      ORDER BY variant NULLS FIRST"""))
 
   // ---- q_events_attribution ---------------------------------------------
 
@@ -1593,8 +1711,8 @@ object Causal {
 
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
-    qMlAdaboost, qMlKfold, qStatsBootstrap, qStatsPermutation,
-    qStatsPower, qAggLoghist,
+    qMlAdaboost, qMlKfold, qMlFeatimp, qStatsBootstrap,
+    qStatsPermutation, qStatsPower, qAggLoghist,
     qGraphCloseness, qGraphEffDiameter, qGraphBetweenness)
 }
 

@@ -505,6 +505,55 @@ class CausalSpec extends SparkSuite {
     assert(row.getAs[Long]("n_correct") === correct.toLong)
   }
 
+  test("ml_featimp: permuted accuracies match a scalar derangement replay") {
+    val got = SparkEntry.queries("q_ml_featimp")(spark, sf0).collect()
+      .map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("n_correct"), r.getAs[Double]("importance")))
+      .toMap
+    val data = Tables.t(spark, sf0, "events")
+      .select(when(col("event_type") === "error", 1.0).otherwise(0.0),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        hour(col("ts")).cast("long"), col("event_id"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1) / 50000.0,
+        r.getLong(2) / 24.0, r.getLong(3)))
+    def snap(x: Double, dp: Int): Double = {
+      val f = math.pow(10, dp); math.floor(x * f + 0.5) / f
+    }
+    var w = (0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      var g0 = 0.0; var g1 = 0.0; var g2 = 0.0
+      data.foreach { case (y, x1, x2, _) =>
+        val p = 1.0 / (1.0 + math.exp(-(w._1 + w._2 * x1 + w._3 * x2)))
+        g0 += p - y; g1 += (p - y) * x1; g2 += (p - y) * x2
+      }
+      val n = data.length.toDouble
+      w = (snap(w._1 - 2.0 * snap(g0, 4) / n, 8),
+        snap(w._2 - 2.0 * snap(g1, 4) / n, 8),
+        snap(w._3 - 2.0 * snap(g2, 4) / n, 8))
+    }
+    val ranked = data.sortBy { case (_, _, _, id) =>
+      (md5u32(id.toString), id)
+    }
+    val nn = ranked.length
+    def pred(x1: Double, x2: Double): Double =
+      if (w._1 + w._2 * x1 + w._3 * x2 > 0) 1.0 else 0.0
+    var cBase = 0L; var cPermV = 0L; var cPermH = 0L
+    ranked.zipWithIndex.foreach { case ((y, x1, x2, _), i) =>
+      val (dy, dx1, dx2, _) = ranked((i + 1) % nn)
+      val _ = dy
+      if (pred(x1, x2) == y) cBase += 1
+      if (pred(dx1, x2) == y) cPermV += 1
+      if (pred(x1, dx2) == y) cPermH += 1
+    }
+    assert(got("base")._1 === cBase)
+    assert(got("perm_value")._1 === cPermV)
+    assert(got("perm_hour")._1 === cPermH)
+    assert(got("base")._2 === 0.0)
+    assert(math.abs(got("perm_value")._2 -
+      snap((cBase - cPermV).toDouble / nn, 6)) < 1e-9)
+  }
+
   test("ts_changepoint: argmax matches a naive cumulative scan") {
     val row = SparkEntry.queries("q_ts_changepoint")(spark, sf0)
       .collect().head
