@@ -850,6 +850,45 @@ object Relational {
             SELECT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id NULLS FIRST"""))
 
+  /** Multiset set ops (q_setop_all): INTERSECT ALL / EXCEPT ALL — the
+    * bag semantics the DISTINCT variants (q_intersect/q_except) can't
+    * express: per-user day-visit multiplicities survive, so the result
+    * counts how many times a behavior repeats, not whether it occurs.
+    * Spark plans both as aggregate+join (no row-by-row matching), same
+    * as DuckDB; the summary census keeps the output bounded. */
+  val qSetopAll = Q(
+    "q_setop_all",
+    (s, d) => {
+      val e = ev(s, d)
+      def visits(t: String) = e.filter($"event_type" === t)
+        .select($"user_id", to_date($"ts").as("day"))
+      val iAll = visits("click").intersectAll(visits("view"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), $"user_id", $"n")
+      val eAll = visits("click").exceptAll(visits("purchase"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), $"user_id", $"n")
+      iAll.unionAll(eAll).orderBy($"op", $"user_id")
+    },
+    Some("""WITH cl AS (SELECT user_id, CAST(ts AS DATE) AS day
+              FROM events WHERE event_type = 'click'),
+            vw AS (SELECT user_id, CAST(ts AS DATE) AS day
+              FROM events WHERE event_type = 'view'),
+            pu AS (SELECT user_id, CAST(ts AS DATE) AS day
+              FROM events WHERE event_type = 'purchase'),
+            ia AS (SELECT 'intersect_all' AS op, user_id,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM (SELECT * FROM cl INTERSECT ALL
+                         SELECT * FROM vw) x
+                   GROUP BY user_id),
+            ea AS (SELECT 'except_all', user_id,
+                     CAST(count(*) AS BIGINT)
+                   FROM (SELECT * FROM cl EXCEPT ALL
+                         SELECT * FROM pu) y
+                   GROUP BY user_id)
+            SELECT * FROM ia UNION ALL SELECT * FROM ea
+            ORDER BY op NULLS FIRST, user_id NULLS FIRST"""))
+
   val qExcept = Q(
     "q_except",
     (s, d) => {
@@ -1229,6 +1268,6 @@ object Relational {
     qWinRangeFrame, qWinDistribution, qSubqueryExists,
     qAggApproxPercentile, qAggCms,
     qSort, qTopk, qLimit,
-    qUnion, qIntersect, qExcept,
+    qUnion, qIntersect, qExcept, qSetopAll,
     qFnString, qFnDate, qFnMath, qFnArray, qFnMap, qFnJson, qFnCond)
 }

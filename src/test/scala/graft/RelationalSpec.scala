@@ -278,4 +278,33 @@ class RelationalSpec extends SparkSuite {
       assert(r.getAs[Boolean]("matched") === want.isDefined)
     }
   }
+
+  test("setop_all: multiset counts match a scalar bag replay") {
+    val got = SparkEntry.queries("q_setop_all")(spark, sf0).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("user_id")) ->
+        r.getAs[Long]("n")).toMap
+    val ev = Tables.t(spark, sf0, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toLocalDate))
+    def bag(t: String) = ev.filter(_._1 == t)
+      .groupBy(r => (r._2, r._3)).view.mapValues(_.length.toLong).toMap
+    val (cl, vw, pu) = (bag("click"), bag("view"), bag("purchase"))
+    // INTERSECT ALL: per key min multiplicity; EXCEPT ALL: max(0, a - b)
+    val ia = cl.keys.toSeq.filter(vw.contains)
+      .groupBy(_._1).view.mapValues(ks =>
+        ks.map(k => math.min(cl(k), vw(k))).sum).toMap
+    val ea = cl.keys.toSeq
+      .groupBy(_._1).view.mapValues(ks =>
+        ks.map(k => math.max(0L, cl(k) - pu.getOrElse(k, 0L))).sum)
+      .filter(_._2 > 0).toMap
+    ia.foreach { case (u, n) =>
+      assert(got(("intersect_all", u)) === n, s"ia user $u")
+    }
+    ea.foreach { case (u, n) =>
+      assert(got(("except_all", u)) === n, s"ea user $u")
+    }
+    assert(got.count(_._1._1 == "intersect_all") === ia.size)
+    assert(got.count(_._1._1 == "except_all") === ea.size)
+  }
 }
