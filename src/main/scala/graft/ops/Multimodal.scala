@@ -373,9 +373,10 @@ object Multimodal {
     * The DuckDB oracle recomputes both features from the generator
     * arithmetic alone, so a green hash proves byte decode + framing +
     * feature math end to end. */
-  val qMultimodalAudioFeat = Q(
-    "q_multimodal_audio_feat",
-    (s, d) => {
+  /** Decoded per-frame sample windows (doc_id, f, frame[4]) — the
+    * byte-exact WAV decode + framing shared by the feature extractor
+    * and the silence segmenter. */
+  private def audioFrames(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val blobs = Tables.t(s, d, "documents")
         .select(col("doc_id")).as[Long]
@@ -411,6 +412,12 @@ object Multimodal {
           "sequence(CAST(0 AS BIGINT), (n_samples - 4) div 2)")))
         .withColumn("frame", expr(
           "slice(samples, CAST(2 * f + 1 AS INT), 4)"))
+  }
+
+  val qMultimodalAudioFeat = Q(
+    "q_multimodal_audio_feat",
+    (s, d) =>
+      audioFrames(s, d)
         .select(col("doc_id"), col("f"),
           round(sqrt(expr(
             """aggregate(frame, CAST(0 AS DOUBLE),
@@ -420,8 +427,7 @@ object Multimodal {
                     zip_with(slice(frame, 1, 3), slice(frame, 2, 3),
                       (a, b) -> (a >= 0) != (b >= 0)),
                     v -> v))""").cast("long").as("zcr"))
-        .orderBy(col("doc_id"), col("f"))
-    },
+        .orderBy(col("doc_id"), col("f")),
     Some("""WITH spec AS (
               SELECT doc_id, 8 + doc_id % 9 AS n FROM documents),
             frames AS (
@@ -1180,6 +1186,85 @@ object Multimodal {
               s.n_gct, s.bg_idx, s.n
             ORDER BY s.doc_id NULLS FIRST"""))
 
+  /** Silence-run segmentation (q_multimodal_silence): gaps-and-islands
+    * over the decoded audio frames — frames whose INTEGER energy
+    * Σ s² falls below the gate are "silent", consecutive silent frames
+    * merge into runs, and each clip reports its run census (count,
+    * longest, silent share) — the silence-trimming planner an audio
+    * curation pipeline runs after q_multimodal_audio_feat. The gate
+    * compares the exact BIGINT energy (never the rounded RMS double);
+    * islands use the classic f − row_number() grouping inside each
+    * clip (keyed window, frames-per-clip bounded by the header). */
+  val qMultimodalSilence = Q(
+    "q_multimodal_silence",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val framed = audioFrames(s, d)
+        .select(col("doc_id"), col("f"),
+          expr("""aggregate(frame, CAST(0 AS BIGINT),
+               (acc, x) -> acc + x * x)""").as("ss"))
+        .withColumn("silent",
+          when(col("ss") < 1500000000L, 1L).otherwise(0L))
+      val runs = framed.filter(col("silent") === 1L)
+        .withColumn("grp", col("f") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"))))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("longest"))
+      framed.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("silent")).as("n_silent"))
+        .join(runs, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_frames", "n_silent",
+          "coalesce(n_runs, 0L) AS n_runs",
+          "coalesce(longest, 0L) AS longest_run",
+          "round(CAST(n_silent AS DOUBLE) / n_frames, 6)" +
+            " AS silent_share")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH spec AS (
+        SELECT doc_id, 8 + doc_id % 9 AS n FROM documents),
+      frames AS (
+        SELECT doc_id, n, unnest(generate_series(0, (n - 4) // 2)) AS f
+        FROM spec),
+      samp AS (
+        SELECT doc_id, f, unnest(generate_series(0, 3)) AS j
+        FROM frames),
+      vals AS (
+        SELECT doc_id, f,
+          CASE WHEN (doc_id*7919 + (2*f+j)*104729) % 65536 >= 32768
+               THEN (doc_id*7919 + (2*f+j)*104729) % 65536 - 65536
+               ELSE (doc_id*7919 + (2*f+j)*104729) % 65536 END AS s
+        FROM samp),
+      energy AS (
+        SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS ss
+        FROM vals GROUP BY doc_id, f),
+      flagged AS (
+        SELECT doc_id, f,
+          CASE WHEN ss < 1500000000 THEN 1 ELSE 0 END AS silent
+        FROM energy),
+      runs AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+          CAST(max(run_len) AS BIGINT) AS longest
+        FROM (
+          SELECT doc_id, grp, count(*) AS run_len FROM (
+            SELECT doc_id, f,
+              f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                AS grp
+            FROM flagged WHERE silent = 1) g
+          GROUP BY doc_id, grp) r
+        GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(silent) AS BIGINT) AS n_silent
+        FROM flagged GROUP BY doc_id)
+      SELECT t.doc_id, n_frames, n_silent,
+        coalesce(n_runs, 0) AS n_runs,
+        coalesce(longest, 0) AS longest_run,
+        round(CAST(n_silent AS DOUBLE) / n_frames, 6) AS silent_share
+      FROM tot t LEFT JOIN runs r ON t.doc_id = r.doc_id
+      ORDER BY t.doc_id NULLS FIRST"""))
+
   /** Scene-cut segmentation (q_multimodal_scenecut): the step after
     * frame sampling (q_multimodal_frames) in a video curation
     * pipeline — adjacent-frame feature deltas above a threshold mark
@@ -1253,5 +1338,6 @@ object Multimodal {
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
       qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs,
-      qMultimodalPhashAudit, qMultimodalGif, qMultimodalScenecut)
+      qMultimodalPhashAudit, qMultimodalGif, qMultimodalScenecut,
+      qMultimodalSilence)
 }

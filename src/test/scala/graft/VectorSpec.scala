@@ -488,4 +488,40 @@ class VectorSpec extends SparkSuite {
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(hits >= 2, s"expected two partial group limits:\n$p")
   }
+
+  test("multimodal_silence: island census matches a scalar run walk") {
+    val got = SparkEntry.queries("q_multimodal_silence")(spark, sf0)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_silent"),
+          r.getAs[Long]("n_runs"), r.getAs[Long]("longest_run")))
+      .toMap
+    val ids = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val n = 8 + id % 9
+      val nFrames = ((n - 4) / 2 + 1).toInt
+      def sample(idx: Long): Long = {
+        val v = (id * 7919 + idx * 104729) % 65536
+        if (v >= 32768) v - 65536 else v
+      }
+      val silent = (0 until nFrames).map { f =>
+        val ss = (0 until 4).map(j => {
+          val s = sample(2L * f + j); s * s
+        }).sum
+        ss < 1500000000L
+      }
+      var runs = 0; var longest = 0; var cur = 0
+      silent.foreach { s =>
+        if (s) { cur += 1; if (cur == 1) runs += 1
+          longest = math.max(longest, cur) }
+        else cur = 0
+      }
+      val (gf, gs, gr, gl) = got(id)
+      assert(gf === nFrames.toLong, s"doc $id frames")
+      assert(gs === silent.count(identity).toLong, s"doc $id silent")
+      assert(gr === runs.toLong, s"doc $id runs")
+      assert(gl === longest.toLong, s"doc $id longest")
+    }
+  }
 }
