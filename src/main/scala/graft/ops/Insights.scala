@@ -1350,9 +1350,111 @@ object Insights {
                b NULLS FIRST
              LIMIT 20"""))
 
+  // ---- q_ml_ridge -------------------------------------------------------
+
+  /** Ridge regression (q_ml_ridge): the q_ml_linreg normal equations
+    * with an L2 penalty λ=0.1 on the slope diagonal (the intercept
+    * stays unpenalized, standard practice) — the same one-pass Gram
+    * sufficient statistics with the identical 4dp snap, then Cramer's
+    * rule on (X'X + λI'). Emitted next to the OLS slopes so the
+    * shrinkage is visible in one row; at 100 TB the cost is unchanged:
+    * regularization is constant algebra on the one-row stats table. */
+  val qMlRidge = Q(
+    "q_ml_ridge",
+    (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+        .select((col("l_quantity") / 100.0).as("x1"),
+          col("l_discount").as("x2"),
+          (col("l_extendedprice") / 100000.0).as("y"))
+      val stats = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("x1")), 4).as("sx1"),
+        round(sum(col("x2")), 4).as("sx2"),
+        round(sum(col("y")), 4).as("sy"),
+        round(sum(col("x1") * col("x1")), 4).as("sx1x1"),
+        round(sum(col("x1") * col("x2")), 4).as("sx1x2"),
+        round(sum(col("x2") * col("x2")), 4).as("sx2x2"),
+        round(sum(col("x1") * col("y")), 4).as("sx1y"),
+        round(sum(col("x2") * col("y")), 4).as("sx2y"))
+      stats
+        .withColumn("la", expr("sx1x1 + 0.1D"))
+        .withColumn("lb", expr("sx2x2 + 0.1D"))
+        .withColumn("det", expr(
+          """n*(la*lb - sx1x2*sx1x2) - sx1*(sx1*lb - sx1x2*sx2)
+             + sx2*(sx1*sx1x2 - la*sx2)"""))
+        .withColumn("b0", expr(
+          """(sy*(la*lb - sx1x2*sx1x2) - sx1*(sx1y*lb - sx1x2*sx2y)
+             + sx2*(sx1y*sx1x2 - la*sx2y)) / det"""))
+        .withColumn("b1", expr(
+          """(n*(sx1y*lb - sx2y*sx1x2) - sy*(sx1*lb - sx1x2*sx2)
+             + sx2*(sx1*sx2y - sx1y*sx2)) / det"""))
+        .withColumn("b2", expr(
+          """(n*(la*sx2y - sx1x2*sx1y) - sx1*(sx1*sx2y - sx1y*sx2)
+             + sy*(sx1*sx1x2 - la*sx2)) / det"""))
+        .withColumn("odet", expr(
+          """n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+             + sx2*(sx1*sx1x2 - sx1x1*sx2)"""))
+        .withColumn("ob1", expr(
+          """(n*(sx1y*sx2x2 - sx2y*sx1x2) - sy*(sx1*sx2x2 - sx1x2*sx2)
+             + sx2*(sx1*sx2y - sx1y*sx2)) / odet"""))
+        .select(col("n").cast("long").as("n"),
+          lit(0.1).as("lambda"),
+          round(col("b0"), 6).as("b0"),
+          round(col("b1"), 6).as("b1"),
+          round(col("b2"), 6).as("b2"),
+          round(col("ob1"), 6).as("ols_b1"),
+          round(col("ob1") - col("b1"), 6).as("shrinkage_b1"))
+    },
+    Some("""WITH sc AS (
+              SELECT l_quantity / 100.0 AS x1, l_discount AS x2,
+                l_extendedprice / 100000.0 AS y
+              FROM lineitem),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                round(sum(x1), 4) AS sx1,
+                round(sum(x2), 4) AS sx2,
+                round(sum(y), 4) AS sy,
+                round(sum(x1*x1), 4) AS sx1x1,
+                round(sum(x1*x2), 4) AS sx1x2,
+                round(sum(x2*x2), 4) AS sx2x2,
+                round(sum(x1*y), 4) AS sx1y,
+                round(sum(x2*y), 4) AS sx2y
+              FROM sc),
+            lam AS (
+              SELECT *, sx1x1 + 0.1e0 AS la, sx2x2 + 0.1e0 AS lb
+              FROM st),
+            m AS (
+              SELECT *,
+                n*(la*lb - sx1x2*sx1x2) - sx1*(sx1*lb - sx1x2*sx2)
+                  + sx2*(sx1*sx1x2 - la*sx2) AS det,
+                n*(sx1x1*sx2x2 - sx1x2*sx1x2)
+                  - sx1*(sx1*sx2x2 - sx1x2*sx2)
+                  + sx2*(sx1*sx1x2 - sx1x1*sx2) AS odet
+              FROM lam)
+            SELECT CAST(n AS BIGINT) AS n, 0.1e0 AS lambda,
+              round((sy*(la*lb - sx1x2*sx1x2)
+                - sx1*(sx1y*lb - sx1x2*sx2y)
+                + sx2*(sx1y*sx1x2 - la*sx2y)) / det, 6) AS b0,
+              round((n*(sx1y*lb - sx2y*sx1x2)
+                - sy*(sx1*lb - sx1x2*sx2)
+                + sx2*(sx1*sx2y - sx1y*sx2)) / det, 6) AS b1,
+              round((n*(la*sx2y - sx1x2*sx1y)
+                - sx1*(sx1*sx2y - sx1y*sx2)
+                + sy*(sx1*sx1x2 - la*sx2)) / det, 6) AS b2,
+              round((n*(sx1y*sx2x2 - sx2y*sx1x2)
+                - sy*(sx1*sx2x2 - sx1x2*sx2)
+                + sx2*(sx1*sx2y - sx1y*sx2)) / odet, 6) AS ols_b1,
+              round((n*(sx1y*sx2x2 - sx2y*sx1x2)
+                - sy*(sx1*sx2x2 - sx1x2*sx2)
+                + sx2*(sx1*sx2y - sx1y*sx2)) / odet
+                - (n*(sx1y*lb - sx2y*sx1x2)
+                - sy*(sx1*lb - sx1x2*sx2)
+                + sx2*(sx1*sx2y - sx1y*sx2)) / det, 6) AS shrinkage_b1
+            FROM m"""))
+
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
-    qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qStatsTtest,
-    qStatsChisq, qStatsKs, qStatsMannwhitney, qGraphLabelprop,
-    qGraphJaccard)
+    qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qMlRidge,
+    qStatsTtest, qStatsChisq, qStatsKs, qStatsMannwhitney,
+    qGraphLabelprop, qGraphJaccard)
 }

@@ -738,7 +738,94 @@ object Pipeline {
               FROM h) f
             ORDER BY doc_id NULLS FIRST, fp NULLS FIRST"""))
 
+  // ---- q_graph_ppr ------------------------------------------------------
+
+  /** Personalized PageRank (q_graph_ppr): the same 3-iteration power
+    * loop as q_graph_pagerank, but the 15% teleport mass returns to
+    * the 8 SEED nodes instead of the uniform distribution — the
+    * random-walk-with-restart relevance score a recommender runs from
+    * a user's items (here the landmark set shared with the BFS
+    * family). Iteration shape and the round(10) cross-engine state
+    * snap are identical to PageRank; the oracle unrolls the same
+    * three personalized iterations. Scores concentrate near the
+    * seeds, so the emission keeps every node with mass (the zero tail
+    * is droppable at any scale). */
+  val qGraphPpr = Q(
+    "q_graph_ppr",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val nodes = docs.select(col("doc_id")).crossJoin(broadcast(n))
+      val edges = nodes
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      val edgesN = edges.join(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      val seed = when(col("doc_id") < 8L, lit(1.0) / 8).otherwise(0.0)
+      var ranks = nodes.select(col("doc_id"), seed.as("pr"))
+      for (_ <- 0 until 3) {
+        val contribs = ranks
+          .join(edgesN, col("doc_id") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("outdeg")).as("inflow"))
+        ranks = nodes
+          .join(contribs, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            round(lit(0.15) * seed +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0)), 10)
+              .as("pr"))
+      }
+      ranks
+        .filter(col("pr") > 0.0)
+        .select(col("doc_id"), round(col("pr"), 8).as("ppr"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def iterCte(i: Int): String =
+        s"""r${i + 1} AS (
+              SELECT n.doc_id,
+                round(0.15 * (CASE WHEN n.doc_id < 8
+                    THEN 1.0 / 8 ELSE 0 END)
+                  + 0.85 * coalesce(c.inflow, 0), 10) AS pr,
+                n.n_nodes AS n_nodes
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum(r.pr / e.outdeg) AS inflow
+                FROM r$i r JOIN e ON r.doc_id = e.src
+                GROUP BY e.dst) c
+              ON n.doc_id = c.dst)"""
+      s"""WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
+          nodes AS (SELECT doc_id, n_nodes FROM documents, s),
+          edges AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id AS src,
+                unnest([doc_id // 2,
+                        (doc_id * 31 + 17) % n_nodes,
+                        (doc_id * doc_id + 1) % n_nodes]) AS dst
+              FROM nodes) u
+            WHERE dst <> src),
+          outdeg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+          e AS (SELECT edges.src, edges.dst, outdeg.outdeg
+                FROM edges JOIN outdeg ON edges.src = outdeg.src),
+          r0 AS (SELECT doc_id,
+                   CASE WHEN doc_id < 8 THEN 1.0 / 8 ELSE 0 END AS pr,
+                   n_nodes FROM nodes),
+          ${(0 until 3).map(iterCte).mkString(",\n")}
+          SELECT doc_id, round(pr, 8) AS ppr
+          FROM r3
+          WHERE pr > 0
+          ORDER BY doc_id NULLS FIRST"""
+    })
+
   val all: Seq[Q] =
     Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs,
-      qTextBpeTrain, qGraphPagerank, qSessionize, qTextWinnow)
+      qTextBpeTrain, qGraphPagerank, qSessionize, qTextWinnow,
+      qGraphPpr)
 }

@@ -531,4 +531,38 @@ class InsightsSpec extends SparkSuite {
     val minN = got.values.map(_._1).min
     assert(nNodes.values.count(_ > minN) <= 10)
   }
+
+  test("ml_ridge: shrunk slopes match a scalar Cramer replay") {
+    val row = SparkEntry.queries("q_ml_ridge")(spark, sf0)
+      .collect().head
+    val rows = Tables.t(spark, sf0, "lineitem")
+      .select((col("l_quantity") / 100.0), col("l_discount"),
+        (col("l_extendedprice") / 100000.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def snap4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val n = rows.length.toDouble
+    val sx1 = snap4(rows.map(_._1).sum); val sx2 = snap4(rows.map(_._2).sum)
+    val sy = snap4(rows.map(_._3).sum)
+    val sx1x1 = snap4(rows.map(r => r._1 * r._1).sum)
+    val sx1x2 = snap4(rows.map(r => r._1 * r._2).sum)
+    val sx2x2 = snap4(rows.map(r => r._2 * r._2).sum)
+    val sx1y = snap4(rows.map(r => r._1 * r._3).sum)
+    val sx2y = snap4(rows.map(r => r._2 * r._3).sum)
+    val la = sx1x1 + 0.1; val lb = sx2x2 + 0.1
+    val det = n * (la * lb - sx1x2 * sx1x2) -
+      sx1 * (sx1 * lb - sx1x2 * sx2) + sx2 * (sx1 * sx1x2 - la * sx2)
+    val b1 = (n * (sx1y * lb - sx2y * sx1x2) -
+      sy * (sx1 * lb - sx1x2 * sx2) +
+      sx2 * (sx1 * sx2y - sx1y * sx2)) / det
+    val odet = n * (sx1x1 * sx2x2 - sx1x2 * sx1x2) -
+      sx1 * (sx1 * sx2x2 - sx1x2 * sx2) +
+      sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    val ob1 = (n * (sx1y * sx2x2 - sx2y * sx1x2) -
+      sy * (sx1 * sx2x2 - sx1x2 * sx2) +
+      sx2 * (sx1 * sx2y - sx1y * sx2)) / odet
+    assert(math.abs(row.getAs[Double]("b1") - b1) < 1e-4)
+    assert(math.abs(row.getAs[Double]("ols_b1") - ob1) < 1e-4)
+    // ridge shrinks the slope magnitude relative to OLS
+    assert(math.abs(b1) <= math.abs(ob1) + 1e-9)
+  }
 }

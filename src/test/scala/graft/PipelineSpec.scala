@@ -463,4 +463,36 @@ class PipelineSpec extends SparkSuite {
         "double-cast dot must equal float_dot bitwise")
     }
   }
+
+  test("graph_ppr: scores match a scalar personalized power iteration") {
+    val got = SparkEntry.queries("q_graph_ppr")(spark, sf0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppr")).toMap
+    val n = Tables.t(spark, sf0, "documents").count()
+    val edges = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).distinct.map(dst => src -> dst)
+    }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def snap10(x: Double): Double = math.floor(x * 1e10 + 0.5) / 1e10
+    var pr = (0L until n).map(v =>
+      v -> (if (v < 8) 1.0 / 8 else 0.0)).toMap
+    for (_ <- 0 until 3) {
+      val inflow = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, d2) =>
+        inflow(d2) += pr(s) / outdeg(s)
+      }
+      pr = (0L until n).map(v =>
+        v -> snap10(0.15 * (if (v < 8) 1.0 / 8 else 0.0) +
+          0.85 * inflow(v))).toMap
+    }
+    val want = pr.filter(_._2 > 0.0)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (v, p) =>
+      assert(math.abs(got(v) - p) < 1e-7, s"node $v")
+    }
+    // mass concentrates on/near the seed set
+    val seedMass = (0L until 8L).map(v => pr.getOrElse(v, 0.0)).sum
+    assert(seedMass > 0.15)
+  }
 }
