@@ -761,7 +761,84 @@ object Series {
     },
     Some(stlOracleSql))
 
+  // ---- q_ts_backtest ----------------------------------------------------
+
+  /** Walk-forward EWMA backtest (q_ts_backtest): the eval harness for
+    * the q_ts_ewma forecaster — every click's value is predicted from
+    * the 8-tap exponential smooth of STRICTLY EARLIER observations
+    * (lags 1..8, the 1-step-ahead forecast), and each series reports
+    * its error census. Per-row errors are micro-quantized BIGINT
+    * before aggregation (|err| for MAE, signed for bias — floats
+    * never cross an aggregate); rows whose full history window is
+    * missing (series head) are excluded so both engines evaluate the
+    * identical forecast set. One window exchange on the series key —
+    * the same scale shape as the forecaster itself. */
+  val qTsBacktest = Q(
+    "q_ts_backtest",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val alpha = 0.3
+      val weights = (1 to 8).map(k => alpha * math.pow(1 - alpha, k - 1))
+      val base = events
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .select(col("*") +: (1 to 8).map(k =>
+          lag(col("c"), k).over(w).as(s"c$k")): _*)
+        .filter(col("c8").isNotNull)
+      val num = weights.zipWithIndex.map { case (wk, i) =>
+        col(s"c${i + 1}").cast("double") * wk
+      }.reduce(_ + _)
+      val den = weights.sum
+      base
+        .withColumn("fc", num / lit(den))
+        .withColumn("err_micro",
+          expr("CAST(floor((c - fc) * 1e4 + 0.5D) AS BIGINT)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("err_micro"))).as("sum_abs"),
+          sum(col("err_micro")).as("sum_signed"))
+        .selectExpr("event_type", "n_eval",
+          "round(sum_abs / 1e4 / n_eval / 100, 6) AS mae_value",
+          "round(sum_signed / 1e4 / n_eval / 100, 6) AS bias_value")
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val alpha = 0.3
+      val weights = (1 to 8).map(k => alpha * math.pow(1 - alpha, k - 1))
+      val num = weights.zipWithIndex.map { case (wk, i) =>
+        s"c${i + 1} * ${wk}e0"
+      }.mkString(" + ")
+      val lags = (1 to 8).map(k =>
+        s"lag(c, $k) OVER (PARTITION BY event_type ORDER BY ts, " +
+          s"event_id) AS c$k").mkString(",\n                ")
+      s"""WITH base AS (
+              SELECT event_type, ts, event_id,
+                CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c,
+                $lags
+              FROM events),
+            fc AS (
+              SELECT event_type, c,
+                ($num) / ${weights.sum}e0 AS fc
+              FROM base WHERE c8 IS NOT NULL),
+            q AS (
+              SELECT event_type,
+                CAST(floor((c - fc) * 1e4 + 0.5e0) AS BIGINT)
+                  AS err_micro
+              FROM fc)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+              round(sum(abs(err_micro)) / 1e4 / count(*) / 100, 6)
+                AS mae_value,
+              round(sum(err_micro) / 1e4 / count(*) / 100, 6)
+                AS bias_value
+            FROM q
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
-    qTsChangepoint, qAggTheilsen, qTsStl)
+    qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest)
 }

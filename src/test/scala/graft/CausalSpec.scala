@@ -770,4 +770,36 @@ class CausalSpec extends SparkSuite {
     }
     assert(got === want.toMap)
   }
+
+  test("ts_backtest: error census matches a scalar walk-forward replay") {
+    val got = SparkEntry.queries("q_ts_backtest")(spark, sf0).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_eval"), r.getAs[Double]("mae_value"),
+          r.getAs[Double]("bias_value"))).toMap
+    val ev = Tables.t(spark, sf0, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val alpha = 0.3
+    val ws = (1 to 8).map(k => alpha * math.pow(1 - alpha, k - 1))
+    ev.groupBy(_._1).foreach { case (t, rs) =>
+      val cs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      var n = 0L; var sAbs = 0L; var sSig = 0L
+      cs.indices.foreach { i =>
+        if (i >= 8) {
+          val hist = (1 to 8).map(k => cs(i - k).toDouble)
+          val fc = hist.zip(ws).map { case (c, w) => c * w }.sum / ws.sum
+          val e = math.floor((cs(i) - fc) * 1e4 + 0.5).toLong
+          n += 1; sAbs += math.abs(e); sSig += e
+        }
+      }
+      val (gn, gm, gb) = got(t)
+      assert(gn === n, s"type $t n")
+      assert(math.abs(gm - sAbs / 1e4 / n / 100) < 1e-5, s"type $t mae")
+      assert(math.abs(gb - sSig / 1e4 / n / 100) < 1e-5, s"type $t bias")
+    }
+  }
 }
