@@ -629,6 +629,85 @@ object Causal {
       GROUP BY channel
       ORDER BY channel NULLS FIRST"""))
 
+  // ---- q_events_conversion_lag ------------------------------------------
+
+  /** Conversion-lag distribution (q_events_conversion_lag): how long
+    * after the LAST touch does the purchase land? The funnel-latency
+    * census behind attribution-window tuning — lags bucket to whole
+    * hours (≤168 cells inside the 7-day window), and the quartiles
+    * interpolate on the bounded hour grid with pure BIGINT algebra
+    * (the q_agg_loghist crossing idiom, at p25/p50/p75 in one pass).
+    * The touch join is the same user-keyed range join as attribution;
+    * purchases with no in-window touch are excluded (they have no
+    * lag). */
+  val qEventsConversionLag = Q(
+    "q_events_conversion_lag",
+    (s, d) => {
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val tch = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+          col("ts").as("t_ts"))
+      val lags = p.join(tch,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("p_id"), col("p_ts"))
+        .agg(max(col("t_ts")).as("last_t"))
+        .select(expr(
+          """(unix_micros(CAST(p_ts AS TIMESTAMP))
+             - unix_micros(CAST(last_t AS TIMESTAMP)))
+             div 3600000000L""").as("lag_h"))
+      val grid = lags.groupBy(col("lag_h")).agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy(col("lag_h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = grid
+        .withColumn("cum_n", sum(col("n")).over(wCum))
+        .withColumn("nn", sum(col("n")).over(wAll))
+      val qs = Seq(("p25", 1), ("p50", 2), ("p75", 3)).map {
+        case (name, q) =>
+          cum.filter(
+            expr(s"cum_n - n < ($q * nn + 3) div 4") &&
+              expr(s"cum_n >= ($q * nn + 3) div 4"))
+            .selectExpr(s"'$name' AS quantile", "lag_h", "n", "nn")
+      }
+      qs.reduce(_ unionAll _).orderBy(col("quantile"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      tch AS (
+        SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts
+        FROM events WHERE event_type IN ('click', 'view')),
+      lags AS (
+        SELECT (epoch_us(p_ts) - epoch_us(max(t_ts))) // 3600000000
+          AS lag_h
+        FROM p JOIN tch
+          ON p_user = t_user AND t_ts < p_ts
+          AND t_ts >= p_ts - INTERVAL 7 DAY
+        GROUP BY p_id, p_ts),
+      grid AS (
+        SELECT lag_h, CAST(count(*) AS BIGINT) AS n
+        FROM lags GROUP BY lag_h),
+      cum AS (
+        SELECT lag_h, n,
+          CAST(sum(n) OVER (ORDER BY lag_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_n,
+          CAST(sum(n) OVER () AS BIGINT) AS nn
+        FROM grid)
+      SELECT q.quantile, lag_h, n, nn
+      FROM cum
+      CROSS JOIN (SELECT unnest(['p25', 'p50', 'p75']) AS quantile,
+                    unnest([1, 2, 3]) AS k) q
+      WHERE cum_n - n < (q.k * nn + 3) // 4
+        AND cum_n >= (q.k * nn + 3) // 4
+      ORDER BY q.quantile NULLS FIRST"""))
+
   // ---- q_sample_pps -----------------------------------------------------
 
   /** Probability-proportional-to-size sample (q_sample_pps): sequential
@@ -1710,7 +1789,7 @@ object Causal {
     })
 
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
-    qEventsAttribution, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
+    qEventsAttribution, qEventsConversionLag, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
     qMlAdaboost, qMlKfold, qMlFeatimp, qStatsBootstrap,
     qStatsPermutation, qStatsPower, qAggLoghist,
     qGraphCloseness, qGraphEffDiameter, qGraphBetweenness)

@@ -802,4 +802,39 @@ class CausalSpec extends SparkSuite {
       assert(math.abs(gb - sSig / 1e4 / n / 100) < 1e-5, s"type $t bias")
     }
   }
+
+  test("conversion_lag: quartile crossings match a scalar lag census") {
+    val got = SparkEntry.queries("q_events_conversion_lag")(spark, sf0)
+      .collect()
+      .map(r => r.getAs[String]("quantile") -> r.getAs[Long]("lag_h"))
+      .toMap
+    val ev = Tables.t(spark, sf0, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val sevenD = 7L * 86400000000L
+    val touches = ev.filter(r => r._1 == "click" || r._1 == "view")
+    val lags = ev.filter(_._1 == "purchase").flatMap {
+      case (_, u, pts, _) =>
+        val cand = touches.filter(t =>
+          t._2 == u && t._3 < pts && t._3 >= pts - sevenD)
+        if (cand.isEmpty) None
+        else Some((pts - cand.map(_._3).max) / 3600000000L)
+    }
+    val grid = lags.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val nn = lags.length.toLong
+    Seq(("p25", 1L), ("p50", 2L), ("p75", 3L)).foreach { case (name, k) =>
+      val target = (k * nn + 3) / 4
+      var cum = 0L
+      val cross = grid.find { case (_, n) =>
+        val prev = cum; cum += n; prev < target && cum >= target
+      }.get._1
+      assert(got(name) === cross, s"$name")
+    }
+    // quartiles are non-decreasing
+    assert(got("p25") <= got("p50") && got("p50") <= got("p75"))
+  }
 }
