@@ -323,8 +323,89 @@ object GraphScores {
       WHERE rk <= 10
       ORDER BY n_nodes DESC, lbl NULLS FIRST"""))
 
+  // ---- q_graph_core_members ---------------------------------------------
+
+  /** Per-node peel depth (q_graph_core_members): the node-level output
+    * behind q_graph_kcore's census — for every node, the number of
+    * deg≥5 peel rounds it survives (0 = peeled immediately, 4 = in the
+    * settled core after four rounds), the membership label a pipeline
+    * uses to FILTER to the dense core rather than just count it. Same
+    * four fixed rounds, same lazily-checkpointed semi-join peel;
+    * survivors of each round union with their round tag and one
+    * max-aggregate assigns the depth. */
+  val qGraphCoreMembers = Q(
+    "q_graph_core_members",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      var e = und
+      var tagged = degrees(und).select(col("v"), lit(0L).as("r"))
+      for (r <- 1 to 4) {
+        val alive = degrees(e).filter(col("deg") >= 5).select(col("v"))
+        e = e
+          .join(alive.select(col("v").as("va")), col("a") === col("va"),
+            "left_semi")
+          .join(alive.select(col("v").as("vb")), col("b") === col("vb"),
+            "left_semi")
+          .localCheckpoint(false)
+        tagged = tagged.unionAll(
+          alive.select(col("v"), lit(r.toLong).as("r")))
+      }
+      tagged.groupBy(col("v")).agg(max(col("r")).as("peel_depth"))
+        .groupBy(col("peel_depth"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_node"),
+          max(col("v")).as("max_node"))
+        .orderBy(col("peel_depth"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+            d0 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+              GROUP BY v),
+            a1 AS (SELECT v FROM d0 WHERE deg >= 5),
+            e1 AS (SELECT a, b FROM und
+                   WHERE a IN (SELECT v FROM a1)
+                     AND b IN (SELECT v FROM a1)),
+            d1 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) x
+              GROUP BY v),
+            a2 AS (SELECT v FROM d1 WHERE deg >= 5),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT v FROM a2)
+                     AND b IN (SELECT v FROM a2)),
+            d2 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) x
+              GROUP BY v),
+            a3 AS (SELECT v FROM d2 WHERE deg >= 5),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT v FROM a3)
+                     AND b IN (SELECT v FROM a3)),
+            d3 AS (
+              SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) x
+              GROUP BY v),
+            a4 AS (SELECT v FROM d3 WHERE deg >= 5),
+            tagged AS (
+              SELECT v, CAST(0 AS BIGINT) AS r FROM d0
+              UNION ALL SELECT v, 1 FROM a1
+              UNION ALL SELECT v, 2 FROM a2
+              UNION ALL SELECT v, 3 FROM a3
+              UNION ALL SELECT v, 4 FROM a4),
+            depth AS (
+              SELECT v, CAST(max(r) AS BIGINT) AS peel_depth
+              FROM tagged GROUP BY v)
+            SELECT peel_depth, CAST(count(*) AS BIGINT) AS n_nodes,
+              min(v) AS min_node, max(v) AS max_node
+            FROM depth
+            GROUP BY peel_depth
+            ORDER BY peel_depth NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qGraphKcore, qGraphAssortativity,
-    qGraphModularity, qGraphConductance)
+    qGraphModularity, qGraphConductance, qGraphCoreMembers)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

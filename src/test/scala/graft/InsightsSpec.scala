@@ -565,4 +565,31 @@ class InsightsSpec extends SparkSuite {
     // ridge shrinks the slope magnitude relative to OLS
     assert(math.abs(b1) <= math.abs(ob1) + 1e-9)
   }
+
+  test("core_members: peel-depth census matches a scalar peel replay") {
+    val got = SparkEntry.queries("q_graph_core_members")(spark, sf0)
+      .collect()
+      .map(r => r.getAs[Long]("peel_depth") -> r.getAs[Long]("n_nodes"))
+      .toMap
+    val n = Tables.t(spark, sf0, "documents").count()
+    var edges = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).map(dst => (math.min(src, dst),
+          math.max(src, dst)))
+    }.distinct
+    val depth = scala.collection.mutable.Map[Long, Long]()
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .foreach(v => depth(v) = 0L)
+    for (r <- 1 to 4) {
+      val deg = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val alive = deg.filter(_._2 >= 5).keySet
+      alive.foreach(v => depth(v) = r.toLong)
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+    }
+    val want = depth.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got === want)
+  }
 }
