@@ -43,7 +43,8 @@ object RunQueries {
       }
     }
     if (!countOnly) {
-      val json = sqls.map { case (k, v) =>
+      val json = sqls.map { case (k, v0) =>
+        val v = v0.replace("__SF_DIR__", sfDir)
         "\"" + k + "\": \"" + v.replace("\\", "\\\\")
           .replace("\"", "\\\"").replace("\n", "\\n") + "\""
       }.mkString("{", ",", "}")

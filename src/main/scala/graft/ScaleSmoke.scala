@@ -93,7 +93,20 @@ object ScaleSmoke {
     "q_ml_adaboost",
     // radius-bounded Brandes over the docs-derived link graph: 2R
     // checkpointed join rounds, cost ∝ k·|E| per round
-    "q_graph_betweenness")
+    "q_graph_betweenness",
+    // round-10 smoke of the round-9 tail (verdict item 3): the
+    // shared-peel census pair + conductance (all ride the memoized
+    // peel / labelprop fixpoints), personalized PageRank (8-seed
+    // bounded iterations), ridge (grid-bounded normal equations),
+    // containment (shared minhash bands, integer cut), the KM/log-rank
+    // survival pair (day-grid bounded), conversion-lag quartiles
+    // (user-keyed range join, 168-cell hour grid), the walk-forward
+    // EWMA backtest (day-grid window), and the two segmentation
+    // passes (fixture-frame bounded)
+    "q_graph_conductance", "q_graph_core_members", "q_graph_ppr",
+    "q_ml_ridge", "q_dedup_containment", "q_surv_km", "q_surv_logrank",
+    "q_events_conversion_lag", "q_ts_backtest", "q_multimodal_scenecut",
+    "q_multimodal_silence")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,8 +38,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracles that need a literal file path (e.g. parquet metadata
+    // functions) carry a __SF_DIR__ placeholder: substitute the actual
+    // data dir so the oracle follows the verify scale instead of
+    // pinning one hardcoded SF.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -774,7 +774,11 @@ object Causal {
         .withColumn("pi", expr(
           "CASE WHEN 200.0D * w / ww > 1.0D THEN 1.0D " +
             "ELSE 200.0D * w / ww END"))
-        .filter(col("u") < col("pi"))
+        // pi >= 1 units are certainty units: Horvitz-Thompson requires
+        // them unconditionally in-sample. u can be exactly 1.0 (hash
+        // prefix 0xffffffff makes (h+1)/2^32 = 1), so `u < pi` alone
+        // could drop a certainty unit and skew ht_total_est.
+        .filter(col("u") < col("pi") || col("pi") >= lit(1.0))
         .agg(
           max(col("n_pop")).as("n_pop"),
           max(col("ww")).as("true_total_cents"),
@@ -806,7 +810,7 @@ object Causal {
           AS ht_n_est,
         round(sum(CAST(floor(w * 1e2 / pi + 0.5e0) AS BIGINT)) / 1e2, 6)
           AS ht_total_est
-      FROM drawn WHERE u < pi"""))
+      FROM drawn WHERE u < pi OR pi >= 1.0e0"""))
 
   // ---- q_ml_stump -------------------------------------------------------
 
@@ -1352,10 +1356,15 @@ object Causal {
         .select(col("c"), col("h"),
           explode(expr("sequence(100, 299)")).as("b"))
         .crossJoin(broadcast(obs.select(col("na"), col("nb"))))
-        // u < nA/n as the exact integer cross-product (no division)
+        // u < nA/n as the exact integer cross-product (no division).
+        // The u31·(na+nb) product rides in DECIMAL(38,0)/HUGEINT: for
+        // row counts above ~4e9 the BIGINT product wraps silently in
+        // non-ANSI Spark while DuckDB raises (overflow rule).
         .withColumn("ga", expr(
-          """CASE WHEN ((h * 48271L + b * 16807L) % 2147483647L)
-               * (na + nb) < na * 2147483647L THEN 1L ELSE 0L END"""))
+          """CASE WHEN CAST((h * 48271L + b * 16807L) % 2147483647L
+                 AS DECIMAL(38,0))
+               * (na + nb) < CAST(na AS DECIMAL(38,0)) * 2147483647L
+             THEN 1L ELSE 0L END"""))
       val perB = drawn.groupBy(col("b"))
         .agg(sum(when(col("ga") === 1L, col("c"))).as("sa"),
           sum(col("ga")).as("na2"),
@@ -1387,9 +1396,10 @@ object Causal {
         FROM obs),
       drawn AS (
         SELECT c, b, na, nb,
-          CASE WHEN ((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+          CASE WHEN CAST(((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
                  1, 8) AS BIGINT) % 2147483647 * 48271 + b * 16807)
-               % 2147483647) * (na + nb) < na * 2147483647
+               % 2147483647) AS HUGEINT) * (na + nb)
+               < CAST(na AS HUGEINT) * 2147483647
             THEN 1 ELSE 0 END AS ga
         FROM pur CROSS JOIN (SELECT unnest(range(100, 300)) AS b)
           CROSS JOIN obs),

@@ -76,10 +76,10 @@ object Corpus {
             FROM (
               SELECT doc_id,
                 len(w) AS n_words,
-                round(length(replace(text, ' ', '')) * 1.0 / len(w), 6)
+                round(length(replace(text, ' ', '')) * 1.0e0 / len(w), 6)
                   AS mean_wlen,
                 round(len(list_filter(w,
-                    x -> regexp_full_match(x, '[a-z]+'))) * 1.0 / len(w),
+                    x -> regexp_full_match(x, '[a-z]+'))) * 1.0e0 / len(w),
                   6) AS alpha_frac,
                 len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
               FROM (SELECT doc_id, text, string_split(text, ' ') AS w
@@ -129,7 +129,7 @@ object Corpus {
               SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
               FROM big GROUP BY w1, w2)
             SELECT w1, w2, n,
-              round(1.0 * n / sum(n) OVER (PARTITION BY w1), 6) AS p
+              round(1.0e0 * n / sum(n) OVER (PARTITION BY w1), 6) AS p
             FROM cnt
             QUALIFY row_number()
               OVER (PARTITION BY w1 ORDER BY n DESC, w2) = 1
@@ -250,7 +250,7 @@ object Corpus {
               FROM toks GROUP BY source, w),
             tot AS (SELECT source, sum(n) AS tn FROM cnt GROUP BY source)
             SELECT c.source,
-              round(-sum((n * 1.0 / tn) * log2(n * 1.0 / tn)), 6)
+              round(-sum((n * 1.0e0 / tn) * log2(n * 1.0e0 / tn)), 6)
                 AS entropy,
               CAST(count(*) AS BIGINT) AS vocab
             FROM cnt c JOIN tot t ON c.source = t.source
@@ -660,10 +660,10 @@ object Corpus {
               SELECT source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
                 CAST(len(string_split(text, ' ')) BETWEEN 50 AND 100000
-                  AND round(length(replace(text, ' ', '')) * 1.0 /
+                  AND round(length(replace(text, ' ', '')) * 1.0e0 /
                     len(string_split(text, ' ')), 6) BETWEEN 3.0 AND 10.0
                   AND round(len(list_filter(string_split(text, ' '),
-                      x -> regexp_full_match(x, '[a-z]+'))) * 1.0 /
+                      x -> regexp_full_match(x, '[a-z]+'))) * 1.0e0 /
                     len(string_split(text, ' ')), 6) >= 0.8
                   AND len(list_filter(string_split(text, ' '),
                       x -> x IN ('the', 'a'))) >= 2
@@ -850,8 +850,8 @@ object Corpus {
                     CASE WHEN cnt.n IS NOT NULL
                       THEN CAST(cnt.n + 1 AS DOUBLE) / (tot.t + voc.v)
                     WHEN tot.t IS NOT NULL
-                      THEN 1.0 / (tot.t + voc.v)
-                    ELSE 1.0 / voc.v END)
+                      THEN 1.0e0 / (tot.t + voc.v)
+                    ELSE 1.0e0 / voc.v END)
                   / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
                   AS lqi,
                 CASE WHEN cnt.n IS NULL THEN 1 ELSE 0 END AS unseen
@@ -952,8 +952,8 @@ object Corpus {
                     CASE WHEN cnt_g.n IS NOT NULL
                       THEN CAST(cnt_g.n + 1 AS DOUBLE) / (tot_g.t + voc_g.v)
                     WHEN tot_g.t IS NOT NULL
-                      THEN 1.0 / (tot_g.t + voc_g.v)
-                    ELSE 1.0 / voc_g.v END)
+                      THEN 1.0e0 / (tot_g.t + voc_g.v)
+                    ELSE 1.0e0 / voc_g.v END)
                   / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
                   AS BIGINT) AS sg
               FROM db
@@ -967,8 +967,8 @@ object Corpus {
                     CASE WHEN cnt_i.n IS NOT NULL
                       THEN CAST(cnt_i.n + 1 AS DOUBLE) / (tot_i.t + voc_i.v)
                     WHEN tot_i.t IS NOT NULL
-                      THEN 1.0 / (tot_i.t + voc_i.v)
-                    ELSE 1.0 / voc_i.v END)
+                      THEN 1.0e0 / (tot_i.t + voc_i.v)
+                    ELSE 1.0e0 / voc_i.v END)
                   / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
                   AS BIGINT) AS si,
                 CAST(sum(db.c * CASE WHEN cnt_i.n IS NULL THEN 1 ELSE 0

@@ -219,13 +219,13 @@ object Dedup {
             AND a.doc_id < b.doc_id)
          SELECT a_id, b_id,
            CAST(len(list_intersect(za.hs, zb.hs)) AS BIGINT) AS n_common,
-           round(len(list_intersect(za.hs, zb.hs)) * 1.0 /
+           round(len(list_intersect(za.hs, zb.hs)) * 1.0e0 /
              (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))), 6)
              AS jaccard
          FROM cand
          JOIN shingle_sets za ON za.doc_id = a_id
          JOIN shingle_sets zb ON zb.doc_id = b_id
-         WHERE round(len(list_intersect(za.hs, zb.hs)) * 1.0 /
+         WHERE round(len(list_intersect(za.hs, zb.hs)) * 1.0e0 /
              (za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))), 6) >= 0.5
          ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""
     })
@@ -395,12 +395,12 @@ object Dedup {
               JOIN bg fb ON fb.doc_id = c.b_id AND fb.bg = fa.bg
               GROUP BY c.a_id, c.b_id)
             SELECT a_id, b_id,
-              round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
+              round(n_common * 1.0e0 / (za.sz + zb.sz - n_common), 6)
                 AS jaccard
             FROM inter
             JOIN sizes za ON za.doc_id = a_id
             JOIN sizes zb ON zb.doc_id = b_id
-            WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)
+            WHERE round(n_common * 1.0e0 / (za.sz + zb.sz - n_common), 6)
                   >= 0.2
             ORDER BY a_id NULLS FIRST, b_id NULLS FIRST"""))
 
@@ -779,8 +779,8 @@ object Dedup {
               GROUP BY doc_id)
             SELECT doc_id,
               coalesce(n_shared, 0) AS n_shared,
-              round(coalesce(n_shared, 0) * 1.0 / sz, 6) AS contamination,
-              coalesce(n_shared, 0) * 1.0 / sz >= 0.2 AS flagged
+              round(coalesce(n_shared, 0) * 1.0e0 / sz, 6) AS contamination,
+              coalesce(n_shared, 0) * 1.0e0 / sz >= 0.2 AS flagged
             FROM corpus_sizes LEFT JOIN shared USING (doc_id)
             ORDER BY doc_id NULLS FIRST"""))
 
@@ -827,7 +827,7 @@ object Dedup {
            WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
          ver AS (
            SELECT new_id, corpus_id,
-             round(len(list_intersect(zn.hs, zc.hs)) * 1.0 /
+             round(len(list_intersect(zn.hs, zc.hs)) * 1.0e0 /
                (zn.sz + zc.sz - len(list_intersect(zn.hs, zc.hs))), 6)
                AS jaccard
            FROM cand
@@ -1138,7 +1138,7 @@ object Dedup {
                 round(ln(1.0 + length(text)) *
                   (1.0 - round(
                     len(list_filter(string_split(text, ' '),
-                      t -> t IN ('the','a','and','of','to','in'))) * 1.0 /
+                      t -> t IN ('the','a','and','of','to','in'))) * 1.0e0 /
                     len(string_split(text, ' ')), 6)), 6) AS quality
               FROM documents),
             sized AS (SELECT comp, count(*) AS cluster_size
@@ -1201,7 +1201,7 @@ object Dedup {
               6)).as("recall"))
     },
     Some {
-      val jac = "round(len(list_intersect(za.hs, zb.hs)) * 1.0 / " +
+      val jac = "round(len(list_intersect(za.hs, zb.hs)) * 1.0e0 / " +
         "(za.sz + zb.sz - len(list_intersect(za.hs, zb.hs))), 6)"
       s"""$bandsCteSql,
          cand AS (
@@ -1431,22 +1431,26 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
+      // Integer-exact threshold + micro-quantized emission: the
+      // 0.8 cut is the cross-multiplied predicate 5*n >= 4*min(sz)
+      // and the emitted ratios are exact BIGINT integer divisions —
+      // no float ever crosses the hash compare (SURVEY §11/§13).
       cand
         .join(sets.as("za"), col("a_id") === col("za.doc_id"))
         .join(sets.as("zb"), col("b_id") === col("zb.doc_id"))
         .withColumn("n_common",
           expr("size(array_intersect(za.hs, zb.hs))").cast("long"))
-        .withColumn("containment", round(col("n_common") * lit(1.0) /
-          least(col("za.sz"), col("zb.sz")), 6))
-        .filter(col("containment") >= 0.8)
+        .filter(expr("5L * n_common >= 4L * least(za.sz, zb.sz)"))
         .selectExpr(
           "CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND a_id < b_id)" +
             " THEN a_id ELSE b_id END AS sub_id",
           "CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND a_id < b_id)" +
             " THEN b_id ELSE a_id END AS sup_id",
-          "n_common", "containment",
-          "round(n_common * 1.0 / (za.sz + zb.sz - n_common), 6)" +
-            " AS jaccard")
+          "n_common",
+          "(1000000L * n_common) div least(za.sz, zb.sz)" +
+            " AS containment_micro",
+          "(1000000L * n_common) div (za.sz + zb.sz - n_common)" +
+            " AS jaccard_micro")
         .orderBy(col("sub_id"), col("sup_id"))
     },
     Some(s"""$bandsCteSql,
@@ -1467,11 +1471,23 @@ object Dedup {
          CASE WHEN asz < bsz OR (asz = bsz AND a_id < b_id)
            THEN b_id ELSE a_id END AS sup_id,
          n_common,
-         round(n_common * 1.0 / least(asz, bsz), 6) AS containment,
-         round(n_common * 1.0 / (asz + bsz - n_common), 6) AS jaccard
+         (1000000 * n_common) // least(asz, bsz) AS containment_micro,
+         (1000000 * n_common) // (asz + bsz - n_common) AS jaccard_micro
        FROM scored
-       WHERE n_common * 1.0 / least(asz, bsz) >= 0.8
+       WHERE 5 * n_common >= 4 * least(asz, bsz)
        ORDER BY sub_id NULLS FIRST, sup_id NULLS FIRST"""))
+
+  /** Bench-warmup hook: materialize the session-scoped shared
+    * fixpoints (each builder counts internally) so per-query bench
+    * numbers charge the operator, not whichever registry neighbor
+    * happens to run first and pay the shared build. */
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    minhashWithSets(s, d)
+    nearPairs(s, d)
+    nearComponents(s, d)
+    simhashTable(s, d)
+    bigrams(s, d)
+  }
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,

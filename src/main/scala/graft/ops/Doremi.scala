@@ -122,8 +122,8 @@ object Doremi {
                       THEN CAST(cnt_g.n + 1 AS DOUBLE)
                         / (tot_g.t + voc_g.v)
                     WHEN tot_g.t IS NOT NULL
-                      THEN 1.0 / (tot_g.t + voc_g.v)
-                    ELSE 1.0 / voc_g.v END)
+                      THEN 1.0e0 / (tot_g.t + voc_g.v)
+                    ELSE 1.0e0 / voc_g.v END)
                   / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
                   AS BIGINT) AS sg
               FROM db
@@ -138,8 +138,8 @@ object Doremi {
                       THEN CAST(cnt_s.n + 1 AS DOUBLE)
                         / (tot_s.t + voc_s.v)
                     WHEN tot_s.t IS NOT NULL
-                      THEN 1.0 / (tot_s.t + voc_s.v)
-                    ELSE 1.0 / voc_s.v END)
+                      THEN 1.0e0 / (tot_s.t + voc_s.v)
+                    ELSE 1.0e0 / voc_s.v END)
                   / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
                   AS BIGINT) AS so
               FROM db
@@ -304,7 +304,7 @@ object Doremi {
                     WHEN t.tr IS NOT NULL
                       THEN CAST(1000000 AS DOUBLE)
                         / (t.tr + 1000000 * voc_g.v)
-                    ELSE 1.0 / voc_g.v END)
+                    ELSE 1.0e0 / voc_g.v END)
                   / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
                   AS BIGINT) AS sm
               FROM db
@@ -359,8 +359,8 @@ object Doremi {
                     THEN CAST(cnt_s.n + 1 AS DOUBLE)
                       / (tot_s.t + voc_s.v)
                   WHEN tot_s.t IS NOT NULL
-                    THEN 1.0 / (tot_s.t + voc_s.v)
-                  ELSE 1.0 / voc_s.v END)
+                    THEN 1.0e0 / (tot_s.t + voc_s.v)
+                  ELSE 1.0e0 / voc_s.v END)
                 / ln(CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
                 AS BIGINT) // CAST(sum(db.c) AS BIGINT) AS mo
             FROM db

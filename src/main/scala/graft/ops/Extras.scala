@@ -662,8 +662,9 @@ object Extras {
     * metadata read: no data pages touched, the same O(footer) cost at
     * any table size). The DuckDB oracle reads the identical footer
     * through parquet_file_metadata()/parquet_metadata(); those take a
-    * literal path, so the oracle pins the driver's verify scale
-    * (sf0.01) — the Spark side stays dir-parameterized. */
+    * literal path, so the oracle carries a __SF_DIR__ placeholder that
+    * Verify substitutes with the actual data dir at dump time — the
+    * oracle follows whatever scale the replay runs at. */
   val qScanParquetMeta = Q(
     "q_scan_parquet_meta",
     (s, d) => {
@@ -688,14 +689,14 @@ object Extras {
         CAST(num_row_groups AS BIGINT) AS n_row_groups,
         (SELECT CAST(max(nv) AS BIGINT) FROM (
            SELECT row_group_id, max(row_group_num_rows) AS nv
-           FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+           FROM parquet_metadata('__SF_DIR__/events.parquet')
            GROUP BY row_group_id))
           AS max_group_rows,
         (SELECT CAST(count(DISTINCT column_id) AS BIGINT)
-         FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+         FROM parquet_metadata('__SF_DIR__/events.parquet')
          WHERE row_group_id = 0) AS n_columns
       FROM parquet_file_metadata(
-        '/root/testdata/sf0.01/events.parquet')"""))
+        '__SF_DIR__/events.parquet')"""))
 
   /** Recursive SQL (q_sql_recursive): Spark 4's WITH RECURSIVE through
     * the textual front door — the hierarchy rollup every catalog/

@@ -104,7 +104,7 @@ object Learn {
                 CAST(floor(ln(CAST(dc.docs_l AS DOUBLE) /
                   (SELECT count(*) FROM train)) * 1000000 + 0.5) AS BIGINT)
                   AS prior_i,
-                CAST(floor(ln(1.0 / (count(*) + (SELECT v FROM vocab)))
+                CAST(floor(ln(1.0e0 / (count(*) + (SELECT v FROM vocab)))
                   * 1000000 + 0.5) AS BIGINT) AS unseen_i
               FROM train_toks tt
                 JOIN (SELECT lang, count(*) AS docs_l FROM train
@@ -320,10 +320,10 @@ object Learn {
                   'lb' || CAST(CAST(floor(len(string_split(text, ' ')) / 10)
                     AS BIGINT) AS VARCHAR)) AS ws,
                 CAST(len(string_split(text, ' ')) BETWEEN 50 AND 100000
-                  AND round(length(replace(text, ' ', '')) * 1.0 /
+                  AND round(length(replace(text, ' ', '')) * 1.0e0 /
                     len(string_split(text, ' ')), 6) BETWEEN 3.0 AND 10.0
                   AND round(len(list_filter(string_split(text, ' '),
-                      x -> regexp_full_match(x, '[a-z]+'))) * 1.0 /
+                      x -> regexp_full_match(x, '[a-z]+'))) * 1.0e0 /
                     len(string_split(text, ' ')), 6) >= 0.8
                   AND len(list_filter(string_split(text, ' '),
                       x -> x IN ('the', 'a'))) >= 2
@@ -341,7 +341,7 @@ object Learn {
                 CAST(floor(ln(CAST(dc.docs_l AS DOUBLE) /
                   (SELECT count(*) FROM train)) * 1000000 + 0.5)
                   AS BIGINT) AS prior_i,
-                CAST(floor(ln(1.0 / (count(*) + (SELECT v FROM vocab)))
+                CAST(floor(ln(1.0e0 / (count(*) + (SELECT v FROM vocab)))
                   * 1000000 + 0.5) AS BIGINT) AS unseen_i
               FROM train_toks tt
                 JOIN (SELECT label, count(*) AS docs_l FROM train

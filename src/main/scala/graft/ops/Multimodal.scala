@@ -718,7 +718,7 @@ object Multimodal {
               FROM spec)
             SELECT s.doc_id, boxes_ok, mdat_ok, major_brand, n_brands,
               timescale, duration,
-              round(duration * 1.0 / timescale, 6) AS duration_s,
+              round(duration * 1.0e0 / timescale, 6) AS duration_s,
               n_mdat,
               CAST(sum((s.doc_id * 31 + p.i * 17) % 256) AS BIGINT)
                 AS mdat_byte_sum

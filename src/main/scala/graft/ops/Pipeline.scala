@@ -617,7 +617,7 @@ object Pipeline {
             FROM edges GROUP BY src),
           e AS (SELECT edges.src, edges.dst, outdeg.outdeg
                 FROM edges JOIN outdeg ON edges.src = outdeg.src),
-          r0 AS (SELECT doc_id, 1.0 / n_nodes AS pr, n_nodes FROM nodes),
+          r0 AS (SELECT doc_id, 1.0e0 / n_nodes AS pr, n_nodes FROM nodes),
           ${(0 until 3).map(iterCte).mkString(",\n")}
           SELECT doc_id, round(pr, 8) AS pagerank
           FROM r3
@@ -790,7 +790,7 @@ object Pipeline {
         s"""r${i + 1} AS (
               SELECT n.doc_id,
                 round(0.15 * (CASE WHEN n.doc_id < 8
-                    THEN 1.0 / 8 ELSE 0 END)
+                    THEN 1.0e0 / 8 ELSE 0 END)
                   + 0.85 * coalesce(c.inflow, 0), 10) AS pr,
                 n.n_nodes AS n_nodes
               FROM nodes n LEFT JOIN (
@@ -815,7 +815,7 @@ object Pipeline {
           e AS (SELECT edges.src, edges.dst, outdeg.outdeg
                 FROM edges JOIN outdeg ON edges.src = outdeg.src),
           r0 AS (SELECT doc_id,
-                   CASE WHEN doc_id < 8 THEN 1.0 / 8 ELSE 0 END AS pr,
+                   CASE WHEN doc_id < 8 THEN 1.0e0 / 8 ELSE 0 END AS pr,
                    n_nodes FROM nodes),
           ${(0 until 3).map(iterCte).mkString(",\n")}
           SELECT doc_id, round(pr, 8) AS ppr

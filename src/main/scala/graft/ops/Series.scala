@@ -545,8 +545,12 @@ object Series {
         .withColumn("total", sum(col("rev")).over(wAll))
         .withColumn("cum", sum(col("rev")).over(wCum))
         .filter(col("i") < col("m"))
-        .withColumn("score", abs(col("m") * col("cum") -
-          col("i") * col("total")))
+        // m·cum and i·total ride in DECIMAL(38,0): at the 100 TB tier
+        // (~1e16 cents cumulative × ~2.5e3 days) the BIGINT product
+        // wraps silently under Spark's non-ANSI arithmetic while DuckDB
+        // raises — the q_agg_skew_kurt overflow rule.
+        .withColumn("score", abs(col("m").cast("decimal(38,0)") *
+          col("cum") - col("i").cast("decimal(38,0)") * col("total")))
         .orderBy(col("score").desc, col("day"))
         .limit(1)
         .selectExpr("day", "i AS split_idx", "m AS n_days", "score",
@@ -568,11 +572,13 @@ object Series {
             AS BIGINT) AS cum
         FROM days)
       SELECT day, i AS split_idx, m AS n_days,
-        abs(m * cum - i * total) AS score,
+        CAST(abs(CAST(m AS HUGEINT) * cum - CAST(i AS HUGEINT) * total)
+          AS DECIMAL(38,0)) AS score,
         cum // i AS mean_before_cents,
         (total - cum) // (m - i) AS mean_after_cents
       FROM cum WHERE i < m
-      ORDER BY abs(m * cum - i * total) DESC, day NULLS FIRST
+      ORDER BY abs(CAST(m AS HUGEINT) * cum - CAST(i AS HUGEINT) * total)
+        DESC, day NULLS FIRST
       LIMIT 1"""))
 
   // ---- q_agg_theilsen ---------------------------------------------------

@@ -139,11 +139,11 @@ object TextOps {
         .orderBy(col("doc_id")),
     Some(s"""$toksCte
              SELECT doc_id, n_tokens, len_chars, n_stop,
-               round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
-               round((len_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6)
+               round(n_stop * 1.0e0 / n_tokens, 6) AS stop_ratio,
+               round((len_chars - (n_tokens - 1)) * 1.0e0 / n_tokens, 6)
                  AS avg_token_len,
                round(ln(1.0 + len_chars) *
-                 (1.0 - round(n_stop * 1.0 / n_tokens, 6)), 6) AS quality
+                 (1.0 - round(n_stop * 1.0e0 / n_tokens, 6)), 6) AS quality
              FROM (SELECT doc_id,
                      CAST(len(toks) AS BIGINT) AS n_tokens,
                      CAST(length(text) AS BIGINT) AS len_chars,
@@ -257,7 +257,7 @@ object TextOps {
                CAST(len(toks) AS BIGINT) AS ws_tokens,
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
                     AS BIGINT) AS re_tokens,
-               round(length(text) * 1.0 /
+               round(length(text) * 1.0e0 /
                      greatest(len(toks), 1), 6) AS chars_per_token
              FROM toks_t
              ORDER BY doc_id NULLS FIRST"""))
@@ -294,7 +294,7 @@ object TextOps {
              ex AS (SELECT doc_id, unnest(toks) AS token FROM toks_t),
              totals AS (SELECT count(*) AS n_total FROM ex),
              model AS (
-               SELECT token, ln(count(*) * 1.0 / n_total) AS logp
+               SELECT token, ln(count(*) * 1.0e0 / n_total) AS logp
                FROM ex CROSS JOIN totals
                GROUP BY token, n_total)
              SELECT doc_id, count(*) AS n_tokens,
@@ -496,8 +496,8 @@ object TextOps {
                     GROUP BY doc_id, bg)
               GROUP BY doc_id)
             SELECT doc_id, n_tokens,
-              round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
-              round(top_bg * 1.0 / n_bg, 6) AS top_bigram_frac
+              round(n_distinct * 1.0e0 / n_tokens, 6) AS distinct_ratio,
+              round(top_bg * 1.0e0 / n_bg, 6) AS top_bigram_frac
             FROM tstats JOIN bstats USING (doc_id)
             ORDER BY doc_id NULLS FIRST"""))
 

@@ -850,7 +850,7 @@ object Vector {
     for (exactSql <- qSimTopk.oracle; annSql <- qSimAnnLsh.oracle) yield
       s"""SELECT CAST(count(*) AS BIGINT) AS k,
             CAST(count(a_vid) AS BIGINT) AS n_hit,
-            round(count(a_vid) * 1.0 / count(*), 6) AS recall_at_10
+            round(count(a_vid) * 1.0e0 / count(*), 6) AS recall_at_10
           FROM (SELECT vec_id FROM ($exactSql)
                 ORDER BY cos_sim DESC, vec_id LIMIT 10) e
           LEFT JOIN (SELECT vec_id AS a_vid FROM ($annSql)) a
@@ -896,7 +896,7 @@ object Vector {
       def one(name: String, annSql: String) =
         s"""SELECT '$name' AS variant, CAST(count(*) AS BIGINT) AS k,
               CAST(count(a_vid) AS BIGINT) AS n_hit,
-              round(count(a_vid) * 1.0 / count(*), 6) AS recall_at_10
+              round(count(a_vid) * 1.0e0 / count(*), 6) AS recall_at_10
             FROM (SELECT vec_id FROM ($exactSql)
                   ORDER BY cos_sim DESC, vec_id LIMIT 10) e
             LEFT JOIN (SELECT vec_id AS a_vid FROM ($annSql)) a
@@ -1151,7 +1151,7 @@ object Vector {
           f AS (SELECT p_id, vec_id FROM r64 WHERE rk <= 10),
           np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)
           SELECT dim, n_probes, n_hit,
-            round(n_hit * 1.0 / (n_probes * 10), 6) AS recall
+            round(n_hit * 1.0e0 / (n_probes * 10), 6) AS recall
           FROM (${Seq(8, 16, 32, 64).map(hit).mkString("\nUNION ALL ")})
           ORDER BY dim NULLS FIRST"""
     })

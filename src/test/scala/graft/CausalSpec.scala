@@ -574,7 +574,9 @@ class CausalSpec extends SparkSuite {
       else None
     }
     val best = scored.minBy(s => (-s._1, s._2.toEpochDay))
-    assert(row.getAs[Long]("score") === best._1)
+    // score rides in DECIMAL(38,0) since the round-10 overflow fix
+    assert(row.getAs[java.math.BigDecimal]("score").longValueExact()
+      === best._1)
     assert(row.getAs[java.sql.Date]("day").toLocalDate === best._2)
     assert(row.getAs[Long]("split_idx") === best._3)
     assert(row.getAs[Long]("mean_before_cents") === best._4 / best._3)

@@ -296,7 +296,7 @@ class DedupSpec extends SparkSuite {
     val got = SparkEntry.queries("q_dedup_containment")(spark, sf0)
       .collect()
       .map(r => (r.getAs[Long]("sub_id"), r.getAs[Long]("sup_id")) ->
-        (r.getAs[Long]("n_common"), r.getAs[Double]("containment")))
+        (r.getAs[Long]("n_common"), r.getAs[Long]("containment_micro")))
       .toMap
     // scalar shingle sets: distinct md5-first8 hashes of 5-gram strings
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -317,8 +317,9 @@ class DedupSpec extends SparkSuite {
     for (i <- ids.indices; j <- (i + 1) until ids.length) {
       val (a, b) = (ids(i), ids(j))
       val nc = (sets(a) & sets(b)).size.toLong
-      val cont = nc.toDouble / math.min(sets(a).size, sets(b).size)
-      if (cont >= 0.8) {
+      val minSz = math.min(sets(a).size, sets(b).size).toLong
+      // the query's own integer-exact 0.8 cut: 5·|A∩B| >= 4·min(|A|,|B|)
+      if (5 * nc >= 4 * minSz) {
         truth += 1
         val (sub, sup) =
           if (sets(a).size < sets(b).size ||
@@ -327,9 +328,29 @@ class DedupSpec extends SparkSuite {
         val hit = got.get((sub, sup))
         assert(hit.isDefined, s"missing containment pair ($sub,$sup)")
         assert(hit.get._1 === nc)
+        assert(hit.get._2 === 1000000L * nc / minSz)
       }
     }
     // banding produced no false pairs beyond the ground truth either
     assert(got.size === truth)
+  }
+
+  test("containment: a pair at exactly 0.8 is kept by the integer cut") {
+    // A has 9 tokens -> 5 shingles; B swaps the first token -> 5
+    // shingles, 4 shared: containment = 4/min(5,5) = 0.8 EXACTLY —
+    // the boundary a rounded-double filter can drop on a half-ulp.
+    val a = (0 until 9).map(j => s"a$j").mkString(" ")
+    val b = "x1 " + (0 until 8).map(j => s"a$j").mkString(" ")
+    val docs = Seq((1L, a, "en", "src0"), (2L, b, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d2 = fixtureDir("dedup_cont08")("documents" -> docs)
+    val r = q("q_dedup_containment", d2).collect()
+    assert(r.length === 1, "borderline 0.8 pair must survive the cut")
+    assert(r.head.getAs[Long]("sub_id") === 1L)
+    assert(r.head.getAs[Long]("sup_id") === 2L)
+    assert(r.head.getAs[Long]("n_common") === 4L)
+    assert(r.head.getAs[Long]("containment_micro") === 800000L)
+    assert(r.head.getAs[Long]("jaccard_micro") === 666666L)
   }
 }
