@@ -17,7 +17,7 @@ object SparkEntry {
       ops.Mart.all ++ ops.Series.all ++ ops.Learn.all ++ ops.Audit.all ++
       ops.Drift.all ++ ops.Biz.all ++ ops.Refine.all ++
       ops.GraphScores.all ++ ops.Doremi.all ++ ops.Inference.all ++
-      ops.Causal.all ++ streaming.StreamOps.all
+      ops.Causal.all ++ ops.Privacy.all ++ streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The self-trigger analytic (SURVEY §7.2 step 1): per-event_type hit

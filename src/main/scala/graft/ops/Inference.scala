@@ -45,20 +45,25 @@ object Inference {
           sum(col("c").cast("decimal(38,0)")).as("sc"),
           sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
       // SSW = Σ_g (sc2_g - sc_g²/n_g); SSB = Σ_g sc_g²/n_g - (Σsc)²/N
+      // Each group's sc²/n term is quantized to integer micro-units
+      // BEFORE the cross-group sum (the q_surv_logrank discipline): a
+      // raw double sum is partial-aggregation-order-dependent in Spark
+      // and differs from DuckDB's ordering on a rounding boundary.
       val st = g.agg(
         count(lit(1)).as("k"),
         sum(col("n")).as("nn"),
         sum(col("sc")).as("tsc"),
         sum(col("sc2")).as("tsc2"),
-        sum(col("sc").cast("double") * col("sc").cast("double") /
-          col("n")).as("sgr"))
-      st.select(
-        col("k"), col("nn").as("n"),
-        round(
-          ((col("sgr") - col("tsc").cast("double") *
-            col("tsc").cast("double") / col("nn")) / (col("k") - 1)) /
-            ((col("tsc2").cast("double") - col("sgr")) /
-              (col("nn") - col("k"))), 6).as("f"))
+        sum(expr("CAST(floor(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)" +
+          " / n * 1e6 + 0.5D) AS DECIMAL(38,0))")).as("sgr_micro"))
+      st.withColumn("sgr", col("sgr_micro").cast("double") / lit(1e6))
+        .select(
+          col("k"), col("nn").as("n"),
+          round(
+            ((col("sgr") - col("tsc").cast("double") *
+              col("tsc").cast("double") / col("nn")) / (col("k") - 1)) /
+              ((col("tsc2").cast("double") - col("sgr")) /
+                (col("nn") - col("k"))), 6).as("f"))
     },
     Some("""WITH g AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -72,7 +77,9 @@ object Inference {
               SELECT CAST(count(*) AS BIGINT) AS k,
                 CAST(sum(n) AS BIGINT) AS nn,
                 sum(sc) AS tsc, sum(sc2) AS tsc2,
-                sum(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) AS sgr
+                CAST(sum(CAST(floor(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                    / n * 1e6 + 0.5e0) AS DECIMAL(38,0))) AS DOUBLE) / 1e6
+                  AS sgr
               FROM g)
             SELECT k, nn AS n,
               round(
@@ -596,7 +603,105 @@ object Inference {
           ORDER BY doc_id NULLS FIRST"""
     })
 
+  // ---- q_stats_fdr ------------------------------------------------------
+
+  /** One-vs-rest Welch z per event type, assembled from the exact cent
+    * sufficient statistics. Division/multiply/sqrt are IEEE-exact, so
+    * both engines produce the identical double before the 6dp round. */
+  private val fdrZSql =
+    """round((CAST(sc AS DOUBLE) / n - CAST(tsc - sc AS DOUBLE) / (nn - n))
+       / sqrt(
+           (CAST(sc2 AS DOUBLE) / n
+             - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) / n
+         + (CAST(tsc2 - sc2 AS DOUBLE) / (nn - n)
+             - (CAST(tsc - sc AS DOUBLE) / (nn - n))
+               * (CAST(tsc - sc AS DOUBLE) / (nn - n))) / (nn - n)), 6)"""
+
+  /** Abramowitz-Stegun 7.1.26 normal-tail polynomial in t = 1/(1+0.2316419|z|),
+    * e-notation double constants so neither engine parses DECIMAL. */
+  private val fdrTSql = "1e0 / (1e0 + 0.2316419e0 * az)"
+  private val fdrPSql =
+    """CAST(floor(2e0 * 0.3989422804014327e0 * exp(-(az * az) / 2e0)
+         * (((((1.330274429e0 * tt - 1.821255978e0) * tt
+             + 1.781477937e0) * tt - 0.356563782e0) * tt
+             + 0.319381530e0) * tt)
+         * 1000000e0 + 0.5e0) AS BIGINT)"""
+
+  /** Benjamini-Hochberg FDR control (q_stats_fdr): m one-vs-rest
+    * "does this event type's mean value differ?" hypotheses tested at
+    * once — the multiple-testing correction every metrics dashboard
+    * needs before it flags segments. Welch z from exact integer cent
+    * sufficient statistics ([[fdrZSql]]); two-sided p via the shared
+    * A&S normal-tail polynomial, floor-quantized to micro-units; the
+    * BH step-up decision is then EXACT integer arithmetic on both
+    * engines: reject ranks 1..i* where i* = max{i : p_micro·m ≤
+    * i·50000} (α = 0.05). The rank window runs over the event-type
+    * grid (k rows), never the corpus — the q_stats_kruskal bounded-
+    * window discipline. */
+  val qStatsFdr = Q(
+    "q_stats_fdr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+      val tot = g.agg(sum(col("n")).as("nn"), sum(col("sc")).as("tsc"),
+        sum(col("sc2")).as("tsc2"))
+      val p = g.crossJoin(broadcast(tot))
+        .withColumn("zr", expr(fdrZSql))
+        .withColumn("az", expr("abs(zr)"))
+        .withColumn("tt", expr(fdrTSql))
+        .withColumn("p_micro", expr(fdrPSql))
+        .select(col("event_type"), col("n"), col("zr"), col("p_micro"))
+      // rank window over the k-type grid only (grid-bounded, never rows)
+      val ranked = p
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("p_micro"), col("event_type"))).cast("long"))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
+      val cut = ranked.filter(expr("p_micro * m <= rnk * 50000"))
+        .agg(coalesce(max(col("rnk")), lit(0L)).as("imax"))
+      ranked.crossJoin(broadcast(cut))
+        .select(col("event_type"), col("n"), col("zr"), col("p_micro"),
+          col("rnk"), (col("rnk") <= col("imax")).as("rejected"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+              FROM events),
+            g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(c AS HUGEINT)) AS sc,
+                sum(CAST(c AS HUGEINT) * c) AS sc2
+              FROM base GROUP BY event_type),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                sum(sc) AS tsc, sum(sc2) AS tsc2
+              FROM g),
+            z AS (SELECT event_type, n, $fdrZSql AS zr
+                  FROM g CROSS JOIN tot),
+            a AS (SELECT *, abs(zr) AS az FROM z),
+            t AS (SELECT *, $fdrTSql AS tt FROM a),
+            p AS (SELECT event_type, n, zr, $fdrPSql AS p_micro FROM t),
+            ranked AS (
+              SELECT *,
+                CAST(row_number() OVER (ORDER BY p_micro, event_type)
+                  AS BIGINT) AS rnk,
+                CAST(count(*) OVER () AS BIGINT) AS m
+              FROM p),
+            cut AS (
+              SELECT coalesce(max(rnk), 0) AS imax FROM ranked
+              WHERE p_micro * m <= rnk * 50000)
+            SELECT event_type, n, zr, p_micro, rnk,
+              rnk <= imax AS rejected
+            FROM ranked CROSS JOIN cut
+            ORDER BY rnk NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
-    qAggWinsorized, qTextReadability, qGraphHits)
+    qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr)
 }

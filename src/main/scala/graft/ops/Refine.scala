@@ -497,6 +497,135 @@ object Refine {
             GROUP BY m.sa, m.sb, ea.d_est, eb.d_est
             ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
 
+  // ---- q_agg_kmv_intersect ----------------------------------------------
+
+  /** KMV sketch set-operation estimates (q_agg_kmv_intersect): the
+    * union / intersection / containment CARDINALITIES between source
+    * pairs, estimated entirely from the same k = 64 sketches as
+    * q_agg_kmv — union D̂ from the merged sketch's own kth minimum
+    * (the standard KMV union property: the merge of two KMV sketches
+    * IS the KMV sketch of the union), intersection D̂ = Ĵ · D̂_∪, and
+    * per-side containment D̂_∩ / D̂_side. This is the number a crawl
+    * planner actually budgets with ("how many NEW documents does
+    * snapshot B add?") and it never touches the corpus after the
+    * per-source top-64: the pair stage is sources²·2k rows. All
+    * estimator inputs are exact integers; divisions are IEEE-exact
+    * doubles rounded once at emission. */
+  val qAggKmvIntersect = Q(
+    "q_agg_kmv_intersect",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val hashes = docs(s, d)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"))
+        .distinct()
+      val sk = hashes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rn") <= k)
+      val est = sk.groupBy(col("source"))
+        .agg(count(lit(1)).as("sk_n"), max(col("h")).as("tau"))
+        .select(col("source"),
+          when(col("sk_n") < k, col("sk_n").cast("double"))
+            .otherwise((lit(k - 1) * lit(4294967296.0)) / col("tau"))
+            .as("d_est"))
+      val srcs = sk.select(col("source")).distinct()
+      val pairs = srcs.as("pa").join(srcs.as("pb"),
+          col("pa.source") < col("pb.source"))
+        .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
+      val pe = pairs.join(sk.select(col("source").as("es"), col("h")),
+          col("es") === col("sa") || col("es") === col("sb"))
+        .groupBy(col("sa"), col("sb"), col("h"))
+        .agg(max(when(col("es") === col("sa"), 1L).otherwise(0L)).as("in_a"),
+          max(when(col("es") === col("sb"), 1L).otherwise(0L)).as("in_b"))
+      val merged = pe
+        .withColumn("mrn", row_number().over(
+          Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+        .filter(col("mrn") <= k)
+      merged.groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("tau_m"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("n_shared"))
+        .join(broadcast(est).select(col("source").as("ea"),
+          col("d_est").as("da")), col("sa") === col("ea"))
+        .join(broadcast(est).select(col("source").as("eb"),
+          col("d_est").as("db")), col("sb") === col("eb"))
+        .withColumn("u_est", when(col("k_used") < k,
+            col("k_used").cast("double"))
+          .otherwise((lit(k - 1) * lit(4294967296.0)) / col("tau_m")))
+        .withColumn("i_est",
+          col("n_shared").cast("double") / col("k_used") * col("u_est"))
+        .select(col("sa"), col("sb"), col("k_used"), col("n_shared"),
+          round(col("u_est"), 2).as("union_est"),
+          round(col("i_est"), 2).as("inter_est"),
+          round(col("i_est") / col("da"), 6).as("containment_a"),
+          round(col("i_est") / col("db"), 6).as("containment_b"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some("""WITH hashes AS (
+              SELECT DISTINCT source,
+                CAST('0x' || substr(md5(lower(trim(text))), 1, 8)
+                  AS BIGINT) AS h
+              FROM documents),
+            sk AS (
+              SELECT source, h FROM (
+                SELECT source, h, row_number() OVER (
+                  PARTITION BY source ORDER BY h) AS rn
+                FROM hashes) z WHERE rn <= 64),
+            est AS (
+              SELECT source,
+                CASE WHEN count(*) < 64
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63 * 4294967296e0 / max(h) END AS d_est
+              FROM sk GROUP BY source),
+            srcs AS (SELECT DISTINCT source FROM sk),
+            pairs AS (
+              SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+            pe AS (
+              SELECT p.sa, p.sb, e.h,
+                CAST(max(CASE WHEN e.source = p.sa THEN 1 ELSE 0 END)
+                  AS BIGINT) AS in_a,
+                CAST(max(CASE WHEN e.source = p.sb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS in_b
+              FROM pairs p JOIN sk e
+                ON e.source = p.sa OR e.source = p.sb
+              GROUP BY p.sa, p.sb, e.h),
+            merged AS (
+              SELECT sa, sb, h, in_a, in_b FROM (
+                SELECT sa, sb, h, in_a, in_b, row_number() OVER (
+                  PARTITION BY sa, sb ORDER BY h) AS mrn
+                FROM pe) z WHERE mrn <= 64),
+            agg AS (
+              SELECT m.sa, m.sb,
+                CAST(count(*) AS BIGINT) AS k_used,
+                max(h) AS tau_m,
+                CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_shared,
+                max(ea.d_est) AS da, max(eb.d_est) AS db
+              FROM merged m
+              JOIN est ea ON m.sa = ea.source
+              JOIN est eb ON m.sb = eb.source
+              GROUP BY m.sa, m.sb),
+            scored AS (
+              SELECT sa, sb, k_used, n_shared, da, db,
+                CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                  ELSE 63 * 4294967296e0 / tau_m END AS u_est
+              FROM agg),
+            fin AS (
+              SELECT *, CAST(n_shared AS DOUBLE) / k_used * u_est
+                AS i_est
+              FROM scored)
+            SELECT sa, sb, k_used, n_shared,
+              round(u_est, 2) AS union_est,
+              round(i_est, 2) AS inter_est,
+              round(i_est / da, 6) AS containment_a,
+              round(i_est / db, 6) AS containment_b
+            FROM fin
+            ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
+
   // ---- q_ts_holt --------------------------------------------------------
 
   /** Holt linear-trend smoothing (q_ts_holt): double exponential
@@ -1544,7 +1673,7 @@ object Refine {
 
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
-    qTextNovelty, qAggKmv, qTsHolt, qCurateAblation,
+    qTextNovelty, qAggKmv, qAggKmvIntersect, qTsHolt, qCurateAblation,
     qWinPercent, qJoinSkewCensus, qSplitLeakage,
     qQualityKappa, qTextLangmix, qEmbedNorms,
     qSampleCoreset, qStatsBenford,

@@ -204,4 +204,57 @@ class InferenceSpec extends SparkSuite {
     assert(p.contains("HashAggregate(keys=[x"),
       "self-join inputs must be the aggregated cell table")
   }
+
+  test("fdr: z, p, and BH decisions match a scalar replay") {
+    val rows = q("q_stats_fdr").collect()
+    // scalar replay from the raw events, same formula order
+    val cents = Tables.t(spark, sf0, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byT = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nn = cents.length.toDouble
+    val tsc = BigInt(cents.map(c => BigInt(c._2)).sum.toString)
+    val tsc2 = cents.map(c => BigInt(c._2) * BigInt(c._2)).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scalar = byT.map { case (t, cs) =>
+      val n = cs.length.toDouble
+      val sc = cs.map(BigInt(_)).sum
+      val sc2 = cs.map(c => BigInt(c) * BigInt(c)).sum
+      val z = (sc.toDouble / n - (tsc - sc).toDouble / (nn - n)) /
+        math.sqrt(
+          (sc2.toDouble / n - (sc.toDouble / n) * (sc.toDouble / n)) / n +
+            ((tsc2 - sc2).toDouble / (nn - n) -
+              ((tsc - sc).toDouble / (nn - n)) *
+                ((tsc - sc).toDouble / (nn - n))) / (nn - n))
+      val zr = r6(z)
+      val az = math.abs(zr)
+      val tt = 1.0 / (1.0 + 0.2316419 * az)
+      val p = 2.0 * 0.3989422804014327 * math.exp(-(az * az) / 2.0) *
+        (((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt -
+          0.356563782) * tt + 0.319381530) * tt)
+      t -> (cs.length.toLong, zr, math.floor(p * 1e6 + 0.5).toLong)
+    }
+    val m = scalar.size
+    val sortedP = scalar.toSeq.sortBy { case (t, (_, _, pm)) => (pm, t) }
+    val imax = sortedP.zipWithIndex
+      .filter { case ((_, (_, _, pm)), i) => pm * m <= (i + 1) * 50000L }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    assert(rows.length === m)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, zr, pm) = scalar(t)
+      assert(r.getAs[Long]("n") === n, s"$t n")
+      assert(r.getAs[Double]("zr") === zr, s"$t z")
+      assert(r.getAs[Long]("p_micro") === pm, s"$t p")
+      assert(r.getAs[Boolean]("rejected") ===
+        (r.getAs[Long]("rnk") <= imax), s"$t BH decision")
+    }
+    // rejections form a rank prefix (step-up property)
+    val rej = rows.sortBy(_.getAs[Long]("rnk"))
+      .map(_.getAs[Boolean]("rejected"))
+    assert(rej.sliding(2).forall(w => w.length < 2 || w(0) || !w(1)),
+      "rejected set must be a prefix of the p-ranked list")
+  }
 }

@@ -488,4 +488,39 @@ class RefineSpec extends SparkSuite {
       s"repetitive domain should carry higher excess: $got")
     assert(got("sX")._2 > got("sY")._2, s"and the higher weight: $got")
   }
+
+  test("kmv intersect: identical sources estimate containment 1, " +
+    "planted 1/3 overlap lands in the sketch error band") {
+    // sa: 100 docs; sb: 50 shared with sa + 50 of its own; sc: exact
+    // copy of sa under another label → the merged sketch IS sa's
+    val sa = (0 until 100).map(i =>
+      (i.toLong, s"alpha passage token$i", "en", "sa"))
+    val sb = (0 until 100).map { i =>
+      val text = if (i < 50) s"alpha passage token${50 + i}"
+        else s"beta passage token$i"
+      (100L + i, text, "en", "sb")
+    }
+    val sc = (0 until 100).map(i =>
+      (200L + i, s"alpha passage token$i", "en", "sc"))
+    val docsDf = (sa ++ sb ++ sc).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("refine_kmvint")("documents" -> docsDf)
+    val got = q("q_agg_kmv_intersect", dir).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) -> r).toMap
+    // sa ≡ sc: every merged hash is shared; estimates coincide exactly
+    val ac = got(("sa", "sc"))
+    assert(ac.getAs[Long]("n_shared") === ac.getAs[Long]("k_used"))
+    assert(ac.getAs[Double]("containment_a") === 1.0)
+    assert(ac.getAs[Double]("containment_b") === 1.0)
+    assert(ac.getAs[Double]("inter_est") === ac.getAs[Double]("union_est"))
+    // sa vs sb: true |∪| = 150, |∩| = 50 — k = 64 sketch error band
+    val ab = got(("sa", "sb"))
+    val u = ab.getAs[Double]("union_est")
+    val i = ab.getAs[Double]("inter_est")
+    assert(u > 100 && u < 230, s"union_est $u vs true 150")
+    assert(i > 15 && i < 100, s"inter_est $i vs true 50")
+    assert(i <= u, "intersection estimate cannot exceed the union's")
+    assert(ab.getAs[Double]("containment_a") > 0.15 &&
+      ab.getAs[Double]("containment_a") < 0.9)
+  }
 }
