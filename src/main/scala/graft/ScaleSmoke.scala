@@ -112,6 +112,11 @@ object ScaleSmoke {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.props("java.io.tmpdir") + "/graft_scale10"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SMOKE_IDS=q_a,q_b runs a targeted subset (e.g. the
+    // ids a new round just added) without re-measuring the full list
+    val runIds = sys.env.get("SPARK_GRAFT_SMOKE_IDS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(ids)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -122,7 +127,7 @@ object ScaleSmoke {
     build10x(spark, src, out)
     // JVM/codegen warmup so 1× doesn't absorb JIT cost
     spark.range(2000000L).selectExpr("sum(id)").collect()
-    def run(dir: String): Map[String, Double] = ids.map { id =>
+    def run(dir: String): Map[String, Double] = runIds.map { id =>
       val t0 = System.nanoTime()
       SparkEntry.queries(id)(spark, dir).count()
       id -> (System.nanoTime() - t0) / 1e9
@@ -131,7 +136,7 @@ object ScaleSmoke {
     val t10 = run(out)
     println("| query | 1x sec | 10x sec | ratio (linear = 10.0) |")
     println("|---|---|---|---|")
-    ids.foreach { id =>
+    runIds.foreach { id =>
       println(f"| $id | ${t1(id)}%.2f | ${t10(id)}%.2f | " +
         f"${t10(id) / t1(id)}%.2f |")
     }

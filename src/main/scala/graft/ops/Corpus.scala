@@ -1114,8 +1114,152 @@ object Corpus {
             FROM per_ps JOIN spans ON per_ps.phase = spans.phase
             ORDER BY per_ps.phase NULLS FIRST, source NULLS FIRST"""))
 
+  // ---- q_text_bigram_kn -------------------------------------------------
+
+  /** Shared KN interpolation formula — identical text in both engines:
+    * every input is an exact integer, so the double sequence is
+    * IEEE-identical before the 6dp round. */
+  private val knSql =
+    """(greatest(n - 0.75e0, 0e0)
+       + 0.75e0 * n1p_w1 * (CAST(n1p_dot AS DOUBLE) / n1p_all)) / c1"""
+
+  /** Kneser-Ney smoothed bigram LM head (q_text_bigram_kn): the
+    * absolute-discount interpolated estimate
+    * P(w2|w1) = max(c−d,0)/c(w1) + d·N₁₊(w1·)/c(w1) · Pcont(w2) with
+    * d = 0.75 and the continuation prior Pcont(w2) =
+    * N₁₊(·w2)/N₁₊(··) — the smoothing that made count-based LMs
+    * competitive (Kneser & Ney 1995), and the quality gate that
+    * distinguishes "frequent continuation" from "frequent only after
+    * one anchor". Per w1 the emitted row is the KN-argmax
+    * continuation, which can differ from q_text_bigram_lm's raw-count
+    * winner exactly when the continuation prior overrules a
+    * one-anchor-burst bigram. All counts are one grouped aggregate;
+    * windows run over the distinct-bigram table (vocab-bounded); every
+    * arithmetic input is an exact integer so the ranked doubles are
+    * engine-identical. */
+  val qTextBigramKn = Q(
+    "q_text_bigram_kn",
+    (s, d) => {
+      val cnt = docs(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+                       i -> struct(element_at(ws, i) AS w1,
+                                   element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+      val byW1 = Window.partitionBy(col("w1"))
+      val cont = cnt.groupBy(col("w2"))
+        .agg(count(lit(1)).as("n1p_dot"))
+      val tot = cnt.agg(count(lit(1)).as("n1p_all"))
+      val scored = cnt
+        .withColumn("c1", sum(col("n")).over(byW1))
+        .withColumn("n1p_w1", count(lit(1)).over(byW1))
+        .join(cont, "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("p_kn", expr(knSql))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("w1"))
+          .orderBy(col("p_kn").desc, col("w2"))))
+        .filter(col("rn") === 1)
+        .select(col("w1"), col("w2"), col("n"), col("n1p_w1"),
+          round(col("p_kn"), 6).as("p_kn"))
+        .orderBy(col("w1"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+            big AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            cnt AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+              FROM big GROUP BY w1, w2),
+            cont AS (
+              SELECT w2, CAST(count(*) AS BIGINT) AS n1p_dot
+              FROM cnt GROUP BY w2),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM cnt),
+            scored AS (
+              SELECT cnt.w1, cnt.w2, cnt.n,
+                CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+                CAST(count(*) OVER (PARTITION BY w1) AS BIGINT)
+                  AS n1p_w1,
+                cont.n1p_dot, tot.n1p_all
+              FROM cnt JOIN cont USING (w2) CROSS JOIN tot)
+            SELECT w1, w2, n, n1p_w1, round($knSql, 6) AS p_kn
+            FROM scored
+            QUALIFY row_number()
+              OVER (PARTITION BY w1 ORDER BY $knSql DESC, w2) = 1
+            ORDER BY w1 NULLS FIRST"""))
+
+  // ---- q_compact_plan ---------------------------------------------------
+
+  /** Compaction planning (q_compact_plan): pack the corpus's per-
+    * (source, lang) "files" into target-sized compaction groups — the
+    * small-file consolidation pass every 100 TB lake runs before
+    * training reads (a hundred thousand 2 MB parquet files is a
+    * scheduler stall, not a dataset). Files order by (size desc, key)
+    * and split on the running cumulative at the 65536-char target —
+    * the greedy size-ordered cut production OPTIMIZE jobs use; a file
+    * larger than the target gets its own group. Exact integer sizes,
+    * integer group assignment ((cum − size) div target), micro-exact
+    * fill ratios. The one window runs over the FILE list (sources ×
+    * langs — catalog-bounded, never rows; the q_stats_kruskal
+    * bounded-window discipline). */
+  val qCompactPlan = Q(
+    "q_compact_plan",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = docs(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val w = Window
+        .orderBy(col("bytes").desc, col("source"), col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("(cum - bytes) div 65536"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("total_chars"),
+          min(concat_ws(":", col("source"), col("lang")))
+            .as("first_file"),
+          max(concat_ws(":", col("source"), col("lang")))
+            .as("last_file"))
+        .withColumn("fill_micro",
+          expr("(1000000 * total_chars) div 65536"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH files AS (
+              SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+              FROM documents GROUP BY source, lang),
+            binned AS (
+              SELECT source, lang, bytes,
+                CAST(sum(bytes) OVER (
+                  ORDER BY bytes DESC, source, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM files),
+            grp AS (
+              SELECT source, lang, bytes, (cum - bytes) // 65536 AS bin
+              FROM binned)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(bytes) AS BIGINT) AS total_chars,
+              min(source || ':' || lang) AS first_file,
+              max(source || ':' || lang) AS last_file,
+              (1000000 * CAST(sum(bytes) AS BIGINT)) // 65536
+                AS fill_micro
+            FROM grp
+            GROUP BY bin
+            ORDER BY bin NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
     qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss,
-    qTextHeldoutPpl, qTextContrast, qMixCurriculum)
+    qTextHeldoutPpl, qTextContrast, qMixCurriculum, qCompactPlan,
+    qTextBigramKn)
 }

@@ -61,7 +61,7 @@ object Privacy {
     * scale and embedded as the same literal CASE chain in both
     * engines, so the sampled noise is exact integer arithmetic —
     * no ln/exp runs inside either engine. */
-  private val dpNoiseCase: String = {
+  private[graft] val dpNoiseCase: String = {
     val alpha = math.exp(-1.0)
     val b = 16
     val weights = (-b to b).map(k => math.pow(alpha, math.abs(k)))

@@ -689,9 +689,100 @@ object TextOps {
       WHERE rk <= 30
       ORDER BY tf DESC, term NULLS FIRST"""))
 
+  // ---- q_text_keyphrase -------------------------------------------------
+
+  /** RAKE keyphrase extraction (q_text_keyphrase): candidate phrases
+    * are maximal stopword-delimited token runs (the gaps-and-islands
+    * grouping: position minus the per-doc rank among non-stop tokens),
+    * capped at 4 words; each member word's degree (Σ phrase lengths it
+    * appears in) and frequency accumulate over the WHOLE corpus, and a
+    * phrase scores the sum of its members' deg/freq — the classic
+    * co-occurrence keyword score (Rose et al. 2010), re-derived
+    * relationally. Per-word deg/freq ratios are exact micro-unit
+    * integer divisions summed exactly, so the top-20 argmax has no
+    * float on either engine; the phrase build is a per-DOC window
+    * (doc-bounded, never corpus-wide) and the top-20 plans as
+    * TakeOrderedAndProject. */
+  val qTextKeyphrase = Q(
+    "q_text_keyphrase",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pos = toks(s, d)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      val ns = pos
+        .filter(expr("NOT tok IN ('the','a','and','of','to','in')"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .withColumn("grp", col("pos") - col("rn"))
+      val phr = ns.groupBy(col("doc_id"), col("grp"))
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("phrase"),
+          count(lit(1)).as("n_words"))
+        .filter(col("n_words") <= 4)
+      val words = phr.select(col("phrase"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      val wsc = words.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+        .select(col("w"), expr("(1000000 * deg) div freq")
+          .as("wscore_micro"))
+      val dp = phr.groupBy(col("phrase"), col("n_words"))
+        .agg(count(lit(1)).as("n_occ"))
+      val sc = dp.select(col("phrase"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(wsc, "w")
+        .groupBy(col("phrase"))
+        .agg(sum(col("wscore_micro")).as("score_micro"))
+      dp.join(sc, "phrase")
+        .select(col("phrase"), col("n_words"), col("n_occ"),
+          col("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(20)
+    },
+    Some(s"""$toksCte,
+            pos AS (
+              SELECT doc_id,
+                unnest(generate_series(0, len(toks) - 1)) AS pos,
+                unnest(toks) AS tok
+              FROM toks_t),
+            ns AS (
+              SELECT doc_id, pos, tok,
+                pos - row_number() OVER (
+                  PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM pos
+              WHERE tok NOT IN ('the','a','and','of','to','in')),
+            phr AS (
+              SELECT doc_id, grp,
+                string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                CAST(count(*) AS BIGINT) AS n_words
+              FROM ns GROUP BY doc_id, grp
+              HAVING count(*) <= 4),
+            w AS (
+              SELECT phrase, n_words,
+                unnest(string_split(phrase, ' ')) AS w
+              FROM phr),
+            wsc AS (
+              SELECT w, (1000000 * CAST(sum(n_words) AS BIGINT))
+                  // CAST(count(*) AS BIGINT) AS wscore_micro
+              FROM w GROUP BY w),
+            dp AS (
+              SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occ
+              FROM phr GROUP BY phrase, n_words),
+            pw AS (
+              SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+              FROM dp),
+            sc AS (
+              SELECT phrase, CAST(sum(wscore_micro) AS BIGINT)
+                AS score_micro
+              FROM pw JOIN wsc USING (w) GROUP BY phrase)
+            SELECT dp.phrase, dp.n_words, dp.n_occ, sc.score_micro
+            FROM dp JOIN sc USING (phrase)
+            ORDER BY score_micro DESC, phrase NULLS FIRST
+            LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
     qTextRepetition, qTextPack, qTextLangidEval, qTextDrift, qCurateV2,
-    qTextBurstiness)
+    qTextBurstiness, qTextKeyphrase)
 }

@@ -2049,7 +2049,35 @@ object StreamOps {
       GROUP BY 1
       ORDER BY bucket NULLS FIRST"""))
 
+  /** Streaming DP histogram release (q_stream_dp_hist): the live twin
+    * of q_audit_dp_hist — per-category counts maintained on ingest
+    * (commutative, merge-order-free), the ε = 1 discrete-geometric
+    * noise applied to the SETTLED counts at release time via the same
+    * precomputed integer threshold chain ([[graft.ops.Privacy
+    * .dpNoiseCase]]). Noise-at-release is the correct DP shape for a
+    * snapshot publication (noise on every micro-batch would compound
+    * the privacy budget); the batch query is therefore the exact
+    * oracle once the stream drains. */
+  val qStreamDpHist = Q(
+    "q_stream_dp_hist",
+    (s, d) => {
+      val counts = eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      val settled = drain(s, counts, "stream_dp_hist_tbl", "complete")
+      settled
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(CAST(event_type AS BINARY)), 1, 8),
+               16, 10) AS BIGINT)"""))
+        .withColumn("noise", expr(graft.ops.Privacy.dpNoiseCase))
+        .select(col("event_type"), col("n_true"), col("noise"),
+          greatest(lit(0L), col("n_true") + col("noise")).as("n_dp"))
+        .orderBy(col("event_type"))
+    },
+    graft.ops.Privacy.qAuditDpHist.oracle)
+
   val all: Seq[Q] = Seq(
+    qStreamDpHist,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,

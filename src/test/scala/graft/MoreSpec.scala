@@ -354,4 +354,46 @@ class MoreSpec extends SparkSuite {
     val better = perTerm.count(_._2 > minTf)
     assert(better <= 30)
   }
+  test("keyphrase: RAKE scores match a hand-computed two-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "s0"),
+      (2L, "quick brown the fox jumps", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("more_rake")("documents" -> docs)
+    val got = q("q_text_keyphrase", dir).collect()
+      .map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("score_micro"))).toMap
+    // phrases: "quick brown fox" (doc1), "quick brown" + "fox jumps"
+    // (doc2). deg/freq: quick 5/2, brown 5/2, fox 5/2, jumps 2/1.
+    assert(got("quick brown fox") === ((3L, 1L, 7500000L)))
+    assert(got("quick brown") === ((2L, 1L, 5000000L)))
+    assert(got("fox jumps") === ((2L, 1L, 4500000L)))
+    assert(got.size === 3)
+  }
+
+  test("compact plan: greedy cumulative cut matches the hand binning") {
+    import spark.implicits._
+    // three files 40000/30000/20000 chars: cumulative cut at 65536
+    // puts the first two in bin 0 (cum-before 0 and 40000), the third
+    // in bin 1 (cum-before 70000)
+    def doc(id: Long, src: String, n: Int) =
+      (id, "x" * n, "en", src)
+    val docs = Seq(doc(1L, "sa", 40000), doc(2L, "sb", 30000),
+      doc(3L, "sc", 20000))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("more_compact")("documents" -> docs)
+    val got = q("q_compact_plan", dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("total_chars"),
+          r.getAs[String]("first_file"), r.getAs[String]("last_file")))
+      .toMap
+    assert(got(0L) === ((2L, 70000L, "sa:en", "sb:en")))
+    assert(got(1L) === ((1L, 20000L, "sc:en", "sc:en")))
+    // conservation: every char lands in exactly one bin
+    assert(got.values.map(_._2).sum === 90000L)
+  }
 }

@@ -863,4 +863,12 @@ class StreamSpec extends SparkSuite {
     // 13-day click (within 1 day of the purchase) must
     assert(got === Seq(("click", 500L), ("click", 900L), ("direct", 700L)))
   }
+
+  test("streaming DP histogram settles to the batch release exactly") {
+    val got = SparkEntry.queries("q_stream_dp_hist")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_audit_dp_hist")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch)
+  }
 }
