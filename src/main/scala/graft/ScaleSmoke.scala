@@ -106,7 +106,16 @@ object ScaleSmoke {
     "q_graph_conductance", "q_graph_core_members", "q_graph_ppr",
     "q_ml_ridge", "q_dedup_containment", "q_surv_km", "q_surv_logrank",
     "q_events_conversion_lag", "q_ts_backtest", "q_multimodal_scenecut",
-    "q_multimodal_silence")
+    "q_multimodal_silence",
+    // round-10 additions (q_audit_ldiv is customer-based — customer is
+    // not blown up, so it has no meaningful 10x row): FDR and the DP
+    // releases are grid-bounded rollups; kmv_intersect's pair stage
+    // grows with sources^2 but stays sketch-bounded (2k rows/pair);
+    // keyphrase and the KN LM are corpus-linear explodes against
+    // vocab-bounded stat joins; compact_plan is catalog-bounded
+    "q_stats_fdr", "q_audit_dp_hist", "q_agg_kmv_intersect",
+    "q_text_keyphrase", "q_compact_plan", "q_text_bigram_kn",
+    "q_stream_dp_hist")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
