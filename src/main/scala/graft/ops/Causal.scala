@@ -1798,10 +1798,95 @@ object Causal {
         LIMIT 20"""
     })
 
+  // ---- q_causal_did -----------------------------------------------------
+
+  /** Difference-in-differences (q_causal_did): the 2×2 panel estimator
+    * — treated vs control, pre vs post — over purchase values. The
+    * treated cohort is the even-user_id half (a deterministic stand-in
+    * for a feature-rollout assignment; the ESTIMATOR is the real
+    * shape) and the post period starts 2024-01-15. Per-cell sums are
+    * exact BIGINT cents; cell means quantize to integer micro-cents by
+    * integer division, so the DiD estimate — (postT − preT) −
+    * (postC − preC) — is exact integer arithmetic on both engines.
+    * One corpus aggregate, four cells, one output row. */
+  val qCausalDid = Q(
+    "q_causal_did",
+    (s, d) => {
+      val cells = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(
+          (col("user_id") % 2 === 0).cast("long").as("treated"),
+          (col("ts") >= lit("2024-01-15").cast("timestamp_ntz"))
+            .cast("long").as("post"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .withColumn("mean_micro", expr("(1000000 * sc) div n"))
+      cells.agg(
+          sum(when(col("treated") === 1 && col("post") === 0, col("n")))
+            .as("n_pre_t"),
+          sum(when(col("treated") === 1 && col("post") === 1, col("n")))
+            .as("n_post_t"),
+          sum(when(col("treated") === 0 && col("post") === 0, col("n")))
+            .as("n_pre_c"),
+          sum(when(col("treated") === 0 && col("post") === 1, col("n")))
+            .as("n_post_c"),
+          sum(when(col("treated") === 1 && col("post") === 0,
+            col("mean_micro"))).as("pre_t"),
+          sum(when(col("treated") === 1 && col("post") === 1,
+            col("mean_micro"))).as("post_t"),
+          sum(when(col("treated") === 0 && col("post") === 0,
+            col("mean_micro"))).as("pre_c"),
+          sum(when(col("treated") === 0 && col("post") === 1,
+            col("mean_micro"))).as("post_c"))
+        .selectExpr("n_pre_t", "n_post_t", "n_pre_c", "n_post_c",
+          "round(pre_t / 1e6, 6) AS mean_pre_treated",
+          "round(post_t / 1e6, 6) AS mean_post_treated",
+          "round(pre_c / 1e6, 6) AS mean_pre_control",
+          "round(post_c / 1e6, 6) AS mean_post_control",
+          "(post_t - pre_t) - (post_c - pre_c) AS did_micro")
+    },
+    Some("""WITH cells AS (
+              SELECT CAST(user_id % 2 = 0 AS BIGINT) AS treated,
+                CAST(ts >= TIMESTAMP '2024-01-15' AS BIGINT) AS post,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS sc
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1, 2),
+            m AS (SELECT *, (1000000 * sc) // n AS mean_micro
+                  FROM cells)
+            SELECT
+              CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN n END)
+                AS BIGINT) AS n_pre_t,
+              CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN n END)
+                AS BIGINT) AS n_post_t,
+              CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN n END)
+                AS BIGINT) AS n_pre_c,
+              CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN n END)
+                AS BIGINT) AS n_post_c,
+              round(sum(CASE WHEN treated = 1 AND post = 0
+                THEN mean_micro END) / 1e6, 6) AS mean_pre_treated,
+              round(sum(CASE WHEN treated = 1 AND post = 1
+                THEN mean_micro END) / 1e6, 6) AS mean_post_treated,
+              round(sum(CASE WHEN treated = 0 AND post = 0
+                THEN mean_micro END) / 1e6, 6) AS mean_pre_control,
+              round(sum(CASE WHEN treated = 0 AND post = 1
+                THEN mean_micro END) / 1e6, 6) AS mean_post_control,
+              CAST((sum(CASE WHEN treated = 1 AND post = 1
+                  THEN mean_micro END)
+                - sum(CASE WHEN treated = 1 AND post = 0
+                  THEN mean_micro END))
+                - (sum(CASE WHEN treated = 0 AND post = 1
+                  THEN mean_micro END)
+                - sum(CASE WHEN treated = 0 AND post = 0
+                  THEN mean_micro END)) AS BIGINT) AS did_micro
+            FROM m"""))
+
   val all: Seq[Q] = Seq(qSurvKm, qSurvLogrank, qSurvHazard,
     qEventsAttribution, qEventsConversionLag, qSamplePps, qSampleHt, qMlStump, qMlLogreg,
     qMlAdaboost, qMlKfold, qMlFeatimp, qStatsBootstrap,
     qStatsPermutation, qStatsPower, qAggLoghist,
-    qGraphCloseness, qGraphEffDiameter, qGraphBetweenness)
+    qGraphCloseness, qGraphEffDiameter, qGraphBetweenness, qCausalDid)
 }
 

@@ -274,6 +274,77 @@ object Curate {
       FROM sky WHERE n_chars > best_above
       ORDER BY ttr DESC"""))
 
+  // ---- q_text_mask_plan -------------------------------------------------
+
+  /** MLM masking plan (q_text_mask_plan): the BERT-style 15% / 80-10-10
+    * token-masking assignment, made DETERMINISTIC so the plan is
+    * reproducible run-to-run and auditable engine-to-engine — per
+    * (doc, position) a hash gate selects 15% of tokens (u32 <
+    * ⌊0.15·2³²⌋), and an independent second hash splits the selected
+    * into mask/random/keep at 80/10/10. Emits the per-doc masking
+    * census (counts + micro-exact mask fraction) a training-data
+    * builder QA-checks before writing the masked copies. Scan-local
+    * hash arithmetic, one per-doc aggregate — no windows, no joins;
+    * the shape is embarrassingly parallel at any corpus size. */
+  val qTextMaskPlan = Q(
+    "q_text_mask_plan",
+    (s, d) => {
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"),
+          expr("""CAST(conv(substring(md5(CAST(concat(
+                    CAST(doc_id AS STRING), ':', CAST(pos AS STRING))
+                    AS BINARY)), 1, 8), 16, 10) AS BIGINT)""").as("u"),
+          expr("""CAST(conv(substring(md5(CAST(concat(
+                    CAST(pos AS STRING), ':', CAST(doc_id AS STRING))
+                    AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100""")
+            .as("v"))
+        .withColumn("sel", (col("u") < 644245094L).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("sel")).as("n_selected"),
+          sum(expr("CASE WHEN sel = 1 AND v < 80 THEN 1L ELSE 0L END"))
+            .as("n_mask"),
+          sum(expr("CASE WHEN sel = 1 AND v >= 80 AND v < 90 THEN 1L" +
+            " ELSE 0L END")).as("n_random"),
+          sum(expr("CASE WHEN sel = 1 AND v >= 90 THEN 1L ELSE 0L END"))
+            .as("n_keep"))
+        .withColumn("mask_frac_micro",
+          expr("(1000000 * n_selected) div n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pos AS (
+              SELECT doc_id,
+                unnest(generate_series(0,
+                  len(string_split(text, ' ')) - 1)) AS pos
+              FROM documents),
+            drawn AS (
+              SELECT doc_id, pos,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) AS u,
+                CAST('0x' || substr(md5(CAST(pos AS VARCHAR) || ':'
+                  || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                  AS v
+              FROM pos),
+            flagged AS (
+              SELECT doc_id,
+                CAST(u < 644245094 AS BIGINT) AS sel, v
+              FROM drawn)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(sel) AS BIGINT) AS n_selected,
+              CAST(sum(CASE WHEN sel = 1 AND v < 80 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mask,
+              CAST(sum(CASE WHEN sel = 1 AND v >= 80 AND v < 90 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_random,
+              CAST(sum(CASE WHEN sel = 1 AND v >= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+              (1000000 * CAST(sum(sel) AS BIGINT)) // count(*)
+                AS mask_frac_micro
+            FROM flagged
+            GROUP BY doc_id
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qMixSample, qPiiRedact, qDocChunks,
-    qSampleReservoir, qMixPareto)
+    qSampleReservoir, qMixPareto, qTextMaskPlan)
 }

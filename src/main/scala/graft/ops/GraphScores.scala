@@ -416,8 +416,72 @@ object GraphScores {
             GROUP BY peel_depth
             ORDER BY peel_depth NULLS FIRST"""))
 
+  // ---- q_graph_richclub -------------------------------------------------
+
+  /** Rich-club coefficient profile (q_graph_richclub): for each degree
+    * cut k in a FIXED grid {1,2,4,8,16}, φ(k) = 2·E_{>k} /
+    * (N_{>k}·(N_{>k}−1)) — do the hubs of the link graph wire to each
+    * other more densely than chance? The number behind "is influence
+    * concentrated" (Colizza et al. 2006), and the degree-threshold
+    * companion to q_graph_assortativity's single correlation. One
+    * degree aggregate + one endpoint-degree edge join, then BOTH
+    * censuses ride a literal 5-value grid explode (grid-bounded, no
+    * windows): node and edge counts per cut are exact integers and
+    * φ emits as one integer micro-division. */
+  val qGraphRichclub = Q(
+    "q_graph_richclub",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val deg = degrees(und)
+      val grid = "explode(array(1L, 2L, 4L, 8L, 16L))"
+      val nk = deg.select(col("deg"), expr(grid).as("k"))
+        .filter(col("deg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+      val ek = und
+        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+        .select(least(col("dega"), col("degb")).as("mindeg"),
+          expr(grid).as("k"))
+        .filter(col("mindeg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+      nk.join(ek, Seq("k"), "left")
+        .select(col("k"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .withColumn("phi_micro", expr(
+          """CASE WHEN n_nodes >= 2
+             THEN (1000000 * 2 * n_edges) div (n_nodes * (n_nodes - 1))
+             END"""))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+          GROUP BY v),
+        grid AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k),
+        nk AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg CROSS JOIN grid WHERE deg > k GROUP BY k),
+        ek AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+          FROM (
+            SELECT least(da.deg, db.deg) AS mindeg
+            FROM und u
+            JOIN deg da ON u.a = da.v
+            JOIN deg db ON u.b = db.v) e
+          CROSS JOIN grid WHERE mindeg > k GROUP BY k)
+        SELECT nk.k, n_nodes,
+          CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+          CASE WHEN n_nodes >= 2
+            THEN (1000000 * 2 * coalesce(n_edges, 0))
+              // (n_nodes * (n_nodes - 1))
+            END AS phi_micro
+        FROM nk LEFT JOIN ek ON nk.k = ek.k
+        ORDER BY nk.k NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qGraphKcore, qGraphAssortativity,
-    qGraphModularity, qGraphConductance, qGraphCoreMembers)
+    qGraphModularity, qGraphConductance, qGraphCoreMembers,
+    qGraphRichclub)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

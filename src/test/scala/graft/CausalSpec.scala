@@ -156,7 +156,8 @@ class CausalSpec extends SparkSuite {
     os.foreach { case (k, w) =>
       val u = (md5u32(k.toString) + 1L) / 4294967296.0
       val pi = math.min(1.0, 200.0 * w / ww)
-      if (u < pi) {
+      // certainty units (pi >= 1) are unconditionally in-sample
+      if (u < pi || pi >= 1.0) {
         nS += 1
         htN += math.floor(1e6 / pi + 0.5).toLong
         htT += math.floor(w * 1e2 / pi + 0.5).toLong
@@ -838,5 +839,33 @@ class CausalSpec extends SparkSuite {
     }
     // quartiles are non-decreasing
     assert(got("p25") <= got("p50") && got("p50") <= got("p75"))
+  }
+  test("did: a planted post-period treated lift is recovered exactly") {
+    import spark.implicits._
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // control (odd users): 10.00 in both periods; treated (even):
+    // 10.00 pre, 12.50 post -> DiD = +2.50 exactly
+    val ev = Seq(
+      (1L, ts(2), 2L, "purchase", 10.0, "{}"),
+      (2L, ts(2), 4L, "purchase", 10.0, "{}"),
+      (3L, ts(20), 6L, "purchase", 12.5, "{}"),
+      (4L, ts(20), 8L, "purchase", 12.5, "{}"),
+      (5L, ts(2), 1L, "purchase", 10.0, "{}"),
+      (6L, ts(2), 3L, "purchase", 10.0, "{}"),
+      (7L, ts(20), 5L, "purchase", 10.0, "{}"),
+      (8L, ts(20), 7L, "purchase", 10.0, "{}"),
+      // non-purchase noise must be excluded
+      (9L, ts(20), 2L, "view", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("causal_did")("events" -> ev)
+    val r = q("q_causal_did", dir).collect().head
+    assert(r.getAs[Long]("n_pre_t") === 2L)
+    assert(r.getAs[Long]("n_post_t") === 2L)
+    assert(r.getAs[Long]("n_pre_c") === 2L)
+    assert(r.getAs[Long]("n_post_c") === 2L)
+    assert(r.getAs[Double]("mean_post_treated") === 1250.0)
+    assert(r.getAs[Double]("mean_pre_treated") === 1000.0)
+    assert(r.getAs[Long]("did_micro") === 250L * 1000000L)
   }
 }

@@ -118,4 +118,34 @@ class CurateSpec extends SparkSuite {
       r.getAs[Long]("n_after_sem")).sum
     assert(got === expected.toLong, "semantic-stage drop accounting")
   }
+  test("mask plan: counts partition, fraction near 15%, hash replay") {
+    val rows = q("q_text_mask_plan").collect()
+    var selTot = 0L; var tokTot = 0L
+    rows.foreach { r =>
+      val (nt, ns) =
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_selected"))
+      assert(ns === r.getAs[Long]("n_mask") + r.getAs[Long]("n_random") +
+        r.getAs[Long]("n_keep"), "80/10/10 must partition the selection")
+      assert(r.getAs[Long]("mask_frac_micro") === 1000000L * ns / nt)
+      selTot += ns; tokTot += nt
+    }
+    val frac = selTot.toDouble / tokTot
+    assert(frac > 0.10 && frac < 0.20, s"corpus mask fraction $frac")
+    // scalar md5 replay of one document's gate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val doc = Tables.t(spark, sf0, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().head
+    val n = doc.getString(1).split(" ").length
+    val expSel = (0 until n).count(p =>
+      u32(s"${doc.getLong(0)}:$p") < 644245094L).toLong
+    val got = rows.find(_.getAs[Long]("doc_id") == doc.getLong(0)).get
+    assert(got.getAs[Long]("n_selected") === expSel)
+  }
 }

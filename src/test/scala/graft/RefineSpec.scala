@@ -523,4 +523,27 @@ class RefineSpec extends SparkSuite {
     assert(ab.getAs[Double]("containment_a") > 0.15 &&
       ab.getAs[Double]("containment_a") < 0.9)
   }
+  test("richclub: profile matches a scalar replay of the link graph") {
+    val got = q("q_graph_richclub").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+          Option(r.get(r.fieldIndex("phi_micro")))
+            .map(_.asInstanceOf[Long]))).toMap
+    val edges = ops.Insights.undirectedLinkEdges(spark, sf0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq(1L, 2L, 4L, 8L, 16L).foreach { k =>
+      val nk = deg.count(_._2 > k).toLong
+      val ek = edges.count(e =>
+        math.min(deg(e._1), deg(e._2)) > k).toLong
+      val (gn, ge, gp) = got(k)
+      assert(gn === nk, s"k=$k nodes")
+      assert(ge === ek, s"k=$k edges")
+      if (nk >= 2)
+        assert(gp === Some(1000000L * 2 * ek / (nk * (nk - 1))),
+          s"k=$k phi")
+      else assert(gp.isEmpty)
+    }
+  }
 }
