@@ -115,7 +115,11 @@ object ScaleSmoke {
     // vocab-bounded stat joins; compact_plan is catalog-bounded
     "q_stats_fdr", "q_audit_dp_hist", "q_agg_kmv_intersect",
     "q_text_keyphrase", "q_compact_plan", "q_text_bigram_kn",
-    "q_stream_dp_hist")
+    "q_stream_dp_hist",
+    // DiD is one corpus aggregate over 4 cells; richclub rides the
+    // cached degree table + a 5-value grid; mask planning is
+    // scan-local hash arithmetic
+    "q_causal_did", "q_graph_richclub", "q_text_mask_plan")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
