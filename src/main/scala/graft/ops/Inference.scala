@@ -701,7 +701,163 @@ object Inference {
             FROM ranked CROSS JOIN cut
             ORDER BY rnk NULLS FIRST"""))
 
+  // ---- q_stats_cmh ------------------------------------------------------
+
+  /** Cochran-Mantel-Haenszel test (q_stats_cmh): is the
+    * morning-hour ↔ purchase association real once you control for the
+    * WEEK? — the stratified 2×2 test that separates a true effect from
+    * Simpson confounding across strata. Per ISO-week stratum the 2×2
+    * cells (a = morning purchase … d = other non-purchase) are exact
+    * integer counts; E[a] = r1·c1/n and the hypergeometric variance
+    * V = r1·r2·c1·c2 / (n²(n−1)) ride their four-count products in
+    * DECIMAL(38,0)/HUGEINT (the n⁴ product wraps BIGINT near n ≈ 55k —
+    * the q_agg_skew_kurt overflow rule), quantize to micro-units per
+    * stratum, and the continuity-corrected χ² = (|Σa−ΣE|−½)²/ΣV
+    * divides once at the end. One corpus aggregate; the stratum rollup
+    * is calendar-bounded. */
+  val qStatsCmh = Q(
+    "q_stats_cmh",
+    (s, d) => {
+      val cells = ev(s, d)
+        .select(weekofyear(col("ts")).cast("long").as("wk"),
+          (hour(col("ts")) < 12).cast("long").as("morning"),
+          (col("event_type") === "purchase").cast("long").as("pur"))
+        .groupBy(col("wk"))
+        .agg(
+          sum(col("morning") * col("pur")).as("a"),
+          sum(col("morning") * (lit(1L) - col("pur"))).as("b"),
+          sum((lit(1L) - col("morning")) * col("pur")).as("c"),
+          sum((lit(1L) - col("morning")) * (lit(1L) - col("pur")))
+            .as("dd"))
+        .withColumn("n", expr("a + b + c + dd"))
+        .filter(col("n") > 1)
+        .withColumn("e_micro", expr(
+          """CAST(floor(CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
+               AS DOUBLE) / n * 1e6 + 0.5D) AS BIGINT)"""))
+        .withColumn("v_micro", expr(
+          """CAST(floor(CAST(CAST(a + b AS DECIMAL(38,0)) * (c + dd)
+               * (a + c) * (b + dd) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) * 1e6 + 0.5D)
+             AS BIGINT)"""))
+      cells.agg(
+          count(lit(1)).as("k_strata"),
+          sum(col("a")).as("sum_a"),
+          sum(col("e_micro")).as("sum_e_micro"),
+          sum(col("v_micro")).as("sum_v_micro"))
+        .selectExpr("k_strata", "sum_a",
+          "round(sum_e_micro / 1e6, 6) AS sum_e",
+          "round(sum_v_micro / 1e6, 6) AS sum_v",
+          """round(CAST(abs(1000000 * sum_a - sum_e_micro) / 1e6 - 0.5D
+             AS DOUBLE) * (abs(1000000 * sum_a - sum_e_micro) / 1e6
+             - 0.5D) / (sum_v_micro / 1e6), 6) AS chi2""")
+    },
+    Some("""WITH base AS (
+              SELECT CAST(weekofyear(ts) AS BIGINT) AS wk,
+                CAST(hour(ts) < 12 AS BIGINT) AS morning,
+                CAST(event_type = 'purchase' AS BIGINT) AS pur
+              FROM events),
+            cells AS (
+              SELECT wk,
+                CAST(sum(morning * pur) AS BIGINT) AS a,
+                CAST(sum(morning * (1 - pur)) AS BIGINT) AS b,
+                CAST(sum((1 - morning) * pur) AS BIGINT) AS c,
+                CAST(sum((1 - morning) * (1 - pur)) AS BIGINT) AS dd
+              FROM base GROUP BY wk),
+            scored AS (
+              SELECT wk, a, b, c, dd, a + b + c + dd AS n,
+                CAST(floor(CAST(CAST(a + b AS HUGEINT) * (a + c)
+                  AS DOUBLE) / (a + b + c + dd) * 1e6 + 0.5e0)
+                  AS BIGINT) AS e_micro,
+                CAST(floor(CAST(CAST(a + b AS HUGEINT) * (c + dd)
+                  * (a + c) * (b + dd) AS DOUBLE)
+                  / (CAST(a + b + c + dd AS DOUBLE) * (a + b + c + dd)
+                    * (a + b + c + dd - 1)) * 1e6 + 0.5e0)
+                  AS BIGINT) AS v_micro
+              FROM cells WHERE a + b + c + dd > 1)
+            SELECT CAST(count(*) AS BIGINT) AS k_strata,
+              CAST(sum(a) AS BIGINT) AS sum_a,
+              round(CAST(sum(e_micro) AS BIGINT) / 1e6, 6) AS sum_e,
+              round(CAST(sum(v_micro) AS BIGINT) / 1e6, 6) AS sum_v,
+              round((abs(1000000 * CAST(sum(a) AS BIGINT)
+                  - CAST(sum(e_micro) AS BIGINT)) / 1e6 - 0.5e0)
+                * (abs(1000000 * CAST(sum(a) AS BIGINT)
+                  - CAST(sum(e_micro) AS BIGINT)) / 1e6 - 0.5e0)
+                / (CAST(sum(v_micro) AS BIGINT) / 1e6), 6) AS chi2
+            FROM scored"""))
+
+  // ---- q_stats_runs -----------------------------------------------------
+
+  /** Wald-Wolfowitz runs test (q_stats_runs): is the daily-revenue
+    * series above/below its median in RANDOM order, or does it
+    * streak? — the nonparametric trend/clustering alarm on the same
+    * day grid the changepoint scan reads. Signs come from exact
+    * integer cent totals vs the interpolated median; the run count is
+    * one lag comparison over the calendar-bounded day window; μ and σ²
+    * assemble from n₁·n₂ products ridden in DECIMAL(38,0)/HUGEINT and
+    * divide once into the z. */
+  val qStatsRuns = Q(
+    "q_stats_runs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = ev(s, d)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+      val med = days.agg(expr("percentile(rev, 0.5D)").as("med"))
+      val signed = days.crossJoin(broadcast(med))
+        .select(col("day"),
+          (col("rev") > col("med")).cast("long").as("sgn"))
+      // lag over the day grid: calendar-bounded, never rows
+      val w = Window.orderBy(col("day"))
+      val runs = signed
+        .withColumn("chg",
+          when(lag(col("sgn"), 1).over(w).isNull, 1L)
+            .otherwise((col("sgn") =!= lag(col("sgn"), 1).over(w))
+              .cast("long")))
+        .agg(sum(col("chg")).as("r"),
+          sum(col("sgn")).as("n1"),
+          sum(lit(1L) - col("sgn")).as("n2"))
+      runs.selectExpr("n1", "n2", "r AS runs",
+        """round((r - (CAST(CAST(2 AS DECIMAL(38,0)) * n1 * n2 AS DOUBLE)
+             / (n1 + n2) + 1.0D))
+           / sqrt(CAST(CAST(2 AS DECIMAL(38,0)) * n1 * n2
+               * (CAST(2 AS DECIMAL(38,0)) * n1 * n2 - n1 - n2)
+             AS DOUBLE)
+             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))),
+           6) AS z""")
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS rev
+              FROM events GROUP BY 1),
+            med AS (SELECT quantile_cont(rev, 0.5e0) AS med FROM days),
+            signed AS (
+              SELECT day, CAST(rev > med AS BIGINT) AS sgn
+              FROM days CROSS JOIN med),
+            chg AS (
+              SELECT day, sgn,
+                CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL THEN 1
+                  ELSE CAST(sgn <> lag(sgn) OVER (ORDER BY day)
+                    AS BIGINT) END AS chg
+              FROM signed),
+            agg AS (
+              SELECT CAST(sum(chg) AS BIGINT) AS r,
+                CAST(sum(sgn) AS BIGINT) AS n1,
+                CAST(sum(1 - sgn) AS BIGINT) AS n2
+              FROM chg)
+            SELECT n1, n2, r AS runs,
+              round((r - (CAST(CAST(2 AS HUGEINT) * n1 * n2 AS DOUBLE)
+                  / (n1 + n2) + 1.0e0))
+                / sqrt(CAST(CAST(2 AS HUGEINT) * n1 * n2
+                    * (CAST(2 AS HUGEINT) * n1 * n2 - n1 - n2)
+                  AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                    * (n1 + n2 - 1))), 6) AS z
+            FROM agg"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
-    qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr)
+    qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
+    qStatsCmh, qStatsRuns)
 }

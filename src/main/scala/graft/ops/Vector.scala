@@ -1215,10 +1215,86 @@ object Vector {
         round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg_at_10
       FROM dcg CROSS JOIN idcg""")
 
+  // ---- q_embed_drift ----------------------------------------------------
+
+  /** Embedding snapshot drift (q_embed_drift): split each label's
+    * vectors into two halves by vec_id parity — a stand-in for "last
+    * month's encoder output vs this month's" — and report the cosine
+    * between the half centroids plus their norm ratio, per label. The
+    * alarm that catches a silently retrained/renormalized encoder
+    * before a kNN index rebuild ships garbage. Per-element values
+    * quantize to integer micro-units BEFORE the per-dimension sum
+    * (float sums are merge-order-dependent — the house rule), so both
+    * engines assemble the centroid dot/norms from identical integers;
+    * the divisions and sqrt are IEEE-exact. Shape: one explode +
+    * one (label, parity, dim) aggregate — dim-grid bounded joins. */
+  val qEmbedDrift = Q(
+    "q_embed_drift",
+    (s, d) => {
+      val pos = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), (col("vec_id") % 2).as("par"), col("pos"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5D) AS BIGINT)")
+            .as("xm"))
+      val sums = pos.groupBy(col("label"), col("par"), col("pos"))
+        .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("m", col("sm").cast("double") / col("n"))
+      val a = sums.filter(col("par") === 0)
+        .select(col("label"), col("pos"), col("m").as("ma"),
+          col("n").as("na"))
+      val b = sums.filter(col("par") === 1)
+        .select(col("label").as("lb"), col("pos").as("pb"),
+          col("m").as("mb"), col("n").as("nb"))
+      a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+          sum(col("ma") * col("mb")).as("dot"),
+          sum(col("ma") * col("ma")).as("nrm_a"),
+          sum(col("mb") * col("mb")).as("nrm_b"))
+        .select(col("label").cast("long").as("label"),
+          col("n_even"), col("n_odd"),
+          round(col("dot") / (sqrt(col("nrm_a")) * sqrt(col("nrm_b"))),
+            6).as("cos_drift"),
+          round(sqrt(col("nrm_a")) / sqrt(col("nrm_b")), 6)
+            .as("norm_ratio"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH pos AS (
+              SELECT label, vec_id % 2 AS par, i - 1 AS pos,
+                CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5e0)
+                  AS BIGINT) AS xm
+              FROM embeddings
+              CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                len(embedding))) AS i) ix),
+            sums AS (
+              SELECT label, par, pos,
+                CAST(sum(xm) AS BIGINT) AS sm,
+                CAST(count(*) AS BIGINT) AS n
+              FROM pos GROUP BY label, par, pos),
+            m AS (SELECT label, par, pos,
+                    CAST(sm AS DOUBLE) / n AS m, n
+                  FROM sums),
+            a AS (SELECT label, pos, m AS ma, n AS na FROM m
+                  WHERE par = 0),
+            b AS (SELECT label AS lb, pos AS pb, m AS mb, n AS nb
+                  FROM m WHERE par = 1)
+            SELECT CAST(label AS BIGINT) AS label,
+              CAST(max(na) AS BIGINT) AS n_even,
+              CAST(max(nb) AS BIGINT) AS n_odd,
+              round(sum(ma * mb)
+                / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+                AS cos_drift,
+              round(sqrt(sum(ma * ma)) / sqrt(sum(mb * mb)), 6)
+                AS norm_ratio
+            FROM a JOIN b ON label = lb AND pos = pb
+            GROUP BY label
+            ORDER BY label NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qSimThresholdCurve,
     qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
-    qSimHardneg, qSimMatryoshka, qSimNdcg)
+    qSimHardneg, qSimMatryoshka, qSimNdcg, qEmbedDrift)
 }

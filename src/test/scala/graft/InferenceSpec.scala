@@ -257,4 +257,56 @@ class InferenceSpec extends SparkSuite {
     assert(rej.sliding(2).forall(w => w.length < 2 || w(0) || !w(1)),
       "rejected set must be a prefix of the p-ranked list")
   }
+  test("cmh: stratified chi2 matches a scalar replay") {
+    val row = q("q_stats_cmh").collect().head
+    val rows = Tables.t(spark, sf0, "events")
+      .select(weekofyear(col("ts")).cast("long"),
+        (hour(col("ts")) < 12).cast("long"),
+        (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var sumA = 0L; var sumE = 0L; var sumV = 0L; var k = 0L
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val a = g.count(x => x._2 == 1 && x._3 == 1).toLong
+      val b = g.count(x => x._2 == 1 && x._3 == 0).toLong
+      val c = g.count(x => x._2 == 0 && x._3 == 1).toLong
+      val dd = g.count(x => x._2 == 0 && x._3 == 0).toLong
+      val n = a + b + c + dd
+      if (n > 1) {
+        k += 1; sumA += a
+        sumE += math.floor(
+          ((a + b).toDouble * (a + c)) / n * 1e6 + 0.5).toLong
+        sumV += math.floor(
+          (BigInt(a + b) * BigInt(c + dd) * BigInt(a + c) *
+            BigInt(b + dd)).toDouble /
+            (n.toDouble * n * (n - 1)) * 1e6 + 0.5).toLong
+      }
+    }
+    val dAbs = math.abs(1000000L * sumA - sumE) / 1e6 - 0.5
+    val chi2 = dAbs * dAbs / (sumV / 1e6)
+    assert(row.getAs[Long]("k_strata") === k)
+    assert(row.getAs[Long]("sum_a") === sumA)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-5,
+      s"got ${row.getAs[Double]("chi2")} want $chi2")
+  }
+
+  test("runs: streaky and alternating fixtures hit the exact counts") {
+    import spark.implicits._
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // 4 low days then 4 high days: 2 runs, n1 = n2 = 4
+    val ev = (1 to 8).map { i =>
+      (i.toLong, ts(i), i.toLong, "purchase",
+        if (i <= 4) 10.0 else 90.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("inf_runs")("events" -> ev)
+    val r = q("q_stats_runs", dir).collect().head
+    assert(r.getAs[Long]("n1") === 4L)
+    assert(r.getAs[Long]("n2") === 4L)
+    assert(r.getAs[Long]("runs") === 2L)
+    // z for R=2, n1=n2=4: mu = 5, var = 16*8/(64*7) wait — use formula
+    val mu = 2.0 * 4 * 4 / 8 + 1
+    val v = 2.0 * 4 * 4 * (2.0 * 4 * 4 - 8) / (8.0 * 8 * 7)
+    assert(math.abs(r.getAs[Double]("z") - (2 - mu) / math.sqrt(v))
+      < 1e-6)
+  }
 }

@@ -524,4 +524,26 @@ class VectorSpec extends SparkSuite {
       assert(gl === longest.toLong, s"doc $id longest")
     }
   }
+  test("embed drift: identical parity halves read cos 1, ratio 1") {
+    import spark.implicits._
+    // each label: vectors 2i and 2i+1 identical -> the two parity
+    // halves have the SAME centroid
+    val rows = (0 until 4).flatMap { lbl =>
+      (0 until 3).flatMap { i =>
+        val v = (0 until 8).map(j =>
+          ((lbl + 1) * 10 + i + j * 0.25).toFloat).toArray
+        Seq((lbl * 100L + 2 * i, v, lbl), (lbl * 100L + 2 * i + 1, v, lbl))
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val dir = fixtureDir("vec_drift")("embeddings" -> rows)
+    val got = q("q_embed_drift", dir).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_even") === 3L)
+      assert(r.getAs[Long]("n_odd") === 3L)
+      assert(r.getAs[Double]("cos_drift") === 1.0,
+        s"label ${r.getAs[Long]("label")}")
+      assert(r.getAs[Double]("norm_ratio") === 1.0)
+    }
+  }
 }
