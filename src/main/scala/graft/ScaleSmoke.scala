@@ -119,7 +119,10 @@ object ScaleSmoke {
     // DiD is one corpus aggregate over 4 cells; richclub rides the
     // cached degree table + a 5-value grid; mask planning is
     // scan-local hash arithmetic
-    "q_causal_did", "q_graph_richclub", "q_text_mask_plan")
+    "q_causal_did", "q_graph_richclub", "q_text_mask_plan",
+    // CMH/runs are calendar-grid rollups; embed_drift is one explode
+    // + a (label, parity, dim)-bounded aggregate
+    "q_stats_cmh", "q_stats_runs", "q_embed_drift")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
