@@ -638,17 +638,11 @@ object Inference {
     * i·50000} (α = 0.05). The rank window runs over the event-type
     * grid (k rows), never the corpus — the q_stats_kruskal bounded-
     * window discipline. */
-  val qStatsFdr = Q(
-    "q_stats_fdr",
-    (s, d) => {
+  /** BH machinery over settled (event_type, n, sc, sc2) sufficient
+    * statistics — shared by the batch query and its streaming twin so
+    * the decision logic has ONE definition. */
+  private[graft] def fdrFromStats(g: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val g = ev(s, d)
-        .select(col("event_type"),
-          floor(col("value") * 100 + 0.5).cast("long").as("c"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("c").cast("decimal(38,0)")).as("sc"),
-          sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
       val tot = g.agg(sum(col("n")).as("nn"), sum(col("sc")).as("tsc"),
         sum(col("sc2")).as("tsc2"))
       val p = g.crossJoin(broadcast(tot))
@@ -668,7 +662,23 @@ object Inference {
         .select(col("event_type"), col("n"), col("zr"), col("p_micro"),
           col("rnk"), (col("rnk") <= col("imax")).as("rejected"))
         .orderBy(col("rnk"))
-    },
+  }
+
+  /** Exact cent sufficient statistics per event type — the input both
+    * the batch FDR and its streaming twin feed to [[fdrFromStats]]. */
+  private[graft] val fdrStatsAggs = Seq(
+    count(lit(1)).as("n"),
+    sum(col("c").cast("decimal(38,0)")).as("sc"),
+    sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+
+  val qStatsFdr = Q(
+    "q_stats_fdr",
+    (s, d) => fdrFromStats(
+      ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(fdrStatsAggs.head, fdrStatsAggs.tail: _*)),
     Some(s"""WITH base AS (
               SELECT event_type,
                 CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c

@@ -2076,8 +2076,30 @@ object StreamOps {
     },
     graft.ops.Privacy.qAuditDpHist.oracle)
 
+  /** Streaming FDR monitor (q_stream_fdr): the live twin of
+    * q_stats_fdr — per-type (n, Σc, Σc²) sufficient statistics
+    * maintained on ingest in DECIMAL(38,0) (commutative, merge-order-
+    * free), the Welch z / A&S p / BH step-up applied to the SETTLED
+    * stats through the SAME shared [[graft.ops.Inference.fdrFromStats]]
+    * program, so the live experiment dashboard and the batch analysis
+    * cannot disagree by construction. Settles to the batch oracle
+    * exactly. */
+  val qStreamFdr = Q(
+    "q_stream_fdr",
+    (s, d) => {
+      val stats = eventsStream(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(graft.ops.Inference.fdrStatsAggs.head,
+          graft.ops.Inference.fdrStatsAggs.tail: _*)
+      graft.ops.Inference.fdrFromStats(
+        drain(s, stats, "stream_fdr_tbl", "complete"))
+    },
+    graft.ops.Inference.qStatsFdr.oracle)
+
   val all: Seq[Q] = Seq(
-    qStreamDpHist,
+    qStreamDpHist, qStreamFdr,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,

@@ -864,6 +864,14 @@ class StreamSpec extends SparkSuite {
     assert(got === Seq(("click", 500L), ("click", 900L), ("direct", 700L)))
   }
 
+  test("streaming FDR monitor settles to the batch decisions exactly") {
+    val got = SparkEntry.queries("q_stream_fdr")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_stats_fdr")(spark, sf0)
+      .collect().map(_.toSeq).toSeq
+    assert(got === batch)
+  }
+
   test("streaming DP histogram settles to the batch release exactly") {
     val got = SparkEntry.queries("q_stream_dp_hist")(spark, sf0)
       .collect().map(_.toSeq).toSeq
