@@ -145,5 +145,106 @@ object Audit {
             WHERE rk = 1 AND n_dups > 1
             ORDER BY doc_id NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qAggEquidepth, qFnRegex, qDedupCanonical)
+  // ---- q_audit_expectations ---------------------------------------------
+
+  /** Declarative expectations audit (q_audit_expectations): the
+    * pre-publish data-contract census — a fixed rule catalog evaluated
+    * in one pass per table, emitting (rule, n_checked, n_violations,
+    * pass) for: key uniqueness, value ranges, null-freedom,
+    * and referential integrity. Each rule is a single
+    * aggregate (uniqueness counts keys minus distinct keys; the FK
+    * check is one anti-join count), so the whole audit is a handful of
+    * scans with map-side-combined aggregates and one edge-case
+    * anti-join — no windows, no collects; the rule table is
+    * catalog-sized. The same shape extends to any rule that can be
+    * phrased as "count rows where NOT <predicate>". */
+  val qAuditExpectations = Q(
+    "q_audit_expectations",
+    (s, dd) => {
+      implicit val is: SparkSession = s
+      implicit val id: String = dd
+      val orders = t("orders")
+      val lineitem = t("lineitem")
+      def rule(name: String, checked: org.apache.spark.sql.DataFrame,
+          violation: org.apache.spark.sql.Column) =
+        checked.agg(count(lit(1)).as("n_checked"),
+          sum(violation.cast("long")).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"),
+            (col("n_violations") === 0).as("pass"))
+      val uniq = orders.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_violations"))
+        .select(lit("orders_pk_unique").as("rule"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+      val fk = lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(
+          lineitem.agg(count(lit(1)).as("n_checked"))))
+        .select(lit("lineitem_fk_orders").as("rule"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+      rule("orders_price_positive", orders, col("o_totalprice") <= 0)
+        .unionAll(rule("orders_status_domain", orders,
+          !col("o_orderstatus").isin("O", "F", "P")))
+        .unionAll(rule("lineitem_qty_range", lineitem,
+          col("l_quantity") < 1 || col("l_quantity") > 50))
+        .unionAll(rule("lineitem_discount_range", lineitem,
+          col("l_discount") < 0 || col("l_discount") > 0.1))
+        .unionAll(rule("lineitem_shipdate_not_null", lineitem,
+          col("l_shipdate").isNull))
+        .unionAll(rule("lineitem_tax_range", lineitem,
+          col("l_tax") < 0 || col("l_tax") > 0.1))
+        .unionAll(uniq)
+        .unionAll(fk)
+        .orderBy(col("rule"))
+    },
+    Some("""WITH rules AS (
+            SELECT 'orders_price_positive' AS rule,
+              CAST(count(*) AS BIGINT) AS n_checked,
+              CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'orders_status_domain', count(*),
+              sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_qty_range', count(*),
+              sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_discount_range', count(*),
+              sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_shipdate_not_null', count(*),
+              sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem_tax_range', count(*),
+              sum(CASE WHEN l_tax < 0 OR l_tax > 0.1
+                THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders_pk_unique', count(*),
+              count(*) - count(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_fk_orders',
+              (SELECT count(*) FROM lineitem),
+              (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey)))
+            SELECT rule, n_checked, n_violations,
+              n_violations = 0 AS pass
+            FROM rules
+            ORDER BY rule NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qAggEquidepth, qFnRegex, qDedupCanonical,
+    qAuditExpectations)
 }

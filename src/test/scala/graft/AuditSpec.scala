@@ -49,4 +49,33 @@ class AuditSpec extends SparkSuite {
         assert(!survivors.contains(t._1) || t._1 == want._1))
     }
   }
+  test("expectations: planted violations are counted rule-by-rule") {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2024-01-05")
+    val orders = Seq(
+      (1L, 100.0, "O"), (2L, 250.0, "F"),
+      (2L, 300.0, "O"),          // duplicate key
+      (3L, -5.0, "X"))           // negative price + bad status
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val lineitem = Seq(
+      (1L, 5.0, 0.05, 0.04, d0),
+      (2L, 99.0, 0.05, 0.04, d0),   // qty out of range
+      (9L, 5.0, 0.20, 0.04, d0))    // orphan FK + discount range
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_tax",
+        "l_shipdate")
+    val dir = fixtureDir("audit_expect")(
+      "orders" -> orders, "lineitem" -> lineitem)
+    val got = q("q_audit_expectations", dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Boolean]("pass"))).toMap
+    assert(got("orders_pk_unique") === ((4L, 1L, false)))
+    assert(got("orders_price_positive") === ((4L, 1L, false)))
+    assert(got("orders_status_domain") === ((4L, 1L, false)))
+    assert(got("lineitem_qty_range") === ((3L, 1L, false)))
+    assert(got("lineitem_discount_range") === ((3L, 1L, false)))
+    assert(got("lineitem_fk_orders") === ((3L, 1L, false)))
+    assert(got("lineitem_shipdate_not_null") === ((3L, 0L, true)))
+    assert(got("lineitem_tax_range") === ((3L, 0L, true)))
+  }
 }
