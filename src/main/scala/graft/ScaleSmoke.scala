@@ -122,7 +122,10 @@ object ScaleSmoke {
     "q_causal_did", "q_graph_richclub", "q_text_mask_plan",
     // CMH/runs are calendar-grid rollups; embed_drift is one explode
     // + a (label, parity, dim)-bounded aggregate
-    "q_stats_cmh", "q_stats_runs", "q_embed_drift")
+    "q_stats_cmh", "q_stats_runs", "q_embed_drift",
+    // the expectations audit is per-table aggregates + one anti-join;
+    // the streaming FDR twin is grid-bounded settled stats
+    "q_audit_expectations", "q_stream_fdr")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
