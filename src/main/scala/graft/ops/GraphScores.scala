@@ -479,9 +479,56 @@ object GraphScores {
         FROM nk LEFT JOIN ek ON nk.k = ek.k
         ORDER BY nk.k NULLS FIRST"""))
 
+  // ---- q_graph_knn_profile ----------------------------------------------
+
+  /** Average-neighbour-degree profile (q_graph_knn_profile): for every
+    * degree value k, the mean degree of the neighbours of degree-k
+    * nodes — knn(k) rising ⇒ assortative wiring, falling ⇒ hubs feed
+    * leaves. The CURVE behind q_graph_assortativity's single
+    * correlation number, and the standard diagnostic for whether
+    * degree-based partitioning will hotspot. Both edge orientations
+    * contribute (per-edge neighbour degrees), sums are exact integers
+    * grouped by the degree GRID, and the mean emits as one integer
+    * micro-division. */
+  val qGraphKnnProfile = Q(
+    "q_graph_knn_profile",
+    (s, d) => {
+      val und = Insights.undirectedLinkEdges(s, d)
+      val deg = degrees(und)
+      val sym = und.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+      sym
+        .join(deg.select(col("v").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("v").as("w"), col("deg").as("dw")), "w")
+        .groupBy(col("du").as("k"))
+        .agg(count(lit(1)).as("n_endpoints"),
+          sum(col("dw")).as("sum_nbr_deg"))
+        .withColumn("knn_micro",
+          expr("(1000000 * sum_nbr_deg) div n_endpoints"))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSqlRef,
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+          GROUP BY v),
+        sym AS (
+          SELECT a AS u, b AS w FROM und
+          UNION ALL SELECT b, a FROM und)
+        SELECT du.deg AS k,
+          CAST(count(*) AS BIGINT) AS n_endpoints,
+          CAST(sum(dw.deg) AS BIGINT) AS sum_nbr_deg,
+          (1000000 * CAST(sum(dw.deg) AS BIGINT))
+            // CAST(count(*) AS BIGINT) AS knn_micro
+        FROM sym
+        JOIN deg du ON sym.u = du.v
+        JOIN deg dw ON sym.w = dw.v
+        GROUP BY du.deg
+        ORDER BY k NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qGraphKcore, qGraphAssortativity,
     qGraphModularity, qGraphConductance, qGraphCoreMembers,
-    qGraphRichclub)
+    qGraphRichclub, qGraphKnnProfile)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

@@ -2098,8 +2098,66 @@ object StreamOps {
     },
     graft.ops.Inference.qStatsFdr.oracle)
 
+  /** Streaming data-contract monitor (q_stream_expectations): the live
+    * twin of the q_audit_expectations idea on the ingest path — four
+    * violation counters (negative value, unknown event type, null
+    * props, timestamp outside the 2024 contract window) maintained as
+    * ONE commutative aggregate row on the stream, unpivoted into the
+    * per-rule census after the drain. A violating batch is visible the
+    * moment it lands, not at the nightly audit. Settles exactly to the
+    * same rules evaluated batch-side. */
+  val qStreamExpectations = Q(
+    "q_stream_expectations",
+    (s, d) => {
+      val counters = eventsStream(s, d).agg(
+        count(lit(1)).as("n"),
+        sum((col("value") < 0).cast("long")).as("v_neg"),
+        sum((!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error")).cast("long"))
+          .as("v_type"),
+        sum(col("props").isNull.cast("long")).as("v_props"),
+        sum((col("ts") < lit("2024-01-01").cast("timestamp_ntz") ||
+          col("ts") >= lit("2025-01-01").cast("timestamp_ntz"))
+          .cast("long")).as("v_ts"))
+      drain(s, counters, "stream_expect_tbl", "complete")
+        .selectExpr("n", """stack(4,
+            'events_value_non_negative', v_neg,
+            'events_type_domain', v_type,
+            'events_props_not_null', v_props,
+            'events_ts_in_contract_window', v_ts)
+          AS (rule, n_violations)""")
+        .select(col("rule"), col("n").as("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+        .orderBy(col("rule"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_neg,
+                CAST(sum(CASE WHEN event_type NOT IN
+                  ('click', 'view', 'purchase', 'signup', 'error')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_props,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                  OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_ts
+              FROM events),
+            rules AS (
+              SELECT 'events_value_non_negative' AS rule, n,
+                v_neg AS n_violations FROM c
+              UNION ALL SELECT 'events_type_domain', n, v_type FROM c
+              UNION ALL SELECT 'events_props_not_null', n, v_props
+                FROM c
+              UNION ALL SELECT 'events_ts_in_contract_window', n, v_ts
+                FROM c)
+            SELECT rule, n AS n_checked, n_violations,
+              n_violations = 0 AS pass
+            FROM rules
+            ORDER BY rule NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    qStreamDpHist, qStreamFdr,
+    qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamStateful, qStreamForeachBatch,

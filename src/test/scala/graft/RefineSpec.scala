@@ -546,4 +546,22 @@ class RefineSpec extends SparkSuite {
       else assert(gp.isEmpty)
     }
   }
+  test("knn profile: curve matches a scalar neighbour-degree replay") {
+    val got = q("q_graph_knn_profile").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_endpoints"), r.getAs[Long]("sum_nbr_deg"),
+          r.getAs[Long]("knn_micro"))).toMap
+    val edges = ops.Insights.undirectedLinkEdges(spark, sf0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = edges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val byK = sym.groupBy(e => deg(e._1))
+    assert(got.keySet === byK.keySet)
+    byK.foreach { case (k, es) =>
+      val sumNbr = es.map(e => deg(e._2)).sum
+      assert(got(k) ===
+        ((es.length.toLong, sumNbr, 1000000L * sumNbr / es.length)))
+    }
+  }
 }

@@ -879,4 +879,16 @@ class StreamSpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(got === batch)
   }
+  test("streaming expectations monitor: clean corpus passes all rules") {
+    val got = SparkEntry.queries("q_stream_expectations")(spark, sf0)
+      .collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("pass"),
+        s"rule ${r.getAs[String]("rule")} flagged violations on the " +
+          "clean driver corpus")
+      assert(r.getAs[Long]("n_violations") === 0L)
+    }
+    assert(got.map(_.getAs[Long]("n_checked")).toSet.size === 1)
+  }
 }
