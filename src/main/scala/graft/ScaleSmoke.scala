@@ -125,7 +125,8 @@ object ScaleSmoke {
     "q_stats_cmh", "q_stats_runs", "q_embed_drift",
     // the expectations audit is per-table aggregates + one anti-join;
     // the streaming FDR twin is grid-bounded settled stats
-    "q_audit_expectations", "q_stream_fdr")
+    "q_audit_expectations", "q_stream_fdr",
+    "q_graph_knn_profile", "q_stream_expectations")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
