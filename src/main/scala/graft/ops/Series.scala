@@ -316,6 +316,82 @@ object Series {
             FROM trans
             ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST"""))
 
+  /** Stationary distribution of the session Markov chain
+    * (q_events_markov_pi): where does a user's journey SETTLE — the
+    * long-run share of each event type under the q_events_markov
+    * transition matrix, via 8 unrolled power iterations from the
+    * uniform start (the q_graph_pagerank bounded-iteration
+    * discipline). The matrix is k×k for k event types, so every
+    * iteration is a grid-sized join; transition probabilities are
+    * exact count ratios and each iteration's mass snaps at 1e-10 (the
+    * pagerank float rule) so partial-aggregation order cannot leak
+    * into the settled vector. The oracle unrolls the identical 8
+    * iterations. */
+  val qEventsMarkovPi = Q(
+    "q_events_markov_pi",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev_type").as("pt"))
+        .agg(sum(col("n")).as("total"))
+      val pmat = trans
+        .join(broadcast(totals), col("prev_type") === col("pt"))
+        .select(col("prev_type"), col("next_type"),
+          (col("n").cast("double") / col("total")).as("p"))
+      val states = pmat.select(col("prev_type").as("st")).distinct()
+      var pi = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+        .select(col("st"), (lit(1.0) / col("k")).as("pi"))
+      for (_ <- 1 to 8) {
+        pi = pi.join(pmat, col("st") === col("prev_type"))
+          .groupBy(col("next_type"))
+          .agg(round(sum(col("pi") * col("p")), 10).as("pi"))
+          .select(col("next_type").as("st"), col("pi"))
+      }
+      pi.select(col("st").as("event_type"), round(col("pi"), 6).as("pi"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val iters = (1 to 8).map { i =>
+        s"""r$i AS (
+              SELECT next_type AS st, round(sum(r${i - 1}.pi * p.p), 10)
+                AS pi
+              FROM r${i - 1} JOIN p ON r${i - 1}.st = p.prev_type
+              GROUP BY next_type)"""
+      }.mkString(",\n")
+      s"""WITH seq AS (
+            SELECT event_type AS next_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_type
+            FROM events),
+          trans AS (
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type),
+          tot AS (SELECT prev_type AS pt, CAST(sum(n) AS BIGINT)
+                    AS total
+                  FROM trans GROUP BY prev_type),
+          p AS (SELECT prev_type, next_type, CAST(n AS DOUBLE) / total
+                  AS p
+                FROM trans JOIN tot ON prev_type = pt),
+          states AS (SELECT DISTINCT prev_type AS st FROM trans),
+          kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+          r0 AS (SELECT st, 1.0e0 / k AS pi FROM states CROSS JOIN kk),
+          $iters
+          SELECT st AS event_type, round(pi, 6) AS pi
+          FROM r8
+          ORDER BY event_type NULLS FIRST"""
+    })
+
   /** Daily OHLC bars per event_type: open/close are the first/last
     * values by (ts, event_id) inside each day — picked by row_number in
     * both directions inside the one (type, day) window exchange, then
@@ -846,5 +922,5 @@ object Series {
 
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
-    qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest)
+    qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi)
 }

@@ -152,4 +152,48 @@ class SeriesSpec extends SparkSuite {
       (c1 - c2) * 5 >= c1 && (c3 - c2) * 5 >= c3 }
     assert(got("view") === want.toLong)
   }
+  test("markov pi: settled vector matches an 8-step scalar replay") {
+    val got = q("q_events_markov_pi").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("pi")).toMap
+    // scalar transition matrix from the same (user, ts, id) ordering
+    val rows = Tables.t(spark, sf0, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getString(3)))
+    val trans = rows.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(x =>
+        (x._2.toEpochSecond(java.time.ZoneOffset.UTC),
+          x._2.getNano, x._3)).map(_._4)
+      s.sliding(2).collect { case Array(a, b) => (a, b) }
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val tot = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val p = trans.map { case ((a, b), n) =>
+      (a, b) -> n.toDouble / tot(a)
+    }
+    val states = trans.keys.map(_._1).toSeq.distinct.sorted
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    (1 to 8).foreach { _ =>
+      pi = states.map { s2 =>
+        s2 -> r10(states.map(s1 =>
+          pi.getOrElse(s1, 0.0) * p.getOrElse((s1, s2), 0.0)).sum)
+      }.toMap
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(got.keySet === pi.keySet)
+    pi.foreach { case (s2, v) =>
+      assert(math.abs(got(s2) - r6(v)) < 2e-6, s"$s2: ${got(s2)} vs $v")
+    }
+    // a proper distribution (mass within rounding of 1)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
 }
