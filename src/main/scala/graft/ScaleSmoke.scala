@@ -126,7 +126,9 @@ object ScaleSmoke {
     // the expectations audit is per-table aggregates + one anti-join;
     // the streaming FDR twin is grid-bounded settled stats
     "q_audit_expectations", "q_stream_fdr",
-    "q_graph_knn_profile", "q_stream_expectations")
+    "q_graph_knn_profile", "q_stream_expectations",
+    // 8 unrolled k x k grid joins after the one per-user lag window
+    "q_events_markov_pi")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
