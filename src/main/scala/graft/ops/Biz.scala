@@ -661,7 +661,79 @@ object Biz {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY day NULLS FIRST"""))
 
+  // ---- q_events_cooccur -------------------------------------------------
+
+  /** Event-type co-occurrence projection (q_events_cooccur): project
+    * the user ↔ event-type bipartite graph onto type-type edges — for
+    * every type pair, how many users touch both, with cosine
+    * (n∩/√(n_a·n_b)) and lift (n∩·N/(n_a·n_b)) from exact integer user
+    * counts — the item-item collaborative-filtering primitive at the
+    * type granularity. The self-join runs on the DISTINCT (user, type)
+    * table, so per-user fan-out is bounded by the TYPE GRID (≤ k² pairs
+    * per user), never raw event counts; lift rides an integer
+    * micro-division, cosine is one IEEE sqrt of exact integers. */
+  val qEventsCooccur = Q(
+    "q_events_cooccur",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val ut = t("events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val perType = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      val nUsers = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_total"))
+      val pairs = ut.as("x")
+        .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(perType.select(col("event_type").as("ta"),
+          col("n_users").as("na"))), col("type_a") === col("ta"))
+        .join(broadcast(perType.select(col("event_type").as("tb"),
+          col("n_users").as("nb"))), col("type_b") === col("tb"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("na"), col("nb"),
+          round(col("n_both") /
+            sqrt(col("na").cast("double") * col("nb")), 6).as("cosine"),
+          // the 1e6·n∩·N product rides in DECIMAL(38,0)/HUGEINT: at
+          // fleet-scale user counts it exceeds BIGINT (overflow rule)
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_both * n_total)" +
+            " div (CAST(na AS DECIMAL(38,0)) * nb)").as("lift_micro"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events),
+            per_type AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+              FROM ut GROUP BY event_type),
+            tot AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+              FROM ut),
+            pairs AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS n_both
+              FROM ut x JOIN ut y ON x.user_id = y.user_id
+                AND x.event_type < y.event_type
+              GROUP BY 1, 2)
+            SELECT type_a, type_b, n_both, na.n_users AS na,
+              nb.n_users AS nb,
+              round(n_both / sqrt(CAST(na.n_users AS DOUBLE)
+                * nb.n_users), 6) AS cosine,
+              CAST((CAST(1000000 AS HUGEINT) * n_both * n_total)
+                // (CAST(na.n_users AS HUGEINT) * nb.n_users)
+                AS BIGINT) AS lift_micro
+            FROM pairs
+            JOIN per_type na ON type_a = na.event_type
+            JOIN per_type nb ON type_b = nb.event_type
+            CROSS JOIN tot
+            ORDER BY type_a NULLS FIRST, type_b NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
     qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,
-    qAggGini, qEventsDauMau, qOrdersLeadtime, qOrdersBacklog)
+    qAggGini, qEventsDauMau, qOrdersLeadtime, qOrdersBacklog,
+    qEventsCooccur)
 }

@@ -866,8 +866,88 @@ object Inference {
                     * (n1 + n2 - 1))), 6) AS z
             FROM agg"""))
 
+  // ---- q_stats_levene ---------------------------------------------------
+
+  /** Brown-Forsythe variance-homogeneity test (q_stats_levene): the
+    * check that must pass before q_stats_anova's equal-variance F is
+    * trusted — an ANOVA on the absolute deviations from each group's
+    * MEDIAN (the robust Levene variant). Per-group medians come from
+    * one exact-percentile aggregate over the cent grid and broadcast
+    * back; each deviation quantizes to integer micro-cents, so the
+    * per-group deviation sums are exact and the sgr term reuses the
+    * q_stats_anova micro-quantized discipline. Two scans (one for
+    * medians, one for deviations), grid-bounded rollups. */
+  val qStatsLevene = Q(
+    "q_stats_levene",
+    (s, d) => {
+      val base = ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val med = base.groupBy(col("event_type").as("et"))
+        .agg(expr("percentile(c, 0.5D)").as("med"))
+      // doubled deviations: |c − med| has half-cent granularity (the
+      // median interpolates), so 2·|c − med| is an EXACT integer; W is
+      // a variance ratio, invariant to the scaling
+      val z = base.join(broadcast(med), col("event_type") === col("et"))
+        .select(col("event_type"),
+          expr("CAST(floor(abs(c - med) * 2 + 0.5D) AS BIGINT)")
+            .as("zm"))
+      val g = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("zm").cast("decimal(38,0)")).as("sz"),
+          sum(col("zm").cast("decimal(38,0)") * col("zm")).as("sz2"))
+      val st = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("nn"),
+        sum(col("sz")).as("tsz"),
+        sum(col("sz2")).as("tsz2"),
+        // sz²/n as EXACT integer division in DECIMAL(38,0): no float
+        // crosses the cross-group sum, and (unlike a floor() of the
+        // double product) nothing saturates — Spark floor() returns
+        // BIGINT and silently pins at Long.MaxValue near 9.2e18
+        sum(expr("(sz * sz) div n").cast("decimal(38,0)"))
+          .as("sgr_q"))
+      st.withColumn("sgr", col("sgr_q").cast("double"))
+        .select(
+          col("k"), col("nn").as("n"),
+          round(
+            ((col("sgr") - col("tsz").cast("double") *
+              col("tsz").cast("double") / col("nn")) / (col("k") - 1)) /
+              ((col("tsz2").cast("double") - col("sgr")) /
+                (col("nn") - col("k"))), 6).as("w_stat"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+              FROM events),
+            med AS (
+              SELECT event_type AS et, quantile_cont(c, 0.5e0) AS med
+              FROM base GROUP BY event_type),
+            z AS (
+              SELECT event_type,
+                CAST(floor(abs(c - med) * 2 + 0.5e0) AS BIGINT) AS zm
+              FROM base JOIN med ON event_type = et),
+            g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(zm AS HUGEINT)) AS sz,
+                sum(CAST(zm AS HUGEINT) * zm) AS sz2
+              FROM z GROUP BY event_type),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS nn,
+                sum(sz) AS tsz, sum(sz2) AS tsz2,
+                CAST(sum((sz * sz) // n) AS DOUBLE) AS sgr
+              FROM g)
+            SELECT k, nn AS n,
+              round(
+                ((sgr - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE) / nn)
+                   / (k - 1))
+                / ((CAST(tsz2 AS DOUBLE) - sgr) / (nn - k)), 6)
+                AS w_stat
+            FROM st"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
-    qStatsCmh, qStatsRuns)
+    qStatsCmh, qStatsRuns, qStatsLevene)
 }

@@ -252,4 +252,29 @@ class BizSpec extends SparkSuite {
       assert(gc === cuts.toLong, s"doc $id cuts")
     }
   }
+  test("cooccur: counts and lift match a scalar bipartite replay") {
+    val got = q("q_events_cooccur").collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        -> (r.getAs[Long]("n_both"), r.getAs[Long]("lift_micro"),
+          r.getAs[Double]("cosine"))).toMap
+    val ut = Tables.t(spark, sf0, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .toMap
+    val nTotal = ut.map(_._1).distinct.length.toLong
+    val types = byType.keys.toSeq.sorted
+    for (i <- types.indices; j <- (i + 1) until types.length) {
+      val (a, b) = (types(i), types(j))
+      val nb = (byType(a) & byType(b)).size.toLong
+      val (na, nbb) = (byType(a).size.toLong, byType(b).size.toLong)
+      if (nb > 0) {
+        val (gn, gl, gc) = got((a, b))
+        assert(gn === nb, s"($a,$b) n_both")
+        assert(gl === (BigInt(1000000) * nb * nTotal /
+          (BigInt(na) * nbb)).toLong, s"($a,$b) lift")
+        assert(math.abs(gc - nb / math.sqrt(na.toDouble * nbb)) < 1e-6)
+      }
+    }
+  }
 }

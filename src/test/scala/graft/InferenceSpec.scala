@@ -309,4 +309,35 @@ class InferenceSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("z") - (2 - mu) / math.sqrt(v))
       < 1e-6)
   }
+  test("levene: W matches a scalar Brown-Forsythe replay") {
+    val row = q("q_stats_levene").collect().head
+    val vs = eventVals()
+    val groups = vs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def median(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val r = (s.length - 1) * 0.5
+      val lo = r.toInt
+      if (lo + 1 < s.length) s(lo) + (r - lo) * (s(lo + 1) - s(lo))
+      else s(lo).toDouble
+    }
+    // doubled half-cent deviations, exactly as the query quantizes
+    val zByG = groups.map { case (g, xs) =>
+      val m = median(xs)
+      g -> xs.map(x => math.floor(math.abs(x - m) * 2 + 0.5).toLong)
+    }
+    val k = zByG.size
+    val nn = vs.length.toDouble
+    val tsz = zByG.values.flatten.map(BigInt(_)).sum
+    val tsz2 = zByG.values.flatten.map(z => BigInt(z) * BigInt(z)).sum
+    val sgr = zByG.values.map { zs =>
+      val sz = zs.map(BigInt(_)).sum
+      (sz * sz) / zs.length   // integer division, like the query
+    }.sum
+    val w = ((sgr.toDouble - tsz.toDouble * tsz.toDouble / nn) /
+      (k - 1)) / ((tsz2.toDouble - sgr.toDouble) / (nn - k))
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("n") === vs.length.toLong)
+    assert(math.abs(row.getAs[Double]("w_stat") - w) < 1e-4,
+      s"got ${row.getAs[Double]("w_stat")} want $w")
+  }
 }
