@@ -128,7 +128,10 @@ object ScaleSmoke {
     "q_audit_expectations", "q_stream_fdr",
     "q_graph_knn_profile", "q_stream_expectations",
     // 8 unrolled k x k grid joins after the one per-user lag window
-    "q_events_markov_pi")
+    "q_events_markov_pi",
+    // levene = two grid-bounded scans; cooccur's self-join fans out
+    // by the type grid only
+    "q_stats_levene", "q_events_cooccur")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
