@@ -316,6 +316,139 @@ object Series {
             FROM trans
             ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST"""))
 
+  /** Hurst exponent by rescaled-range analysis (q_ts_hurst): does
+    * daily revenue trend-persist (H > 0.5), mean-revert (H < 0.5), or
+    * walk randomly? For window sizes w ∈ {5, 10, 15} days the series
+    * splits into full blocks; per block the rescaled range R/S comes
+    * out EXACTLY as (max − min of w·s_j) / √(w·Σv² − (Σv)²), where
+    * w·s_j = w·cumsum − j·blocksum is an exact integer (the ×w scaling
+    * clears the block-mean rational — no float partial sums), products
+    * ride DECIMAL(38,0)/HUGEINT (v² wraps BIGINT at fleet-scale daily
+    * totals), and per-block R/S micro-quantizes before the cross-block
+    * mean. H is the 3-point log-log OLS slope. Windows are
+    * calendar-bounded (day grid × the 3-value w grid). */
+  val qTsHurst = Q(
+    "q_ts_hurst",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val idxed = days.withColumn("i",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val grid = idxed.select(col("i"), col("v"),
+        explode(expr("array(5L, 10L, 15L)")).as("w"))
+        .withColumn("blk", expr("(i - 1) div w"))
+        .withColumn("j", expr("(i - 1) % w + 1"))
+      val nDays = idxed.agg(count(lit(1)).as("n_days"))
+      val full = grid.crossJoin(broadcast(nDays))
+        .filter(col("blk") < expr("n_days div w"))
+      val wB = Window.partitionBy(col("w"), col("blk"))
+      val wCum = wB.orderBy(col("j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = full
+        .withColumn("cum", sum(col("v").cast("decimal(38,0)")).over(wCum))
+        .withColumn("bs", sum(col("v").cast("decimal(38,0)")).over(wB))
+        .withColumn("sv2",
+          sum((col("v").cast("decimal(38,0)") * col("v")).cast(
+            "decimal(38,0)")).over(wB))
+        .withColumn("ws", expr("w * cum - j * bs"))
+        .groupBy(col("w"), col("blk"))
+        .agg(max(col("ws")).as("mx"), min(col("ws")).as("mn"),
+          first(col("bs")).as("bs"), first(col("sv2")).as("sv2"))
+        .withColumn("rs_micro", expr(
+          """CAST(floor(CAST(mx - mn AS DOUBLE)
+             / sqrt(CAST(w * sv2 - bs * bs AS DOUBLE)) * 1e6 + 0.5D)
+             AS BIGINT)"""))
+      val perW = blocks.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("rs_micro")).as("rs_sum"))
+        .withColumn("mean_rs",
+          round(col("rs_sum").cast("double") / col("n_blocks") / 1e6, 6))
+        // micro-quantized log coordinates: the 3-point OLS sums are
+        // then exact integers (a raw 3-double sum is partial-agg-order
+        // dependent), and the micro scale cancels in the slope ratio
+        .withColumn("x", expr(
+          "CAST(floor(ln(CAST(w AS DOUBLE)) * 1e6 + 0.5D) AS BIGINT)"))
+        .withColumn("y", expr(
+          "CAST(floor(ln(mean_rs) * 1e6 + 0.5D) AS BIGINT)"))
+      val slope = perW.agg(count(lit(1)).as("np"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(round(
+          (col("np") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("np") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("hurst"))
+      perW.select(col("w"), col("n_blocks"), col("mean_rs"))
+        .crossJoin(broadcast(slope))
+        .orderBy(col("w"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY 1),
+            idxed AS (
+              SELECT v, CAST(row_number() OVER (ORDER BY day)
+                AS BIGINT) AS i
+              FROM days),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days
+                   FROM idxed),
+            grid AS (
+              SELECT i, v, CAST(unnest([5, 10, 15]) AS BIGINT) AS w
+              FROM idxed),
+            full_blocks AS (
+              SELECT i, v, w, (i - 1) // w AS blk, (i - 1) % w + 1 AS j
+              FROM grid CROSS JOIN nd
+              WHERE (i - 1) // w < n_days // w),
+            cums AS (
+              SELECT w, blk, j,
+                CAST(sum(CAST(v AS HUGEINT)) OVER (
+                  PARTITION BY w, blk ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) AS cum,
+                CAST(sum(CAST(v AS HUGEINT)) OVER (
+                  PARTITION BY w, blk) AS HUGEINT) AS bs,
+                CAST(sum(CAST(v AS HUGEINT) * v) OVER (
+                  PARTITION BY w, blk) AS HUGEINT) AS sv2
+              FROM full_blocks),
+            blocks AS (
+              SELECT w, blk,
+                max(w * cum - j * bs) AS mx,
+                min(w * cum - j * bs) AS mn,
+                any_value(bs) AS bs, any_value(sv2) AS sv2
+              FROM cums GROUP BY w, blk),
+            rs AS (
+              SELECT w, blk,
+                CAST(floor(CAST(mx - mn AS DOUBLE)
+                  / sqrt(CAST(w * sv2 - bs * bs AS DOUBLE)) * 1e6
+                  + 0.5e0) AS BIGINT) AS rs_micro
+              FROM blocks),
+            per_w AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+                round(CAST(sum(rs_micro) AS BIGINT) * 1.0e0
+                  / count(*) / 1e6, 6) AS mean_rs
+              FROM rs GROUP BY w),
+            pts AS (
+              SELECT w, n_blocks, mean_rs,
+                CAST(floor(ln(CAST(w AS DOUBLE)) * 1e6 + 0.5e0)
+                  AS BIGINT) AS x,
+                CAST(floor(ln(mean_rs) * 1e6 + 0.5e0) AS BIGINT) AS y
+              FROM per_w),
+            slope AS (
+              SELECT round(
+                CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                / CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                  AS DOUBLE), 6) AS hurst
+              FROM pts)
+            SELECT w, n_blocks, mean_rs, hurst
+            FROM per_w CROSS JOIN slope
+            ORDER BY w NULLS FIRST"""))
+
   /** Stationary distribution of the session Markov chain
     * (q_events_markov_pi): where does a user's journey SETTLE — the
     * long-run share of each event type under the q_events_markov
@@ -922,5 +1055,6 @@ object Series {
 
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
-    qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi)
+    qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
+    qTsHurst)
 }

@@ -196,4 +196,51 @@ class SeriesSpec extends SparkSuite {
     // a proper distribution (mass within rounding of 1)
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
+  test("hurst: R/S profile and slope match a scalar replay") {
+    val got = q("q_ts_hurst").collect()
+    val days = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq
+      .sortBy(_._1.toEpochDay).map(_._2)
+    def rsFor(w: Int): (Long, Double) = {
+      val nb = days.length / w
+      val rs = (0 until nb).map { b =>
+        val blk = days.slice(b * w, (b + 1) * w).map(BigInt(_))
+        val bs = blk.sum
+        val sv2 = blk.map(v => v * v).sum
+        var cum = BigInt(0)
+        val ws = blk.zipWithIndex.map { case (v, j0) =>
+          cum += v; BigInt(w) * cum - BigInt(j0 + 1) * bs
+        }
+        val r = (ws.max - ws.min).toDouble
+        val s2 = (BigInt(w) * sv2 - bs * bs).toDouble
+        math.floor(r / math.sqrt(s2) * 1e6 + 0.5).toLong
+      }
+      (nb.toLong,
+        BigDecimal(rs.sum.toDouble / nb / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val pts = Seq(5, 10, 15).map { w =>
+      val (nb, mrs) = rsFor(w)
+      val row = got.find(_.getAs[Long]("w") == w).get
+      assert(row.getAs[Long]("n_blocks") === nb, s"w=$w blocks")
+      assert(row.getAs[Double]("mean_rs") === mrs, s"w=$w mean R/S")
+      (math.floor(math.log(w) * 1e6 + 0.5).toLong,
+        math.floor(math.log(mrs) * 1e6 + 0.5).toLong)
+    }
+    val np = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (np * sxy - sx * sy).toDouble / (np * sxx - sx * sx)
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("hurst") - slope) < 1e-5)
+      // a valid rescaled-range exponent
+      assert(r.getAs[Double]("hurst") > 0.0 &&
+        r.getAs[Double]("hurst") < 1.0)
+    }
+  }
 }
