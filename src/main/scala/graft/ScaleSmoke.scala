@@ -131,7 +131,9 @@ object ScaleSmoke {
     "q_events_markov_pi",
     // levene = two grid-bounded scans; cooccur's self-join fans out
     // by the type grid only
-    "q_stats_levene", "q_events_cooccur")
+    "q_stats_levene", "q_events_cooccur",
+    // day-grid blocks x a 3-value window grid; one corpus rollup
+    "q_ts_hurst")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
