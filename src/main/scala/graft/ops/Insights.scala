@@ -1452,6 +1452,177 @@ object Insights {
                 + sx2*(sx1*sx2y - sx1y*sx2)) / det, 6) AS shrinkage_b1
             FROM m"""))
 
+  // ---- q_graph_clustcoef ------------------------------------------------
+
+  /** Local clustering-coefficient census (q_graph_clustcoef): per-node
+    * cc = 2·T(v) / (deg·(deg−1)) over the shared link graph, reported
+    * as one row per degree value (n_nodes, total triangles, mean cc) —
+    * the node-level companion to q_graph_triangles' single global
+    * number, and the standard small-world diagnostic. Triangles are
+    * enumerated ONCE by the same degree-oriented wedge join (each
+    * triangle found exactly once, Σdeg² bounded by orientation), then
+    * exploded to their three corners for the per-node count. cc is an
+    * exact integer ratio — 2e6·T div (deg·(deg−1)) — micro-quantized
+    * BEFORE the cross-node mean, so no float crosses an aggregate;
+    * zero-triangle nodes enter via the left join with cc = 0. Output
+    * is degree-bucketed: O(distinct degrees) rows, not O(V). */
+  val qGraphClustcoef = Q(
+    "q_graph_clustcoef",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+        .select(
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("v"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("degb")).otherwise(col("dega")).as("vdeg"))
+      val e1 = oriented.select(col("u"), col("v").as("v1"),
+        col("vdeg").as("vdeg1"))
+      val e2 = oriented.select(col("u"), col("v").as("v2"),
+        col("vdeg").as("vdeg2"))
+      val triCorners = e1.join(e2, "u")
+        .filter(col("vdeg1") < col("vdeg2") ||
+          (col("vdeg1") === col("vdeg2") && col("v1") < col("v2")))
+        .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+          Seq("v1", "v2"))
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      deg.filter(col("deg") >= 2)
+        .join(triCorners, Seq("v"), "left")
+        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+        .withColumn("cc_micro",
+          expr("(2000000L * tri) div (deg * (deg - 1))"))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("tri")).as("n_triangles"),
+          sum(col("cc_micro")).as("ccs"))
+        .select(col("deg"), col("n_nodes"),
+          col("n_triangles").cast("long").as("n_triangles"),
+          round(col("ccs").cast("double") / col("n_nodes") / 1e6, 6)
+            .as("mean_cc"))
+        .orderBy(col("deg"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+            deg AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) x
+              GROUP BY v),
+            oriented AS (
+              SELECT
+                CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                     THEN und.a ELSE und.b END AS u,
+                CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                     THEN und.b ELSE und.a END AS v,
+                CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+                     THEN db.deg ELSE da.deg END AS vdeg
+              FROM und
+              JOIN deg da ON und.a = da.v
+              JOIN deg db ON und.b = db.v),
+            tric AS (
+              SELECT corner AS v, CAST(count(*) AS BIGINT) AS tri
+              FROM (
+                SELECT unnest([e1.u, e1.v, e2.v]) AS corner
+                FROM oriented e1
+                JOIN oriented e2 ON e1.u = e2.u
+                  AND ((e1.vdeg, e1.v) < (e2.vdeg, e2.v))
+                JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v) t
+              GROUP BY corner),
+            cc AS (
+              SELECT deg.deg, coalesce(tric.tri, 0) AS tri,
+                (2000000 * coalesce(tric.tri, 0))
+                  // (deg.deg * (deg.deg - 1)) AS cc_micro
+              FROM deg LEFT JOIN tric ON deg.v = tric.v
+              WHERE deg.deg >= 2)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(tri) AS BIGINT) AS n_triangles,
+              round(CAST(sum(cc_micro) AS DOUBLE) / count(*) / 1e6, 6)
+                AS mean_cc
+            FROM cc
+            GROUP BY deg
+            ORDER BY deg NULLS FIRST"""))
+
+  // ---- q_graph_adamic_adar ----------------------------------------------
+
+  /** Adamic-Adar link prediction (q_graph_adamic_adar): the 20
+    * strongest NOT-yet-linked pairs by Σ_{c ∈ N(a)∩N(b)} 1/ln(deg(c))
+    * — the degree-discounted cousin of q_graph_jaccard (a shared rare
+    * neighbor says more than a shared hub). Candidates come from the
+    * same hub-capped wedge join (center deg ≤ 64 keeps Σdeg² bounded
+    * at fleet scale); each center's weight 1e6/ln(deg) is quantized to
+    * an integer micro-weight ONCE per node BEFORE the pair aggregate
+    * (ln of a small-integer degree is per-row-identical across
+    * engines; no double ever crosses the sum), and existing edges are
+    * removed by an edge-sized LEFT ANTI join on the canonical (a, b)
+    * pair. Top-20 goes through TakeOrderedAndProject — no global
+    * sort materializes. */
+  val qGraphAdamicAdar = Q(
+    "q_graph_adamic_adar",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      val deg = edges.groupBy(col("node").as("dn"))
+        .agg(count(lit(1)).as("deg"))
+      val centers = deg.filter(col("deg") <= 64 && col("deg") >= 2)
+        .withColumn("w_micro", expr(
+          "CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5D) AS BIGINT)"))
+      val wedgeable = edges
+        .join(broadcast(centers), col("nbr") === col("dn"))
+        .select(col("node"), col("nbr"), col("w_micro"))
+      val pairs = wedgeable.select(col("node").as("pa"), col("nbr"),
+          col("w_micro"))
+        .join(wedgeable.select(col("node").as("pb"),
+          col("nbr").as("rnbr")), col("nbr") === col("rnbr") &&
+          col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("common"), sum(col("w_micro")).as("aa"))
+      pairs
+        .join(und, pairs("pa") === und("a") && pairs("pb") === und("b"),
+          "left_anti")
+        .select(col("pa").as("a"), col("pb").as("b"), col("common"),
+          col("aa").cast("long").as("aa_micro"))
+        .orderBy(col("aa_micro").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+            edges AS (
+              SELECT a AS node, b AS nbr FROM und
+              UNION ALL SELECT b AS node, a AS nbr FROM und),
+            deg AS (
+              SELECT node AS dn, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY node),
+            centers AS (
+              SELECT dn,
+                CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)
+                  AS w_micro
+              FROM deg WHERE deg <= 64 AND deg >= 2),
+            wedgeable AS (
+              SELECT e.node, e.nbr, c.w_micro FROM edges e
+                JOIN centers c ON e.nbr = c.dn),
+            pairs AS (
+              SELECT l.node AS pa, r.node AS pb,
+                CAST(count(*) AS BIGINT) AS common,
+                CAST(sum(l.w_micro) AS BIGINT) AS aa_micro
+              FROM wedgeable l JOIN wedgeable r
+                ON l.nbr = r.nbr AND l.node < r.node
+              GROUP BY l.node, r.node)
+            SELECT pa AS a, pb AS b, common, aa_micro
+            FROM pairs
+            WHERE NOT EXISTS (
+              SELECT 1 FROM und WHERE und.a = pairs.pa AND und.b = pairs.pb)
+            ORDER BY aa_micro DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
+            LIMIT 20"""))
+
   /** Bench-warmup hook: materialize the cacheOnce fixpoints the graph
     * tier shares (link edges, label-prop labels) so per-query bench
     * numbers charge the operator, not registry order. */
@@ -1464,5 +1635,5 @@ object Insights {
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qMlRidge,
     qStatsTtest, qStatsChisq, qStatsKs, qStatsMannwhitney,
-    qGraphLabelprop, qGraphJaccard)
+    qGraphLabelprop, qGraphJaccard, qGraphClustcoef, qGraphAdamicAdar)
 }

@@ -1053,8 +1053,278 @@ object Series {
             ORDER BY event_type NULLS FIRST"""
     })
 
+  /** Ljung-Box portmanteau test (q_ts_ljungbox): is daily revenue
+    * white noise, or autocorrelated at ANY of the first 7 lags? Per
+    * lag k the full-series autocorrelation ρ_k is an exact integer
+    * ratio — deviations ride as n·v − Σv (the ×n scaling clears the
+    * mean rational, the Hurst trick) with products in
+    * DECIMAL(38,0)/HUGEINT — and ρ micro-quantizes BEFORE the Q
+    * accumulation, so Q_k = n(n+2)·Σ_{j≤k} ρ_j²/(n−j) is built from
+    * integer terms (ρ_micro² div (n−j)) under an ordered running sum:
+    * nothing order-dependent ever crosses an aggregate. The day-grid
+    * window is calendar-bounded (one row per day; the 7 lag columns
+    * ride one window exchange). */
+  val qTsLjungbox = Q(
+    "q_ts_ljungbox",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val w = Window.orderBy(col("day"))
+      val lagged = days.select(col("v"),
+        lag(col("v"), 1).over(w).as("v1"), lag(col("v"), 2).over(w).as("v2"),
+        lag(col("v"), 3).over(w).as("v3"), lag(col("v"), 4).over(w).as("v4"),
+        lag(col("v"), 5).over(w).as("v5"), lag(col("v"), 6).over(w).as("v6"),
+        lag(col("v"), 7).over(w).as("v7"))
+      val st = days.agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"))
+      val devs = lagged.crossJoin(broadcast(st))
+        .withColumn("dev", expr("CAST(n * v AS DECIMAL(38,0)) - sv"))
+      val den = devs
+        .agg(sum(expr("CAST(dev * dev AS DECIMAL(38,0))")).as("den"))
+      val perLag = devs
+        .select(col("n"), col("sv"), col("dev"), expr(
+          """stack(7, 1L, v1, 2L, v2, 3L, v3, 4L, v4,
+                      5L, v5, 6L, v6, 7L, v7)""").as(Seq("k", "vk")))
+        .filter(col("vk").isNotNull)
+        .withColumn("devk", expr("CAST(n * vk AS DECIMAL(38,0)) - sv"))
+        .groupBy(col("k"))
+        .agg(first(col("n")).as("n"),
+          sum(expr("CAST(dev * devk AS DECIMAL(38,0))")).as("num"))
+        .crossJoin(broadcast(den))
+        .withColumn("rho_micro", expr(
+          """CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6
+                 + 0.5D) AS BIGINT)"""))
+        .withColumn("term", expr("(rho_micro * rho_micro) div (n - k)"))
+      perLag
+        .withColumn("cum", sum(col("term")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("k").as("lag"),
+          round(col("rho_micro").cast("double") / 1e6, 6).as("rho"),
+          round(expr(
+            "CAST(n AS DOUBLE) * (n + 2) * CAST(cum AS DOUBLE) / 1e12"), 6)
+            .as("q_stat"))
+        .orderBy(col("lag"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            lagged AS (
+              SELECT v,
+                lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+                lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+                lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+                lag(v, 7) OVER w AS v7
+              FROM days WINDOW w AS (ORDER BY day)),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS HUGEINT) AS sv FROM days),
+            devs AS (
+              SELECT lagged.*, st.n, st.sv,
+                CAST(n AS HUGEINT) * v - sv AS dev
+              FROM lagged, st),
+            den AS (
+              SELECT sum(dev * dev) AS den FROM devs),
+            un AS (
+              SELECT n, sv, dev, k,
+                CASE k WHEN 1 THEN v1 WHEN 2 THEN v2 WHEN 3 THEN v3
+                       WHEN 4 THEN v4 WHEN 5 THEN v5 WHEN 6 THEN v6
+                       ELSE v7 END AS vk
+              FROM devs CROSS JOIN
+                (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k)),
+            per AS (
+              SELECT k, any_value(n) AS n,
+                sum(dev * (CAST(n AS HUGEINT) * vk - sv)) AS num
+              FROM un WHERE vk IS NOT NULL
+              GROUP BY k),
+            rho AS (
+              SELECT k, n,
+                CAST(floor(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS rho_micro
+              FROM per, den),
+            terms AS (
+              SELECT k, n, rho_micro,
+                (rho_micro * rho_micro) // (n - k) AS term
+              FROM rho)
+            SELECT CAST(k AS BIGINT) AS lag,
+              round(CAST(rho_micro AS DOUBLE) / 1e6, 6) AS rho,
+              round(CAST(n AS DOUBLE) * (n + 2)
+                * CAST(sum(term) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / 1e12, 6) AS q_stat
+            FROM terms
+            ORDER BY lag NULLS FIRST"""))
+
+  /** Durbin-Watson statistic (q_ts_dw): serial correlation of the
+    * residuals around the daily-revenue linear trend — the standard
+    * post-regression autocorrelation gate (DW ≈ 2 ⇒ independent,
+    * < 2 ⇒ positively correlated). The OLS fit rides exact integer
+    * sufficient statistics (Σi, Σv, Σi², Σiv in DECIMAL(38,0)/
+    * HUGEINT); slope/intercept are single fixed double divisions;
+    * each residual is a PER-ROW double (bit-identical across engines)
+    * quantized to 1/100 cent BEFORE the Σ(Δe)² / Σe² aggregates, so
+    * the ratio is built from integer sums. One calendar-bounded
+    * day-grid window. */
+  val qTsDw = Q(
+    "q_ts_dw",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val idxed = days.withColumn("i",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val st = idxed.agg(count(lit(1)).as("n"),
+        sum(col("i")).as("si"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(col("i") * col("i")).as("sii"),
+        sum(expr("CAST(i * v AS DECIMAL(38,0))")).as("siv"))
+      val fit = st.select(col("n"), col("si"), col("sv"),
+        expr("CAST(n * siv - si * sv AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * sii - CAST(si AS DECIMAL(38,0)) * si AS DOUBLE)").as("b"))
+        .withColumn("a", expr("(CAST(sv AS DOUBLE) - b * si) / n"))
+      val resid = idxed.crossJoin(broadcast(fit))
+        .withColumn("ec", expr(
+          "CAST(floor((v - a - b * i) * 100 + 0.5D) AS BIGINT)"))
+        .withColumn("ep", lag(col("ec"), 1)
+          .over(Window.orderBy(col("day"))))
+      resid.agg(
+          first(col("n")).as("n_days"),
+          round(first(col("b")), 6).as("slope"),
+          sum(expr("CAST(ec AS DECIMAL(38,0)) * ec")).as("s2"),
+          sum(expr(
+            "CAST((ec - ep) AS DECIMAL(38,0)) * (ec - ep)")).as("sd2"))
+        .select(col("n_days"), col("slope"),
+          round(expr("CAST(sd2 AS DOUBLE) / CAST(s2 AS DOUBLE)"), 6)
+            .as("dw"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            idxed AS (
+              SELECT day, v,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM days),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(i) AS BIGINT) AS si,
+                CAST(sum(v) AS HUGEINT) AS sv,
+                CAST(sum(i * i) AS BIGINT) AS sii,
+                CAST(sum(CAST(i AS HUGEINT) * v) AS HUGEINT) AS siv
+              FROM idxed),
+            fit AS (
+              SELECT n, si, sv,
+                CAST(n * siv - si * sv AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * sii
+                         - CAST(si AS HUGEINT) * si AS DOUBLE) AS b
+              FROM st),
+            fit2 AS (
+              SELECT *, (CAST(sv AS DOUBLE) - b * si) / n AS a FROM fit),
+            resid AS (
+              SELECT idxed.day, fit2.n, fit2.b,
+                CAST(floor((v - a - b * i) * 100 + 0.5) AS BIGINT) AS ec
+              FROM idxed, fit2),
+            lagged AS (
+              SELECT n, b, ec, lag(ec, 1) OVER (ORDER BY day) AS ep
+              FROM resid)
+            SELECT any_value(n) AS n_days,
+              round(any_value(b), 6) AS slope,
+              round(CAST(sum(CAST(ec - ep AS HUGEINT) * (ec - ep))
+                  AS DOUBLE)
+                / CAST(sum(CAST(ec AS HUGEINT) * ec) AS DOUBLE), 6) AS dw
+            FROM lagged"""))
+
+  /** Lo-MacKinlay variance ratio (q_ts_varratio): is the daily
+    * log-revenue series a random walk? VR(q) = Var(x_t − x_{t−q}) /
+    * (q · Var(x_t − x_{t−1})) over overlapping q-period differences —
+    * VR < 1 means mean reversion, > 1 momentum. ln(v) is a PER-ROW
+    * double (identical across engines); each difference nano-quantizes
+    * BEFORE the variance aggregates, whose sufficient statistics
+    * (n, Σr, Σr²) are then exact integers in DECIMAL(38,0)/HUGEINT.
+    * One calendar-bounded day-grid window carries both lag columns. */
+  val qTsVarratio = Q(
+    "q_ts_varratio",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val w = Window.orderBy(col("day"))
+      val lagged = days
+        .withColumn("x", expr("ln(CAST(v AS DOUBLE))"))
+        .select(col("x"),
+          lag(col("x"), 1).over(w).as("x1"),
+          lag(col("x"), 2).over(w).as("x2"),
+          lag(col("x"), 5).over(w).as("x5"))
+      val diffs = lagged.select(expr(
+          """stack(3,
+               1L, CAST(floor((x - x1) * 1e9 + 0.5D) AS BIGINT),
+               2L, CAST(floor((x - x2) * 1e9 + 0.5D) AS BIGINT),
+               5L, CAST(floor((x - x5) * 1e9 + 0.5D) AS BIGINT))""")
+          .as(Seq("q", "r")))
+        .filter(col("r").isNotNull)
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("srr"))
+        .withColumn("v", expr(
+          """(CAST(srr AS DOUBLE)
+              - CAST(sr AS DOUBLE) * sr / n) / (n - 1)"""))
+      val base = diffs.filter(col("q") === 1)
+        .select(col("v").as("v1"))
+      diffs.filter(col("q") > 1).crossJoin(broadcast(base))
+        .select(col("q"), col("n").as("n_obs"),
+          round(expr("v / (q * v1)"), 6).as("vr"))
+        .orderBy(col("q"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            lagged AS (
+              SELECT ln(CAST(v AS DOUBLE)) AS x,
+                lag(ln(CAST(v AS DOUBLE)), 1) OVER w AS x1,
+                lag(ln(CAST(v AS DOUBLE)), 2) OVER w AS x2,
+                lag(ln(CAST(v AS DOUBLE)), 5) OVER w AS x5
+              FROM days WINDOW w AS (ORDER BY day)),
+            un AS (
+              SELECT q,
+                CASE q WHEN 1 THEN
+                    CAST(floor((x - x1) * 1e9 + 0.5) AS BIGINT)
+                  WHEN 2 THEN CAST(floor((x - x2) * 1e9 + 0.5) AS BIGINT)
+                  ELSE CAST(floor((x - x5) * 1e9 + 0.5) AS BIGINT)
+                END AS r
+              FROM lagged CROSS JOIN (SELECT unnest([1, 2, 5]) AS q)),
+            st AS (
+              SELECT q, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(r) AS BIGINT) AS sr,
+                CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr
+              FROM un WHERE r IS NOT NULL
+              GROUP BY q),
+            vs AS (
+              SELECT q, n,
+                (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+                  / (n - 1) AS v
+              FROM st),
+            base AS (SELECT v AS v1 FROM vs WHERE q = 1)
+            SELECT CAST(q AS BIGINT) AS q, n AS n_obs,
+              round(v / (q * v1), 6) AS vr
+            FROM vs, base
+            WHERE q > 1
+            ORDER BY q NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
-    qTsHurst)
+    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio)
 }

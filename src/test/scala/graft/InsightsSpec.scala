@@ -592,4 +592,60 @@ class InsightsSpec extends SparkSuite {
       .mapValues(_.size.toLong).toMap
     assert(got === want)
   }
+
+  /** Scalar adjacency of the derived link graph at sf0.001. */
+  private def linkAdj(): Map[Long, Set[Long]] = {
+    val n = Tables.t(spark, sf0, "documents").count()
+    val edges = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).map(dst => (math.min(src, dst),
+          math.max(src, dst)))
+    }.distinct
+    edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+  }
+
+  test("clustcoef: degree-bucketed mean cc matches a scalar replay") {
+    val adj = linkAdj()
+    val perDeg = adj.toSeq
+      .filter(_._2.size >= 2)
+      .map { case (v, ns) =>
+        val deg = ns.size.toLong
+        val tri = ns.toSeq.flatMap(a =>
+          ns.toSeq.filter(b => a < b && adj(a)(b))).size.toLong
+        (deg, tri, 2000000L * tri / (deg * (deg - 1)))
+      }
+      .groupBy(_._1)
+    val got = q("q_graph_clustcoef").collect()
+    assert(got.map(_.getAs[Long]("deg")).toSet === perDeg.keySet)
+    got.foreach { r =>
+      val rows = perDeg(r.getAs[Long]("deg"))
+      assert(r.getAs[Long]("n_nodes") === rows.size.toLong)
+      assert(r.getAs[Long]("n_triangles") === rows.map(_._2).sum)
+      val want = BigDecimal(rows.map(_._3).sum.toDouble / rows.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("mean_cc") === want,
+        s"deg=${r.getAs[Long]("deg")}")
+    }
+  }
+
+  test("adamic_adar: pairs are unlinked and the top score replays") {
+    val adj = linkAdj()
+    val got = q("q_graph_adamic_adar").collect()
+    assert(got.length === 20)
+    def w(c: Long): Long =
+      math.floor(1e6 / math.log(adj(c).size.toDouble) + 0.5).toLong
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a < b && !adj(a)(b), s"($a,$b) must be a non-edge")
+      val commons = adj(a).intersect(adj(b))
+        .filter(c => adj(c).size >= 2 && adj(c).size <= 64)
+      assert(r.getAs[Long]("common") === commons.size.toLong)
+      assert(r.getAs[Long]("aa_micro") === commons.toSeq.map(w).sum)
+    }
+    // descending by score with (a, b) tie-break
+    val keys = got.map(r => (-r.getAs[Long]("aa_micro"),
+      r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq
+    assert(keys === keys.sorted)
+  }
 }

@@ -243,4 +243,85 @@ class SeriesSpec extends SparkSuite {
         r.getAs[Double]("hurst") < 1.0)
     }
   }
+
+  /** Daily revenue totals in cents at sf0.001, day-ordered. */
+  private def dailyCents(): Seq[Long] =
+    Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq
+      .sortBy(_._1.toEpochDay).map(_._2)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ljungbox: rho and Q replay exactly at all 7 lags") {
+    val days = dailyCents().map(BigInt(_))
+    val n = days.length
+    val sv = days.sum
+    val dev = days.map(v => BigInt(n) * v - sv)
+    val den = dev.map(d => d * d).sum
+    var cum = 0L
+    val want = (1 to 7).map { k =>
+      val num = (k until n).map(t => dev(t) * dev(t - k)).sum
+      val rho = math.floor(
+        num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+      cum += rho * rho / (n - k)
+      (k.toLong, round6(rho.toDouble / 1e6),
+        round6(n.toDouble * (n + 2) * cum.toDouble / 1e12))
+    }
+    val got = q("q_ts_ljungbox").collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Double]("rho"),
+        r.getAs[Double]("q_stat"))).toSeq
+    assert(got === want)
+    // Q is a running sum of non-negative terms
+    assert(got.map(_._3) === got.map(_._3).sorted)
+  }
+
+  test("durbin-watson replays exactly and sits in [0, 4]") {
+    val days = dailyCents()
+    val n = days.length
+    val si = (1 to n).map(BigInt(_)).sum
+    val sv = days.map(BigInt(_)).sum
+    val sii = (1 to n).map(i => BigInt(i) * i).sum
+    val siv = days.zipWithIndex.map { case (v, i) =>
+      BigInt(i + 1) * v }.sum
+    val b = (BigInt(n) * siv - si * sv).toDouble /
+      (BigInt(n) * sii - si * si).toDouble
+    val a = (sv.toDouble - b * si.toDouble) / n
+    val ec = days.zipWithIndex.map { case (v, i) =>
+      math.floor((v - a - b * (i + 1)) * 100 + 0.5).toLong }
+    val s2 = ec.map(e => BigInt(e) * e).sum
+    val sd2 = ec.sliding(2).map(p => BigInt(p(1) - p(0)) *
+      (p(1) - p(0))).sum
+    val r = q("q_ts_dw").collect().head
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Double]("slope") === round6(b))
+    val dw = r.getAs[Double]("dw")
+    assert(dw === round6(sd2.toDouble / s2.toDouble))
+    assert(dw >= 0.0 && dw <= 4.0)
+  }
+
+  test("variance ratio replays exactly for q = 2 and 5") {
+    val x = dailyCents().map(v => math.log(v.toDouble))
+    def stats(k: Int): (Int, Double) = {
+      val r = (k until x.length).map(t =>
+        math.floor((x(t) - x(t - k)) * 1e9 + 0.5).toLong)
+      val n = r.length
+      val sr = r.map(BigInt(_)).sum
+      val srr = r.map(v => BigInt(v) * v).sum
+      (n, (srr.toDouble - sr.toDouble * sr.toDouble / n) / (n - 1))
+    }
+    val (_, v1) = stats(1)
+    val got = q("q_ts_varratio").collect()
+      .map(r => r.getAs[Long]("q") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("vr"))).toMap
+    Seq(2, 5).foreach { k =>
+      val (n, vk) = stats(k)
+      assert(got(k.toLong)._1 === n.toLong)
+      assert(got(k.toLong)._2 === round6(vk / (k * v1)), s"q=$k")
+    }
+  }
 }
