@@ -133,7 +133,17 @@ object ScaleSmoke {
     // by the type grid only
     "q_stats_levene", "q_events_cooccur",
     // day-grid blocks x a 3-value window grid; one corpus rollup
-    "q_ts_hurst")
+    "q_ts_hurst",
+    // clustcoef/adamic-adar ride the oriented-wedge join (Σdeg²
+    // bounded by orientation / the 64-degree hub cap); the three
+    // ts stats are one daily rollup + calendar-bounded day-grid
+    // windows
+    "q_graph_clustcoef", "q_graph_adamic_adar", "q_ts_ljungbox",
+    "q_ts_dw", "q_ts_varratio",
+    // gains/brier are distinct-score-bounded rollups over documents;
+    // the streaming twin keeps per-score state only
+    // (q_audit_tcloseness is customer-based — not blown up, no row)
+    "q_ml_gains", "q_ml_brier", "q_stream_brier")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -946,8 +946,185 @@ object Inference {
                 AS w_stat
             FROM st"""))
 
+  // ---- q_ml_gains --------------------------------------------------------
+
+  /** Cumulative gains / lift table (q_ml_gains): rank documents by the
+    * q_ml_auc score (n_chars predicting lang = 'en'), cut into ten
+    * score-threshold buckets, and report how fast the positives are
+    * captured walking down the ranking — the model-triage curve a
+    * labeling budget is planned against. Bucket fences are the exact
+    * interpolated deciles (both engines share (n−1)·p interpolation),
+    * so NO per-row ranking window ever materializes — rows bucket by
+    * nine broadcast scalar compares, one hash aggregate, and a 10-row
+    * running sum. Lift and capture are single double divisions over
+    * exact BIGINT cumulative counts. */
+  val qMlGains = Q(
+    "q_ml_gains",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents")
+        .select(col("n_chars").as("c"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val thr = base.agg(
+        expr("percentile(c, 0.1)").as("t1"),
+        expr("percentile(c, 0.2)").as("t2"),
+        expr("percentile(c, 0.3)").as("t3"),
+        expr("percentile(c, 0.4)").as("t4"),
+        expr("percentile(c, 0.5)").as("t5"),
+        expr("percentile(c, 0.6)").as("t6"),
+        expr("percentile(c, 0.7)").as("t7"),
+        expr("percentile(c, 0.8)").as("t8"),
+        expr("percentile(c, 0.9)").as("t9"))
+      val buckets = base.crossJoin(broadcast(thr))
+        .withColumn("decile", expr(
+          """9L - (IF(c > t1, 1L, 0L) + IF(c > t2, 1L, 0L)
+               + IF(c > t3, 1L, 0L) + IF(c > t4, 1L, 0L)
+               + IF(c > t5, 1L, 0L) + IF(c > t6, 1L, 0L)
+               + IF(c > t7, 1L, 0L) + IF(c > t8, 1L, 0L)
+               + IF(c > t9, 1L, 0L))"""))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val tot = buckets.agg(sum(col("n")).as("nn"),
+        sum(col("n_pos")).as("pp"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_pos", sum(col("n_pos")).over(w))
+        .select(col("decile"), col("n"), col("n_pos"),
+          col("cum_n"), col("cum_pos"),
+          round(expr(
+            "CAST(cum_pos AS DOUBLE) * nn / (CAST(cum_n AS DOUBLE) * pp)"),
+            6).as("lift"),
+          round(expr("CAST(cum_pos AS DOUBLE) / pp"), 6).as("capture"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH base AS (
+              SELECT n_chars AS c,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents),
+            thr AS (
+              SELECT quantile_cont(c, 0.1) AS t1,
+                quantile_cont(c, 0.2) AS t2, quantile_cont(c, 0.3) AS t3,
+                quantile_cont(c, 0.4) AS t4, quantile_cont(c, 0.5) AS t5,
+                quantile_cont(c, 0.6) AS t6, quantile_cont(c, 0.7) AS t7,
+                quantile_cont(c, 0.8) AS t8, quantile_cont(c, 0.9) AS t9
+              FROM base),
+            buckets AS (
+              SELECT 9 - ((CASE WHEN c > t1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t6 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t7 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t8 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c > t9 THEN 1 ELSE 0 END)) AS decile,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(pos) AS BIGINT) AS n_pos
+              FROM base, thr
+              GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                CAST(sum(n_pos) AS BIGINT) AS pp FROM buckets),
+            cum AS (
+              SELECT decile, n, n_pos,
+                CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+                CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+              FROM buckets
+              WINDOW w AS (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+              cum_n, cum_pos,
+              round(CAST(cum_pos AS DOUBLE) * nn
+                / (CAST(cum_n AS DOUBLE) * pp), 6) AS lift,
+              round(CAST(cum_pos AS DOUBLE) / pp, 6) AS capture
+            FROM cum, tot
+            ORDER BY decile NULLS FIRST"""))
+
+  // ---- q_ml_brier --------------------------------------------------------
+
+  /** Brier score + reliability table (q_ml_brier): calibration of the
+    * rank model p̂ = cume-dist(n_chars) against lang = 'en', binned by
+    * predicted probability — the companion diagnostic to q_ml_auc
+    * (AUC measures ordering, Brier measures calibration). p̂ is an
+    * exact integer ratio (1e6·cum div N over the distinct-score
+    * cumulative table, ONE bounded window over distinct values, never
+    * rows), so every per-bin statistic — mean p̂, empirical positive
+    * rate, Brier contribution n1·(1e6−p)² + n0·p² — is built from
+    * BIGINT/DECIMAL(38,0) sums with a single final division. */
+  /** Shared finisher: the reliability/Brier table from a settled
+    * (c, na, n1c) value-count table — used by the batch q_ml_brier and
+    * its streaming twin (which maintains the counts commutatively on
+    * ingest), so both settle to the identical oracle. */
+  private[graft] def brierFromCounts(vc: DataFrame): DataFrame = {
+      val tot = vc.agg(sum(col("na")).as("nn"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("na")).over(w))
+        .withColumn("p_micro", expr("(1000000L * cum) div nn"))
+        .withColumn("bin", least(lit(9L), expr("p_micro div 100000")))
+        .groupBy(col("bin"))
+        .agg(sum(col("na")).as("n"),
+          sum(col("n1c")).as("n1"),
+          sum(expr("CAST(na * p_micro AS DECIMAL(38,0))")).as("sp"),
+          sum(expr(
+            """CAST(n1c AS DECIMAL(38,0))
+                 * (1000000 - p_micro) * (1000000 - p_micro)
+               + CAST(na - n1c AS DECIMAL(38,0)) * p_micro * p_micro"""))
+            .as("sq"))
+        .select(col("bin"), col("n"), col("n1").cast("long").as("n_pos"),
+          round(expr("CAST(sp AS DOUBLE) / n / 1e6"), 6).as("mean_p"),
+          round(expr("CAST(n1 AS DOUBLE) / n"), 6).as("frac_pos"),
+          round(expr("CAST(sq AS DOUBLE) / n / 1e12"), 6).as("brier"))
+        .orderBy(col("bin"))
+  }
+
+  /** The (c, na, n1c) value-count table both Brier variants settle to. */
+  private[graft] def brierCountAggs(df: DataFrame): DataFrame =
+    df.select(col("n_chars").as("c"), (col("lang") === "en").as("pos"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("na"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n1c"))
+
+  private[graft] val brierOracleSql: String = """WITH base AS (
+              SELECT n_chars AS c, lang = 'en' AS pos FROM documents),
+            vc AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1c
+              FROM base GROUP BY c),
+            tot AS (SELECT CAST(sum(na) AS BIGINT) AS nn FROM vc),
+            pm AS (
+              SELECT na, n1c,
+                (1000000 * CAST(sum(na) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)) // nn AS p_micro
+              FROM vc, tot),
+            binned AS (
+              SELECT least(9, p_micro // 100000) AS bin, na, n1c, p_micro
+              FROM pm)
+            SELECT CAST(bin AS BIGINT) AS bin,
+              CAST(sum(na) AS BIGINT) AS n,
+              CAST(sum(n1c) AS BIGINT) AS n_pos,
+              round(CAST(sum(CAST(na AS HUGEINT) * p_micro) AS DOUBLE)
+                / sum(na) / 1e6, 6) AS mean_p,
+              round(CAST(sum(n1c) AS DOUBLE) / sum(na), 6) AS frac_pos,
+              round(CAST(sum(CAST(n1c AS HUGEINT)
+                    * (1000000 - p_micro) * (1000000 - p_micro)
+                  + CAST(na - n1c AS HUGEINT) * p_micro * p_micro)
+                  AS DOUBLE) / sum(na) / 1e12, 6) AS brier
+            FROM binned
+            GROUP BY bin
+            ORDER BY bin NULLS FIRST"""
+
+  val qMlBrier = Q(
+    "q_ml_brier",
+    (s, d) => brierFromCounts(brierCountAggs(Tables.t(s, d, "documents"))),
+    Some(brierOracleSql))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
-    qStatsCmh, qStatsRuns, qStatsLevene)
+    qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier)
 }

@@ -117,5 +117,124 @@ object Privacy {
             FROM noised
             ORDER BY event_type NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qAuditLdiv, qAuditDpHist)
+  // ---- q_audit_tcloseness -----------------------------------------------
+
+  /** t-closeness audit (q_audit_tcloseness): the third rung of the
+    * release-audit ladder after q_audit_kanon / q_audit_ldiv — a class
+    * can be large (k-anon) and diverse (l-div) yet still leak because
+    * its SENSITIVE-VALUE DISTRIBUTION differs from the corpus (e.g. a
+    * class holding mostly top-decile balances). t per class is the
+    * ordered-domain Earth-Mover's Distance between the class and
+    * global balance-decile distributions: EMD = (1/(m−1)) Σ_j
+    * |P_cum(j) − Q_cum(j)|, made integer-exact by cross-multiplying
+    * the two cumulative rationals (|cg·N − gcum·n_g| in
+    * DECIMAL(38,0)/HUGEINT) and integer-dividing once at the end —
+    * no float anywhere. Deciles are fixed cent bands (+100000 shift
+    * keeps the division non-negative, the q_audit_ldiv rule). All
+    * joins are grid-bounded: QI classes × 9 evaluation points, never
+    * raw rows — one scan then O(classes) work at any corpus size. */
+  val qAuditTcloseness = Q(
+    "q_audit_tcloseness",
+    (s, d) => {
+      val base = cust(s, d).select(
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        expr("""(CAST(floor(c_acctbal * 100 + 0.5D) AS BIGINT)
+                 + 100000L) div 110000L""").as("sbin"))
+      val cb = base.groupBy(col("seg"), col("nat"), col("sbin"))
+        .agg(count(lit(1)).as("cnt"))
+      val cl = cb.groupBy(col("seg"), col("nat"))
+        .agg(sum(col("cnt")).as("n_g"))
+      val gb = cb.groupBy(col("sbin")).agg(sum(col("cnt")).as("gcnt"))
+      val nTot = cl.agg(sum(col("n_g")).as("nn"))
+      val js = s.range(9).select(col("id").as("j"))
+      val cg = cb.crossJoin(broadcast(js))
+        .filter(col("sbin") <= col("j"))
+        .groupBy(col("seg"), col("nat"), col("j"))
+        .agg(sum(col("cnt")).as("cg"))
+      val gg = gb.crossJoin(broadcast(js))
+        .filter(col("sbin") <= col("j"))
+        .groupBy(col("j")).agg(sum(col("gcnt")).as("gcum"))
+      val perClass = cl.crossJoin(broadcast(js))
+        .join(cg, Seq("seg", "nat", "j"), "left")
+        .withColumn("cg", coalesce(col("cg"), lit(0L)))
+        .join(broadcast(gg), "j")
+        .crossJoin(broadcast(nTot))
+        .withColumn("term", abs(expr(
+          """CAST(cg AS DECIMAL(38,0)) * nn
+             - CAST(gcum AS DECIMAL(38,0)) * n_g""")))
+        .groupBy(col("seg"), col("nat"))
+        .agg(first(col("n_g")).as("n_g"), first(col("nn")).as("nn"),
+          sum(col("term")).as("emd"))
+        .withColumn("t_micro", expr(
+          """CAST((1000000 * emd)
+               div (CAST(n_g AS DECIMAL(38,0)) * nn * 9) AS BIGINT)"""))
+      perClass.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_classes"),
+          max(col("t_micro")).as("max_t_micro"),
+          sum(when(col("t_micro") > 250000, 1L).otherwise(0L))
+            .as("n_violations"),
+          sum(when(col("t_micro") > 250000, col("n_g")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("n_g")).as("n_rows"))
+        .select(col("seg").as("c_mktsegment"), col("n_classes"),
+          col("max_t_micro"), col("n_violations"), col("rows_at_risk"),
+          round(expr("CAST(rows_at_risk AS DOUBLE) / n_rows"), 6)
+            .as("risk_frac"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH base AS (
+              SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                (CAST(floor(c_acctbal * 100 + 0.5e0) AS BIGINT)
+                  + 100000) // 110000 AS sbin
+              FROM customer),
+            cb AS (
+              SELECT seg, nat, sbin, CAST(count(*) AS BIGINT) AS cnt
+              FROM base GROUP BY seg, nat, sbin),
+            cl AS (
+              SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS n_g
+              FROM cb GROUP BY seg, nat),
+            gb AS (
+              SELECT sbin, CAST(sum(cnt) AS BIGINT) AS gcnt
+              FROM cb GROUP BY sbin),
+            tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn FROM cl),
+            js AS (SELECT unnest(range(0, 9)) AS j),
+            cg AS (
+              SELECT seg, nat, j, CAST(sum(cnt) AS BIGINT) AS cg
+              FROM cb, js WHERE sbin <= j
+              GROUP BY seg, nat, j),
+            gg AS (
+              SELECT j, CAST(sum(gcnt) AS BIGINT) AS gcum
+              FROM gb, js WHERE sbin <= j
+              GROUP BY j),
+            perclass AS (
+              SELECT cl.seg, cl.nat, any_value(cl.n_g) AS n_g,
+                any_value(tot.nn) AS nn,
+                sum(abs(CAST(coalesce(cg.cg, 0) AS HUGEINT) * tot.nn
+                  - CAST(gg.gcum AS HUGEINT) * cl.n_g)) AS emd
+              FROM cl
+              CROSS JOIN js
+              LEFT JOIN cg ON cg.seg = cl.seg AND cg.nat = cl.nat
+                AND cg.j = js.j
+              JOIN gg ON gg.j = js.j
+              CROSS JOIN tot
+              GROUP BY cl.seg, cl.nat),
+            tmicro AS (
+              SELECT seg, nat, n_g,
+                CAST((1000000 * emd)
+                  // (CAST(n_g AS HUGEINT) * nn * 9) AS BIGINT) AS t_micro
+              FROM perclass)
+            SELECT seg AS c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(max(t_micro) AS BIGINT) AS max_t_micro,
+              CAST(sum(CASE WHEN t_micro > 250000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+              CAST(sum(CASE WHEN t_micro > 250000 THEN n_g ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+              round(CAST(sum(CASE WHEN t_micro > 250000 THEN n_g
+                  ELSE 0 END) AS DOUBLE) / sum(n_g), 6) AS risk_frac
+            FROM tmicro
+            GROUP BY seg
+            ORDER BY c_mktsegment NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qAuditLdiv, qAuditDpHist, qAuditTcloseness)
 }

@@ -2156,7 +2156,26 @@ object StreamOps {
             FROM rules
             ORDER BY rule NULLS FIRST"""))
 
+  /** Streaming calibration monitor (q_stream_brier): maintain the
+    * (score, n, n_positive) value-count table ON INGEST — a plain
+    * commutative streaming aggregate, mergeable in any micro-batch
+    * order — then settle and run the SAME reliability/Brier finisher
+    * as the batch q_ml_brier (shared `brierFromCounts`), so the
+    * settled release equals the batch table bit-for-bit and the batch
+    * SQL is the oracle. This is the live "is the ranker drifting
+    * out of calibration" alarm: state is bounded by distinct score
+    * values, never rows. */
+  val qStreamBrier = Q(
+    "q_stream_brier",
+    (s, d) => {
+      val vc = graft.ops.Inference.brierCountAggs(documentsStream(s, d))
+      graft.ops.Inference.brierFromCounts(
+        drain(s, vc, "stream_brier_tbl", "complete"))
+    },
+    Some(graft.ops.Inference.brierOracleSql))
+
   val all: Seq[Q] = Seq(
+    qStreamBrier,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

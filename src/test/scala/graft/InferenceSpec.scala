@@ -340,4 +340,78 @@ class InferenceSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("w_stat") - w) < 1e-4,
       s"got ${row.getAs[Double]("w_stat")} want $w")
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (score, positive) pairs for the n_chars → lang='en' rank model. */
+  private def scoreRows(): Array[(Long, Boolean)] =
+    Tables.t(spark, sf0, "documents")
+      .select(col("n_chars").cast("long"), col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+
+  test("gains: bucketing and lift replay against a scalar recompute") {
+    val rows = scoreRows()
+    val sorted = rows.map(_._1.toDouble).sorted
+    def pct(p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    val thr = (1 to 9).map(i => pct(i / 10.0))
+    val byBucket = rows.groupBy { case (c, _) =>
+      9L - thr.count(t => c > t) }
+    val nn = rows.length.toLong
+    val pp = rows.count(_._2).toLong
+    var (cumN, cumP) = (0L, 0L)
+    val got = q("q_ml_gains").collect()
+    assert(got.map(_.getAs[Long]("decile")).toSeq ===
+      byBucket.keys.toSeq.sorted)
+    got.foreach { r =>
+      val b = byBucket(r.getAs[Long]("decile"))
+      assert(r.getAs[Long]("n") === b.length.toLong)
+      assert(r.getAs[Long]("n_pos") === b.count(_._2).toLong)
+      cumN += b.length; cumP += b.count(_._2)
+      assert(r.getAs[Long]("cum_n") === cumN)
+      assert(r.getAs[Long]("cum_pos") === cumP)
+      assert(r.getAs[Double]("lift") ===
+        round6(cumP.toDouble * nn / (cumN.toDouble * pp)))
+      assert(r.getAs[Double]("capture") === round6(cumP.toDouble / pp))
+    }
+    // the walk ends at full capture, lift settles to 1
+    assert(got.last.getAs[Double]("capture") === 1.0)
+    assert(got.last.getAs[Double]("lift") === 1.0)
+  }
+
+  test("brier: reliability bins replay against a scalar recompute") {
+    val rows = scoreRows()
+    val nn = rows.length.toLong
+    val vc = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rs) =>
+        (c, rs.length.toLong, rs.count(_._2).toLong) }
+    var cum = 0L
+    val binned = vc.map { case (_, na, n1c) =>
+      cum += na
+      val p = 1000000L * cum / nn
+      (math.min(9L, p / 100000L), na, n1c, p)
+    }
+    val got = q("q_ml_brier").collect()
+    assert(got.map(_.getAs[Long]("bin")).toSeq ===
+      binned.map(_._1).distinct.sorted)
+    got.foreach { r =>
+      val b = binned.filter(_._1 == r.getAs[Long]("bin"))
+      val n = b.map(_._2).sum
+      val n1 = b.map(_._3).sum
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("n_pos") === n1)
+      assert(r.getAs[Double]("mean_p") === round6(
+        b.map(x => BigInt(x._2) * x._4).sum.toDouble / n / 1e6))
+      assert(r.getAs[Double]("frac_pos") === round6(n1.toDouble / n))
+      val sq = b.map(x => BigInt(x._3) * (1000000 - x._4) *
+        (1000000 - x._4) + BigInt(x._2 - x._3) * x._4 * x._4).sum
+      assert(r.getAs[Double]("brier") ===
+        round6(sq.toDouble / n / 1e12))
+    }
+  }
 }

@@ -57,4 +57,37 @@ class PrivacySpec extends SparkSuite {
       .map(_.getAs[Long]("noise")).toSet
     assert(noises.size >= 3, s"noise distribution collapsed: $noises")
   }
+
+  test("t-closeness: per-segment EMD rollup replays exactly") {
+    val rows = Tables.t(spark, sf0, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"),
+        expr("""(CAST(floor(c_acctbal * 100 + 0.5D) AS BIGINT)
+                 + 100000L) div 110000L""").as("sbin"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nn = rows.length.toLong
+    val gcum = (0L to 8L).map(j => j -> rows.count(_._3 <= j).toLong)
+      .toMap
+    val perClass = rows.groupBy(r => (r._1, r._2)).map {
+      case ((seg, _), rs) =>
+        val ng = rs.length.toLong
+        val emd = (0L to 8L).map { j =>
+          (BigInt(rs.count(_._3 <= j)) * nn - BigInt(gcum(j)) * ng).abs
+        }.sum
+        (seg, ng, (BigInt(1000000) * emd / (BigInt(ng) * nn * 9)).toLong)
+    }.toSeq
+    val bySeg = perClass.groupBy(_._1)
+    val got = q("q_audit_tcloseness").collect()
+    assert(got.length === bySeg.size)
+    got.foreach { r =>
+      val cs = bySeg(r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("n_classes") === cs.length.toLong)
+      assert(r.getAs[Long]("max_t_micro") === cs.map(_._3).max)
+      val viol = cs.filter(_._3 > 250000)
+      assert(r.getAs[Long]("n_violations") === viol.length.toLong)
+      assert(r.getAs[Long]("rows_at_risk") === viol.map(_._2).sum)
+      // t is a distance between distributions: inside [0, 1]
+      cs.foreach(c => assert(c._3 >= 0L && c._3 <= 1000000L))
+    }
+  }
 }

@@ -891,4 +891,12 @@ class StreamSpec extends SparkSuite {
     }
     assert(got.map(_.getAs[Long]("n_checked")).toSet.size === 1)
   }
+
+  test("q_stream_brier settles to the batch reliability table exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("mean_p"),
+        r.getAs[Double]("frac_pos"), r.getAs[Double]("brier"))).toSeq
+    assert(rows("q_stream_brier") === rows("q_ml_brier"))
+  }
 }
