@@ -1323,8 +1323,104 @@ object Series {
             WHERE q > 1
             ORDER BY q NULLS FIRST"""))
 
+  /** Integer micro-quantized trig weight table for the periodogram:
+    * one CASE chain over (period, day-phase), generated ONCE in Scala
+    * and embedded as the SAME literals in both engines (the
+    * q_audit_dp_hist inverse-CDF discipline) — no engine ever
+    * evaluates cos/sin itself, so the weighted sums are exact integer
+    * arithmetic everywhere. */
+  private def trigCaseSql(f: (Int, Int) => Double): String = {
+    val branches = for { p <- Seq(7, 14, 30); j <- 0 until p } yield
+      s"WHEN p = $p AND j = $j THEN CAST(" +
+        s"${math.floor(f(p, j) * 1e6 + 0.5).toLong} AS BIGINT)"
+    s"CASE ${branches.mkString(" ")} END"
+  }
+  private val cosCaseSql =
+    trigCaseSql((p, j) => math.cos(2 * math.Pi * j / p))
+  private val sinCaseSql =
+    trigCaseSql((p, j) => math.sin(2 * math.Pi * j / p))
+
+  /** Single-frequency periodogram (q_ts_periodogram): how much of the
+    * daily-revenue variance concentrates at the weekly / biweekly /
+    * monthly cycles? Per candidate period p ∈ {7, 14, 30} the
+    * Goertzel-style power is (Σ d_t·cos_t)² + (Σ d_t·sin_t)² over the
+    * mean-removed series, normalized by n·Σd² — the spectral-mass
+    * fraction at that frequency. Deviations ride exactly as n·v − Σv
+    * (the ×n scaling clears the mean rational), trig weights are
+    * precomputed integer micro-literals (see trigCaseSql), so every
+    * sum is DECIMAL(38,0)/HUGEINT-exact and only the final
+    * power-fraction division is floating point. One corpus rollup,
+    * then a calendar-bounded (day × 3-period) grid. */
+  val qTsPeriodogram = Q(
+    "q_ts_periodogram",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val idxed = days.withColumn("i",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val st = days.agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"))
+      idxed.crossJoin(broadcast(st))
+        .select(col("i"), col("v"), col("n"), col("sv"),
+          explode(expr("array(7L, 14L, 30L)")).as("p"))
+        .withColumn("j", expr("CAST((i - 1) % p AS INT)"))
+        .withColumn("dev", expr("CAST(n * v AS DECIMAL(38,0)) - sv"))
+        .withColumn("cw", expr(cosCaseSql))
+        .withColumn("sw", expr(sinCaseSql))
+        .groupBy(col("p"))
+        .agg(first(col("n")).as("n"),
+          sum(expr("CAST(dev * cw AS DECIMAL(38,0))")).as("cs"),
+          sum(expr("CAST(dev * sw AS DECIMAL(38,0))")).as("ss"),
+          sum(expr("CAST(dev * dev AS DECIMAL(38,0))")).as("den"))
+        .select(col("p").as("period"), col("n").as("n_days"),
+          round(expr(
+            """2.0D * (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+               / (1e12 * n * CAST(den AS DOUBLE))"""), 6)
+            .as("power_frac"))
+        .orderBy(col("period"))
+    },
+    Some(s"""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            idxed AS (
+              SELECT v,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM days),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS HUGEINT) AS sv FROM days),
+            grid AS (
+              SELECT i, v, n, sv, p,
+                CAST((i - 1) % p AS INT) AS j,
+                CAST(n AS HUGEINT) * v - sv AS dev
+              FROM idxed, st
+              CROSS JOIN (SELECT unnest([7, 14, 30]) AS p)),
+            weighted AS (
+              SELECT p, n, dev,
+                $cosCaseSql AS cw,
+                $sinCaseSql AS sw
+              FROM grid),
+            agg AS (
+              SELECT p, any_value(n) AS n,
+                sum(dev * cw) AS cs, sum(dev * sw) AS ss,
+                sum(dev * dev) AS den
+              FROM weighted GROUP BY p)
+            SELECT CAST(p AS BIGINT) AS period, n AS n_days,
+              round(2.0e0 * (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                / (1e12 * n * CAST(den AS DOUBLE)), 6) AS power_frac
+            FROM agg
+            ORDER BY period NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
-    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio)
+    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram)
 }
