@@ -143,7 +143,11 @@ object ScaleSmoke {
     // gains/brier are distinct-score-bounded rollups over documents;
     // the streaming twin keeps per-score state only
     // (q_audit_tcloseness is customer-based — not blown up, no row)
-    "q_ml_gains", "q_ml_brier", "q_stream_brier")
+    "q_ml_gains", "q_ml_brier", "q_stream_brier",
+    // jsd is one vocab-sized self-join (replica-disjoint vocab at
+    // 10x = 10 independent pair sets); the periodogram is one corpus
+    // rollup + a day x 3-period grid
+    "q_text_jsd", "q_ts_periodogram")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

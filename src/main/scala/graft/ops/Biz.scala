@@ -732,8 +732,99 @@ object Biz {
             CROSS JOIN tot
             ORDER BY type_a NULLS FIRST, type_b NULLS FIRST"""))
 
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * DISTRIBUTIONS (q_text_jsd): the frequency-aware companion to
+    * q_source_overlap's set Jaccard — two sources can share most of
+    * their vocabulary yet weight it very differently, and JSD is the
+    * symmetric, bounded (≤ ln 2) divergence a mixture planner reads.
+    * Decomposition keeps it one vocabulary-sized inner join: for
+    * shared terms the contribution p·ln(2p/(p+q)) + q·ln(2q/(p+q)) is
+    * a PER-ROW double over integer counts (bit-identical across
+    * engines) nano-quantized BEFORE the pair aggregate; terms private
+    * to one side contribute exactly (1 − Σp_shared)·ln 2, recovered
+    * from the shared-count sums — so no outer join and no
+    * per-missing-term rows ever materialize. Candidates are bounded
+    * by vocabulary × source-pairs, never documents. */
+  val qTextJsd = Q(
+    "q_text_jsd",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val tok = t("documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val sizes = tok.groupBy(col("source").as("sz_src"))
+        .agg(sum(col("cnt")).as("ntok"))
+      val shared = tok
+        .select(col("source").as("sa"), col("term"), col("cnt").as("ca"))
+        .join(tok.select(col("source").as("sb"),
+          col("term").as("tb"), col("cnt").as("cb")),
+          col("term") === col("tb") && col("sa") < col("sb"))
+        .join(broadcast(sizes.withColumnRenamed("sz_src", "ka")
+          .withColumnRenamed("ntok", "na")), col("sa") === col("ka"))
+        .join(broadcast(sizes.withColumnRenamed("sz_src", "kb")
+          .withColumnRenamed("ntok", "nb")), col("sb") === col("kb"))
+        .withColumn("t_nano", expr(
+          """CAST(floor((
+               (CAST(ca AS DOUBLE) / na)
+                 * ln(2.0D * (CAST(ca AS DOUBLE) / na)
+                     / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+               + (CAST(cb AS DOUBLE) / nb)
+                 * ln(2.0D * (CAST(cb AS DOUBLE) / nb)
+                     / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+             ) * 1e12 + 0.5D) AS BIGINT)"""))
+      shared.groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_shared"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"),
+          sum(col("t_nano")).as("st"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"))
+        .select(col("sa"), col("sb"), col("n_shared"),
+          round(expr(
+            """0.5D * (CAST(st AS DOUBLE) / 1e12
+                 + (1.0D - CAST(sca AS DOUBLE) / na) * ln(2.0D)
+                 + (1.0D - CAST(scb AS DOUBLE) / nb) * ln(2.0D))"""), 6)
+            .as("jsd"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some("""WITH tok AS (
+              SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT source,
+                      unnest(string_split(text, ' ')) AS term
+                    FROM documents) x
+              GROUP BY source, term),
+            sizes AS (
+              SELECT source AS sz_src, CAST(sum(cnt) AS BIGINT) AS ntok
+              FROM tok GROUP BY source),
+            shared AS (
+              SELECT a.source AS sa, b.source AS sb,
+                a.cnt AS ca, b.cnt AS cb, za.ntok AS na, zb.ntok AS nb,
+                CAST(floor((
+                  (CAST(a.cnt AS DOUBLE) / za.ntok)
+                    * ln(2.0e0 * (CAST(a.cnt AS DOUBLE) / za.ntok)
+                        / (CAST(a.cnt AS DOUBLE) / za.ntok
+                           + CAST(b.cnt AS DOUBLE) / zb.ntok))
+                  + (CAST(b.cnt AS DOUBLE) / zb.ntok)
+                    * ln(2.0e0 * (CAST(b.cnt AS DOUBLE) / zb.ntok)
+                        / (CAST(a.cnt AS DOUBLE) / za.ntok
+                           + CAST(b.cnt AS DOUBLE) / zb.ntok))
+                ) * 1e12 + 0.5e0) AS BIGINT) AS t_nano
+              FROM tok a
+              JOIN tok b ON a.term = b.term AND a.source < b.source
+              JOIN sizes za ON a.source = za.sz_src
+              JOIN sizes zb ON b.source = zb.sz_src)
+            SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_shared,
+              round(0.5e0 * (CAST(sum(t_nano) AS DOUBLE) / 1e12
+                + (1.0e0 - CAST(sum(ca) AS DOUBLE) / any_value(na))
+                    * ln(2.0e0)
+                + (1.0e0 - CAST(sum(cb) AS DOUBLE) / any_value(nb))
+                    * ln(2.0e0)), 6) AS jsd
+            FROM shared
+            GROUP BY sa, sb
+            ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
     qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,
     qAggGini, qEventsDauMau, qOrdersLeadtime, qOrdersBacklog,
-    qEventsCooccur)
+    qEventsCooccur, qTextJsd)
 }

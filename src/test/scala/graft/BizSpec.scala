@@ -277,4 +277,41 @@ class BizSpec extends SparkSuite {
       }
     }
   }
+
+  test("jsd: bounded in [0, ln 2] and the first pair replays exactly") {
+    val got = q("q_text_jsd").collect()
+    val nSources = Tables.t(spark, sf0, "documents")
+      .select(col("source")).distinct().count()
+    assert(got.length === (nSources * (nSources - 1) / 2).toInt)
+    got.foreach { r =>
+      val v = r.getAs[Double]("jsd")
+      assert(v >= 0.0 && v <= math.log(2.0) + 1e-9, s"jsd=$v")
+    }
+    // scalar replay for the lexicographically first source pair
+    val first = got.head
+    val (sa, sb) = (first.getAs[String]("sa"), first.getAs[String]("sb"))
+    val counts = Tables.t(spark, sf0, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val (ta, tb) = (counts(sa), counts(sb))
+    val (na, nb) = (ta.values.sum, tb.values.sum)
+    val sharedW = ta.keySet.intersect(tb.keySet)
+    val st = sharedW.toSeq.map { w =>
+      val p = ta(w).toDouble / na
+      val q = tb(w).toDouble / nb
+      math.floor((p * math.log(2.0 * p / (p + q)) +
+        q * math.log(2.0 * q / (p + q))) * 1e12 + 0.5).toLong
+    }.sum
+    val sca = sharedW.toSeq.map(ta).sum
+    val scb = sharedW.toSeq.map(tb).sum
+    val want = BigDecimal(0.5 * (st.toDouble / 1e12 +
+      (1.0 - sca.toDouble / na) * math.log(2.0) +
+      (1.0 - scb.toDouble / nb) * math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(first.getAs[Long]("n_shared") === sharedW.size.toLong)
+    assert(first.getAs[Double]("jsd") === want)
+  }
 }

@@ -304,6 +304,33 @@ class SeriesSpec extends SparkSuite {
     assert(dw >= 0.0 && dw <= 4.0)
   }
 
+  test("periodogram: power fractions replay and are a valid share") {
+    val days = dailyCents().map(BigInt(_))
+    val n = days.length
+    val sv = days.sum
+    val dev = days.map(v => BigInt(n) * v - sv)
+    val den = dev.map(d => d * d).sum
+    val got = q("q_ts_periodogram").collect()
+      .map(r => r.getAs[Long]("period") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("power_frac"))).toMap
+    Seq(7, 14, 30).foreach { p =>
+      val cw = (0 until p).map(j =>
+        math.floor(math.cos(2 * math.Pi * j / p) * 1e6 + 0.5).toLong)
+      val sw = (0 until p).map(j =>
+        math.floor(math.sin(2 * math.Pi * j / p) * 1e6 + 0.5).toLong)
+      val cs = dev.zipWithIndex.map { case (dv, i) =>
+        dv * cw(i % p) }.sum
+      val ss = dev.zipWithIndex.map { case (dv, i) =>
+        dv * sw(i % p) }.sum
+      val want = round6(2.0 * (cs.toDouble * cs.toDouble +
+        ss.toDouble * ss.toDouble) / (1e12 * n * den.toDouble))
+      assert(got(p.toLong)._1 === n.toLong)
+      assert(got(p.toLong)._2 === want, s"p=$p")
+      // a fraction of total spectral mass
+      assert(want >= 0.0 && want <= 1.0 + 1e-9)
+    }
+  }
+
   test("variance ratio replays exactly for q = 2 and 5") {
     val x = dailyCents().map(v => math.log(v.toDouble))
     def stats(k: Int): (Int, Double) = {
