@@ -147,7 +147,12 @@ object ScaleSmoke {
     // jsd is one vocab-sized self-join (replica-disjoint vocab at
     // 10x = 10 independent pair sets); the periodogram is one corpus
     // rollup + a day x 3-period grid
-    "q_text_jsd", "q_ts_periodogram")
+    "q_text_jsd", "q_ts_periodogram",
+    // silhouette re-walks the shared Lloyd program + one extra k-row
+    // broadcast pass; pacf is the 3-lag day-grid rollup; friedman /
+    // cochran are weekday- / user-grid-bounded aggregates
+    "q_sim_silhouette", "q_ts_pacf", "q_stats_friedman",
+    "q_stats_cochran_q")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1123,8 +1123,160 @@ object Inference {
     (s, d) => brierFromCounts(brierCountAggs(Tables.t(s, d, "documents"))),
     Some(brierOracleSql))
 
+  // ---- q_stats_friedman --------------------------------------------------
+
+  /** Friedman test (q_stats_friedman): do the event types rank the
+    * same across weekday blocks, or does some type systematically
+    * dominate? Blocks are the 7 weekdays, treatments the event types,
+    * cell metric the exact cent total; within each COMPLETE block
+    * (all k treatments present — incomplete blocks are excluded, the
+    * textbook requirement) treatments get DOUBLED midranks
+    * (2·rank + ties − 1, the Mann-Whitney integer-rank discipline),
+    * and the statistic collapses to Fr = 3·Σ_j (R2_j − n(k+1))² /
+    * (n·k·(k+1)) — the ×2 rank scaling clears the midrank halves, so
+    * everything is integer until ONE final division. The rank windows
+    * are (7-block × k)-bounded, never corpus-sized. */
+  val qStatsFriedman = Q(
+    "q_stats_friedman",
+    (s, d) => {
+      val cells = ev(s, d)
+        .select(expr("dayofweek(CAST(ts AS DATE))").as("blk"),
+          col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("blk"), col("event_type"))
+        .agg(sum(col("c")).as("v"))
+      val kdf = cells.agg(countDistinct(col("event_type")).as("k"))
+      val bsz = cells.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      val full = cells.join(broadcast(bsz), "blk")
+        .crossJoin(broadcast(kdf))
+        .filter(col("bn") === col("k"))
+      val ranked = full
+        .withColumn("rnk", rank().over(
+          Window.partitionBy(col("blk")).orderBy(col("v"))))
+        .withColumn("ceq", count(lit(1)).over(
+          Window.partitionBy(col("blk"), col("v"))))
+        .withColumn("rank2",
+          lit(2L) * col("rnk") + col("ceq") - lit(1L))
+      val rj = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb"), sum(col("rank2")).as("r2"),
+          first(col("k")).as("k"))
+      rj.agg(first(col("k")).as("k"), first(col("nb")).as("n"),
+          sum(expr("""CAST(r2 - nb * (k + 1) AS DECIMAL(38,0))
+                      * (r2 - nb * (k + 1))""")).as("ssq"))
+        .select(col("n").as("n_blocks"), col("k"),
+          (col("k") - 1).cast("long").as("df"),
+          round(expr(
+            "3.0D * CAST(ssq AS DOUBLE) / (n * k * (k + 1))"), 6)
+            .as("fr_stat"))
+    },
+    Some("""WITH cells AS (
+              SELECT dayofweek(CAST(ts AS DATE)) AS blk, event_type,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY blk, event_type),
+            kd AS (
+              SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+              FROM cells),
+            bsz AS (
+              SELECT blk, CAST(count(*) AS BIGINT) AS bn
+              FROM cells GROUP BY blk),
+            full_ AS (
+              SELECT cells.*, kd.k FROM cells
+              JOIN bsz ON cells.blk = bsz.blk
+              CROSS JOIN kd
+              WHERE bsz.bn = kd.k),
+            ranked AS (
+              SELECT event_type, k,
+                2 * CAST(rank() OVER (PARTITION BY blk ORDER BY v)
+                    AS BIGINT)
+                  + CAST(count(*) OVER (PARTITION BY blk, v) AS BIGINT)
+                  - 1 AS rank2
+              FROM full_),
+            rj AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+                CAST(sum(rank2) AS BIGINT) AS r2,
+                any_value(k) AS k
+              FROM ranked GROUP BY event_type)
+            SELECT any_value(nb) AS n_blocks, any_value(k) AS k,
+              CAST(any_value(k) - 1 AS BIGINT) AS df,
+              round(3.0e0 * CAST(sum(
+                  CAST(r2 - nb * (k + 1) AS HUGEINT)
+                  * (r2 - nb * (k + 1))) AS DOUBLE)
+                / (any_value(nb) * any_value(k) * (any_value(k) + 1)), 6)
+                AS fr_stat
+            FROM rj"""))
+
+  // ---- q_stats_cochran_q -------------------------------------------------
+
+  /** Cochran's Q test (q_stats_cochran_q): across users, is the
+    * PROBABILITY of having triggered each event type the same — the
+    * k-treatment binary generalization of McNemar. The incidence
+    * matrix is one distinct over (user, type); with column totals C_j,
+    * row totals R_i, N = ΣR, the statistic cross-multiplies to
+    * Q = (k−1)·Σ_j (k·C_j − N)² / (k·Σ_i (k·R_i − R_i²)) — column
+    * squares ride DECIMAL(38,0)/HUGEINT (k·C − N is corpus-sized),
+    * and all-zero / all-one rows cancel identically on both sides of
+    * the fraction, so no row filtering is needed. The outcome is
+    * "triggered type t above value 90" — thresholded so the incidence
+    * matrix actually varies (every user fires every type at SOME
+    * value); a fully-saturated matrix zeroes the denominator, which
+    * both engines guard to NULL. Two user/type-grid aggregates; scale
+    * cost is the distinct. */
+  val qStatsCochranQ = Q(
+    "q_stats_cochran_q",
+    (s, d) => {
+      val ut = ev(s, d).filter(col("value") > 90.0)
+        .select(col("user_id"), col("event_type")).distinct()
+      val cj = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cj"))
+      val ri = ut.groupBy(col("user_id")).agg(count(lit(1)).as("r"))
+      val kdf = cj.agg(count(lit(1)).as("k"), sum(col("cj")).as("nn"))
+      val dens = ri.crossJoin(broadcast(kdf))
+        .agg(first(col("k")).as("k"), first(col("nn")).as("nn"),
+          count(lit(1)).as("n_users"),
+          sum(expr("k * r - r * r")).as("dens"))
+      val nums = cj.crossJoin(broadcast(kdf))
+        .agg(sum(expr(
+          "CAST(k * cj - nn AS DECIMAL(38,0)) * (k * cj - nn)"))
+          .as("nums"))
+      dens.crossJoin(nums)
+        .select(col("n_users"), col("k"),
+          (col("k") - 1).cast("long").as("df"),
+          round(expr(
+            """CASE WHEN dens = 0 THEN NULL
+               ELSE CAST(k - 1 AS DOUBLE) * CAST(nums AS DOUBLE)
+                 / (k * CAST(dens AS DOUBLE)) END"""), 6).as("q_stat"))
+    },
+    Some("""WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE value > 90),
+            cj AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS cj
+              FROM ut GROUP BY event_type),
+            ri AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS r
+              FROM ut GROUP BY user_id),
+            kd AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(cj) AS BIGINT) AS nn FROM cj),
+            dens AS (
+              SELECT any_value(kd.k) AS k, any_value(kd.nn) AS nn,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(kd.k * r - r * r) AS BIGINT) AS dens
+              FROM ri, kd),
+            nums AS (
+              SELECT sum(CAST(kd.k * cj - kd.nn AS HUGEINT)
+                * (kd.k * cj - kd.nn)) AS nums
+              FROM cj, kd)
+            SELECT n_users, k, CAST(k - 1 AS BIGINT) AS df,
+              round(CASE WHEN dens = 0 THEN NULL
+                ELSE CAST(k - 1 AS DOUBLE) * CAST(nums AS DOUBLE)
+                  / (k * CAST(dens AS DOUBLE)) END, 6) AS q_stat
+            FROM dens, nums"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
-    qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier)
+    qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier,
+    qStatsFriedman, qStatsCochranQ)
 }

@@ -264,43 +264,105 @@ object Pipeline {
     * (LEFT JOIN + coalesce). Output: per-cluster size and mean
     * distance. The oracle unrolls the same two iterations as generated
     * CTEs. */
+  /** The matching DuckDB CTE chain (e, c0, unrolled iterations, final
+    * assignment) shared by the q_sim_kmeans oracle and the silhouette
+    * oracle — ONE definition of the Lloyd program on the oracle side
+    * too. Final tables: `a$ITERS` (assignments), `c$ITERS` (cents). */
+  private[graft] val kmeansFinalAssignTbl: String = s"a$ITERS"
+  private[graft] val kmeansFinalCentsTbl: String = s"c$ITERS"
+  private[graft] val kmeansCteSql: String = {
+    val d2 = (c: String) =>
+      s"""list_dot_product(e.v, e.v)
+          - 2 * list_dot_product(e.v, $c.cent)
+          + list_dot_product($c.cent, $c.cent)"""
+    def assignCte(i: Int): String =
+      s"""a$i AS (
+            SELECT vec_id, cid, d2, v FROM (
+              SELECT vec_id, cid, d2, v,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, cid) AS rn
+              FROM (SELECT e.vec_id, c.cid, e.v, ${d2("c")} AS d2
+                    FROM e CROSS JOIN c$i c))
+            WHERE rn = 1)"""
+    def recomputeCte(i: Int): String =
+      s"""g$i AS (
+            SELECT cid, i, round(avg(v[i]), 6) AS x
+            FROM a$i CROSS JOIN
+              (SELECT unnest(generate_series(1, $DIM)) AS i) dims
+            GROUP BY cid, i),
+          n$i AS (
+            SELECT cid, list(x ORDER BY i) AS cent
+            FROM g$i GROUP BY cid),
+          c${i + 1} AS (
+            SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
+            FROM c$i c LEFT JOIN n$i n ON c.cid = n.cid)"""
+    val iterCtes = (0 until ITERS)
+      .map(i => assignCte(i) + ",\n" + recomputeCte(i))
+      .mkString(",\n")
+    s"""e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id < $K),
+        $iterCtes,
+        ${assignCte(ITERS)}"""
+  }
+
+  /** The corpus side of the Lloyd loop: (vec_id, v, aa) with the
+    * self-dot precomputed — shared by q_sim_kmeans and the silhouette
+    * audit so both walk the identical program. */
+  private[graft] def kmeansPoints(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DoubleDot.register(s)
+    Tables.t(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("aa", ddot("v", "v"))
+  }
+
+  /** One broadcast nested-loop assignment against a k-row centroid
+    * table (ties toward the lowest cid, the oracle's row_number rule). */
+  private[graft] def kmeansAssign(e: DataFrame, c: DataFrame): DataFrame =
+    e.crossJoin(broadcast(c))
+      .withColumn("d2",
+        col("aa") - lit(2.0) * ddot("v", "cent") + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.d2").as("d2"),
+        col("m.cid").as("cid"), col("v"))
+
+  /** The centroids after the ITERS Lloyd rounds (6dp-rounded per
+    * coordinate, empty clusters keep their previous centroid). */
+  private[graft] def kmeansFinalCents(
+      s: SparkSession, d: String): DataFrame = {
+    val e = kmeansPoints(s, d)
+    var cents: DataFrame = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cent"))
+      .withColumn("cc", ddot("cent", "cent"))
+    for (_ <- 0 until ITERS) {
+      val a = kmeansAssign(e, cents)
+      val newCoords = a
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("xr"))
+        .groupBy(col("cid"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, xr))), s -> s.xr)")
+          .as("newc"))
+      cents = cents.select(col("cid"), col("cent").as("oldc"))
+        .join(newCoords, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("newc"), col("oldc")).as("cent"))
+        .withColumn("cc", ddot("cent", "cent"))
+    }
+    cents
+  }
+
   val qSimKmeans = Q(
     "q_sim_kmeans",
     (s, d) => {
-      graft.functions.DoubleDot.register(s)
-      val e = Tables.t(s, d, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("aa", ddot("v", "v"))
-      var cents: DataFrame = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("v").as("cent"))
-        .withColumn("cc", ddot("cent", "cent"))
-      def assign(c: DataFrame): DataFrame =
-        e.crossJoin(broadcast(c))
-          .withColumn("d2",
-            col("aa") - lit(2.0) * ddot("v", "cent") + col("cc"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cid"))).as("m"),
-            first(col("v")).as("v"))
-          .select(col("vec_id"), col("m.d2").as("d2"),
-            col("m.cid").as("cid"), col("v"))
-      for (_ <- 0 until ITERS) {
-        val a = assign(cents)
-        val newCoords = a
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("xr"))
-          .groupBy(col("cid"))
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(pos, xr))), s -> s.xr)")
-            .as("newc"))
-        cents = cents.select(col("cid"), col("cent").as("oldc"))
-          .join(newCoords, Seq("cid"), "left")
-          .select(col("cid"),
-            coalesce(col("newc"), col("oldc")).as("cent"))
-          .withColumn("cc", ddot("cent", "cent"))
-      }
-      assign(cents)
+      kmeansAssign(kmeansPoints(s, d), kmeansFinalCents(s, d))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
           // d2 = aa − 2ab + cc can cancel to −1ulp for a vector sitting
@@ -312,48 +374,80 @@ object Pipeline {
           col("avg_dist"))
         .orderBy(col("cluster_id"))
     },
-    Some {
-      val d2 = (c: String) =>
-        s"""list_dot_product(e.v, e.v)
-            - 2 * list_dot_product(e.v, $c.cent)
-            + list_dot_product($c.cent, $c.cent)"""
-      def assignCte(i: Int): String =
-        s"""a$i AS (
-              SELECT vec_id, cid, d2, v FROM (
-                SELECT vec_id, cid, d2, v,
-                  row_number() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cid) AS rn
-                FROM (SELECT e.vec_id, c.cid, e.v, ${d2("c")} AS d2
-                      FROM e CROSS JOIN c$i c))
-              WHERE rn = 1)"""
-      def recomputeCte(i: Int): String =
-        s"""g$i AS (
-              SELECT cid, i, round(avg(v[i]), 6) AS x
-              FROM a$i CROSS JOIN
-                (SELECT unnest(generate_series(1, $DIM)) AS i) dims
-              GROUP BY cid, i),
-            n$i AS (
-              SELECT cid, list(x ORDER BY i) AS cent
-              FROM g$i GROUP BY cid),
-            c${i + 1} AS (
-              SELECT c.cid, COALESCE(n.cent, c.cent) AS cent
-              FROM c$i c LEFT JOIN n$i n ON c.cid = n.cid)"""
-      val iterCtes = (0 until ITERS)
-        .map(i => assignCte(i) + ",\n" + recomputeCte(i))
-        .mkString(",\n")
-      s"""WITH e AS (
-            SELECT vec_id,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-          c0 AS (
-            SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id < $K),
-          $iterCtes,
-          ${assignCte(ITERS)}
+    Some(s"""WITH $kmeansCteSql
           SELECT cid AS cluster_id, count(*) AS n_members,
             round(avg(sqrt(greatest(d2, 0))), 6) AS avg_dist
-          FROM a$ITERS GROUP BY cid
-          ORDER BY cluster_id NULLS FIRST"""
-    })
+          FROM $kmeansFinalAssignTbl GROUP BY cid
+          ORDER BY cluster_id NULLS FIRST"""))
+
+  // ---- q_sim_silhouette -------------------------------------------------
+
+  /** Simplified silhouette audit (q_sim_silhouette): per cluster the
+    * mean of s_i = (b_i − a_i) / max(a_i, b_i) with a = distance to
+    * the OWN centroid and b = the nearest OTHER centroid — the
+    * clustering-quality acceptance number read after q_sim_kmeans
+    * (s → 1 tight & separated, s ≤ 0 misassigned). Walks the
+    * IDENTICAL shared Lloyd program (kmeansPoints / kmeansFinalCents /
+    * kmeansAssign on the Spark side, the same unrolled CTE chain in
+    * the oracle), then one more k-row broadcast nested loop for b.
+    * Each s_i is a per-row double over 6dp-rounded centroids
+    * (bit-identical across engines) micro-quantized BEFORE the
+    * per-cluster mean; the 0/0 degenerate point pins to 0 on both
+    * sides. Corpus cost: two broadcast passes, no pair join. */
+  val qSimSilhouette = Q(
+    "q_sim_silhouette",
+    (s, d) => {
+      val e = kmeansPoints(s, d)
+      val cents = kmeansFinalCents(s, d)
+      val own = kmeansAssign(e, cents)
+      own.crossJoin(broadcast(cents.select(col("cid").as("ocid"),
+          col("cent"), col("cc"))))
+        .filter(col("ocid") =!= col("cid"))
+        .withColumn("d2o",
+          ddot("v", "v") - lit(2.0) * ddot("v", "cent") + col("cc"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("cid")).as("cid"), first(col("d2")).as("d2"),
+          min(col("d2o")).as("b2"))
+        .withColumn("a_", expr("sqrt(greatest(d2, 0.0D))"))
+        .withColumn("b_", expr("sqrt(greatest(b2, 0.0D))"))
+        .withColumn("sm", expr(
+          """CASE WHEN greatest(a_, b_) = 0.0D THEN 0L
+             ELSE CAST(floor((b_ - a_) / greatest(a_, b_) * 1e6 + 0.5D)
+               AS BIGINT) END"""))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("sm")).as("ssm"))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          round(col("ssm").cast("double") / col("n_members") / 1e6, 6)
+            .as("mean_silhouette"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""WITH $kmeansCteSql,
+          own AS (
+            SELECT vec_id, cid, d2, v FROM $kmeansFinalAssignTbl),
+          b2t AS (
+            SELECT o.vec_id, any_value(o.cid) AS cid,
+              any_value(o.d2) AS d2,
+              min(list_dot_product(o.v, o.v)
+                - 2 * list_dot_product(o.v, c.cent)
+                + list_dot_product(c.cent, c.cent)) AS b2
+            FROM own o JOIN $kmeansFinalCentsTbl c ON c.cid <> o.cid
+            GROUP BY o.vec_id),
+          si AS (
+            SELECT cid,
+              CASE WHEN greatest(sqrt(greatest(d2, 0)),
+                     sqrt(greatest(b2, 0))) = 0 THEN 0
+                ELSE CAST(floor(
+                  (sqrt(greatest(b2, 0)) - sqrt(greatest(d2, 0)))
+                  / greatest(sqrt(greatest(d2, 0)),
+                             sqrt(greatest(b2, 0)))
+                  * 1e6 + 0.5e0) AS BIGINT) END AS sm
+            FROM b2t)
+          SELECT cid AS cluster_id, CAST(count(*) AS BIGINT)
+              AS n_members,
+            round(CAST(sum(sm) AS DOUBLE) / count(*) / 1e6, 6)
+              AS mean_silhouette
+          FROM si GROUP BY cid
+          ORDER BY cluster_id NULLS FIRST"""))
 
   // ---- q_text_bpe_train -------------------------------------------------
 
@@ -825,7 +919,7 @@ object Pipeline {
     })
 
   val all: Seq[Q] =
-    Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qTextBpePairs,
-      qTextBpeTrain, qGraphPagerank, qSessionize, qTextWinnow,
-      qGraphPpr)
+    Seq(qTextBm25, qDedupUrl, qDocCdc, qSimKmeans, qSimSilhouette,
+      qTextBpePairs, qTextBpeTrain, qGraphPagerank, qSessionize,
+      qTextWinnow, qGraphPpr)
 }

@@ -1419,8 +1419,124 @@ object Series {
             FROM agg
             ORDER BY period NULLS FIRST"""))
 
+  /** Partial autocorrelation (q_ts_pacf): lags 1–3 of daily revenue by
+    * the Durbin-Levinson recursion unrolled in closed form — φ11 = r1,
+    * φ22 = (r2 − r1²)/(1 − r1²), φ33 from the level-2 coefficients —
+    * the AR-order diagnostic read next to q_ts_ljungbox. The r_k feed
+    * in as the SAME exact integer-ratio autocorrelations (n·v − Σv
+    * deviation products in DECIMAL(38,0)/HUGEINT, micro-quantized),
+    * and every φ is one fixed double expression over those integers —
+    * nothing order-dependent anywhere. Day-grid bounded. */
+  val qTsPacf = Q(
+    "q_ts_pacf",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("v"))
+      val w = Window.orderBy(col("day"))
+      val lagged = days.select(col("v"),
+        lag(col("v"), 1).over(w).as("v1"),
+        lag(col("v"), 2).over(w).as("v2"),
+        lag(col("v"), 3).over(w).as("v3"))
+      val st = days.agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"))
+      val devs = lagged.crossJoin(broadcast(st))
+        .withColumn("dev", expr("CAST(n * v AS DECIMAL(38,0)) - sv"))
+      val den = devs
+        .agg(sum(expr("CAST(dev * dev AS DECIMAL(38,0))")).as("den"))
+      val rhos = devs
+        .select(col("n"), col("sv"), col("dev"),
+          expr("stack(3, 1L, v1, 2L, v2, 3L, v3)").as(Seq("k", "vk")))
+        .filter(col("vk").isNotNull)
+        .withColumn("devk", expr("CAST(n * vk AS DECIMAL(38,0)) - sv"))
+        .groupBy(col("k"))
+        .agg(sum(expr("CAST(dev * devk AS DECIMAL(38,0))")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("k"), expr(
+          """CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6
+                 + 0.5D) AS BIGINT)""").as("rm"))
+      val wide = rhos.agg(
+        max(when(col("k") === 1, col("rm"))).as("m1"),
+        max(when(col("k") === 2, col("rm"))).as("m2"),
+        max(when(col("k") === 3, col("rm"))).as("m3"))
+        .withColumn("r1", col("m1").cast("double") / 1e6)
+        .withColumn("r2", col("m2").cast("double") / 1e6)
+        .withColumn("r3", col("m3").cast("double") / 1e6)
+        .withColumn("p11", col("r1"))
+        .withColumn("p22", expr("(r2 - r1 * r1) / (1.0D - r1 * r1)"))
+        .withColumn("p21", expr("r1 - p22 * r1"))
+        .withColumn("p33", expr(
+          """(r3 - p21 * r2 - p22 * r1)
+             / (1.0D - p21 * r1 - p22 * r2)"""))
+      wide.select(expr(
+          """stack(3, 1L, r1, p11, 2L, r2, p22, 3L, r3, p33)""")
+          .as(Seq("lag", "rho", "pacf")))
+        .select(col("lag"), round(col("rho"), 6).as("rho"),
+          round(col("pacf"), 6).as("pacf"))
+        .orderBy(col("lag"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            lagged AS (
+              SELECT v, lag(v, 1) OVER w AS v1,
+                lag(v, 2) OVER w AS v2, lag(v, 3) OVER w AS v3
+              FROM days WINDOW w AS (ORDER BY day)),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS HUGEINT) AS sv FROM days),
+            devs AS (
+              SELECT lagged.*, st.n, st.sv,
+                CAST(n AS HUGEINT) * v - sv AS dev
+              FROM lagged, st),
+            den AS (SELECT sum(dev * dev) AS den FROM devs),
+            un AS (
+              SELECT n, sv, dev, k,
+                CASE k WHEN 1 THEN v1 WHEN 2 THEN v2 ELSE v3 END AS vk
+              FROM devs CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+            rhos AS (
+              SELECT k,
+                CAST(floor(CAST(sum(dev * (CAST(n AS HUGEINT) * vk - sv))
+                    AS DOUBLE) / CAST(any_value(den.den) AS DOUBLE) * 1e6
+                  + 0.5) AS BIGINT) AS rm
+              FROM un, den WHERE vk IS NOT NULL
+              GROUP BY k),
+            wide AS (
+              SELECT
+                CAST(max(CASE WHEN k = 1 THEN rm END) AS DOUBLE) / 1e6
+                  AS r1,
+                CAST(max(CASE WHEN k = 2 THEN rm END) AS DOUBLE) / 1e6
+                  AS r2,
+                CAST(max(CASE WHEN k = 3 THEN rm END) AS DOUBLE) / 1e6
+                  AS r3
+              FROM rhos),
+            lvl AS (
+              SELECT r1, r2, r3, r1 AS p11,
+                (r2 - r1 * r1) / (1.0e0 - r1 * r1) AS p22
+              FROM wide),
+            lvl2 AS (
+              SELECT *, r1 - p22 * r1 AS p21 FROM lvl),
+            lvl3 AS (
+              SELECT *,
+                (r3 - p21 * r2 - p22 * r1)
+                  / (1.0e0 - p21 * r1 - p22 * r2) AS p33
+              FROM lvl2),
+            rows_ AS (
+              SELECT 1 AS lag, r1 AS rho, p11 AS pacf FROM lvl3
+              UNION ALL SELECT 2, r2, p22 FROM lvl3
+              UNION ALL SELECT 3, r3, p33 FROM lvl3)
+            SELECT CAST(lag AS BIGINT) AS lag, round(rho, 6) AS rho,
+              round(pacf, 6) AS pacf
+            FROM rows_
+            ORDER BY lag NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
-    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram)
+    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf)
 }

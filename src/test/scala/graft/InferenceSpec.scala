@@ -344,6 +344,59 @@ class InferenceSpec extends SparkSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("friedman: doubled-midrank statistic replays exactly") {
+    val cells = Tables.t(spark, sf0, "events")
+      .select(expr("dayofweek(CAST(ts AS DATE))").as("blk"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("blk"), col("event_type"))
+      .agg(sum(col("c")).as("v")).collect()
+      .map(r => (r.getAs[Int]("blk"), r.getAs[String]("event_type"),
+        r.getAs[Long]("v")))
+    val k = cells.map(_._2).distinct.length
+    val complete = cells.groupBy(_._1).filter(_._2.length == k)
+    val n = complete.size
+    val r2 = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    complete.values.foreach { rows =>
+      rows.foreach { case (_, et, v) =>
+        val lt = rows.count(_._3 < v)
+        val eq = rows.count(_._3 == v)
+        r2(et) += 2L * (lt + 1) + eq - 1
+      }
+    }
+    val ssq = r2.values.map(x =>
+      BigInt(x - n.toLong * (k + 1)) * (x - n.toLong * (k + 1))).sum
+    val want = round6(3.0 * ssq.toDouble / (n.toLong * k * (k + 1)))
+    val row = q("q_stats_friedman").collect().head
+    assert(row.getAs[Long]("n_blocks") === n.toLong)
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("df") === (k - 1).toLong)
+    assert(row.getAs[Double]("fr_stat") === want)
+  }
+
+  test("cochran q: incidence-matrix statistic replays exactly") {
+    val ut = Tables.t(spark, sf0, "events")
+      .filter(col("value") > 90.0)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getString(1)))
+    val k = Tables.t(spark, sf0, "events")
+      .filter(col("value") > 90.0)
+      .select(col("event_type")).distinct().count()
+    val cj = ut.groupBy(_._2).view.mapValues(_.length.toLong).values
+    val ri = ut.groupBy(_._1).view.mapValues(_.length.toLong).values
+    val nn = ut.length.toLong
+    val nums = cj.map(c => BigInt(k * c - nn) * (k * c - nn)).sum
+    val dens = ri.map(r => k * r - r * r).sum
+    val row = q("q_stats_cochran_q").collect().head
+    assert(row.getAs[Long]("n_users") === ri.size.toLong)
+    assert(row.getAs[Long]("k") === k)
+    assert(row.getAs[Double]("q_stat") ===
+      round6((k - 1).toDouble * nums.toDouble / (k * dens.toDouble)))
+    // thresholded incidence must actually vary, or Q is degenerate
+    assert(dens > 0L)
+  }
+
   /** (score, positive) pairs for the n_chars → lang='en' rank model. */
   private def scoreRows(): Array[(Long, Boolean)] =
     Tables.t(spark, sf0, "documents")

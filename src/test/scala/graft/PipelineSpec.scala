@@ -495,4 +495,22 @@ class PipelineSpec extends SparkSuite {
     val seedMass = (0L until 8L).map(v => pr.getOrElse(v, 0.0)).sum
     assert(seedMass > 0.15)
   }
+
+  test("silhouette: cluster sizes match kmeans and values are bounded") {
+    val sil = q("q_sim_silhouette").collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"),
+          r.getAs[Double]("mean_silhouette"))).toMap
+    val km = q("q_sim_kmeans").collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        r.getAs[Long]("n_members")).toMap
+    // same partition of the corpus: identical clusters and sizes
+    assert(sil.view.mapValues(_._1).toMap === km)
+    sil.values.foreach { case (_, s) =>
+      assert(s >= -1.0 && s <= 1.0, s"silhouette $s out of range")
+    }
+    // every point is counted exactly once
+    assert(sil.values.map(_._1).sum ===
+      Tables.t(spark, sf0, "embeddings").count())
+  }
 }

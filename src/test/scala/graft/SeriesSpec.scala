@@ -331,6 +331,33 @@ class SeriesSpec extends SparkSuite {
     }
   }
 
+  test("pacf: Durbin-Levinson closed forms replay from the rho grid") {
+    val days = dailyCents().map(BigInt(_))
+    val n = days.length
+    val sv = days.sum
+    val dev = days.map(v => BigInt(n) * v - sv)
+    val den = dev.map(d => d * d).sum
+    val r = (1 to 3).map { k =>
+      val num = (k until n).map(t => dev(t) * dev(t - k)).sum
+      math.floor(num.toDouble / den.toDouble * 1e6 + 0.5) / 1e6
+    }
+    val p11 = r(0)
+    val p22 = (r(1) - r(0) * r(0)) / (1.0 - r(0) * r(0))
+    val p21 = r(0) - p22 * r(0)
+    val p33 = (r(2) - p21 * r(1) - p22 * r(0)) /
+      (1.0 - p21 * r(0) - p22 * r(1))
+    val got = q("q_ts_pacf").collect()
+      .map(x => x.getAs[Long]("lag") ->
+        (x.getAs[Double]("rho"), x.getAs[Double]("pacf"))).toMap
+    Seq((1L, r(0), p11), (2L, r(1), p22), (3L, r(2), p33)).foreach {
+      case (k, rho, pacf) =>
+        assert(got(k)._1 === round6(rho), s"rho lag $k")
+        assert(got(k)._2 === round6(pacf), s"pacf lag $k")
+    }
+    // lag-1 pacf IS the lag-1 autocorrelation
+    assert(got(1L)._1 === got(1L)._2)
+  }
+
   test("variance ratio replays exactly for q = 2 and 5") {
     val x = dailyCents().map(v => math.log(v.toDouble))
     def stats(k: Int): (Int, Double) = {
