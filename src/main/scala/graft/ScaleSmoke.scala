@@ -152,7 +152,11 @@ object ScaleSmoke {
     // broadcast pass; pacf is the 3-lag day-grid rollup; friedman /
     // cochran are weekday- / user-grid-bounded aggregates
     "q_sim_silhouette", "q_ts_pacf", "q_stats_friedman",
-    "q_stats_cochran_q")
+    "q_stats_cochran_q",
+    // holt-winters folds one element per calendar day after the
+    // shared daily rollup; interarrival is gap-grid-bounded after
+    // one per-type window exchange
+    "q_ts_holtwinters", "q_events_interarrival")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

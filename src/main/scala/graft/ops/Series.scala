@@ -1532,8 +1532,191 @@ object Series {
             FROM rows_
             ORDER BY lag NULLS FIRST"""))
 
+  /** Holt-Winters additive seasonal smoothing (q_ts_holtwinters):
+    * triple exponential smoothing (α=0.3, β=0.1, γ=0.2, weekly season
+    * m=7) over daily revenue — the seasonal upgrade of q_ts_holt.
+    * Textbook init: level = week-1 mean, trend = (week-2 mean −
+    * week-1 mean)/7, seasonals = week-1 deviations; recursion from
+    * day 8 emits level/trend/seasonal and the one-step-ahead fit.
+    * Inherently sequential, so it follows the q_ts_holt discipline:
+    * a TIME-bounded higher-order fold over the collected day array on
+    * the Spark side and the identical recurrence as a recursive CTE
+    * in DuckDB — both engines execute the same IEEE double sequence
+    * (inputs are exact integer cents), so the series agrees
+    * bit-for-bit before rounding. The seasonal state updates by an
+    * index-lambda transform (Spark 0-based, DuckDB 1-based — same
+    * slot). At 100 TB the daily rollup is the only corpus-scaling
+    * stage; the fold touches one element per calendar day. */
+  val qTsHoltwinters = Q(
+    "q_ts_holtwinters",
+    (sp, dir) => {
+      val sOld = "element_at(acc.seas, CAST((x.i - 1) % 7 + 1 AS INT))"
+      val lnew = s"0.3D * (x.v - $sOld) + 0.7D * (acc.lvl + acc.trd)"
+      val bnew = s"0.1D * (($lnew) - acc.lvl) + 0.9D * acc.trd"
+      val snew = s"0.2D * (x.v - ($lnew)) + 0.8D * $sOld"
+      val fit = s"acc.lvl + acc.trd + $sOld"
+      val a1 = (0 to 6).map(k => s"vs[$k].v").mkString(" + ")
+      val a2 = (7 to 13).map(k => s"vs[$k].v").mkString(" + ")
+      dailyRevenue(sp, dir)
+        .withColumn("i", row_number()
+          .over(Window.orderBy(col("day"))).cast("long"))
+        .agg(array_sort(collect_list(expr(
+          "named_struct('i', i, 'day', day, 'v', CAST(v AS DOUBLE))")))
+          .as("vs"))
+        .filter(size(col("vs")) >= 15)
+        .withColumn("a1", expr(s"($a1) / 7.0D"))
+        .withColumn("b0", expr(s"(($a2) / 7.0D - a1) / 7.0D"))
+        .withColumn("seas0", expr((0 to 6)
+          .map(k => s"vs[$k].v - a1").mkString("array(", ", ", ")")))
+        .select(explode(expr(s"""
+          aggregate(
+            slice(vs, 8, size(vs) - 7),
+            named_struct('lvl', a1, 'trd', b0, 'seas', seas0,
+              'hist', CAST(array() AS ARRAY<STRUCT<
+                i: BIGINT, day: DATE, lvl: DOUBLE, trd: DOUBLE,
+                seas: DOUBLE, fit: DOUBLE>>)),
+            (acc, x) -> named_struct(
+              'lvl', $lnew,
+              'trd', $bnew,
+              'seas', transform(acc.seas,
+                (sv, k) -> IF(k = CAST((x.i - 1) % 7 AS INT),
+                  $snew, sv)),
+              'hist', concat(acc.hist, array(named_struct(
+                'i', x.i, 'day', x.day,
+                'lvl', $lnew, 'trd', $bnew, 'seas', $snew,
+                'fit', $fit)))),
+            acc -> acc.hist)""")).as("h"))
+        .select(col("h.i").as("idx"), col("h.day").as("day"),
+          round(col("h.lvl") / 100.0, 6).as("level"),
+          round(col("h.trd") / 100.0, 6).as("trend"),
+          round(col("h.seas") / 100.0, 6).as("seasonal"),
+          round(col("h.fit") / 100.0, 6).as("fitted"))
+        .orderBy(col("idx"))
+    },
+    Some {
+      val sOld = "h.seas[CAST((d.i - 1) % 7 + 1 AS INT)]"
+      val lnew = s"0.3e0 * (d.v - $sOld) + 0.7e0 * (h.lvl + h.trd)"
+      val bnew = s"0.1e0 * (($lnew) - h.lvl) + 0.9e0 * h.trd"
+      val snew = s"0.2e0 * (d.v - ($lnew)) + 0.8e0 * $sOld"
+      val fit = s"h.lvl + h.trd + $sOld"
+      val a1 = (1 to 7).map(k => s"v$k").mkString(" + ")
+      val a2 = (8 to 14).map(k => s"v$k").mkString(" + ")
+      val vcols = (1 to 14).map(k =>
+        s"max(CASE WHEN i = $k THEN v END) AS v$k").mkString(", ")
+      val seas0 = (1 to 7).map(k => s"v$k - a1").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE daily AS (
+            SELECT day,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) AS v,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM (SELECT CAST(ts AS DATE) AS day, value FROM events)
+            GROUP BY day),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+          seed0 AS (SELECT $vcols FROM daily WHERE i <= 14),
+          seed1 AS (SELECT ($a1) / 7.0e0 AS a1, seed0.* FROM seed0),
+          hw(i, day, lvl, trd, seas, seasv, fit) AS (
+            SELECT CAST(7 AS BIGINT), DATE '1970-01-01',
+              a1, (($a2) / 7.0e0 - a1) / 7.0e0,
+              $seas0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM seed1, n WHERE n.nd >= 15
+            UNION ALL
+            SELECT d.i, d.day, $lnew, $bnew,
+              list_transform(h.seas,
+                (sv, k) -> CASE WHEN k = CAST((d.i - 1) % 7 + 1 AS INT)
+                  THEN $snew ELSE sv END),
+              $snew, $fit
+            FROM hw h JOIN daily d ON d.i = h.i + 1)
+          SELECT i AS idx, day,
+            round(lvl / 100.0e0, 6) AS level,
+            round(trd / 100.0e0, 6) AS trend,
+            round(seasv / 100.0e0, 6) AS seasonal,
+            round(fit / 100.0e0, 6) AS fitted
+          FROM hw WHERE i >= 8
+          ORDER BY idx NULLS FIRST"""
+    })
+
+  /** Inter-arrival exponential fit (q_events_interarrival): are each
+    * type's event gaps Poisson-compatible? Per event_type the
+    * consecutive-gap series (integer seconds from exact micros, one
+    * window exchange on the series key) is fitted by the exponential
+    * MLE λ = n/Σg, then tested with the one-sample KS distance
+    * against Exp(λ) evaluated on the DISTINCT-gap grid: F_emp steps
+    * are exact integer cum/n rationals, F_exp = 1 − e^(−λg) is a
+    * per-row double (exp parity is already load-bearing in the
+    * logreg/KM oracles), and the statistic is a MAX — commutative and
+    * order-free, so no float sum ever forms. Output is one row per
+    * type; the gap grid bounds all downstream work. */
+  val qEventsInterarrival = Q(
+    "q_events_interarrival",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tm"), col("event_id"))
+      val gaps = events
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tm"))
+        .withColumn("g", expr("(tm - lag(tm, 1) OVER (" +
+          "PARTITION BY event_type ORDER BY tm, event_id)) div 1000000"))
+        .filter(col("g").isNotNull)
+      val vc = gaps.groupBy(col("event_type"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = vc.groupBy(col("event_type").as("et"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(expr("CAST(g * cnt AS DECIMAL(38,0))")).as("sg"))
+      vc.join(broadcast(st), col("event_type") === col("et"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("g"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("fexp", expr(
+          "1.0D - exp(-(CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)) * g)"))
+        .withColumn("dev", greatest(
+          expr("CAST(cum AS DOUBLE) / n - fexp"),
+          expr("fexp - CAST(cum - cnt AS DOUBLE) / n")))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n_gaps"),
+          round(first(col("sg")).cast("double") /
+            first(col("n")).cast("double"), 6).as("mean_gap_s"),
+          round(max(col("dev")), 6).as("ks_stat"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type, event_id, epoch_us(ts) AS tm
+              FROM events),
+            gaps AS (
+              SELECT event_type,
+                (tm - lag(tm, 1) OVER (PARTITION BY event_type
+                   ORDER BY tm, event_id)) // 1000000 AS g
+              FROM base),
+            vc AS (
+              SELECT event_type, g, CAST(count(*) AS BIGINT) AS cnt
+              FROM gaps WHERE g IS NOT NULL
+              GROUP BY event_type, g),
+            st AS (
+              SELECT event_type AS et, CAST(sum(cnt) AS BIGINT) AS n,
+                CAST(sum(CAST(g AS HUGEINT) * cnt) AS HUGEINT) AS sg
+              FROM vc GROUP BY event_type),
+            curve AS (
+              SELECT vc.event_type, cnt, n, sg, g,
+                CAST(sum(cnt) OVER (PARTITION BY vc.event_type
+                  ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cum,
+                1.0e0 - exp(-(CAST(n AS DOUBLE) / CAST(sg AS DOUBLE))
+                  * g) AS fexp
+              FROM vc JOIN st ON vc.event_type = st.et)
+            SELECT event_type, any_value(n) AS n_gaps,
+              round(CAST(any_value(sg) AS DOUBLE)
+                / CAST(any_value(n) AS DOUBLE), 6) AS mean_gap_s,
+              round(max(greatest(
+                CAST(cum AS DOUBLE) / n - fexp,
+                fexp - CAST(cum - cnt AS DOUBLE) / n)), 6) AS ks_stat
+            FROM curve
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
-    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf)
+    qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf,
+    qTsHoltwinters, qEventsInterarrival)
 }

@@ -358,6 +358,66 @@ class SeriesSpec extends SparkSuite {
     assert(got(1L)._1 === got(1L)._2)
   }
 
+  test("holt-winters: the triple-smoothing recursion replays exactly") {
+    val days = dailyCents().map(_.toDouble)
+    assert(days.length >= 15)
+    var lvl = days.take(7).sum / 7.0
+    // textual order matters: the engines sum v1..v7 left-to-right
+    def wsum(xs: Seq[Double]) = xs.reduceLeft(_ + _)
+    lvl = wsum(days.take(7)) / 7.0
+    var trd = (wsum(days.slice(7, 14)) / 7.0 - lvl) / 7.0
+    val seas = Array.tabulate(7)(k => days(k) - lvl)
+    val want = (8 to days.length).map { t =>
+      val j = (t - 1) % 7
+      val sOld = seas(j)
+      val fit = lvl + trd + sOld
+      val v = days(t - 1)
+      val lnew = 0.3 * (v - sOld) + 0.7 * (lvl + trd)
+      val bnew = 0.1 * (lnew - lvl) + 0.9 * trd
+      val snew = 0.2 * (v - lnew) + 0.8 * sOld
+      lvl = lnew; trd = bnew; seas(j) = snew
+      (t.toLong, round6(lnew / 100.0), round6(bnew / 100.0),
+        round6(snew / 100.0), round6(fit / 100.0))
+    }
+    val got = q("q_ts_holtwinters").collect().map(r =>
+      (r.getAs[Long]("idx"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("seasonal"),
+        r.getAs[Double]("fitted"))).toSeq
+    assert(got === want)
+  }
+
+  test("interarrival: exponential-fit KS replays per event type") {
+    val rows = Tables.t(spark, sf0, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tm"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("event_id"),
+        r.getAs[Long]("tm")))
+    val got = q("q_events_interarrival").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Double]("mean_gap_s"),
+          r.getAs[Double]("ks_stat"))).toMap
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val gaps = sorted.sliding(2)
+        .map(p => (p(1)._3 - p(0)._3) / 1000000L).toSeq
+      val n = gaps.length.toLong
+      val sg = gaps.map(BigInt(_)).sum
+      val vc = gaps.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (g, gs) => (g, gs.length.toLong) }
+      var cum = 0L
+      val ks = vc.map { case (g, cnt) =>
+        cum += cnt
+        val fexp = 1.0 - math.exp(-(n.toDouble / sg.toDouble) * g)
+        math.max(cum.toDouble / n - fexp,
+          fexp - (cum - cnt).toDouble / n)
+      }.max
+      assert(got(et)._1 === n)
+      assert(got(et)._2 === round6(sg.toDouble / n.toDouble))
+      assert(got(et)._3 === round6(ks), s"ks for $et")
+    }
+  }
+
   test("variance ratio replays exactly for q = 2 and 5") {
     val x = dailyCents().map(v => math.log(v.toDouble))
     def stats(k: Int): (Int, Double) = {
