@@ -156,7 +156,10 @@ object ScaleSmoke {
     // holt-winters folds one element per calendar day after the
     // shared daily rollup; interarrival is gap-grid-bounded after
     // one per-type window exchange
-    "q_ts_holtwinters", "q_events_interarrival")
+    "q_ts_holtwinters", "q_events_interarrival",
+    // rouge rides the pair cache with pair-bounded gram joins;
+    // budget is a source-grid window after one corpus rollup
+    "q_text_rouge", "q_mix_budget")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1257,9 +1257,79 @@ object Corpus {
             GROUP BY bin
             ORDER BY bin NULLS FIRST"""))
 
+  // ---- q_mix_budget -----------------------------------------------------
+
+  /** Greedy token-budget allocation (q_mix_budget): given a training
+    * budget of HALF the corpus tokens, fill it source-by-source in
+    * quality order (fraction of English docs as the per-source score,
+    * ties by source name) — the "which sources make the cut, and
+    * which one straddles the boundary" plan a data-mixture review
+    * starts from. Everything is exact integers: token counts are
+    * BIGINT sums, the score is a micro-quantized ratio, the budget is
+    * an integer division of the total, and the allocation is
+    * least(tokens, max(0, B − cum_before)) under ONE ordered window
+    * over the source grid (20 rows — never corpus-sized). */
+  val qMixBudget = Q(
+    "q_mix_budget",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = docs(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("tokens"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("score_micro",
+          expr("(1000000L * n_en) div n_docs"))
+      val tot = src.agg(sum(col("tokens")).as("tt"))
+      val w = Window.orderBy(col("score_micro").desc, col("source"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tt div 2"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum(col("tokens")).over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("alloc", least(col("tokens"),
+          greatest(lit(0L), col("budget") - col("cum_before"))))
+        .select(col("source"), col("rank"), col("tokens"),
+          col("score_micro"), col("alloc").as("alloc_tokens"),
+          (col("alloc") < col("tokens")).as("truncated"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH src AS (
+              SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS tokens,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_en
+              FROM documents GROUP BY source),
+            scored AS (
+              SELECT source, tokens,
+                (1000000 * n_en) // n_docs AS score_micro
+              FROM src),
+            tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt
+                    FROM scored),
+            ranked AS (
+              SELECT source, tokens, score_micro, tt // 2 AS budget,
+                CAST(row_number() OVER w AS BIGINT) AS rank,
+                CAST(coalesce(sum(tokens) OVER (ORDER BY
+                    score_micro DESC, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before
+              FROM scored, tot
+              WINDOW w AS (ORDER BY score_micro DESC, source))
+            SELECT source, rank, tokens, score_micro,
+              least(tokens, greatest(0, budget - cum_before))
+                AS alloc_tokens,
+              least(tokens, greatest(0, budget - cum_before)) < tokens
+                AS truncated
+            FROM ranked
+            ORDER BY rank NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
     qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss,
     qTextHeldoutPpl, qTextContrast, qMixCurriculum, qCompactPlan,
-    qTextBigramKn)
+    qTextBigramKn, qMixBudget)
 }

@@ -1489,10 +1489,123 @@ object Dedup {
     bigrams(s, d)
   }
 
+  // ---- q_text_rouge -----------------------------------------------------
+
+  /** ROUGE-1/2 overlap on the near-dup candidates (q_text_rouge): for
+    * every verified LSH pair, the clipped n-gram overlap and its F
+    * score — the summarization-style evidence a dedup reviewer reads
+    * next to Jaccard (Jaccard sees SETS; ROUGE weights repeated
+    * n-grams, so boilerplate-heavy twins separate from true rewrites).
+    * Rides the session near-pair cache; the doc set is first cut to
+    * pair members by a semi-join, so every gram table is
+    * PAIR-bounded, never corpus-bounded. With clipped counts the F
+    * score collapses to 2·Σmin(ca,cb)/(na+nb) — one exact integer
+    * micro-division per pair; pairs with no bigram overlap emit 0 via
+    * the left joins. */
+  val qTextRouge = Q(
+    "q_text_rouge",
+    (s, d) => {
+      val pairs = nearPairs(s, d).select(col("a_id"), col("b_id"))
+      val ids = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      val ws = Tables.t(s, d, "documents")
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val uni = ws.select(col("doc_id"), explode(col("ws")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+               i -> concat(element_at(ws, i), ' ',
+                           element_at(ws, i + 1)))""")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      def metrics(g: DataFrame, nm: String): DataFrame = {
+        val tot = g.groupBy(col("doc_id")).agg(sum(col("cnt")).as("nt"))
+        pairs
+          .join(g.select(col("doc_id").as("a_id"), col("g"),
+            col("cnt").as("ca")), Seq("a_id"))
+          .join(g.select(col("doc_id").as("bid"), col("g").as("gb"),
+            col("cnt").as("cb")),
+            col("b_id") === col("bid") && col("g") === col("gb"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+          .join(tot.select(col("doc_id").as("a_id"),
+            col("nt").as("na")), Seq("a_id"))
+          .join(tot.select(col("doc_id").as("b_id"),
+            col("nt").as("nb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            col("ov").cast("long").as(s"ov_$nm"),
+            expr("(2000000L * ov) div (na + nb)").as(s"f${nm}_micro"))
+      }
+      pairs
+        .join(metrics(uni, "1"), Seq("a_id", "b_id"), "left")
+        .join(metrics(bi, "2"), Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("ov_1"), lit(0L)).as("ov_unigram"),
+          coalesce(col("f1_micro"), lit(0L)).as("rouge1_f_micro"),
+          coalesce(col("ov_2"), lit(0L)).as("ov_bigram"),
+          coalesce(col("f2_micro"), lit(0L)).as("rouge2_f_micro"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    qDedupNear.oracle.map { nearSql =>
+      val inner = graft.Oracle.stripOrderBy(nearSql)
+      s"""WITH vp AS (SELECT a_id, b_id FROM ($inner) z),
+          ids AS (SELECT a_id AS doc_id FROM vp
+                  UNION SELECT b_id AS doc_id FROM vp),
+          wsrc AS (
+            SELECT d.doc_id, string_split(d.text, ' ') AS ws
+            FROM documents d JOIN ids USING (doc_id)),
+          uni AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, unnest(ws) AS g FROM wsrc) x
+            GROUP BY doc_id, g),
+          bi AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                  FROM wsrc, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 1)) AS i) l
+                  WHERE len(ws) >= 2) x
+            GROUP BY doc_id, g),
+          t1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
+                 FROM uni GROUP BY doc_id),
+          t2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
+                 FROM bi GROUP BY doc_id),
+          m1 AS (
+            SELECT vp.a_id, vp.b_id,
+              CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS ov,
+              (2000000 * CAST(sum(least(a.cnt, b.cnt)) AS BIGINT))
+                // (any_value(ta.nt) + any_value(tb.nt)) AS fm
+            FROM vp JOIN uni a ON a.doc_id = vp.a_id
+                    JOIN uni b ON b.doc_id = vp.b_id AND b.g = a.g
+                    JOIN t1 ta ON ta.doc_id = vp.a_id
+                    JOIN t1 tb ON tb.doc_id = vp.b_id
+            GROUP BY vp.a_id, vp.b_id),
+          m2 AS (
+            SELECT vp.a_id, vp.b_id,
+              CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS ov,
+              (2000000 * CAST(sum(least(a.cnt, b.cnt)) AS BIGINT))
+                // (any_value(ta.nt) + any_value(tb.nt)) AS fm
+            FROM vp JOIN bi a ON a.doc_id = vp.a_id
+                    JOIN bi b ON b.doc_id = vp.b_id AND b.g = a.g
+                    JOIN t2 ta ON ta.doc_id = vp.a_id
+                    JOIN t2 tb ON tb.doc_id = vp.b_id
+            GROUP BY vp.a_id, vp.b_id)
+          SELECT vp.a_id, vp.b_id,
+            coalesce(m1.ov, 0) AS ov_unigram,
+            coalesce(m1.fm, 0) AS rouge1_f_micro,
+            coalesce(m2.ov, 0) AS ov_bigram,
+            coalesce(m2.fm, 0) AS rouge2_f_micro
+          FROM vp
+          LEFT JOIN m1 ON m1.a_id = vp.a_id AND m1.b_id = vp.b_id
+          LEFT JOIN m2 ON m2.a_id = vp.a_id AND m2.b_id = vp.b_id
+          ORDER BY vp.a_id NULLS FIRST, vp.b_id NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
     qDedupIncremental, qDedupClusterKeep, qDedupLshAudit,
-    qDedupSemanticAudit, qDedupBloomIngest, qDedupContainment)
+    qDedupSemanticAudit, qDedupBloomIngest, qDedupContainment,
+    qTextRouge)
 }

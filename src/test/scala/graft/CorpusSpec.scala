@@ -374,4 +374,31 @@ class CorpusSpec extends SparkSuite {
     assert(meanBits(1) < meanBits(2) && meanBits(2) < meanBits(3),
       s"phases not ordered: ${meanBits(1)} ${meanBits(2)} ${meanBits(3)}")
   }
+
+  test("budget: greedy allocation replays and exhausts exactly") {
+    val got = q("q_mix_budget").collect()
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long"),
+        col("lang") === "en")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val bySrc = docs.groupBy(_._1).map { case (src, rs) =>
+      (src, rs.map(_._2).sum, 1000000L * rs.count(_._3) / rs.length)
+    }.toSeq
+    val total = bySrc.map(_._2).sum
+    val budget = total / 2
+    val ranked = bySrc.sortBy { case (src, _, sc) => (-sc, src) }
+    var cum = 0L
+    val want = ranked.zipWithIndex.map { case ((src, tok, sc), i) =>
+      val alloc = math.min(tok, math.max(0L, budget - cum))
+      cum += tok
+      (src, (i + 1).toLong, tok, sc, alloc, alloc < tok)
+    }
+    val gotSeq = got.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("rank"), r.getAs[Long]("tokens"),
+      r.getAs[Long]("score_micro"), r.getAs[Long]("alloc_tokens"),
+      r.getAs[Boolean]("truncated"))).toSeq
+    assert(gotSeq === want)
+    // the plan spends the whole budget (corpus has more than enough)
+    assert(gotSeq.map(_._5).sum === budget)
+  }
 }

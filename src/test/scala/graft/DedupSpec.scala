@@ -353,4 +353,36 @@ class DedupSpec extends SparkSuite {
     assert(r.head.getAs[Long]("containment_micro") === 800000L)
     assert(r.head.getAs[Long]("jaccard_micro") === 666666L)
   }
+
+  test("rouge: clipped-overlap F replays for every near-dup pair") {
+    val got = SparkEntry.queries("q_text_rouge")(spark, sf0).collect()
+    val pairs = ops.Dedup.nearPairs(spark, sf0)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === pairs.length)
+    val texts = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(id: Long, n: Int): Map[String, Long] = {
+      val ws = texts(id).split(" ", -1)
+      ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      Seq((1, "ov_unigram", "rouge1_f_micro"),
+          (2, "ov_bigram", "rouge2_f_micro")).foreach {
+        case (n, ovc, fc) =>
+          val (ga, gb) = (grams(a, n), grams(b, n))
+          val ov = ga.keySet.intersect(gb.keySet).toSeq
+            .map(g => math.min(ga(g), gb(g))).sum
+          val den = ga.values.sum + gb.values.sum
+          assert(r.getAs[Long](ovc) === ov, s"($a,$b) n=$n overlap")
+          val want = if (ov == 0L) 0L else 2000000L * ov / den
+          assert(r.getAs[Long](fc) === want, s"($a,$b) n=$n f")
+      }
+      // near-dup pairs share most of their unigram mass
+      assert(r.getAs[Long]("rouge1_f_micro") > 300000L)
+    }
+  }
 }
