@@ -159,7 +159,11 @@ object ScaleSmoke {
     "q_ts_holtwinters", "q_events_interarrival",
     // rouge rides the pair cache with pair-bounded gram joins;
     // budget is a source-grid window after one corpus rollup
-    "q_text_rouge", "q_mix_budget")
+    "q_text_rouge", "q_mix_budget",
+    // zip walk is scan-local byte algebra (<= 4 x 7 explode/doc);
+    // nmi rides the cached partition + (community x source) grids;
+    // the budget twin keeps one counter row per source
+    "q_multimodal_zip", "q_graph_nmi", "q_stream_budget")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

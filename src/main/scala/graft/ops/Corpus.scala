@@ -1269,18 +1269,20 @@ object Corpus {
     * an integer division of the total, and the allocation is
     * least(tokens, max(0, B − cum_before)) under ONE ordered window
     * over the source grid (20 rows — never corpus-sized). */
-  val qMixBudget = Q(
-    "q_mix_budget",
-    (s, d) => {
+  /** Commutative per-source sufficient stats for the budget planner —
+    * shared by the batch query and the streaming twin (mergeable in
+    * any micro-batch order). */
+  private[graft] def budgetStatsAggs(df: DataFrame): DataFrame =
+    df.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+
+  /** The allocation finisher over settled per-source stats. */
+  private[graft] def budgetFromStats(src0: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val src = docs(s, d)
-        .groupBy(col("source"))
-        .agg(sum(size(split(col("text"), " ")).cast("long"))
-            .as("tokens"),
-          count(lit(1)).as("n_docs"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
-        .withColumn("score_micro",
-          expr("(1000000L * n_en) div n_docs"))
+      val src = src0.withColumn("score_micro",
+        expr("(1000000L * n_en) div n_docs"))
       val tot = src.agg(sum(col("tokens")).as("tt"))
       val w = Window.orderBy(col("score_micro").desc, col("source"))
       src.crossJoin(broadcast(tot))
@@ -1295,8 +1297,9 @@ object Corpus {
           col("score_micro"), col("alloc").as("alloc_tokens"),
           (col("alloc") < col("tokens")).as("truncated"))
         .orderBy(col("rank"))
-    },
-    Some("""WITH src AS (
+  }
+
+  private[graft] val budgetOracleSql: String = """WITH src AS (
               SELECT source,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                   AS tokens,
@@ -1325,7 +1328,12 @@ object Corpus {
               least(tokens, greatest(0, budget - cum_before)) < tokens
                 AS truncated
             FROM ranked
-            ORDER BY rank NULLS FIRST"""))
+            ORDER BY rank NULLS FIRST"""
+
+  val qMixBudget = Q(
+    "q_mix_budget",
+    (s, d) => budgetFromStats(budgetStatsAggs(docs(s, d))),
+    Some(budgetOracleSql))
 
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,

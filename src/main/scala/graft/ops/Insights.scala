@@ -1623,6 +1623,97 @@ object Insights {
             ORDER BY aa_micro DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
             LIMIT 20"""))
 
+  // ---- q_graph_nmi ------------------------------------------------------
+
+  /** Community/source normalized mutual information (q_graph_nmi):
+    * how much do the label-prop communities line up with the corpus
+    * SOURCE labels? NMI = 2·I(C;S)/(H(C)+H(S)) over the contingency
+    * grid of the shared label-prop partition × document source — the
+    * standard external-validation number a clustering pass is graded
+    * by. Every entropy/MI term is a per-row double over exact integer
+    * counts (cell, margin, total), nano-quantized BEFORE its sum;
+    * the grids are (communities × sources)-bounded, so past the
+    * cached partition this is three small aggregates. */
+  val qGraphNmi = Q(
+    "q_graph_nmi",
+    (s, d) => {
+      val cells = labelPropLabels(s, d)
+        .join(Tables.t(s, d, "documents")
+          .select(col("doc_id").as("node"), col("source")), Seq("node"))
+        .groupBy(col("lbl"), col("source"))
+        .agg(count(lit(1)).as("nij"))
+      val ai = cells.groupBy(col("lbl")).agg(sum(col("nij")).as("ai"))
+      val bj = cells.groupBy(col("source"))
+        .agg(sum(col("nij")).as("bj"))
+      val nn = cells.agg(sum(col("nij")).as("nn"))
+      val mi = cells
+        .join(broadcast(ai), "lbl").join(broadcast(bj), "source")
+        .crossJoin(broadcast(nn))
+        .withColumn("t", expr(
+          """CAST(floor(CAST(nij AS DOUBLE) / nn
+               * ln(CAST(nij AS DOUBLE) * nn
+                    / (CAST(ai AS DOUBLE) * bj))
+               * 1e9 + 0.5D) AS BIGINT)"""))
+        .agg(sum(col("t")).as("mi_nano"))
+      val hx = ai.crossJoin(broadcast(nn))
+        .withColumn("t", expr(
+          """CAST(floor(-(CAST(ai AS DOUBLE) / nn)
+               * ln(CAST(ai AS DOUBLE) / nn) * 1e9 + 0.5D) AS BIGINT)"""))
+        .agg(count(lit(1)).as("n_comm"), sum(col("t")).as("hx_nano"))
+      val hy = bj.crossJoin(broadcast(nn))
+        .withColumn("t", expr(
+          """CAST(floor(-(CAST(bj AS DOUBLE) / nn)
+               * ln(CAST(bj AS DOUBLE) / nn) * 1e9 + 0.5D) AS BIGINT)"""))
+        .agg(count(lit(1)).as("n_src"), sum(col("t")).as("hy_nano"))
+      mi.crossJoin(hx).crossJoin(hy)
+        .select(col("n_comm"), col("n_src"),
+          round(col("mi_nano").cast("double") / 1e9, 6).as("mi_nats"),
+          round(col("hx_nano").cast("double") / 1e9, 6).as("h_comm"),
+          round(col("hy_nano").cast("double") / 1e9, 6).as("h_src"),
+          round(expr(
+            """2.0D * CAST(mi_nano AS DOUBLE)
+               / (CAST(hx_nano AS DOUBLE) + hy_nano)"""), 6).as("nmi"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+          $labelPropCteSql,
+          cells AS (
+            SELECT l.lbl, dd.source, CAST(count(*) AS BIGINT) AS nij
+            FROM l3 l JOIN documents dd ON l.node = dd.doc_id
+            GROUP BY l.lbl, dd.source),
+          ai AS (SELECT lbl, CAST(sum(nij) AS BIGINT) AS ai
+                 FROM cells GROUP BY lbl),
+          bj AS (SELECT source, CAST(sum(nij) AS BIGINT) AS bj
+                 FROM cells GROUP BY source),
+          nt AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells),
+          mi AS (
+            SELECT CAST(sum(CAST(floor(CAST(nij AS DOUBLE) / nn
+                * ln(CAST(nij AS DOUBLE) * nn
+                     / (CAST(ai.ai AS DOUBLE) * bj.bj))
+                * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS mi_nano
+            FROM cells
+            JOIN ai ON cells.lbl = ai.lbl
+            JOIN bj ON cells.source = bj.source
+            CROSS JOIN nt),
+          hx AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_comm,
+              CAST(sum(CAST(floor(-(CAST(ai AS DOUBLE) / nn)
+                * ln(CAST(ai AS DOUBLE) / nn) * 1e9 + 0.5e0)
+                AS BIGINT)) AS BIGINT) AS hx_nano
+            FROM ai, nt),
+          hy AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_src,
+              CAST(sum(CAST(floor(-(CAST(bj AS DOUBLE) / nn)
+                * ln(CAST(bj AS DOUBLE) / nn) * 1e9 + 0.5e0)
+                AS BIGINT)) AS BIGINT) AS hy_nano
+            FROM bj, nt)
+          SELECT n_comm, n_src,
+            round(CAST(mi_nano AS DOUBLE) / 1e9, 6) AS mi_nats,
+            round(CAST(hx_nano AS DOUBLE) / 1e9, 6) AS h_comm,
+            round(CAST(hy_nano AS DOUBLE) / 1e9, 6) AS h_src,
+            round(2.0e0 * CAST(mi_nano AS DOUBLE)
+              / (CAST(hx_nano AS DOUBLE) + hy_nano), 6) AS nmi
+          FROM mi, hx, hy"""))
+
   /** Bench-warmup hook: materialize the cacheOnce fixpoints the graph
     * tier shares (link edges, label-prop labels) so per-query bench
     * numbers charge the operator, not registry order. */
@@ -1635,5 +1726,6 @@ object Insights {
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qMlRidge,
     qStatsTtest, qStatsChisq, qStatsKs, qStatsMannwhitney,
-    qGraphLabelprop, qGraphJaccard, qGraphClustcoef, qGraphAdamicAdar)
+    qGraphLabelprop, qGraphJaccard, qGraphClustcoef, qGraphAdamicAdar,
+    qGraphNmi)
 }

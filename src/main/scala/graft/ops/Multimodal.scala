@@ -1334,10 +1334,149 @@ object Multimodal {
       GROUP BY doc_id
       ORDER BY doc_id NULLS FIRST"""))
 
+  /** Deterministic STORED (method 0) ZIP blob for doc_id:
+    * 1 + id % 4 members named f<j>.txt with 3 + (id+j) % 5 payload
+    * bytes of generator arithmetic, full local-header / central-
+    * directory / EOCD layout with REAL CRC-32s (the JDK ZipInputStream
+    * parses these blobs — the spec proves it). The external-attributes
+    * field carries the payload byte sum: the checksum the engines CAN
+    * recompute relationally (DuckDB has no crc32), so the oracle still
+    * verifies payload integrity end to end. */
+  private[graft] def zipBytes(docId: Long): Array[Byte] = {
+    val n = (1 + docId % 4).toInt
+    val lens = (0 until n).map(j => (3 + (docId + j) % 5).toInt)
+    def payload(j: Int): Array[Byte] = (0 until lens(j))
+      .map(k => ((docId * 31 + j * 17 + k * 7) % 256).toByte).toArray
+    def sums(j: Int): Long =
+      payload(j).map(b => (b & 0xff).toLong).sum
+    def crc32(j: Int): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(payload(j))
+      c.getValue.toInt
+    }
+    val lfhOffsets = lens.scanLeft(0)((acc, l) => acc + 36 + l)
+    val cdOff = lfhOffsets.last
+    val bb = java.nio.ByteBuffer.allocate(cdOff + 52 * n + 22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { j =>
+      bb.put(Array[Byte](0x50, 0x4B, 3, 4))
+        .putShort(20).putShort(0).putShort(0).putShort(0).putShort(0)
+        .putInt(crc32(j)).putInt(lens(j)).putInt(lens(j))
+        .putShort(6).putShort(0)
+        .put(s"f$j.txt".getBytes("US-ASCII"))
+        .put(payload(j))
+    }
+    (0 until n).foreach { j =>
+      bb.put(Array[Byte](0x50, 0x4B, 1, 2))
+        .putShort(20).putShort(20).putShort(0).putShort(0)
+        .putShort(0).putShort(0)
+        .putInt(crc32(j)).putInt(lens(j)).putInt(lens(j))
+        .putShort(6).putShort(0).putShort(0).putShort(0).putShort(0)
+        .putInt(sums(j).toInt).putInt(lfhOffsets(j))
+        .put(s"f$j.txt".getBytes("US-ASCII"))
+    }
+    bb.put(Array[Byte](0x50, 0x4B, 5, 6)).putShort(0).putShort(0)
+      .putShort(n.toShort).putShort(n.toShort)
+      .putInt(52 * n).putInt(cdOff).putShort(0)
+    bb.array()
+  }
+
+  /** Archive-container walk (q_multimodal_zip): decode a STORED ZIP
+    * entirely with Catalyst byte-slicing — locate the end-of-central-
+    * directory record from the BLOB TAIL (length(zip) − 21, the real
+    * back-scan a ZIP reader does), read the little-endian entry
+    * count / directory size / offset, walk the central directory by
+    * chained offsets (the q_multimodal_mp4 discipline), follow each
+    * entry's local-header pointer to its payload, and re-sum the
+    * payload bytes against the stored checksum field. Per doc: member
+    * count, directory size, payload total, and three integrity
+    * counters. The DuckDB oracle recomputes every field from the
+    * generator arithmetic alone, so a green hash proves the whole
+    * walk byte-for-byte. Scan-local: explodes are bounded by member
+    * count × payload length (≤ 4 × 7). */
+  val qMultimodalZip = Q(
+    "q_multimodal_zip",
+    (s, d) => {
+      import s.implicits._
+      def leAt(p: String, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(zip, CAST(($p) + $k AS INT), 1))," +
+            s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
+          .mkString("(", " + ", ")")
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, zipBytes(id))))
+        .toDF("doc_id", "zip")
+      blobs
+        .withColumn("eocd", expr("CAST(length(zip) AS BIGINT) - 21"))
+        .withColumn("eocd_ok", expr(
+          "hex(substring(zip, CAST(eocd AS INT), 4)) = '504B0506'"))
+        .withColumn("n_entries", expr(leAt("eocd + 10", 2)))
+        .withColumn("cd_size", expr(leAt("eocd + 12", 4)))
+        .withColumn("cd_off", expr(leAt("eocd + 16", 4)))
+        .withColumn("j", explode(expr(
+          "sequence(CAST(0 AS BIGINT), n_entries - 1)")))
+        .withColumn("ep", expr("cd_off + 1 + 52 * j"))
+        .withColumn("sig_ok", expr(
+          """hex(substring(zip, CAST(ep AS INT), 4)) = '504B0102' AND
+             hex(substring(zip, CAST(""" + leAt("ep + 42", 4) +
+            """ + 1 AS INT), 4)) = '504B0304'"""))
+        .withColumn("sumfield", expr(leAt("ep + 38", 4)))
+        .withColumn("usize", expr(leAt("ep + 24", 4)))
+        .withColumn("lfh", expr(leAt("ep + 42", 4)))
+        .withColumn("nm", expr(
+          "CAST(substring(zip, CAST(ep + 46 AS INT), 6) AS STRING)"))
+        .withColumn("dsum", expr(
+          """aggregate(sequence(CAST(0 AS BIGINT), usize - 1),
+               CAST(0 AS BIGINT), (acc, k) -> acc +
+               CAST(conv(hex(substring(zip, CAST(lfh + 37 + k AS INT),
+                 1)), 16, 10) AS BIGINT))"""))
+        .groupBy(col("doc_id"), col("eocd_ok"), col("n_entries"),
+          col("cd_size"))
+        .agg(sum(col("usize")).as("total_bytes"),
+          sum(when(col("sig_ok"), 1L).otherwise(0L)).as("n_sig_ok"),
+          sum(when(col("sumfield") === col("dsum"), 1L).otherwise(0L))
+            .as("n_checksum_ok"),
+          sum(when(expr("nm = concat('f', CAST(j AS STRING), '.txt')"),
+            1L).otherwise(0L)).as("n_name_ok"))
+        .select(col("doc_id"), col("eocd_ok"), col("n_entries"),
+          col("cd_size"), col("total_bytes").cast("long")
+            .as("total_bytes"),
+          col("n_sig_ok"), col("n_checksum_ok"), col("n_name_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, 1 + doc_id % 4 AS n FROM documents),
+            ent AS (
+              SELECT doc_id, n,
+                unnest(generate_series(0, n - 1)) AS j
+              FROM spec),
+            lens AS (
+              SELECT doc_id, n, j, 3 + (doc_id + j) % 5 AS len
+              FROM ent),
+            bytes AS (
+              SELECT doc_id, n, j, len,
+                unnest(generate_series(0, len - 1)) AS k
+              FROM lens),
+            per AS (
+              SELECT doc_id, any_value(n) AS n, j,
+                any_value(len) AS len
+              FROM bytes GROUP BY doc_id, j)
+            SELECT doc_id, TRUE AS eocd_ok,
+              CAST(any_value(n) AS BIGINT) AS n_entries,
+              CAST(52 * any_value(n) AS BIGINT) AS cd_size,
+              CAST(sum(len) AS BIGINT) AS total_bytes,
+              CAST(count(*) AS BIGINT) AS n_sig_ok,
+              CAST(count(*) AS BIGINT) AS n_checksum_ok,
+              CAST(count(*) AS BIGINT) AS n_name_ok
+            FROM per
+            GROUP BY doc_id
+            ORDER BY doc_id NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
       qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs,
       qMultimodalPhashAudit, qMultimodalGif, qMultimodalScenecut,
-      qMultimodalSilence)
+      qMultimodalSilence, qMultimodalZip)
 }

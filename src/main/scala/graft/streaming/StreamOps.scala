@@ -2174,8 +2174,23 @@ object StreamOps {
     },
     Some(graft.ops.Inference.brierOracleSql))
 
+  /** Streaming token-budget planner (q_stream_budget): per-source
+    * token/doc/English counters maintained ON INGEST (plain
+    * commutative sums), settled and fed through the SAME greedy
+    * allocation finisher as the batch q_mix_budget — the live "which
+    * sources still fit the training budget" telemetry. State is one
+    * row per source. */
+  val qStreamBudget = Q(
+    "q_stream_budget",
+    (s, d) => {
+      val stats = graft.ops.Corpus.budgetStatsAggs(documentsStream(s, d))
+      graft.ops.Corpus.budgetFromStats(
+        drain(s, stats, "stream_budget_tbl", "complete"))
+    },
+    Some(graft.ops.Corpus.budgetOracleSql))
+
   val all: Seq[Q] = Seq(
-    qStreamBrier,
+    qStreamBrier, qStreamBudget,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

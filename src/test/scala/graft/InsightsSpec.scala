@@ -648,4 +648,37 @@ class InsightsSpec extends SparkSuite {
       r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq
     assert(keys === keys.sorted)
   }
+
+  test("nmi: community/source mutual information replays exactly") {
+    val labels = ops.Insights.labelPropLabels(spark, sf0).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    val srcs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = srcs.toSeq.map { case (id, src) => (labels(id), src) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val nn = cells.map(_._2).sum
+    val ai = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val bj = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum)
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val mi = cells.map { case ((l, sCat), n) =>
+      q9(n.toDouble / nn * math.log(n.toDouble * nn /
+        (ai(l).toDouble * bj(sCat))))
+    }.sum
+    val hx = ai.values.map(a =>
+      q9(-(a.toDouble / nn) * math.log(a.toDouble / nn))).sum
+    val hy = bj.values.map(b =>
+      q9(-(b.toDouble / nn) * math.log(b.toDouble / nn))).sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = q("q_graph_nmi").collect().head
+    assert(row.getAs[Long]("n_comm") === ai.size.toLong)
+    assert(row.getAs[Long]("n_src") === bj.size.toLong)
+    assert(row.getAs[Double]("mi_nats") === r6(mi.toDouble / 1e9))
+    assert(row.getAs[Double]("h_comm") === r6(hx.toDouble / 1e9))
+    assert(row.getAs[Double]("h_src") === r6(hy.toDouble / 1e9))
+    val nmi = row.getAs[Double]("nmi")
+    assert(nmi === r6(2.0 * mi / (hx.toDouble + hy)))
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6)
+  }
 }

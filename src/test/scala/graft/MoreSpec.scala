@@ -396,4 +396,36 @@ class MoreSpec extends SparkSuite {
     // conservation: every char lands in exactly one bin
     assert(got.values.map(_._2).sum === 90000L)
   }
+
+  test("zip: the JDK ZipInputStream parses the fixture; walk replays") {
+    val got = q("q_multimodal_zip").collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0L until 16L).foreach { id =>
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(ops.Multimodal.zipBytes(id)))
+      var names = List.empty[String]
+      var total = 0L
+      var e = zin.getNextEntry
+      while (e != null) {
+        val buf = new Array[Byte](64)
+        var read = zin.read(buf)
+        while (read > 0) { total += read; read = zin.read(buf) }
+        names ::= e.getName
+        e = zin.getNextEntry // throws on a CRC mismatch — real ZIP
+      }
+      val r = byId(id)
+      assert(r.getAs[Long]("n_entries") === names.length.toLong)
+      assert(r.getAs[Long]("total_bytes") === total, s"doc $id bytes")
+      assert(names.reverse ===
+        (0 until names.length).map(j => s"f$j.txt"))
+    }
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_entries")
+      assert(r.getAs[Boolean]("eocd_ok"))
+      assert(r.getAs[Long]("cd_size") === 52 * n)
+      assert(r.getAs[Long]("n_sig_ok") === n)
+      assert(r.getAs[Long]("n_checksum_ok") === n)
+      assert(r.getAs[Long]("n_name_ok") === n)
+    }
+  }
 }

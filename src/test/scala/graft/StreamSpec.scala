@@ -892,6 +892,15 @@ class StreamSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("n_checked")).toSet.size === 1)
   }
 
+  test("q_stream_budget settles to the batch allocation exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("alloc_tokens"),
+        r.getAs[Boolean]("truncated"))).toSeq
+    assert(rows("q_stream_budget") === rows("q_mix_budget"))
+  }
+
   test("q_stream_brier settles to the batch reliability table exactly") {
     def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
       .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
