@@ -163,7 +163,11 @@ object ScaleSmoke {
     // zip walk is scan-local byte algebra (<= 4 x 7 explode/doc);
     // nmi rides the cached partition + (community x source) grids;
     // the budget twin keeps one counter row per source
-    "q_multimodal_zip", "q_graph_nmi", "q_stream_budget")
+    "q_multimodal_zip", "q_graph_nmi", "q_stream_budget",
+    // reciprocity is one edge-sized self-join on the directed list;
+    // jarque-bera one moment aggregate; pr-curve rides the same
+    // fence broadcast as gains
+    "q_graph_reciprocity", "q_stats_jarque_bera", "q_ml_pr_curve")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1274,9 +1274,162 @@ object Inference {
                   / (k * CAST(dens AS DOUBLE)) END, 6) AS q_stat
             FROM dens, nums"""))
 
+  // ---- q_stats_jarque_bera ----------------------------------------------
+
+  /** Jarque-Bera normality test (q_stats_jarque_bera): per event type,
+    * JB = n/6 · (S² + K²/4) from the same exact four power sums as
+    * q_agg_skew_kurt (DECIMAL(38,0)/HUGEINT from the first factor —
+    * the c⁴ overflow rule), with the χ²(2) tail p = e^(−JB/2) in
+    * closed form. One map-side-combined aggregate per type; every
+    * double derives from the integer sums by a fixed expression. */
+  val qStatsJarqueBera = Q(
+    "q_stats_jarque_bera",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val n = col("n").cast("double")
+      val Seq(s1, s2, s3, s4) =
+        Seq("s1", "s2", "s3", "s4").map(c => col(c).cast("double"))
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - lit(3.0) * mean * (s2 / n) +
+        lit(2.0) * mean * mean * mean
+      val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+        lit(6.0) * mean * mean * (s2 / n) -
+        lit(3.0) * mean * mean * mean * mean
+      val sk = m3 / pow(m2, 1.5)
+      val ku = m4 / (m2 * m2) - lit(3.0)
+      val jb = n / lit(6.0) * (sk * sk + ku * ku / lit(4.0))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"),
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("c"))
+            .as("s3"),
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("c") *
+            col("c")).as("s4"))
+        .select(col("event_type"), col("n"),
+          round(jb, 6).as("jb_stat"),
+          round(exp(-jb / lit(2.0)), 6).as("p_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            sums AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                sum(c) AS s1, sum(c * c) AS s2,
+                sum(CAST(c AS HUGEINT) * c * c) AS s3,
+                sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+              FROM base GROUP BY event_type),
+            m AS (
+              SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+              FROM sums),
+            sm AS (
+              SELECT event_type, n, nd,
+                (e3 - 3.0e0 * mean * e2 + 2.0e0 * mean * mean * mean)
+                  / pow(e2 - mean * mean, 1.5e0) AS sk,
+                (e4 - 4.0e0 * mean * e3 + 6.0e0 * mean * mean * e2
+                  - 3.0e0 * mean * mean * mean * mean)
+                  / ((e2 - mean * mean) * (e2 - mean * mean))
+                  - 3.0e0 AS ku
+              FROM m)
+            SELECT event_type, n,
+              round(nd / 6.0e0 * (sk * sk + ku * ku / 4.0e0), 6)
+                AS jb_stat,
+              round(exp(-(nd / 6.0e0 * (sk * sk + ku * ku / 4.0e0))
+                / 2.0e0), 6) AS p_value
+            FROM sm
+            ORDER BY event_type NULLS FIRST"""))
+
+  // ---- q_ml_pr_curve ----------------------------------------------------
+
+  /** Precision-recall curve (q_ml_pr_curve): TP/FP/FN and
+    * precision/recall/F1 at the nine decile fences of the q_ml_auc
+    * rank model — the operating-point table read next to the gains
+    * chart when picking a filter threshold. Reuses the gains-table
+    * shape: exact interpolated fences, value-count cumulative sums
+    * (distinct-score-bounded), and integer counts everywhere; the
+    * three ratios are single double divisions per fence row. */
+  val qMlPrCurve = Q(
+    "q_ml_pr_curve",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents")
+        .select(col("n_chars").as("c"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val thr = base.agg(
+        expr("percentile(c, 0.1)").as("t1"),
+        expr("percentile(c, 0.2)").as("t2"),
+        expr("percentile(c, 0.3)").as("t3"),
+        expr("percentile(c, 0.4)").as("t4"),
+        expr("percentile(c, 0.5)").as("t5"),
+        expr("percentile(c, 0.6)").as("t6"),
+        expr("percentile(c, 0.7)").as("t7"),
+        expr("percentile(c, 0.8)").as("t8"),
+        expr("percentile(c, 0.9)").as("t9"))
+        .select(expr("""stack(9, 1L, t1, 2L, t2, 3L, t3, 4L, t4,
+          5L, t5, 6L, t6, 7L, t7, 8L, t8, 9L, t9)""")
+          .as(Seq("k", "t")))
+      base.crossJoin(broadcast(thr))
+        .groupBy(col("k"), col("t"))
+        .agg(sum(when(col("c") > col("t"), col("pos")).otherwise(0L))
+            .as("tp"),
+          sum(when(col("c") > col("t"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("c") <= col("t"), col("pos")).otherwise(0L))
+            .as("fn"))
+        .select(col("k").as("fence"), col("tp"), col("fp"), col("fn"),
+          round(expr("CAST(tp AS DOUBLE) / (tp + fp)"), 6)
+            .as("precision"),
+          round(expr("CAST(tp AS DOUBLE) / (tp + fn)"), 6)
+            .as("recall"),
+          round(expr("2.0D * tp / (2.0D * tp + fp + fn)"), 6)
+            .as("f1"))
+        .orderBy(col("fence"))
+    },
+    Some("""WITH base AS (
+              SELECT n_chars AS c,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents),
+            thr0 AS (
+              SELECT quantile_cont(c, 0.1) AS t1,
+                quantile_cont(c, 0.2) AS t2, quantile_cont(c, 0.3) AS t3,
+                quantile_cont(c, 0.4) AS t4, quantile_cont(c, 0.5) AS t5,
+                quantile_cont(c, 0.6) AS t6, quantile_cont(c, 0.7) AS t7,
+                quantile_cont(c, 0.8) AS t8, quantile_cont(c, 0.9) AS t9
+              FROM base),
+            thr AS (
+              SELECT k,
+                CASE k WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+                       WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6
+                       WHEN 7 THEN t7 WHEN 8 THEN t8 ELSE t9 END AS t
+              FROM thr0 CROSS JOIN
+                (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k)),
+            cnt AS (
+              SELECT k, t,
+                CAST(sum(CASE WHEN c > t THEN pos ELSE 0 END)
+                  AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN c > t THEN 1 - pos ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN c <= t THEN pos ELSE 0 END)
+                  AS BIGINT) AS fn
+              FROM base, thr
+              GROUP BY k, t)
+            SELECT CAST(k AS BIGINT) AS fence, tp, fp, fn,
+              round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+              round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+              round(2.0e0 * tp / (2.0e0 * tp + fp + fn), 6) AS f1
+            FROM cnt
+            ORDER BY fence NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
     qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier,
-    qStatsFriedman, qStatsCochranQ)
+    qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve)
 }

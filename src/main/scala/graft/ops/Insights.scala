@@ -1623,6 +1623,70 @@ object Insights {
             ORDER BY aa_micro DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
             LIMIT 20"""))
 
+  // ---- q_graph_reciprocity ----------------------------------------------
+
+  /** Directed reciprocity (q_graph_reciprocity): of the DIRECTED
+    * generator links, what fraction have their reverse edge present?
+    * The undirected projection every other graph score rides erases
+    * this — reciprocity is the one number that needs the raw directed
+    * list, so it rebuilds the (src, dst) edges and closes them with
+    * ONE edge-sized self-join on the reversed key (distinct first, so
+    * multi-links cannot double-count). Integer ratio, divided once. */
+  val qGraphReciprocity = Q(
+    "q_graph_reciprocity",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val directed = docs.select(col("doc_id")).crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      val rec = directed
+        .join(directed.select(col("dst").as("rsrc"),
+          col("src").as("rdst")),
+          col("src") === col("rsrc") && col("dst") === col("rdst"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal"))
+      directed.agg(count(lit(1)).as("n_directed"))
+        .crossJoin(rec)
+        .select(col("n_directed"), col("n_reciprocal"),
+          round(col("n_reciprocal").cast("double") / col("n_directed"),
+            6).as("reciprocity"))
+    },
+    Some("""WITH s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_nodes
+              FROM documents),
+            -- CASE over a k-grid instead of unnest([...]): DuckDB
+            -- 1.0's binder hits an INTERNAL error when a CTE built
+            -- from an expression-unnest is SELF-joined; the grid form
+            -- plans identically and binds fine
+            directed0 AS (
+              SELECT doc_id AS src,
+                CASE k WHEN 0 THEN doc_id // 2
+                       WHEN 1 THEN (doc_id * 31 + 17) % n_nodes
+                       ELSE (doc_id * doc_id + 1) % n_nodes END AS dst
+              FROM documents, s
+              CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+            directed AS (
+              SELECT DISTINCT src, dst FROM directed0 WHERE dst <> src),
+            rec AS (
+              -- plain join, not EXISTS: directed is DISTINCT and the
+              -- reverse key is unique, so the counts coincide
+              SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+              FROM directed e JOIN directed r
+                ON r.src = e.dst AND r.dst = e.src),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_directed
+              FROM directed)
+            SELECT n_directed, n_reciprocal,
+              round(CAST(n_reciprocal AS DOUBLE) / n_directed, 6)
+                AS reciprocity
+            FROM tot, rec"""))
+
   // ---- q_graph_nmi ------------------------------------------------------
 
   /** Community/source normalized mutual information (q_graph_nmi):
@@ -1727,5 +1791,5 @@ object Insights {
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qMlRidge,
     qStatsTtest, qStatsChisq, qStatsKs, qStatsMannwhitney,
     qGraphLabelprop, qGraphJaccard, qGraphClustcoef, qGraphAdamicAdar,
-    qGraphNmi)
+    qGraphNmi, qGraphReciprocity)
 }

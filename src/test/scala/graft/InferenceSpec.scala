@@ -344,6 +344,70 @@ class InferenceSpec extends SparkSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("jarque-bera: moment statistic replays from exact power sums") {
+    val byType = Tables.t(spark, sf0, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    val got = q("q_stats_jarque_bera").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("jb_stat"),
+          r.getAs[Double]("p_value"))).toMap
+    byType.foreach { case (et, rows) =>
+      val cs = rows.map(_._2)
+      val n = cs.length
+      val Seq(s1, s2, s3, s4) = (1 to 4).map(p =>
+        cs.map(c => Seq.fill(p)(BigInt(c)).product).sum).toSeq
+      val nd = n.toDouble
+      val mean = s1.toDouble / nd
+      val e2 = s2.toDouble / nd
+      val e3 = s3.toDouble / nd
+      val e4 = s4.toDouble / nd
+      val m2 = e2 - mean * mean
+      val sk = (e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean) /
+        math.pow(m2, 1.5)
+      val ku = (e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2 -
+        3.0 * mean * mean * mean * mean) / (m2 * m2) - 3.0
+      val jb = nd / 6.0 * (sk * sk + ku * ku / 4.0)
+      assert(got(et)._1 === n.toLong)
+      assert(math.abs(got(et)._2 - jb) < 1e-4, s"jb for $et")
+      assert(math.abs(got(et)._3 - math.exp(-jb / 2.0)) < 1e-6)
+    }
+  }
+
+  test("pr curve: fence counts replay and recall matches gains capture") {
+    val rows = scoreRows()
+    val sorted = rows.map(_._1.toDouble).sorted
+    def pct(p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    }
+    val got = q("q_ml_pr_curve").collect()
+    assert(got.length === 9)
+    got.foreach { r =>
+      val t = pct(r.getAs[Long]("fence") / 10.0)
+      val tp = rows.count { case (c, p) => c > t && p }
+      val fp = rows.count { case (c, p) => c > t && !p }
+      val fn = rows.count { case (c, p) => c <= t && p }
+      assert(r.getAs[Long]("tp") === tp.toLong)
+      assert(r.getAs[Long]("fp") === fp.toLong)
+      assert(r.getAs[Long]("fn") === fn.toLong)
+      assert(r.getAs[Double]("precision") ===
+        round6(tp.toDouble / (tp + fp)))
+      assert(r.getAs[Double]("recall") ===
+        round6(tp.toDouble / (tp + fn)))
+      assert(r.getAs[Double]("f1") ===
+        round6(2.0 * tp / (2.0 * tp + fp + fn)))
+    }
+    // walking the fences from strict to lax only gains recall
+    val recalls = got.sortBy(_.getAs[Long]("fence")).reverse
+      .map(_.getAs[Double]("recall")).toSeq
+    assert(recalls === recalls.sorted)
+  }
+
   test("friedman: doubled-midrank statistic replays exactly") {
     val cells = Tables.t(spark, sf0, "events")
       .select(expr("dayofweek(CAST(ts AS DATE))").as("blk"),

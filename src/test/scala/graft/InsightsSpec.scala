@@ -649,6 +649,22 @@ class InsightsSpec extends SparkSuite {
     assert(keys === keys.sorted)
   }
 
+  test("reciprocity: directed closure replays against the generator") {
+    val n = Tables.t(spark, sf0, "documents").count()
+    val directed = (0L until n).flatMap { src =>
+      Seq(src / 2, (src * 31 + 17) % n, (src * src + 1) % n)
+        .filter(_ != src).map(dst => (src, dst))
+    }.distinct
+    val dset = directed.toSet
+    val nrec = directed.count { case (a, b) => dset((b, a)) }
+    val row = q("q_graph_reciprocity").collect().head
+    assert(row.getAs[Long]("n_directed") === directed.length.toLong)
+    assert(row.getAs[Long]("n_reciprocal") === nrec.toLong)
+    val want = BigDecimal(nrec.toDouble / directed.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("reciprocity") === want)
+  }
+
   test("nmi: community/source mutual information replays exactly") {
     val labels = ops.Insights.labelPropLabels(spark, sf0).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
