@@ -167,7 +167,10 @@ object ScaleSmoke {
     // reciprocity is one edge-sized self-join on the directed list;
     // jarque-bera one moment aggregate; pr-curve rides the same
     // fence broadcast as gains
-    "q_graph_reciprocity", "q_stats_jarque_bera", "q_ml_pr_curve")
+    "q_graph_reciprocity", "q_stats_jarque_bera", "q_ml_pr_curve",
+    // nullsafe is two bucket-grid aggregates + a 5-row join; fano
+    // one (type x day)-grid aggregate
+    "q_join_nullsafe", "q_events_fano")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -823,8 +823,55 @@ object Biz {
             GROUP BY sa, sb
             ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
 
+  /** Fano-factor overdispersion census (q_events_fano): per event
+    * type, variance/mean of the DAILY event counts — 1 for a Poisson
+    * arrival process, > 1 for bursty traffic — the load-model check a
+    * capacity planner runs next to q_events_interarrival's gap fit.
+    * Daily counts are exact integers; the variance rides (d, Σn, Σn²)
+    * sufficient sums (DECIMAL(38,0)/HUGEINT squares), and both ratios
+    * divide once. One (type × day)-grid aggregate after one scan. */
+  val qEventsFano = Q(
+    "q_events_fano",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      t("events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("s1"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"))
+        .select(col("event_type"), col("n_days"),
+          round(expr("CAST(s1 AS DOUBLE) / n_days"), 6)
+            .as("mean_daily"),
+          round(expr(
+            """(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+               / (n_days - 1) / (CAST(s1 AS DOUBLE) / n_days)"""), 6)
+            .as("fano"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, day),
+            st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(n) AS BIGINT) AS s1,
+                CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+              FROM cells GROUP BY event_type)
+            SELECT event_type, n_days,
+              round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+              round((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * s1 / n_days)
+                / (n_days - 1) / (CAST(s1 AS DOUBLE) / n_days), 6)
+                AS fano
+            FROM st
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
     qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,
     qAggGini, qEventsDauMau, qOrdersLeadtime, qOrdersBacklog,
-    qEventsCooccur, qTextJsd)
+    qEventsCooccur, qTextJsd, qEventsFano)
 }

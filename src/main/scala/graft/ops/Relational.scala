@@ -1254,13 +1254,58 @@ object Relational {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }
 
+  /** Null-safe equi-join (q_join_nullsafe): Spark's `<=>` /
+    * SQL `IS NOT DISTINCT FROM` — the join variant where NULL keys
+    * MATCH each other instead of vanishing. The key is the event's
+    * k-bucket with bucket 0 mapped to NULL by nullif (an "unbucketed"
+    * class, the usual shape of optional dimensions); per-bucket
+    * counts of the first half-month join those of the second, and the
+    * NULL row survives — a plain `=` join would silently drop that
+    * class from any drift report. Same hash-join physicals as an
+    * equi-join (null-safe keys still hash-partition); two aggregates
+    * + one bucket-grid join. */
+  val qJoinNullsafe = Q(
+    "q_join_nullsafe",
+    (s, d) => {
+      def half(pred: Column): DataFrame =
+        ev(s, d).filter(pred)
+          .select(expr(
+            """nullif(CAST(get_json_object(props, '$.k') AS BIGINT)
+               % 5, 0)""").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val cut = lit("2024-01-16").cast("timestamp_ntz")
+      val a = half(col("ts") < cut)
+        .withColumnRenamed("n", "n_first")
+      val b = half(col("ts") >= cut)
+        .select(col("bucket").as("bucket_b"), col("n").as("n_second"))
+      a.join(b, col("bucket") <=> col("bucket_b"))
+        .select(col("bucket"), col("n_first"), col("n_second"),
+          (col("n_second") - col("n_first")).as("delta"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH halves AS (
+              SELECT nullif(CAST(props ->> '$.k' AS BIGINT) % 5, 0)
+                  AS bucket,
+                ts < TIMESTAMP '2024-01-16 00:00:00' AS first_half
+              FROM events),
+            a AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_first
+              FROM halves WHERE first_half GROUP BY bucket),
+            b AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_second
+              FROM halves WHERE NOT first_half GROUP BY bucket)
+            SELECT a.bucket, n_first, n_second,
+              n_second - n_first AS delta
+            FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+            ORDER BY a.bucket NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qScanParquet, qProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
     qJoinRange, qJoinAsof, qJoinAsofForward, qJoinAsofNearest,
     qJoinAsofTolerance,
     qJoinAsofNative,
-    qJoinAsofBcast, qJoinTheta,
+    qJoinAsofBcast, qJoinTheta, qJoinNullsafe,
     qAggHash, qAggMulti, qAggDistinct, qAggApproxDistinct, qAggStddev,
     qAggCorr, qAggPercentile, qAggRollup, qAggCube, qAggGroupingSets,
     qAggFiltered,

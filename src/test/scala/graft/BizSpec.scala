@@ -278,6 +278,31 @@ class BizSpec extends SparkSuite {
     }
   }
 
+  test("fano: daily-count dispersion replays exactly per type") {
+    val cells = Tables.t(spark, sf0, "events")
+      .select(col("event_type"), to_date(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.groupBy(_._1._1)
+    val got = q("q_events_fano").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("mean_daily"),
+          r.getAs[Double]("fano"))).toMap
+    cells.foreach { case (et, ds) =>
+      val ns = ds.map(_._2)
+      val d = ns.length.toLong
+      val s1 = ns.sum
+      val s2 = ns.map(n => BigInt(n) * n).sum
+      val mean = s1.toDouble / d
+      val fano = (s2.toDouble - s1.toDouble * s1 / d) / (d - 1) / mean
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(et)._1 === d)
+      assert(got(et)._2 === r6(mean))
+      assert(got(et)._3 === r6(fano), s"fano for $et")
+    }
+  }
+
   test("jsd: bounded in [0, ln 2] and the first pair replays exactly") {
     val got = q("q_text_jsd").collect()
     val nSources = Tables.t(spark, sf0, "documents")

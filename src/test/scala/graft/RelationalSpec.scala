@@ -307,4 +307,29 @@ class RelationalSpec extends SparkSuite {
     assert(got.count(_._1._1 == "intersect_all") === ia.size)
     assert(got.count(_._1._1 == "except_all") === ea.size)
   }
+
+  test("nullsafe join keeps the NULL bucket a plain = join drops") {
+    val got = q("q_join_nullsafe").collect()
+    val nullRow = got.filter(_.isNullAt(0))
+    assert(nullRow.length === 1, "the unbucketed class must survive")
+    // replay: counts per bucket per half from the raw table
+    val rows = Tables.t(spark, sf0, "events")
+      .select(expr(
+        """nullif(CAST(get_json_object(props, '$.k') AS BIGINT)
+           % 5, 0)""").as("b"),
+        (col("ts") < lit("2024-01-16").cast("timestamp_ntz")).as("h"))
+      .collect().map(r => (if (r.isNullAt(0)) None
+        else Some(r.getLong(0)), r.getBoolean(1)))
+    got.foreach { r =>
+      val key = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      assert(r.getAs[Long]("n_first") ===
+        rows.count(x => x._1 == key && x._2).toLong)
+      assert(r.getAs[Long]("n_second") ===
+        rows.count(x => x._1 == key && !x._2).toLong)
+      assert(r.getAs[Long]("delta") ===
+        r.getAs[Long]("n_second") - r.getAs[Long]("n_first"))
+    }
+    // the same program under a plain = join loses exactly the NULL row
+    assert(got.length === rows.map(_._1).distinct.length)
+  }
 }
