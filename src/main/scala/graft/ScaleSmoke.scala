@@ -170,7 +170,13 @@ object ScaleSmoke {
     "q_graph_reciprocity", "q_stats_jarque_bera", "q_ml_pr_curve",
     // nullsafe is two bucket-grid aggregates + a 5-row join; fano
     // one (type x day)-grid aggregate
-    "q_join_nullsafe", "q_events_fano")
+    "q_join_nullsafe", "q_events_fano",
+    // grubbs = two corpus aggregates over the shared day grid;
+    // hapax one vocab-sized rollup; the centroid matrix touches the
+    // corpus once then works on a 20 x 64 grid; the fano twin keeps
+    // calendar x type state
+    "q_ts_grubbs", "q_text_hapax", "q_embed_centroid_matrix",
+    "q_stream_fano")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -830,16 +830,18 @@ object Biz {
     * Daily counts are exact integers; the variance rides (d, Σn, Σn²)
     * sufficient sums (DECIMAL(38,0)/HUGEINT squares), and both ratios
     * divide once. One (type × day)-grid aggregate after one scan. */
-  val qEventsFano = Q(
-    "q_events_fano",
-    (sp, dir) => {
-      implicit val s: SparkSession = sp
-      implicit val d: String = dir
-      t("events")
-        .select(col("event_type"), to_date(col("ts")).as("day"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("event_type"))
+  /** (type, day) count cells — commutative, shared with the streaming
+    * twin. */
+  private[graft] def fanoCells(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The dispersion finisher over settled (type, day, n) cells. */
+  private[graft] def fanoFromCells(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cells.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
           sum(col("n")).as("s1"),
           sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"))
@@ -851,8 +853,8 @@ object Biz {
                / (n_days - 1) / (CAST(s1 AS DOUBLE) / n_days)"""), 6)
             .as("fano"))
         .orderBy(col("event_type"))
-    },
-    Some("""WITH cells AS (
+
+  private[graft] val fanoOracleSql: String = """WITH cells AS (
               SELECT event_type, CAST(ts AS DATE) AS day,
                 CAST(count(*) AS BIGINT) AS n
               FROM events GROUP BY event_type, day),
@@ -868,7 +870,12 @@ object Biz {
                 / (n_days - 1) / (CAST(s1 AS DOUBLE) / n_days), 6)
                 AS fano
             FROM st
-            ORDER BY event_type NULLS FIRST"""))
+            ORDER BY event_type NULLS FIRST"""
+
+  val qEventsFano = Q(
+    "q_events_fano",
+    (sp, dir) => fanoFromCells(fanoCells(Tables.t(sp, dir, "events"))),
+    Some(fanoOracleSql))
 
   val all: Seq[Q] = Seq(qSourceOverlap, qEventsRfm, qBasketLift,
     qStatsWilson, qCohortLtv, qEventsStreaks, qOrdersCadence,

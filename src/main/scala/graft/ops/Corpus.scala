@@ -1335,9 +1335,54 @@ object Corpus {
     (s, d) => budgetFromStats(budgetStatsAggs(docs(s, d))),
     Some(budgetOracleSql))
 
+  // ---- q_text_hapax -----------------------------------------------------
+
+  /** Hapax / type-token census (q_text_hapax): per source the
+    * vocabulary size, the hapax-legomenon count (types seen exactly
+    * once), and the two lexical-richness ratios a corpus linguist
+    * reads first — high hapax rate flags noisy or OCR-damaged text,
+    * low TTR flags boilerplate. One vocabulary-sized aggregate after
+    * the token explode; ratios are exact integer micro-divisions. */
+  val qTextHapax = Q(
+    "q_text_hapax",
+    (s, d) => {
+      docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"),
+          col("n_tokens").cast("long").as("n_tokens"), col("n_hapax"),
+          expr("(1000000L * n_hapax) div n_types")
+            .as("hapax_rate_micro"),
+          expr("(1000000L * n_types) div CAST(n_tokens AS BIGINT)")
+            .as("ttr_micro"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tf AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT source,
+                      unnest(string_split(text, ' ')) AS w
+                    FROM documents) x
+              GROUP BY source, w),
+            st AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hapax
+              FROM tf GROUP BY source)
+            SELECT source, n_types, n_tokens, n_hapax,
+              (1000000 * n_hapax) // n_types AS hapax_rate_micro,
+              (1000000 * n_types) // n_tokens AS ttr_micro
+            FROM st
+            ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
     qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss,
     qTextHeldoutPpl, qTextContrast, qMixCurriculum, qCompactPlan,
-    qTextBigramKn, qMixBudget)
+    qTextBigramKn, qMixBudget, qTextHapax)
 }

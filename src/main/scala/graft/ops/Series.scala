@@ -1714,9 +1714,84 @@ object Series {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Grubbs outlier test (q_ts_grubbs): is the most extreme revenue
+    * day a statistical outlier? G = max|x − x̄|/s over the shared day
+    * grid — deviations ride exactly as |n·v − Σv| (integer, the ×n
+    * trick), the max is commutative, and the tied-peak day resolves
+    * by a max-day second aggregate, so both engines pick the same
+    * row without any ordering window. s comes from the exact
+    * (n, Σv, Σv²) sums; G and the z-score are single double
+    * expressions at the end. */
+  val qTsGrubbs = Q(
+    "q_ts_grubbs",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = dailyRevenue(sp, dir)
+      val st = days.agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"))
+      val devs = days.crossJoin(broadcast(st))
+        .withColumn("adev", abs(expr(
+          "CAST(n * v AS DECIMAL(38,0)) - sv")))
+      val mx = devs.agg(max(col("adev")).as("mdev"))
+      devs.join(broadcast(mx), col("adev") === col("mdev"))
+        .agg(first(col("n")).as("n_days"),
+          first(col("sv")).as("sv"), first(col("svv")).as("svv"),
+          first(col("mdev")).as("mdev"),
+          max(col("day")).as("peak_day"))
+        .select(col("n_days"), col("peak_day"),
+          round(expr("CAST(sv AS DOUBLE) / n_days / 100.0D"), 6)
+            .as("mean_rev"),
+          round(expr(
+            """sqrt((CAST(n_days AS DOUBLE) * CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                / (CAST(n_days AS DOUBLE) * (n_days - 1))) / 100.0D"""),
+            6).as("std_rev"),
+          round(expr(
+            """CAST(mdev AS DOUBLE) / n_days
+               / sqrt((CAST(n_days AS DOUBLE) * CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * (n_days - 1)))"""), 6)
+            .as("g_stat"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS HUGEINT) AS sv,
+                CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+              FROM days),
+            devs AS (
+              SELECT day, abs(CAST(n AS HUGEINT) * v - sv) AS adev,
+                n, sv, svv
+              FROM days, st),
+            mx AS (SELECT max(adev) AS mdev FROM devs)
+            SELECT any_value(n) AS n_days, max(day) AS peak_day,
+              round(CAST(any_value(sv) AS DOUBLE) / any_value(n)
+                / 100.0e0, 6) AS mean_rev,
+              round(sqrt((CAST(any_value(n) AS DOUBLE)
+                    * CAST(any_value(svv) AS DOUBLE)
+                  - CAST(any_value(sv) AS DOUBLE)
+                    * CAST(any_value(sv) AS DOUBLE))
+                / (CAST(any_value(n) AS DOUBLE) * (any_value(n) - 1)))
+                / 100.0e0, 6) AS std_rev,
+              round(CAST(any_value(mdev) AS DOUBLE) / any_value(n)
+                / sqrt((CAST(any_value(n) AS DOUBLE)
+                    * CAST(any_value(svv) AS DOUBLE)
+                  - CAST(any_value(sv) AS DOUBLE)
+                    * CAST(any_value(sv) AS DOUBLE))
+                / (CAST(any_value(n) AS DOUBLE) * (any_value(n) - 1))),
+                6) AS g_stat
+            FROM devs, mx
+            WHERE adev = mdev"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
     qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf,
-    qTsHoltwinters, qEventsInterarrival)
+    qTsHoltwinters, qEventsInterarrival, qTsGrubbs)
 }

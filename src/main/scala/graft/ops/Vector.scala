@@ -1291,10 +1291,71 @@ object Vector {
             GROUP BY label
             ORDER BY label NULLS FIRST"""))
 
+  // ---- q_embed_centroid_matrix ------------------------------------------
+
+  /** Inter-source centroid cosine matrix (q_embed_centroid_matrix):
+    * the mean embedding of every source, then all pairwise cosines —
+    * the corpus-geometry overview (which sources occupy the same
+    * embedding region) a mixture planner reads next to q_text_jsd's
+    * lexical view. Centroids come from ONE (source × dim)-bounded
+    * two-phase average with each coordinate 6dp-rounded (the Lloyd
+    * recompute discipline, so both engines carry bit-identical
+    * vectors), and the 20×20 pair stage is grid-sized — the corpus is
+    * touched exactly once. */
+  val qEmbedCentroidMatrix = Q(
+    "q_embed_centroid_matrix",
+    (s, d) => {
+      graft.functions.DoubleDot.register(s)
+      val cents = Tables.t(s, d, "embeddings")
+        .join(Tables.t(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id"))
+        .select(col("source"), posexplode(
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("source"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("xr"))
+        .groupBy(col("source"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, xr))), t -> t.xr)")
+          .as("cent"))
+      val a = cents.select(col("source").as("sa"), col("cent").as("ca"))
+      val b = cents.select(col("source").as("sb"), col("cent").as("cb"))
+      a.join(b, col("sa") < col("sb"))
+        .select(col("sa"), col("sb"),
+          round(expr(
+            """double_dot(ca, cb) / (sqrt(double_dot(ca, ca))
+               * sqrt(double_dot(cb, cb)))"""), 6).as("cos_sim"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            j AS (
+              SELECT dd.source, e.v
+              FROM e JOIN documents dd ON e.vec_id = dd.doc_id),
+            g AS (
+              SELECT source, i, round(avg(v[i]), 6) AS x
+              FROM j CROSS JOIN
+                (SELECT unnest(generate_series(1, 64)) AS i) dims
+              GROUP BY source, i),
+            c AS (
+              SELECT source, list(x ORDER BY i) AS cent
+              FROM g GROUP BY source)
+            SELECT a.source AS sa, b.source AS sb,
+              round(list_dot_product(a.cent, b.cent)
+                / (sqrt(list_dot_product(a.cent, a.cent))
+                   * sqrt(list_dot_product(b.cent, b.cent))), 6)
+                AS cos_sim
+            FROM c a JOIN c b ON a.source < b.source
+            ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qSimThresholdCurve,
     qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
-    qSimHardneg, qSimMatryoshka, qSimNdcg, qEmbedDrift)
+    qSimHardneg, qSimMatryoshka, qSimNdcg, qEmbedDrift,
+    qEmbedCentroidMatrix)
 }

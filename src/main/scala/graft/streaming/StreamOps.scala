@@ -2189,8 +2189,21 @@ object StreamOps {
     },
     Some(graft.ops.Corpus.budgetOracleSql))
 
+  /** Streaming burstiness monitor (q_stream_fano): the (type, day)
+    * count cells accumulate ON INGEST (commutative), settle, and run
+    * the batch dispersion finisher — the live Poisson-vs-bursty
+    * check. State is bounded by the calendar × type grid. */
+  val qStreamFano = Q(
+    "q_stream_fano",
+    (s, d) => {
+      val cells = graft.ops.Biz.fanoCells(eventsStream(s, d))
+      graft.ops.Biz.fanoFromCells(
+        drain(s, cells, "stream_fano_tbl", "complete"))
+    },
+    Some(graft.ops.Biz.fanoOracleSql))
+
   val all: Seq[Q] = Seq(
-    qStreamBrier, qStreamBudget,
+    qStreamBrier, qStreamBudget, qStreamFano,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

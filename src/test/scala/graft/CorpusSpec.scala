@@ -375,6 +375,28 @@ class CorpusSpec extends SparkSuite {
       s"phases not ordered: ${meanBits(1)} ${meanBits(2)} ${meanBits(3)}")
   }
 
+  test("hapax: lexical-richness census replays per source") {
+    val tf = Tables.t(spark, sf0, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    val got = q("q_text_hapax").collect()
+    assert(got.length === tf.size)
+    got.foreach { r =>
+      val m = tf(r.getAs[String]("source"))
+      val types = m.size.toLong
+      val tokens = m.values.sum
+      val hapax = m.values.count(_ == 1L).toLong
+      assert(r.getAs[Long]("n_types") === types)
+      assert(r.getAs[Long]("n_tokens") === tokens)
+      assert(r.getAs[Long]("n_hapax") === hapax)
+      assert(r.getAs[Long]("hapax_rate_micro") ===
+        1000000L * hapax / types)
+      assert(r.getAs[Long]("ttr_micro") === 1000000L * types / tokens)
+    }
+  }
+
   test("budget: greedy allocation replays and exhausts exactly") {
     val got = q("q_mix_budget").collect()
     val docs = Tables.t(spark, sf0, "documents")

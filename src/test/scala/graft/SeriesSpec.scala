@@ -418,6 +418,34 @@ class SeriesSpec extends SparkSuite {
     }
   }
 
+  test("grubbs: the extreme-day statistic replays exactly") {
+    val days = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    val vs = days.map(v => BigInt(v._2))
+    val n = vs.length
+    val sv = vs.sum
+    val svv = vs.map(v => v * v).sum
+    val adevs = days.map { case (day, v) =>
+      (day, (BigInt(n) * v - sv).abs) }
+    val mdev = adevs.map(_._2).max
+    val peak = adevs.filter(_._2 == mdev).map(_._1.toString).max
+    val sd = math.sqrt((n.toDouble * svv.toDouble -
+      sv.toDouble * sv.toDouble) / (n.toDouble * (n - 1)))
+    val row = q("q_ts_grubbs").collect().head
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[java.sql.Date]("peak_day").toString === peak)
+    assert(row.getAs[Double]("mean_rev") ===
+      round6(sv.toDouble / n / 100.0))
+    assert(row.getAs[Double]("std_rev") === round6(sd / 100.0))
+    assert(row.getAs[Double]("g_stat") ===
+      round6(mdev.toDouble / n / sd))
+  }
+
   test("variance ratio replays exactly for q = 2 and 5") {
     val x = dailyCents().map(v => math.log(v.toDouble))
     def stats(k: Int): (Int, Double) = {

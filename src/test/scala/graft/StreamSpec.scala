@@ -901,6 +901,13 @@ class StreamSpec extends SparkSuite {
     assert(rows("q_stream_budget") === rows("q_mix_budget"))
   }
 
+  test("q_stream_fano settles to the batch dispersion table exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Double]("mean_daily"), r.getAs[Double]("fano"))).toSeq
+    assert(rows("q_stream_fano") === rows("q_events_fano"))
+  }
+
   test("q_stream_brier settles to the batch reliability table exactly") {
     def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
       .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),

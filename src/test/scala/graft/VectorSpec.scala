@@ -546,4 +546,37 @@ class VectorSpec extends SparkSuite {
       assert(r.getAs[Double]("norm_ratio") === 1.0)
     }
   }
+
+  test("centroid matrix: full pair grid, bounded, first pair replays") {
+    val got = q("q_embed_centroid_matrix").collect()
+    val srcs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ns = srcs.values.toSet.size
+    assert(got.length === ns * (ns - 1) / 2)
+    got.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // scalar replay of the first pair's centroids and cosine
+    val embs = Tables.t(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def centroid(src: String): Seq[Double] = {
+      val vs = embs.filter(e => srcs(e._1) == src).map(_._2)
+      (0 until vs.head.length).map { i =>
+        BigDecimal(vs.map(_(i)).sum / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val first = got.head
+    val (ca, cb) = (centroid(first.getAs[String]("sa")),
+      centroid(first.getAs[String]("sb")))
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.reduceLeft(_ + _)
+    val want = BigDecimal(dot(ca, cb) /
+      (math.sqrt(dot(ca, ca)) * math.sqrt(dot(cb, cb))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(first.getAs[Double]("cos_sim") - want) < 2e-6)
+  }
 }
