@@ -176,7 +176,10 @@ object ScaleSmoke {
     // corpus once then works on a 20 x 64 grid; the fano twin keeps
     // calendar x type state
     "q_ts_grubbs", "q_text_hapax", "q_embed_centroid_matrix",
-    "q_stream_fano")
+    "q_stream_fano",
+    // genmeans / welch are one moment aggregate each (+ a 5-row
+    // second phase for welch); the trend test rides the day grid
+    "q_agg_genmeans", "q_stats_welch", "q_stats_trend_ca")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

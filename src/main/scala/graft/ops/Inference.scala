@@ -1427,9 +1427,175 @@ object Inference {
             FROM cnt
             ORDER BY fence NULLS FIRST"""))
 
+  // ---- q_stats_welch ----------------------------------------------------
+
+  /** Welch's heteroscedastic ANOVA (q_stats_welch): the q_stats_anova
+    * question without the equal-variance assumption — the test to
+    * reach for when q_stats_levene/Brown-Forsythe REJECTS. Per-group
+    * (n, Σc, Σc²) are exact; the group weights w = n/s², the weighted
+    * means w·m, and the Λ terms (1 − w/W)²/(n−1) are per-GROUP fixed
+    * doubles quantized (1e9/1e9/1e6/1e12) BEFORE the cross-group
+    * sums, honoring the file's "no raw double crosses an aggregate"
+    * rule even over the 5-row group grid. F and df2 are closed double
+    * expressions over the integer sums. */
+  val qStatsWelch = Q(
+    "q_stats_welch",
+    (s, d) => {
+      val g = ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+        .withColumn("m", expr("CAST(s1 AS DOUBLE) / n"))
+        .withColumn("v", expr(
+          "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)"))
+        .withColumn("wq", expr(
+          "CAST(floor(n / v * 1e9 + 0.5D) AS BIGINT)"))
+        .withColumn("wmq", expr(
+          "CAST(floor(n / v * m * 1e9 + 0.5D) AS BIGINT)"))
+        .withColumn("wm2q", expr(
+          "CAST(floor(n / v * m * m * 1e6 + 0.5D) AS BIGINT)"))
+      val t1 = g.agg(count(lit(1)).as("k"), sum(col("wq")).as("ww"),
+        sum(col("wmq")).as("sm"), sum(col("wm2q")).as("sm2"))
+      val lam = g.crossJoin(broadcast(t1.select(col("ww").as("wt"))))
+        .withColumn("lq", expr(
+          """CAST(floor((1.0D - CAST(wq AS DOUBLE) / wt)
+               * (1.0D - CAST(wq AS DOUBLE) / wt) / (n - 1) * 1e12
+               + 0.5D) AS BIGINT)"""))
+        .agg(sum(col("lq")).as("sl"))
+      t1.crossJoin(lam)
+        .select(col("k"),
+          round(expr(
+            """((CAST(sm2 AS DOUBLE) / 1e6
+                 - CAST(sm AS DOUBLE) * sm / 1e9 / ww) / (k - 1))
+               / (1.0D + 2.0D * (k - 2) / (k * k - 1)
+                  * (CAST(sl AS DOUBLE) / 1e12))"""), 6)
+            .as("f_welch"),
+          round(expr(
+            """(CAST(k AS DOUBLE) * k - 1)
+               / (3.0D * CAST(sl AS DOUBLE) / 1e12)"""), 6).as("df2"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            sums AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(c) AS HUGEINT) AS s1,
+                CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+              FROM base GROUP BY event_type),
+            gq AS (
+              SELECT n,
+                CAST(floor(n / ((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                  * 1e9 + 0.5) AS BIGINT) AS wq,
+                CAST(floor(n / ((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                  * (CAST(s1 AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT)
+                  AS wmq,
+                CAST(floor(n / ((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                  * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                  * 1e6 + 0.5) AS BIGINT) AS wm2q
+              FROM sums),
+            t1 AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(wq) AS BIGINT) AS ww,
+                CAST(sum(wmq) AS BIGINT) AS sm,
+                CAST(sum(wm2q) AS BIGINT) AS sm2
+              FROM gq),
+            lam AS (
+              SELECT CAST(sum(CAST(floor(
+                  (1.0e0 - CAST(wq AS DOUBLE) / t1.ww)
+                  * (1.0e0 - CAST(wq AS DOUBLE) / t1.ww) / (n - 1)
+                  * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS sl
+              FROM gq, t1)
+            SELECT k,
+              round(((CAST(sm2 AS DOUBLE) / 1e6
+                  - CAST(sm AS DOUBLE) * sm / 1e9 / ww) / (k - 1))
+                / (1.0e0 + 2.0e0 * (k - 2) / (k * k - 1)
+                   * (CAST(sl AS DOUBLE) / 1e12)), 6) AS f_welch,
+              round((CAST(k AS DOUBLE) * k - 1)
+                / (3.0e0 * CAST(sl AS DOUBLE) / 1e12), 6) AS df2
+            FROM t1, lam"""))
+
+  // ---- q_stats_trend_ca -------------------------------------------------
+
+  /** Cochran-Armitage trend test (q_stats_trend_ca): does the DAILY
+    * proportion of high-value events (value > 90) drift over the
+    * calendar? Scores are the day indexes, counts and positives exact
+    * integers, and the statistic cross-multiplies to
+    * χ² = (N·Σsr − R·Σsn)² / (R·(N−R)·(N·Σns² − (Σns)²)/N) — every
+    * product is integer in DECIMAL(38,0)/HUGEINT and only the final
+    * square + division run in double (both engines square the same
+    * exact value). One calendar-bounded day grid after one scan. */
+  val qStatsTrendCa = Q(
+    "q_stats_trend_ca",
+    (s, d) => {
+      val days = ev(s, d)
+        .select(to_date(col("ts")).as("day"),
+          when(col("value") > 90.0, 1L).otherwise(0L).as("hi"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("hi")).as("r"))
+        .withColumn("sidx", row_number()
+          .over(Window.orderBy(col("day"))).cast("long"))
+      days.agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+          sum(expr("CAST(sidx * n AS DECIMAL(38,0))")).as("sn"),
+          sum(expr("CAST(sidx * r AS DECIMAL(38,0))")).as("sr"),
+          sum(expr("CAST(sidx * sidx AS DECIMAL(38,0)) * n")).as("sn2"))
+        .select(col("n_days"), col("nn").cast("long").as("n_total"),
+          col("rr").cast("long").as("n_pos"),
+          round(expr(
+            """CAST(nn * sr - rr * sn AS DOUBLE)
+               * CAST(nn * sr - rr * sn AS DOUBLE)
+               / (CAST(rr AS DOUBLE) * (nn - rr)
+                  * CAST(nn * sn2 - sn * sn AS DOUBLE) / nn)"""), 6)
+            .as("chi2_trend"),
+          round(expr(
+            """CAST(nn * sr - rr * sn AS DOUBLE)
+               / sqrt(CAST(rr AS DOUBLE) * (nn - rr)
+                  * CAST(nn * sn2 - sn * sn AS DOUBLE) / nn)"""), 6)
+            .as("z_trend"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN value > 90 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+              FROM events GROUP BY day),
+            idxed AS (
+              SELECT n, r,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                  AS sidx
+              FROM days),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(n) AS BIGINT) AS nn,
+                CAST(sum(r) AS BIGINT) AS rr,
+                CAST(sum(CAST(sidx AS HUGEINT) * n) AS HUGEINT) AS sn,
+                CAST(sum(CAST(sidx AS HUGEINT) * r) AS HUGEINT) AS sr,
+                CAST(sum(CAST(sidx AS HUGEINT) * sidx * n) AS HUGEINT)
+                  AS sn2
+              FROM idxed)
+            SELECT n_days, nn AS n_total, rr AS n_pos,
+              round(CAST(nn * sr - rr * sn AS DOUBLE)
+                  * CAST(nn * sr - rr * sn AS DOUBLE)
+                / (CAST(rr AS DOUBLE) * (nn - rr)
+                   * CAST(nn * sn2 - sn * sn AS DOUBLE) / nn), 6)
+                AS chi2_trend,
+              round(CAST(nn * sr - rr * sn AS DOUBLE)
+                / sqrt(CAST(rr AS DOUBLE) * (nn - rr)
+                   * CAST(nn * sn2 - sn * sn AS DOUBLE) / nn), 6)
+                AS z_trend
+            FROM st"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
     qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier,
-    qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve)
+    qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve,
+    qStatsWelch, qStatsTrendCa)
 }

@@ -1671,6 +1671,63 @@ object Refine {
                 AS DOUBLE) / sum(rev), 6) AS top_decile_share
             FROM per_cust, cut"""))
 
+  // ---- q_agg_genmeans ---------------------------------------------------
+
+  /** Pythagorean-mean family (q_agg_genmeans): arithmetic, geometric
+    * and harmonic means of `value` per event type — the three-way
+    * comparison a rate/ratio analysis needs (harmonic for rates,
+    * geometric for multiplicative effects; AM ≥ GM ≥ HM is asserted
+    * by the spec). Per-row ln(c) and 1/c are fixed doubles over
+    * integer cents, quantized (nano / pico) BEFORE their sums, so
+    * every aggregate is an exact integer; each mean is one closed
+    * double expression at the end, reported in value units. */
+  val qAggGenmeans = Q(
+    "q_agg_genmeans",
+    (s, d) => {
+      ev(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("s1"),
+          sum(expr(
+            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5D) AS BIGINT)"))
+            .as("sln"),
+          sum(expr("CAST(floor(1e12 / c + 0.5D) AS BIGINT)")).as("srec"))
+        .select(col("event_type"), col("n"),
+          round(expr("CAST(s1 AS DOUBLE) / n / 100.0D"), 6)
+            .as("mean_arith"),
+          round(expr(
+            "exp(CAST(sln AS DOUBLE) / 1e9 / n) / 100.0D"), 6)
+            .as("mean_geom"),
+          round(expr(
+            "CAST(n AS DOUBLE) * 1e12 / CAST(srec AS DOUBLE) / 100.0D"),
+            6).as("mean_harm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0),
+            st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(c) AS BIGINT) AS s1,
+                CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS sln,
+                CAST(sum(CAST(floor(1e12 / c + 0.5) AS BIGINT))
+                  AS BIGINT) AS srec
+              FROM base GROUP BY event_type)
+            SELECT event_type, n,
+              round(CAST(s1 AS DOUBLE) / n / 100.0e0, 6) AS mean_arith,
+              round(exp(CAST(sln AS DOUBLE) / 1e9 / n) / 100.0e0, 6)
+                AS mean_geom,
+              round(CAST(n AS DOUBLE) * 1e12 / CAST(srec AS DOUBLE)
+                / 100.0e0, 6) AS mean_harm
+            FROM st
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,
     qTextNovelty, qAggKmv, qAggKmvIntersect, qTsHolt, qCurateAblation,
@@ -1678,7 +1735,7 @@ object Refine {
     qQualityKappa, qTextLangmix, qEmbedNorms,
     qSampleCoreset, qStatsBenford,
     qCustPareto, qSimMmr, qAggWeightedMedian,
-    qAggTukey, qEventsEntropyRate)
+    qAggTukey, qEventsEntropyRate, qAggGenmeans)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

@@ -408,6 +408,69 @@ class InferenceSpec extends SparkSuite {
     assert(recalls === recalls.sorted)
   }
 
+  test("welch: heteroscedastic F replays from quantized group stats") {
+    val byType = Tables.t(spark, sf0, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).values.toSeq
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5).toLong
+    val g = byType.map { rows =>
+      val cs = rows.map(_._2)
+      val n = cs.length
+      val s1 = cs.map(BigInt(_)).sum
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      val m = s1.toDouble / n
+      val v = (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)
+      val w = n / v
+      (n, q(w, 1e9), q(w * m, 1e9), q(w * m * m, 1e6))
+    }
+    val k = g.length
+    val ww = g.map(_._2).sum
+    val sm = g.map(_._3).sum
+    val sm2 = g.map(_._4).sum
+    val sl = g.map { case (n, wq, _, _) =>
+      q((1.0 - wq.toDouble / ww) * (1.0 - wq.toDouble / ww) / (n - 1),
+        1e12) }.sum
+    val a = (sm2.toDouble / 1e6 - sm.toDouble * sm / 1e9 / ww) / (k - 1)
+    val b = 1.0 + 2.0 * (k - 2) / (k.toDouble * k - 1) * (sl / 1e12)
+    val row = SparkEntry.queries("q_stats_welch")(spark, sf0)
+      .collect().head
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Double]("f_welch") === round6(a / b))
+    assert(row.getAs[Double]("df2") ===
+      round6((k.toDouble * k - 1) / (3.0 * sl / 1e12)))
+  }
+
+  test("cochran-armitage: the daily trend statistic replays exactly") {
+    val days = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")),
+        when(col("value") > 90.0, 1L).otherwise(0L))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1.toEpochDay)
+      .zipWithIndex.map { case ((_, rs), i) =>
+        (i + 1L, rs.length.toLong, rs.map(_._2).sum) }
+    val nn = days.map(_._2).sum
+    val rr = days.map(_._3).sum
+    val sn = days.map { case (s, n, _) => BigInt(s) * n }.sum
+    val sr = days.map { case (s, _, r) => BigInt(s) * r }.sum
+    val sn2 = days.map { case (s, n, _) => BigInt(s) * s * n }.sum
+    val t = (BigInt(nn) * sr - BigInt(rr) * sn).toDouble
+    val varT = rr.toDouble * (nn - rr) *
+      (BigInt(nn) * sn2 - sn * sn).toDouble / nn
+    val row = SparkEntry.queries("q_stats_trend_ca")(spark, sf0)
+      .collect().head
+    assert(row.getAs[Long]("n_days") === days.length.toLong)
+    assert(row.getAs[Long]("n_total") === nn)
+    assert(row.getAs[Long]("n_pos") === rr)
+    assert(row.getAs[Double]("chi2_trend") === round6(t * t / varT))
+    assert(row.getAs[Double]("z_trend") ===
+      round6(t / math.sqrt(varT)))
+    // consistency: z^2 tracks chi2
+    assert(math.abs(math.pow(row.getAs[Double]("z_trend"), 2) -
+      row.getAs[Double]("chi2_trend")) < 1e-4)
+  }
+
   test("friedman: doubled-midrank statistic replays exactly") {
     val cells = Tables.t(spark, sf0, "events")
       .select(expr("dayofweek(CAST(ts AS DATE))").as("blk"),

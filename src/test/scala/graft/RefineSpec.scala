@@ -564,4 +564,32 @@ class RefineSpec extends SparkSuite {
         ((es.length.toLong, sumNbr, 1000000L * sumNbr / es.length)))
     }
   }
+
+  test("genmeans: AM >= GM >= HM and every mean replays exactly") {
+    val byType = Tables.t(spark, sf0, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0).groupBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q_agg_genmeans")(spark, sf0)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_arith"),
+          r.getAs[Double]("mean_geom"), r.getAs[Double]("mean_harm")))
+      .toMap
+    byType.foreach { case (et, rows) =>
+      val cs = rows.map(_._2)
+      val n = cs.length
+      val sln = cs.map(c =>
+        math.floor(math.log(c.toDouble) * 1e9 + 0.5).toLong).sum
+      val srec = cs.map(c => math.floor(1e12 / c + 0.5).toLong).sum
+      val (gn, am, gm, hm) = got(et)
+      assert(gn === n.toLong)
+      assert(am === r6(cs.sum.toDouble / n / 100.0))
+      assert(gm === r6(math.exp(sln.toDouble / 1e9 / n) / 100.0))
+      assert(hm === r6(n.toDouble * 1e12 / srec.toDouble / 100.0))
+      assert(am >= gm && gm >= hm, s"mean ordering for $et")
+    }
+  }
 }
