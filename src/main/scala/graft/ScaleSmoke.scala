@@ -179,7 +179,9 @@ object ScaleSmoke {
     "q_stream_fano",
     // genmeans / welch are one moment aggregate each (+ a 5-row
     // second phase for welch); the trend test rides the day grid
-    "q_agg_genmeans", "q_stats_welch", "q_stats_trend_ca")
+    "q_agg_genmeans", "q_stats_welch", "q_stats_trend_ca",
+    // the genmeans twin keeps one quantized-sums row per type
+    "q_stream_genmeans")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1681,21 +1681,25 @@ object Refine {
     * integer cents, quantized (nano / pico) BEFORE their sums, so
     * every aggregate is an exact integer; each mean is one closed
     * double expression at the end, reported in value units. */
-  val qAggGenmeans = Q(
-    "q_agg_genmeans",
-    (s, d) => {
-      ev(s, d)
-        .select(col("event_type"),
-          floor(col("value") * 100 + 0.5).cast("long").as("c"))
-        .filter(col("c") > 0)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("c")).as("s1"),
-          sum(expr(
-            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5D) AS BIGINT)"))
-            .as("sln"),
-          sum(expr("CAST(floor(1e12 / c + 0.5D) AS BIGINT)")).as("srec"))
-        .select(col("event_type"), col("n"),
+  /** Commutative per-type sufficient sums for the mean family —
+    * shared with the streaming twin (mergeable in any batch order). */
+  private[graft] def genmeansStatsAggs(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(expr(
+          "CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5D) AS BIGINT)"))
+          .as("sln"),
+        sum(expr("CAST(floor(1e12 / c + 0.5D) AS BIGINT)")).as("srec"))
+
+  /** The mean-family finisher over settled sums. */
+  private[graft] def genmeansFromStats(
+      st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    st.select(col("event_type"), col("n"),
           round(expr("CAST(s1 AS DOUBLE) / n / 100.0D"), 6)
             .as("mean_arith"),
           round(expr(
@@ -1705,8 +1709,8 @@ object Refine {
             "CAST(n AS DOUBLE) * 1e12 / CAST(srec AS DOUBLE) / 100.0D"),
             6).as("mean_harm"))
         .orderBy(col("event_type"))
-    },
-    Some("""WITH base AS (
+
+  private[graft] val genmeansOracleSql: String = """WITH base AS (
               SELECT event_type,
                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
               FROM events
@@ -1726,7 +1730,12 @@ object Refine {
               round(CAST(n AS DOUBLE) * 1e12 / CAST(srec AS DOUBLE)
                 / 100.0e0, 6) AS mean_harm
             FROM st
-            ORDER BY event_type NULLS FIRST"""))
+            ORDER BY event_type NULLS FIRST"""
+
+  val qAggGenmeans = Q(
+    "q_agg_genmeans",
+    (s, d) => genmeansFromStats(genmeansStatsAggs(ev(s, d))),
+    Some(genmeansOracleSql))
 
   val all: Seq[Q] = Seq(
     qAggTrimmed, qAggSpearman, qAggSkewKurt, qAuditKanon,

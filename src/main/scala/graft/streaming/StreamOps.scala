@@ -2202,8 +2202,22 @@ object StreamOps {
     },
     Some(graft.ops.Biz.fanoOracleSql))
 
+  /** Streaming mean-family monitor (q_stream_genmeans): the per-type
+    * (n, Σc, Σln, Σ1/c) quantized sufficient sums accumulate ON
+    * INGEST (commutative) and settle into the batch finisher — live
+    * arithmetic/geometric/harmonic means with one state row per
+    * type. */
+  val qStreamGenmeans = Q(
+    "q_stream_genmeans",
+    (s, d) => {
+      val st = graft.ops.Refine.genmeansStatsAggs(eventsStream(s, d))
+      graft.ops.Refine.genmeansFromStats(
+        drain(s, st, "stream_genmeans_tbl", "complete"))
+    },
+    Some(graft.ops.Refine.genmeansOracleSql))
+
   val all: Seq[Q] = Seq(
-    qStreamBrier, qStreamBudget, qStreamFano,
+    qStreamBrier, qStreamBudget, qStreamFano, qStreamGenmeans,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

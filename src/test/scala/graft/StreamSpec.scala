@@ -901,6 +901,14 @@ class StreamSpec extends SparkSuite {
     assert(rows("q_stream_budget") === rows("q_mix_budget"))
   }
 
+  test("q_stream_genmeans settles to the batch mean family exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean_arith"), r.getAs[Double]("mean_geom"),
+        r.getAs[Double]("mean_harm"))).toSeq
+    assert(rows("q_stream_genmeans") === rows("q_agg_genmeans"))
+  }
+
   test("q_stream_fano settles to the batch dispersion table exactly") {
     def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
