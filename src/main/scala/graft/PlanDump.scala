@@ -85,10 +85,11 @@ object PlanDump {
     "q_multimodal_phash_pairs" -> ("Hamming<=2 image pairs via 3-band " +
       "pigeonhole split: candidates from an equi-join on (band, value, " +
       "dims), bit_count residual — no all-pairs distance matrix"),
-    "q_graph_jaccard" -> ("common-neighbor wedge equi-join with hub " +
-      "centers (deg > 64) excluded — candidate cost bounded, Jaccard " +
-      "an integer ratio divided once; ONLY the filtered degree slice " +
-      "is hint-broadcast, the closing O(V) degree joins plan by stats"),
+    // q_graph_jaccard left OFF the hash-guard list deliberately: round
+    // 11 removed its forced broadcast (the deg<=64 slice is O(V)), so
+    // join strategy is now stat-driven by design and the physical plan
+    // legitimately varies with cache state. PlanSpec pins the
+    // load-bearing shape instead (no hint, no cartesian).
     "q_ml_naive_bayes" -> ("training IS one aggregation; the model " +
       "(term-lang log-likelihoods, priors) broadcasts; scoring is one " +
       "explode + one keyed aggregation — no driver loop"),

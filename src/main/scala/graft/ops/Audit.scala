@@ -240,7 +240,8 @@ object Audit {
               (SELECT count(*) FROM lineitem l
                WHERE NOT EXISTS (SELECT 1 FROM orders o
                  WHERE o.o_orderkey = l.l_orderkey)))
-            SELECT rule, n_checked, n_violations,
+            SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+              CAST(n_violations AS BIGINT) AS n_violations,
               n_violations = 0 AS pass
             FROM rules
             ORDER BY rule NULLS FIRST"""))

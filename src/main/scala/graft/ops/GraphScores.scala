@@ -526,9 +526,191 @@ object GraphScores {
         GROUP BY du.deg
         ORDER BY k NULLS FIRST"""))
 
+  // ---- q_graph_ktruss ---------------------------------------------------
+
+  /** 3-truss peeling census (q_graph_ktruss): iteratively remove edges
+    * supported by no triangle at all and report the edge/node
+    * counts after each of 3 peel rounds (round 0 = raw graph) — the
+    * EDGE-cohesion profile read next to q_graph_kcore's node profile
+    * (a k-truss is the standard "community scaffold" subgraph). Rounds
+    * are a FIXED literal (bounded-iteration discipline) with a
+    * localCheckpoint plan cut per round. Support counting per round is
+    * the ORIENTED triangle enumeration (each triangle materialized
+    * once from the (deg, id)-ordered wedge join — the q_graph_triangles
+    * Σ min-deg bound, NOT the Σdeg² per-edge wedge shape), exploded to
+    * its 3 canonical edges and hash-counted; every join is an
+    * equi-join on edge keys, nothing is hinted, and all counts are
+    * exact integers. The oracle replays each round as the equivalent
+    * common-neighbor count, unrolled. */
+  val qGraphKtruss = Q(
+    "q_graph_ktruss",
+    (s, d) => {
+      def census(r: Int, e: DataFrame): DataFrame = {
+        val nn = e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v")))
+          .agg(countDistinct(col("v")).as("n_nodes"))
+        e.agg(count(lit(1)).as("n_edges")).crossJoin(nn)
+          .select(lit(r.toLong).as("round"), col("n_edges"),
+            col("n_nodes"))
+      }
+      var e = Insights.undirectedLinkEdges(s, d)
+        .select(col("a"), col("b"))
+      var out = census(0, e)
+      for (r <- 1 to 3) {
+        val deg = degrees(e)
+        val lt = col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b"))
+        val oriented = e
+          .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+          .select(
+            when(lt, col("a")).otherwise(col("b")).as("u"),
+            when(lt, col("b")).otherwise(col("a")).as("v"),
+            when(lt, col("degb")).otherwise(col("dega")).as("vdeg"))
+        val e1 = oriented.select(col("u"), col("v").as("v1"),
+          col("vdeg").as("vdeg1"))
+        val e2 = oriented.select(col("u"), col("v").as("v2"),
+          col("vdeg").as("vdeg2"))
+        val tri = e1.join(e2, "u")
+          .filter(col("vdeg1") < col("vdeg2") ||
+            (col("vdeg1") === col("vdeg2") && col("v1") < col("v2")))
+          .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+            Seq("v1", "v2"))
+          .select(col("u"), col("v1"), col("v2"))
+        val sup = tri.select(explode(array(
+            struct(least(col("u"), col("v1")).as("ea"),
+              greatest(col("u"), col("v1")).as("eb")),
+            struct(least(col("u"), col("v2")).as("ea"),
+              greatest(col("u"), col("v2")).as("eb")),
+            struct(least(col("v1"), col("v2")).as("ea"),
+              greatest(col("v1"), col("v2")).as("eb")))).as("ed"))
+          .select(col("ed.ea").as("a"), col("ed.eb").as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("sup"))
+        e = sup.filter(col("sup") >= 1).select(col("a"), col("b"))
+          .localCheckpoint(false)
+        out = out.unionAll(census(r, e))
+      }
+      out.orderBy(col("round"))
+    },
+    Some {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "e0" else s"e${i - 1}"
+        s"""adj$i AS (
+              SELECT a AS u, b AS w FROM $prev
+              UNION ALL SELECT b, a FROM $prev),
+            sup$i AS (
+              SELECT e.a, e.b, count(*) AS sup
+              FROM $prev e
+              JOIN adj$i x ON x.u = e.a
+              JOIN adj$i y ON y.u = e.b AND y.w = x.w
+              GROUP BY e.a, e.b),
+            e$i AS (SELECT a, b FROM sup$i WHERE sup >= 1)"""
+      }
+      def cen(i: Int): String =
+        s"""SELECT ${if (i == 0) s"CAST($i AS BIGINT)" else s"$i"}
+              ${if (i == 0) "AS round" else ""},
+            (SELECT ${if (i == 0) "CAST(count(*) AS BIGINT)"
+              else "count(*)"} FROM e$i)
+              ${if (i == 0) "AS n_edges" else ""},
+            (SELECT ${if (i == 0) "CAST(count(DISTINCT v) AS BIGINT)"
+              else "count(DISTINCT v)"}
+             FROM (SELECT a AS v FROM e$i
+                   UNION ALL SELECT b FROM e$i) x)
+              ${if (i == 0) "AS n_nodes" else ""}"""
+      s"""WITH $undirectedLinkEdgesSqlRef,
+          e0 AS (SELECT a, b FROM und),
+          ${round(1)},
+          ${round(2)},
+          ${round(3)}
+          ${cen(0)}
+          UNION ALL ${cen(1)}
+          UNION ALL ${cen(2)}
+          UNION ALL ${cen(3)}
+          ORDER BY round NULLS FIRST"""
+    })
+
+  // ---- q_graph_scc_pivot ------------------------------------------------
+
+  /** Pivot SCC probe (q_graph_scc_pivot): the forward/backward
+    * reachability split of the DIRECTED link graph around the minimum
+    * doc_id — n_forward ∩ n_backward is the pivot's strongly connected
+    * component, the first divide-and-conquer step of every distributed
+    * SCC algorithm (FW-BW) and the connectivity sanity number a link
+    * pipeline reads before trusting pagerank on a crawl. Both BFS
+    * directions run a FIXED 6 rounds (frontier semi-joins with a
+    * localCheckpoint plan cut per round — the q_graph_bfs discipline);
+    * the oracle replays them as depth-capped recursive CTEs. Counts
+    * are exact; every join is an equi-join on node ids, un-hinted. */
+  val qGraphSccPivot = Q(
+    "q_graph_scc_pivot",
+    (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_nodes"))
+      val dir0 = docs.select(col("doc_id")).crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("n_nodes"))
+        .select(col("src"), explode(expr(
+          """array(src div 2,
+                   (src * 31 + 17) % n_nodes,
+                   (src * src + 1) % n_nodes)""")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .distinct()
+      val pivot = docs.agg(min(col("doc_id")).as("v"))
+      def reach(from: String, to: String): DataFrame = {
+        var visited = pivot.localCheckpoint(false)
+        for (_ <- 1 to 6) {
+          val next = dir0
+            .join(visited.withColumnRenamed("v", "sv"),
+              col(from) === col("sv"))
+            .select(col(to).as("v"))
+          visited = visited.unionAll(next).distinct()
+            .localCheckpoint(false)
+        }
+        visited
+      }
+      val fwd = reach("src", "dst")
+      val bwd = reach("dst", "src")
+      val scc = fwd.join(bwd.withColumnRenamed("v", "bv"),
+        col("v") === col("bv"), "left_semi")
+      pivot.select(col("v").as("pivot"))
+        .crossJoin(fwd.agg(count(lit(1)).as("n_forward")))
+        .crossJoin(bwd.agg(count(lit(1)).as("n_backward")))
+        .crossJoin(scc.agg(count(lit(1)).as("n_scc")))
+    },
+    Some("""WITH RECURSIVE ddir AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                  unnest([doc_id // 2,
+                          (doc_id * 31 + 17) % n_nodes,
+                          (doc_id * doc_id + 1) % n_nodes]) AS dst
+                FROM documents,
+                  (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM documents) s) u
+              WHERE dst <> src),
+            pv AS (SELECT min(doc_id) AS v FROM documents),
+            fwd(v, dep) AS (
+              SELECT v, 0 FROM pv
+              UNION
+              SELECT dd.dst, f.dep + 1
+              FROM fwd f JOIN ddir dd ON dd.src = f.v
+              WHERE f.dep < 6),
+            bwd(v, dep) AS (
+              SELECT v, 0 FROM pv
+              UNION
+              SELECT dd.src, b.dep + 1
+              FROM bwd b JOIN ddir dd ON dd.dst = b.v
+              WHERE b.dep < 6),
+            fv AS (SELECT DISTINCT v FROM fwd),
+            bv AS (SELECT DISTINCT v FROM bwd)
+            SELECT (SELECT v FROM pv) AS pivot,
+              (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_forward,
+              (SELECT CAST(count(*) AS BIGINT) FROM bv) AS n_backward,
+              (SELECT CAST(count(*) AS BIGINT)
+               FROM fv JOIN bv USING (v)) AS n_scc"""))
+
   val all: Seq[Q] = Seq(qGraphKcore, qGraphAssortativity,
     qGraphModularity, qGraphConductance, qGraphCoreMembers,
-    qGraphRichclub, qGraphKnnProfile)
+    qGraphRichclub, qGraphKnnProfile, qGraphKtruss, qGraphSccPivot)
 
   /** DuckDB mirror of the shared link graph (one definition with
     * Insights — referenced, not duplicated). */

@@ -1592,10 +1592,129 @@ object Inference {
                 AS z_trend
             FROM st"""))
 
+  // ---- q_stats_cronbach -------------------------------------------------
+
+  /** Cronbach's alpha (q_stats_cronbach): internal-consistency
+    * reliability of the k = 3 per-document "quality items" (char
+    * count, whitespace token count, distinct-token count) — do the
+    * cheap length proxies measure one underlying construct, i.e. can
+    * a curation pipeline substitute one for the others?
+    * α = k/(k−1) · (1 − Σᵢvarᵢ / var_total). Every item is an exact
+    * integer per doc, so each variance numerator rides as
+    * n·Σx² − (Σx)² in DECIMAL(38,0)/HUGEINT (the n² denominators
+    * cancel in the ratio) — ONE map-side-combined aggregate over the
+    * corpus, one double division at the end. */
+  val qStatsCronbach = Q(
+    "q_stats_cronbach",
+    (s, d) => {
+      val items = Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("n_chars").as("x1"),
+          size(col("toks")).cast("long").as("x2"),
+          size(array_distinct(col("toks"))).cast("long").as("x3"))
+        .withColumn("xt", expr("x1 + x2 + x3"))
+      items
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"),
+          sum(expr("CAST(x1 * x1 AS DECIMAL(38,0))")).as("q1"),
+          sum(col("x2")).as("s2"),
+          sum(expr("CAST(x2 * x2 AS DECIMAL(38,0))")).as("q2"),
+          sum(col("x3")).as("s3"),
+          sum(expr("CAST(x3 * x3 AS DECIMAL(38,0))")).as("q3"),
+          sum(col("xt")).as("st"),
+          sum(expr("CAST(xt * xt AS DECIMAL(38,0))")).as("qt"))
+        .select(col("n").as("n_docs"), lit(3L).as("k_items"),
+          round(expr(
+            // s·s rides DECIMAL(38,0): a BIGINT square wraps silently
+            // past 9.2e18 under Spark's non-ANSI arithmetic
+            """(3.0D / 2.0D) * (1.0D -
+                 (CAST(n * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                  + CAST(n * q2 - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+                  + CAST(n * q3 - CAST(s3 AS DECIMAL(38,0)) * s3 AS DOUBLE))
+                 / CAST(n * qt - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE))"""),
+            6).as("alpha"))
+    },
+    Some("""WITH items AS (
+              SELECT n_chars AS x1,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+                CAST(len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT) AS x3,
+                n_chars + CAST(len(string_split(text, ' ')) AS BIGINT)
+                  + CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS xt
+              FROM documents),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x1) AS HUGEINT) AS s1,
+                CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q1,
+                CAST(sum(x2) AS HUGEINT) AS s2,
+                CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q2,
+                CAST(sum(x3) AS HUGEINT) AS s3,
+                CAST(sum(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS q3,
+                CAST(sum(xt) AS HUGEINT) AS st,
+                CAST(sum(CAST(xt AS HUGEINT) * xt) AS HUGEINT) AS qt
+              FROM items)
+            SELECT n AS n_docs, CAST(3 AS BIGINT) AS k_items,
+              round((3.0e0 / 2.0e0) * (1.0e0 -
+                  (CAST(n * q1 - s1 * s1 AS DOUBLE)
+                   + CAST(n * q2 - s2 * s2 AS DOUBLE)
+                   + CAST(n * q3 - s3 * s3 AS DOUBLE))
+                  / CAST(n * qt - st * st AS DOUBLE)), 6) AS alpha
+            FROM st"""))
+
+  // ---- q_stats_mcnemar --------------------------------------------------
+
+  /** McNemar's paired test (q_stats_mcnemar): do two curation gates
+    * applied to the SAME documents — the char-length gate
+    * (n_chars ≥ 250) and the token-length gate (≥ 45 whitespace
+    * tokens) — disagree symmetrically, or does one systematically
+    * pass docs the other rejects? The test conditions on the
+    * discordant pairs only: χ² = (|b−c|−1)²/(b+c) with continuity
+    * correction, where b = pass-A/fail-B and c = fail-A/pass-B.
+    * The whole op is ONE 4-cell count aggregate over the corpus
+    * (map-side combined) and a fixed double expression — the
+    * cheapest possible shape at any scale. */
+  val qStatsMcnemar = Q(
+    "q_stats_mcnemar",
+    (s, d) => {
+      Tables.t(s, d, "documents")
+        .select((col("n_chars") >= 250).as("ga"),
+          (size(split(col("text"), " ")) >= 45).as("gb"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ga AND gb AS LONG)")).as("n_both"),
+          sum(expr("CAST(ga AND NOT gb AS LONG)")).as("b"),
+          sum(expr("CAST(NOT ga AND gb AS LONG)")).as("c"))
+        .select(col("n"), col("n_both"), col("b"), col("c"),
+          round(expr(
+            """CASE WHEN b + c > 0 THEN
+                 CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                   / (b + c)
+               ELSE 0.0D END"""), 6).as("chi2"))
+    },
+    Some("""WITH g AS (
+              SELECT n_chars >= 250 AS ga,
+                len(string_split(text, ' ')) >= 45 AS gb
+              FROM documents),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+                CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+                CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+              FROM g)
+            SELECT n, n_both, b, c,
+              round(CASE WHEN b + c > 0 THEN
+                  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                    / (b + c)
+                ELSE 0.0e0 END, 6) AS chi2
+            FROM st"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
     qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier,
     qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve,
-    qStatsWelch, qStatsTrendCa)
+    qStatsWelch, qStatsTrendCa, qStatsCronbach, qStatsMcnemar)
 }

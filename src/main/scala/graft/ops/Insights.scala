@@ -1287,11 +1287,11 @@ object Insights {
     * centers (degree > 64) excluded from wedge generation, the standard
     * cap that keeps the Σdeg² candidate cost bounded at fleet scale
     * (a celebrity node may not generate |fans|² pairs). Jaccard is an
-    * integer ratio, divided once. Only the deg ≤ 64 FILTERED slice is
-    * broadcast (bounded by the hub cut); the two closing degree joins
-    * stay un-hinted — deg is an O(V) per-node table, and a forced
-    * broadcast of a vertex-sized relation OOMs executors at fleet
-    * scale. The planner/AQE picks the strategy from size stats. */
+    * integer ratio, divided once. ALL joins against deg stay un-hinted:
+    * the deg ≤ 64 slice bounds DEGREE, not node count — it is nearly
+    * all of V and grows with the corpus, so a forced broadcast of it
+    * is an executor OOM at fleet scale. AQE picks broadcast from
+    * measured size while the relation still fits. */
   val qGraphJaccard = Q(
     "q_graph_jaccard",
     (s, d) => {
@@ -1301,8 +1301,7 @@ object Insights {
       val deg = edges.groupBy(col("node").as("dn"))
         .agg(count(lit(1)).as("deg"))
       val wedgeable = edges
-        .join(broadcast(deg.filter(col("deg") <= 64)),
-          col("nbr") === col("dn"))
+        .join(deg.filter(col("deg") <= 64), col("nbr") === col("dn"))
         .select(col("node"), col("nbr"))
       val common = wedgeable.select(col("node").as("pa"), col("nbr"))
         .join(wedgeable.select(col("node").as("pb"),
@@ -1577,7 +1576,7 @@ object Insights {
         .withColumn("w_micro", expr(
           "CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5D) AS BIGINT)"))
       val wedgeable = edges
-        .join(broadcast(centers), col("nbr") === col("dn"))
+        .join(centers, col("nbr") === col("dn"))
         .select(col("node"), col("nbr"), col("w_micro"))
       val pairs = wedgeable.select(col("node").as("pa"), col("nbr"),
           col("w_micro"))

@@ -751,8 +751,9 @@ object Series {
     * |m·cum_k − k·total|, the scaled distance between the observed
     * cumulative revenue and the no-change linear ramp (binary
     * segmentation's first split). INTEGER-exact throughout: revenue is
-    * cents, the score is the cross-multiplied BIGINT form (never a
-    * divided double), argmax ties break on the earlier day. One hash
+    * cents, the argmax rides the cross-multiplied DECIMAL(38,0) form,
+    * the emitted score is `score div m` as BIGINT (cross-engine
+    * stable), argmax ties break on the earlier day. One hash
     * aggregate to the bounded day grid; windows over that grid only. */
   val qTsChangepoint = Q(
     "q_ts_changepoint",
@@ -779,7 +780,13 @@ object Series {
           col("cum") - col("i").cast("decimal(38,0)") * col("total")))
         .orderBy(col("score").desc, col("day"))
         .limit(1)
-        .selectExpr("day", "i AS split_idx", "m AS n_days", "score",
+        // EMIT rule: the DECIMAL(38,0) score stays internal (argmax
+        // only); the reported score is `score div m` — bounded by
+        // `total`, so it fits BIGINT at any plausible scale, and BIGINT
+        // survives both engines' result paths identically where
+        // DECIMAL(38,0) does not (DuckDB degrades it to float64).
+        .selectExpr("day", "i AS split_idx", "m AS n_days",
+          "CAST(score div m AS BIGINT) AS score_div_m",
           "cum div i AS mean_before_cents",
           "(total - cum) div (m - i) AS mean_after_cents")
     },
@@ -799,7 +806,7 @@ object Series {
         FROM days)
       SELECT day, i AS split_idx, m AS n_days,
         CAST(abs(CAST(m AS HUGEINT) * cum - CAST(i AS HUGEINT) * total)
-          AS DECIMAL(38,0)) AS score,
+          // m AS BIGINT) AS score_div_m,
         cum // i AS mean_before_cents,
         (total - cum) // (m - i) AS mean_after_cents
       FROM cum WHERE i < m
@@ -1789,9 +1796,221 @@ object Series {
             FROM devs, mx
             WHERE adev = mdev"""))
 
+  // ---- q_ts_theta -------------------------------------------------------
+
+  /** Theta-method forecast (q_ts_theta): the M3-winning combination of
+    * a linear trend line and simple exponential smoothing of the
+    * theta=2 line (Z_t = 2·v_t − L_t, L the OLS fit) over daily
+    * revenue, emitting the 7-day-ahead forecasts
+    * (SES_n + L_{n+h}) / 2. The OLS slope/intercept come from ONE
+    * exact integer-moment aggregate (Σi, Σv, Σiv, Σi² in
+    * DECIMAL(38,0)/HUGEINT — no float sum ever forms); Z_t and the
+    * SES recursion l_t = ½Z_t + ½l_{t−1} are fixed per-row double
+    * expressions, run as the q_ts_holt TIME-bounded fold on the Spark
+    * side and the identical recursive CTE in DuckDB — the same IEEE
+    * sequence, bit-for-bit, before the final rounding. At 100 TB the
+    * daily rollup is the only corpus-scaling stage. */
+  val qTsTheta = Q(
+    "q_ts_theta",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = dailyRevenue(sp, dir)
+        .withColumn("i", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+      val st = days
+        .agg(count(lit(1)).as("n"),
+          sum(col("i")).as("si"),
+          sum(col("v").cast("decimal(38,0)")).as("sv"),
+          sum(expr("CAST(i * v AS DECIMAL(38,0))")).as("siv"),
+          sum(expr("CAST(i * i AS DECIMAL(38,0))")).as("sii"))
+        .filter(col("n") >= 3)
+        .withColumn("b", expr(
+          // si² rides DECIMAL(38,0): the BIGINT square wraps silently
+          // past 9.2e18 (si ~ n²/2) under non-ANSI arithmetic
+          """CAST(n * siv - si * sv AS DOUBLE)
+             / CAST(n * sii - CAST(si AS DECIMAL(38,0)) * si AS DOUBLE)"""))
+        .withColumn("a0", expr(
+          "(CAST(sv AS DOUBLE) - b * CAST(si AS DOUBLE)) / n"))
+        .select(col("n"), col("a0"), col("b"))
+      days.crossJoin(broadcast(st))
+        .withColumn("z", expr(
+          "CAST(2 * v AS DOUBLE) - (a0 + b * CAST(i AS DOUBLE))"))
+        .groupBy(col("n"), col("a0"), col("b"))
+        .agg(array_sort(collect_list(
+          expr("named_struct('i', i, 'z', z)"))).as("zs"))
+        .withColumn("ses", expr(
+          """aggregate(slice(zs, 2, size(zs) - 1),
+               CAST(zs[0].z AS DOUBLE),
+               (acc, x) -> 0.5D * x.z + 0.5D * acc)"""))
+        .select(col("n"), col("a0"), col("b"), col("ses"),
+          explode(expr("sequence(1L, 7L)")).as("h"))
+        .select(col("h"),
+          round(expr(
+            """((ses + (a0 + b * CAST(n + h AS DOUBLE))) / 2.0D)
+               / 100.0D"""), 6).as("forecast"))
+        .orderBy(col("h"))
+    },
+    Some("""WITH RECURSIVE days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY 1),
+            idxed AS (
+              SELECT v,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM days),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(i) AS HUGEINT) AS si,
+                CAST(sum(v) AS HUGEINT) AS sv,
+                CAST(sum(CAST(i AS HUGEINT) * v) AS HUGEINT) AS siv,
+                CAST(sum(CAST(i AS HUGEINT) * i) AS HUGEINT) AS sii
+              FROM idxed),
+            co AS (
+              SELECT n,
+                (CAST(sv AS DOUBLE)
+                  - (CAST(n * siv - si * sv AS DOUBLE)
+                     / CAST(n * sii - si * si AS DOUBLE))
+                    * CAST(si AS DOUBLE)) / n AS a0,
+                CAST(n * siv - si * sv AS DOUBLE)
+                  / CAST(n * sii - si * si AS DOUBLE) AS b
+              FROM st WHERE n >= 3),
+            z AS (
+              SELECT i,
+                CAST(2 * v AS DOUBLE) - (a0 + b * CAST(i AS DOUBLE)) AS z
+              FROM idxed, co),
+            ses(i, l) AS (
+              SELECT CAST(1 AS BIGINT), z FROM z WHERE i = 1
+              UNION ALL
+              SELECT z.i, 0.5e0 * z.z + 0.5e0 * s.l
+              FROM ses s JOIN z ON z.i = s.i + 1),
+            fin AS (
+              SELECT l FROM ses JOIN co ON ses.i = co.n)
+            SELECT CAST(h AS BIGINT) AS h,
+              round(((fin.l + (co.a0 + co.b * CAST(co.n + h AS DOUBLE)))
+                  / 2.0e0) / 100.0e0, 6) AS forecast
+            FROM fin, co,
+              (SELECT unnest(generate_series(1, 7)) AS h) hs
+            ORDER BY h NULLS FIRST"""))
+
+  // ---- q_ts_spectral_entropy ---------------------------------------------
+
+  /** Spectral concentration of daily revenue (q_ts_spectral_entropy):
+    * normalized Shannon entropy of the periodogram mass over the
+    * candidate cycle set {7, 14, 30} plus the peak period — the scalar
+    * that says "one dominant seasonality" (entropy → 0) vs "no cycle
+    * stands out" (entropy → 1). Rides the SAME machinery as
+    * q_ts_periodogram (exact DECIMAL deviation sums, micro-literal
+    * trig weights); each per-period power quantizes to pico units
+    * BEFORE the cross-period normalization and each −p·ln p term to
+    * nano units before the entropy sum (3-row float sums are still
+    * merge-order-dependent — the house rule), so both engines
+    * assemble identical integers end-to-end. Day-grid bounded. */
+  val qTsSpectralEntropy = Q(
+    "q_ts_spectral_entropy",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = dailyRevenue(sp, dir)
+      val idxed = days.withColumn("i",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val st = days.agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"))
+      val powers = idxed.crossJoin(broadcast(st))
+        .select(col("i"), col("v"), col("n"), col("sv"),
+          explode(expr("array(7L, 14L, 30L)")).as("p"))
+        .withColumn("j", expr("CAST((i - 1) % p AS INT)"))
+        .withColumn("dev", expr("CAST(n * v AS DECIMAL(38,0)) - sv"))
+        .withColumn("cw", expr(cosCaseSql))
+        .withColumn("sw", expr(sinCaseSql))
+        .groupBy(col("p"))
+        .agg(first(col("n")).as("n"),
+          sum(expr("CAST(dev * cw AS DECIMAL(38,0))")).as("cs"),
+          sum(expr("CAST(dev * sw AS DECIMAL(38,0))")).as("ss"),
+          sum(expr("CAST(dev * dev AS DECIMAL(38,0))")).as("den"))
+        .select(col("p"), expr(
+          """CAST(floor(
+               2.0D * (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+               / (1e12 * n * CAST(den AS DOUBLE)) * 1e12 + 0.5D)
+             AS BIGINT)""").as("pm"))
+      val tot = powers.agg(sum(col("pm")).as("tot"))
+      val peak = powers.orderBy(col("pm").desc, col("p")).limit(1)
+        .select(col("p").as("peak_period"))
+      powers.crossJoin(broadcast(tot))
+        .withColumn("hterm", expr(
+          """CAST(floor(CASE WHEN pm > 0 THEN
+               -(CAST(pm AS DOUBLE) / tot)
+                 * ln(CAST(pm AS DOUBLE) / tot)
+             ELSE 0.0D END * 1e9 + 0.5D) AS BIGINT)"""))
+        .agg(count(lit(1)).as("n_freq"), sum(col("hterm")).as("hsum"))
+        .crossJoin(broadcast(peak))
+        .select(col("n_freq"),
+          round(expr("CAST(hsum AS DOUBLE) / 1e9 / ln(3.0D)"), 6)
+            .as("entropy"),
+          col("peak_period"))
+    },
+    Some(s"""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM events GROUP BY day),
+            idxed AS (
+              SELECT v,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM days),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS HUGEINT) AS sv FROM days),
+            grid AS (
+              SELECT i, v, n, sv, p,
+                CAST((i - 1) % p AS INT) AS j,
+                CAST(n AS HUGEINT) * v - sv AS dev
+              FROM idxed, st
+              CROSS JOIN (SELECT unnest([7, 14, 30]) AS p)),
+            weighted AS (
+              SELECT p, n, dev,
+                $cosCaseSql AS cw,
+                $sinCaseSql AS sw
+              FROM grid),
+            agg AS (
+              SELECT p, any_value(n) AS n,
+                sum(dev * cw) AS cs, sum(dev * sw) AS ss,
+                sum(dev * dev) AS den
+              FROM weighted GROUP BY p),
+            powers AS (
+              SELECT p,
+                CAST(floor(
+                  2.0e0 * (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                    + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                  / (1e12 * n * CAST(den AS DOUBLE)) * 1e12 + 0.5e0)
+                AS BIGINT) AS pm
+              FROM agg),
+            tot AS (SELECT CAST(sum(pm) AS BIGINT) AS tot FROM powers),
+            peak AS (
+              SELECT CAST(p AS BIGINT) AS peak_period FROM powers
+              ORDER BY pm DESC, p LIMIT 1),
+            terms AS (
+              SELECT CAST(floor(CASE WHEN pm > 0 THEN
+                  -(CAST(pm AS DOUBLE) / tot)
+                    * ln(CAST(pm AS DOUBLE) / tot)
+                ELSE 0.0e0 END * 1e9 + 0.5e0) AS BIGINT) AS hterm
+              FROM powers, tot),
+            ent AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_freq,
+                CAST(sum(hterm) AS BIGINT) AS hsum
+              FROM terms)
+            SELECT n_freq,
+              round(CAST(hsum AS DOUBLE) / 1e9 / ln(3.0e0), 6)
+                AS entropy,
+              peak_period
+            FROM ent, peak"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
     qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf,
-    qTsHoltwinters, qEventsInterarrival, qTsGrubbs)
+    qTsHoltwinters, qEventsInterarrival, qTsGrubbs, qTsTheta,
+    qTsSpectralEntropy)
 }

@@ -780,9 +780,75 @@ object TextOps {
             ORDER BY score_micro DESC, phrase NULLS FIRST
             LIMIT 20"""))
 
+  // ---- q_text_boilerplate -----------------------------------------------
+
+  /** Cross-source boilerplate census (q_text_boilerplate): an 8-token
+    * shingle that recurs across ≥ 3 DISTINCT sources is template
+    * boilerplate (navigation chrome, license footers, scaffold text),
+    * not content — the shingle-spread criterion CCNet/RefinedWeb-style
+    * pipelines strip before training. Per source: how many of its
+    * distinct doc-shingles are corpus-boilerplate, and the ratio — the
+    * table that ranks sources by template pollution. Shape: one
+    * explode + per-doc distinct, ONE shingle-keyed aggregate for the
+    * spread counts (map-side combined; the shingle table is
+    * corpus-sized but the aggregate is the only full-width stage), a
+    * semi-join back, and a source-grid rollup. The ratio is an
+    * integer pair divided once. */
+  val qTextBoilerplate = Q(
+    "q_text_boilerplate",
+    (s, d) => {
+      val sh = Tables.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """CASE WHEN size(toks) >= 8
+               THEN transform(sequence(1, size(toks) - 7),
+                    i -> concat_ws(' ', slice(toks, i, 8)))
+               ELSE array() END""")).as("sh"))
+        .distinct()
+      val boiler = sh.groupBy(col("sh"))
+        .agg(countDistinct(col("source")).as("n_src"))
+        .filter(col("n_src") >= 3)
+        .select(col("sh"))
+      sh.join(boiler.withColumnRenamed("sh", "bsh"),
+          col("sh") === col("bsh"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(expr("CAST(bsh IS NOT NULL AS LONG)")).as("n_boiler"))
+        .select(col("source"), col("n_shingles"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_shingles"), 6)
+            .as("boiler_ratio"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, source, sh
+              FROM (SELECT doc_id, source, unnest(
+                      CASE WHEN len(toks) >= 8
+                        THEN list_transform(
+                               generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))
+                        ELSE [] END) AS sh
+                    FROM (SELECT doc_id, source,
+                            string_split(text, ' ') AS toks
+                          FROM documents))),
+            boiler AS (
+              SELECT sh FROM (
+                SELECT sh, count(DISTINCT source) AS n_src
+                FROM sh GROUP BY sh)
+              WHERE n_src >= 3)
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(sum(CASE WHEN b.bsh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+              round(CAST(sum(CASE WHEN b.bsh IS NOT NULL THEN 1 ELSE 0
+                    END) AS DOUBLE) / count(*), 6) AS boiler_ratio
+            FROM sh LEFT JOIN (SELECT sh AS bsh FROM boiler) b
+              ON sh.sh = b.bsh
+            GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qTextTokens, qTextTfidf, qTextLang, qTextQuality, qTextLangid,
     qTextFingerprint, qTokenCount, qTextLogprob, qTextCuration,
     qTextRepetition, qTextPack, qTextLangidEval, qTextDrift, qCurateV2,
-    qTextBurstiness, qTextKeyphrase)
+    qTextBurstiness, qTextKeyphrase, qTextBoilerplate)
 }

@@ -1237,26 +1237,33 @@ object Vector {
         .select(col("label"), (col("vec_id") % 2).as("par"), col("pos"),
           expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5D) AS BIGINT)")
             .as("xm"))
+      // The per-(label, parity) counts are per-dimension constants, so
+      // the centroid divisors factor OUT of the dimension sums: the
+      // cross-dimension accumulation rides exact integer products of
+      // the quantized sums (DECIMAL(38,0) — no merge-order-dependent
+      // float sum), the n's cancel entirely in the cosine, and the
+      // norm ratio applies them once after the sums.
       val sums = pos.groupBy(col("label"), col("par"), col("pos"))
         .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
-        .withColumn("m", col("sm").cast("double") / col("n"))
       val a = sums.filter(col("par") === 0)
-        .select(col("label"), col("pos"), col("m").as("ma"),
-          col("n").as("na"))
+        .select(col("label"), col("pos"),
+          col("sm").cast("decimal(38,0)").as("sma"), col("n").as("na"))
       val b = sums.filter(col("par") === 1)
         .select(col("label").as("lb"), col("pos").as("pb"),
-          col("m").as("mb"), col("n").as("nb"))
+          col("sm").cast("decimal(38,0)").as("smb"), col("n").as("nb"))
       a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
         .groupBy(col("label"))
         .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
-          sum(col("ma") * col("mb")).as("dot"),
-          sum(col("ma") * col("ma")).as("nrm_a"),
-          sum(col("mb") * col("mb")).as("nrm_b"))
+          sum(col("sma") * col("smb")).as("dot_i"),
+          sum(col("sma") * col("sma")).as("nrm_a_i"),
+          sum(col("smb") * col("smb")).as("nrm_b_i"))
         .select(col("label").cast("long").as("label"),
           col("n_even"), col("n_odd"),
-          round(col("dot") / (sqrt(col("nrm_a")) * sqrt(col("nrm_b"))),
-            6).as("cos_drift"),
-          round(sqrt(col("nrm_a")) / sqrt(col("nrm_b")), 6)
+          round(col("dot_i").cast("double") /
+            (sqrt(col("nrm_a_i").cast("double")) *
+              sqrt(col("nrm_b_i").cast("double"))), 6).as("cos_drift"),
+          round((sqrt(col("nrm_a_i").cast("double")) * col("n_odd")) /
+            (sqrt(col("nrm_b_i").cast("double")) * col("n_even")), 6)
             .as("norm_ratio"))
         .orderBy(col("label"))
     },
@@ -1269,23 +1276,22 @@ object Vector {
                 len(embedding))) AS i) ix),
             sums AS (
               SELECT label, par, pos,
-                CAST(sum(xm) AS BIGINT) AS sm,
+                CAST(sum(xm) AS HUGEINT) AS sm,
                 CAST(count(*) AS BIGINT) AS n
               FROM pos GROUP BY label, par, pos),
-            m AS (SELECT label, par, pos,
-                    CAST(sm AS DOUBLE) / n AS m, n
-                  FROM sums),
-            a AS (SELECT label, pos, m AS ma, n AS na FROM m
+            a AS (SELECT label, pos, sm AS sma, n AS na FROM sums
                   WHERE par = 0),
-            b AS (SELECT label AS lb, pos AS pb, m AS mb, n AS nb
-                  FROM m WHERE par = 1)
+            b AS (SELECT label AS lb, pos AS pb, sm AS smb, n AS nb
+                  FROM sums WHERE par = 1)
             SELECT CAST(label AS BIGINT) AS label,
               CAST(max(na) AS BIGINT) AS n_even,
               CAST(max(nb) AS BIGINT) AS n_odd,
-              round(sum(ma * mb)
-                / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+              round(CAST(sum(sma * smb) AS DOUBLE)
+                / (sqrt(CAST(sum(sma * sma) AS DOUBLE))
+                  * sqrt(CAST(sum(smb * smb) AS DOUBLE))), 6)
                 AS cos_drift,
-              round(sqrt(sum(ma * ma)) / sqrt(sum(mb * mb)), 6)
+              round((sqrt(CAST(sum(sma * sma) AS DOUBLE)) * max(nb))
+                / (sqrt(CAST(sum(smb * smb) AS DOUBLE)) * max(na)), 6)
                 AS norm_ratio
             FROM a JOIN b ON label = lb AND pos = pb
             GROUP BY label
@@ -1351,11 +1357,83 @@ object Vector {
             FROM c a JOIN c b ON a.source < b.source
             ORDER BY sa NULLS FIRST, sb NULLS FIRST"""))
 
+  // ---- q_embed_outliers -------------------------------------------------
+
+  /** Per-label embedding outliers (q_embed_outliers): the 3 vectors
+    * farthest from their label centroid — the mislabeled/garbage-encode
+    * shortlist an embedding-quality gate reviews before a kNN index
+    * build trusts the labels. Centroids come from ONE micro-quantized
+    * (label × dim) aggregate (coordinates 6dp-rounded — the Lloyd
+    * recompute discipline, identical doubles on both engines); each
+    * vector's squared distance assembles from per-dimension terms
+    * quantized to pico units BEFORE the per-vector sum (no
+    * merge-order-dependent float sum), and the per-label top-3 rides
+    * a rank window that Spark plans as a partial WindowGroupLimit —
+    * no label's full membership is ever sorted whole. */
+  val qEmbedOutliers = Q(
+    "q_embed_outliers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pos = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("x").cast("double").as("xd"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5D) AS BIGINT)")
+            .as("xm"))
+      val cent = pos.groupBy(col("label").as("cl"), col("pos").as("cp"))
+        .agg(sum(col("xm")).as("sm"), count(lit(1)).as("cn"))
+        .select(col("cl"), col("cp"),
+          round(expr("CAST(sm AS DOUBLE) / cn / 1e6"), 6).as("c"))
+      val dist = pos
+        .join(cent, col("label") === col("cl") && col("pos") === col("cp"))
+        .withColumn("t", expr(
+          "CAST(floor((xd - c) * (xd - c) * 1e12 + 0.5D) AS BIGINT)"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("t")).as("d2p"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("d2p").desc, col("vec_id"))
+      dist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("label").cast("long").as("label"), col("rk").cast("long").as("rk"),
+          col("vec_id"),
+          round(expr("CAST(d2p AS DOUBLE) / 1e12"), 6).as("dist_sq"))
+        .orderBy(col("label"), col("rk"))
+    },
+    Some("""WITH pos AS (
+              SELECT vec_id, label, i - 1 AS pos,
+                CAST(embedding[i] AS DOUBLE) AS xd,
+                CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5e0)
+                  AS BIGINT) AS xm
+              FROM embeddings
+              CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+                len(embedding))) AS i) ix),
+            cent AS (
+              SELECT label AS cl, pos AS cp,
+                round(CAST(CAST(sum(xm) AS BIGINT) AS DOUBLE)
+                  / count(*) / 1e6, 6) AS c
+              FROM pos GROUP BY label, pos),
+            dist AS (
+              SELECT label, vec_id,
+                CAST(sum(CAST(floor((xd - c) * (xd - c) * 1e12 + 0.5e0)
+                  AS BIGINT)) AS BIGINT) AS d2p
+              FROM pos JOIN cent ON label = cl AND pos = cp
+              GROUP BY label, vec_id),
+            ranked AS (
+              SELECT label, vec_id, d2p,
+                CAST(row_number() OVER (PARTITION BY label
+                  ORDER BY d2p DESC, vec_id) AS BIGINT) AS rk
+              FROM dist)
+            SELECT CAST(label AS BIGINT) AS label, rk, vec_id,
+              round(CAST(d2p AS DOUBLE) / 1e12, 6) AS dist_sq
+            FROM ranked WHERE rk <= 3
+            ORDER BY label NULLS FIRST, rk NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     qSimTopk, qSimPairs, qSimAnnLsh, qSimAnnIvf, qSimAnnMultiband,
     qSimAnnPq, qSimAnnIvfPq, qSimAnnEval, qSimThresholdCurve,
     qMultimodal, qSimQuantize,
     qSimKnnJoin, qSimCentroid, qSimRecall, qMlKnnClassify, qSimPrune,
     qSimHardneg, qSimMatryoshka, qSimNdcg, qEmbedDrift,
-    qEmbedCentroidMatrix)
+    qEmbedCentroidMatrix, qEmbedOutliers)
 }

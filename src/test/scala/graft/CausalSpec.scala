@@ -556,8 +556,13 @@ class CausalSpec extends SparkSuite {
   }
 
   test("ts_changepoint: argmax matches a naive cumulative scan") {
-    val row = SparkEntry.queries("q_ts_changepoint")(spark, sf0)
-      .collect().head
+    val df = SparkEntry.queries("q_ts_changepoint")(spark, sf0)
+    // round-11 emit rule: the DECIMAL(38,0) score is internal-only;
+    // nothing decimal may leave the operator (cross-engine hash).
+    assert(!df.schema.fields.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+      s"decimal column emitted: ${df.schema.treeString}")
+    val row = df.collect().head
     val days = Tables.t(spark, sf0, "events")
       .select(to_date(col("ts")),
         floor(col("value") * 100 + 0.5).cast("long"))
@@ -575,9 +580,9 @@ class CausalSpec extends SparkSuite {
       else None
     }
     val best = scored.minBy(s => (-s._1, s._2.toEpochDay))
-    // score rides in DECIMAL(38,0) since the round-10 overflow fix
-    assert(row.getAs[java.math.BigDecimal]("score").longValueExact()
-      === best._1)
+    // argmax rides DECIMAL(38,0) internally; the emit is score div m
+    // as BIGINT (cross-engine-stable, bounded by total)
+    assert(row.getAs[Long]("score_div_m") === best._1 / m)
     assert(row.getAs[java.sql.Date]("day").toLocalDate === best._2)
     assert(row.getAs[Long]("split_idx") === best._3)
     assert(row.getAs[Long]("mean_before_cents") === best._4 / best._3)

@@ -479,24 +479,22 @@ class PlanSpec extends SparkSuite {
       s"zipf must not rank the vocabulary through a window:\n$p")
   }
 
-  test("jaccard broadcasts ONLY the hub-filtered degree slice") {
-    // deg is an O(V) per-node table: a forced broadcast of the
-    // unfiltered relation OOMs executors at fleet scale. The single
-    // allowed hint is the deg <= 64 slice bounded by the hub cut; the
-    // closing degree joins stay un-hinted (planner/AQE picks by stats).
-    val o = q("q_graph_jaccard").queryExecution.optimizedPlan.toString
-    val hinted = o.linesIterator
-      .filter(_.contains("Hint=(strategy=broadcast)")).toList
-    // only the wedge joins (nbr = dn) may carry the hint - once per
-    // side of the candidate self-join over the filtered slice
-    hinted.foreach(l => assert(l.contains("nbr#"),
-      s"broadcast hint on a non-wedge join: $l"))
-    // and the closing per-pair degree joins must be un-hinted
-    val closing = o.linesIterator
-      .filter(l => l.contains("Join Inner, (p") && l.contains("= d")).toList
-    assert(closing.nonEmpty, s"closing degree joins missing:\n$o")
-    closing.foreach(l => assert(!l.contains("Hint"),
-      s"forced broadcast left on an O(V) degree join: $l"))
+  test("wedge tier carries NO forced broadcast on any vertex-sized " +
+    "relation") {
+    // deg (and any filtered slice of it) is an O(V) per-node table:
+    // the deg <= 64 cut bounds DEGREE, not node count, so it is nearly
+    // all of V and grows with the corpus — a forced broadcast of it is
+    // an executor OOM at fleet scale. Every join stays un-hinted; AQE
+    // picks broadcast by measured size while the relation still fits.
+    for (id <- Seq("q_graph_jaccard", "q_graph_adamic_adar")) {
+      val o = q(id).queryExecution.optimizedPlan.toString
+      assert(!o.contains("Hint=(strategy=broadcast)"),
+        s"$id: forced broadcast hint on a vertex-sized relation:\n$o")
+      // the wedge candidate stage must still be an equi-join (no
+      // cartesian blow-up replaces the hint)
+      assert(!o.contains("CartesianProduct") && !o.contains("Join Cross"),
+        s"$id: wedge stage degenerated to a cross join:\n$o")
+    }
   }
 
   test("decontamination probe: bloom predicate prunes the corpus scan, " +

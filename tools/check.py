@@ -24,15 +24,41 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet({files!r})").df()
-            want = con.sql(oracle[name]).df()
+            grel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            wrel = con.sql(oracle[name])
+            # TYPE-STRICT gate (round-10 lesson: 0 == 0.0 passed two
+            # driver reds). Any HUGEINT or DECIMAL result column on
+            # either side is a fail BEFORE values are compared: those
+            # types degrade to float64/object in result paths and the
+            # driver's value hash diverges on representation even when
+            # every value is identical.
+            bad = [(side, c, str(t))
+                   for side, rel in (("spark", grel), ("oracle", wrel))
+                   for c, t in zip(rel.columns, rel.types)
+                   if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")]
+            if bad:
+                print(f"FAIL {name}: banned result types {bad}")
+                n_fail += 1; continue
+            got, want = grel.df(), wrel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} vs {wc}"); n_fail += 1; continue
         got, want = got[gc], want[wc]
+        # dtype-strict: int-vs-float (and int/float-vs-object) is a
+        # hash mismatch at the driver even when the values compare
+        # equal in Python. Integer WIDTHS are normalized — the driver's
+        # value hash provably tolerates int32 vs int64 (six r10
+        # hash-green rows differ only there).
+        def canon(d):
+            d = str(d)
+            return "int64" if d in ("int8", "int16", "int32") else d
+        dt = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gc
+              if canon(got[c].dtype) != canon(want[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}"); n_fail += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1; continue
