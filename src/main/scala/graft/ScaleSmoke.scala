@@ -181,7 +181,14 @@ object ScaleSmoke {
     // second phase for welch); the trend test rides the day grid
     "q_agg_genmeans", "q_stats_welch", "q_stats_trend_ca",
     // the genmeans twin keeps one quantized-sums row per type
-    "q_stream_genmeans")
+    "q_stream_genmeans",
+    // round 11: theta/entropy ride the day grid; cronbach/mcnemar are
+    // one moment aggregate each; truss/scc are bounded peel/BFS rounds;
+    // boilerplate is one shingle-keyed aggregate; outliers one
+    // (label x dim) grid + a WindowGroupLimit top-3
+    "q_ts_theta", "q_ts_spectral_entropy", "q_stats_cronbach",
+    "q_stats_mcnemar", "q_graph_ktruss", "q_graph_scc_pivot",
+    "q_text_boilerplate", "q_embed_outliers")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
