@@ -188,7 +188,20 @@ object ScaleSmoke {
     // (label x dim) grid + a WindowGroupLimit top-3
     "q_ts_theta", "q_ts_spectral_entropy", "q_stats_cronbach",
     "q_stats_mcnemar", "q_graph_ktruss", "q_graph_scc_pivot",
-    "q_text_boilerplate", "q_embed_outliers")
+    "q_text_boilerplate", "q_embed_outliers",
+    // croston rides one daily-count aggregate; cohend one source-grid
+    // moment aggregate; intrinsic-dim is label-block-bounded pairs;
+    // the two twins keep O(1) counter state
+    "q_ts_croston", "q_stats_cohend", "q_embed_intrinsic_dim",
+    "q_stream_mcnemar", "q_stream_cronbach",
+    // kpss/dickey/haar ride the shared day grid; bartlett/fleiss/qq/
+    // mcc/cohend-twin are one moment or cell aggregate each;
+    // uniqueness is one (level, key) count; hubness + intrinsic share
+    // the anchor-capped NN fixpoint (128·|block| pairs — linear)
+    "q_ts_kpss", "q_ts_dickey", "q_ts_haar", "q_stats_bartlett",
+    "q_stats_fleiss", "q_stats_qq", "q_ml_mcc_curve",
+    "q_audit_uniqueness", "q_embed_hubness", "q_stream_bartlett",
+    "q_stream_cohend")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -246,6 +246,69 @@ object Audit {
             FROM rules
             ORDER BY rule NULLS FIRST"""))
 
+  // ---- q_audit_uniqueness -----------------------------------------------
+
+  /** Quasi-identifier uniqueness ladder (q_audit_uniqueness): at three
+    * generalization levels of the (source, lang, length) QI — exact
+    * length, length÷100, then drop lang and length÷1000 — how many QI
+    * cells exist, how small is the smallest (the k-anonymity floor k),
+    * and what fraction of cells are singletons (the re-identification
+    * risk the k-anon/l-div audits summarize per-cell). ONE pass: each
+    * row stacks into its three level keys, one (level, key) count,
+    * then a 3-row rollup — no per-level rescan. */
+  val qAuditUniqueness = Q(
+    "q_audit_uniqueness",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      implicit val dd: String = d
+      val keyed = t("documents").select(expr(
+        """stack(3,
+             1L, concat_ws('|', source, lang, CAST(n_chars AS STRING)),
+             2L, concat_ws('|', source, lang,
+               CAST(n_chars DIV 100 AS STRING)),
+             3L, concat_ws('|', source,
+               CAST(n_chars DIV 1000 AS STRING)))""")
+        .as(Seq("lvl", "qikey")))
+      keyed.groupBy(col("lvl"), col("qikey"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lvl"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("cnt")).as("k_floor"),
+          sum((col("cnt") === 1).cast("long")).as("n_singletons"),
+          sum(col("cnt")).as("n_docs"))
+        .select(col("lvl").as("level"), col("n_cells"), col("k_floor"),
+          col("n_singletons"),
+          round(expr(
+            "CAST(n_singletons AS DOUBLE) / n_docs"), 6)
+            .as("singleton_frac"))
+        .orderBy(col("level"))
+    },
+    Some("""WITH keyed AS (
+              SELECT lvl,
+                CASE lvl
+                  WHEN 1 THEN concat_ws('|', source, lang,
+                    CAST(n_chars AS VARCHAR))
+                  WHEN 2 THEN concat_ws('|', source, lang,
+                    CAST(n_chars // 100 AS VARCHAR))
+                  ELSE concat_ws('|', source,
+                    CAST(n_chars // 1000 AS VARCHAR))
+                END AS qikey
+              FROM documents CROSS JOIN
+                (SELECT unnest([1, 2, 3]) AS lvl)),
+            cells AS (
+              SELECT lvl, qikey, CAST(count(*) AS BIGINT) AS cnt
+              FROM keyed GROUP BY lvl, qikey)
+            SELECT CAST(lvl AS BIGINT) AS level,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(min(cnt) AS BIGINT) AS k_floor,
+              CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_singletons,
+              round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / sum(cnt), 6) AS singleton_frac
+            FROM cells
+            GROUP BY lvl
+            ORDER BY level NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qAggEquidepth, qFnRegex, qDedupCanonical,
-    qAuditExpectations)
+    qAuditExpectations, qAuditUniqueness)
 }

@@ -1604,37 +1604,46 @@ object Inference {
     * n·Σx² − (Σx)² in DECIMAL(38,0)/HUGEINT (the n² denominators
     * cancel in the ratio) — ONE map-side-combined aggregate over the
     * corpus, one double division at the end. */
+  /** The commutative sufficient-moment row for Cronbach's alpha — the
+    * shared ingest aggregate of the batch op and its streaming twin. */
+  private[graft] def cronbachStatsAggs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("n_chars").as("x1"),
+        size(col("toks")).cast("long").as("x2"),
+        size(array_distinct(col("toks"))).cast("long").as("x3"))
+      .withColumn("xt", expr("x1 + x2 + x3"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"),
+        sum(expr("CAST(x1 * x1 AS DECIMAL(38,0))")).as("q1"),
+        sum(col("x2")).as("s2"),
+        sum(expr("CAST(x2 * x2 AS DECIMAL(38,0))")).as("q2"),
+        sum(col("x3")).as("s3"),
+        sum(expr("CAST(x3 * x3 AS DECIMAL(38,0))")).as("q3"),
+        sum(col("xt")).as("st"),
+        sum(expr("CAST(xt * xt AS DECIMAL(38,0))")).as("qt"))
+
+  /** Finisher: moments row → (n_docs, k_items, alpha). */
+  private[graft] def cronbachFromStats(st: DataFrame): DataFrame =
+    st.select(col("n").as("n_docs"), lit(3L).as("k_items"),
+      round(expr(
+        // s·s rides DECIMAL(38,0): a BIGINT square wraps silently
+        // past 9.2e18 under Spark's non-ANSI arithmetic
+        """(3.0D / 2.0D) * (1.0D -
+             (CAST(n * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+              + CAST(n * q2 - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+              + CAST(n * q3 - CAST(s3 AS DECIMAL(38,0)) * s3 AS DOUBLE))
+             / CAST(n * qt - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE))"""),
+        6).as("alpha"))
+
   val qStatsCronbach = Q(
     "q_stats_cronbach",
-    (s, d) => {
-      val items = Tables.t(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("n_chars").as("x1"),
-          size(col("toks")).cast("long").as("x2"),
-          size(array_distinct(col("toks"))).cast("long").as("x3"))
-        .withColumn("xt", expr("x1 + x2 + x3"))
-      items
-        .agg(count(lit(1)).as("n"),
-          sum(col("x1")).as("s1"),
-          sum(expr("CAST(x1 * x1 AS DECIMAL(38,0))")).as("q1"),
-          sum(col("x2")).as("s2"),
-          sum(expr("CAST(x2 * x2 AS DECIMAL(38,0))")).as("q2"),
-          sum(col("x3")).as("s3"),
-          sum(expr("CAST(x3 * x3 AS DECIMAL(38,0))")).as("q3"),
-          sum(col("xt")).as("st"),
-          sum(expr("CAST(xt * xt AS DECIMAL(38,0))")).as("qt"))
-        .select(col("n").as("n_docs"), lit(3L).as("k_items"),
-          round(expr(
-            // s·s rides DECIMAL(38,0): a BIGINT square wraps silently
-            // past 9.2e18 under Spark's non-ANSI arithmetic
-            """(3.0D / 2.0D) * (1.0D -
-                 (CAST(n * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
-                  + CAST(n * q2 - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)
-                  + CAST(n * q3 - CAST(s3 AS DECIMAL(38,0)) * s3 AS DOUBLE))
-                 / CAST(n * qt - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE))"""),
-            6).as("alpha"))
-    },
-    Some("""WITH items AS (
+    (s, d) =>
+      cronbachFromStats(cronbachStatsAggs(Tables.t(s, d, "documents"))),
+    Some(cronbachOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def cronbachOracleSql: String = """WITH items AS (
               SELECT n_chars AS x1,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
                 CAST(len(list_distinct(string_split(text, ' ')))
@@ -1660,7 +1669,7 @@ object Inference {
                    + CAST(n * q2 - s2 * s2 AS DOUBLE)
                    + CAST(n * q3 - s3 * s3 AS DOUBLE))
                   / CAST(n * qt - st * st AS DOUBLE)), 6) AS alpha
-            FROM st"""))
+            FROM st"""
 
   // ---- q_stats_mcnemar --------------------------------------------------
 
@@ -1674,24 +1683,34 @@ object Inference {
     * The whole op is ONE 4-cell count aggregate over the corpus
     * (map-side combined) and a fixed double expression — the
     * cheapest possible shape at any scale. */
+  /** The commutative 4-cell counter row for McNemar — the shared
+    * ingest aggregate of the batch op and its streaming twin. */
+  private[graft] def mcnemarCellAggs(docs: DataFrame): DataFrame =
+    docs
+      .select((col("n_chars") >= 250).as("ga"),
+        (size(split(col("text"), " ")) >= 45).as("gb"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ga AND gb AS LONG)")).as("n_both"),
+        sum(expr("CAST(ga AND NOT gb AS LONG)")).as("b"),
+        sum(expr("CAST(NOT ga AND gb AS LONG)")).as("c"))
+
+  /** Finisher: cell row → the continuity-corrected statistic. */
+  private[graft] def mcnemarFromCells(cells: DataFrame): DataFrame =
+    cells.select(col("n"), col("n_both"), col("b"), col("c"),
+      round(expr(
+        """CASE WHEN b + c > 0 THEN
+             CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+               / (b + c)
+           ELSE 0.0D END"""), 6).as("chi2"))
+
   val qStatsMcnemar = Q(
     "q_stats_mcnemar",
-    (s, d) => {
-      Tables.t(s, d, "documents")
-        .select((col("n_chars") >= 250).as("ga"),
-          (size(split(col("text"), " ")) >= 45).as("gb"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(ga AND gb AS LONG)")).as("n_both"),
-          sum(expr("CAST(ga AND NOT gb AS LONG)")).as("b"),
-          sum(expr("CAST(NOT ga AND gb AS LONG)")).as("c"))
-        .select(col("n"), col("n_both"), col("b"), col("c"),
-          round(expr(
-            """CASE WHEN b + c > 0 THEN
-                 CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
-                   / (b + c)
-               ELSE 0.0D END"""), 6).as("chi2"))
-    },
-    Some("""WITH g AS (
+    (s, d) =>
+      mcnemarFromCells(mcnemarCellAggs(Tables.t(s, d, "documents"))),
+    Some(mcnemarOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def mcnemarOracleSql: String = """WITH g AS (
               SELECT n_chars >= 250 AS ga,
                 len(string_split(text, ' ')) >= 45 AS gb
               FROM documents),
@@ -1709,12 +1728,413 @@ object Inference {
                   CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
                     / (b + c)
                 ELSE 0.0e0 END, 6) AS chi2
+            FROM st"""
+
+  // ---- q_stats_cohend ---------------------------------------------------
+
+  /** Per-source effect-size panel (q_stats_cohend): Cohen's d of each
+    * source's document length against the REST of the corpus — the
+    * standardized "how different is this source, in pooled-σ units"
+    * table a mixture planner reads next to q_text_jsd's lexical view
+    * (d ≈ 0.2 small / 0.5 medium / 0.8 large, scale-free where a raw
+    * mean gap is not). ONE (source) moment aggregate touches the
+    * corpus; the corpus totals are the SUM of the source grid (exact
+    * integers, order-free), and d is a fixed double expression per
+    * grid row: d = (m₁ − m₂) / √(((n₁q₁−s₁²)/n₁ + (n₂q₂−s₂²)/n₂)
+    * / (n₁+n₂−2)). */
+  /** The commutative per-source (n, Σx, Σx²) length-moment grid —
+    * the shared ingest aggregate of q_stats_cohend, q_stats_bartlett,
+    * and both their streaming twins. ONE map-side-combined (source)
+    * aggregate; the sum-of-squares rides DECIMAL(38,0). */
+  private[graft] def sourceLenMoments(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(expr("CAST(n_chars * n_chars AS DECIMAL(38,0))"))
+          .as("qx"))
+
+  /** Finisher: source grid → per-source Cohen's d panel. The corpus
+    * totals are the SUM of the grid (exact integers, order-free). */
+  private[graft] def cohendFromMoments(grid: DataFrame): DataFrame = {
+      val tot = grid.agg(sum(col("n")).as("tn"),
+        sum(col("sx")).as("ts"), sum(col("qx")).as("tq"))
+      grid.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").as("n_docs"),
+          round(expr(
+            """(CAST(sx AS DOUBLE) / n
+                - CAST(ts - sx AS DOUBLE) / (tn - n))
+               / sqrt((CAST(n * qx - CAST(sx AS DECIMAL(38,0)) * sx
+                         AS DOUBLE) / n
+                       + CAST((tn - n) * (tq - qx)
+                           - CAST(ts - sx AS DECIMAL(38,0)) * (ts - sx)
+                         AS DOUBLE) / (tn - n))
+                      / (tn - 2))"""), 6).as("cohen_d"))
+        .orderBy(col("source"))
+  }
+
+  val qStatsCohend = Q(
+    "q_stats_cohend",
+    (s, d) =>
+      cohendFromMoments(sourceLenMoments(Tables.t(s, d, "documents"))),
+    Some(cohendOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def cohendOracleSql: String = """WITH grid AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS HUGEINT) AS sx,
+                CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                  AS qx
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn,
+                CAST(sum(sx) AS HUGEINT) AS ts,
+                CAST(sum(qx) AS HUGEINT) AS tq
+              FROM grid)
+            SELECT source, n AS n_docs,
+              round((CAST(sx AS DOUBLE) / n
+                  - CAST(ts - sx AS DOUBLE) / (tn - n))
+                / sqrt((CAST(n * qx - sx * sx AS DOUBLE) / n
+                        + CAST((tn - n) * (tq - qx)
+                            - (ts - sx) * (ts - sx) AS DOUBLE) / (tn - n))
+                       / (tn - 2)), 6) AS cohen_d
+            FROM grid, tot
+            ORDER BY source NULLS FIRST"""
+
+  // ---- q_stats_bartlett -------------------------------------------------
+
+  /** Finisher: source grid ([[sourceLenMoments]]) → Bartlett's
+    * homogeneity-of-variance χ².
+    * Each source's term is quantized BEFORE the k-sum (t1 = pooled-SS
+    * contribution in micro units, t2 = (n−1)·ln v in nano units,
+    * t3 = 1/(n−1) in pico units) so the grid aggregate is order-free;
+    * the sample SS n·Σx²−(Σx)² stays exact DECIMAL(38,0) until one
+    * double division per source. */
+  private[graft] def bartlettFromMoments(grid: DataFrame): DataFrame =
+    grid
+      .select(col("n"),
+        expr("n * qx - CAST(sx AS DECIMAL(38,0)) * sx").as("ssd"))
+      .select(col("n"),
+        expr("""CAST(floor(CAST(ssd AS DOUBLE) / n * 1e6 + 0.5D)
+            AS BIGINT)""").as("t1"),
+        expr("""(n - 1) * CAST(floor(
+            ln(CAST(ssd AS DOUBLE) / (n * (n - 1.0D))) * 1e9 + 0.5D)
+            AS BIGINT)""").as("t2"),
+        expr("CAST(floor(1e12 / (n - 1) + 0.5D) AS BIGINT)").as("t3"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("ntot"),
+        sum(col("t1")).as("s1"), sum(col("t2")).as("s2"),
+        sum(col("t3")).as("s3"))
+      .select(col("k").as("k_groups"), col("ntot").as("n_total"),
+        expr("k - 1").as("df"),
+        round(expr(
+          """((ntot - k) * ln(CAST(s1 AS DOUBLE) / 1e6 / (ntot - k))
+              - CAST(s2 AS DOUBLE) / 1e9)
+             / (1.0D + (CAST(s3 AS DOUBLE) / 1e12
+                        - 1.0D / (ntot - k))
+                       / (3.0D * (k - 1)))"""), 6)
+          .as("bartlett_chi2"))
+
+  /** Bartlett's test for equal variances (q_stats_bartlett): do the
+    * sources write documents of equally DISPERSED length? The
+    * parametric sibling of q_stats_levene — more powerful when the
+    * normal assumption holds, and the pair's disagreement is itself
+    * the heavy-tail signal a curation gate wants. */
+  val qStatsBartlett = Q(
+    "q_stats_bartlett",
+    (s, d) =>
+      bartlettFromMoments(sourceLenMoments(
+        Tables.t(s, d, "documents"))),
+    Some(bartlettOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def bartlettOracleSql: String = """WITH grid AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sx,
+                sum(CAST(n_chars AS HUGEINT) * n_chars) AS qx
+              FROM documents GROUP BY source),
+            terms AS (
+              SELECT n,
+                CAST(floor(CAST(n * qx - CAST(sx AS HUGEINT) * sx
+                    AS DOUBLE) / n * 1e6 + 0.5e0) AS BIGINT) AS t1,
+                (n - 1) * CAST(floor(
+                  ln(CAST(n * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     / (n * (n - 1.0e0))) * 1e9 + 0.5e0)
+                  AS BIGINT) AS t2,
+                CAST(floor(1e12 / (n - 1) + 0.5e0) AS BIGINT) AS t3
+              FROM grid),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS ntot,
+                CAST(sum(t1) AS BIGINT) AS s1,
+                CAST(sum(t2) AS BIGINT) AS s2,
+                CAST(sum(t3) AS BIGINT) AS s3
+              FROM terms)
+            SELECT k AS k_groups, ntot AS n_total,
+              CAST(k - 1 AS BIGINT) AS df,
+              round(((ntot - k) * ln(CAST(s1 AS DOUBLE) / 1e6
+                    / (ntot - k))
+                  - CAST(s2 AS DOUBLE) / 1e9)
+                / (1.0e0 + (CAST(s3 AS DOUBLE) / 1e12
+                            - 1.0e0 / (ntot - k))
+                           / (3.0e0 * (k - 1))), 6) AS bartlett_chi2
+            FROM st"""
+
+  // ---- q_stats_fleiss ---------------------------------------------------
+
+  /** Fleiss' kappa (q_stats_fleiss): chance-corrected agreement of
+    * THREE binary curation gates (char length ≥ 250, token count ≥ 45,
+    * distinct tokens ≥ 40) treated as three raters per document — the
+    * multi-rater extension of q_quality_kappa's Cohen view. With
+    * r = positive votes per doc, P̄ᵢ = (r² + (3−r)² − 3)/6 and
+    * P̄ₑ = p₁² + p₀², all from ONE 3-sum exact-integer aggregate; the
+    * whole statistic is a fixed double expression over (n, Σr,
+    * Σ[r²+(3−r)²]). */
+  val qStatsFleiss = Q(
+    "q_stats_fleiss",
+    (s, d) => {
+      Tables.t(s, d, "documents")
+        .select(((col("n_chars") >= 250).cast("long")
+          + (size(split(col("text"), " ")) >= 45).cast("long")
+          + (size(array_distinct(split(col("text"), " "))) >= 40)
+            .cast("long")).as("r"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(expr("r * r + (3 - r) * (3 - r)")).as("sq"))
+        .select(col("n").as("n_docs"), lit(3L).as("n_raters"),
+          round(expr(
+            """CASE WHEN
+                 1.0D - ((CAST(sr AS DOUBLE) / (3.0D * n))
+                         * (CAST(sr AS DOUBLE) / (3.0D * n))
+                         + (1.0D - CAST(sr AS DOUBLE) / (3.0D * n))
+                           * (1.0D - CAST(sr AS DOUBLE) / (3.0D * n)))
+                 <> 0.0D THEN
+                 (CAST(sq - 3 * n AS DOUBLE) / (6.0D * n)
+                  - ((CAST(sr AS DOUBLE) / (3.0D * n))
+                     * (CAST(sr AS DOUBLE) / (3.0D * n))
+                     + (1.0D - CAST(sr AS DOUBLE) / (3.0D * n))
+                       * (1.0D - CAST(sr AS DOUBLE) / (3.0D * n))))
+                 / (1.0D - ((CAST(sr AS DOUBLE) / (3.0D * n))
+                            * (CAST(sr AS DOUBLE) / (3.0D * n))
+                            + (1.0D - CAST(sr AS DOUBLE) / (3.0D * n))
+                              * (1.0D
+                                 - CAST(sr AS DOUBLE) / (3.0D * n))))
+               ELSE CAST(NULL AS DOUBLE) END"""), 6)
+            .as("fleiss_kappa"))
+    },
+    Some("""WITH g AS (
+              SELECT (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 45
+                    THEN 1 ELSE 0 END
+                + CASE WHEN len(list_distinct(string_split(text, ' ')))
+                    >= 40 THEN 1 ELSE 0 END) AS r
+              FROM documents),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(r) AS BIGINT) AS sr,
+                CAST(sum(r * r + (3 - r) * (3 - r)) AS BIGINT) AS sq
+              FROM g)
+            SELECT n AS n_docs, CAST(3 AS BIGINT) AS n_raters,
+              round(CASE WHEN
+                  1.0e0 - ((CAST(sr AS DOUBLE) / (3.0e0 * n))
+                           * (CAST(sr AS DOUBLE) / (3.0e0 * n))
+                           + (1.0e0 - CAST(sr AS DOUBLE) / (3.0e0 * n))
+                             * (1.0e0
+                                - CAST(sr AS DOUBLE) / (3.0e0 * n)))
+                  <> 0.0e0 THEN
+                  (CAST(sq - 3 * n AS DOUBLE) / (6.0e0 * n)
+                   - ((CAST(sr AS DOUBLE) / (3.0e0 * n))
+                      * (CAST(sr AS DOUBLE) / (3.0e0 * n))
+                      + (1.0e0 - CAST(sr AS DOUBLE) / (3.0e0 * n))
+                        * (1.0e0 - CAST(sr AS DOUBLE) / (3.0e0 * n))))
+                  / (1.0e0 - ((CAST(sr AS DOUBLE) / (3.0e0 * n))
+                              * (CAST(sr AS DOUBLE) / (3.0e0 * n))
+                              + (1.0e0
+                                 - CAST(sr AS DOUBLE) / (3.0e0 * n))
+                                * (1.0e0
+                                   - CAST(sr AS DOUBLE)
+                                     / (3.0e0 * n))))
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS fleiss_kappa
             FROM st"""))
+
+  // ---- q_stats_qq -------------------------------------------------------
+
+  /** Standard-normal quantile literals for the nine deciles — embedded
+    * identically in both engines (the q_audit_dp_hist inverse-CDF
+    * discipline: no engine evaluates Φ⁻¹ itself). */
+  private val normalZ = Seq(
+    1 -> "-1.2815515655446004", 2 -> "-0.8416212335729143",
+    3 -> "-0.5244005127080407", 4 -> "-0.2533471031357997",
+    5 -> "0.0", 6 -> "0.2533471031357997",
+    7 -> "0.5244005127080407", 8 -> "0.8416212335729143",
+    9 -> "1.2815515655446004")
+  private val zCaseSql = "CASE " + normalZ.map { case (k, z) =>
+    s"WHEN k = $k THEN CAST($z AS DOUBLE)" }.mkString(" ") + " END"
+
+  /** Normal Q-Q table (q_stats_qq): empirical deciles of document
+    * length against μ + σ·z_p — the nine-row normality diagnostic a
+    * reviewer reads before trusting any of the parametric gates
+    * (Bartlett, t, Welch). σ comes from exact integer moments; the
+    * z_p grid is literal; the only estimator shared across engines is
+    * the interpolated percentile both sides define identically
+    * (q_ml_pr_curve precedent). */
+  val qStatsQq = Q(
+    "q_stats_qq",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents")
+        .select(col("n_chars").as("c"))
+      val st = base.agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("q1"),
+        expr("percentile(c, 0.1)").as("p1"),
+        expr("percentile(c, 0.2)").as("p2"),
+        expr("percentile(c, 0.3)").as("p3"),
+        expr("percentile(c, 0.4)").as("p4"),
+        expr("percentile(c, 0.5)").as("p5"),
+        expr("percentile(c, 0.6)").as("p6"),
+        expr("percentile(c, 0.7)").as("p7"),
+        expr("percentile(c, 0.8)").as("p8"),
+        expr("percentile(c, 0.9)").as("p9"))
+      st.select(expr("""stack(9, 1L, p1, 2L, p2, 3L, p3, 4L, p4,
+            5L, p5, 6L, p6, 7L, p7, 8L, p8, 9L, p9)""")
+          .as(Seq("k", "emp_q")),
+          col("n"), col("s1"), col("q1"))
+        .select(col("k").as("fence"),
+          round(col("emp_q"), 6).as("emp_q"),
+          round(expr(
+            s"""CAST(s1 AS DOUBLE) / n
+               + sqrt((CAST(n * q1 - CAST(s1 AS DECIMAL(38,0)) * s1
+                         AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))) * ($zCaseSql)"""),
+            6).as("theo_q"))
+        .withColumn("gap", round(expr("round(emp_q, 6) - round(theo_q, 6)"), 6))
+        .orderBy(col("fence"))
+    },
+    Some(s"""WITH base AS (SELECT n_chars AS c FROM documents),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(c) AS BIGINT) AS s1,
+                sum(CAST(c AS HUGEINT) * c) AS q1,
+                quantile_cont(c, 0.1) AS p1, quantile_cont(c, 0.2) AS p2,
+                quantile_cont(c, 0.3) AS p3, quantile_cont(c, 0.4) AS p4,
+                quantile_cont(c, 0.5) AS p5, quantile_cont(c, 0.6) AS p6,
+                quantile_cont(c, 0.7) AS p7, quantile_cont(c, 0.8) AS p8,
+                quantile_cont(c, 0.9) AS p9
+              FROM base),
+            fences AS (
+              SELECT k,
+                CASE k WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+                       WHEN 4 THEN p4 WHEN 5 THEN p5 WHEN 6 THEN p6
+                       WHEN 7 THEN p7 WHEN 8 THEN p8 ELSE p9 END
+                  AS emp_q,
+                n, s1, q1
+              FROM st CROSS JOIN
+                (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k)),
+            vals AS (
+              SELECT CAST(k AS BIGINT) AS fence,
+                round(emp_q, 6) AS emp_q,
+                round(CAST(s1 AS DOUBLE) / n
+                  + sqrt((CAST(n * q1 - CAST(s1 AS HUGEINT) * s1
+                            AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (n - 1)))
+                    * ($zCaseSql), 6) AS theo_q
+              FROM fences)
+            SELECT fence, emp_q, theo_q,
+              round(round(emp_q, 6) - round(theo_q, 6), 6) AS gap
+            FROM vals
+            ORDER BY fence NULLS FIRST"""))
+
+  // ---- q_ml_mcc_curve ---------------------------------------------------
+
+  /** Matthews-correlation curve (q_ml_mcc_curve): MCC of the
+    * "length > decile-t predicts English" classifier at the same nine
+    * fences as q_ml_pr_curve — the balanced single-number companion
+    * the PR table lacks when classes skew. The 2×2 cells are exact
+    * BIGINT counts from one corpus pass over the broadcast fence grid;
+    * the numerator tp·tn − fp·fn stays integer (≤ n², far inside
+    * BIGINT) and the √ of the four marginal products runs in one
+    * fixed double expression. */
+  val qMlMccCurve = Q(
+    "q_ml_mcc_curve",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents")
+        .select(col("n_chars").as("c"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val thr = base.agg(
+        expr("percentile(c, 0.1)").as("t1"),
+        expr("percentile(c, 0.2)").as("t2"),
+        expr("percentile(c, 0.3)").as("t3"),
+        expr("percentile(c, 0.4)").as("t4"),
+        expr("percentile(c, 0.5)").as("t5"),
+        expr("percentile(c, 0.6)").as("t6"),
+        expr("percentile(c, 0.7)").as("t7"),
+        expr("percentile(c, 0.8)").as("t8"),
+        expr("percentile(c, 0.9)").as("t9"))
+        .select(expr("""stack(9, 1L, t1, 2L, t2, 3L, t3, 4L, t4,
+          5L, t5, 6L, t6, 7L, t7, 8L, t8, 9L, t9)""")
+          .as(Seq("k", "t")))
+      base.crossJoin(broadcast(thr))
+        .groupBy(col("k"))
+        .agg(sum(when(col("c") > col("t"), col("pos")).otherwise(0L))
+            .as("tp"),
+          sum(when(col("c") > col("t"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("c") <= col("t"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("tn"),
+          sum(when(col("c") <= col("t"), col("pos")).otherwise(0L))
+            .as("fn"))
+        .select(col("k").as("fence"), col("tp"), col("fp"), col("tn"),
+          col("fn"),
+          round(expr(
+            """CASE WHEN (tp + fp) * (tp + fn) > 0
+                     AND (tn + fp) * (tn + fn) > 0 THEN
+                 CAST(tp * tn - fp * fn AS DOUBLE)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn))
+               ELSE CAST(NULL AS DOUBLE) END"""), 6).as("mcc"))
+        .orderBy(col("fence"))
+    },
+    Some("""WITH base AS (
+              SELECT n_chars AS c,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents),
+            thr0 AS (
+              SELECT quantile_cont(c, 0.1) AS t1,
+                quantile_cont(c, 0.2) AS t2, quantile_cont(c, 0.3) AS t3,
+                quantile_cont(c, 0.4) AS t4, quantile_cont(c, 0.5) AS t5,
+                quantile_cont(c, 0.6) AS t6, quantile_cont(c, 0.7) AS t7,
+                quantile_cont(c, 0.8) AS t8, quantile_cont(c, 0.9) AS t9
+              FROM base),
+            thr AS (
+              SELECT k,
+                CASE k WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+                       WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6
+                       WHEN 7 THEN t7 WHEN 8 THEN t8 ELSE t9 END AS t
+              FROM thr0 CROSS JOIN
+                (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k)),
+            cnt AS (
+              SELECT k,
+                CAST(sum(CASE WHEN c > t THEN pos ELSE 0 END)
+                  AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN c > t THEN 1 - pos ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN c <= t THEN 1 - pos ELSE 0 END)
+                  AS BIGINT) AS tn,
+                CAST(sum(CASE WHEN c <= t THEN pos ELSE 0 END)
+                  AS BIGINT) AS fn
+              FROM base, thr
+              GROUP BY k)
+            SELECT CAST(k AS BIGINT) AS fence, tp, fp, tn, fn,
+              round(CASE WHEN (tp + fp) * (tp + fn) > 0
+                          AND (tn + fp) * (tn + fn) > 0 THEN
+                  CAST(tp * tn - fp * fn AS DOUBLE)
+                  / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                         * (tn + fp) * (tn + fn))
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS mcc
+            FROM cnt
+            ORDER BY fence NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
     qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier,
     qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve,
-    qStatsWelch, qStatsTrendCa, qStatsCronbach, qStatsMcnemar)
+    qStatsWelch, qStatsTrendCa, qStatsCronbach, qStatsMcnemar,
+    qStatsCohend, qStatsBartlett, qStatsFleiss, qStatsQq, qMlMccCurve)
 }

@@ -2007,10 +2007,351 @@ object Series {
               peak_period
             FROM ent, peak"""))
 
+  // ---- q_ts_croston -----------------------------------------------------
+
+  /** Croston's intermittent-demand method (q_ts_croston): the standard
+    * forecaster for series that are MOSTLY ZERO — here the daily count
+    * of extreme events (value > 250), the "how many capacity spikes
+    * per day should we provision for" series. Croston smooths demand
+    * SIZE and demand INTERVAL separately (α = 0.3) over the non-zero
+    * days only: z_k = 0.3·c_k + 0.7·z, p_k = 0.3·q_k + 0.7·p with q_k
+    * the gap since the previous demand; forecast = z/p per-day rate.
+    * Inherently sequential → the q_ts_holt discipline: a TIME-bounded
+    * fold over the collected demand-day array on the Spark side, the
+    * identical recursive CTE in DuckDB; inputs are exact integer
+    * (day index, count), so both engines run the same IEEE sequence.
+    * The only corpus-scaling stage is the daily count aggregate. */
+  val qTsCroston = Q(
+    "q_ts_croston",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val days = events
+        .select(to_date(col("ts")).as("day"),
+          (col("value") > 250.0).cast("long").as("hit"))
+        .groupBy(col("day")).agg(sum(col("hit")).as("c"))
+        .withColumn("i", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+      val nDays = days.agg(count(lit(1)).as("n_days"))
+      val demand = days.filter(col("c") > 0)
+      demand
+        .agg(array_sort(collect_list(
+          expr("named_struct('i', i, 'c', CAST(c AS DOUBLE))")))
+          .as("ds"))
+        .filter(size(col("ds")) >= 1)
+        .withColumn("fin", expr("""
+          aggregate(
+            slice(ds, 2, size(ds) - 1),
+            named_struct(
+              'z', ds[0].c, 'p', CAST(ds[0].i AS DOUBLE),
+              'ti', ds[0].i, 'k', 1L),
+            (acc, x) -> named_struct(
+              'z', 0.3D * x.c + 0.7D * acc.z,
+              'p', 0.3D * CAST(x.i - acc.ti AS DOUBLE) + 0.7D * acc.p,
+              'ti', x.i, 'k', acc.k + 1L),
+            acc -> acc)"""))
+        .crossJoin(broadcast(nDays))
+        .select(col("n_days"), col("fin.k").as("n_demand_days"),
+          round(col("fin.z"), 6).as("size_level"),
+          round(col("fin.p"), 6).as("interval_level"),
+          round(expr("fin.z / fin.p"), 6).as("forecast_per_day"))
+    },
+    Some("""WITH RECURSIVE days AS (
+              SELECT day,
+                CAST(sum(hit) AS BIGINT) AS c,
+                CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+              FROM (SELECT CAST(ts AS DATE) AS day,
+                      CASE WHEN value > 250.0e0 THEN 1 ELSE 0 END AS hit
+                    FROM events)
+              GROUP BY day),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
+            dem AS (
+              SELECT i, CAST(c AS DOUBLE) AS c,
+                CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS k
+              FROM days WHERE c > 0),
+            cro(k, z, p, ti) AS (
+              SELECT k, c, CAST(i AS DOUBLE), i FROM dem WHERE k = 1
+              UNION ALL
+              SELECT d.k,
+                0.3e0 * d.c + 0.7e0 * r.z,
+                0.3e0 * CAST(d.i - r.ti AS DOUBLE) + 0.7e0 * r.p,
+                d.i
+              FROM cro r JOIN dem d ON d.k = r.k + 1),
+            fin AS (
+              SELECT k, z, p FROM cro ORDER BY k DESC LIMIT 1)
+            SELECT n_days, k AS n_demand_days,
+              round(z, 6) AS size_level,
+              round(p, 6) AS interval_level,
+              round(z / p, 6) AS forecast_per_day
+            FROM fin, nd"""))
+
+  // ---- q_ts_kpss ---------------------------------------------------------
+
+  /** KPSS level-stationarity test (q_ts_kpss) on the shared daily
+    * revenue grid — the complement of the unit-root view (q_ts_dickey):
+    * its NULL is "stationary", so KPSS > 0.463 (5%) says the level
+    * drifts. Everything is exact integer algebra until ONE final
+    * division: with x_t the daily total in whole dollars (v div 100 —
+    * cents would square past DECIMAL(38,0) at a 10× blow-up), running
+    * sum P_t and total S, the demeaned partial sum is S_t = A_t/n with
+    * A_t = n·P_t − t·S exact, and the Bartlett long-run variance with
+    * L = 4 lags folds into D = 5·B₀ + 2·(4B₁+3B₂+2B₃+B₄) where
+    * B_l = Σ(n·x_t − S)(n·x_{t−l} − S) — so η = 5·ΣA² / (n·D), one
+    * double ratio of two DECIMAL(38,0) sums. The day grid is bounded
+    * (calendar), so the single ORDER BY window is a documented
+    * grid-bounded site. */
+  val qTsKpss = Q(
+    "q_ts_kpss",
+    (sp, dir) => {
+      val days = dailyRevenue(sp, dir)
+        .select(col("day"), expr("v DIV 100").as("x"))
+      val w = Window.orderBy(col("day"))
+      val tot = days.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val scored = days
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("p", sum(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("a", expr(
+          "CAST(n AS DECIMAL(38,0)) * p - CAST(t AS DECIMAL(38,0)) * s"))
+        .withColumn("e", expr(
+          "CAST(n AS DECIMAL(38,0)) * x - s"))
+        .withColumn("e1", lag(col("e"), 1).over(w))
+        .withColumn("e2", lag(col("e"), 2).over(w))
+        .withColumn("e3", lag(col("e"), 3).over(w))
+        .withColumn("e4", lag(col("e"), 4).over(w))
+      scored
+        .agg(max(col("n")).as("n_days"),
+          sum(expr("a * a")).as("sa2"),
+          sum(expr("e * e")).as("b0"),
+          sum(expr("e * e1")).as("b1"),
+          sum(expr("e * e2")).as("b2"),
+          sum(expr("e * e3")).as("b3"),
+          sum(expr("e * e4")).as("b4"))
+        .select(col("n_days"), lit(4L).as("lags"),
+          round(expr(
+            """5.0D * CAST(sa2 AS DOUBLE)
+               / (CAST(n_days AS DOUBLE)
+                  * CAST(5 * b0 + 2 * (4 * b1 + 3 * b2 + 2 * b3 + b4)
+                      AS DOUBLE))"""), 6).as("kpss_eta"),
+          expr("""5.0D * CAST(sa2 AS DOUBLE)
+               / (CAST(n_days AS DOUBLE)
+                  * CAST(5 * b0 + 2 * (4 * b1 + 3 * b2 + 2 * b3 + b4)
+                      AS DOUBLE)) < 0.463D""").as("is_stationary"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) // 100 AS x
+              FROM events GROUP BY CAST(ts AS DATE)),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS s
+              FROM days),
+            scored AS (
+              SELECT CAST(row_number() OVER w AS BIGINT) AS t,
+                CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+                x
+              FROM days WINDOW w AS (ORDER BY day)),
+            terms AS (
+              SELECT CAST(n AS HUGEINT) * p
+                       - CAST(t AS HUGEINT) * s AS a,
+                CAST(n AS HUGEINT) * x - s AS e,
+                lag(CAST(n AS HUGEINT) * x - s, 1)
+                  OVER (ORDER BY t) AS e1,
+                lag(CAST(n AS HUGEINT) * x - s, 2)
+                  OVER (ORDER BY t) AS e2,
+                lag(CAST(n AS HUGEINT) * x - s, 3)
+                  OVER (ORDER BY t) AS e3,
+                lag(CAST(n AS HUGEINT) * x - s, 4)
+                  OVER (ORDER BY t) AS e4
+              FROM scored, tot),
+            st AS (
+              SELECT sum(a * a) AS sa2, sum(e * e) AS b0,
+                sum(e * e1) AS b1, sum(e * e2) AS b2,
+                sum(e * e3) AS b3, sum(e * e4) AS b4
+              FROM terms)
+            SELECT n AS n_days, CAST(4 AS BIGINT) AS lags,
+              round(5.0e0 * CAST(sa2 AS DOUBLE)
+                / (CAST(n AS DOUBLE)
+                   * CAST(5 * b0 + 2 * (4 * b1 + 3 * b2 + 2 * b3 + b4)
+                       AS DOUBLE)), 6) AS kpss_eta,
+              5.0e0 * CAST(sa2 AS DOUBLE)
+                / (CAST(n AS DOUBLE)
+                   * CAST(5 * b0 + 2 * (4 * b1 + 3 * b2 + 2 * b3 + b4)
+                       AS DOUBLE)) < 0.463e0 AS is_stationary
+            FROM st, tot"""))
+
+  // ---- q_ts_dickey -------------------------------------------------------
+
+  /** Dickey-Fuller unit-root test (q_ts_dickey): regress the daily
+    * revenue DIFFERENCE on the lagged level (with intercept) and read
+    * the slope's t-statistic — t deep below −2.86 rejects a random
+    * walk, i.e. revenue mean-reverts and a drift monitor can assume a
+    * stable level. The q_ml_linreg discipline: five commutative
+    * DECIMAL(38,0) sufficient sums over (z = x_{t−1}, y = Δx_t), then
+    * β̂ = Szy/Szz and t = β̂ / √((Syy − Szy²/Szz) / ((m−2)·Szz)) as one
+    * fixed double expression (S·· are the m-scaled centered sums —
+    * the scale cancels in both ratios). */
+  val qTsDickey = Q(
+    "q_ts_dickey",
+    (sp, dir) => {
+      val w = Window.orderBy(col("day"))
+      val pairs = dailyRevenue(sp, dir)
+        .select(col("day"), col("v").as("x"))
+        .withColumn("z", lag(col("x"), 1).over(w))
+        .filter(col("z").isNotNull)
+        .withColumn("y", expr("x - z"))
+      pairs
+        .agg(count(lit(1)).as("m"),
+          sum(col("z")).as("sz"), sum(col("y")).as("sy"),
+          sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("szz"),
+          sum(expr("CAST(z AS DECIMAL(38,0)) * y")).as("szy"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .withColumn("bzz", expr(
+          "m * szz - CAST(sz AS DECIMAL(38,0)) * sz"))
+        .withColumn("bzy", expr(
+          "m * szy - CAST(sz AS DECIMAL(38,0)) * sy"))
+        .withColumn("byy", expr(
+          "m * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+        .select(col("m").as("n_obs"),
+          round(expr("CAST(bzy AS DOUBLE) / CAST(bzz AS DOUBLE)"), 6)
+            .as("delta_coef"),
+          round(expr(
+            """(CAST(bzy AS DOUBLE) / CAST(bzz AS DOUBLE))
+               / sqrt((CAST(byy AS DOUBLE)
+                       - CAST(bzy AS DOUBLE) * CAST(bzy AS DOUBLE)
+                         / CAST(bzz AS DOUBLE))
+                      / ((m - 2) * CAST(bzz AS DOUBLE)))"""), 6)
+            .as("df_t"),
+          expr(
+            """(CAST(bzy AS DOUBLE) / CAST(bzz AS DOUBLE))
+               / sqrt((CAST(byy AS DOUBLE)
+                       - CAST(bzy AS DOUBLE) * CAST(bzy AS DOUBLE)
+                         / CAST(bzz AS DOUBLE))
+                      / ((m - 2) * CAST(bzz AS DOUBLE)))
+               > -2.86D""").as("is_unit_root"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+              FROM events GROUP BY CAST(ts AS DATE)),
+            pairs AS (
+              SELECT x - z AS y, z FROM (
+                SELECT x, lag(x, 1) OVER (ORDER BY day) AS z
+                FROM days)
+              WHERE z IS NOT NULL),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(z) AS BIGINT) AS sz,
+                CAST(sum(y) AS BIGINT) AS sy,
+                sum(CAST(z AS HUGEINT) * z) AS szz,
+                sum(CAST(z AS HUGEINT) * y) AS szy,
+                sum(CAST(y AS HUGEINT) * y) AS syy
+              FROM pairs),
+            big AS (
+              SELECT m,
+                m * szz - CAST(sz AS HUGEINT) * sz AS bzz,
+                m * szy - CAST(sz AS HUGEINT) * sy AS bzy,
+                m * syy - CAST(sy AS HUGEINT) * sy AS byy
+              FROM st)
+            SELECT m AS n_obs,
+              round(CAST(bzy AS DOUBLE) / CAST(bzz AS DOUBLE), 6)
+                AS delta_coef,
+              round((CAST(bzy AS DOUBLE) / CAST(bzz AS DOUBLE))
+                / sqrt((CAST(byy AS DOUBLE)
+                        - CAST(bzy AS DOUBLE) * CAST(bzy AS DOUBLE)
+                          / CAST(bzz AS DOUBLE))
+                       / ((m - 2) * CAST(bzz AS DOUBLE))), 6) AS df_t,
+              (CAST(bzy AS DOUBLE) / CAST(bzz AS DOUBLE))
+                / sqrt((CAST(byy AS DOUBLE)
+                        - CAST(bzy AS DOUBLE) * CAST(bzy AS DOUBLE)
+                          / CAST(bzz AS DOUBLE))
+                       / ((m - 2) * CAST(bzz AS DOUBLE)))
+                > -2.86e0 AS is_unit_root
+            FROM big"""))
+
+  // ---- q_ts_haar ---------------------------------------------------------
+
+  /** Haar wavelet energy decomposition (q_ts_haar): which time scale
+    * carries the daily-revenue variance — day-pair jitter (level 1),
+    * weekly texture (~level 3), or month-scale swings (level 5)? For
+    * dyadic level j the detail is d_{j,k} = (first-half sum − second-
+    * half sum) over each complete 2^j-day block; its energy d²/2^j is
+    * kept exact by scaling every level to the common denominator 2^5
+    * (E_j·2^(5−j), integer), so the per-level energy FRACTION is one
+    * double ratio of two DECIMAL(38,0) sums. The day grid explodes
+    * 5× via stack (grid-bounded), then one (level, block) aggregate. */
+  val qTsHaar = Q(
+    "q_ts_haar",
+    (sp, dir) => {
+      val w = Window.orderBy(col("day"))
+      val days = dailyRevenue(sp, dir)
+        .select(col("day"), col("v").as("x"))
+        .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      val nTot = days.agg(count(lit(1)).as("n"))
+      val branches = (1 to 5).map { j =>
+        val len = 1 << j
+        val half = 1 << (j - 1)
+        s"${j}L, named_struct('k', t DIV $len, " +
+          s"'s', CASE WHEN t % $len < $half THEN x ELSE -x END)"
+      }.mkString(", ")
+      val blocks = days
+        .select(expr(s"stack(5, $branches)").as(Seq("j", "kv")))
+        .groupBy(col("j"), col("kv.k").as("k"))
+        .agg(sum(col("kv.s")).as("dsum"))
+        .crossJoin(broadcast(nTot))
+        .filter(col("k") < expr("n DIV CAST(pow(2, j) AS BIGINT)"))
+      val lev = blocks.groupBy(col("j"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(expr(
+            """CAST(dsum AS DECIMAL(38,0)) * dsum
+               * CAST(pow(2, 5 - j) AS BIGINT)""")).as("esc"))
+      val tot = lev.agg(sum(col("esc")).as("etot"))
+      lev.crossJoin(broadcast(tot))
+        .select(col("j").as("level"), col("n_blocks"),
+          round(expr("CAST(esc AS DOUBLE) / CAST(etot AS DOUBLE)"), 6)
+            .as("energy_frac"))
+        .orderBy(col("level"))
+    },
+    Some("""WITH days AS (
+              SELECT CAST(row_number() OVER (ORDER BY day) - 1
+                  AS BIGINT) AS t, x
+              FROM (SELECT CAST(ts AS DATE) AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+                    FROM events GROUP BY CAST(ts AS DATE))),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM days),
+            terms AS (
+              SELECT j, t // (1 << j) AS k,
+                CASE WHEN t % (1 << j) < (1 << (j - 1))
+                  THEN x ELSE -x END AS s
+              FROM days CROSS JOIN
+                (SELECT unnest([1, 2, 3, 4, 5]) AS j)),
+            blocks AS (
+              SELECT j, k, CAST(sum(s) AS BIGINT) AS dsum
+              FROM terms GROUP BY j, k),
+            complete AS (
+              SELECT j, dsum FROM blocks, nt
+              WHERE k < n // (1 << j)),
+            lev AS (
+              SELECT j, CAST(count(*) AS BIGINT) AS n_blocks,
+                sum(CAST(dsum AS HUGEINT) * dsum * (1 << (5 - j)))
+                  AS esc
+              FROM complete GROUP BY j),
+            tot AS (SELECT sum(esc) AS etot FROM lev)
+            SELECT CAST(j AS BIGINT) AS level, n_blocks,
+              round(CAST(esc AS DOUBLE) / CAST(etot AS DOUBLE), 6)
+                AS energy_frac
+            FROM lev, tot
+            ORDER BY level NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
     qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf,
     qTsHoltwinters, qEventsInterarrival, qTsGrubbs, qTsTheta,
-    qTsSpectralEntropy)
+    qTsSpectralEntropy, qTsCroston, qTsKpss, qTsDickey, qTsHaar)
 }

@@ -2216,8 +2216,67 @@ object StreamOps {
     },
     Some(graft.ops.Refine.genmeansOracleSql))
 
+  /** Streaming paired-gate monitor (q_stream_mcnemar): the 4-cell
+    * agreement counters of the char-length vs token-length curation
+    * gates accumulate ON INGEST (one commutative row), settle, and run
+    * the batch McNemar finisher — the live "did a gate change break
+    * gate symmetry" alarm with O(1) state. */
+  val qStreamMcnemar = Q(
+    "q_stream_mcnemar",
+    (s, d) => {
+      val cells = graft.ops.Inference.mcnemarCellAggs(
+        documentsStream(s, d))
+      graft.ops.Inference.mcnemarFromCells(
+        drain(s, cells, "stream_mcnemar_tbl", "complete"))
+    },
+    Some(graft.ops.Inference.mcnemarOracleSql))
+
+  /** Streaming reliability monitor (q_stream_cronbach): the exact
+    * item-moment row (Σx, Σx² per quality item in DECIMAL(38,0))
+    * accumulates ON INGEST and settles into the batch alpha finisher —
+    * live internal-consistency telemetry with one state row. */
+  val qStreamCronbach = Q(
+    "q_stream_cronbach",
+    (s, d) => {
+      val st = graft.ops.Inference.cronbachStatsAggs(
+        documentsStream(s, d))
+      graft.ops.Inference.cronbachFromStats(
+        drain(s, st, "stream_cronbach_tbl", "complete"))
+    },
+    Some(graft.ops.Inference.cronbachOracleSql))
+
+  /** Streaming variance-homogeneity monitor (q_stream_bartlett): the
+    * per-source length-moment grid (n, Σx, Σx² in DECIMAL(38,0))
+    * accumulates ON INGEST — one commutative row per source — settles,
+    * and runs the batch Bartlett finisher: the live "did one source's
+    * length dispersion drift" alarm with catalog-sized state. */
+  val qStreamBartlett = Q(
+    "q_stream_bartlett",
+    (s, d) => {
+      val grid = graft.ops.Inference.sourceLenMoments(
+        documentsStream(s, d))
+      graft.ops.Inference.bartlettFromMoments(
+        drain(s, grid, "stream_bartlett_tbl", "complete"))
+    },
+    Some(graft.ops.Inference.bartlettOracleSql))
+
+  /** Streaming effect-size monitor (q_stream_cohend): the SAME shared
+    * source-moment grid as q_stream_bartlett settles into the batch
+    * Cohen's d finisher — per-source drift panel, one state row per
+    * source. */
+  val qStreamCohend = Q(
+    "q_stream_cohend",
+    (s, d) => {
+      val grid = graft.ops.Inference.sourceLenMoments(
+        documentsStream(s, d))
+      graft.ops.Inference.cohendFromMoments(
+        drain(s, grid, "stream_cohend_tbl", "complete"))
+    },
+    Some(graft.ops.Inference.cohendOracleSql))
+
   val all: Seq[Q] = Seq(
     qStreamBrier, qStreamBudget, qStreamFano, qStreamGenmeans,
+    qStreamMcnemar, qStreamCronbach, qStreamBartlett, qStreamCohend,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

@@ -923,4 +923,33 @@ class StreamSpec extends SparkSuite {
         r.getAs[Double]("frac_pos"), r.getAs[Double]("brier"))).toSeq
     assert(rows("q_stream_brier") === rows("q_ml_brier"))
   }
+
+  test("q_stream_mcnemar settles to the batch paired test exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_both"),
+        r.getAs[Long]("b"), r.getAs[Long]("c"),
+        r.getAs[Double]("chi2"))).toSeq
+    assert(rows("q_stream_mcnemar") === rows("q_stats_mcnemar"))
+  }
+
+  test("q_stream_cronbach settles to the batch alpha exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("k_items"),
+        r.getAs[Double]("alpha"))).toSeq
+    assert(rows("q_stream_cronbach") === rows("q_stats_cronbach"))
+  }
+
+  test("q_stream_bartlett settles to the batch chi2 exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("k_groups"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("df"), r.getAs[Double]("bartlett_chi2"))).toSeq
+    assert(rows("q_stream_bartlett") === rows("q_stats_bartlett"))
+  }
+
+  test("q_stream_cohend settles to the batch effect panel exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("cohen_d"))).toSeq
+    assert(rows("q_stream_cohend") === rows("q_stats_cohend"))
+  }
 }

@@ -197,6 +197,147 @@ class WidenSpec extends SparkSuite {
     }
   }
 
+  test("croston: size/interval levels replay the demand-day fold") {
+    val days = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")).as("day"),
+        (col("value") > 250.0).cast("long").as("hit"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    val demand = days.zipWithIndex.collect {
+      case ((_, c), k) if c > 0 => ((k + 1).toLong, c) }
+    var z = demand.head._2.toDouble
+    var p = demand.head._1.toDouble
+    var ti = demand.head._1
+    demand.tail.foreach { case (i, c) =>
+      z = 0.3 * c + 0.7 * z
+      p = 0.3 * (i - ti).toDouble + 0.7 * p
+      ti = i
+    }
+    val row = q("q_ts_croston").collect().head
+    assert(row.getAs[Long]("n_days") === days.length.toLong)
+    assert(row.getAs[Long]("n_demand_days") === demand.length.toLong)
+    assert(math.abs(row.getAs[Double]("size_level") - snap6(z)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("interval_level") - snap6(p))
+      < 1e-9)
+    assert(math.abs(row.getAs[Double]("forecast_per_day")
+      - snap6(z / p)) < 1e-9)
+  }
+
+  test("cohend: per-source effect sizes replay the pooled formula") {
+    val bySrc = docRows.groupBy(_._3)
+      .view.mapValues(_.map(_._4)).toMap
+    val tn = BigInt(docRows.length)
+    val ts = docRows.map(r => BigInt(r._4)).sum
+    val tq = docRows.map(r => BigInt(r._4) * r._4).sum
+    val got = q("q_stats_cohend").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("cohen_d")))).toMap
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, xs) =>
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val qx = xs.map(x => BigInt(x) * x).sum
+      val m1 = sx.toDouble / xs.length
+      val m2 = (ts - sx).toDouble / (tn - n).toLong
+      val ss1 = (n * qx - sx * sx).toDouble / xs.length
+      val ss2 = ((tn - n) * (tq - qx) - (ts - sx) * (ts - sx)).toDouble /
+        (tn - n).toLong
+      val d = (m1 - m2) / math.sqrt((ss1 + ss2) / (tn - 2).toLong)
+      assert(got(src)._1 === xs.length.toLong)
+      assert(math.abs(got(src)._2 - snap6(d)) < 1e-9, s"source $src")
+    }
+  }
+
+  private lazy val embRows: Array[(Long, Seq[Double], Int)] =
+    Tables.t(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble),
+        r.getInt(2)))
+
+  private def d2pQ(a: Seq[Double], b: Seq[Double]): Long =
+    a.zip(b).map { case (x, y) =>
+      math.floor((x - y) * (x - y) * 1e12 + 0.5).toLong }.sum
+
+  /** Brute-force replay of the shared anchor-NN stage: for each of the
+    * 128 lowest vec_ids per label, the exact k smallest quantized
+    * distances over the whole block. */
+  private def anchorNn(k: Int): Map[Int, Seq[(Long, Seq[(Long, Long)])]] =
+    embRows.groupBy(_._3).view.mapValues { vs =>
+      vs.sortBy(_._1).take(128).toSeq.map { case (id, e, _) =>
+        id -> vs.filter(_._1 != id)
+          .map(o => (d2pQ(e, o._2), o._1)).sortBy(identity)
+          .take(k).toSeq
+      }
+    }.toMap
+
+  test("intrinsic dim: per-label anchor 2-NN MLE replays brute force") {
+    val expect = anchorNn(2).map { case (l, anchors) =>
+      val terms = anchors.flatMap { case (_, ds) =>
+        val (r1, r2) = (ds(0)._1, ds(1)._1)
+        if (r1 > 0 && r2 > r1)
+          Some(math.floor(math.log(r2.toDouble / r1) * 1e9 + 0.5)
+            .toLong)
+        else None
+      }
+      val hsum = terms.sum
+      l.toLong -> ((anchors.length.toLong, terms.length.toLong,
+        2.0 * terms.length / (hsum.toDouble / 1e9)))
+    }
+    val got = q("q_embed_intrinsic_dim").collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_anchors"), r.getAs[Long]("n_used"),
+          r.getAs[Double]("intrinsic_dim")))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (l, (nv, nu, id)) =>
+      assert(got(l)._1 === nv, s"label $l n_anchors")
+      assert(got(l)._2 === nu, s"label $l n_used")
+      assert(math.abs(got(l)._3 - snap6(id)) < 1e-9, s"label $l dim")
+    }
+  }
+
+  test("hubness: in-degree census replays the anchor 3-NN lists") {
+    val expect = anchorNn(3).map { case (l, anchors) =>
+      val blockIds = embRows.filter(_._3 == l).map(_._1)
+      val indeg = anchors.flatMap(_._2.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val degs = blockIds.map(id => indeg.getOrElse(id, 0L))
+      val n = degs.length.toDouble
+      val (s1, s2, s3) = (degs.sum.toDouble,
+        degs.map(x => x * x).sum.toDouble,
+        degs.map(x => x * x * x).sum.toDouble)
+      val m2 = s2 / n - (s1 / n) * (s1 / n)
+      val skew =
+        if (degs.length * degs.map(x => x * x).sum
+            - degs.sum * degs.sum > 0)
+          Some((s3 / n - 3 * (s1 / n) * (s2 / n)
+            + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+            / (m2 * math.sqrt(m2)))
+        else None
+      l.toLong -> ((degs.length.toLong, degs.max,
+        degs.count(_ == 0L).toLong, skew))
+    }
+    val got = q("q_embed_hubness").collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("max_indeg"),
+          r.getAs[Long]("n_antihubs"),
+          Option(r.getAs[java.lang.Double]("hub_skew"))
+            .map(_.doubleValue)))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (l, (nv, mx, ah, sk)) =>
+      assert(got(l)._1 === nv, s"label $l n_vecs")
+      assert(got(l)._2 === mx, s"label $l max_indeg")
+      assert(got(l)._3 === ah, s"label $l n_antihubs")
+      (got(l)._4, sk) match {
+        case (Some(g), Some(e)) =>
+          assert(math.abs(g - snap6(e)) < 1e-9, s"label $l skew")
+        case (g, e) => assert(g.isEmpty === e.isEmpty, s"label $l skew")
+      }
+    }
+  }
+
   test("embed outliers: top-3 per label replays quantized distances") {
     val vecs = Tables.t(spark, sf0, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -226,6 +367,209 @@ class WidenSpec extends SparkSuite {
       val m = expect.find(e => e._1 == l && e._2 == rk)
       assert(m.isDefined && m.get._3 == id, s"label $l rank $rk")
       assert(math.abs(ds - snap6(m.get._4.toDouble / 1e12)) < 1e-9)
+    }
+  }
+
+  /** Spark/DuckDB shared interpolated percentile: idx = p·(n−1). */
+  private def pctile(sorted: Seq[Long], p: Double): Double = {
+    val idx = p * (sorted.length - 1)
+    val lo = idx.toInt
+    if (lo == sorted.length - 1) sorted(lo).toDouble
+    else sorted(lo) + (idx - lo) * (sorted(lo + 1) - sorted(lo))
+  }
+
+  test("bartlett: chi2 replays the quantized per-source terms") {
+    val grid = docRows.groupBy(_._3).values.map { xs =>
+      val n = xs.length.toLong
+      val sx = xs.map(r => BigInt(r._4)).sum
+      val qx = xs.map(r => BigInt(r._4) * r._4).sum
+      val ssd = (BigInt(n) * qx - sx * sx).toDouble
+      (n,
+        math.floor(ssd / n * 1e6 + 0.5).toLong,
+        (n - 1) * math.floor(
+          math.log(ssd / (n * (n - 1.0))) * 1e9 + 0.5).toLong,
+        math.floor(1e12 / (n - 1) + 0.5).toLong)
+    }.toSeq
+    val k = grid.length.toLong
+    val ntot = grid.map(_._1).sum
+    val (s1, s2, s3) = (grid.map(_._2).sum, grid.map(_._3).sum,
+      grid.map(_._4).sum)
+    val chi2 = ((ntot - k) * math.log(s1.toDouble / 1e6 / (ntot - k))
+      - s2.toDouble / 1e9) /
+      (1.0 + (s3.toDouble / 1e12 - 1.0 / (ntot - k)) / (3.0 * (k - 1)))
+    val row = q("q_stats_bartlett").collect().head
+    assert(row.getAs[Long]("k_groups") === k)
+    assert(row.getAs[Long]("n_total") === ntot)
+    assert(row.getAs[Long]("df") === k - 1)
+    assert(math.abs(row.getAs[Double]("bartlett_chi2") - snap6(chi2))
+      < 1e-9)
+  }
+
+  test("fleiss: kappa replays the three-gate vote census") {
+    val rs = docRows.map { case (_, text, _, nc) =>
+      val toks = text.split(" ").toSeq
+      (if (nc >= 250) 1L else 0L) +
+        (if (toks.length >= 45) 1L else 0L) +
+        (if (toks.distinct.length >= 40) 1L else 0L)
+    }
+    val n = rs.length.toLong
+    val sr = rs.sum
+    val sq = rs.map(r => r * r + (3 - r) * (3 - r)).sum
+    val pbar = (sq - 3 * n).toDouble / (6.0 * n)
+    val a = sr.toDouble / (3.0 * n)
+    val pe = a * a + (1.0 - a) * (1.0 - a)
+    val kappa = (pbar - pe) / (1.0 - pe)
+    val row = q("q_stats_fleiss").collect().head
+    assert(row.getAs[Long]("n_docs") === n)
+    assert(row.getAs[Long]("n_raters") === 3L)
+    assert(math.abs(row.getAs[Double]("fleiss_kappa") - snap6(kappa))
+      < 1e-9)
+  }
+
+  test("qq: nine fences replay mean/sd moments and decile interp") {
+    val cs = docRows.map(_._4).sorted
+    val n = cs.length.toLong
+    val s1 = cs.map(BigInt(_)).sum
+    val q1 = cs.map(c => BigInt(c) * c).sum
+    val mean = s1.toDouble / n
+    val sd = math.sqrt((BigInt(n) * q1 - s1 * s1).toDouble
+      / (n.toDouble * (n - 1)))
+    val zs = Seq(-1.2815515655446004, -0.8416212335729143,
+      -0.5244005127080407, -0.2533471031357997, 0.0,
+      0.2533471031357997, 0.5244005127080407, 0.8416212335729143,
+      1.2815515655446004)
+    val got = q("q_stats_qq").collect()
+    assert(got.length === 9)
+    got.foreach { r =>
+      val k = r.getAs[Long]("fence").toInt
+      val emp = snap6(pctile(cs, k / 10.0))
+      val theo = snap6(mean + sd * zs(k - 1))
+      assert(math.abs(r.getAs[Double]("emp_q") - emp) < 1e-9, s"f$k")
+      assert(math.abs(r.getAs[Double]("theo_q") - theo) < 1e-9, s"f$k")
+      assert(math.abs(r.getAs[Double]("gap") - snap6(emp - theo))
+        < 1e-9, s"f$k")
+    }
+  }
+
+  test("mcc curve: cells and mcc replay the decile fences") {
+    val labeled = Tables.t(spark, sf0, "documents")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), if (r.getString(1) == "en") 1L else 0L))
+    val cs = labeled.map(_._1).sorted
+    val got = q("q_ml_mcc_curve").collect()
+    assert(got.length === 9)
+    got.foreach { r =>
+      val k = r.getAs[Long]("fence").toInt
+      val t = pctile(cs, k / 10.0)
+      val tp = labeled.count(x => x._1 > t && x._2 == 1L).toLong
+      val fp = labeled.count(x => x._1 > t && x._2 == 0L).toLong
+      val tn = labeled.count(x => x._1 <= t && x._2 == 0L).toLong
+      val fn = labeled.count(x => x._1 <= t && x._2 == 1L).toLong
+      assert(r.getAs[Long]("tp") === tp, s"f$k tp")
+      assert(r.getAs[Long]("fp") === fp, s"f$k fp")
+      assert(r.getAs[Long]("tn") === tn, s"f$k tn")
+      assert(r.getAs[Long]("fn") === fn, s"f$k fn")
+      val mcc = (tp * tn - fp * fn).toDouble /
+        math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp)
+          * (tn + fn))
+      assert(math.abs(r.getAs[Double]("mcc") - snap6(mcc)) < 1e-9)
+    }
+  }
+
+  test("kpss: eta replays exact partial-sum/Bartlett integer algebra") {
+    val xs = dayCents.map(_ / 100).toVector
+    val n = xs.length
+    val s = xs.map(BigInt(_)).sum
+    val ps = xs.scanLeft(BigInt(0))(_ + _).tail
+    val sa2 = ps.zipWithIndex.map { case (p, i) =>
+      val a = BigInt(n) * p - BigInt(i + 1) * s
+      a * a
+    }.sum
+    val e = xs.map(x => BigInt(n) * x - s).toVector
+    def b(l: Int): BigInt =
+      (l until n).map(t => e(t) * e(t - l)).sum
+    val d = 5 * b(0) + 2 * (4 * b(1) + 3 * b(2) + 2 * b(3) + b(4))
+    val eta = 5.0 * sa2.toDouble / (n.toDouble * d.toDouble)
+    val row = q("q_ts_kpss").collect().head
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("lags") === 4L)
+    assert(math.abs(row.getAs[Double]("kpss_eta") - snap6(eta)) < 1e-9)
+    assert(row.getAs[Boolean]("is_stationary") === (eta < 0.463))
+  }
+
+  test("dickey: df t-stat replays the five sufficient sums") {
+    val xs = dayCents
+    val pairs = xs.sliding(2).map(p => (p(0), p(1) - p(0))).toSeq
+    val m = pairs.length.toLong
+    val sz = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val szz = pairs.map(p => BigInt(p._1) * p._1).sum
+    val szy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+    val bzz = (m * szz - sz * sz).toDouble
+    val bzy = (m * szy - sz * sy).toDouble
+    val byy = (m * syy - sy * sy).toDouble
+    val beta = bzy / bzz
+    val tstat = beta / math.sqrt((byy - bzy * bzy / bzz)
+      / ((m - 2) * bzz))
+    val row = q("q_ts_dickey").collect().head
+    assert(row.getAs[Long]("n_obs") === m)
+    assert(math.abs(row.getAs[Double]("delta_coef") - snap6(beta))
+      < 1e-9)
+    assert(math.abs(row.getAs[Double]("df_t") - snap6(tstat)) < 1e-9)
+    assert(row.getAs[Boolean]("is_unit_root") === (tstat > -2.86))
+  }
+
+  test("haar: level energy fractions replay dyadic block sums") {
+    val xs = dayCents
+    val n = xs.length
+    val lev = (1 to 5).map { j =>
+      val len = 1 << j
+      val half = 1 << (j - 1)
+      val nb = n / len
+      val es = (0 until nb).map { k =>
+        val d = xs.slice(k * len, k * len + half).map(BigInt(_)).sum -
+          xs.slice(k * len + half, (k + 1) * len).map(BigInt(_)).sum
+        d * d * BigInt(1 << (5 - j))
+      }.sum
+      (j.toLong, nb.toLong, es)
+    }.filter(_._2 > 0)
+    val etot = lev.map(_._3).sum
+    val got = q("q_ts_haar").collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("n_blocks"),
+        r.getAs[Double]("energy_frac")))
+    assert(got.map(g => (g._1, g._2)) === lev.map(l => (l._1, l._2)))
+    got.zip(lev).foreach { case ((_, _, f), (_, _, es)) =>
+      assert(math.abs(f - snap6(es.toDouble / etot.toDouble)) < 1e-9)
+    }
+  }
+
+  test("uniqueness ladder: three levels replay QI cell census") {
+    val expect = (1 to 3).map { lvl =>
+      val langBy = Tables.t(spark, sf0, "documents")
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val keys = docRows.map { case (id, _, src, nc) =>
+        lvl match {
+          case 1 => s"$src|${langBy(id)}|$nc"
+          case 2 => s"$src|${langBy(id)}|${nc / 100}"
+          case _ => s"$src|${nc / 1000}"
+        }
+      }
+      val cells = keys.groupBy(identity).values.map(_.size).toSeq
+      (lvl.toLong, cells.length.toLong, cells.min.toLong,
+        cells.count(_ == 1).toLong,
+        cells.count(_ == 1).toDouble / keys.length)
+    }
+    val got = q("q_audit_uniqueness").collect()
+      .map(r => (r.getAs[Long]("level"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("k_floor"), r.getAs[Long]("n_singletons"),
+        r.getAs[Double]("singleton_frac")))
+    assert(got.length === 3)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 === e._1); assert(g._2 === e._2)
+      assert(g._3 === e._3); assert(g._4 === e._4)
+      assert(math.abs(g._5 - snap6(e._5)) < 1e-9)
     }
   }
 }
