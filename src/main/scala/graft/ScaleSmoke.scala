@@ -201,7 +201,12 @@ object ScaleSmoke {
     "q_ts_kpss", "q_ts_dickey", "q_ts_haar", "q_stats_bartlett",
     "q_stats_fleiss", "q_stats_qq", "q_ml_mcc_curve",
     "q_audit_uniqueness", "q_embed_hubness", "q_stream_bartlett",
-    "q_stream_cohend")
+    "q_stream_cohend",
+    // simpson rides the vocab rollup; hhi/oddsratio/fleiss-twin one
+    // counter row; isotonic is a 20-bin literal grid; degree-gini
+    // runs on the bounded degree histogram
+    "q_text_simpson", "q_mix_hhi", "q_ml_isotonic",
+    "q_stats_oddsratio", "q_graph_degree_gini", "q_stream_fleiss")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1380,9 +1380,126 @@ object Corpus {
             FROM st
             ORDER BY source NULLS FIRST"""))
 
+  // ---- q_text_simpson ---------------------------------------------------
+
+  /** Simpson lexical concentration (q_text_simpson): per source, the
+    * probability two random tokens are the SAME type —
+    * λ = Σf(f−1)/(N(N−1)) — and its inverse, the "effective
+    * vocabulary", the diversity number that (unlike Shannon entropy,
+    * q_text_entropy) weights repeated boilerplate quadratically and so
+    * flags template-heavy sources first. The vocab rollup is the only
+    * corpus-scaling stage (map-side combined); λ assembles from exact
+    * BIGINT/DECIMAL sums, one double division per source. */
+  val qTextSimpson = Q(
+    "q_text_simpson",
+    (s, d) => {
+      docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("cnt")).as("nt"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)"))
+            .as("ff"))
+        .select(col("source"), col("n_types"),
+          col("nt").cast("long").as("n_tokens"),
+          round(expr(
+            """CASE WHEN nt > 1 THEN
+                 CAST(ff AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * (nt - 1))
+               ELSE CAST(NULL AS DOUBLE) END"""), 6).as("simpson"),
+          round(expr(
+            """CASE WHEN ff > 0 THEN
+                 (CAST(nt AS DOUBLE) * (nt - 1)) / CAST(ff AS DOUBLE)
+               ELSE CAST(NULL AS DOUBLE) END"""), 6).as("eff_vocab"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tf AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY source, w),
+            st AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(cnt) AS BIGINT) AS nt,
+                CAST(sum(CAST(cnt AS HUGEINT) * (cnt - 1)) AS BIGINT)
+                  AS ff
+              FROM tf GROUP BY source)
+            SELECT source, n_types, nt AS n_tokens,
+              round(CASE WHEN nt > 1 THEN
+                  CAST(ff AS DOUBLE) / (CAST(nt AS DOUBLE) * (nt - 1))
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS simpson,
+              round(CASE WHEN ff > 0 THEN
+                  (CAST(nt AS DOUBLE) * (nt - 1)) / CAST(ff AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS eff_vocab
+            FROM st
+            ORDER BY source NULLS FIRST"""))
+
+  // ---- q_mix_hhi --------------------------------------------------------
+
+  /** Mixture concentration audit (q_mix_hhi): the Herfindahl index of
+    * the source mixture by DOC share and by TOKEN share, plus the
+    * effective number of sources (1/HHI) — the one-row gauge a
+    * mixture planner checks before and after reweighting
+    * (q_mix_temperature flattens exactly this number). ONE per-source
+    * aggregate; shares square as exact integer products over the
+    * squared totals, one double division each. */
+  val qMixHhi = Q(
+    "q_mix_hhi",
+    (s, d) => {
+      val grid = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nd"),
+          sum(size(split(col("text"), " ")).cast("long")).as("nt"))
+      grid
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("nd")).as("td"), sum(col("nt")).as("tt"),
+          sum(expr("CAST(nd AS DECIMAL(38,0)) * nd")).as("sd2"),
+          sum(expr("CAST(nt AS DECIMAL(38,0)) * nt")).as("st2"))
+        .select(col("n_sources"),
+          round(expr(
+            """CAST(sd2 AS DOUBLE)
+               / (CAST(td AS DOUBLE) * CAST(td AS DOUBLE))"""), 6)
+            .as("hhi_docs"),
+          round(expr(
+            """(CAST(td AS DOUBLE) * CAST(td AS DOUBLE))
+               / CAST(sd2 AS DOUBLE)"""), 6).as("eff_docs"),
+          round(expr(
+            """CAST(st2 AS DOUBLE)
+               / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))"""), 6)
+            .as("hhi_tokens"),
+          round(expr(
+            """(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
+               / CAST(st2 AS DOUBLE)"""), 6).as("eff_tokens"))
+    },
+    Some("""WITH grid AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS nd,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS nt
+              FROM documents GROUP BY source),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                CAST(sum(nd) AS BIGINT) AS td,
+                CAST(sum(nt) AS BIGINT) AS tt,
+                sum(CAST(nd AS HUGEINT) * nd) AS sd2,
+                sum(CAST(nt AS HUGEINT) * nt) AS st2
+              FROM grid)
+            SELECT n_sources,
+              round(CAST(sd2 AS DOUBLE)
+                / (CAST(td AS DOUBLE) * CAST(td AS DOUBLE)), 6)
+                AS hhi_docs,
+              round((CAST(td AS DOUBLE) * CAST(td AS DOUBLE))
+                / CAST(sd2 AS DOUBLE), 6) AS eff_docs,
+              round(CAST(st2 AS DOUBLE)
+                / (CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)), 6)
+                AS hhi_tokens,
+              round((CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
+                / CAST(st2 AS DOUBLE), 6) AS eff_tokens
+            FROM st"""))
+
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,
     qMixDsirSample, qTextPerplexity, qMixAnneal, qMixDsirEss,
     qTextHeldoutPpl, qTextContrast, qMixCurriculum, qCompactPlan,
-    qTextBigramKn, qMixBudget, qTextHapax)
+    qTextBigramKn, qMixBudget, qTextHapax, qTextSimpson, qMixHhi)
 }

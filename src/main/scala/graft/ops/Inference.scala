@@ -1888,17 +1888,20 @@ object Inference {
     * P̄ₑ = p₁² + p₀², all from ONE 3-sum exact-integer aggregate; the
     * whole statistic is a fixed double expression over (n, Σr,
     * Σ[r²+(3−r)²]). */
-  val qStatsFleiss = Q(
-    "q_stats_fleiss",
-    (s, d) => {
-      Tables.t(s, d, "documents")
-        .select(((col("n_chars") >= 250).cast("long")
-          + (size(split(col("text"), " ")) >= 45).cast("long")
-          + (size(array_distinct(split(col("text"), " "))) >= 40)
-            .cast("long")).as("r"))
-        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
-          sum(expr("r * r + (3 - r) * (3 - r)")).as("sq"))
-        .select(col("n").as("n_docs"), lit(3L).as("n_raters"),
+  /** The commutative three-gate vote counters — the shared ingest
+    * aggregate of the batch op and its streaming twin. */
+  private[graft] def fleissVoteAggs(docs: DataFrame): DataFrame =
+    docs
+      .select(((col("n_chars") >= 250).cast("long")
+        + (size(split(col("text"), " ")) >= 45).cast("long")
+        + (size(array_distinct(split(col("text"), " "))) >= 40)
+          .cast("long")).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(expr("r * r + (3 - r) * (3 - r)")).as("sq"))
+
+  /** Finisher: vote counters → Fleiss' kappa. */
+  private[graft] def fleissFromVotes(st: DataFrame): DataFrame =
+    st.select(col("n").as("n_docs"), lit(3L).as("n_raters"),
           round(expr(
             """CASE WHEN
                  1.0D - ((CAST(sr AS DOUBLE) / (3.0D * n))
@@ -1918,8 +1921,15 @@ object Inference {
                                  - CAST(sr AS DOUBLE) / (3.0D * n))))
                ELSE CAST(NULL AS DOUBLE) END"""), 6)
             .as("fleiss_kappa"))
-    },
-    Some("""WITH g AS (
+
+  val qStatsFleiss = Q(
+    "q_stats_fleiss",
+    (s, d) =>
+      fleissFromVotes(fleissVoteAggs(Tables.t(s, d, "documents"))),
+    Some(fleissOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def fleissOracleSql: String = """WITH g AS (
               SELECT (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
                 + CASE WHEN len(string_split(text, ' ')) >= 45
                     THEN 1 ELSE 0 END
@@ -1952,7 +1962,7 @@ object Inference {
                                    - CAST(sr AS DOUBLE)
                                      / (3.0e0 * n))))
                 ELSE CAST(NULL AS DOUBLE) END, 6) AS fleiss_kappa
-            FROM st"""))
+            FROM st"""
 
   // ---- q_stats_qq -------------------------------------------------------
 
@@ -2130,11 +2140,152 @@ object Inference {
             FROM cnt
             ORDER BY fence NULLS FIRST"""))
 
+  // ---- q_ml_isotonic ----------------------------------------------------
+
+  /** Isotonic calibration (q_ml_isotonic): the monotone fraction-of-
+    * positives curve over 20 length bins, solved EXACTLY via the
+    * max-min identity g*(i) = max_{j≤i} min_{l≥i} mean(j..l) — the
+    * closed form of pool-adjacent-violators, and (unlike PAV's
+    * sequential pooling) pure order-free relational algebra: one
+    * corpus pass builds the bin grid, the j/l enumeration is a ≤20³
+    * literal-bounded triple join over the 20-row grid, and every mean
+    * is a ratio of exact integer prefix sums so both engines compare
+    * identical doubles. The calibrated curve is what a quality-score
+    * consumer reads instead of the raw bin fractions
+    * (q_quality_calibrate's reliability view, made monotone). */
+  val qMlIsotonic = Q(
+    "q_ml_isotonic",
+    (s, d) => {
+      val grid = Tables.t(s, d, "documents")
+        .select(expr("least(CAST(19 AS BIGINT), n_chars DIV 50)")
+          .as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+      // ≤20-row literal-bounded grid: the unpartitioned window and the
+      // theta joins below never touch corpus-sized relations
+      val w = Window.orderBy(col("b"))
+      val cum = grid
+        .withColumn("cc", sum(col("cnt")).over(w))
+        .withColumn("cp", sum(col("p")).over(w))
+      val i = cum.select(col("b").as("ib"), col("cnt").as("icnt"),
+        col("p").as("ip"))
+      val j = cum.select(col("b").as("jb"),
+        expr("cp - p").as("jp0"), expr("cc - cnt").as("jc0"))
+      val l = cum.select(col("b").as("lb"), col("cp").as("lp"),
+        col("cc").as("lc"))
+      i.join(l, col("lb") >= col("ib"))
+        .join(j, col("jb") <= col("ib"))
+        .select(col("ib"), col("icnt"), col("ip"), col("jb"),
+          expr("CAST(lp - jp0 AS DOUBLE) / (lc - jc0)").as("mean_jl"))
+        .groupBy(col("ib"), col("icnt"), col("ip"), col("jb"))
+        .agg(min(col("mean_jl")).as("minl"))
+        .groupBy(col("ib"), col("icnt"), col("ip"))
+        .agg(max(col("minl")).as("iso"))
+        .select(col("ib").as("bin"), col("icnt").as("n_docs"),
+          round(expr("CAST(ip AS DOUBLE) / icnt"), 6).as("raw_frac"),
+          round(col("iso"), 6).as("iso_frac"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH grid AS (
+              SELECT least(19, n_chars // 50) AS b,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p
+              FROM documents GROUP BY least(19, n_chars // 50)),
+            cum AS (
+              SELECT b, cnt, p,
+                CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cc,
+                CAST(sum(p) OVER (ORDER BY b) AS BIGINT) AS cp
+              FROM grid),
+            inner_min AS (
+              SELECT i.b AS ib, i.cnt AS icnt, i.p AS ip, j.b AS jb,
+                min(CAST(l.cp - (j.cp - j.p) AS DOUBLE)
+                    / (l.cc - (j.cc - j.cnt))) AS minl
+              FROM cum i
+              JOIN cum l ON l.b >= i.b
+              JOIN cum j ON j.b <= i.b
+              GROUP BY i.b, i.cnt, i.p, j.b)
+            SELECT CAST(ib AS BIGINT) AS bin, icnt AS n_docs,
+              round(CAST(ip AS DOUBLE) / icnt, 6) AS raw_frac,
+              round(max(minl), 6) AS iso_frac
+            FROM inner_min
+            GROUP BY ib, icnt, ip
+            ORDER BY bin NULLS FIRST"""))
+
+  // ---- q_stats_oddsratio ------------------------------------------------
+
+  /** Gate odds ratio (q_stats_oddsratio): association strength of the
+    * char-length and token-length curation gates as a 2×2 odds ratio
+    * with a 95% Woolf log-interval — the effect-size companion to
+    * q_stats_mcnemar's marginal-symmetry test, riding the SAME shared
+    * 4-cell ingest aggregate (d reconstructs as n − a − b − c). All
+    * cells are exact BIGINT; OR and the interval are fixed double
+    * expressions, NULL when any cell is empty (the standard
+    * undefined case, surfaced rather than smoothed). */
+  val qStatsOddsratio = Q(
+    "q_stats_oddsratio",
+    (s, d) => {
+      mcnemarCellAggs(Tables.t(s, d, "documents"))
+        .select(col("n_both").as("a"), col("b"), col("c"),
+          expr("n - n_both - b - c").as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          round(expr(
+            """CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                 CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+               ELSE CAST(NULL AS DOUBLE) END"""), 6).as("odds_ratio"),
+          round(expr(
+            """CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                 exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     - 1.96D * sqrt(1.0D / a + 1.0D / b
+                                    + 1.0D / c + 1.0D / d))
+               ELSE CAST(NULL AS DOUBLE) END"""), 6).as("ci_lo"),
+          round(expr(
+            """CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                 exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     + 1.96D * sqrt(1.0D / a + 1.0D / b
+                                    + 1.0D / c + 1.0D / d))
+               ELSE CAST(NULL AS DOUBLE) END"""), 6).as("ci_hi"))
+    },
+    Some("""WITH g AS (
+              SELECT n_chars >= 250 AS ga,
+                len(string_split(text, ' ')) >= 45 AS gb
+              FROM documents),
+            st AS (
+              SELECT
+                CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+                CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+                CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+                CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+              FROM g)
+            SELECT a, b, c, d,
+              round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                  CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS odds_ratio,
+              round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                  exp(ln(CAST(a AS DOUBLE) * d
+                         / (CAST(b AS DOUBLE) * c))
+                      - 1.96e0 * sqrt(1.0e0 / a + 1.0e0 / b
+                                      + 1.0e0 / c + 1.0e0 / d))
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS ci_lo,
+              round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                  exp(ln(CAST(a AS DOUBLE) * d
+                         / (CAST(b AS DOUBLE) * c))
+                      + 1.96e0 * sqrt(1.0e0 / a + 1.0e0 / b
+                                      + 1.0e0 / c + 1.0e0 / d))
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS ci_hi
+            FROM st"""))
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
     qStatsCmh, qStatsRuns, qStatsLevene, qMlGains, qMlBrier,
     qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve,
     qStatsWelch, qStatsTrendCa, qStatsCronbach, qStatsMcnemar,
-    qStatsCohend, qStatsBartlett, qStatsFleiss, qStatsQq, qMlMccCurve)
+    qStatsCohend, qStatsBartlett, qStatsFleiss, qStatsQq, qMlMccCurve,
+    qMlIsotonic, qStatsOddsratio)
 }

@@ -1785,10 +1785,73 @@ object Insights {
     labelPropLabels(s, d).count()
   }
 
+  // ---- q_graph_degree_gini ----------------------------------------------
+
+  /** Degree inequality (q_graph_degree_gini): the Gini coefficient of
+    * the undirected degree distribution — the one-number "how hub-
+    * dominated is this link graph" gauge that complements the full
+    * q_graph_degree_dist histogram and the rich-club view. Computed
+    * entirely on the DEGREE HISTOGRAM (the same bounded grid
+    * degree_dist emits, never a vertex-sized sort): for ranks grouped
+    * by equal degree, Σᵢ(2i−n−1)xᵢ collapses to Σ_d d·c_d·(2R_d+c_d−n)
+    * with R_d the cumulative count below d — exact integer algebra
+    * (DECIMAL(38,0) products), one double division at the end. */
+  val qGraphDegreeGini = Q(
+    "q_graph_degree_gini",
+    (s, d) => {
+      val und = undirectedLinkEdges(s, d)
+      val hist = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("c"))
+      val tot = hist.agg(sum(col("c")).as("n"),
+        max(col("deg")).as("mx"),
+        sum(expr("CAST(deg AS DECIMAL(38,0)) * c")).as("sd"))
+      // degree-histogram-sized window (bounded by max degree)
+      val w = Window.orderBy(col("deg"))
+      hist
+        .withColumn("r0", expr("-c") + sum(col("c")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_nodes"), max(col("mx")).as("max_deg"),
+          sum(expr(
+            """CAST(deg AS DECIMAL(38,0)) * c * (2 * r0 + c - n)"""))
+            .as("num"),
+          max(col("sd")).as("den0"))
+        .select(col("n_nodes"), col("max_deg"),
+          round(expr(
+            """CAST(num AS DOUBLE)
+               / (CAST(n_nodes AS DOUBLE) * CAST(den0 AS DOUBLE))"""),
+            6).as("gini"))
+    },
+    Some(s"""WITH $undirectedLinkEdgesSql,
+            degs AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                x
+              GROUP BY v),
+            hist AS (
+              SELECT deg, CAST(count(*) AS BIGINT) AS c
+              FROM degs GROUP BY deg),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n,
+                CAST(max(deg) AS BIGINT) AS mx,
+                sum(CAST(deg AS HUGEINT) * c) AS sd
+              FROM hist),
+            ranked AS (
+              SELECT deg, c,
+                CAST(sum(c) OVER (ORDER BY deg) - c AS BIGINT) AS r0
+              FROM hist)
+            SELECT n AS n_nodes, mx AS max_deg,
+              round(CAST(sum(CAST(deg AS HUGEINT) * c
+                    * (2 * r0 + c - n)) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(sd AS DOUBLE)), 6) AS gini
+            FROM ranked, tot
+            GROUP BY n, mx, sd"""))
+
   val all: Seq[Q] = Seq(qGraphTriangles, qTextPostings, qTsInterpolate,
     qEmbedPca, qTextCollocations, qTsAnomaly, qCorrMatrix, qJoinInterval,
     qGraphDegreeDist, qTextHeaps, qGraphBfs, qMlLinreg, qMlRidge,
     qStatsTtest, qStatsChisq, qStatsKs, qStatsMannwhitney,
     qGraphLabelprop, qGraphJaccard, qGraphClustcoef, qGraphAdamicAdar,
-    qGraphNmi, qGraphReciprocity)
+    qGraphNmi, qGraphReciprocity, qGraphDegreeGini)
 }

@@ -1443,13 +1443,15 @@ object Vector {
     * landed). Each anchor's neighbors are still EXACT: every block
     * member is a candidate; only the anchor sample is bounded, which
     * is the standard Levina-Bickel subsampling. Distances assemble
-    * from per-dimension pico-quantized BIGINT terms (zip_with fold —
-    * exact, order-free); the rank window partitions by (label, anchor)
+    * from per-dimension pico-quantized BIGINT terms via the codegen
+    * [[graft.functions.FloatL2Q]] expression (exact, order-free);
+    * the rank window partitions by (label, anchor)
     * so Spark plans a partial WindowGroupLimit. Memoized + persisted
     * once per (session, dir): ≤ labels × 128 × 3 rows feed both
     * consumers. */
   private[graft] def labelAnchorNn3(s: SparkSession, d: String): DataFrame =
     nnCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      graft.functions.FloatL2Q.register(s)
       val e = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
       val anchors = e
@@ -1462,13 +1464,9 @@ object Vector {
           col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.label").as("label"), col("x.vec_id").as("a"),
           col("y.vec_id").as("b"),
-          expr("""aggregate(
-              zip_with(x.embedding, y.embedding,
-                (p, q) -> CAST(floor(
-                  (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
-                  * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
-                  * 1e12 + 0.5D) AS BIGINT)),
-              0L, (acc, t) -> acc + t)""").as("d2p"))
+          // codegen'd per-dimension floor-quantized exact BIGINT sum —
+          // identical arithmetic to the lambda fold it replaces
+          expr("float_l2q(x.embedding, y.embedding)").as("d2p"))
       val w = Window.partitionBy(col("label"), col("a"))
         .orderBy(col("d2p"), col("b"))
       pairs.withColumn("rk", row_number().over(w))

@@ -2274,9 +2274,25 @@ object StreamOps {
     },
     Some(graft.ops.Inference.cohendOracleSql))
 
+  /** Streaming rater-agreement monitor (q_stream_fleiss): the
+    * three-gate vote counters (n, Σr, Σ[r²+(3−r)²]) accumulate ON
+    * INGEST into one commutative row, settle, and run the batch
+    * Fleiss finisher — live multi-gate agreement telemetry with O(1)
+    * state. */
+  val qStreamFleiss = Q(
+    "q_stream_fleiss",
+    (s, d) => {
+      val st = graft.ops.Inference.fleissVoteAggs(
+        documentsStream(s, d))
+      graft.ops.Inference.fleissFromVotes(
+        drain(s, st, "stream_fleiss_tbl", "complete"))
+    },
+    Some(graft.ops.Inference.fleissOracleSql))
+
   val all: Seq[Q] = Seq(
     qStreamBrier, qStreamBudget, qStreamFano, qStreamGenmeans,
     qStreamMcnemar, qStreamCronbach, qStreamBartlett, qStreamCohend,
+    qStreamFleiss,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

@@ -952,4 +952,11 @@ class StreamSpec extends SparkSuite {
         r.getAs[Double]("cohen_d"))).toSeq
     assert(rows("q_stream_cohend") === rows("q_stats_cohend"))
   }
+
+  test("q_stream_fleiss settles to the batch kappa exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_raters"),
+        r.getAs[Double]("fleiss_kappa"))).toSeq
+    assert(rows("q_stream_fleiss") === rows("q_stats_fleiss"))
+  }
 }

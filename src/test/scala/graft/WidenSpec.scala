@@ -544,6 +544,134 @@ class WidenSpec extends SparkSuite {
     }
   }
 
+  test("simpson: per-source lexical concentration replays token counts") {
+    val expect = docRows.groupBy(_._3).map { case (src, xs) =>
+      val freq = xs.flatMap(_._2.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val nt = freq.values.sum
+      val ff = freq.values.map(f => BigInt(f) * (f - 1)).sum
+      src -> ((freq.size.toLong, nt,
+        ff.toDouble / (nt.toDouble * (nt - 1)),
+        (nt.toDouble * (nt - 1)) / ff.toDouble))
+    }
+    val got = q("q_text_simpson").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("simpson"), r.getAs[Double]("eff_vocab"))))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (s, (ty, nt, si, ev)) =>
+      assert(got(s)._1 === ty); assert(got(s)._2 === nt)
+      assert(math.abs(got(s)._3 - snap6(si)) < 1e-9, s"source $s")
+      assert(math.abs(got(s)._4 - snap6(ev)) < 1e-9, s"source $s")
+    }
+  }
+
+  test("hhi: mixture concentration replays source shares") {
+    val grid = docRows.groupBy(_._3).toSeq.map { case (_, xs) =>
+      (xs.length.toLong, xs.map(_._2.split(" ").length.toLong).sum)
+    }
+    val td = grid.map(_._1).sum
+    val tt = grid.map(_._2).sum
+    val sd2 = grid.map(g => BigInt(g._1) * g._1).sum
+    val st2 = grid.map(g => BigInt(g._2) * g._2).sum
+    val row = q("q_mix_hhi").collect().head
+    assert(row.getAs[Long]("n_sources") === grid.length.toLong)
+    assert(math.abs(row.getAs[Double]("hhi_docs")
+      - snap6(sd2.toDouble / (td.toDouble * td.toDouble))) < 1e-9)
+    assert(math.abs(row.getAs[Double]("eff_docs")
+      - snap6(td.toDouble * td.toDouble / sd2.toDouble)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("hhi_tokens")
+      - snap6(st2.toDouble / (tt.toDouble * tt.toDouble))) < 1e-9)
+    assert(math.abs(row.getAs[Double]("eff_tokens")
+      - snap6(tt.toDouble * tt.toDouble / st2.toDouble)) < 1e-9)
+  }
+
+  test("isotonic: max-min identity equals sequential PAV") {
+    val langBy = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val binned = docRows.groupBy(r => math.min(19L, r._4 / 50))
+      .view.mapValues { xs =>
+        (xs.length.toLong,
+          xs.count(r => langBy(r._1) == "en").toLong)
+      }.toSeq.sortBy(_._1)
+    // sequential pool-adjacent-violators over the bin grid
+    case class Blk(w: Long, s: Long)
+    val pav = binned.foldLeft(List.empty[Blk]) { case (st, (_, (w, p))) =>
+      var stack = Blk(w, p) :: st
+      while (stack.size > 1 &&
+          // head (newer) mean <= next (older) mean → violation, merge
+          stack(0).s * stack(1).w <= stack(1).s * stack(0).w) {
+        stack = Blk(stack(0).w + stack(1).w, stack(0).s + stack(1).s) ::
+          stack.drop(2)
+      }
+      stack
+    }.reverse
+    // expand block means back over the bins each block covers
+    var expanded = List.empty[Double]
+    var rem = binned.map(_._2._1).toList
+    pav.foreach { b =>
+      var acc = 0L
+      while (acc < b.w) {
+        acc += rem.head; rem = rem.tail
+        expanded = (b.s.toDouble / b.w) :: expanded
+      }
+      assert(acc == b.w, "PAV block does not align to bin boundaries")
+    }
+    val isoSeq = expanded.reverse
+    val got = q("q_ml_isotonic").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("raw_frac"), r.getAs[Double]("iso_frac")))
+    assert(got.map(_._1) === binned.map(_._1))
+    assert(got.map(_._2) === binned.map(_._2._1))
+    got.zip(binned).zip(isoSeq).foreach {
+      case (((_, _, raw, iso), (_, (w, p))), pavMean) =>
+        assert(math.abs(raw - snap6(p.toDouble / w)) < 1e-9)
+        assert(math.abs(iso - snap6(pavMean)) < 1e-9)
+    }
+    // monotone non-decreasing
+    got.map(_._4).toSeq.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0) <= p(1) + 1e-9)
+    }
+  }
+
+  test("odds ratio: 2x2 cells and Woolf interval replay the gates") {
+    val cells = docRows.map { case (_, text, _, nc) =>
+      (nc >= 250, text.split(" ").length >= 45)
+    }
+    val a = cells.count(x => x._1 && x._2).toLong
+    val b = cells.count(x => x._1 && !x._2).toLong
+    val c = cells.count(x => !x._1 && x._2).toLong
+    val d = cells.count(x => !x._1 && !x._2).toLong
+    val or = a.toDouble * d / (b.toDouble * c)
+    val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    val row = q("q_stats_oddsratio").collect().head
+    assert(row.getAs[Long]("a") === a)
+    assert(row.getAs[Long]("b") === b)
+    assert(row.getAs[Long]("c") === c)
+    assert(row.getAs[Long]("d") === d)
+    assert(math.abs(row.getAs[Double]("odds_ratio") - snap6(or)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("ci_lo")
+      - snap6(math.exp(math.log(or) - 1.96 * se))) < 1e-9)
+    assert(math.abs(row.getAs[Double]("ci_hi")
+      - snap6(math.exp(math.log(or) + 1.96 * se))) < 1e-9)
+  }
+
+  test("degree gini: histogram identity equals sorted-rank formula") {
+    val degs = undEdges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+    val n = degs.length
+    val num = degs.zipWithIndex
+      .map { case (x, i) => BigInt(2L * (i + 1) - n - 1) * x }.sum
+    val den = BigInt(n) * degs.map(BigInt(_)).sum
+    val row = q("q_graph_degree_gini").collect().head
+    assert(row.getAs[Long]("n_nodes") === n.toLong)
+    assert(row.getAs[Long]("max_deg") === degs.max)
+    assert(math.abs(row.getAs[Double]("gini")
+      - snap6(num.toDouble / den.toDouble)) < 1e-9)
+  }
+
   test("uniqueness ladder: three levels replay QI cell census") {
     val expect = (1 to 3).map { lvl =>
       val langBy = Tables.t(spark, sf0, "documents")
