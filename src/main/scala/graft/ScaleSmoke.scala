@@ -206,7 +206,12 @@ object ScaleSmoke {
     // counter row; isotonic is a 20-bin literal grid; degree-gini
     // runs on the bounded degree histogram
     "q_text_simpson", "q_mix_hhi", "q_ml_isotonic",
-    "q_stats_oddsratio", "q_graph_degree_gini", "q_stream_fleiss")
+    "q_stats_oddsratio", "q_graph_degree_gini", "q_stream_fleiss",
+    // tost is the third sourceLenMoments consumer; poisson-gof one
+    // daily aggregate + 9-bucket literal grid; hhi twin one grid row
+    // per source; the luma histogram is pixel-count linear
+    "q_stats_tost", "q_stats_poisson_gof", "q_stream_hhi",
+    "q_multimodal_histogram")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1445,13 +1445,15 @@ object Corpus {
     * (q_mix_temperature flattens exactly this number). ONE per-source
     * aggregate; shares square as exact integer products over the
     * squared totals, one double division each. */
-  val qMixHhi = Q(
-    "q_mix_hhi",
-    (s, d) => {
-      val grid = docs(s, d)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("nd"),
-          sum(size(split(col("text"), " ")).cast("long")).as("nt"))
+  /** The commutative per-source (docs, tokens) grid — the shared
+    * ingest aggregate of the batch op and its streaming twin. */
+  private[graft] def mixSourceGrid(ds: DataFrame): DataFrame =
+    ds.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"),
+        sum(size(split(col("text"), " ")).cast("long")).as("nt"))
+
+  /** Finisher: source grid → the one-row HHI gauge. */
+  private[graft] def hhiFromGrid(grid: DataFrame): DataFrame =
       grid
         .agg(count(lit(1)).as("n_sources"),
           sum(col("nd")).as("td"), sum(col("nt")).as("tt"),
@@ -1472,8 +1474,14 @@ object Corpus {
           round(expr(
             """(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
                / CAST(st2 AS DOUBLE)"""), 6).as("eff_tokens"))
-    },
-    Some("""WITH grid AS (
+
+  val qMixHhi = Q(
+    "q_mix_hhi",
+    (s, d) => hhiFromGrid(mixSourceGrid(docs(s, d))),
+    Some(hhiOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def hhiOracleSql: String = """WITH grid AS (
               SELECT source, CAST(count(*) AS BIGINT) AS nd,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS nt
               FROM documents GROUP BY source),
@@ -1495,7 +1503,7 @@ object Corpus {
                 AS hhi_tokens,
               round((CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE))
                 / CAST(st2 AS DOUBLE), 6) AS eff_tokens
-            FROM st"""))
+            FROM st"""
 
   val all: Seq[Q] = Seq(qDomainCap, qTextGopher, qTextBigramLm,
     qMixTemperature, qMixEpochs, qTextEntropy, qMixDsir, qShardManifest,

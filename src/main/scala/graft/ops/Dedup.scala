@@ -1601,11 +1601,51 @@ object Dedup {
           ORDER BY vp.a_id NULLS FIRST, vp.b_id NULLS FIRST"""
     })
 
+  // ---- q_dedup_jaccard_hist ----------------------------------------------
+
+  /** Jaccard histogram of verified near-dup pairs
+    * (q_dedup_jaccard_hist): how the similarity mass above the 0.5 cut
+    * distributes across ten 0.05-wide bins — the threshold-tuning view
+    * a dedup operator reads before moving the cut (a spike at the
+    * boundary means the cut is load-bearing; mass at 1.0 means exact
+    * clones are leaking past the hash stage). Rides the ONE shared
+    * [[nearPairs]] fixpoint; the histogram itself is a pair-count
+    * aggregate over a 10-row literal bucket grid. The bucket floor
+    * runs on the 6dp-rounded jaccard BOTH engines already emit
+    * identically, so bucket membership is deterministic. */
+  val qDedupJaccardHist = Q(
+    "q_dedup_jaccard_hist",
+    (s, d) => {
+      val hist = nearPairs(s, d)
+        .select(expr("least(9L, CAST(floor((jaccard - 0.5D) * 20.0D)" +
+          " AS BIGINT))").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      val tot = hist.agg(sum(col("n_pairs")).as("tp"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_pairs"),
+          round(expr("CAST(n_pairs AS DOUBLE) / tp"), 6).as("share"))
+        .orderBy(col("bucket"))
+    },
+    qDedupNear.oracle.map { nearSql =>
+      val inner = graft.Oracle.stripOrderBy(nearSql)
+      s"""WITH np AS ($inner),
+          hist AS (
+            SELECT least(9, CAST(floor((jaccard - 0.5e0) * 20.0e0)
+                AS BIGINT)) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_pairs
+            FROM np GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM hist)
+          SELECT bucket, n_pairs,
+            round(CAST(n_pairs AS DOUBLE) / tp, 6) AS share
+          FROM hist, tot
+          ORDER BY bucket NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNear, qDedupSimhash, qDedupNgram,
     qDedupEmbed, qDedupDrop, qDedupSemantic, qDedupComponents,
     qDedupPrefix, qDedupSubstring, qDedupTrim, qTextContamination,
     qDedupIncremental, qDedupClusterKeep, qDedupLshAudit,
     qDedupSemanticAudit, qDedupBloomIngest, qDedupContainment,
-    qTextRouge)
+    qTextRouge, qDedupJaccardHist)
 }

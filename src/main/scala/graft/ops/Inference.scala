@@ -2140,6 +2140,73 @@ object Inference {
             FROM cnt
             ORDER BY fence NULLS FIRST"""))
 
+  // ---- q_stats_tost -----------------------------------------------------
+
+  /** TOST equivalence panel (q_stats_tost): per source, the two
+    * one-sided Welch t-tests of "is this source's mean document length
+    * within ±25 chars of the rest of the corpus" — the NONinferiority
+    * view a curation change ships on (a failed difference test is NOT
+    * evidence of equivalence; TOST is). Third consumer of the shared
+    * [[sourceLenMoments]] grid: variances assemble from the exact
+    * DECIMAL(38,0) sums, the rest-of-corpus side is the grid total
+    * minus the source row, and each row is one fixed double
+    * expression. Equivalent at α = 0.05 when t_lower > 1.645 AND
+    * t_upper < −1.645. */
+  val qStatsTost = Q(
+    "q_stats_tost",
+    (s, d) => {
+      val grid = sourceLenMoments(Tables.t(s, d, "documents"))
+      val tot = grid.agg(sum(col("n")).as("tn"),
+        sum(col("sx")).as("ts"), sum(col("qx")).as("tq"))
+      val core =
+        """(CAST(sx AS DOUBLE) / n - CAST(ts - sx AS DOUBLE) / (tn - n))"""
+      val se =
+        """sqrt(CAST(n * qx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / n
+               + CAST((tn - n) * (tq - qx)
+                   - CAST(ts - sx AS DECIMAL(38,0)) * (ts - sx)
+                   AS DOUBLE)
+                 / (CAST(tn - n AS DOUBLE) * (tn - n - 1)) / (tn - n))"""
+      grid.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").as("n_docs"),
+          round(expr(core), 6).as("mean_diff"),
+          round(expr(s"($core + 25.0D) / $se"), 6).as("t_lower"),
+          round(expr(s"($core - 25.0D) / $se"), 6).as("t_upper"),
+          expr(s"($core + 25.0D) / $se > 1.645D" +
+            s" AND ($core - 25.0D) / $se < -1.645D")
+            .as("is_equivalent"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val core =
+        "(CAST(sx AS DOUBLE) / n - CAST(ts - sx AS DOUBLE) / (tn - n))"
+      val se =
+        """sqrt(CAST(n * qx - sx * sx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / n
+               + CAST((tn - n) * (tq - qx) - (ts - sx) * (ts - sx)
+                   AS DOUBLE)
+                 / (CAST(tn - n AS DOUBLE) * (tn - n - 1)) / (tn - n))"""
+      s"""WITH grid AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS HUGEINT) AS sx,
+                CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                  AS qx
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn,
+                CAST(sum(sx) AS HUGEINT) AS ts,
+                CAST(sum(qx) AS HUGEINT) AS tq
+              FROM grid)
+            SELECT source, n AS n_docs,
+              round($core, 6) AS mean_diff,
+              round(($core + 25.0e0) / $se, 6) AS t_lower,
+              round(($core - 25.0e0) / $se, 6) AS t_upper,
+              ($core + 25.0e0) / $se > 1.645e0
+                AND ($core - 25.0e0) / $se < -1.645e0 AS is_equivalent
+            FROM grid, tot
+            ORDER BY source NULLS FIRST"""
+    })
+
   // ---- q_ml_isotonic ----------------------------------------------------
 
   /** Isotonic calibration (q_ml_isotonic): the monotone fraction-of-
@@ -2280,6 +2347,113 @@ object Inference {
                 ELSE CAST(NULL AS DOUBLE) END, 6) AS ci_hi
             FROM st"""))
 
+  // ---- q_ml_infogain ----------------------------------------------------
+
+  /** Binary-split entropy H(a, b) in nats — generated once with
+    * engine-matched float suffixes; zero cells contribute zero (the
+    * 0·ln0 limit), spelled as per-term guards so both engines skip the
+    * same branches. */
+  private def entSql(a: String, b: String, sfx: String): String = {
+    def term(x: String) =
+      s"""CASE WHEN $x > 0 THEN
+            -(CAST($x AS DOUBLE) / ($a + $b))
+              * ln(CAST($x AS DOUBLE) / ($a + $b))
+          ELSE 0.0$sfx END"""
+    s"(${term(a)} + ${term(b)})"
+  }
+
+  /** Feature ranking by information gain (q_ml_infogain): how many
+    * nats of the lang=en label each curation gate buys — the split
+    * criterion a decision-stump trainer (q_ml_stump) evaluates,
+    * reported as an audit table so gate selection is data-driven. ONE
+    * 7-sum exact-count aggregate over the corpus; the 3-gate panel is
+    * a literal stack and each IG is a fixed double expression over
+    * exact integers. */
+  val qMlInfogain = Q(
+    "q_ml_infogain",
+    (s, d) => {
+      val cells = Tables.t(s, d, "documents")
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          (col("n_chars") >= 250).as("g1"),
+          (size(split(col("text"), " ")) >= 45).as("g2"),
+          (size(array_distinct(split(col("text"), " "))) >= 40)
+            .as("g3"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+          sum(expr("CAST(g1 AS LONG)")).as("t1"),
+          sum(expr("CAST(g1 AS LONG) * pos")).as("p1"),
+          sum(expr("CAST(g2 AS LONG)")).as("t2"),
+          sum(expr("CAST(g2 AS LONG) * pos")).as("p2"),
+          sum(expr("CAST(g3 AS LONG)")).as("t3"),
+          sum(expr("CAST(g3 AS LONG) * pos")).as("p3"))
+      val ig =
+        s"""${entSql("np", "n - np", "D")}
+           - (CAST(t AS DOUBLE) / n) * ${entSql("pt", "t - pt", "D")}
+           - (CAST(n - t AS DOUBLE) / n)
+             * ${entSql("np - pt", "n - t - (np - pt)", "D")}"""
+      cells
+        .select(col("n"), col("np"), expr(
+          """stack(3, 'chars_ge_250', t1, p1,
+                      'tokens_ge_45', t2, p2,
+                      'distinct_ge_40', t3, p3)""")
+          .as(Seq("gate", "t", "pt")))
+        .select(col("gate"), col("t").as("n_true"),
+          round(expr(
+            """CASE WHEN t > 0 THEN CAST(pt AS DOUBLE) / t
+               ELSE CAST(NULL AS DOUBLE) END"""), 6)
+            .as("frac_pos_true"),
+          round(expr(
+            """CASE WHEN n - t > 0 THEN
+                 CAST(np - pt AS DOUBLE) / (n - t)
+               ELSE CAST(NULL AS DOUBLE) END"""), 6)
+            .as("frac_pos_false"),
+          round(expr(ig), 6).as("info_gain"))
+        .orderBy(col("gate"))
+    },
+    Some {
+      val ig =
+        s"""${entSql("np", "n - np", "e0")}
+           - (CAST(t AS DOUBLE) / n) * ${entSql("pt", "t - pt", "e0")}
+           - (CAST(n - t AS DOUBLE) / n)
+             * ${entSql("np - pt", "n - t - (np - pt)", "e0")}"""
+      s"""WITH cells AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np,
+                CAST(sum(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t1,
+                CAST(sum(CASE WHEN n_chars >= 250 AND lang = 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 45
+                  THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+                CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 45
+                  AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                CAST(sum(CASE WHEN
+                  len(list_distinct(string_split(text, ' '))) >= 40
+                  THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+                CAST(sum(CASE WHEN
+                  len(list_distinct(string_split(text, ' '))) >= 40
+                  AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p3
+              FROM documents),
+            panel AS (
+              SELECT n, np,
+                CASE k WHEN 1 THEN 'chars_ge_250'
+                       WHEN 2 THEN 'tokens_ge_45'
+                       ELSE 'distinct_ge_40' END AS gate,
+                CASE k WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END AS t,
+                CASE k WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS pt
+              FROM cells CROSS JOIN
+                (SELECT unnest([1, 2, 3]) AS k))
+            SELECT gate, t AS n_true,
+              round(CASE WHEN t > 0 THEN CAST(pt AS DOUBLE) / t
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS frac_pos_true,
+              round(CASE WHEN n - t > 0 THEN
+                  CAST(np - pt AS DOUBLE) / (n - t)
+                ELSE CAST(NULL AS DOUBLE) END, 6) AS frac_pos_false,
+              round($ig, 6) AS info_gain
+            FROM panel
+            ORDER BY gate NULLS FIRST"""
+    })
+
   val all: Seq[Q] = Seq(
     qStatsAnova, qStatsKruskal, qStatsKendall, qStatsCramer, qMlAuc,
     qAggWinsorized, qTextReadability, qGraphHits, qStatsFdr,
@@ -2287,5 +2461,5 @@ object Inference {
     qStatsFriedman, qStatsCochranQ, qStatsJarqueBera, qMlPrCurve,
     qStatsWelch, qStatsTrendCa, qStatsCronbach, qStatsMcnemar,
     qStatsCohend, qStatsBartlett, qStatsFleiss, qStatsQq, qMlMccCurve,
-    qMlIsotonic, qStatsOddsratio)
+    qMlIsotonic, qStatsOddsratio, qStatsTost, qMlInfogain)
 }

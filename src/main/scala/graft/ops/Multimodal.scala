@@ -1473,10 +1473,84 @@ object Multimodal {
             GROUP BY doc_id
             ORDER BY doc_id NULLS FIRST"""))
 
+  // ---- q_multimodal_histogram --------------------------------------------
+
+  /** Corpus luminance histogram (q_multimodal_histogram): the 8-bucket
+    * BT.601 luma distribution over EVERY pixel of every BMP in the
+    * corpus — the global exposure census an image-curation gate reads
+    * before setting brightness filters (per-image means live in
+    * q_multimodal_bmp; this is the pixel-population view). Luma stays
+    * in exact integer millis (r·299 + g·587 + b·114 ≤ 255 000, bucket
+    * = luma ÷ 32 000), so the histogram and per-bucket mean are exact
+    * until one double division; the byte-level decode is the same
+    * substring+conv stride arithmetic the BMP op proves against the
+    * doc_id-generated oracle. */
+  val qMultimodalHistogram = Q(
+    "q_multimodal_histogram",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, bmpBytes(id))))
+        .toDF("doc_id", "bmp")
+      def le(pos: String, nbytes: Int): String =
+        (0 until nbytes).map(k =>
+          s"(CAST(conv(hex(substring(bmp, CAST(($pos) + $k AS INT), 1))," +
+            s" 16, 10) AS BIGINT) * ${1L << (8 * k)})")
+          .mkString("(", " + ", ")")
+      val px = blobs
+        .withColumn("offset", expr(le("11", 4)))
+        .withColumn("w", expr(le("19", 4)))
+        .withColumn("h", expr(le("23", 4)))
+        .withColumn("stride", expr("CAST((3 * w + 3) / 4 AS BIGINT) * 4"))
+        .withColumn("i", explode(expr(
+          "sequence(CAST(0 AS BIGINT), w * h - 1)")))
+        .withColumn("x", col("i") % col("w"))
+        .withColumn("y", (col("i") / col("w")).cast("long"))
+        .withColumn("pos", col("offset") +
+          (col("h") - 1 - col("y")) * col("stride") + col("x") * 3 + 1)
+        .withColumn("lum", expr(
+          s"${le("pos + 2", 1)} * 299 + ${le("pos + 1", 1)} * 587" +
+            s" + ${le("pos", 1)} * 114"))
+      val hist = px.groupBy(expr("lum DIV 32000").as("bucket"))
+        .agg(count(lit(1)).as("n_px"), sum(col("lum")).as("sl"))
+      val tot = hist.agg(sum(col("n_px")).as("tp"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_px"),
+          round(expr("CAST(n_px AS DOUBLE) / tp"), 6).as("share"),
+          round(expr("CAST(sl AS DOUBLE) / n_px / 1000.0D"), 6)
+            .as("mean_luma"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH spec AS (
+              SELECT doc_id, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+              FROM documents),
+            px AS (
+              SELECT doc_id, i % w AS x, CAST(i // w AS BIGINT) AS y
+              FROM (SELECT *, unnest(generate_series(0, w * h - 1)) AS i
+                    FROM spec)),
+            lums AS (
+              SELECT ((doc_id * 7 + x * 19 + y * 23) % 256) * 299
+                   + ((doc_id * 5 + x * 11 + y * 17) % 256) * 587
+                   + ((doc_id * 3 + x * 7 + y * 13) % 256) * 114 AS lum
+              FROM px),
+            hist AS (
+              SELECT lum // 32000 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(lum) AS BIGINT) AS sl
+              FROM lums GROUP BY lum // 32000),
+            tot AS (SELECT CAST(sum(n_px) AS BIGINT) AS tp FROM hist)
+            SELECT CAST(bucket AS BIGINT) AS bucket, n_px,
+              round(CAST(n_px AS DOUBLE) / tp, 6) AS share,
+              round(CAST(sl AS DOUBLE) / n_px / 1000.0e0, 6)
+                AS mean_luma
+            FROM hist, tot
+            ORDER BY bucket NULLS FIRST"""))
+
   val all: Seq[Q] =
     Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
       qMultimodalWav, qMultimodalAudioFeat, qMultimodalBmp,
       qMultimodalMp4, qMultimodalPhash, qMultimodalPhashPairs,
       qMultimodalPhashAudit, qMultimodalGif, qMultimodalScenecut,
-      qMultimodalSilence, qMultimodalZip)
+      qMultimodalSilence, qMultimodalZip, qMultimodalHistogram)
 }

@@ -2348,10 +2348,144 @@ object Series {
             FROM lev, tot
             ORDER BY level NULLS FIRST"""))
 
+  // ---- q_stats_poisson_gof ----------------------------------------------
+
+  /** Poisson factor chain for bucket k — generated ONCE in Scala and
+    * embedded with engine-matched float suffixes so both engines run
+    * the identical multiply/divide sequence (the trig-table
+    * discipline): p_k = exp(−λ)·λ·…·λ/k!, and the ≥8 tail is
+    * 1 − Σ p_0..7 with a fixed addition order. */
+  private def poissonPSql(sfx: String): String = {
+    val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0)
+    def term(k: Int): String = {
+      val pow =
+        if (k == 0) s"1.0$sfx" else Seq.fill(k)("lam").mkString(" * ")
+      s"exp(-lam) * ($pow) / ${fact(k)}$sfx"
+    }
+    val branches =
+      (0 to 7).map(k => s"WHEN k = $k THEN ${term(k)}").mkString(" ")
+    s"CASE $branches ELSE 1.0$sfx - (${(0 to 7).map(term).mkString(" + ")}) END"
+  }
+
+  /** Poisson goodness-of-fit (q_stats_poisson_gof): are the daily
+    * extreme-event counts (value > 250 — q_ts_croston's demand series)
+    * Poisson, i.e. independent arrivals, or over-dispersed/bursty (the
+    * q_events_fano question, settled by a full χ² table instead of one
+    * ratio)? One daily aggregate, a 9-bucket histogram (counts ≥ 8
+    * pooled into the tail), λ̂ = mean from exact integer sums, and the
+    * literal factor chain above — every expected count and χ²
+    * contribution is the same IEEE sequence on both engines. */
+  /** The commutative daily extreme-count grid — the shared ingest
+    * aggregate of the batch op and its streaming twin (state is
+    * calendar-bounded: one row per day). */
+  private[graft] def extremeDayCounts(ev: DataFrame): DataFrame =
+    ev.select(to_date(col("ts")).as("day"),
+        (col("value") > 250.0).cast("long").as("hit"))
+      .groupBy(col("day")).agg(sum(col("hit")).as("c"))
+
+  /** Finisher: day grid → the 9-bucket χ² table. */
+  private[graft] def poissonGofFromDays(days: DataFrame): DataFrame = {
+      val st = days.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      val hist = days.select(least(col("c"), lit(8L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("obs"))
+      st.select(col("n"), col("sc"),
+          explode(expr("sequence(0L, 8L)")).as("k"))
+        .withColumn("lam", expr("CAST(sc AS DOUBLE) / n"))
+        .join(hist, Seq("k"), "left")
+        .withColumn("observed", coalesce(col("obs"), lit(0L)))
+        .withColumn("p", expr(poissonPSql("D")))
+        .select(col("k").as("bucket"), col("observed"),
+          round(expr("n * p"), 6).as("expected"),
+          round(expr(
+            "(observed - n * p) * (observed - n * p) / (n * p)"), 6)
+            .as("chi2_term"))
+        .orderBy(col("bucket"))
+  }
+
+  val qStatsPoissonGof = Q(
+    "q_stats_poisson_gof",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      poissonGofFromDays(extremeDayCounts(events))
+    },
+    Some(poissonGofOracleSql))
+
+  // def, not val: referenced by the Q above it (object init order)
+  private[graft] def poissonGofOracleSql: String = s"""WITH days AS (
+              SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CASE WHEN value > 250.0e0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+              FROM events GROUP BY CAST(ts AS DATE)),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(c) AS BIGINT) AS sc
+              FROM days),
+            hist AS (
+              SELECT least(c, 8) AS kk, CAST(count(*) AS BIGINT) AS obs
+              FROM days GROUP BY least(c, 8)),
+            grid AS (
+              SELECT n, sc, CAST(sc AS DOUBLE) / n AS lam,
+                unnest(generate_series(0, 8)) AS k
+              FROM st),
+            joined AS (
+              SELECT k, n, lam, COALESCE(h.obs, 0) AS observed,
+                ${poissonPSql("e0")} AS p
+              FROM grid g LEFT JOIN hist h ON g.k = h.kk)
+            SELECT CAST(k AS BIGINT) AS bucket,
+              CAST(observed AS BIGINT) AS observed,
+              round(n * p, 6) AS expected,
+              round((observed - n * p) * (observed - n * p) / (n * p),
+                6) AS chi2_term
+            FROM joined
+            ORDER BY bucket NULLS FIRST"""
+
+  // ---- q_events_circadian ------------------------------------------------
+
+  /** Circadian activity profile (q_events_circadian): the 24-hour
+    * event-rate and spend profile — which UTC hours carry the load and
+    * the money, the capacity-planning complement to the day-grid tier
+    * (q_ts_seasonal reads day-of-week; this reads hour-of-day). ONE
+    * (hour) aggregate over the stream; spend rides exact cents, share
+    * and mean are one double division per grid row. */
+  val qEventsCircadian = Q(
+    "q_events_circadian",
+    (sp, dir) => {
+      implicit val s: SparkSession = sp
+      implicit val d: String = dir
+      val grid = events
+        .select(hour(col("ts")).cast("long").as("hr"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sc"))
+      val tot = grid.agg(sum(col("n_events")).as("tn"))
+      grid.crossJoin(broadcast(tot))
+        .select(col("hr").as("hour"), col("n_events"),
+          round(expr("CAST(n_events AS DOUBLE) / tn"), 6).as("share"),
+          round(expr("CAST(sc AS DOUBLE) / n_events / 100.0D"), 2)
+            .as("mean_value"))
+        .orderBy(col("hour"))
+    },
+    Some("""WITH grid AS (
+              SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sc
+              FROM events GROUP BY extract(hour FROM ts)),
+            tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS tn
+                    FROM grid)
+            SELECT hr AS hour, n_events,
+              round(CAST(n_events AS DOUBLE) / tn, 6) AS share,
+              round(CAST(sc AS DOUBLE) / n_events / 100.0e0, 2)
+                AS mean_value
+            FROM grid, tot
+            ORDER BY hour NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qTsAcf, qTsMad, qTsSeasonal, qTsCusum,
     qEventsMarkov, qTsOhlc, qEventsPaths, qTsEwma, qTsVshape,
     qTsChangepoint, qAggTheilsen, qTsStl, qTsBacktest, qEventsMarkovPi,
     qTsHurst, qTsLjungbox, qTsDw, qTsVarratio, qTsPeriodogram, qTsPacf,
     qTsHoltwinters, qEventsInterarrival, qTsGrubbs, qTsTheta,
-    qTsSpectralEntropy, qTsCroston, qTsKpss, qTsDickey, qTsHaar)
+    qTsSpectralEntropy, qTsCroston, qTsKpss, qTsDickey, qTsHaar,
+    qStatsPoissonGof, qEventsCircadian)
 }

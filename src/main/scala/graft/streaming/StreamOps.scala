@@ -2289,10 +2289,38 @@ object StreamOps {
     },
     Some(graft.ops.Inference.fleissOracleSql))
 
+  /** Streaming mixture-concentration monitor (q_stream_hhi): the
+    * per-source (docs, tokens) grid accumulates ON INGEST — one
+    * commutative row per source — settles, and runs the batch HHI
+    * finisher: the live "is one source taking over the mix" gauge
+    * with catalog-sized state. */
+  val qStreamHhi = Q(
+    "q_stream_hhi",
+    (s, d) => {
+      val grid = graft.ops.Corpus.mixSourceGrid(
+        documentsStream(s, d))
+      graft.ops.Corpus.hhiFromGrid(
+        drain(s, grid, "stream_hhi_tbl", "complete"))
+    },
+    Some(graft.ops.Corpus.hhiOracleSql))
+
+  /** Streaming arrival-model monitor (q_stream_poisson_gof): the daily
+    * extreme-count grid accumulates ON INGEST (calendar-bounded state,
+    * one row per day), settles, and runs the batch χ² finisher — the
+    * live "are spikes still Poisson or turning bursty" table. */
+  val qStreamPoissonGof = Q(
+    "q_stream_poisson_gof",
+    (s, d) => {
+      val days = graft.ops.Series.extremeDayCounts(eventsStream(s, d))
+      graft.ops.Series.poissonGofFromDays(
+        drain(s, days, "stream_poisson_tbl", "complete"))
+    },
+    Some(graft.ops.Series.poissonGofOracleSql))
+
   val all: Seq[Q] = Seq(
     qStreamBrier, qStreamBudget, qStreamFano, qStreamGenmeans,
     qStreamMcnemar, qStreamCronbach, qStreamBartlett, qStreamCohend,
-    qStreamFleiss,
+    qStreamFleiss, qStreamHhi, qStreamPoissonGof,
     qStreamDpHist, qStreamFdr, qStreamExpectations,
     qStreamKmv, qStreamBenford, qStreamTrend,
     qStreamSource, qStreamTumbling, qStreamSliding, qStreamSession,

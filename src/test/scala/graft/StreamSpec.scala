@@ -953,6 +953,14 @@ class StreamSpec extends SparkSuite {
     assert(rows("q_stream_cohend") === rows("q_stats_cohend"))
   }
 
+  test("q_stream_hhi settles to the batch concentration gauge") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("n_sources"), r.getAs[Double]("hhi_docs"),
+        r.getAs[Double]("eff_docs"), r.getAs[Double]("hhi_tokens"),
+        r.getAs[Double]("eff_tokens"))).toSeq
+    assert(rows("q_stream_hhi") === rows("q_mix_hhi"))
+  }
+
   test("q_stream_fleiss settles to the batch kappa exactly") {
     def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_raters"),

@@ -672,6 +672,89 @@ class WidenSpec extends SparkSuite {
       - snap6(num.toDouble / den.toDouble)) < 1e-9)
   }
 
+  test("tost: equivalence panel replays the Welch one-sided pair") {
+    val bySrc = docRows.groupBy(_._3).view.mapValues(_.map(_._4)).toMap
+    val tn = docRows.length.toLong
+    val ts = docRows.map(r => BigInt(r._4)).sum
+    val tq = docRows.map(r => BigInt(r._4) * r._4).sum
+    val got = q("q_stats_tost").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("mean_diff"),
+          r.getAs[Double]("t_lower"), r.getAs[Double]("t_upper"),
+          r.getAs[Boolean]("is_equivalent")))).toMap
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(BigInt(_)).sum
+      val qx = xs.map(x => BigInt(x) * x).sum
+      val diff = sx.toDouble / n - (ts - sx).toDouble / (tn - n)
+      val se = math.sqrt(
+        (BigInt(n) * qx - sx * sx).toDouble / (n.toDouble * (n - 1)) / n
+          + (BigInt(tn - n) * (tq - qx) - (ts - sx) * (ts - sx)).toDouble
+            / ((tn - n).toDouble * (tn - n - 1)) / (tn - n))
+      val (tl, tu) = ((diff + 25.0) / se, (diff - 25.0) / se)
+      assert(got(src)._1 === n, s"source $src")
+      assert(math.abs(got(src)._2 - snap6(diff)) < 1e-9, s"source $src")
+      assert(math.abs(got(src)._3 - snap6(tl)) < 1e-9, s"source $src")
+      assert(math.abs(got(src)._4 - snap6(tu)) < 1e-9, s"source $src")
+      assert(got(src)._5 === (tl > 1.645 && tu < -1.645), s"src $src")
+    }
+  }
+
+  test("poisson gof: buckets replay the literal factor chain") {
+    val byDay = Tables.t(spark, sf0, "events")
+      .select(to_date(col("ts")).as("day"),
+        (col("value") > 250.0).cast("long").as("hit"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toSeq.map(_._2)
+    val n = byDay.length
+    val lam = byDay.sum.toDouble / n
+    val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0)
+    def p(k: Int): Double =
+      if (k < 8) {
+        val pow = (1 to k).foldLeft(1.0)((a, _) => a * lam)
+        math.exp(-lam) * pow / fact(k)
+      } else 1.0 - (0 to 7).map(p).sum
+    val obs = byDay.map(c => math.min(c, 8L)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val got = q("q_stats_poisson_gof").collect()
+    assert(got.length === 9)
+    got.foreach { r =>
+      val k = r.getAs[Long]("bucket").toInt
+      val o = obs.getOrElse(k.toLong, 0L)
+      val e = n * p(k)
+      assert(r.getAs[Long]("observed") === o, s"k$k")
+      assert(math.abs(r.getAs[Double]("expected") - snap6(e)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("chi2_term")
+        - snap6((o - e) * (o - e) / e)) < 1e-9, s"k$k")
+    }
+  }
+
+  test("multimodal histogram: luma buckets replay pixel arithmetic") {
+    val lums = docRows.map(_._1).flatMap { id =>
+      val w = (4 + id % 3).toInt
+      val h = (2 + id % 2).toInt
+      for (y <- 0 until h; x <- 0 until w) yield
+        ((id * 7 + x * 19 + y * 23) % 256) * 299 +
+          ((id * 5 + x * 11 + y * 17) % 256) * 587 +
+          ((id * 3 + x * 7 + y * 13) % 256) * 114
+    }
+    val hist = lums.groupBy(_ / 32000).view
+      .mapValues(v => (v.size.toLong, v.map(BigInt(_)).sum)).toMap
+    val tp = lums.length.toDouble
+    val got = q("q_multimodal_histogram").collect()
+    assert(got.map(_.getAs[Long]("bucket")).toSet ===
+      hist.keySet.map(_.toLong))
+    got.foreach { r =>
+      val (np, sl) = hist(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_px") === np)
+      assert(math.abs(r.getAs[Double]("share") - snap6(np / tp)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_luma")
+        - snap6(sl.toDouble / np / 1000.0)) < 1e-9)
+    }
+  }
+
   test("uniqueness ladder: three levels replay QI cell census") {
     val expect = (1 to 3).map { lvl =>
       val langBy = Tables.t(spark, sf0, "documents")
