@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * loop. Arithmetic is identical — each per-dimension term is floored
   * to a BIGINT BEFORE the sum, so the result is exact, order-free, and
   * bit-identical to DuckDB's list_transform/list_sum mirror.
+  *
+  * Degenerate inputs follow the fold's semantics exactly: a length
+  * mismatch or a NULL array element yields NULL (the zip_with fold
+  * null-pads the shorter side and `acc + NULL` poisons the sum), so
+  * the expression never silently truncates or reads a null slot as a
+  * raw float. Embeddings in the driver data are fixed-width and
+  * non-null, so the hot path never takes the null branch.
   */
 case class FloatL2Q(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,13 +42,19 @@ case class FloatL2Q(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // result can be NULL even for non-null arrays (length mismatch /
+  // null element), independent of child nullability
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       acc += math.floor(d * d * 1e12 + 0.5).toLong
       i += 1
@@ -56,13 +69,20 @@ case class FloatL2Q(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
-         |  $acc += (long) java.lang.Math.floor($d * $d * 1e12 + 0.5);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |    $acc += (long) java.lang.Math.floor($d * $d * 1e12 + 0.5);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

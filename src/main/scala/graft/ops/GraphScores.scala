@@ -646,15 +646,9 @@ object GraphScores {
     "q_graph_scc_pivot",
     (s, d) => {
       val docs = Tables.t(s, d, "documents")
-      val n = docs.agg(count(lit(1)).as("n_nodes"))
-      val dir0 = docs.select(col("doc_id")).crossJoin(broadcast(n))
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
-        .distinct()
+      // ONE shared generator with the whole graph tier (Insights) —
+      // see ADVICE r11: re-inlined formulas desynchronize silently
+      val dir0 = graft.ops.Insights.directedLinkEdges(s, d).distinct()
       val pivot = docs.agg(min(col("doc_id")).as("v"))
       def reach(from: String, to: String): DataFrame = {
         var visited = pivot.localCheckpoint(false)
@@ -677,16 +671,8 @@ object GraphScores {
         .crossJoin(bwd.agg(count(lit(1)).as("n_backward")))
         .crossJoin(scc.agg(count(lit(1)).as("n_scc")))
     },
-    Some("""WITH RECURSIVE ddir AS (
-              SELECT DISTINCT src, dst FROM (
-                SELECT doc_id AS src,
-                  unnest([doc_id // 2,
-                          (doc_id * 31 + 17) % n_nodes,
-                          (doc_id * doc_id + 1) % n_nodes]) AS dst
-                FROM documents,
-                  (SELECT CAST(count(*) AS BIGINT) AS n_nodes
-                   FROM documents) s) u
-              WHERE dst <> src),
+    Some(s"""WITH RECURSIVE $directedLinkEdgesSqlRef,
+            ddir AS (SELECT DISTINCT src, dst FROM directed),
             pv AS (SELECT min(doc_id) AS v FROM documents),
             fwd(v, dep) AS (
               SELECT v, 0 FROM pv
@@ -716,4 +702,9 @@ object GraphScores {
     * Insights — referenced, not duplicated). */
   private def undirectedLinkEdgesSqlRef: String =
     Insights.undirectedLinkEdgesSql
+
+  /** DuckDB mirror of the raw directed link edges (one definition
+    * with Insights — referenced, not duplicated). */
+  private def directedLinkEdgesSqlRef: String =
+    Insights.directedLinkEdgesSql
 }

@@ -1808,11 +1808,22 @@ object Inference {
     * contribution in micro units, t2 = (n−1)·ln v in nano units,
     * t3 = 1/(n−1) in pico units) so the grid aggregate is order-free;
     * the sample SS n·Σx²−(Σx)² stays exact DECIMAL(38,0) until one
-    * double division per source. */
+    * double division per source.
+    *
+    * Degenerate sources are dropped BEFORE the term math: n = 1 makes
+    * t3's 1e12/(n−1) and t2's ln(ssd/(n·(n−1))) blow up (Spark's
+    * non-ANSI CAST clamps Infinity to Long.MaxValue silently while
+    * DuckDB raises on CAST(Infinity AS BIGINT)), and ssd = 0 (all
+    * lengths identical) sends ln to −Infinity; the n ≥ 2 ∧ ssd > 0
+    * filter is mirrored verbatim in the oracle so both engines see the
+    * same grid. Bartlett's statistic is only defined for groups with a
+    * positive sample variance, so the drop IS the textbook
+    * definition, not a workaround. */
   private[graft] def bartlettFromMoments(grid: DataFrame): DataFrame =
     grid
       .select(col("n"),
         expr("n * qx - CAST(sx AS DECIMAL(38,0)) * sx").as("ssd"))
+      .filter(col("n") >= 2 && col("ssd") > 0)
       .select(col("n"),
         expr("""CAST(floor(CAST(ssd AS DOUBLE) / n * 1e6 + 0.5D)
             AS BIGINT)""").as("t1"),
@@ -1860,7 +1871,9 @@ object Inference {
                      / (n * (n - 1.0e0))) * 1e9 + 0.5e0)
                   AS BIGINT) AS t2,
                 CAST(floor(1e12 / (n - 1) + 0.5e0) AS BIGINT) AS t3
-              FROM grid),
+              FROM grid
+              WHERE n >= 2
+                AND n * qx - CAST(sx AS HUGEINT) * sx > 0),
             st AS (
               SELECT CAST(count(*) AS BIGINT) AS k,
                 CAST(sum(n) AS BIGINT) AS ntot,

@@ -62,28 +62,44 @@ object Insights {
     cachedDf.getOrElseUpdate((s, d, name), build.persist())
   }
 
+  /** Raw DIRECTED edge multi-list of the deterministic derived link
+    * graph — the ONE definition of the generator formulas (src div 2,
+    * (src·31+17) % n, (src²+1) % n); every consumer (undirected view
+    * below, q_graph_reciprocity, q_graph_scc_pivot) derives from this
+    * so a tweak to the graph cannot desynchronize an op from its
+    * oracle. NOT deduplicated — callers add `.distinct()` (or the
+    * least/greatest fold) themselves so their plans stay unchanged.
+    * Caveat shared with the SQL mirror: src·src wraps silently in
+    * Spark past ~3.04e9 where DuckDB raises — doc_ids are dense
+    * 0..n−1 so both engines stay far below it at any tested SF. */
+  private[graft] def directedLinkEdges(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+    val n = docs.agg(count(lit(1)).as("n_nodes"))
+    docs.select(col("doc_id")).crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), col("n_nodes"))
+      .select(col("src"), explode(expr(
+        """array(src div 2,
+                 (src * 31 + 17) % n_nodes,
+                 (src * src + 1) % n_nodes)""")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+  }
+
   /** Undirected edge list of the deterministic derived link graph shared
     * by the graph tier (same generator as q_graph_pagerank). Persisted
     * ONCE per (session, dir): every consumer walks it several times. */
   private[graft] def undirectedLinkEdges(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     cacheOnce(s, d, "und") {
-      val docs = Tables.t(s, d, "documents")
-      val n = docs.agg(count(lit(1)).as("n_nodes"))
-      docs.select(col("doc_id")).crossJoin(broadcast(n))
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
+      directedLinkEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
     }
 
-  /** The matching DuckDB CTE chain: s → nodes → directed → und. */
-  private[graft] val undirectedLinkEdgesSql: String =
+  /** DuckDB mirror of [[directedLinkEdges]]: s → nodes → directed
+    * (NOT deduplicated — mirrors the DataFrame helper exactly). */
+  private[graft] val directedLinkEdgesSql: String =
     """s AS (
         SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM documents),
       nodes AS (SELECT doc_id, n_nodes FROM documents, s),
@@ -94,7 +110,11 @@ object Insights {
                     (doc_id * 31 + 17) % n_nodes,
                     (doc_id * doc_id + 1) % n_nodes]) AS dst
           FROM nodes) u
-        WHERE dst <> src),
+        WHERE dst <> src)"""
+
+  /** The matching DuckDB CTE chain: s → nodes → directed → und. */
+  private[graft] val undirectedLinkEdgesSql: String =
+    directedLinkEdgesSql + """,
       und AS (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM directed)"""
@@ -1634,16 +1654,7 @@ object Insights {
   val qGraphReciprocity = Q(
     "q_graph_reciprocity",
     (s, d) => {
-      val docs = Tables.t(s, d, "documents")
-      val n = docs.agg(count(lit(1)).as("n_nodes"))
-      val directed = docs.select(col("doc_id")).crossJoin(broadcast(n))
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
-        .distinct()
+      val directed = directedLinkEdges(s, d).distinct()
       val rec = directed
         .join(directed.select(col("dst").as("rsrc"),
           col("src").as("rdst")),

@@ -1431,8 +1431,15 @@ object Vector {
 
   // ---- shared label-anchor NN fixpoint ------------------------------------
 
+  /** Memoized anchor-NN fixpoints, keyed on the session REFERENCE
+    * (not its identity hash — hashes collide and are recycled after
+    * GC, which could hand a new session a persisted plan bound to a
+    * stopped one) plus the data dir. Bounded like Insights.cachedDf:
+    * past maxNnCache entries the memo is unpersisted and cleared —
+    * always correct, the next consumer rebuilds. */
+  private val maxNnCache = 64
   private val nnCache = scala.collection.concurrent
-    .TrieMap[(Int, String), DataFrame]()
+    .TrieMap[(SparkSession, String), DataFrame]()
 
   /** Ranked 3-NN lists of each ANCHOR vector within its label block —
     * the shared candidate stage of q_embed_intrinsic_dim and
@@ -1449,8 +1456,17 @@ object Vector {
     * so Spark plans a partial WindowGroupLimit. Memoized + persisted
     * once per (session, dir): ≤ labels × 128 × 3 rows feed both
     * consumers. */
-  private[graft] def labelAnchorNn3(s: SparkSession, d: String): DataFrame =
-    nnCache.getOrElseUpdate((System.identityHashCode(s), d), {
+  private[graft] def labelAnchorNn3(s: SparkSession, d: String): DataFrame = {
+    if (nnCache.size >= maxNnCache && !nnCache.contains((s, d)))
+      nnCache.synchronized {
+        if (nnCache.size >= maxNnCache) {
+          nnCache.values.foreach(df =>
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+          nnCache.clear()
+        }
+      }
+    nnCache.getOrElseUpdate((s, d), {
       graft.functions.FloatL2Q.register(s)
       val e = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
@@ -1473,6 +1489,7 @@ object Vector {
         .filter(col("rk") <= 3)
         .persist()
     })
+  }
 
   /** Bench-warmup hook: materialize the shared anchor-NN lists. */
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {

@@ -23,6 +23,13 @@ class PlanGuardSpec extends SparkSuite {
 
   private def canonical(plan: String): String = plan
     .replaceAll("#\\d+", "#")
+    // AQE stage numbers depend on MATERIALIZATION order, which races
+    // across hosts/loads — round-11's judged "drift" for
+    // q_graph_triangles/q_quality_classify was exactly a
+    // `BroadcastQueryStage 19` vs `20` renumbering with an identical
+    // operator tree. Strip them; the tree + exchanges still pin the
+    // plan.
+    .replaceAll("QueryStage \\d+", "QueryStage N")
     .replaceAll("plan_id=\\d+", "plan_id=")
     .replaceAll("id=#?\\d+", "id=")
     .replaceAll("@[0-9a-fA-F]{4,}", "@")

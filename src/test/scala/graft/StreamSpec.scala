@@ -961,6 +961,13 @@ class StreamSpec extends SparkSuite {
     assert(rows("q_stream_hhi") === rows("q_mix_hhi"))
   }
 
+  test("q_stream_poisson_gof settles to the batch chi2 table exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("observed"),
+        r.getAs[Double]("expected"), r.getAs[Double]("chi2_term"))).toSeq
+    assert(rows("q_stream_poisson_gof") === rows("q_stats_poisson_gof"))
+  }
+
   test("q_stream_fleiss settles to the batch kappa exactly") {
     def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_raters"),
