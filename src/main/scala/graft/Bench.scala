@@ -41,6 +41,7 @@ object Bench {
     warmLog("graph peels")(ops.GraphScores.warmShared(spark, sfDir))
     warmLog("day grid")(ops.Series.warmShared(spark, sfDir))
     warmLog("anchor nn")(ops.Vector.warmShared(spark, sfDir))
+    warmLog("landmark bfs")(ops.Causal.warmShared(spark, sfDir))
     // Buffer-pool warm was A/B'd here and REJECTED: pinning the driver
     // tables in columnar memory sped the TPC-H tier ~20% but thrashed
     // the storage pool the iterative tier needs for its own persisted

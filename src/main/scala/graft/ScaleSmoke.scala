@@ -213,8 +213,73 @@ object ScaleSmoke {
     "q_stats_tost", "q_stats_poisson_gof", "q_stream_hhi",
     "q_multimodal_histogram")
 
+  /** 100× embeddings-only blow-up (SPARK_GRAFT_SCALE100=1): two orders
+    * of magnitude past sf0.1 (2 000 → 200 000 vectors, labels kept so
+    * blocks grow 100×), timing the shared anchor-NN fixpoint BUILD
+    * (Vector.warmShared — the 128-anchor-capped pair stage on the
+    * codegen FloatL2Q path) and its two consumers. The cap claim is
+    * pairs = 128·|block| per label — LINEAR — so the fixpoint ratio
+    * must sit near 100, never the ~10 000 an uncapped block self-join
+    * would show. */
+  private def run100(spark: SparkSession, src: String): Unit = {
+    val out = sys.props("java.io.tmpdir") + "/graft_scale100"
+    val dir = new java.io.File(out)
+    if (!new java.io.File(out + "/_done").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      dir.mkdirs()
+      val rep = spark.range(100).select(col("id").as("rep"))
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val emx = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
+      emb.crossJoin(broadcast(rep))
+        .select((col("vec_id") + col("rep") * emx).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents").foreach { t =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+      new java.io.File(out + "/_done").createNewFile()
+    }
+    spark.range(2000000L).selectExpr("sum(id)").collect()
+    def phase(dir: String): Seq[(String, Double)] = {
+      def t(label: String)(f: => Unit): (String, Double) = {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      }
+      Seq(
+        t("anchor_nn_fixpoint")(ops.Vector.warmShared(spark, dir)),
+        t("q_embed_intrinsic_dim")(
+          SparkEntry.queries("q_embed_intrinsic_dim")(spark, dir).count()),
+        t("q_embed_hubness")(
+          SparkEntry.queries("q_embed_hubness")(spark, dir).count()))
+    }
+    val t1 = phase(src)
+    val t100 = phase(out)
+    println("| stage | 1x sec | 100x sec | ratio (linear = 100) |")
+    println("|---|---|---|---|")
+    t1.zip(t100).foreach { case ((n, a), (_, b)) =>
+      println(f"| $n | $a%.2f | $b%.2f | ${b / a}%.1f |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.contains("SPARK_GRAFT_SCALE100")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      run100(spark, src)
+      spark.stop()
+      return
+    }
     val out = sys.props("java.io.tmpdir") + "/graft_scale10"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_SMOKE_IDS=q_a,q_b runs a targeted subset (e.g. the

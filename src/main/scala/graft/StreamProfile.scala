@@ -16,12 +16,19 @@ object StreamProfile {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_WIDTH", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A/B any streaming conf without a rebuild:
+    //   SPARK_GRAFT_STREAM_CONF="k=v;k2=v2" sbt "runMain graft.StreamProfile"
+    sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val schema = spark.read.parquet(s"$d/events.parquet").schema
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // batch equivalent for comparison
@@ -31,6 +38,20 @@ object StreamProfile {
         .option("pathGlobFilter", "events.parquet").load(d)
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")).collect()
       println(f"[prof] batch-equiv run $i: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+    // stateless drain (pure projection, append): separates state-store
+    // cost from the micro-batch execution path itself
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(d)
+        .select(col("event_type")).filter(col("event_type") =!= "zz")
+      val q = src.writeStream.outputMode("append").format("memory")
+        .queryName(s"prof_sl_$i").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e6
+      val dm = q.recentProgress.lastOption.map(_.durationMs)
+      println(f"[prof] stateless run $i wall=$wall%.0f ms $dm")
     }
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()

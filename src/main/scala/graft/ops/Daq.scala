@@ -323,20 +323,51 @@ object Daq {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
-  /** Watchdog merge in batch form (md:306-314): file-arrival listing via
-    * the binaryFile source — per-file name + size of every parquet in the
-    * sf dir. No oracle (filesystem metadata, not table values). */
+  /** Watchdog merge in batch form (md:306-314): MERGE the event stream
+    * into per-readout-board parquet archives (the watchdog's
+    * merged-file layout), then READ THE MERGED OUTPUT BACK and attest
+    * it with the per-(run, rb) digest grid — count, id range, and the
+    * order-insensitive content checksum. Because the attestation is
+    * computed from the round-tripped archive, a dropped/duplicated/
+    * corrupted record in the merge would change a value, and the grid
+    * is value-checkable against DuckDB over the SOURCE table (the
+    * merge must preserve content exactly) — this retires the
+    * registry's last no-oracle exemption while keeping the write
+    * side-effect it exists to exercise. The rb partition count is
+    * FIXED (2), so the layout never degenerates into per-run small
+    * files at fleet scale; runs are recovered from the merged rows. */
   val qMergeArchive = Q(
     "q_merge_archive",
-    (s, d) =>
-      s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(d)
-        .select(
-          element_at(split(col("path"), "/"), -1).as("file_name"),
-          col("length"))
-        .orderBy(col("file_name")),
-    None)
+    (s, d) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_merge_archive"
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          expr("user_id % 2").as("rb"))
+        .write.mode("overwrite").partitionBy("rb").parquet(out)
+      s.read.parquet(out)
+        .withColumn("run", expr("event_id div 250"))
+        .withColumn("ch", expr(
+          "CAST(conv(substring(md5(CAST(concat_ws('|', event_id, " +
+            "user_id, event_type, us) AS BINARY)), 1, 8), 16, 10) " +
+            "AS BIGINT)"))
+        .groupBy(col("run"), col("rb").cast("bigint").as("rb"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("ch")).as("content_sum"))
+        .orderBy(col("run"), col("rb"))
+    },
+    Some("""SELECT event_id // 250 AS run, user_id % 2 AS rb,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(event_id) AS min_id, max(event_id) AS max_id,
+              CAST(sum(CAST('0x' || substr(md5(concat_ws('|', event_id,
+                user_id, event_type, epoch_us(ts))), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+            FROM events
+            GROUP BY run, rb
+            ORDER BY run NULLS FIRST, rb NULLS FIRST"""))
 
   /** Merge attestation (q_merge_archive_digest): the oracle-eligible
     * companion to q_merge_archive — per merged (run, rb) archive the

@@ -560,6 +560,9 @@ object GraphScores {
         val deg = degrees(e)
         val lt = col("dega") < col("degb") ||
           (col("dega") === col("degb") && col("a") < col("b"))
+        // checkpointed: consumed THREE times below (e1, e2, and the
+        // closing-edge probe) — without the plan cut each consumer
+        // re-runs the two degree joins
         val oriented = e
           .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
           .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
@@ -567,6 +570,7 @@ object GraphScores {
             when(lt, col("a")).otherwise(col("b")).as("u"),
             when(lt, col("b")).otherwise(col("a")).as("v"),
             when(lt, col("degb")).otherwise(col("dega")).as("vdeg"))
+          .localCheckpoint(false)
         val e1 = oriented.select(col("u"), col("v").as("v1"),
           col("vdeg").as("vdeg1"))
         val e2 = oriented.select(col("u"), col("v").as("v2"),
@@ -647,28 +651,43 @@ object GraphScores {
     (s, d) => {
       val docs = Tables.t(s, d, "documents")
       // ONE shared generator with the whole graph tier (Insights) —
-      // see ADVICE r11: re-inlined formulas desynchronize silently
+      // see ADVICE r11: re-inlined formulas desynchronize silently.
+      // Checkpointed: each round's frontier checkpoint would otherwise
+      // re-run the scan+explode+distinct lineage on materialization
+      // (12 edge rebuilds in the old two-loop form).
       val dir0 = graft.ops.Insights.directedLinkEdges(s, d).distinct()
+        .localCheckpoint(false)
+      // BOTH BFS directions walk in ONE loop over a direction-tagged
+      // step relation (dir 0 = follow src→dst, dir 1 = reversed):
+      // 6 checkpointed rounds instead of 12, same frontier semantics.
+      val steps = dir0
+        .select(col("src").as("from"), col("dst").as("to"),
+          lit(0L).as("dir"))
+        .unionAll(dir0.select(col("dst").as("from"),
+          col("src").as("to"), lit(1L).as("dir")))
       val pivot = docs.agg(min(col("doc_id")).as("v"))
-      def reach(from: String, to: String): DataFrame = {
-        var visited = pivot.localCheckpoint(false)
-        for (_ <- 1 to 6) {
-          val next = dir0
-            .join(visited.withColumnRenamed("v", "sv"),
-              col(from) === col("sv"))
-            .select(col(to).as("v"))
-          visited = visited.unionAll(next).distinct()
-            .localCheckpoint(false)
-        }
-        visited
+      var visited = pivot
+        .select(explode(array(lit(0L), lit(1L))).as("dir"), col("v"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 6) {
+        val next = steps
+          .join(visited.withColumnRenamed("v", "sv")
+              .withColumnRenamed("dir", "sdir"),
+            col("from") === col("sv") && col("dir") === col("sdir"))
+          .select(col("dir"), col("to").as("v"))
+        visited = visited.unionAll(next).distinct()
+          .localCheckpoint(false)
       }
-      val fwd = reach("src", "dst")
-      val bwd = reach("dst", "src")
+      val fwd = visited.filter(col("dir") === 0L).select(col("v"))
+      val bwd = visited.filter(col("dir") === 1L).select(col("v"))
       val scc = fwd.join(bwd.withColumnRenamed("v", "bv"),
         col("v") === col("bv"), "left_semi")
+      // one census aggregate over the tagged set instead of two
+      val dirCounts = visited.agg(
+        sum(when(col("dir") === 0L, 1L).otherwise(0L)).as("n_forward"),
+        sum(when(col("dir") === 1L, 1L).otherwise(0L)).as("n_backward"))
       pivot.select(col("v").as("pivot"))
-        .crossJoin(fwd.agg(count(lit(1)).as("n_forward")))
-        .crossJoin(bwd.agg(count(lit(1)).as("n_backward")))
+        .crossJoin(dirCounts)
         .crossJoin(scc.agg(count(lit(1)).as("n_scc")))
     },
     Some(s"""WITH RECURSIVE $directedLinkEdgesSqlRef,

@@ -1021,24 +1021,32 @@ object Insights {
       try {
       var labels = s.range(1)
         .select(lit(0L).as("v"), lit(0L).as("dist"))
-      var changed = 1L
+      // Convergence via the (n, Σdist) fingerprint instead of a
+      // per-round anti/left join back to the previous labels: a round
+      // can only ADD nodes (n grows) or LOWER a min-dist (Σ shrinks
+      // at constant n), so fingerprint-equal ⇔ fixpoint. One cheap
+      // aggregate action per round (it also materializes the round's
+      // checkpoint) — no join, half the per-round stages.
+      var fp = (1L, 0L)
+      var changed = true
       var iter = 0
       val maxIter = 32
-      while (changed > 0 && iter < maxIter) {
+      while (changed && iter < maxIter) {
         val cand = labels.join(edges, col("v") === col("u"))
           .select(col("w").as("v"), (col("dist") + 1).as("dist"))
         val merged = labels.unionAll(cand)
           .groupBy(col("v")).agg(min(col("dist")).as("dist"))
           .localCheckpoint(false)
-        changed = merged
-          .join(labels.select(col("v"), col("dist").as("od")),
-            Seq("v"), "left")
-          .filter(col("od").isNull || col("od") > col("dist"))
-          .count()
+        val row = merged
+          .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"))
+          .head()
+        val nfp = (row.getLong(0), row.getLong(1))
+        changed = nfp != fp
+        fp = nfp
         labels = merged
         iter += 1
       }
-      if (changed > 0)
+      if (changed)
         throw new IllegalStateException(
           s"BFS did not converge after $maxIter rounds — graph " +
             "diameter exceeds the budget; raise maxIter")

@@ -84,6 +84,23 @@ object StreamOps {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(StreamOps.drainWidth, saved.toInt).toString)
+    // A finite drain never benefits from background snapshot
+    // maintenance (the query is gone before the first interval fires,
+    // and hundreds of finished-drain providers accumulate over a bench
+    // session for the walker to re-visit) — push it out of the way.
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+      "3600s")
+    // Complete-mode output is the FULL recomputed aggregate each
+    // micro-batch, so the trailing no-data batch AvailableNow appends
+    // for watermark finalization cannot change the settled table —
+    // skip it (≈100 ms/drain). Append/update drains keep it: their
+    // final windows/rows only EMIT when the no-data batch advances
+    // the watermark past the window end.
+    val savedNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if (mode == "complete")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -92,7 +109,11 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        savedNoData)
+    }
     s.table(name)
   }
 
