@@ -211,7 +211,28 @@ object ScaleSmoke {
     // daily aggregate + 9-bucket literal grid; hhi twin one grid row
     // per source; the luma histogram is pixel-count linear
     "q_stats_tost", "q_stats_poisson_gof", "q_stream_hhi",
-    "q_multimodal_histogram")
+    "q_multimodal_histogram",
+    // round 12: the DocsConsistencySpec backfill — every id the r11
+    // bench showed >1 s at sf0.1 that had no measured 10× row yet
+    // (stream ids pay the fixed drain floor; tpch-shaped ids ride
+    // blown-up lineitem/events against fixed dims; sql_recursive is
+    // grid-bounded). Plus the round-12 scale catch q_sim_hardneg
+    // (fixed 64-bucket cross-label banding measured 46× at 10× —
+    // now corpus-adaptive multi-probe, 1.25×) and its same-label
+    // sibling q_sim_knn_join (1.9×, already bucket-bounded).
+    "q_agg_weighted_median", "q_dedup_substring", "q_graph_closeness",
+    "q_graph_eff_diameter", "q_graph_hits", "q_graph_triangles",
+    "q_join_dpp", "q_join_skew_aqe", "q_mix_curriculum",
+    "q_mix_dsir_ess", "q_ml_featimp", "q_ml_kfold",
+    "q_quality_calibrate", "q_sim_hardneg", "q_sim_knn_join",
+    "q_sim_mmr", "q_sql_recursive", "q_stream_anomaly",
+    "q_stream_benford", "q_stream_binary_raw", "q_stream_cdc_apply",
+    "q_stream_daq_pipeline", "q_stream_loghist", "q_stream_mix_sample",
+    "q_stream_ohlc", "q_stream_perplexity", "q_stream_psi",
+    "q_stream_reset_counter", "q_stream_session", "q_stream_topk",
+    "q_stream_tws", "q_stream_vshape", "q_stream_watermark",
+    "q_text_bpe_train", "q_text_contrast", "q_ts_anomaly",
+    "q_ts_cusum", "q_ts_mad")
 
   /** 100× embeddings-only blow-up (SPARK_GRAFT_SCALE100=1): two orders
     * of magnitude past sf0.1 (2 000 → 200 000 vectors, labels kept so

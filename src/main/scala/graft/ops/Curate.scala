@@ -34,7 +34,8 @@ object Curate {
         .agg(sum(col("n_chars")).as("toks"),
           count(lit(1)).as("n_docs"))
         .withColumn("w", expr(
-          "CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3 AS DOUBLE)"))
+          "CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) " +
+            "AS BIGINT) % 3 AS DOUBLE)"))
       val totals = perSource.agg(
         sum(col("toks")).as("total_toks"), sum(col("w")).as("total_w"))
       val rates = perSource.crossJoin(broadcast(totals))
@@ -56,8 +57,8 @@ object Curate {
     },
     Some("""WITH per_source AS (
               SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks,
-                CAST(1 + CAST(substring(source, 4) AS BIGINT) % 3
-                     AS DOUBLE) AS w
+                CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1)
+                       AS BIGINT) % 3 AS DOUBLE) AS w
               FROM documents GROUP BY source),
             totals AS (
               SELECT CAST(sum(toks) AS BIGINT) AS total_toks,

@@ -713,24 +713,51 @@ object Vector {
     * class = "similar direction, wrong label" — hard by construction),
     * so the pair space is the bucket equi-join's output, never an
     * all-pairs scan; the per-anchor top-2 is a single rank predicate
-    * (partial WindowGroupLimit, map-side prune). Same banding and
-    * rounded-cosine ordering as q_sim_knn_join, so the top-2 cut is
+    * (partial WindowGroupLimit, map-side prune).
+    *
+    * Banding is CORPUS-ADAPTIVE (the q_dedup_semantic scheme): the
+    * fixed 4-bit band key widens by kx = min(8, log2(n div 500)) extra
+    * sign bits with Hamming-≤1 multi-probe on the anchor side, so
+    * per-bucket occupancy — and the cross-label pair count — stays
+    * ~constant as the corpus grows. The round-12 smoke caught the
+    * fixed 64-bucket form at 46× cost for a 10× corpus (cross-label
+    * collisions are ~9× denser than knn_join's same-label ones);
+    * adaptive banding restores the data-linear path. Rounded-cosine
+    * ordering as q_sim_knn_join keeps the top-2 cut
     * engine-independent. */
   val qSimHardneg = Q(
     "q_sim_hardneg",
     (s, d) => {
-      def bkeySpark(b: Int): String = (1 to 4).map(i =>
+      def baseKey(b: Int): String = (1 to 4).map(i =>
         s"(CASE WHEN element_at(embedding, ${4 * b + i}) > 0 " +
           s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
-      val bandRows = (0 until 4).map(b =>
-        s"CAST($b AS BIGINT), CAST(${bkeySpark(b)} AS BIGINT)")
-        .mkString(", ")
+      def extraKey(b: Int): String = (1 to 8).map(j =>
+        s"(CASE WHEN $j <= kx AND " +
+          s"element_at(embedding, ${16 + 8 * b + j}) > 0 " +
+          s"THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
       val e = emb(s, d)
-      val bands = e.select(col("vec_id"), col("label"),
-        expr(s"stack(4, $bandRows) AS (band, bkey)"))
-      val cand = bands.as("x").join(bands.as("y"),
+      val kTab = e.agg(count(lit(1)).as("n_vec"))
+        .select(least(lit(8), when(expr("n_vec div 500") <= 0, lit(0))
+          .otherwise(expr("length(bin(n_vec div 500)) - 1")))
+          .cast("int").as("kx"))
+      val bandRows = (0 until 4).map(b =>
+        s"CAST($b AS BIGINT), CAST(${baseKey(b)} AS BIGINT), " +
+          s"CAST(${extraKey(b)} AS BIGINT)").mkString(", ")
+      val bands = e.crossJoin(broadcast(kTab))
+        .select(col("vec_id"), col("label"), col("kx"),
+          expr(s"stack(4, $bandRows) AS (band, base, extra)"))
+      val probed = bands.select(col("vec_id"), col("label"),
+        col("band"), col("base"),
+        explode(expr(
+          """filter(transform(sequence(0, 8), p ->
+               CASE WHEN p = 0 THEN extra
+                    WHEN p <= kx THEN extra ^ shiftleft(CAST(1 AS BIGINT), p - 1)
+               END),
+             x -> x IS NOT NULL)""")).as("probe"))
+      val cand = probed.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") &&
-          col("x.bkey") === col("y.bkey") &&
+          col("x.base") === col("y.base") &&
+          col("x.probe") === col("y.extra") &&
           col("x.label") =!= col("y.label"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("neg_id"))
         .distinct()
@@ -749,20 +776,38 @@ object Vector {
         .orderBy(col("a_id"), col("rn"))
     },
     Some {
-      val bkeySql = (1 to 4).map(i =>
+      val baseSql = (1 to 4).map(i =>
         s"(CASE WHEN embedding[4 * b + $i] > 0 " +
           s"THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ")
+      val extraSql = (1 to 8).map(j =>
+        s"(CASE WHEN $j <= kk.kx AND embedding[16 + 8 * b + $j] > 0 " +
+          s"THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
       s"""$embCte,
+             kk AS (
+               SELECT CAST(least(8, CASE WHEN count(*) // 500 = 0 THEN 0
+                   ELSE length(bin(CAST(count(*) // 500 AS BIGINT))) - 1
+                   END) AS INT) AS kx
+               FROM embeddings),
              bands AS (
-               SELECT vec_id, label, b AS band,
-                 CAST($bkeySql AS BIGINT) AS bkey
+               SELECT vec_id, label, kk.kx AS kx, b AS band,
+                 CAST($baseSql AS BIGINT) AS base,
+                 CAST($extraSql AS BIGINT) AS extra
                FROM embeddings
+               CROSS JOIN kk
                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+             probes AS (
+               SELECT vec_id, label, band, base,
+                 CASE WHEN p = 0 THEN extra
+                      ELSE xor(extra, CAST(1 << (p - 1) AS BIGINT)) END
+                   AS probe
+               FROM bands
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS p) ps
+               WHERE p = 0 OR p <= kx),
              cand AS (
                SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS neg_id
-               FROM bands x JOIN bands y
-                 ON x.band = y.band AND x.bkey = y.bkey
-                AND x.label != y.label),
+               FROM probes x JOIN bands y
+                 ON x.band = y.band AND x.base = y.base
+                AND x.probe = y.extra AND x.label != y.label),
              scored AS (
                SELECT a_id, neg_id, b.label AS neg_label,
                  ${cosSql("a.emb_d", "b.emb_d")} AS cos_sim
