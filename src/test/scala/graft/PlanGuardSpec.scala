@@ -21,25 +21,56 @@ class PlanGuardSpec extends SparkSuite {
   private val snapshotPath =
     java.nio.file.Paths.get("src/test/resources/plan_hashes.tsv")
 
-  private def canonical(plan: String): String = plan
-    .replaceAll("#\\d+", "#")
-    // AQE stage numbers depend on MATERIALIZATION order, which races
-    // across hosts/loads — round-11's judged "drift" for
-    // q_graph_triangles/q_quality_classify was exactly a
-    // `BroadcastQueryStage 19` vs `20` renumbering with an identical
-    // operator tree. Strip them; the tree + exchanges still pin the
-    // plan.
-    .replaceAll("QueryStage \\d+", "QueryStage N")
-    .replaceAll("plan_id=\\d+", "plan_id=")
-    .replaceAll("id=#?\\d+", "id=")
-    .replaceAll("@[0-9a-fA-F]{4,}", "@")
-    .replaceAll("\\*\\(\\d+\\)", "*(N)")
-    .replaceAll("\\[file:[^\\]]*\\]", "[FILE]")
-    .replaceAll("file:[^\\s\\],)]+", "FILE")
-    .replaceAll("/[-A-Za-z0-9_./]*(?:tmp|testdata)[-A-Za-z0-9_./]*",
-      "PATH")
-    .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
-    .replaceAll("\\d+ paths", "N paths")
+  private def canonical(plan: String): String = {
+    val flat = plan
+      .replaceAll("#\\d+", "#")
+      // AQE stage numbers depend on MATERIALIZATION order, which races
+      // across hosts/loads — round-11's judged "drift" for
+      // q_graph_triangles/q_quality_classify was exactly a
+      // `BroadcastQueryStage 19` vs `20` renumbering with an identical
+      // operator tree. Strip them; the tree + exchanges still pin the
+      // plan.
+      .replaceAll("QueryStage \\d+", "QueryStage N")
+      // lambda variable ids come from a SESSION-GLOBAL counter, so a
+      // suite that ran earlier shifts `lambda x_2#` to `lambda x_3#`
+      // with an identical plan — the quality_classify drift under full
+      // `sbt test`
+      .replaceAll("x_\\d+#", "x_#")
+    // An InMemoryRelation prints its STORED child plan, whose AQE
+    // shape depends on whether some earlier consumer materialized the
+    // cache (isFinalPlan=false raw tree vs final QueryStage tree) —
+    // the triangles drift under full `sbt test`. The cached child is
+    // state, not plan: cut the subtree (every following line indented
+    // deeper than the relation's own tree marker).
+    val out = new StringBuilder
+    var cutBelow = Int.MaxValue
+    // tree depth = first char that isn't the " "/":" gutter (the '+'
+    // of a "+- " marker, or the operator text on continuation lines)
+    def indent(l: String): Int = {
+      val i = l.indexWhere(c => c != ' ' && c != ':')
+      if (i < 0) Int.MaxValue else i
+    }
+    flat.linesIterator.foreach { l =>
+      val p = indent(l)
+      if (p > cutBelow) () // inside a cached-plan subtree: drop
+      else {
+        cutBelow = if (l.contains("InMemoryRelation")) p
+          else Int.MaxValue
+        out.append(l).append('\n')
+      }
+    }
+    out.toString
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("id=#?\\d+", "id=")
+      .replaceAll("@[0-9a-fA-F]{4,}", "@")
+      .replaceAll("\\*\\(\\d+\\)", "*(N)")
+      .replaceAll("\\[file:[^\\]]*\\]", "[FILE]")
+      .replaceAll("file:[^\\s\\],)]+", "FILE")
+      .replaceAll("/[-A-Za-z0-9_./]*(?:tmp|testdata)[-A-Za-z0-9_./]*",
+        "PATH")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+      .replaceAll("\\d+ paths", "N paths")
+  }
 
   private def hash(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
