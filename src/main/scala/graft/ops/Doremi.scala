@@ -15,6 +15,63 @@ object Doremi {
   private def docs(s: SparkSession, d: String) =
     Tables.t(s, d, "documents")
 
+  /** Per-source add-1 model tables, persisted once per (session, dir):
+    * source-keyed bigram counts cntS(source, w1, w2, n) — a rollup of
+    * the shared [[Corpus.docBigrams]] — per-history totals
+    * totS(source, w1, t) and per-source vocab sizes vocS(source, v).
+    * Shared by q_mix_doremi and q_mix_doremi_rounds (which also feeds
+    * cntS to every mixture-scoring round). */
+  private[graft] def sourceModel(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val cntS = Insights.cacheOnce(s, d, "cnts") {
+      Corpus.docBigrams(s, d)
+        .groupBy(col("source"), col("w1"), col("w2"))
+        .agg(sum(col("c")).as("n"))
+    }
+    val totS = Insights.cacheOnce(s, d, "tots") {
+      cntS.groupBy(col("source"), col("w1")).agg(sum(col("n")).as("t"))
+    }
+    val vocS = Insights.cacheOnce(s, d, "vocs") {
+      docs(s, d)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(col("ws")).as("token"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("token")).as("v"))
+    }
+    (cntS, totS, vocS)
+  }
+
+  /** Every doc scored under its OWN source's add-1 model — (doc_id,
+    * source, nb, so), persisted once; both DoReMi variants divide the
+    * same integer micro-bit sums. The backoff chain matches
+    * [[Corpus.scoreUnder]]; vocS (one row per source, bounded in any
+    * real mixture) is the only broadcast. */
+  private[graft] def ownScore(s: SparkSession, d: String): DataFrame =
+    Insights.cacheOnce(s, d, "ownscore") {
+      val (cntS, totS, vocS) = sourceModel(s, d)
+      Corpus.docBigrams(s, d)
+        .join(cntS, Seq("source", "w1", "w2"), "left")
+        .join(totS, Seq("source", "w1"), "left")
+        .join(broadcast(vocS), Seq("source"))
+        .withColumn("lqi", floor(-log(
+            when(col("n").isNotNull,
+              (col("n") + 1).cast("double") / (col("t") + col("v")))
+              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
+              .otherwise(lit(1.0) / col("v")))
+          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).as("nb"), sum(col("c") * col("lqi")).as("so"))
+    }
+
+  /** Bench-warmup hook: materialize the mixture tier's shared
+    * fixpoints (per-source model + own-model doc scores). */
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    val (cntS, totS, vocS) = sourceModel(s, d)
+    cntS.count(); totS.count(); vocS.count()
+    ownScore(s, d).count()
+  }
+
   // ---- q_mix_doremi -----------------------------------------------------
 
   /** DoReMi-style domain reweighting (q_mix_doremi): one multiplicative-
@@ -33,34 +90,13 @@ object Doremi {
   val qMixDoremi = Q(
     "q_mix_doremi",
     (s, d) => {
-      val db = Corpus.bigramRows(docs(s, d))
-        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c"))
-      val (cg, tg, vg) = Corpus.addOneModel(docs(s, d))
-      val gen = Corpus.scoreUnder(db, cg, tg, vg)
+      // both scorings are shared persisted fixpoints: the general-model
+      // scores (also q_text_contrast's general side) and the own-model
+      // scores (also q_mix_doremi_rounds' fixed side)
+      val gen = Corpus.genScore(s, d)
         .select(col("doc_id"), col("nb"), col("sum_i").as("sg"))
-      val cntS = db.groupBy(col("source"), col("w1"), col("w2"))
-        .agg(sum(col("c")).as("n"))
-      val totS = cntS.groupBy(col("source"), col("w1"))
-        .agg(sum(col("n")).as("t"))
-      val vocS = docs(s, d)
-        .select(col("source"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("source"), explode(col("ws")).as("token"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("token")).as("v"))
-      val own = db
-        .join(cntS, Seq("source", "w1", "w2"), "left")
-        .join(totS, Seq("source", "w1"), "left")
-        .join(broadcast(vocS), Seq("source"))
-        .withColumn("lqi", floor(-log(
-            when(col("n").isNotNull,
-              (col("n") + 1).cast("double") / (col("t") + col("v")))
-              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
-              .otherwise(lit(1.0) / col("v")))
-          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c") * col("lqi")).as("so"))
+      val own = ownScore(s, d)
+        .select(col("doc_id"), col("source"), col("so"))
       val perDoc = own.join(gen, Seq("doc_id"))
         .withColumn("mg", expr("sg div nb"))
         .withColumn("mo", expr("so div nb"))
@@ -190,37 +226,14 @@ object Doremi {
   val qMixDoremiRounds = Q(
     "q_mix_doremi_rounds",
     (s, d) => {
-      val db = Corpus.bigramRows(docs(s, d))
-        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c"))
-      val cntS = db.groupBy(col("source"), col("w1"), col("w2"))
-        .agg(sum(col("c")).as("n"))
-      val totS = cntS.groupBy(col("source"), col("w1"))
-        .agg(sum(col("n")).as("t"))
-      val vocS = docs(s, d)
-        .select(col("source"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("source"), explode(col("ws")).as("token"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("token")).as("v"))
-      val vocG = docs(s, d)
-        .select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(col("ws")).as("token"))
-        .agg(countDistinct(col("token")).as("v"))
-      // own-model per-doc integer mean micro-bits (fixed across rounds)
-      val own = db
-        .join(cntS, Seq("source", "w1", "w2"), "left")
-        .join(totS, Seq("source", "w1"), "left")
-        .join(broadcast(vocS), Seq("source"))
-        .withColumn("lqi", floor(-log(
-            when(col("n").isNotNull,
-              (col("n") + 1).cast("double") / (col("t") + col("v")))
-              .when(col("t").isNotNull, lit(1.0) / (col("t") + col("v")))
-              .otherwise(lit(1.0) / col("v")))
-          / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c")).as("nb"), sum(col("c") * col("lqi")).as("so"))
+      // shared persisted fixpoints: the per-doc bigram multiset, the
+      // per-source model (cntS feeds every mixture round), and the
+      // own-model per-doc scores (fixed across rounds, also
+      // q_mix_doremi's own side)
+      val db = Corpus.docBigrams(s, d)
+      val (cntS, _, _) = sourceModel(s, d)
+      val vocG = Corpus.fullModel(s, d)._3
+      val own = ownScore(s, d)
         .withColumn("mo", expr("so div nb"))
         .select(col("doc_id"), col("source"), col("nb"), col("mo"))
       // one MW round: score docs under the wm-weighted mixture, clamp

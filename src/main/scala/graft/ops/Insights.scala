@@ -47,7 +47,7 @@ object Insights {
   private val cachedDf = scala.collection.concurrent
     .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
 
-  private def cacheOnce(s: SparkSession, d: String, name: String)(
+  private[graft] def cacheOnce(s: SparkSession, d: String, name: String)(
       build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     if (cachedDf.size >= maxCachedDfs && !cachedDf.contains((s, d, name)))
@@ -97,6 +97,102 @@ object Insights {
         .distinct()
     }
 
+  /** Undirected degree table (v, deg) of the shared link graph.
+    * Before round 12 six graph ops rebuilt this identical O(V)
+    * aggregate (triangles, clustcoef, jaccard, adamic_adar,
+    * degree_dist, degree_gini) — one shuffle each over the doubled
+    * edge list. Persisted ONCE per (session, dir); at fleet scale a
+    * per-node table is the canonical thing to share, never broadcast
+    * (it grows with V). */
+  private[graft] def linkDegrees(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "unddeg") {
+      val und = undirectedLinkEdges(s, d)
+      und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    }
+
+  /** (deg, id)-upward oriented edge list (u, v, vdeg) of the shared
+    * link graph — each undirected edge exactly once, pointing from its
+    * (degree, id)-smaller endpoint. Bounds any node's oriented
+    * out-degree by O(sqrt(|E|)), so wedge enumeration has bounded
+    * per-key fan-out regardless of hub size. Shared by
+    * q_graph_triangles and q_graph_clustcoef. */
+  private[graft] def orientedEdges(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "oriented") {
+      val und = undirectedLinkEdges(s, d)
+      val deg = linkDegrees(s, d)
+      und
+        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+        .select(
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("v"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+            col("degb")).otherwise(col("dega")).as("vdeg"))
+    }
+
+  /** Closed-triangle corner list (u, v1, v2) — every triangle of the
+    * shared link graph exactly once, as the ordered wedge at its
+    * (degree, id)-smallest corner closed by the third oriented edge.
+    * The triangle LIST (not just its count) is the shared intermediate:
+    * q_graph_triangles counts it, q_graph_clustcoef explodes its
+    * corners. Both joins are equi-joins; row count = n_triangles. */
+  private[graft] def closedTriangles(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "tricorners") {
+      val oriented = orientedEdges(s, d)
+      val e1 = oriented.select(col("u"), col("v").as("v1"),
+        col("vdeg").as("vdeg1"))
+      val e2 = oriented.select(col("u"), col("v").as("v2"),
+        col("vdeg").as("vdeg2"))
+      e1.join(e2, "u")
+        .filter(col("vdeg1") < col("vdeg2") ||
+          (col("vdeg1") === col("vdeg2") && col("v1") < col("v2")))
+        .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+          Seq("v1", "v2"))
+        .select(col("u"), col("v1"), col("v2"))
+    }
+
+  /** Hub-capped wedge pair stats (pa, pb, common, aa) shared by
+    * q_graph_jaccard and q_graph_adamic_adar: for every candidate pair
+    * generated through a shared neighbor of degree ≤ 64, the common-
+    * neighbor count and the Adamic-Adar integer micro-weight sum
+    * Σ 1e6/ln(deg(center)). The deg ≥ 2 cut is output-neutral for the
+    * pair set (a degree-1 center has a single neighbor, so it can
+    * generate no pa < pb pair) and keeps ln(deg) > 0 defined for the
+    * micro-weight; jaccard reads only (pa, pb, common), adamic_adar
+    * reads the weight sum. The hub cap bounds the Σdeg² candidate cost
+    * at fleet scale; all joins stay un-hinted so AQE sizes them. */
+  private[graft] def wedgePairStats(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "wedgepairs") {
+      val und = undirectedLinkEdges(s, d)
+      val edges = und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      val centers = linkDegrees(s, d)
+        .filter(col("deg") <= 64 && col("deg") >= 2)
+        .withColumn("w_micro", expr(
+          "CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5D) AS BIGINT)"))
+        .select(col("v").as("dn"), col("w_micro"))
+      val wedgeable = edges
+        .join(centers, col("nbr") === col("dn"))
+        .select(col("node"), col("nbr"), col("w_micro"))
+      wedgeable.select(col("node").as("pa"), col("nbr"), col("w_micro"))
+        .join(wedgeable.select(col("node").as("pb"),
+          col("nbr").as("rnbr")), col("nbr") === col("rnbr") &&
+          col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("common"), sum(col("w_micro")).as("aa"))
+    }
+
   /** DuckDB mirror of [[directedLinkEdges]]: s → nodes → directed
     * (NOT deduplicated — mirrors the DataFrame helper exactly). */
   private[graft] val directedLinkEdgesSql: String =
@@ -122,40 +218,12 @@ object Insights {
   val qGraphTriangles = Q(
     "q_graph_triangles",
     (s, d) => {
-      // materialized ONCE: und feeds the degree count, the orientation,
-      // and the edge census — without the persist the scan+explode+
-      // distinct pipeline re-expands under every consumer subtree
+      // all three inputs are shared persisted fixpoints: the edge list,
+      // the degree table, and the closed-triangle list (also consumed
+      // corner-wise by q_graph_clustcoef)
       val und = undirectedLinkEdges(s, d)
-      val deg = und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      // orient (deg, id)-upward; keep endpoint degrees for the wedge
-      // ordering predicate. Cached once per (session, dir): reused by
-      // both wedge sides and the closing probe.
-      val oriented = cacheOnce(s, d, "oriented") {
-        und
-          .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
-          .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
-          .select(
-            when(col("dega") < col("degb") ||
-              (col("dega") === col("degb") && col("a") < col("b")),
-              col("a")).otherwise(col("b")).as("u"),
-            when(col("dega") < col("degb") ||
-              (col("dega") === col("degb") && col("a") < col("b")),
-              col("b")).otherwise(col("a")).as("v"),
-            when(col("dega") < col("degb") ||
-              (col("dega") === col("degb") && col("a") < col("b")),
-              col("degb")).otherwise(col("dega")).as("vdeg"))
-      }
-      val e1 = oriented.select(col("u"), col("v").as("v1"),
-        col("vdeg").as("vdeg1"))
-      val e2 = oriented.select(col("u"), col("v").as("v2"),
-        col("vdeg").as("vdeg2"))
-      val wedgesOriented = e1.join(e2, "u")
-        .filter(col("vdeg1") < col("vdeg2") ||
-          (col("vdeg1") === col("vdeg2") && col("v1") < col("v2")))
-      val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-      val triangles = wedgesOriented.join(closing, Seq("v1", "v2"))
+      val deg = linkDegrees(s, d)
+      val triangles = closedTriangles(s, d)
         .agg(count(lit(1)).as("n_triangles"))
       val nEdges = und.agg(count(lit(1)).as("n_edges"))
       // wedges for the clustering coefficient: over UNDIRECTED degrees
@@ -693,10 +761,7 @@ object Insights {
   val qGraphDegreeDist = Q(
     "q_graph_degree_dist",
     (s, d) => {
-      val und = undirectedLinkEdges(s, d)
-      und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      linkDegrees(s, d)
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("deg"))
     },
@@ -1323,27 +1388,16 @@ object Insights {
   val qGraphJaccard = Q(
     "q_graph_jaccard",
     (s, d) => {
-      val und = undirectedLinkEdges(s, d)
-      val edges = und.select(col("a").as("node"), col("b").as("nbr"))
-        .union(und.select(col("b").as("node"), col("a").as("nbr")))
-      val deg = edges.groupBy(col("node").as("dn"))
-        .agg(count(lit(1)).as("deg"))
-      val wedgeable = edges
-        .join(deg.filter(col("deg") <= 64), col("nbr") === col("dn"))
-        .select(col("node"), col("nbr"))
-      val common = wedgeable.select(col("node").as("pa"), col("nbr"))
-        .join(wedgeable.select(col("node").as("pb"),
-          col("nbr").as("rnbr")), col("nbr") === col("rnbr") &&
-          col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(deg.withColumnRenamed("dn", "da"),
+      // the wedge self-join + pair aggregate is the shared persisted
+      // fixpoint (also consumed weight-wise by q_graph_adamic_adar);
+      // only the degree joins and the top-20 are query-local
+      val deg = linkDegrees(s, d)
+      wedgePairStats(s, d)
+        .select(col("pa"), col("pb"), col("common"))
+        .join(deg.select(col("v").as("da"), col("deg").as("dega")),
           col("pa") === col("da"))
-        .withColumnRenamed("deg", "dega")
-        .join(deg.withColumnRenamed("dn", "db"),
+        .join(deg.select(col("v").as("db"), col("deg").as("degb")),
           col("pb") === col("db"))
-        .withColumnRenamed("deg", "degb")
         .select(col("pa").as("a"), col("pb").as("b"), col("common"),
           round(col("common").cast("double") /
             (col("dega") + col("degb") - col("common")), 6).as("jaccard"))
@@ -1496,32 +1550,8 @@ object Insights {
   val qGraphClustcoef = Q(
     "q_graph_clustcoef",
     (s, d) => {
-      val und = undirectedLinkEdges(s, d)
-      val deg = und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val oriented = und
-        .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
-        .select(
-          when(col("dega") < col("degb") ||
-            (col("dega") === col("degb") && col("a") < col("b")),
-            col("a")).otherwise(col("b")).as("u"),
-          when(col("dega") < col("degb") ||
-            (col("dega") === col("degb") && col("a") < col("b")),
-            col("b")).otherwise(col("a")).as("v"),
-          when(col("dega") < col("degb") ||
-            (col("dega") === col("degb") && col("a") < col("b")),
-            col("degb")).otherwise(col("dega")).as("vdeg"))
-      val e1 = oriented.select(col("u"), col("v").as("v1"),
-        col("vdeg").as("vdeg1"))
-      val e2 = oriented.select(col("u"), col("v").as("v2"),
-        col("vdeg").as("vdeg2"))
-      val triCorners = e1.join(e2, "u")
-        .filter(col("vdeg1") < col("vdeg2") ||
-          (col("vdeg1") === col("vdeg2") && col("v1") < col("v2")))
-        .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
-          Seq("v1", "v2"))
+      val deg = linkDegrees(s, d)
+      val triCorners = closedTriangles(s, d)
         .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("tri"))
       deg.filter(col("deg") >= 2)
@@ -1596,23 +1626,9 @@ object Insights {
     "q_graph_adamic_adar",
     (s, d) => {
       val und = undirectedLinkEdges(s, d)
-      val edges = und.select(col("a").as("node"), col("b").as("nbr"))
-        .union(und.select(col("b").as("node"), col("a").as("nbr")))
-      val deg = edges.groupBy(col("node").as("dn"))
-        .agg(count(lit(1)).as("deg"))
-      val centers = deg.filter(col("deg") <= 64 && col("deg") >= 2)
-        .withColumn("w_micro", expr(
-          "CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5D) AS BIGINT)"))
-      val wedgeable = edges
-        .join(centers, col("nbr") === col("dn"))
-        .select(col("node"), col("nbr"), col("w_micro"))
-      val pairs = wedgeable.select(col("node").as("pa"), col("nbr"),
-          col("w_micro"))
-        .join(wedgeable.select(col("node").as("pb"),
-          col("nbr").as("rnbr")), col("nbr") === col("rnbr") &&
-          col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("common"), sum(col("w_micro")).as("aa"))
+      // candidate pairs + micro-weight sums come from the shared
+      // persisted fixpoint (also consumed count-wise by q_graph_jaccard)
+      val pairs = wedgePairStats(s, d)
       pairs
         .join(und, pairs("pa") === und("a") && pairs("pb") === und("b"),
           "left_anti")
@@ -1802,6 +1818,9 @@ object Insights {
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
     undirectedLinkEdges(s, d).count()
     labelPropLabels(s, d).count()
+    linkDegrees(s, d).count()
+    closedTriangles(s, d).count()
+    wedgePairStats(s, d).count()
   }
 
   // ---- q_graph_degree_gini ----------------------------------------------
@@ -1818,10 +1837,7 @@ object Insights {
   val qGraphDegreeGini = Q(
     "q_graph_degree_gini",
     (s, d) => {
-      val und = undirectedLinkEdges(s, d)
-      val hist = und.select(col("a").as("v"))
-        .unionAll(und.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val hist = linkDegrees(s, d)
         .groupBy(col("deg")).agg(count(lit(1)).as("c"))
       val tot = hist.agg(sum(col("c")).as("n"),
         max(col("deg")).as("mx"),

@@ -335,9 +335,10 @@ object Refine {
   val qTextNovelty = Q(
     "q_text_novelty",
     (s, d) => {
-      val bd = Corpus.bigramRows(docs(s, d))
+      // the shared per-doc bigram multiset is already unique on
+      // (doc_id, source, w1, w2) — its key projection IS the distinct
+      val bd = Corpus.docBigrams(s, d)
         .select(col("doc_id"), col("source"), col("w1"), col("w2"))
-        .distinct()
       val owner = bd.groupBy(col("w1"), col("w2"))
         .agg(min(col("doc_id")).as("first_doc"))
       val perDoc = bd.join(owner, Seq("w1", "w2"))

@@ -36,12 +36,17 @@ class PlanGuardSpec extends SparkSuite {
       // with an identical plan — the quality_classify drift under full
       // `sbt test`
       .replaceAll("x_\\d+#", "x_#")
-    // An InMemoryRelation prints its STORED child plan, whose AQE
-    // shape depends on whether some earlier consumer materialized the
-    // cache (isFinalPlan=false raw tree vs final QueryStage tree) —
-    // the triangles drift under full `sbt test`. The cached child is
-    // state, not plan: cut the subtree (every following line indented
-    // deeper than the relation's own tree marker).
+    // An InMemoryTableScan prints the cached RELATION and its STORED
+    // child plan, whose AQE shape depends on whether some earlier
+    // consumer materialized the cache (isFinalPlan=false raw tree vs
+    // final QueryStage tree with `== Final Plan ==` sections) — the
+    // triangles drift under full `sbt test`. The cached child is
+    // state, not plan: keep the scan line (it pins the consumed
+    // schema) and cut everything below it. The whole cached subtree —
+    // including the `== Final/Initial Plan ==` headers, which print at
+    // the SAME gutter depth as the InMemoryRelation line itself — sits
+    // strictly deeper than the scan's tree marker, so the scan line is
+    // the one safe cut anchor.
     val out = new StringBuilder
     var cutBelow = Int.MaxValue
     // tree depth = first char that isn't the " "/":" gutter (the '+'
@@ -54,7 +59,7 @@ class PlanGuardSpec extends SparkSuite {
       val p = indent(l)
       if (p > cutBelow) () // inside a cached-plan subtree: drop
       else {
-        cutBelow = if (l.contains("InMemoryRelation")) p
+        cutBelow = if (l.contains("InMemoryTableScan")) p
           else Int.MaxValue
         out.append(l).append('\n')
       }
