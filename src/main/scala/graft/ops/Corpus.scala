@@ -296,13 +296,24 @@ object Corpus {
   /** Bucket → add-1-smoothed log p_target/p_raw ratio from a feature
     * frame (target = sources src0–src3). ≤[[DsirBuckets]] rows however
     * big the corpus — always broadcastable. */
-  private[graft] def dsirLogRatio(feats: DataFrame): DataFrame = {
+  private[graft] def dsirLogRatio(feats: DataFrame): DataFrame =
+    dsirLogRatioFromCounts(feats
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Same model from a pre-aggregated (source, b, c) count frame —
+    * the weighted rollup Σc per bucket equals the raw row count, so
+    * the model is identical to [[dsirLogRatio]] over the exploded
+    * frame; consumers that already hold the shared
+    * [[dsirDocBuckets]] fixpoint derive the model without touching
+    * the corpus again. */
+  private def dsirLogRatioFromCounts(cnts: DataFrame): DataFrame = {
     val B = DsirBuckets
     val isTgt = col("source").isin("src0", "src1", "src2", "src3")
-    val model = feats
+    val model = cnts
       .groupBy(col("b"))
-      .agg(count(lit(1)).as("nr"),
-        sum(when(isTgt, 1L).otherwise(0L)).as("nt"))
+      .agg(sum(col("c")).as("nr"),
+        sum(when(isTgt, col("c")).otherwise(0L)).as("nt"))
     val tot = model.agg(sum(col("nr")).as("nr_tot"),
       sum(col("nt")).as("nt_tot"))
     model.crossJoin(broadcast(tot))
@@ -312,6 +323,38 @@ object Corpus {
           log((col("nr") + 1).cast("double") /
             (col("nr_tot") + B).cast("double"))).as("lr"))
   }
+
+  /** Per-(doc, source, bucket) DSIR feature counts over the FULL
+    * corpus, persisted once per (session, dir) — the shared front of
+    * the DSIR family: q_mix_dsir, q_mix_dsir_ess (via qMixDsir.fn),
+    * q_mix_dsir_sample and both model fits read this one hashed-
+    * feature rollup instead of re-exploding every bigram. Rows are
+    * bounded by docs × min(doc bigrams, [[DsirBuckets]]) — the
+    * explode itself never persists. */
+  private[graft] def dsirDocBuckets(s: SparkSession, d: String): DataFrame =
+    Insights.cacheOnce(s, d, "dsirbuckets") {
+      dsirFeatures(docs(s, d))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+    }
+
+  /** Full-corpus DSIR log-ratio model (≤[[DsirBuckets]] rows),
+    * persisted once — q_mix_dsir and q_mix_dsir_sample broadcast the
+    * identical table. */
+  private[graft] def dsirLrFull(s: SparkSession, d: String): DataFrame =
+    Insights.cacheOnce(s, d, "dsirlrfull") {
+      dsirLogRatioFromCounts(dsirDocBuckets(s, d))
+    }
+
+  /** Train-split (doc_id % 10 < 8) DSIR model, persisted once — the
+    * static store q_stream_dsir probes per micro-batch (a stream-
+    * static join re-plans its static side every batch; an un-persisted
+    * model would re-fit on the whole corpus each time). */
+  private[graft] def dsirLrTrain(s: SparkSession, d: String): DataFrame =
+    Insights.cacheOnce(s, d, "dsirlrtrain") {
+      dsirLogRatioFromCounts(
+        dsirDocBuckets(s, d).filter(col("doc_id") % 10 < 8))
+    }
 
   /** DuckDB CTEs mirroring [[dsirFeatures]] + [[dsirLogRatio]] over
     * `documents` rows satisfying `pred`; defines big/model/tot/lr
@@ -346,11 +389,12 @@ object Corpus {
   val qMixDsir = Q(
     "q_mix_dsir",
     (s, d) => {
-      val big = dsirFeatures(docs(s, d))
-      val lr = dsirLogRatio(big)
-      big.groupBy(col("doc_id"), col("b"))
-        .agg(count(lit(1)).as("c"))
-        .join(broadcast(lr), "b")
+      // shared persisted fixpoints: the per-(doc, bucket) counts and
+      // the full-corpus model (doc_id determines source, so the
+      // bucket rows are already unique on (doc_id, b))
+      dsirDocBuckets(s, d)
+        .select(col("doc_id"), col("b"), col("c"))
+        .join(broadcast(dsirLrFull(s, d)), "b")
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("bigint").as("n_feat"),
           round(sum(col("c") * col("lr")), 6).as("logw"))
@@ -421,11 +465,10 @@ object Corpus {
   val qMixDsirSample = Q(
     "q_mix_dsir_sample",
     (s, d) => {
-      val big = dsirFeatures(docs(s, d))
-      val lr = dsirLogRatio(big)
-      val dw = big.groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("c"))
-        .join(broadcast(lr), "b")
+      // the bucket counts and the model are the shared persisted
+      // fixpoints (also q_mix_dsir's inputs)
+      val dw = dsirDocBuckets(s, d)
+        .join(broadcast(dsirLrFull(s, d)), "b")
         .groupBy(col("doc_id"), col("source"))
         .agg(round(sum(col("c") * col("lr")), 6).as("logw"))
       val keyed = dw
@@ -580,6 +623,9 @@ object Corpus {
     cg.count(); tg.count(); vg.count()
     bigramLqShared(s, d).count()
     genScore(s, d).count()
+    dsirDocBuckets(s, d).count()
+    dsirLrFull(s, d).count()
+    dsirLrTrain(s, d).count()
   }
 
   /** Add-1-smoothed conditional bigram model, quantized: (w1, w2,

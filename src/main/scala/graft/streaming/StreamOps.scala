@@ -984,9 +984,10 @@ object StreamOps {
   val qStreamDsir = Q(
     "q_stream_dsir",
     (s, d) => {
-      val model = graft.ops.Corpus.dsirLogRatio(
-        graft.ops.Corpus.dsirFeatures(
-          Tables.t(s, d, "documents").filter(col("doc_id") % 10 < 8)))
+      // the train-split model is a shared persisted fixpoint — the
+      // stream-static join re-plans its static side every micro-batch,
+      // so an un-persisted model would re-fit on the corpus each batch
+      val model = graft.ops.Corpus.dsirLrTrain(s, d)
       val scored = graft.ops.Corpus.dsirFeatures(documentsStream(s, d))
         .join(broadcast(model), Seq("b"))
         .groupBy(col("source"))
@@ -1136,7 +1137,11 @@ object StreamOps {
   val qStreamPerplexity = Q(
     "q_stream_perplexity",
     (s, d) => {
-      val lq = graft.ops.Corpus.bigramLq(Tables.t(s, d, "documents"))
+      // the corpus LM is the shared persisted fixpoint (identical
+      // table to the batch q_text_perplexity's model) — per-micro-batch
+      // static-side re-planning rebuilds it from cached blocks, not
+      // from the corpus
+      val lq = graft.ops.Corpus.bigramLqShared(s, d)
       val scored = graft.ops.Corpus.bigramRows(documentsStream(s, d))
         .join(lq, Seq("w1", "w2"))
         .groupBy(col("source"))
