@@ -346,6 +346,169 @@ object Curate {
             GROUP BY doc_id
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Sequence packing (q_pack_bins): greedy first-fit packing of
+    * documents into fixed 256-token context windows — the sample-
+    * packing step every pretraining build runs between curation and
+    * tokenization — reported as the docs-per-bin histogram with exact
+    * token utilization. Packing is inherently sequential, so it runs
+    * per SHARD (doc_id div 64): a bounded higher-order fold over the
+    * shard's collected (doc_id, tok) array on the Spark side and the
+    * identical recurrence as a recursive CTE in DuckDB (the q_ts_holt
+    * discipline). The shard is the scale unit: production packers
+    * stream one bounded shard per task, bins never cross shards, and
+    * every shard folds independently — corpus-linear with no global
+    * sequential stage. All arithmetic is integer (token counts, exact
+    * BIGINT sums); the only doubles are the final single divisions of
+    * exact sums. Docs longer than the window are truncated to one full
+    * bin (least(tok, 256) — the standard packing cap). */
+  val qPackBins = Q(
+    "q_pack_bins",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents")
+        .select(col("doc_id"), expr("doc_id div 64").as("shard"),
+          least(size(split(col("text"), " ")).cast("bigint"), lit(256L))
+            .as("tok"))
+      val folded = base
+        .groupBy(col("shard"))
+        .agg(array_sort(collect_list(expr(
+          "named_struct('doc_id', doc_id, 'tok', tok)"))).as("xs"))
+        .select(col("shard"), explode(expr("""
+          aggregate(
+            xs,
+            named_struct('fill', CAST(0 AS BIGINT),
+              'bin', CAST(0 AS BIGINT),
+              'hist', CAST(array() AS ARRAY<STRUCT<
+                tok: BIGINT, bin: BIGINT>>)),
+            (acc, x) -> IF(acc.bin = 0 OR acc.fill + x.tok > 256,
+              named_struct('fill', x.tok, 'bin', acc.bin + 1,
+                'hist', concat(acc.hist,
+                  array(named_struct('tok', x.tok, 'bin', acc.bin + 1)))),
+              named_struct('fill', acc.fill + x.tok, 'bin', acc.bin,
+                'hist', concat(acc.hist,
+                  array(named_struct('tok', x.tok, 'bin', acc.bin))))),
+            acc -> acc.hist)""")).as("h"))
+      folded
+        .groupBy(col("shard"), col("h.bin").as("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("h.tok")).as("toks"))
+        .groupBy(col("docs").as("docs_per_bin"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("toks")).as("total_tokens"))
+        .select(col("docs_per_bin"), col("n_bins"), col("total_tokens"),
+          round(col("total_tokens").cast("double") / col("n_bins"), 6)
+            .as("avg_bin_tokens"),
+          round(col("total_tokens").cast("double") /
+            (col("n_bins") * 256), 6).as("avg_util"))
+        .orderBy(col("docs_per_bin"))
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT doc_id, doc_id // 64 AS shard,
+                least(CAST(len(string_split(text, ' ')) AS BIGINT),
+                  256) AS tok
+              FROM documents),
+            packs AS (
+              SELECT shard, list(tok ORDER BY doc_id) AS arr
+              FROM base GROUP BY shard),
+            r(shard, i, tok, fill, bin) AS (
+              SELECT shard, 1, arr[1], arr[1], CAST(1 AS BIGINT)
+              FROM packs
+              UNION ALL
+              SELECT r.shard, r.i + 1, p.arr[r.i + 1],
+                CASE WHEN r.fill + p.arr[r.i + 1] > 256
+                  THEN p.arr[r.i + 1]
+                  ELSE r.fill + p.arr[r.i + 1] END,
+                CASE WHEN r.fill + p.arr[r.i + 1] > 256
+                  THEN r.bin + 1 ELSE r.bin END
+              FROM r JOIN packs p ON p.shard = r.shard
+              WHERE r.i < len(p.arr)),
+            bins AS (
+              SELECT shard, bin, CAST(count(*) AS BIGINT) AS docs,
+                CAST(sum(tok) AS BIGINT) AS toks
+              FROM r GROUP BY shard, bin)
+            SELECT docs AS docs_per_bin,
+              CAST(count(*) AS BIGINT) AS n_bins,
+              CAST(sum(toks) AS BIGINT) AS total_tokens,
+              round(CAST(sum(toks) AS DOUBLE) / count(*), 6)
+                AS avg_bin_tokens,
+              round(CAST(sum(toks) AS DOUBLE) / (count(*) * 256), 6)
+                AS avg_util
+            FROM bins
+            GROUP BY docs
+            ORDER BY docs_per_bin NULLS FIRST"""))
+
+  /** Shuffle-quality audit (q_shuffle_audit): how well the
+    * DETERMINISTIC training shuffle (the q_mix_sample hash gate's
+    * multiplier, doc_id · 2654435761 mod 2²⁰) breaks up source runs —
+    * the serial source-homogeneity a data loader cares about, since
+    * same-source runs make consecutive training batches correlated.
+    * Adjacency is measured inside hash-range blocks (h div 65536):
+    * the windowed relation is block-bounded, cross-block adjacencies
+    * are simply not sampled (the estimator stays unbiased — block
+    * boundaries are hash-random), and block width is the scale knob: a
+    * 100 TB run shards the hash space finer so every block stays
+    * memory-bounded. Reported against the exact hypergeometric
+    * expectation Σ c_s(c_s−1) / (n(n−1)) for a uniform random order —
+    * all counts exact BIGINTs, each emitted double one parenthesized
+    * IEEE expression over exact integers. */
+  val qShuffleAudit = Q(
+    "q_shuffle_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("(doc_id * 2654435761) % 1048576").as("h"))
+        .withColumn("block", expr("h div 65536"))
+      val adj = base
+        .withColumn("prev", lag(col("source"), 1).over(
+          Window.partitionBy(col("block"))
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("prev").isNotNull)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("source") === col("prev"), 1L).otherwise(0L))
+            .as("n_same"))
+      val cnts = Tables.t(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(col("c") * (col("c") - 1)).as("sq"))
+      adj.crossJoin(broadcast(cnts))
+        .select(col("n_docs"), col("n_pairs"), col("n_same"),
+          round(col("n_same").cast("double") / col("n_pairs"), 6)
+            .as("same_rate"),
+          round(col("sq").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)), 6)
+            .as("expected_rate"),
+          round((col("n_same").cast("double") *
+              (col("n_docs") * (col("n_docs") - 1)).cast("double")) /
+            (col("n_pairs").cast("double") * col("sq").cast("double")), 6)
+            .as("lift"))
+    },
+    Some("""WITH base AS (
+              SELECT source, doc_id,
+                (doc_id * 2654435761) % 1048576 AS h
+              FROM documents),
+            adj AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN source = prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_same
+              FROM (SELECT source,
+                      lag(source) OVER (PARTITION BY h // 65536
+                        ORDER BY h, doc_id) AS prev
+                    FROM base)
+              WHERE prev IS NOT NULL),
+            cnts AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST(sum(c * (c - 1)) AS BIGINT) AS sq
+              FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+            SELECT n_docs, n_pairs, n_same,
+              round(CAST(n_same AS DOUBLE) / n_pairs, 6) AS same_rate,
+              round(CAST(sq AS DOUBLE) / (n_docs * (n_docs - 1)), 6)
+                AS expected_rate,
+              round((CAST(n_same AS DOUBLE)
+                  * CAST(n_docs * (n_docs - 1) AS DOUBLE))
+                / (CAST(n_pairs AS DOUBLE) * CAST(sq AS DOUBLE)), 6)
+                AS lift
+            FROM adj, cnts"""))
+
   val all: Seq[Q] = Seq(qMixSample, qPiiRedact, qDocChunks,
-    qSampleReservoir, qMixPareto, qTextMaskPlan)
+    qSampleReservoir, qMixPareto, qTextMaskPlan, qPackBins,
+    qShuffleAudit)
 }

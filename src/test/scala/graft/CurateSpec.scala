@@ -4,6 +4,60 @@ import org.apache.spark.sql.functions._
 
 class CurateSpec extends SparkSuite {
 
+  test("pack bins: scalar greedy replay reproduces the histogram") {
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")).cast("bigint"), lit(256L))
+          .as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // greedy first-fit per 64-doc shard, replayed imperatively
+    val bins = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    docs.groupBy(_._1 / 64).toSeq.sortBy(_._1).foreach { case (_, xs) =>
+      var fill = 0L; var nd = 0L
+      xs.sortBy(_._1).foreach { case (_, tok) =>
+        if (nd == 0 || fill + tok > 256) {
+          if (nd > 0) bins += ((nd, fill))
+          fill = tok; nd = 1
+        } else { fill += tok; nd += 1 }
+      }
+      if (nd > 0) bins += ((nd, fill))
+    }
+    val expected = bins.groupBy(_._1).map { case (d, bs) =>
+      (d, bs.size.toLong, bs.map(_._2).sum) }.toSet
+    val got = q("q_pack_bins").collect().map(r =>
+      (r.getAs[Long]("docs_per_bin"), r.getAs[Long]("n_bins"),
+        r.getAs[Long]("total_tokens"))).toSet
+    assert(got === expected)
+    // conservation: every doc lands in exactly one bin
+    assert(got.toSeq.map(t => t._1 * t._2).sum === docs.length.toLong)
+    assert(got.toSeq.map(_._3).sum === docs.map(_._2).sum)
+  }
+
+  test("shuffle audit: scalar adjacency replay, lift consistent") {
+    val docs = Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val withH = docs.map { case (id, src) =>
+      (id * 2654435761L % 1048576L, id, src) }
+    var nPairs = 0L; var nSame = 0L
+    withH.groupBy(_._1 / 65536L).values.foreach { blk =>
+      blk.sortBy(t => (t._1, t._2)).sliding(2).foreach {
+        case Array(a, b) =>
+          nPairs += 1; if (a._3 == b._3) nSame += 1
+        case _ => ()
+      }
+    }
+    val r = q("q_shuffle_audit").collect().head
+    assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(r.getAs[Long]("n_pairs") === nPairs)
+    assert(r.getAs[Long]("n_same") === nSame)
+    // lift ties the two rates together (up to the emit rounding)
+    val lift = r.getAs[Double]("lift")
+    val ratio =
+      r.getAs[Double]("same_rate") / r.getAs[Double]("expected_rate")
+    assert(math.abs(lift - ratio) < 1e-4, s"lift $lift vs ratio $ratio")
+  }
+
   test("mix sample: rates are valid, capped sources keep everything") {
     val rows = q("q_mix_sample").collect()
     assert(rows.nonEmpty)
