@@ -63,11 +63,11 @@ object Tables {
   // share; file CHANGES under a cached path would go unseen, which is
   // fine for the driver's immutable sf dirs and per-JVM test fixtures.
   private val tCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name), {
+      (spark, sfDir, name), {
         // Idempotent: the nanos conf must be live before the footer is
         // read, and the driver may call entry()/queries with a session
         // of its own.

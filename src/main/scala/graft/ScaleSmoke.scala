@@ -318,15 +318,41 @@ object ScaleSmoke {
     build10x(spark, src, out)
     // JVM/codegen warmup so 1× doesn't absorb JIT cost
     spark.range(2000000L).selectExpr("sum(id)").collect()
+    // Warm the SAME shared fixpoints Bench warms, per dir, timing each
+    // family as its own row — so per-query rows measure query-local
+    // cost (the bench's accounting) and the fixpoint builds' own 10×
+    // growth is measured instead of landing on whichever id ran first.
+    val warms: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+      "fixpoint:dedup" -> ops.Dedup.warmShared _,
+      "fixpoint:graph" -> ops.Insights.warmShared _,
+      "fixpoint:peels" -> ops.GraphScores.warmShared _,
+      "fixpoint:daygrid" -> ops.Series.warmShared _,
+      "fixpoint:anchor_nn" -> ops.Vector.warmShared _,
+      "fixpoint:landmark_bfs" -> ops.Causal.warmShared _,
+      "fixpoint:bigram_models" -> ops.Corpus.warmShared _,
+      "fixpoint:mixture_models" -> ops.Doremi.warmShared _,
+      "fixpoint:curate_stages" -> ops.TextOps.warmShared _)
+    def warm(dir: String): Seq[(String, Double)] = warms.map {
+      case (n, f) =>
+        val t0 = System.nanoTime()
+        try f(spark, dir) catch { case e: Throwable =>
+          System.err.println(s"[smoke] warm $n failed: ${e.getMessage}") }
+        n -> (System.nanoTime() - t0) / 1e9
+    }
     def run(dir: String): Map[String, Double] = runIds.map { id =>
       val t0 = System.nanoTime()
       SparkEntry.queries(id)(spark, dir).count()
       id -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    val w1 = warm(src)
     val t1 = run(src)
+    val w10 = warm(out)
     val t10 = run(out)
     println("| query | 1x sec | 10x sec | ratio (linear = 10.0) |")
     println("|---|---|---|---|")
+    w1.zip(w10).foreach { case ((n, a), (_, b)) =>
+      println(f"| $n | $a%.2f | $b%.2f | ${b / a}%.2f |")
+    }
     runIds.foreach { id =>
       println(f"| $id | ${t1(id)}%.2f | ${t10(id)}%.2f | " +
         f"${t10(id) / t1(id)}%.2f |")

@@ -96,11 +96,11 @@ object Dedup {
     * set (bounded by doc length), so the persisted footprint is a small
     * multiple of the corpus key space. */
   private val minhashSetsCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private def minhashWithSets(s: SparkSession, d: String): DataFrame =
     minhashSetsCache.getOrElseUpdate(
-      s"${System.identityHashCode(s)}|$d", {
+      (s, d), {
         val df = shingles(s, d)
           .groupBy(col("doc_id"))
           .agg(minhashAggs.head,
@@ -142,10 +142,10 @@ object Dedup {
     * the same pair list — materialize it once per (session, sfDir)
     * (SURVEY §4.1: reuse of a prior result instead of a rescan). */
   private val pairCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   def nearPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    pairCache.getOrElseUpdate((s, d), {
       val df = buildNearPairs(s, d).persist()
       df.count()
       df
@@ -242,10 +242,10 @@ object Dedup {
     * again; without the cache each consumer re-runs the shingle explode
     * and 32-agg pass (same reuse discipline as [[nearPairs]]). */
   private val simhashCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   def simhashTable(s: SparkSession, d: String): DataFrame =
-    simhashCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    simhashCache.getOrElseUpdate((s, d), {
       val bitAggs = (0 until 32).map(j =>
         sum(expr(
           s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
@@ -307,10 +307,10 @@ object Dedup {
     * sizes) and without the cache each one re-runs the explode+distinct
     * shuffle over the full corpus. */
   private val bigramCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private def bigrams(s: SparkSession, d: String): DataFrame =
-    bigramCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    bigramCache.getOrElseUpdate((s, d), {
       val df = Tables.t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("bg", explode(expr(
@@ -505,7 +505,7 @@ object Dedup {
   }
 
   private val compCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   /** Component membership (doc_id, comp) over the verified near-pair
     * graph, computed once per (session, sfDir) — the min-id and
@@ -513,7 +513,7 @@ object Dedup {
     * the pointer-doubling loop runs once, not per consumer (the
     * [[nearPairs]] reuse discipline). */
   private[graft] def nearComponents(s: SparkSession, d: String): DataFrame =
-    compCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    compCache.getOrElseUpdate((s, d), {
       val df = connectedComponents(
         nearPairs(s, d).select(col("a_id"), col("b_id"))).persist()
       df.count()

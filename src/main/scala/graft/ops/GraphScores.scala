@@ -18,7 +18,7 @@ object GraphScores {
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 
   private val peelCache = scala.collection.concurrent
-    .TrieMap[(Int, String, Int), Seq[(DataFrame, DataFrame)]]()
+    .TrieMap[(SparkSession, String, Int), Seq[(DataFrame, DataFrame)]]()
 
   /** Four deg ≥ k peel rounds over the shared link graph, memoized per
     * (session, dir, k) — ONE definition of the peel for every
@@ -30,7 +30,7 @@ object GraphScores {
     * (alive_r, edges_r) for r = 1..4. */
   private[graft] def peel(s: SparkSession, d: String, k: Int)
       : Seq[(DataFrame, DataFrame)] =
-    peelCache.getOrElseUpdate((System.identityHashCode(s), d, k), {
+    peelCache.getOrElseUpdate((s, d, k), {
       var e = Insights.undirectedLinkEdges(s, d)
       (1 to 4).map { _ =>
         val alive = degrees(e).filter(col("deg") >= k)

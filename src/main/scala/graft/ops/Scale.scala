@@ -20,10 +20,10 @@ object Scale {
     * the way Dedup.pairCache caches the near-dup pair list, so repeated
     * queries (and the bench) measure the shuffle-free join itself. */
   private val bucketSetup =
-    scala.collection.concurrent.TrieMap[String, Unit]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
 
   private def ensureBucketTables(s: SparkSession, d: String): Unit =
-    bucketSetup.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    bucketSetup.getOrElseUpdate((s, d), {
       val wh = sys.props("java.io.tmpdir") + "/graft_warehouse"
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
       // the in-memory catalog forgets tables across sessions but their

@@ -27,7 +27,7 @@ object Series {
     t("events")
 
   private val dayCache = scala.collection.concurrent
-    .TrieMap[(Int, String), DataFrame]()
+    .TrieMap[(SparkSession, String), DataFrame]()
 
   /** Daily revenue totals in exact cents — the series every day-grid
     * statistic in this tier starts from (Hurst, Ljung-Box, DW,
@@ -35,7 +35,7 @@ object Series {
     * Memoized + persisted ONCE per (session, dir): one corpus scan
     * feeds the whole tier instead of nine identical rollups. */
   private[graft] def dailyRevenue(s: SparkSession, d: String): DataFrame =
-    dayCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    dayCache.getOrElseUpdate((s, d), {
       Tables.t(s, d, "events")
         .select(to_date(col("ts")).as("day"),
           floor(col("value") * 100 + 0.5).cast("long").as("c"))

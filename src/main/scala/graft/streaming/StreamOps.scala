@@ -47,12 +47,12 @@ object StreamOps {
     * table) is enough (the Tables.t caching argument — sf dirs are
     * immutable for the JVM's life). */
   private val schemaCache = scala.collection.concurrent
-    .TrieMap[(Int, String), org.apache.spark.sql.types.StructType]()
+    .TrieMap[(SparkSession, String), org.apache.spark.sql.types.StructType]()
 
   private[graft] def footerSchema(s: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType =
     schemaCache.getOrElseUpdate(
-      (System.identityHashCode(s), path), {
+      (s, path), {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.read.parquet(path).schema
       })
