@@ -59,7 +59,18 @@ object Insights {
           cachedDf.clear()
         }
       }
-    cachedDf.getOrElseUpdate((s, d, name), build.persist())
+    cachedDf.getOrElseUpdate((s, d, name), {
+      // Materialize NOW, not at the first consumer's action: a lazily
+      // persisted store carries estimate statistics until something
+      // runs it, so the first consumer's join strategy (SMJ on the big
+      // estimate) differs from every later consumer's (broadcast on
+      // the measured small size) — plans must not depend on which
+      // consumer planned first. Eager count() pins every consumer to
+      // the measured-stats plan, which is also the bench's warm state.
+      val df = build.persist()
+      df.count()
+      df
+    })
   }
 
   /** Raw DIRECTED edge multi-list of the deterministic derived link

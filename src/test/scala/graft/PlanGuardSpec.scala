@@ -42,11 +42,13 @@ class PlanGuardSpec extends SparkSuite {
     // final QueryStage tree with `== Final Plan ==` sections) — the
     // triangles drift under full `sbt test`. The cached child is
     // state, not plan: keep the scan line (it pins the consumed
-    // schema) and cut everything below it. The whole cached subtree —
-    // including the `== Final/Initial Plan ==` headers, which print at
-    // the SAME gutter depth as the InMemoryRelation line itself — sits
-    // strictly deeper than the scan's tree marker, so the scan line is
-    // the one safe cut anchor.
+    // schema) and cut everything below it. The cached subtree's body
+    // sits strictly deeper than the scan's tree marker, EXCEPT the
+    // `+- == Final/Initial Plan ==` section headers of a materialized
+    // AdaptiveSparkPlan, which print at the SAME depth as the scan
+    // line itself (the DSIR/doremi drift under full `sbt test`) —
+    // drop those too; a genuine sibling operator at the same depth
+    // never starts with `== `, so it still ends the cut.
     val out = new StringBuilder
     var cutBelow = Int.MaxValue
     // tree depth = first char that isn't the " "/":" gutter (the '+'
@@ -55,10 +57,17 @@ class PlanGuardSpec extends SparkSuite {
       val i = l.indexWhere(c => c != ' ' && c != ':')
       if (i < 0) Int.MaxValue else i
     }
+    def isPlanHeader(l: String, p: Int): Boolean = {
+      val t = l.drop(p)
+      t.startsWith("+- == ") || t.startsWith(":- == ") ||
+        t.startsWith("== ")
+    }
     flat.linesIterator.foreach { l =>
       val p = indent(l)
-      if (p > cutBelow) () // inside a cached-plan subtree: drop
-      else {
+      if (p > cutBelow ||
+        (p == cutBelow && isPlanHeader(l, p))) {
+        () // inside a cached-plan subtree: drop
+      } else {
         cutBelow = if (l.contains("InMemoryTableScan")) p
           else Int.MaxValue
         out.append(l).append('\n')

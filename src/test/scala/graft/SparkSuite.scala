@@ -33,6 +33,13 @@ object SparkSuite {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // FileSourceScanExec renders its metadata (DataFilters, …) into
+      // a string ONCE, lazily, truncated at this length under whichever
+      // conf is active at first render. PlanGuardSpec hashes plans that
+      // can embed scan nodes first rendered by an earlier suite — keep
+      // every render in the test JVM untruncated so the hash cannot
+      // depend on suite order.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
