@@ -54,9 +54,9 @@ object PlanDump {
     "q_graph_triangles" -> ("degree-oriented wedge join: both joins " +
       "hash-equi (apex, then closing pair), edge tables cached once " +
       "— oriented out-degree bounded O(sqrt(|E|)), no cartesian"),
-    "q_embed_pca" -> ("power iteration without a covariance matrix: " +
-      "per round one dim-keyed broadcast join + vec- and dim-keyed " +
-      "two-phase sums; 64-row v broadcast, corpus never reshuffled"),
+    "q_embed_pca" -> ("ONE covariance pass: vec-keyed self-join " +
+      "emits 64x64 quantized products map-side-combined to 4096 " +
+      "exact integer sums; iteration is scalar algebra on that row"),
     "q_text_postings" -> ("posting lists capped by row_number BEFORE " +
       "the collect — every aggregate buffer bounded at 16 entries; " +
       "df/tf stats and capped lists co-partitioned on term"),

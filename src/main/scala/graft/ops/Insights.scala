@@ -429,88 +429,155 @@ object Insights {
 
   // ---- q_embed_pca ------------------------------------------------------
 
-  /** Top principal component of the embedding table (q_embed_pca) by
-    * power iteration — the dimensionality probe an embedding-curation
-    * pass runs before whitening / compression. The covariance matrix is
-    * NEVER materialized: each iteration computes w = (X−μ)v as a
-    * broadcast join on dim (n·64 exploded rows against the 64-row v)
-    * summed per vec, then v' = (X−μ)ᵀw summed per dim — two keyed
-    * shuffles whose widths are the vec and dim populations, at any
-    * corpus size. Iteration state (the 64 v components) is ROUNDED to
-    * 6dp each round on both engines, so order-noise in the big sums
-    * (~1e-14 relative) never crosses engines — the same discipline as
-    * q_sim_kmeans / q_graph_pagerank. Output: per-dim loading of the
-    * unit eigenvector plus the Rayleigh-quotient eigenvalue (the
-    * variance captured along it). */
+  /** Top principal component of the embedding table (q_embed_pca) —
+    * the dimensionality probe an embedding-curation pass runs before
+    * whitening / compression. Scale shape: ONE corpus pass builds the
+    * 64×64 covariance as 4096 EXACT integer sums (each centered
+    * product floor-quantized to 1e-9 per row, so addition order cannot
+    * move the matrix across engines; BIGINT holds ~9e9 vectors at that
+    * quantum), map-side combined down to 4096 keys; the 3-round power
+    * iteration then runs as pure scalar array algebra on that ONE
+    * constant-size row — zero per-iteration shuffles, zero joins, at
+    * any corpus size. (The previous formulation re-shuffled the n·64
+    * exploded corpus twice per round: correct, but 8 corpus-wide
+    * stages where one suffices — at 100 TB the covariance pass is the
+    * only part that may touch the data.) Per-term 1e-6 quantization
+    * inside every 64-element sum keeps the iterates bit-identical
+    * across engines (the q_sim_kmeans discipline); covariance is
+    * normalized by n BEFORE iterating so magnitudes are O(1) at any
+    * corpus size. Output: per-dim loading of the unit eigenvector plus
+    * the Rayleigh-quotient eigenvalue vᵀCv (variance captured). */
   val qEmbedPca = Q(
     "q_embed_pca",
     (s, d) => {
-      val pos = Tables.t(s, d, "embeddings")
-        .select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          col("x").cast("double").as("x"))
-        .persist() // every iteration re-reads the centered matrix
-      val mean = pos.groupBy(col("dim"))
-        .agg(round(avg(col("x")), 6).as("mu"))
-      val centered = pos.join(broadcast(mean), "dim")
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n1 = emb.agg(count(lit(1)).as("n"))
+      // per-dim means, rounded 6dp — 64 rows, broadcast
+      val mean = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mu"))
+      // centered matrix as codegen'd exploded rows (vec, dim, xd) —
+      // the whole outer-product pass stays inside whole-stage codegen
+      // (a lambda-built 4096-product array was measured 10× slower)
+      def centered = emb
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .join(broadcast(mean), "dim")
         .select(col("vec_id"), col("dim"),
-          (col("x") - col("mu")).as("x"))
-        .persist()
-      // deterministic start: uniform unit vector 1/8 on all 64 dims
-      var v = mean.select(col("dim"), lit(0.125).as("v"))
-      for (_ <- 0 until 3) {
-        val w = centered.join(broadcast(v), "dim")
-          .groupBy(col("vec_id"))
-          .agg(round(sum(col("x") * col("v")), 6).as("w"))
-        val vRaw = centered.join(w, "vec_id")
-          .groupBy(col("dim"))
-          .agg(round(sum(col("x") * col("w")), 6).as("vr"))
-        val norm = vRaw.agg(
-          sqrt(sum(col("vr") * col("vr"))).as("nrm"))
-        v = vRaw.crossJoin(broadcast(norm))
-          .select(col("dim"), round(col("vr") / col("nrm"), 6).as("v"))
-      }
-      val w = centered.join(broadcast(v), "dim")
-        .groupBy(col("vec_id"))
-        .agg(round(sum(col("x") * col("v")), 6).as("w"))
-      val eig = w.agg(round(avg(col("w") * col("w")), 4).as("eigenvalue"))
-      v.crossJoin(broadcast(eig))
-        .select(col("dim"), col("v").as("loading"), col("eigenvalue"))
+          (col("x").cast("double") - col("mu")).as("xd"))
+      // one corpus pass: the vec-keyed self-join emits each of the
+      // 64×64 centered products exactly once, floor-quantized to 1e-9
+      // BEFORE the sum so the 4096 sums are EXACT integers; map-side
+      // combine collapses to 4096 keys before the only data shuffle
+      val cmat = centered
+        .join(centered.select(col("vec_id").as("vid2"),
+          col("dim").as("j"), col("xd").as("yd")),
+          col("vec_id") === col("vid2"))
+        .select((col("dim") * 64 + col("j")).as("ij"),
+          floor(col("xd") * col("yd") * lit(1.0e9) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("ij"))
+        .agg(sum(col("q")).as("qs"))
+        .agg(array_sort(collect_list(struct(col("ij"), col("qs"))))
+          .as("cs"))
+        .select(expr("transform(cs, x -> x.qs)").as("cq"))
+      // constant-size state from here on: covariance normalized by n,
+      // then three quantized power-iteration rounds as array algebra
+      val iterExpr =
+        """transform(sequence(0, 63), i -> round(
+             (CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+                (acc, j) -> acc + CAST(floor(
+                  c[i * 64 + j] * v[j] * 1.0e12 + 0.5D) AS BIGINT))
+              AS DOUBLE) / 1.0e12) / nrm, 6))"""
+      val nrmExpr =
+        """sqrt(CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+             (acc, i) -> acc + CAST(floor(
+               vr[i] * vr[i] * 1.0e12 + 0.5D) AS BIGINT))
+           AS DOUBLE) / 1.0e12)"""
+      val vrExpr =
+        """transform(sequence(0, 63), i ->
+             CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+               (acc, j) -> acc + CAST(floor(
+                 c[i * 64 + j] * v[j] * 1.0e12 + 0.5D) AS BIGINT))
+             AS DOUBLE) / 1.0e12)"""
+      var st = cmat.crossJoin(broadcast(n1))
+        .select(expr(
+          "transform(cq, q -> CAST(q AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE))")
+          .as("c"),
+          expr("transform(sequence(0, 63), i -> 0.125D)").as("v"))
+      // Materialize the 1-row state each round: without the barrier
+      // CollapseProject inlines round k's expression into round k+1's
+      // lambdas, and interpreted higher-order functions re-evaluate the
+      // inlined subtree PER ELEMENT — combinatorial blow-up. Three
+      // single-row localCheckpoints are microseconds of data.
+      for (_ <- 0 until 3)
+        st = st
+          .withColumn("vr", expr(vrExpr))
+          .withColumn("nrm", expr(nrmExpr))
+          .select(col("c"), expr(iterExpr).as("v"))
+          .localCheckpoint()
+      st
+        .withColumn("u", expr(vrExpr))
+        .select(col("v"), expr(
+          """round(CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+               (acc, i) -> acc + CAST(floor(
+                 u[i] * v[i] * 1.0e12 + 0.5D) AS BIGINT))
+             AS DOUBLE) / 1.0e12, 4)""").as("eigenvalue"))
+        .select(posexplode(col("v")).as(Seq("dim", "loading")),
+          col("eigenvalue"))
+        .select(col("dim").cast("long").as("dim"), col("loading"),
+          col("eigenvalue"))
         .orderBy(col("dim"))
     },
     Some {
+      def dotQ(cIdx: String, vec: String): String =
+        s"""CAST(list_sum(list_transform(range(64), j ->
+              CAST(floor(c[$cIdx * 64 + j + 1] * $vec[j + 1] * 1.0e12
+                + 0.5e0) AS BIGINT))) AS DOUBLE) / 1.0e12"""
       def iterCte(i: Int): String =
-        s"""w$i AS (
-              SELECT c.vec_id, round(sum(c.x * v.v), 6) AS w
-              FROM centered c JOIN v$i v ON c.dim = v.dim
-              GROUP BY c.vec_id),
-            vr$i AS (
-              SELECT c.dim, round(sum(c.x * w.w), 6) AS vr
-              FROM centered c JOIN w$i w ON c.vec_id = w.vec_id
-              GROUP BY c.dim),
-            n$i AS (SELECT sqrt(sum(vr * vr)) AS nrm FROM vr$i),
+        s"""vr$i AS (
+              SELECT list_transform(range(64), i -> ${dotQ("i", "v")})
+                AS vr
+              FROM cs, v$i),
+            n$i AS (
+              SELECT sqrt(CAST(list_sum(list_transform(range(64), i ->
+                CAST(floor(vr[i + 1] * vr[i + 1] * 1.0e12 + 0.5e0)
+                  AS BIGINT))) AS DOUBLE) / 1.0e12) AS nrm
+              FROM vr$i),
             v${i + 1} AS (
-              SELECT dim, round(vr / nrm, 6) AS v FROM vr$i, n$i)"""
-      s"""WITH pos AS (
-            SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings
-            CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
-              len(embedding))) AS i) ix),
-          mean AS (
-            SELECT dim, round(avg(x), 6) AS mu FROM pos GROUP BY dim),
-          centered AS (
-            SELECT vec_id, pos.dim, x - mu AS x
-            FROM pos JOIN mean ON pos.dim = mean.dim),
-          v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS v FROM mean),
+              SELECT list_transform(vr, x -> round(x / nrm, 6)) AS v
+              FROM vr$i, n$i)"""
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+          mus AS (
+            SELECT list(mu ORDER BY dim) AS mus FROM (
+              SELECT i - 1 AS dim,
+                round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mu
+              FROM embeddings CROSS JOIN range(1, 65) r(i)
+              GROUP BY i)),
+          cs AS (
+            SELECT list(c ORDER BY ij) AS c FROM (
+              SELECT (i - 1) * 64 + (j - 1) AS ij,
+                CAST(sum(CAST(floor(
+                    (CAST(e.embedding[i] AS DOUBLE) - m.mus[i]) *
+                    (CAST(e.embedding[j] AS DOUBLE) - m.mus[j]) *
+                    1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT)
+                  / 1.0e9 / (SELECT CAST(n AS DOUBLE) FROM nn) AS c
+              FROM embeddings e, mus m,
+                range(1, 65) ri(i), range(1, 65) rj(j)
+              GROUP BY ij)),
+          v0 AS (SELECT list_transform(range(64), i -> 0.125e0) AS v),
           ${(0 until 3).map(iterCte).mkString(",\n")},
-          wf AS (
-            SELECT c.vec_id, round(sum(c.x * v.v), 6) AS w
-            FROM centered c JOIN v3 v ON c.dim = v.dim
-            GROUP BY c.vec_id),
-          eig AS (SELECT round(avg(w * w), 4) AS eigenvalue FROM wf)
-          SELECT dim, v AS loading, eigenvalue
-          FROM v3, eig
+          eig AS (
+            SELECT round(CAST(list_sum(list_transform(range(64), i ->
+              CAST(floor((${dotQ("i", "v")}) * v[i + 1] * 1.0e12
+                + 0.5e0) AS BIGINT))) AS DOUBLE) / 1.0e12, 4)
+              AS eigenvalue
+            FROM cs, v3)
+          SELECT CAST(d AS BIGINT) AS dim, v[d + 1] AS loading,
+            eigenvalue
+          FROM v3, eig, range(64) rd(d)
           ORDER BY dim NULLS FIRST"""
     })
 

@@ -148,18 +148,26 @@ class InsightsSpec extends SparkSuite {
     val d = X.head.length
     val mu = Array.tabulate(d)(j =>
       math.rint(X.map(_(j)).sum / X.length * 1e6) / 1e6)
-    val C = X.map(row => Array.tabulate(d)(j => row(j) - mu(j)))
+    // quantized covariance, exactly as the operator builds it: each
+    // centered product floored to 1e-9 before the integer sum, the sum
+    // normalized by n afterwards
+    val C = Array.tabulate(d, d) { (i, j) =>
+      X.map(row => math.floor(
+        (row(i) - mu(i)) * (row(j) - mu(j)) * 1e9 + 0.5).toLong)
+        .sum.toDouble / 1e9 / X.length
+    }
     var v = Array.fill(d)(0.125)
     val rayleigh = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 0 until 3) {
-      val w = C.map(row => math.rint(
-        row.indices.map(j => row(j) * v(j)).sum * 1e6) / 1e6)
-      val vr = Array.tabulate(d)(j => math.rint(
-        C.indices.map(i => C(i)(j) * w(i)).sum * 1e6) / 1e6)
-      val n = math.sqrt(vr.map(x => x * x).sum)
+      val vr = Array.tabulate(d)(i =>
+        (0 until d).map(j =>
+          math.floor(C(i)(j) * v(j) * 1e12 + 0.5).toLong)
+          .sum.toDouble / 1e12)
+      val n = math.sqrt(vr.map(x =>
+        math.floor(x * x * 1e12 + 0.5).toLong).sum.toDouble / 1e12)
       v = vr.map(x => math.rint(x / n * 1e6) / 1e6)
-      val wv = C.map(row => row.indices.map(j => row(j) * v(j)).sum)
-      rayleigh += wv.map(x => x * x).sum / wv.length
+      rayleigh += (0 until d).map(i =>
+        (0 until d).map(j => C(i)(j) * v(j)).sum * v(i)).sum
     }
     val cos = v3.zip(v).map { case (a, b) => a * b }.sum
     assert(math.abs(cos) > 1.0 - 1e-5,
