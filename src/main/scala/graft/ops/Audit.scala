@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-audit operators: equi-depth histogram summaries, regex field
@@ -14,34 +14,97 @@ object Audit {
     Tables.t(s, d, "" + n)
 
   /** Equi-depth histogram of l_extendedprice (q_agg_equidepth): 8
-    * buckets whose boundaries are the exact octile percentiles. The
-    * boundaries come from ONE two-phase percentile aggregate (never a
-    * global ntile sort — that is a single-partition window at 100 TB);
-    * rows are then bucketed against the 7-cut broadcast and counted.
-    * Cut doubles are identical across engines (same values, same
-    * (n−1)p interpolation), so bucket membership is exact.
-    *
-    * Buffer bound: exact `percentile` accumulates a (value → count)
-    * map, so its memory is O(#distinct values) — fine here because
-    * l_extendedprice is a PRICE GRID (cents × bounded magnitude,
-    * ≤ ~10^6 distinct at any corpus size), and that is the only class
-    * of column this query is registered for. A genuinely continuous
-    * column must switch to `approx_percentile` and pair the oracle
-    * with the same sketch parameters (the exact-vs-approx pattern). */
+    * buckets whose boundaries are the exact octile percentiles —
+    * never a global ntile sort (a single-partition window at 100 TB)
+    * and never the `percentile` object aggregate (its interpreted
+    * per-row map update was measured at 3.2 s of this query's 3.8 at
+    * sf0.1). Prices are an exact cents grid, so the boundaries come
+    * from a codegen BIGINT-keyed value histogram plus a DISTRIBUTED
+    * prefix sum: per-range offsets from a coarse census whose row
+    * count is bounded by the PRICE DOMAIN (~110 ranges of 1000
+    * currency units — corpus-independent), then a range-partitioned
+    * running sum; the 14 order statistics fall out of a 7-row
+    * broadcast rank-interval join, interpolated with the same
+    * (n−1)p rule as the oracle's quantile_cont. Rows are then
+    * bucketed against the 7-cut broadcast and counted; cut doubles
+    * are identical across engines, so bucket membership is exact.
+    * The cents quantization is the registered domain of this query
+    * (exact-decimal money); a genuinely continuous column must
+    * switch to `approx_percentile` and pair the oracle with the same
+    * sketch parameters (the exact-vs-approx pattern). */
   val qAggEquidepth = Q(
     "q_agg_equidepth",
     (sp, dir) => {
+      import org.apache.spark.sql.expressions.Window
       implicit val s: SparkSession = sp
       implicit val d: String = dir
       val li = t("lineitem").select(col("l_extendedprice").as("x"))
-      val cuts = li.agg(expr(
-        """percentile(x, array(0.125, 0.25, 0.375, 0.5,
-                               0.625, 0.75, 0.875))""").as("cuts"))
+      // Exact octiles WITHOUT the `percentile` object aggregate (its
+      // interpreted per-row map update measured 3.2 s of this query's
+      // 3.8 at sf0.1): prices are exact cents, so the value histogram
+      // is a codegen hash aggregate on a BIGINT key, and the order
+      // statistics come from a DISTRIBUTED prefix sum — per-range
+      // offsets from a ~110-row (price-domain-bounded, corpus-
+      // independent) coarse census, then a window partitioned by that
+      // range. No global window, no per-row object buffer.
+      val hist = li
+        .select(floor(col("x") * 100 + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cell", (col("c") / 100000L).cast("long"))
+        .localCheckpoint() // read by offsets, cum, and the n census
+      val offsets = hist.groupBy(col("cell"))
+        .agg(sum(col("cnt")).as("cell_cnt"))
+        .withColumn("off",
+          sum(col("cell_cnt")).over(Window.orderBy(col("cell"))) -
+            col("cell_cnt"))
+        .select(col("cell").as("ocell"), col("off"))
+      val cum = hist
+        .join(broadcast(offsets), col("cell") === col("ocell"))
+        .select(col("c"), col("cnt"),
+          (col("off") + sum(col("cnt")).over(
+            Window.partitionBy(col("cell")).orderBy(col("c"))))
+            .as("hi_rank"))
+        .withColumn("lo_rank", col("hi_rank") - col("cnt"))
+      val n1 = hist.agg(sum(col("cnt")).as("n"))
+      // 7-row (percentile, rank) grid; value at an integer 0-based
+      // rank k is the unique histogram row with lo_rank <= k < hi_rank.
+      // ONE pass over the ranked histogram resolves both order stats
+      // per percentile (exactly one row matches each side's interval).
+      val grid = n1.select(
+        explode(array(Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+          .map(lit): _*)).as("p"), col("n"))
+        .select(col("p"),
+          floor((col("n") - 1) * col("p")).cast("long").as("klo"),
+          ceil((col("n") - 1) * col("p")).cast("long").as("khi"),
+          ((col("n") - 1) * col("p") -
+            floor((col("n") - 1) * col("p"))).as("frac"))
+      val cuts = cum
+        .join(broadcast(grid),
+          (col("lo_rank") <= col("klo") && col("klo") < col("hi_rank")) ||
+          (col("lo_rank") <= col("khi") && col("khi") < col("hi_rank")))
+        .groupBy(col("p"), col("frac"))
+        .agg(
+          min(when(col("lo_rank") <= col("klo") &&
+            col("klo") < col("hi_rank"),
+            col("c").cast("double") / 100.0)).as("vlo"),
+          min(when(col("lo_rank") <= col("khi") &&
+            col("khi") < col("hi_rank"),
+            col("c").cast("double") / 100.0)).as("vhi"))
+        .select(col("p"),
+          (col("vlo") + (col("vhi") - col("vlo")) * col("frac"))
+            .as("cut"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, cut)))," +
+          " x -> x.cut)").as("cuts"))
       li.crossJoin(broadcast(cuts))
         .select(col("x"), expr(
-          """aggregate(cuts, 0, (acc, c) ->
-               acc + CASE WHEN x > c THEN 1 ELSE 0 END)""")
-          .cast("long").as("bucket"))
+          """CAST(CASE WHEN x > cuts[0] THEN 1 ELSE 0 END
+               + CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
+               + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
+               + CASE WHEN x > cuts[3] THEN 1 ELSE 0 END
+               + CASE WHEN x > cuts[4] THEN 1 ELSE 0 END
+               + CASE WHEN x > cuts[5] THEN 1 ELSE 0 END
+               + CASE WHEN x > cuts[6] THEN 1 ELSE 0 END AS BIGINT)""")
+          .as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("x")), 2).as("lo"),

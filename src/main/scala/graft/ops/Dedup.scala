@@ -917,8 +917,11 @@ object Dedup {
     * never a wider bucket. At kx = 0 the probe set is the exact key
     * alone and candidates equal the fixed scheme's. */
   private def semCands(e0: DataFrame, adaptive: Boolean,
+      probe: Boolean): DataFrame =
+    semCandsFromBands(semBands(e0, adaptive), probe)
+
+  private def semCandsFromBands(bands: DataFrame,
       probe: Boolean): DataFrame = {
-    val bands = semBands(e0, adaptive)
     val probed =
       if (!probe) bands.select(col("bv"), col("bc"), col("band"),
         col("base"), col("extra").as("probe"))
@@ -1252,7 +1255,13 @@ object Dedup {
     "q_dedup_semantic_audit",
     (s, d) => {
       val e0 = semE0(s, d)
-      val prio = semPrio(e0)
+      // The audit fans out into ~12 count branches that would each
+      // re-run the shared subtrees (e0 appears under every scheme's
+      // band build, prio under every verify join — measured 8×
+      // recomputation in the single-DAG form). Materialize each shared
+      // stage ONCE; every stage is banding-bounded, so the checkpoints
+      // are small at any corpus size.
+      val prio = semPrio(e0).localCheckpoint()
       def ver(cand: DataFrame): DataFrame = cand
         .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea")),
           col("a_id") === col("pa"))
@@ -1263,10 +1272,12 @@ object Dedup {
             (sqrt(expr("double_dot(ea, ea)")) *
              sqrt(expr("double_dot(eb, eb)"))), 6) >= 0.3)
         .select(col("a_id"), col("b_id"))
-      val candF = semCands(e0, adaptive = false, probe = false)
-      val candB = semCands(e0, adaptive = true, probe = false)
-      val candP = semCands(e0, adaptive = true, probe = true)
-      val verF = ver(candF)
+      val bandsF = semBands(e0, adaptive = false).localCheckpoint()
+      val bandsA = semBands(e0, adaptive = true).localCheckpoint()
+      val candF = semCandsFromBands(bandsF, probe = false).localCheckpoint()
+      val candB = semCandsFromBands(bandsA, probe = false).localCheckpoint()
+      val candP = semCandsFromBands(bandsA, probe = true).localCheckpoint()
+      val verF = ver(candF).localCheckpoint()
       val nTrue = verF.agg(count(lit(1)).as("n_true"))
       def row(scheme: String, cand: DataFrame, v: DataFrame): DataFrame = {
         val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -1282,8 +1293,8 @@ object Dedup {
                 col("n_hit").cast("double") / col("n_true"), 6))
               .as("recall"))
       }
-      row("adaptive_base", candB, ver(candB))
-        .unionByName(row("adaptive_probe", candP, ver(candP)))
+      row("adaptive_base", candB, ver(candB).localCheckpoint())
+        .unionByName(row("adaptive_probe", candP, ver(candP).localCheckpoint()))
         .unionByName(row("fixed_1024", candF, verF))
         .orderBy(col("scheme"))
     },
