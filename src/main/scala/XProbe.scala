@@ -25,7 +25,8 @@ object XProbe {
       "landmark_bfs" -> (() => ops.Causal.warmShared(spark, sfDir)),
       "bigram" -> (() => ops.Corpus.warmShared(spark, sfDir)),
       "mixture" -> (() => ops.Doremi.warmShared(spark, sfDir)),
-      "curate" -> (() => ops.TextOps.warmShared(spark, sfDir)))
+      "curate" -> (() => ops.TextOps.warmShared(spark, sfDir)),
+      "quality" -> (() => ops.Learn.warmShared(spark, sfDir)))
     warms.foreach { case (n, f) =>
       val t0 = System.nanoTime()
       try f() catch { case e: Throwable => println(s"warm $n FAILED: $e") }
@@ -41,7 +42,8 @@ object XProbe {
     System.gc(); Thread.sleep(1000); System.gc()
     println("gc done")
     val ids = Seq("q_agg_equidepth", "q_basket_lift", "q_embed_pca",
-      "q_dedup_semantic_audit")
+      "q_dedup_semantic_audit", "q_quality_calibrate", "q_quality_kappa",
+      "q_mix_doremi_rounds", "q_multimodal_phash_pairs", "q_dedup_ngram")
     ids.foreach { id =>
       val t0 = System.nanoTime()
       SparkEntry.queries(id)(spark, sfDir).count()

@@ -331,7 +331,8 @@ object ScaleSmoke {
       "fixpoint:landmark_bfs" -> ops.Causal.warmShared _,
       "fixpoint:bigram_models" -> ops.Corpus.warmShared _,
       "fixpoint:mixture_models" -> ops.Doremi.warmShared _,
-      "fixpoint:curate_stages" -> ops.TextOps.warmShared _)
+      "fixpoint:curate_stages" -> ops.TextOps.warmShared _,
+      "fixpoint:quality_scores" -> ops.Learn.warmShared _)
     def warm(dir: String): Seq[(String, Double)] = warms.map {
       case (n, f) =>
         val t0 = System.nanoTime()

@@ -986,7 +986,7 @@ object Refine {
   val qQualityKappa = Q(
     "q_quality_kappa",
     (s, d) => {
-      val flags = Learn.qQualityClassify.fn(s, d)
+      val flags = Learn.qualityScores(s, d)
         .select(col("gopher_pass").cast("long").as("g"),
           col("nb_keep").cast("long").as("c"))
       val n = col("n").cast("double")
