@@ -26,7 +26,8 @@ object XProbe {
       "bigram" -> (() => ops.Corpus.warmShared(spark, sfDir)),
       "mixture" -> (() => ops.Doremi.warmShared(spark, sfDir)),
       "curate" -> (() => ops.TextOps.warmShared(spark, sfDir)),
-      "quality" -> (() => ops.Learn.warmShared(spark, sfDir)))
+      "quality" -> (() => ops.Learn.warmShared(spark, sfDir)),
+      "phash" -> (() => ops.Multimodal.warmShared(spark, sfDir)))
     warms.foreach { case (n, f) =>
       val t0 = System.nanoTime()
       try f() catch { case e: Throwable => println(s"warm $n FAILED: $e") }

@@ -332,7 +332,8 @@ object ScaleSmoke {
       "fixpoint:bigram_models" -> ops.Corpus.warmShared _,
       "fixpoint:mixture_models" -> ops.Doremi.warmShared _,
       "fixpoint:curate_stages" -> ops.TextOps.warmShared _,
-      "fixpoint:quality_scores" -> ops.Learn.warmShared _)
+      "fixpoint:quality_scores" -> ops.Learn.warmShared _,
+      "fixpoint:phash_frame" -> ops.Multimodal.warmShared _)
     def warm(dir: String): Seq[(String, Double)] = warms.map {
       case (n, f) =>
         val t0 = System.nanoTime()

@@ -192,10 +192,14 @@ object Biz {
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
+      // (order, brand) memberships feed three consumers (both sides of
+      // the pair self-join + the per-brand marginals) — materialize the
+      // join+distinct once instead of re-running it per consumer
       val lines = t("lineitem")
         .join(broadcast(t("part").select(col("p_partkey"),
           col("p_brand"))), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+        .localCheckpoint()
       val nOrders = t("orders").agg(count(lit(1)).as("n_orders"))
       val brandCounts = lines.groupBy(col("p_brand").as("bc_brand"))
         .agg(count(lit(1)).as("n_brand"))
