@@ -24,6 +24,12 @@ object ScaleSmoke {
   // tables belong here. q_text_fuzzy_match is deliberately absent: the
   // replica-suffix construction plants 10 same-first-char lev-1 twins
   // per term, a quadratic artifact real 10x corpora don't have.
+  // q_multimodal_phash_pairs is absent for the same reason: the toy
+  // BMPs depend only on doc_id mod (3, 2, 256), so the corpus holds
+  // ~1536 distinct images and the TRUE Hamming<=2 pair list is
+  // Theta(n^2) rows (48M at 10x, measured) whatever the candidate
+  // generator does; q_multimodal_phash_audit's bounded-sample row
+  // (1.26x at 10x) is the banding's scale evidence.
   private val ids = Seq("q_dedup_components", "q_dedup_ngram",
     "q_sim_kmeans", "q_embed_pca", "q_dedup_incremental",
     "q_graph_bfs", "q_stream_lsh_index", "q_text_bigram_lm",
@@ -83,7 +89,7 @@ object ScaleSmoke {
     // evidence), the outer stream-stream join (last expensive stream
     // without a 10x row), and the truncated-dim recall harness
     // (probe-bounded — growth must track corpus, never probes²)
-    "q_multimodal_phash_pairs", "q_multimodal_phash_audit",
+    "q_multimodal_phash_audit",
     "q_stream_join_outer", "q_sim_matryoshka",
     // round-9 causal/resampling tier (events are blown up user-disjoint,
     // so the touch windows and per-user attribution state are 10
