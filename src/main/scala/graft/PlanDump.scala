@@ -93,9 +93,9 @@ object PlanDump {
     "q_ml_naive_bayes" -> ("training IS one aggregation; the model " +
       "(term-lang log-likelihoods, priors) broadcasts; scoring is one " +
       "explode + one keyed aggregation — no driver loop"),
-    "q_basket_lift" -> ("pair explode bounded by order size: the " +
-      "orderkey self-join is linear in the fact, never quadratic in " +
-      "the catalog; brand counts broadcast back"),
+    "q_basket_lift" -> ("pair explode bounded by order size: pairs " +
+      "come in-row from each order's sorted collect_set basket (one " +
+      "exchange, no self-join); brand counts broadcast back"),
     "q_events_rfm" -> ("quintile cuts from ONE percentile aggregate " +
       "broadcast back; users bucket scan-locally — NO Window operator " +
       "anywhere (the old triple global ntile was a single-partition " +
