@@ -240,14 +240,25 @@ object ScaleSmoke {
     "q_text_bpe_train", "q_text_contrast", "q_ts_anomaly",
     "q_ts_cusum", "q_ts_mad")
 
-  /** 100× embeddings-only blow-up (SPARK_GRAFT_SCALE100=1): two orders
-    * of magnitude past sf0.1 (2 000 → 200 000 vectors, labels kept so
-    * blocks grow 100×), timing the shared anchor-NN fixpoint BUILD
-    * (Vector.warmShared — the 128-anchor-capped pair stage on the
-    * codegen FloatL2Q path) and its two consumers. The cap claim is
-    * pairs = 128·|block| per label — LINEAR — so the fixpoint ratio
-    * must sit near 100, never the ~10 000 an uncapped block self-join
-    * would show. */
+  /** 100× blow-up (SPARK_GRAFT_SCALE100=1): two orders of magnitude
+    * past sf0.1 — embeddings 2 000 → 200 000 vectors (labels kept so
+    * blocks grow 100×) AND documents 5 000 → 500 000 (replica-suffixed
+    * tokens + replica-suffixed sources, so vocabularies and dedup
+    * blocks are disjoint across replicas — the same construction as
+    * the 10× corpus). Times:
+    *  - the shared anchor-NN fixpoint BUILD (Vector.warmShared — the
+    *    128-anchor-capped pair stage on the codegen FloatL2Q path) and
+    *    its two consumers. The cap claim is pairs = 128·|block| per
+    *    label — LINEAR — so the ratio must sit near 100, never the
+    *    ~10 000 an uncapped block self-join would show.
+    *  - the shared DEDUP fixpoint chain (Dedup.warmShared: per-doc
+    *    minhash sketches, the 4×4-band LSH candidate join + exact
+    *    Jaccard verify, pointer-doubled components, simhash, distinct
+    *    bigrams) and its two headline consumers. The banding claim is
+    *    candidates ∝ corpus (band keys in the shuffle key, fan-out
+    *    bounded per bucket) — so the fixpoint must scale ~linearly,
+    *    never with the Θ(n²/blocks) an unbanded block self-join
+    *    would show. */
   private def run100(spark: SparkSession, src: String): Unit = {
     val out = sys.props("java.io.tmpdir") + "/graft_scale100"
     val dir = new java.io.File(out)
@@ -262,8 +273,22 @@ object ScaleSmoke {
           col("embedding"), col("label"))
         .repartition(4)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val dmx = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+      docs.crossJoin(broadcast(rep))
+        .select(
+          (col("doc_id") + col("rep") * dmx).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              transform(split(col("text"), " "),
+                t => concat(t, lit("_"), col("rep"))))).as("text"),
+          col("lang"),
+          concat(col("source"), lit("_"), col("rep")).as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents").foreach { t =>
+        "lineitem", "events").foreach { t =>
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$out/$t.parquet"),
           java.nio.file.Paths.get(s"$src/$t.parquet"))
@@ -281,7 +306,12 @@ object ScaleSmoke {
         t("q_embed_intrinsic_dim")(
           SparkEntry.queries("q_embed_intrinsic_dim")(spark, dir).count()),
         t("q_embed_hubness")(
-          SparkEntry.queries("q_embed_hubness")(spark, dir).count()))
+          SparkEntry.queries("q_embed_hubness")(spark, dir).count()),
+        t("dedup_fixpoint")(ops.Dedup.warmShared(spark, dir)),
+        t("q_dedup_near")(
+          SparkEntry.queries("q_dedup_near")(spark, dir).count()),
+        t("q_dedup_components")(
+          SparkEntry.queries("q_dedup_components")(spark, dir).count()))
     }
     val t1 = phase(src)
     val t100 = phase(out)

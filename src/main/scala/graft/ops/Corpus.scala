@@ -1124,16 +1124,16 @@ object Corpus {
     * bounded as in q_text_perplexity; the phase-offset self-join runs
     * on the LITERAL 3-row phase table (strict-predecessor sum, the
     * q_text_zipf idiom) so no window ever sees a grow-with-data
-    * table. */
+    * table. The per-doc scores are the persisted [[genScore]]
+    * fixpoint: over the full corpus every bigram is in the model, so
+    * the backoff scorer's sum_i equals the inner model join's exactly
+    * (integer arithmetic) and the query-local work is just the
+    * doc-level tertile cut + the phase manifest. */
   val qMixCurriculum = Q(
     "q_mix_curriculum",
     (s, d) => {
-      val db = docBigrams(s, d)
-      val lq = bigramLqShared(s, d)
-      val m = db.join(lq, Seq("w1", "w2"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c")).as("nb"),
-          sum(col("c") * col("lqi")).as("sum_i"))
+      val m = genScore(s, d)
+        .select(col("doc_id"), col("source"), col("nb"), col("sum_i"))
         .withColumn("mi", expr("sum_i div nb"))
       val cuts = m.agg(expr(
         "percentile(mi, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
