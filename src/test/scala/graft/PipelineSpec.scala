@@ -464,6 +464,55 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("dot/l2q expressions null out on length mismatch or null element") {
+    functions.DoubleDot.register(spark)
+    functions.FloatDot.register(spark)
+    functions.FloatL2Q.register(spark)
+    // codegen path (selectExpr compiles the expressions) and the
+    // interpreted fallback (factoryMode=NO_CODEGEN) must agree: a
+    // length mismatch or a NULL slot yields NULL — never a silent
+    // truncation or a raw read of a null slot (round-11 ADVICE on
+    // FloatL2Q; DoubleDot hardened to match this round).
+    def probe(): Seq[org.apache.spark.sql.Row] =
+      spark.range(1).selectExpr(
+        "double_dot(array(1.0D, 2.0D), array(1.0D)) AS dd_mis",
+        "double_dot(array(1.0D, CAST(NULL AS DOUBLE)), " +
+          "array(1.0D, 2.0D)) AS dd_null",
+        "double_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dd_ok",
+        "float_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT))) AS fd_mis",
+        "float_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS fd_null",
+        "float_l2q(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT))) AS lq_mis",
+        "float_l2q(array(CAST(NULL AS FLOAT), CAST(2 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS lq_null",
+        "float_l2q(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT), CAST(4 AS FLOAT))) AS lq_ok")
+        .collect().toSeq
+    def check(rows: Seq[org.apache.spark.sql.Row]): Unit = rows.foreach {
+      r =>
+        assert(r.isNullAt(r.fieldIndex("dd_mis")), "dd length mismatch")
+        assert(r.isNullAt(r.fieldIndex("dd_null")), "dd null element")
+        assert(r.getDouble(r.fieldIndex("dd_ok")) === 11.0)
+        assert(r.isNullAt(r.fieldIndex("fd_mis")), "fd length mismatch")
+        assert(r.isNullAt(r.fieldIndex("fd_null")), "fd null element")
+        assert(r.isNullAt(r.fieldIndex("lq_mis")), "lq length mismatch")
+        assert(r.isNullAt(r.fieldIndex("lq_null")), "lq null element")
+        assert(r.getLong(r.fieldIndex("lq_ok")) === 4000000000000L)
+    }
+    check(probe())
+    val key = "spark.sql.codegen.factoryMode"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      check(probe())
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("graph_ppr: scores match a scalar personalized power iteration") {
     val got = SparkEntry.queries("q_graph_ppr")(spark, sf0).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppr")).toMap
