@@ -36,14 +36,22 @@ object Learn {
           split(col("text"), " ").as("toks"))
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val test = docs.filter(col("doc_id") % 5 === 0)
-      val trainToks = train
+      // ONE explode pass over the training corpus: the (term, lang)
+      // count grid is the sufficient statistic for everything the
+      // model needs — vocabulary size (distinct terms), per-lang token
+      // totals (sum of counts), and the observed log-likelihoods —
+      // so materialize it once instead of re-exploding per consumer.
+      val termCounts = train
         .select(col("lang"), explode(col("toks")).as("term"))
+        .groupBy(col("term").as("mt"), col("lang").as("ll"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       // vocabulary size (all langs pooled) — one-row broadcast
-      val vocab = trainToks.agg(countDistinct(col("term")).as("v"))
+      val vocab = termCounts.agg(countDistinct(col("mt")).as("v"))
       // per-lang: token totals + doc counts + total docs -> prior
       val nDocs = train.agg(count(lit(1)).as("n_docs"))
-      val langStats = trainToks.groupBy(col("lang").as("ml"))
-        .agg(count(lit(1)).as("t_l"))
+      val langStats = termCounts.groupBy(col("ll").as("ml"))
+        .agg(sum(col("c")).as("t_l"))
         .join(train.groupBy(col("lang").as("dl"))
             .agg(count(lit(1)).as("docs_l")),
           col("ml") === col("dl"))
@@ -54,29 +62,45 @@ object Learn {
             1000000 + 0.5).cast("long").as("prior_i"),
           floor(log(lit(1.0) / (col("t_l") + col("v"))) * 1000000 + 0.5)
             .cast("long").as("unseen_i"))
-      // observed (term, lang) log-likelihoods, integer-quantized
-      val llh = trainToks.groupBy(col("term").as("mt"), col("lang").as("ll"))
-        .agg(count(lit(1)).as("c"))
+      // observed (term, lang) log-likelihoods, integer-quantized;
+      // diff_i = llh_i − unseen_i pre-computed so scoring can use the
+      // seen-term-adjustment decomposition below (exact: both terms
+      // are already-quantized longs)
+      val llh = termCounts
         .join(broadcast(langStats), col("ll") === col("ml"))
         .select(col("mt"), col("ll"),
-          floor(log((col("c") + 1).cast("double") / (col("t_l") + col("v")))
-            * 1000000 + 0.5).cast("long").as("llh_i"))
-      // score every test token under every language
-      val testToks = test
+          (floor(log((col("c") + 1).cast("double") / (col("t_l") + col("v")))
+            * 1000000 + 0.5).cast("long") - col("unseen_i")).as("diff_i"))
+      // Score by sufficient statistics, not by token×lang explode:
+      //   score(d,l) = prior_l + N_d·unseen_l + Σ_{t∈d seen in l} c_dt·diff_i
+      // (exact integer identity with the per-token coalesce form —
+      // each unseen token contributes unseen_l, each seen one
+      // unseen_l + diff). The test corpus shuffles ONCE as (doc, term,
+      // c) against the vocabulary-sized model on term alone — never
+      // the ×|langs| token blow-up — and the full (doc × lang) score
+      // grid is a #docs·|langs| row finisher, not a corpus-width one.
+      val testTermCounts = test
         .select(col("doc_id"), col("lang").as("true_lang"),
           explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("true_lang"), col("term"))
+        .agg(count(lit(1)).as("ct"))
+      val docTotals = testTermCounts
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(sum(col("ct")).as("nd"))
+      val adj = testTermCounts
+        .join(llh, col("term") === col("mt"))
+        .groupBy(col("doc_id").as("a_doc"), col("ll"))
+        .agg(sum(col("ct") * col("diff_i")).as("adj"))
+      val scored = docTotals
         .crossJoin(broadcast(langStats.select(col("ml"), col("prior_i"),
           col("unseen_i"))))
-        .join(llh,
-          col("term") === col("mt") && col("ml") === col("ll"), "left")
-        .select(col("doc_id"), col("true_lang"), col("ml").as("cand"),
-          col("prior_i"), coalesce(col("llh_i"), col("unseen_i")).as("si"))
-      val scored = testToks
-        .groupBy(col("doc_id"), col("true_lang"), col("cand"),
-          col("prior_i"))
-        .agg(sum(col("si")).as("tok_score"))
-        .select(col("doc_id"), col("true_lang"), col("cand"),
-          (col("prior_i") + col("tok_score")).as("score"))
+        .join(adj,
+          col("doc_id") === col("a_doc") && col("ml") === col("ll"),
+          "left")
+        .select(col("doc_id"), col("true_lang"),
+          col("ml").as("cand"),
+          (col("prior_i") + col("unseen_i") * col("nd") +
+            coalesce(col("adj"), lit(0L))).as("score"))
       val pred = scored
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
