@@ -1813,11 +1813,17 @@ object Insights {
   val qGraphNmi = Q(
     "q_graph_nmi",
     (s, d) => {
+      // materialized once: every downstream term (margins, total, MI,
+      // both entropies) re-reads this ≤(communities × sources)-row
+      // grid, and without the checkpoint each of the ~8 small
+      // aggregates re-ran the label⋈documents join from the cache —
+      // 8 executions of the same grid for one scalar answer
       val cells = labelPropLabels(s, d)
         .join(Tables.t(s, d, "documents")
           .select(col("doc_id").as("node"), col("source")), Seq("node"))
         .groupBy(col("lbl"), col("source"))
         .agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
       val ai = cells.groupBy(col("lbl")).agg(sum(col("nij")).as("ai"))
       val bj = cells.groupBy(col("source"))
         .agg(sum(col("nij")).as("bj"))

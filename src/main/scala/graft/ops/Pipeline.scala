@@ -487,6 +487,9 @@ object Pipeline {
       // rebuilt sequences, and the (top, next-frame, stats) triple
       def bpeRound(cur: DataFrame) = {
         val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+        // nx is NOT checkpointed: materializing the full per-char
+        // windowed table costs more than letting each consumer
+        // recompute its column-pruned slice (measured 2.7 → 4.0 s)
         val nx = cur.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
         val top = nx.filter(col("nxt").isNotNull)
           .groupBy(col("sym").as("a"), col("nxt").as("b"))
@@ -502,6 +505,8 @@ object Pipeline {
               .orderBy(col("mpos"))) - 1)
           .filter(col("i0") % 2 === 0)
           .select(col("mw"), col("mpos"))
+          // consumed by the rebuild join and the merge-count stat
+          .localCheckpoint(false)
         val fl = nx.join(mp,
             col("w") === col("mw") && col("pos") === col("mpos"), "left")
           .withColumn("is_m", col("mpos").isNotNull)
