@@ -1103,10 +1103,14 @@ object Causal {
       val stacked = rows.selectExpr(
         "stack(2, 'hour', f_hour, 'cents', f_cents) AS (feature, x)",
         "y", "fold")
+      // ONE corpus aggregation: the (fold, feature, value) grid is the
+      // sufficient statistic — the all-folds totals are its fold-sum,
+      // not a second scan of the fact
       val perFold = stacked.groupBy(col("fold"), col("feature"), col("x"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      val cells = stacked.groupBy(col("feature"), col("x"))
-        .agg(count(lit(1)).as("tn"), sum(col("y")).as("tpos"))
+        .localCheckpoint()
+      val cells = perFold.groupBy(col("feature"), col("x"))
+        .agg(sum(col("n")).as("tn"), sum(col("pos")).as("tpos"))
       val folds = s.range(5).select(col("id").as("fold"))
       val train = cells.crossJoin(broadcast(folds))
         .join(perFold, Seq("fold", "feature", "x"), "left")
