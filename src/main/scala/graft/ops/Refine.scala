@@ -1483,12 +1483,15 @@ object Refine {
         .groupBy(col("rf"), col("dollars"))
         .agg(sum(col("w")).as("wsum"))
       val win = Window.partitionBy(col("rf")).orderBy(col("dollars"))
-      val tot = grid.groupBy(col("rf").as("tf"))
-        .agg(sum(col("wsum")).as("total"))
+      // per-flag total as a second frame over the SAME partition (the
+      // oracle's shape) — not a groupBy+join that re-aggregates the
+      // fact a second time
       grid
         .withColumn("cum", sum(col("wsum")).over(
           win.rowsBetween(Window.unboundedPreceding, 0)))
-        .join(broadcast(tot), col("rf") === col("tf"))
+        .withColumn("total", sum(col("wsum")).over(
+          Window.partitionBy(col("rf")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy(col("rf"))
         .agg(min(col("dollars")).as("wmedian_dollars"),
