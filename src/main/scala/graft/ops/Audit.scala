@@ -95,8 +95,16 @@ object Audit {
             .as("cut"))
         .agg(expr("transform(array_sort(collect_list(struct(p, cut)))," +
           " x -> x.cut)").as("cuts"))
-      li.crossJoin(broadcast(cuts))
-        .select(col("x"), expr(
+      // Bucket the HISTOGRAM, not the fact: x ≡ c/100.0 bit-for-bit
+      // (prices are an exact cents grid and c/100.0 is the correctly-
+      // rounded double of the same 2-decimal value — the identity the
+      // cut interpolation above already relies on), so per-bucket
+      // count/min/max fold from the ~domain-bounded value histogram
+      // without a second corpus scan.
+      hist.crossJoin(broadcast(cuts))
+        .select((col("c").cast("double") / 100.0).as("x"), col("cnt"),
+          col("cuts"))
+        .select(col("x"), col("cnt"), expr(
           """CAST(CASE WHEN x > cuts[0] THEN 1 ELSE 0 END
                + CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
                + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
@@ -106,7 +114,7 @@ object Audit {
                + CASE WHEN x > cuts[6] THEN 1 ELSE 0 END AS BIGINT)""")
           .as("bucket"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("cnt")).as("n"),
           round(min(col("x")), 2).as("lo"),
           round(max(col("x")), 2).as("hi"))
         .orderBy(col("bucket"))
