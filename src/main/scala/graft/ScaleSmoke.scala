@@ -311,7 +311,14 @@ object ScaleSmoke {
         t("q_dedup_near")(
           SparkEntry.queries("q_dedup_near")(spark, dir).count()),
         t("q_dedup_components")(
-          SparkEntry.queries("q_dedup_components")(spark, dir).count()))
+          SparkEntry.queries("q_dedup_components")(spark, dir).count()),
+        // the bigram LM fixpoint (docBigrams + model + genScore) is the
+        // text tier's corpus-width stage: map-side-combined aggregates
+        // whose output is vocabulary²-bounded, so the BUILD must track
+        // the corpus ~linearly and its consumers stay flat
+        t("bigram_models_fixpoint")(ops.Corpus.warmShared(spark, dir)),
+        t("q_text_perplexity")(
+          SparkEntry.queries("q_text_perplexity")(spark, dir).count()))
     }
     val t1 = phase(src)
     val t100 = phase(out)
