@@ -106,6 +106,46 @@ class MoreSpec extends SparkSuite {
     assert(rep(2L)._1 === 1.0 && rep(2L)._2 === 0.2)
   }
 
+  test("rep scrub: scalar keep-first trigram replay reproduces the counts") {
+    // fixture with a known repeat + a short doc that can't form trigrams
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "en", "s0"), // "a b c" x3 (+ wraps)
+      (2L, "x y", "en", "s0"),               // < 3 tokens: no trigrams
+      (3L, "p q r s", "en", "s1"))           // all distinct
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = fixtureDir("repscrub")("documents" -> docs)
+    def replay(rows: Seq[(Long, String, String)]) =
+      rows.groupBy(_._3).map { case (src, ds) =>
+        val per = ds.map { case (_, text, _) =>
+          val t = text.split(" ")
+          val tris = (0 to t.length - 3)
+            .map(i => t.slice(i, i + 3).mkString(" "))
+          val cnts = tris.groupBy(identity).map(_._2.size)
+          (t.length.toLong, tris.length.toLong,
+            cnts.map(_ - 1).sum.toLong, cnts.exists(_ >= 2))
+        }
+        src -> (per.size.toLong, per.map(_._1).sum, per.map(_._2).sum,
+          per.map(_._3).sum, per.count(_._4).toLong)
+      }
+    def check(dir: String, rows: Seq[(Long, String, String)]): Unit = {
+      val exp = replay(rows)
+      val got = q("q_text_rep_scrub", dir).collect().map(r =>
+        r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_before"),
+            r.getAs[Long]("trigram_starts"),
+            r.getAs[Long]("tokens_removed"),
+            r.getAs[Long]("docs_affected"))).toMap
+      assert(got === exp, s"scrub mismatch at $dir")
+    }
+    check(dir, docs.collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3))))
+    check(sf0, Tables.t(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"), col("source")).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+  }
+
   test("sequence packing conserves tokens and respects contiguity") {
     val bins = q("q_text_pack").collect()
     val packed = bins.map(_.getAs[Long]("n_tokens")).sum
