@@ -864,92 +864,80 @@ object TextOps {
             GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
+  /** Per-document rep-scrub stats, computed entirely IN-ROW: the
+    * keep-first rule means removals = (trigram occurrences) −
+    * (distinct trigrams), so the whole accounting is
+    * size(tris) − size(array_distinct(tris)) on a per-doc array —
+    * no explode, no (doc, trigram) shuffle, bounded by doc length.
+    * Shared by the batch op and its streaming twin. */
+  private[graft] def repScrubDocStats(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .select(col("source"),
+        size(col("toks")).cast("long").as("nt"),
+        expr("""CASE WHEN size(toks) >= 3
+                  THEN transform(sequence(1, size(toks) - 2),
+                       i -> concat_ws(' ', slice(toks, i, 3)))
+                  ELSE array() END""").as("tris"))
+      .select(col("source"), col("nt"),
+        size(col("tris")).cast("long").as("tri_starts"),
+        (size(col("tris")) - size(array_distinct(col("tris"))))
+          .cast("long").as("removed"))
+
+  /** The matching per-doc CTE (doc_stats: source, nt, tri_starts,
+    * removed) for DuckDB. */
+  private[graft] val repScrubDocSql: String =
+    """rs_tris AS (
+         SELECT source, len(toks) AS nt,
+           CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                  i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [] END AS tris
+         FROM toks_t),
+       rs_doc AS (
+         SELECT source, nt, len(tris) AS tri_starts,
+           len(tris) - len(list_distinct(tris)) AS removed
+         FROM rs_tris)"""
+
   /** Intra-document repetition SCRUB accounting (q_text_rep_scrub):
     * where q_text_repetition scores the signal, this measures the
     * transform — the keep-first repeated-trigram removal a
     * Gopher/RefinedWeb-style pipeline applies before training. Rule:
     * within a document, every occurrence of a trigram after its first
-    * drops its start token (occurrences = per-(doc, trigram) counts,
-    * so removals = count − 1 — no window, no position ordering
-    * needed). Per source: docs, exact token/trigram totals, tokens
-    * removed, docs touched, and the removal ratio.
+    * drops its start token, so removals = occurrences − distinct —
+    * computed IN-ROW per document (no window, no position ordering,
+    * no shuffle of the trigram table). Per source: docs, exact
+    * token/trigram totals, tokens removed, docs touched, and the
+    * removal ratio.
     *
-    * Scale shape: one explode → hash aggregate keyed (doc, trigram) —
-    * the shuffle key contains doc_id, so partitions are doc-local and
-    * the stage is embarrassingly parallel at any corpus size; the
-    * per-source rollup is a second tiny aggregate. No text crosses
-    * documents. */
+    * Scale shape: one scan-local projection (per-doc array algebra
+    * bounded by doc length) → ONE per-source hash aggregate. No text
+    * crosses documents; the only exchange carries |sources| rows. */
   val qTextRepScrub = Q(
     "q_text_rep_scrub",
-    (s, d) => {
-      val t = toks(s, d)
-        .select(col("doc_id"), col("source"),
-          size(col("toks")).cast("long").as("nt"), col("toks"))
-      val docStats = t.groupBy(col("source"))
+    (s, d) =>
+      repScrubDocStats(docs(s, d))
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("nt")).as("tokens_before"))
-      val perDoc = t
-        .select(col("doc_id"), col("source"),
-          explode(expr(
-            """CASE WHEN size(toks) >= 3
-                 THEN transform(sequence(1, size(toks) - 2),
-                      i -> concat_ws(' ', slice(toks, i, 3)))
-                 ELSE array() END""")).as("tg"))
-        .groupBy(col("doc_id"), col("source"), col("tg"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("cnt")).as("tri_starts"),
-          sum(col("cnt") - 1).as("removed"),
-          max(col("cnt")).as("max_cnt"))
-      val triStats = perDoc.groupBy(col("source").as("ts"))
-        .agg(sum(col("tri_starts")).as("trigram_starts"),
+          sum(col("nt")).as("tokens_before"),
+          sum(col("tri_starts")).as("trigram_starts"),
           sum(col("removed")).as("tokens_removed"),
-          sum(when(col("max_cnt") >= 2, 1L).otherwise(0L))
+          sum(when(col("removed") >= 1, 1L).otherwise(0L))
             .as("docs_affected"))
-      docStats.join(triStats, col("source") === col("ts"), "left")
-        .select(col("source"), col("n_docs"), col("tokens_before"),
-          coalesce(col("trigram_starts"), lit(0L)).as("trigram_starts"),
-          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
-          coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
-          round(coalesce(col("tokens_removed"), lit(0L)) * lit(1.0) /
-            col("tokens_before"), 6).as("removal_ratio"))
-        .orderBy(col("source"))
-    },
+        .withColumn("removal_ratio",
+          round(col("tokens_removed") * lit(1.0) /
+            col("tokens_before"), 6))
+        .orderBy(col("source")),
     Some(s"""$toksCte,
-            doc_stats AS (
-              SELECT source, count(*) AS n_docs,
-                CAST(sum(len(toks)) AS BIGINT) AS tokens_before
-              FROM toks_t GROUP BY source),
-            per_doc AS (
-              SELECT doc_id, source,
-                CAST(sum(cnt) AS BIGINT) AS tri_starts,
-                CAST(sum(cnt - 1) AS BIGINT) AS removed,
-                max(cnt) AS max_cnt
-              FROM (SELECT doc_id, source, tg, count(*) AS cnt
-                    FROM (SELECT doc_id, source, unnest(
-                            CASE WHEN len(toks) >= 3
-                              THEN list_transform(
-                                     generate_series(1, len(toks) - 2),
-                                     i -> array_to_string(
-                                            toks[i:i+2], ' '))
-                              ELSE [] END) AS tg
-                          FROM toks_t)
-                    GROUP BY doc_id, source, tg)
-              GROUP BY doc_id, source),
-            tri_stats AS (
-              SELECT source AS ts,
-                CAST(sum(tri_starts) AS BIGINT) AS trigram_starts,
-                CAST(sum(removed) AS BIGINT) AS tokens_removed,
-                CAST(sum(CASE WHEN max_cnt >= 2 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS docs_affected
-              FROM per_doc GROUP BY source)
-            SELECT source, n_docs, tokens_before,
-              coalesce(trigram_starts, 0) AS trigram_starts,
-              coalesce(tokens_removed, 0) AS tokens_removed,
-              coalesce(docs_affected, 0) AS docs_affected,
-              round(coalesce(tokens_removed, 0) * 1.0e0 / tokens_before,
-                6) AS removal_ratio
-            FROM doc_stats LEFT JOIN tri_stats ON source = ts
+            $repScrubDocSql
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS tokens_before,
+              CAST(sum(tri_starts) AS BIGINT) AS trigram_starts,
+              CAST(sum(removed) AS BIGINT) AS tokens_removed,
+              CAST(sum(CASE WHEN removed >= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_affected,
+              round(sum(removed) * 1.0e0 / sum(nt), 6) AS removal_ratio
+            FROM rs_doc
+            GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(

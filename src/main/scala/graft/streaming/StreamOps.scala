@@ -1016,6 +1016,34 @@ object StreamOps {
             GROUP BY source
             ORDER BY source NULLS FIRST"""))
 
+  /** Streaming repetition-scrub accounting (q_stream_rep_scrub): the
+    * ingest twin of q_text_rep_scrub — the keep-first trigram-removal
+    * stats are computed IN-ROW per arriving document (occurrences −
+    * distinct on a per-doc array, the shared
+    * TextOps.repScrubDocStats), so the stateful operator only sums
+    * per-source counters: state is |sources| rows of commutative
+    * BIGINTs whatever the stream volume, and the settled table equals
+    * the batch accounting byte-for-byte (ratio derived AFTER the
+    * drain from the settled integer sums; same oracle verbatim). */
+  val qStreamRepScrub = Q(
+    "q_stream_rep_scrub",
+    (s, d) => {
+      val agg = graft.ops.TextOps.repScrubDocStats(documentsStream(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("tokens_before"),
+          sum(col("tri_starts")).as("trigram_starts"),
+          sum(col("removed")).as("tokens_removed"),
+          sum(when(col("removed") >= 1, 1L).otherwise(0L))
+            .as("docs_affected"))
+      drain(s, agg, "stream_rep_scrub_tbl", "complete")
+        .withColumn("removal_ratio",
+          round(col("tokens_removed") * lit(1.0) /
+            col("tokens_before"), 6))
+        .orderBy(col("source"))
+    },
+    graft.ops.TextOps.qTextRepScrub.oracle)
+
   /** Streaming shard manifest (q_stream_shard_manifest): the ingest
     * twin of q_shard_manifest — every manifest column (doc count,
     * token mass, id range, md5-prefix content checksum) is a
@@ -2356,7 +2384,8 @@ object StreamOps {
     qStreamTws, qStreamBinaryRaw, qStreamUpsert, qStreamDecontaminate,
     qStreamCentroid, qStreamAnomaly, qStreamTopk, qStreamLshIndex,
     qStreamMixSample, qStreamCdcApply, qStreamOhlc, qStreamMarkov,
-    qStreamPsi, qStreamVshape, qStreamDsir, qStreamShardManifest,
+    qStreamPsi, qStreamVshape, qStreamDsir, qStreamRepScrub,
+    qStreamShardManifest,
     qStreamCurate, qStreamPerplexity, qStreamRunlogEnrich,
     qStreamReconcile, qStreamAttribution, qStreamLoghist, qStreamPareto,
     qStreamStl)

@@ -961,6 +961,15 @@ class StreamSpec extends SparkSuite {
     assert(rows("q_stream_hhi") === rows("q_mix_hhi"))
   }
 
+  test("q_stream_rep_scrub settles to the batch scrub accounting exactly") {
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens_before"), r.getAs[Long]("trigram_starts"),
+        r.getAs[Long]("tokens_removed"), r.getAs[Long]("docs_affected"),
+        r.getAs[Double]("removal_ratio"))).toSeq
+    assert(rows("q_stream_rep_scrub") === rows("q_text_rep_scrub"))
+  }
+
   test("q_stream_poisson_gof settles to the batch chi2 table exactly") {
     def rows(id: String) = SparkEntry.queries(id)(spark, sf0).collect()
       .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("observed"),
