@@ -36,6 +36,9 @@ object PlanDump {
       "runs scan-local before the only shuffle (final agg)"),
     "q_doc_chunks" -> ("chunking is pure per-row array exprs inside " +
       "WholeStageCodegen; the only exchange is the output sort"),
+    "q_text_rep_scrub" -> ("keep-first trigram scrub as in-row array " +
+      "algebra (occurrences − distinct); the only exchange carries " +
+      "|sources| rows"),
     "q_text_drift" -> ("corpus vocab table broadcast into the " +
       "per-source join; two keyed counts, no vocab re-shuffle"),
     "q_sim_kmeans" -> ("each Lloyd iteration: k-row centroid " +
