@@ -899,10 +899,10 @@ object Causal {
         FROM cum WHERE nl < nn)
       SELECT feature, threshold, n_left, n_right,
         round(gini, 6) AS gini
-      FROM scored
-      ORDER BY gini NULLS FIRST, feature NULLS FIRST,
-               threshold NULLS FIRST
-      LIMIT 1"""))
+      FROM (SELECT * FROM scored
+            ORDER BY gini NULLS FIRST, feature NULLS FIRST,
+                     threshold NULLS FIRST
+            LIMIT 1) z"""))
 
   // ---- q_ml_adaboost ----------------------------------------------------
 
@@ -1780,8 +1780,14 @@ object Causal {
         .groupBy(col("v")).agg(sum(col("del")).as("del_sum"))
         .orderBy(col("del_sum").desc, col("v"))
         .limit(20)
-        .selectExpr("v", "del_sum",
-          "round(del_sum / 2e6, 6) AS betweenness")
+        // RAW quotient, not round(x, 6): del_sum is an exact integer
+        // in half-micro units, so del_sum/2e6 lands EXACTLY on a
+        // x.xxxxxx5 boundary whenever del_sum is odd — and Spark
+        // (HALF_UP on the binary value) and DuckDB disagree on those
+        // ties (caught at sf0.1: 262.596415 vs 262.596414). The raw
+        // IEEE quotient of the same integer is bit-identical in both
+        // engines (the per-row-doubles-stay-raw rule).
+        .selectExpr("v", "del_sum", "del_sum / 2e6 AS betweenness")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     },
     Some {
@@ -1832,7 +1838,7 @@ object Causal {
         $delStages,
         dall AS ($delAll)
         SELECT v, CAST(sum(del) AS BIGINT) AS del_sum,
-          round(sum(del) / 2e6, 6) AS betweenness
+          CAST(sum(del) AS BIGINT) / 2e6 AS betweenness
         FROM dall WHERE l <> v
         GROUP BY v
         ORDER BY del_sum DESC, v NULLS FIRST

@@ -1570,7 +1570,12 @@ object Refine {
           round(col("rel_q") / 1e6, 6).as("relevance"),
           when(lit(r) === 1, lit(null).cast("double"))
             .otherwise(round(col("maxsim") / 1e6, 6)).as("max_sim"),
-          round(col("mmr_q") / 1e7, 6).as("mmr_score"))
+          // RAW quotient: mmr_q is integer tenths-of-micro, so /1e7
+          // has 7 decimals and round(x, 6) sits on an exact .5 tie
+          // whenever mmr_q % 10 == 5 — Spark HALF_UP and DuckDB's
+          // scaled-double round disagree on those (the betweenness
+          // lesson). The raw IEEE quotient is bit-identical.
+          (col("mmr_q") / 1e7).as("mmr_score"))
         picked = if (picked == null) row else picked.unionAll(row)
         val cFull = sel.select(col("vec_id").as("cid"))
           .join(base, col("cid") === base("vec_id"))
@@ -1622,7 +1627,7 @@ object Refine {
               else "round(maxsim / 1e6, 6)"
             s"SELECT CAST($r AS BIGINT) AS rank, vec_id AS pick_id, " +
               s"round(rel_q / 1e6, 6) AS relevance, $ms AS max_sim, " +
-              s"round(mmr_q / 1e7, 6) AS mmr_score FROM p$r"
+              s"mmr_q / 1e7 AS mmr_score FROM p$r"
           }.mkString("\nUNION ALL ")}
           ORDER BY rank NULLS FIRST"""
     })

@@ -1034,9 +1034,14 @@ object Series {
         .agg(count(lit(1)).as("n_eval"),
           sum(abs(col("err_micro"))).as("sum_abs"),
           sum(col("err_micro")).as("sum_signed"))
+        // RAW quotients: /n_eval gives an unbounded decimal
+        // expansion, so round(x, 6) can land on an exact scaled .5
+        // where the engines' half-rules differ (the betweenness
+        // lesson); the raw IEEE chain over the exact integer sums is
+        // bit-identical in both engines (same op order as the oracle)
         .selectExpr("event_type", "n_eval",
-          "round(sum_abs / 1e4 / n_eval / 100, 6) AS mae_value",
-          "round(sum_signed / 1e4 / n_eval / 100, 6) AS bias_value")
+          "sum_abs / 1e4 / n_eval / 100 AS mae_value",
+          "sum_signed / 1e4 / n_eval / 100 AS bias_value")
         .orderBy(col("event_type"))
     },
     Some {
@@ -1063,10 +1068,8 @@ object Series {
                   AS err_micro
               FROM fc)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
-              round(sum(abs(err_micro)) / 1e4 / count(*) / 100, 6)
-                AS mae_value,
-              round(sum(err_micro) / 1e4 / count(*) / 100, 6)
-                AS bias_value
+              sum(abs(err_micro)) / 1e4 / count(*) / 100 AS mae_value,
+              sum(err_micro) / 1e4 / count(*) / 100 AS bias_value
             FROM q
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""
