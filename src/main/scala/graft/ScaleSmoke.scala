@@ -318,7 +318,20 @@ object ScaleSmoke {
         // the corpus ~linearly and its consumers stay flat
         t("bigram_models_fixpoint")(ops.Corpus.warmShared(spark, dir)),
         t("q_text_perplexity")(
-          SparkEntry.queries("q_text_perplexity")(spark, dir).count()))
+          SparkEntry.queries("q_text_perplexity")(spark, dir).count()),
+        // the graph tier's shared fixpoints are documents-derived
+        // (degree-3 link graph: |E| = 3·|docs|), so they blow up with
+        // the 100× corpus. Round counts are structure-bounded — peels
+        // fixed at 3, BFS by the diameter (the div-2 tree edge keeps it
+        // ~2·log2 n: 38 hops at 500k docs vs 26 at 5k, so expect the
+        // edge-linear 100 plus a ~1.5× round-count factor, never the
+        // Θ(n²) an unbanded wedge join would show)
+        t("graph_edges_fixpoint")(ops.Insights.warmShared(spark, dir)),
+        t("graph_peels_fixpoint")(ops.GraphScores.warmShared(spark, dir)),
+        t("q_graph_ktruss")(
+          SparkEntry.queries("q_graph_ktruss")(spark, dir).count()),
+        t("q_graph_bfs")(
+          SparkEntry.queries("q_graph_bfs")(spark, dir).count()))
     }
     val t1 = phase(src)
     val t100 = phase(out)
