@@ -470,34 +470,49 @@ object Biz {
     * rank within each bucket with a PARTITIONED row_number, and add
     * each bucket's exact prefix offset from a ≤32-row self-joined
     * count table (the q_event_count cross-shard carry, Daq.scala). */
+  /** The un-checkpointed bucket build — factored out so PlanSpec can
+    * assert its shape (GK-sketch cuts, no exact percentile) on the
+    * build stage itself: the registered query checkpoints this frame,
+    * so the final plan starts at the checkpoint RDD. */
+  private[graft] def giniBucketed(sp: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val s: SparkSession = sp
+    implicit val d: String = dir
+    val perCust = t("orders")
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("cents"))
+    val fracs = (1 to 31).map(i => i / 32.0).mkString(", ")
+    // the cuts only SHARD the rank — their exact position is
+    // irrelevant to the result (ties share a bucket by construction,
+    // and the per-bucket sort + prefix offsets stitch the exact
+    // global order whatever the cuts are). So the derivation can use
+    // approx_percentile, whose GK sketch keeps the aggregation
+    // buffer FIXED-SIZE (O(accuracy)), where exact percentile's
+    // (value → count) map would grow with the near-unique
+    // per-customer cent sums — the Audit.scala grid rule. The final
+    // gini doubles are exact either way.
+    val cuts = perCust.agg(
+      expr(s"approx_percentile(cents, array($fracs), 10000)")
+        .as("cuts"))
+    perCust.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("cents"), expr(
+        """aggregate(cuts, 0, (acc, c) ->
+             acc + CASE WHEN cents > c THEN 1 ELSE 0 END)""")
+        .cast("long").as("bkt"))
+  }
+
   val qAggGini = Q(
     "q_agg_gini",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val perCust = t("orders")
-        .select(col("o_custkey"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("cents")).as("cents"))
-      val fracs = (1 to 31).map(i => i / 32.0).mkString(", ")
-      // the cuts only SHARD the rank — their exact position is
-      // irrelevant to the result (ties share a bucket by construction,
-      // and the per-bucket sort + prefix offsets stitch the exact
-      // global order whatever the cuts are). So the derivation can use
-      // approx_percentile, whose GK sketch keeps the aggregation
-      // buffer FIXED-SIZE (O(accuracy)), where exact percentile's
-      // (value → count) map would grow with the near-unique
-      // per-customer cent sums — the Audit.scala grid rule. The final
-      // gini doubles are exact either way.
-      val cuts = perCust.agg(
-        expr(s"approx_percentile(cents, array($fracs), 10000)")
-          .as("cuts"))
-      val bucketed = perCust.crossJoin(broadcast(cuts))
-        .select(col("o_custkey"), col("cents"), expr(
-          """aggregate(cuts, 0, (acc, c) ->
-               acc + CASE WHEN cents > c THEN 1 ELSE 0 END)""")
-          .cast("long").as("bkt"))
+      // one row per customer; checkpointed because THREE consumers walk
+      // it (bucket census, prefix offsets, the ranked sum) and each
+      // would otherwise re-enter the scan + groupBy + sketch lineage
+      // (6 logical copies of the orders scan in the un-cut form)
+      val bucketed = giniBucketed(sp, dir).localCheckpoint()
       val bcounts = bucketed.groupBy(col("bkt"))
         .agg(count(lit(1)).as("bn"))
       val offsets = bcounts

@@ -313,8 +313,14 @@ object Causal {
       (floor(col("value") * 100 + 0.5).cast("long") / 50000.0).as("x1"),
       (hour(col("ts")).cast("long") / 24.0).as("x2"))
 
-  /** Three snapped GD steps → the 1-row (w0, w1, w2) weight frame. */
-  private def logregWeights(s: SparkSession, d: String): DataFrame = {
+  /** Three snapped GD steps → the 1-row (w0, w1, w2) weight frame.
+    * A shared persisted fixpoint: TWO registered consumers (logreg
+    * accuracy, featimp's permutation harness) fit the identical model,
+    * so the 3-pass GD chain runs once per (session, dir). */
+  private def logregWeights(s: SparkSession, d: String): DataFrame =
+    Insights.cacheOnce(s, d, "logregw") { logregWeightsBuild(s, d) }
+
+  private def logregWeightsBuild(s: SparkSession, d: String): DataFrame = {
     val base = logregBase(s, d)
     var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
       lit(0.0).as("w2"))
@@ -326,10 +332,17 @@ object Causal {
           round(sum((col("p") - col("y")) * col("x1")), 4).as("g1"),
           round(sum((col("p") - col("y")) * col("x2")), 4).as("g2"),
           count(lit(1)).cast("double").as("n"))
+      // 1-row weight frame, checkpointed per step: w enters the next
+      // iteration's lineage TWICE (the gradient aggregate and the
+      // update's crossJoin), so un-cut the corpus scan doubles every
+      // round — 2^3 copies after three steps, and the downstream
+      // scorers (logreg accuracy, featimp's three variants) would each
+      // re-enter the whole chain
       w = w.crossJoin(g).select(
         round(col("w0") - lit(2.0) * col("g0") / col("n"), 8).as("w0"),
         round(col("w1") - lit(2.0) * col("g1") / col("n"), 8).as("w1"),
         round(col("w2") - lit(2.0) * col("g2") / col("n"), 8).as("w2"))
+        .localCheckpoint()
     }
     w
   }
@@ -665,9 +678,13 @@ object Causal {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
+      // ≤168-row hour grid — checkpointed because the three quantile
+      // branches each re-enter the purchase⋈touch range join otherwise
+      // (6 logical copies of the events scan in the un-cut form)
       val cum = grid
         .withColumn("cum_n", sum(col("n")).over(wCum))
         .withColumn("nn", sum(col("n")).over(wAll))
+        .localCheckpoint()
       val qs = Seq(("p25", 1), ("p50", 2), ("p75", 3)).map {
         case (name, q) =>
           cum.filter(
@@ -994,8 +1011,13 @@ object Causal {
         hour(col("ts")).cast("long").as("f_hour"),
         floor(col("value") * 100 + 0.5).cast("long").as("f_cents"))
       val r1 = base.withColumn("wgt", lit(1000000L))
+      // the 1-row stumps are each consumed twice (the next round's
+      // reweight and the final ensemble scorer) — checkpoint so each
+      // boosting round is exactly one corpus pass, never a re-entered
+      // stump-search lineage
       val s1 = stumpSearch(r1).selectExpr("feature AS f1", "thr AS t1",
         "pred_l AS pl1", "pred_r AS pr1", "werr AS werr1", "wt AS wt1")
+        .localCheckpoint()
       val tagged = base.crossJoin(broadcast(s1))
         .withColumn("p1", expr(
           """CASE WHEN (CASE WHEN f1 = 'hour' THEN f_hour ELSE f_cents
@@ -1007,6 +1029,7 @@ object Causal {
       val s2 = stumpSearch(tagged).selectExpr("feature AS f2",
         "thr AS t2", "pred_l AS pl2", "pred_r AS pr2", "werr AS werr2",
         "wt AS wt2")
+        .localCheckpoint()
       base.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
         .withColumn("p1", expr(
           """CASE WHEN (CASE WHEN f1 = 'hour' THEN f_hour ELSE f_cents

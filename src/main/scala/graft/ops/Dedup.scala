@@ -916,10 +916,6 @@ object Dedup {
     * split at a (kx+1)-factor key-expansion cost — O(log n) per doc,
     * never a wider bucket. At kx = 0 the probe set is the exact key
     * alone and candidates equal the fixed scheme's. */
-  private def semCands(e0: DataFrame, adaptive: Boolean,
-      probe: Boolean): DataFrame =
-    semCandsFromBands(semBands(e0, adaptive), probe)
-
   private def semCandsFromBands(bands: DataFrame,
       probe: Boolean): DataFrame = {
     val probed =
@@ -1016,8 +1012,14 @@ object Dedup {
     "q_dedup_semantic",
     (s, d) => {
       val e0 = semE0(s, d)
-      val prio = semPrio(e0)
-      val cand = semCands(e0, adaptive = true, probe = true)
+      // checkpoint the two multi-consumed stages (the audit query's
+      // discipline): prio enters the verify join twice and the band
+      // frame both sides of the candidate self-join — un-cut, each
+      // re-entered the cell/sign-bit derivation over the corpus
+      // (8 logical copies of the embeddings scan)
+      val prio = semPrio(e0).localCheckpoint()
+      val cand = semCandsFromBands(
+        semBands(e0, adaptive = true).localCheckpoint(), probe = true)
       val verified = cand
         .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea"),
           col("prio").as("prio_a")), col("a_id") === col("pa"))

@@ -258,12 +258,16 @@ object Doremi {
             / log(lit(2.0)) * 1000000 + 0.5).cast("long"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c") * col("lqi")).as("sm"))
+        // ≤|sources| rows carrying the round's one corpus pass —
+        // checkpointed because raw is consumed twice (the z normalizer
+        // aggregate and the reweight select)
         val perSource = own.join(mix, Seq("doc_id"))
           .withColumn("ex",
             greatest(expr("sm div nb") - col("mo"), lit(0L)))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("ex")).as("sum_ex"))
           .withColumn("ex_micro", expr("sum_ex div n_docs"))
+          .localCheckpoint()
         val raw = perSource.join(broadcast(wm), Seq("source"))
           .withColumn("raw",
             col("wm").cast("double") * exp(col("ex_micro") / lit(1e6)))
@@ -273,14 +277,23 @@ object Doremi {
             floor(col("raw") / col("z") * 1e6 + 0.5).cast("long")
               .as("wm_next"))
       }
+      // The weight vector is ≤|sources| rows but its lineage is the
+      // whole preceding round: un-cut, round 2's two references to w1
+      // (cntR and the reweight join) and the final trajectory select
+      // re-enter round 1's corpus pass — 86 logical copies of the
+      // documents scan, and the per-round mixture scoring risks
+      // re-EXECUTION wherever exchange reuse can't dedupe it.
+      // Checkpoint the tiny per-round grids so each corpus pass runs
+      // exactly once and the loop's plan stays grid-sized.
       val w0 = docs(s, d).select(col("source")).distinct()
         .crossJoin(broadcast(
           docs(s, d).agg(countDistinct(col("source")).as("ns"))))
         .select(col("source"),
           expr("1000000 div ns").cast("long").as("wm"))
-      val r1 = mwRound(w0)
+        .localCheckpoint()
+      val r1 = mwRound(w0).localCheckpoint()
       val w1 = r1.select(col("source"), col("wm_next").as("wm"))
-      val r2 = mwRound(w1)
+      val r2 = mwRound(w1).localCheckpoint()
       r1.select(col("source"), col("n_docs"),
           round(col("ex_micro") / lit(1e6), 6).as("excess_r1"),
           col("wm_next").as("wm1"))

@@ -519,18 +519,17 @@ object Inference {
     "q_graph_hits",
     (s, d) => {
       val docs = Tables.t(s, d, "documents")
-      val n = docs.agg(count(lit(1)).as("n_nodes"))
-      val nodes = docs.select(col("doc_id")).crossJoin(broadcast(n))
-      val edges = nodes
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
-        .distinct()
-      var scores = nodes.select(col("doc_id"),
+      // shared persisted generator (Insights) — the inline build
+      // re-entered EVERY join of the 2-round unroll (238 logical
+      // copies of the documents scan; planning cost, not data)
+      val edges = graft.ops.Insights.directedDistinctEdges(s, d)
+      // lazy plan cuts (the BFS-loop discipline): each half-round
+      // references the score table THREE times (the mass aggregate,
+      // its normalizer, and the update join), so an un-cut lineage
+      // still tripled per half-round after the edge fixpoint
+      var scores = docs.select(col("doc_id"),
         lit(1.0).as("hub"), lit(1.0).as("auth"))
+        .localCheckpoint(false)
       for (_ <- 0 until 2) {
         // authority <- sum of in-neighbors' hub; then L1-normalize
         val aRaw = scores
@@ -543,6 +542,7 @@ object Inference {
           .select(col("doc_id"), col("hub"),
             round(coalesce(col("a_raw"), lit(0.0)) / col("a_sum"), 10)
               .as("auth"))
+          .localCheckpoint(false)
         // hub <- sum of out-neighbors' authority; then L1-normalize
         val hRaw = withA
           .join(edges, col("doc_id") === col("dst"))
@@ -555,6 +555,7 @@ object Inference {
             round(coalesce(col("h_raw"), lit(0.0)) / col("h_sum"), 10)
               .as("hub"),
             col("auth"))
+          .localCheckpoint(false)
       }
       scores
         .select(col("doc_id"), round(col("hub"), 8).as("hub"),

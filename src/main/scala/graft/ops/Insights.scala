@@ -108,6 +108,32 @@ object Insights {
         .distinct()
     }
 
+  /** Distinct DIRECTED edge list, persisted ONCE per (session, dir) —
+    * the directed siblings (PageRank, HITS, PPR, reciprocity, SCC)
+    * each reference the edge list several times per iteration, and an
+    * un-cut generator lineage re-enters EVERY reference: before this
+    * fixpoint q_graph_hits carried 238 logical copies of the documents
+    * scan (plan size, not data volume, dominated its cost — Catalyst
+    * re-analyzes each copy even though runtime exchange reuse dedups
+    * most of the physical work). */
+  private[graft] def directedDistinctEdges(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "dir") {
+      directedLinkEdges(s, d).distinct()
+    }
+
+  /** The directed edges annotated with each source's out-degree — the
+    * per-iteration probe table of the PageRank/PPR power loops. Shared
+    * and persisted so the 3-iteration unroll references one
+    * InMemoryRelation instead of re-deriving edges ⋈ outdeg(edges)
+    * (two more generator copies) every round. */
+  private[graft] def directedEdgesOutdeg(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    cacheOnce(s, d, "dirdeg") {
+      val e = directedDistinctEdges(s, d)
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    }
+
   /** Undirected degree table (v, deg) of the shared link graph.
     * Before round 12 six graph ops rebuilt this identical O(V)
     * aggregate (triangles, clustcoef, jaccard, adamic_adar,
@@ -1756,7 +1782,7 @@ object Insights {
   val qGraphReciprocity = Q(
     "q_graph_reciprocity",
     (s, d) => {
-      val directed = directedLinkEdges(s, d).distinct()
+      val directed = directedDistinctEdges(s, d)
       val rec = directed
         .join(directed.select(col("dst").as("rsrc"),
           col("src").as("rdst")),
@@ -1901,6 +1927,7 @@ object Insights {
     * numbers charge the operator, not registry order. */
   private[graft] def warmShared(s: SparkSession, d: String): Unit = {
     undirectedLinkEdges(s, d).count()
+    directedEdgesOutdeg(s, d).count() // warms directedDistinctEdges too
     labelPropLabels(s, d).count()
     linkDegrees(s, d).count()
     closedTriangles(s, d).count()

@@ -48,13 +48,16 @@ object Learn {
         .localCheckpoint()
       // vocabulary size (all langs pooled) — one-row broadcast
       val vocab = termCounts.agg(countDistinct(col("mt")).as("v"))
-      // per-lang: token totals + doc counts + total docs -> prior
-      val nDocs = train.agg(count(lit(1)).as("n_docs"))
+      // per-lang doc counts, ONE training scan; the total-doc prior
+      // denominator is its sum (identical value, one fewer corpus
+      // scan than a separate count)
+      val langDocs = train.groupBy(col("lang").as("dl"))
+        .agg(count(lit(1)).as("docs_l"))
+        .localCheckpoint()
+      val nDocs = langDocs.agg(sum(col("docs_l")).as("n_docs"))
       val langStats = termCounts.groupBy(col("ll").as("ml"))
         .agg(sum(col("c")).as("t_l"))
-        .join(train.groupBy(col("lang").as("dl"))
-            .agg(count(lit(1)).as("docs_l")),
-          col("ml") === col("dl"))
+        .join(langDocs, col("ml") === col("dl"))
         .crossJoin(broadcast(vocab))
         .crossJoin(broadcast(nDocs))
         .select(col("ml"), col("t_l"), col("v"),
@@ -79,11 +82,14 @@ object Learn {
       // c) against the vocabulary-sized model on term alone — never
       // the ×|langs| token blow-up — and the full (doc × lang) score
       // grid is a #docs·|langs| row finisher, not a corpus-width one.
+      // checkpointed: two consumers (per-doc totals and the model
+      // join) would each re-run the test-fold explode otherwise
       val testTermCounts = test
         .select(col("doc_id"), col("lang").as("true_lang"),
           explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("true_lang"), col("term"))
         .agg(count(lit(1)).as("ct"))
+        .localCheckpoint()
       val docTotals = testTermCounts
         .groupBy(col("doc_id"), col("true_lang"))
         .agg(sum(col("ct")).as("nd"))

@@ -659,17 +659,14 @@ object Pipeline {
     (s, d) => {
       val docs = Tables.t(s, d, "documents")
       val n = docs.agg(count(lit(1)).as("n_nodes"))
+      // lazily checkpointed: the teleport join re-references nodes
+      // every iteration (2 documents scans per round un-cut)
       val nodes = docs.select(col("doc_id")).crossJoin(broadcast(n))
-      val edges = nodes
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
-        .distinct()
-      val edgesN = edges.join(
-        edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint(false)
+      // ONE shared persisted generator (Insights) — an inline edge
+      // build re-enters every iteration's lineage (20 logical copies
+      // of the documents scan in the 3-round unroll)
+      val edgesN = graft.ops.Insights.directedEdgesOutdeg(s, d)
       var ranks = nodes
         .withColumn("pr", lit(1.0) / col("n_nodes"))
         .select(col("doc_id"), col("pr"))
@@ -854,17 +851,11 @@ object Pipeline {
     (s, d) => {
       val docs = Tables.t(s, d, "documents")
       val n = docs.agg(count(lit(1)).as("n_nodes"))
+      // lazily checkpointed — the q_graph_pagerank note
       val nodes = docs.select(col("doc_id")).crossJoin(broadcast(n))
-      val edges = nodes
-        .select(col("doc_id").as("src"), col("n_nodes"))
-        .select(col("src"), explode(expr(
-          """array(src div 2,
-                   (src * 31 + 17) % n_nodes,
-                   (src * src + 1) % n_nodes)""")).as("dst"))
-        .filter(col("dst") =!= col("src"))
-        .distinct()
-      val edgesN = edges.join(
-        edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint(false)
+      // shared persisted generator — the q_graph_pagerank note
+      val edgesN = graft.ops.Insights.directedEdgesOutdeg(s, d)
       val seed = when(col("doc_id") < 8L, lit(1.0) / 8).otherwise(0.0)
       var ranks = nodes.select(col("doc_id"), seed.as("pr"))
       for (_ <- 0 until 3) {

@@ -404,20 +404,31 @@ object Refine {
     * Estimators (both engines, same CASE): D̂ = (k−1)·2³²/τ_k when the
     * sketch saturates (else the exact sketch count), Jaccard from the
     * k smallest of the MERGED sketch — shared fraction within it. */
+  /** The un-checkpointed per-source KMV sketch build (k = 64 smallest
+    * 32-bit text hashes) shared by q_agg_kmv and q_agg_kmv_intersect —
+    * factored out so PlanSpec can assert the partial WindowGroupLimit
+    * on the build stage itself: both registered queries checkpoint
+    * this ≤ k-rows-per-source frame (THREE consumers each — estimator,
+    * source list, pair explode — would otherwise re-enter the corpus
+    * hash + window lineage; 5 logical documents scans un-cut). */
+  private[graft] def kmvSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= 64)
+  }
+
   val qAggKmv = Q(
     "q_agg_kmv",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 64
-      val hashes = docs(s, d)
-        .select(col("source"),
-          expr("CAST(conv(substring(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)")
-            .as("h"))
-        .distinct()
-      val sk = hashes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("h"))))
-        .filter(col("rn") <= k)
+      val sk = kmvSketch(s, d).localCheckpoint()
       val est = sk.groupBy(col("source"))
         .agg(count(lit(1)).as("sk_n"), max(col("h")).as("tau"))
         .select(col("source"),
@@ -517,15 +528,9 @@ object Refine {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val k = 64
-      val hashes = docs(s, d)
-        .select(col("source"),
-          expr("CAST(conv(substring(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)")
-            .as("h"))
-        .distinct()
-      val sk = hashes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("h"))))
-        .filter(col("rn") <= k)
+      // same three-consumer shape as q_agg_kmv — the shared sketch
+      // build, checkpointed once
+      val sk = kmvSketch(s, d).localCheckpoint()
       val est = sk.groupBy(col("source"))
         .agg(count(lit(1)).as("sk_n"), max(col("h")).as("tau"))
         .select(col("source"),

@@ -496,10 +496,16 @@ object Series {
         .agg(count(lit(1)).as("n"))
       val totals = trans.groupBy(col("prev_type").as("pt"))
         .agg(sum(col("n")).as("total"))
+      // k×k grid (k = |event types|) — checkpoint it ONCE: the 8
+      // unrolled iterations each re-reference the matrix, and an un-cut
+      // lineage re-enters the corpus-width window scan every time (20
+      // logical copies of the events scan; the checkpoint makes the
+      // loop a grid-sized program, the q_agg_equidepth discipline)
       val pmat = trans
         .join(broadcast(totals), col("prev_type") === col("pt"))
         .select(col("prev_type"), col("next_type"),
           (col("n").cast("double") / col("total")).as("p"))
+        .localCheckpoint()
       val states = pmat.select(col("prev_type").as("st")).distinct()
       var pi = states
         .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))

@@ -433,8 +433,11 @@ class PlanSpec extends SparkSuite {
     // exact percentile's buffer is a (value -> count) map - O(#distinct)
     // - and per-customer cent sums are near-unique, so the cut
     // derivation (sharding only; result-invariant) must run on
-    // approx_percentile's bounded sketch instead
-    val p = plan("q_agg_gini")
+    // approx_percentile's bounded sketch instead. Asserted on the
+    // BUILD stage: the registered query checkpoints the bucketed
+    // frame (three consumers), so the final plan starts at the RDD.
+    val p = ops.Biz.giniBucketed(spark, sf0)
+      .queryExecution.executedPlan.toString
     assert(p.contains("approx_percentile"),
       s"gini cuts must derive from the bounded sketch:\n$p")
   }
@@ -631,7 +634,11 @@ class PlanSpec extends SparkSuite {
   }
 
   test("KMV sketch: per-source top-64 is a partial WindowGroupLimit") {
-    val p = plan("q_agg_kmv")
+    // asserted on the shared BUILD stage: both KMV queries checkpoint
+    // the sketch (three consumers each), so their final plans start at
+    // the checkpoint RDD
+    val p = ops.Refine.kmvSketch(spark, sf0)
+      .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"),
       s"sketch must map-side prune to 64 rows per source:\n$p")
     assert(p.contains("Partial"),
