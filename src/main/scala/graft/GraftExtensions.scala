@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[functions.DoubleDot].getName, "double_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           functions.DoubleDot(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bands_text"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.LshBandsText].getName, "lsh_bands_text"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.LshBandsText(exprs.head)))
     // whole-operator extension: the native as-of join planner strategy
     // (graft.plans.AsofJoin logical node → AsofJoinExec) plus the
     // filter-pushdown rule Catalyst can't apply to an unknown node

@@ -1195,7 +1195,11 @@ object Insights {
       // can only ADD nodes (n grows) or LOWER a min-dist (Σ shrinks
       // at constant n), so fingerprint-equal ⇔ fixpoint. One cheap
       // aggregate action per round (it also materializes the round's
-      // checkpoint) — no join, half the per-round stages.
+      // checkpoint) — no join, half the per-round stages. (Fusing TWO
+      // expansion steps per action was A/B'd and REJECTED: the block's
+      // un-materialized middle adds a third sequential exchange to the
+      // job and measured 2.9 s → 4.4 s — the per-round cost here is
+      // shuffle latency, not job-launch floor.)
       var fp = (1L, 0L)
       var changed = true
       var iter = 0

@@ -924,29 +924,22 @@ object StreamOps {
   /** Scan-local per-row minhash + LSH banding over a (doc_id, text)
     * frame — works on any source (file stream, MemoryStream, batch):
     * no keyed aggregate, one output row per (doc, band). Shared by the
-    * registered query and the cross-batch StreamSpec test. */
+    * registered query and the cross-batch StreamSpec test. The 16
+    * permutation minima + band packing run in the codegen
+    * `minhash_bands` expression (graft.functions.MinhashBands) — the
+    * 16 `array_min(transform(...))` HOF columns it replaces were
+    * CodegenFallback and dominated the drain's addBatch (~1 ms/doc
+    * interpreted); values are the identical integer recurrence, so
+    * Dedup.bandsCteSql still mirrors it exactly. */
   private[graft] def lshBandSignatures(docs: DataFrame): DataFrame = {
-    val mExprs = (0 until 16).map(i =>
-      s"array_min(transform(hs, x -> ((${2 * i + 1}) * x + " +
-        s"(${7 * i + 3})) % 2147483647)) AS m$i")
-    val bandRows = (0 until 4).map { b =>
-      s"CAST($b AS BIGINT), m${4 * b} + 31 * m${4 * b + 1} + " +
-        s"961 * m${4 * b + 2} + 29791 * m${4 * b + 3}"
-    }.mkString(", ")
+    graft.functions.LshBandsText.register(docs.sparkSession)
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs", expr(
-        """array_distinct(transform(
-             CASE WHEN size(toks) >= 5
-               THEN transform(sequence(1, size(toks) - 4),
-                      i -> concat_ws(' ', slice(toks, i, 5)))
-               ELSE array() END,
-             s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8),
-                    16, 10) AS BIGINT)))"""))
-      .filter(size(col("hs")) > 0)
-      .selectExpr(("doc_id" +: mExprs): _*)
+      .withColumn("bands", expr("lsh_bands_text(text)"))
+      .filter(col("bands").isNotNull)
       .select(col("doc_id"),
-        expr(s"stack(4, $bandRows) AS (band, band_key)"))
+        posexplode(col("bands")).as(Seq("band", "band_key")))
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        col("band_key"))
   }
 
   /** The (band, band_key) index maintenance over banded signatures. */
