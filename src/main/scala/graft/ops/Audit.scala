@@ -18,58 +18,48 @@ object Audit {
     * never a global ntile sort (a single-partition window at 100 TB)
     * and never the `percentile` object aggregate (its interpreted
     * per-row map update was measured at 3.2 s of this query's 3.8 at
-    * sf0.1). Prices are an exact cents grid, so the boundaries come
-    * from a codegen BIGINT-keyed value histogram plus a DISTRIBUTED
-    * prefix sum: per-range offsets from a coarse census whose row
-    * count is bounded by the PRICE DOMAIN (~110 ranges of 1000
-    * currency units — corpus-independent), then a range-partitioned
-    * running sum; the 14 order statistics fall out of a 7-row
-    * broadcast rank-interval join, interpolated with the same
-    * (n−1)p rule as the oracle's quantile_cont. Rows are then
-    * bucketed against the 7-cut broadcast and counted; cut doubles
-    * are identical across engines, so bucket membership is exact.
-    * The cents quantization is the registered domain of this query
-    * (exact-decimal money); a genuinely continuous column must
-    * switch to `approx_percentile` and pair the oracle with the same
-    * sketch parameters (the exact-vs-approx pattern). */
+    * sf0.1). THREE scan-bounded phases, each shuffling only
+    * domain-bounded relations (the earlier one-scan value-histogram
+    * form shuffled + checkpointed a per-CENT table that is ~97% of the
+    * fact at sf0.1 — 583k of 600k cents are distinct — and cost 3.4 s):
+    *  1. cell census: one map-side-combined aggregate to the ~110
+    *     price-domain cells (1000-currency-unit ranges) + a prefix sum
+    *     over that bounded table → each target rank's cell.
+    *  2. detail: per-cent counts of ONLY the ≤14 cells containing a
+    *     target rank — ≤14 × 100 000 cents whatever the corpus size —
+    *     ranked within cell + census offset = exact global order
+    *     statistics, interpolated with the same (n−1)p rule as the
+    *     oracle's quantile_cont.
+    *  3. bucket rollup: one scan bucketing rows against the 7-cut
+    *     broadcast, map-side combined straight to ≤8 rows/partition.
+    * Cut doubles are identical across engines (cents/100.0 is the
+    * correctly-rounded double of the 2-decimal value), so bucket
+    * membership is exact. The cents quantization is the registered
+    * domain of this query (exact-decimal money); a genuinely
+    * continuous column must switch to `approx_percentile` and pair
+    * the oracle with the same sketch parameters. */
   val qAggEquidepth = Q(
     "q_agg_equidepth",
     (sp, dir) => {
       import org.apache.spark.sql.expressions.Window
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val li = t("lineitem").select(col("l_extendedprice").as("x"))
-      // Exact octiles WITHOUT the `percentile` object aggregate (its
-      // interpreted per-row map update measured 3.2 s of this query's
-      // 3.8 at sf0.1): prices are exact cents, so the value histogram
-      // is a codegen hash aggregate on a BIGINT key, and the order
-      // statistics come from a DISTRIBUTED prefix sum — per-range
-      // offsets from a ~110-row (price-domain-bounded, corpus-
-      // independent) coarse census, then a window partitioned by that
-      // range. No global window, no per-row object buffer.
-      val hist = li
-        .select(floor(col("x") * 100 + lit(0.5)).cast("long").as("c"))
-        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      val cents = t("lineitem")
+        .select(floor(col("l_extendedprice") * 100 + lit(0.5))
+          .cast("long").as("c"))
         .withColumn("cell", (col("c") / 100000L).cast("long"))
-        .localCheckpoint() // read by offsets, cum, and the n census
-      val offsets = hist.groupBy(col("cell"))
-        .agg(sum(col("cnt")).as("cell_cnt"))
+      // phase 1: ~110-row price-domain census (map-side combined) with
+      // prefix offsets; the unpartitioned window runs over the bounded
+      // cell table, never the fact. Checkpointed: read by the rank
+      // locator, the detail offsets, and the n census.
+      val census = cents.groupBy(col("cell"))
+        .agg(count(lit(1)).as("cn"))
         .withColumn("off",
-          sum(col("cell_cnt")).over(Window.orderBy(col("cell"))) -
-            col("cell_cnt"))
-        .select(col("cell").as("ocell"), col("off"))
-      val cum = hist
-        .join(broadcast(offsets), col("cell") === col("ocell"))
-        .select(col("c"), col("cnt"),
-          (col("off") + sum(col("cnt")).over(
-            Window.partitionBy(col("cell")).orderBy(col("c"))))
-            .as("hi_rank"))
-        .withColumn("lo_rank", col("hi_rank") - col("cnt"))
-      val n1 = hist.agg(sum(col("cnt")).as("n"))
-      // 7-row (percentile, rank) grid; value at an integer 0-based
-      // rank k is the unique histogram row with lo_rank <= k < hi_rank.
-      // ONE pass over the ranked histogram resolves both order stats
-      // per percentile (exactly one row matches each side's interval).
+          sum(col("cn")).over(Window.orderBy(col("cell"))) - col("cn"))
+        .localCheckpoint()
+      val n1 = census.agg(sum(col("cn")).as("n"))
+      // 7-row (percentile, rank) grid; the value at an integer 0-based
+      // rank k is the unique per-cent row with lo_rank <= k < hi_rank.
       val grid = n1.select(
         explode(array(Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
           .map(lit): _*)).as("p"), col("n"))
@@ -78,6 +68,29 @@ object Audit {
           ceil((col("n") - 1) * col("p")).cast("long").as("khi"),
           ((col("n") - 1) * col("p") -
             floor((col("n") - 1) * col("p"))).as("frac"))
+        .localCheckpoint() // consumed by the locator and the cut join
+      // which ≤14 cells contain a target rank (off <= k < off + cn)
+      val needCells = grid
+        .join(broadcast(census),
+          (col("off") <= col("klo") &&
+            col("klo") < col("off") + col("cn")) ||
+          (col("off") <= col("khi") &&
+            col("khi") < col("off") + col("cn")))
+        .select(col("cell").as("tc")).distinct()
+      // phase 2: per-cent detail of ONLY the target cells — a ≤14 ×
+      // 100 000-row relation whatever the corpus size; rank within the
+      // cell plus the census offset is the exact global rank
+      val cum = cents
+        .join(broadcast(needCells), col("cell") === col("tc"),
+          "left_semi")
+        .groupBy(col("cell"), col("c")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(census.select(col("cell").as("ocell"),
+          col("off"))), col("cell") === col("ocell"))
+        .select(col("c"), col("cnt"),
+          (col("off") + sum(col("cnt")).over(
+            Window.partitionBy(col("cell")).orderBy(col("c"))))
+            .as("hi_rank"))
+        .withColumn("lo_rank", col("hi_rank") - col("cnt"))
       val cuts = cum
         .join(broadcast(grid),
           (col("lo_rank") <= col("klo") && col("klo") < col("hi_rank")) ||
@@ -95,16 +108,14 @@ object Audit {
             .as("cut"))
         .agg(expr("transform(array_sort(collect_list(struct(p, cut)))," +
           " x -> x.cut)").as("cuts"))
-      // Bucket the HISTOGRAM, not the fact: x ≡ c/100.0 bit-for-bit
-      // (prices are an exact cents grid and c/100.0 is the correctly-
-      // rounded double of the same 2-decimal value — the identity the
-      // cut interpolation above already relies on), so per-bucket
-      // count/min/max fold from the ~domain-bounded value histogram
-      // without a second corpus scan.
-      hist.crossJoin(broadcast(cuts))
-        .select((col("c").cast("double") / 100.0).as("x"), col("cnt"),
-          col("cuts"))
-        .select(col("x"), col("cnt"), expr(
+      // phase 3: bucket the scan against the 7-cut broadcast — x ≡
+      // c/100.0 bit-for-bit (prices are an exact cents grid and
+      // c/100.0 is the correctly-rounded double of the same 2-decimal
+      // value, the identity the cut interpolation relies on), and the
+      // aggregate map-side combines to ≤8 rows per partition
+      cents.crossJoin(broadcast(cuts))
+        .select((col("c").cast("double") / 100.0).as("x"), col("cuts"))
+        .select(col("x"), expr(
           """CAST(CASE WHEN x > cuts[0] THEN 1 ELSE 0 END
                + CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
                + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
@@ -114,7 +125,7 @@ object Audit {
                + CASE WHEN x > cuts[6] THEN 1 ELSE 0 END AS BIGINT)""")
           .as("bucket"))
         .groupBy(col("bucket"))
-        .agg(sum(col("cnt")).as("n"),
+        .agg(count(lit(1)).as("n"),
           round(min(col("x")), 2).as("lo"),
           round(max(col("x")), 2).as("hi"))
         .orderBy(col("bucket"))
