@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.LshBandsText].getName, "lsh_bands_text"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.LshBandsText(exprs.head)))
+          functions.LshBandsText.build(exprs)))
     // whole-operator extension: the native as-of join planner strategy
     // (graft.plans.AsofJoin logical node → AsofJoinExec) plus the
     // filter-pushdown rule Catalyst can't apply to an unknown node

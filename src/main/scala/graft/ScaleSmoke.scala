@@ -238,7 +238,14 @@ object ScaleSmoke {
     "q_stream_reset_counter", "q_stream_session", "q_stream_topk",
     "q_stream_tws", "q_stream_vshape", "q_stream_watermark",
     "q_text_bpe_train", "q_text_contrast", "q_ts_anomaly",
-    "q_ts_cusum", "q_ts_mad")
+    "q_ts_cusum", "q_ts_mad",
+    // round 13: the r12 driver-bench noise-crossers (scan-local
+    // sampling/scan tier + two fixed-floor drains) — kept in the
+    // standing list so the SCALE rows stay refreshable even though
+    // every one is sub-second warm
+    "q_sample_ht", "q_sample_mod", "q_sample_neyman", "q_sample_pps",
+    "q_sample_stratified", "q_sample_weighted", "q_scan_corrupt",
+    "q_scan_binary_raw", "q_stream_dedup", "q_stream_tumbling")
 
   /** 100× blow-up (SPARK_GRAFT_SCALE100=1): two orders of magnitude
     * past sf0.1 — embeddings 2 000 → 200 000 vectors (labels kept so

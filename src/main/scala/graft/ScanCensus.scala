@@ -47,7 +47,8 @@ object ScanCensus {
           if (counts.nonEmpty) Some(s"$name -> ${counts.mkString(", ")}")
           else None
         } catch { case e: Throwable =>
-          Some(s"$name -> ERR ${e.getClass.getSimpleName}")
+          val msg = Option(e.getMessage).getOrElse("").take(160)
+          Some(s"$name -> ERR ${e.getClass.getSimpleName}: $msg")
         }
       }
     println("[census] multi-scan queries:")

@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * a single space over exactly 5 tokens, the hash is the first 8 hex
   * chars of md5 over the UTF-8 bytes (0..2³²−1, so the permutation
   * arithmetic never overflows), and minima/band packing are the exact
-  * integer recurrence of [[MinhashBands]] — so the DuckDB bands CTE
+  * integer recurrence of `graft.ops.Dedup.minhashAggs` — so the DuckDB bands CTE
   * (Dedup.bandsCteSql) still hash-matches. NULL when the text has
   * fewer than 5 tokens (the `size(hs) > 0` filter's semantics). */
 case class LshBandsText(child: Expression) extends UnaryExpression {
@@ -57,6 +57,14 @@ case class LshBandsText(child: Expression) extends UnaryExpression {
 }
 
 object LshBandsText {
+  // MD5 digest per executor thread, reset per shingle — allocating one
+  // per row put getInstance on the exact hot path this expression
+  // exists to flatten.
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** The whole fused pipeline; static so generated code can call it.
     * Returns null when fewer than 5 tokens. */
   def compute(text: UTF8String): ArrayData = {
@@ -65,7 +73,7 @@ object LshBandsText {
     val toks = text.toString.split(" ", -1)
     val n = toks.length
     if (n < 5) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digests.get()
     val m = Array.fill(16)(Long.MaxValue)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -98,9 +106,24 @@ object LshBandsText {
     new GenericArrayData(bands)
   }
 
+  /** Arity-checked builder shared by the registry hooks: a zero-arg or
+    * multi-arg `lsh_bands_text(...)` call must fail analysis cleanly,
+    * not throw NoSuchElementException / silently drop arguments. */
+  def build(exprs: Seq[Expression]): LshBandsText = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "lsh_bands_text",
+          "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""))
+    LshBandsText(exprs.head)
+  }
+
   /** Register `lsh_bands_text` in the session's function registry
     * (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bands_text", exprs => LshBandsText(exprs.head), "scala_udf")
+      "lsh_bands_text", build, "scala_udf")
 }

@@ -926,7 +926,7 @@ object StreamOps {
     * no keyed aggregate, one output row per (doc, band). Shared by the
     * registered query and the cross-batch StreamSpec test. The 16
     * permutation minima + band packing run in the codegen
-    * `minhash_bands` expression (graft.functions.MinhashBands) — the
+    * `lsh_bands_text` expression (graft.functions.LshBandsText) — the
     * 16 `array_min(transform(...))` HOF columns it replaces were
     * CodegenFallback and dominated the drain's addBatch (~1 ms/doc
     * interpreted); values are the identical integer recurrence, so

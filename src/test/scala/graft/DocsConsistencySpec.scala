@@ -39,16 +39,32 @@ class DocsConsistencySpec extends AnyFunSuite {
   }
 
   test("every bench-heavy id (>1s at sf0.1) has SCALE.md evidence") {
-    val benchPath = java.nio.file.Paths.get("bench_full.json")
-    assume(java.nio.file.Files.exists(benchPath),
-      "no bench_full.json — run graft.Bench first")
-    // minimal parse: "q_id":12.34 pairs inside the queries map
-    val txt = read("bench_full.json")
+    // Noise robustness (round-12 verdict item 1): this host's timing
+    // noise can inflate a sub-second query 5× for minutes (see the
+    // graft-host-noise discipline), and the driver overwrites
+    // bench_full.json post-commit — so one noisy driver roll used to
+    // redden the tree for ids that are scan-local by construction.
+    // Gate on the INTERSECTION of >1 s ids in the current
+    // bench_full.json AND the builder's committed closing bench
+    // (bench_closing.json, min-of-quiet-host, never driver-touched):
+    // an id must look heavy in BOTH measurements to demand a SCALE.md
+    // row. The closing bench is refreshed each round when the builder
+    // rolls its final bench.
     val entry = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-    val heavy = entry.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filter(_._2 > 1.0).map(_._1).toSet
-      .intersect(SparkEntry.queries.keySet)
+    def heavyIds(path: String): Option[Set[String]] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(entry.findAllMatchIn(read(path))
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 1.0).map(_._1).toSet
+        .intersect(SparkEntry.queries.keySet))
+    }
+    val current = heavyIds("bench_full.json")
+    assume(current.isDefined, "no bench_full.json — run graft.Bench first")
+    val heavy = heavyIds("bench_closing.json") match {
+      case Some(closing) => current.get.intersect(closing)
+      case None => current.get
+    }
     val scale = read("SCALE.md")
     val missing = heavy.filterNot(scale.contains)
     assert(missing.isEmpty,
