@@ -72,6 +72,28 @@ object StreamOps {
     }
   }
 
+  /** Run `f` with checkpoint I/O routed through the RAM-backed
+    * [[EphemeralCheckpoint]] manager. A finite AvailableNow drain on a
+    * TEMPORARY checkpoint gets zero recovery value from durable
+    * checkpoint files (Spark deletes the directory on success), yet
+    * pays ~40 LocalFileSystem round-trips per drain for them —
+    * measured ~115 ms of walCommit/commitOffsets/latestOffset plus
+    * ~80 ms of metadata-log reads inside queryPlanning, ~0.2-0.25 s of
+    * a warm drain's ~0.8 s wall. Restored after the drain so any
+    * explicitly-checkpointed query (StreamSpec's cross-run replays on
+    * real paths, production restarts) keeps the durable default. */
+  private def ephemeral[T](s: SparkSession)(f: => T): T = {
+    if (sys.env.contains("SPARK_GRAFT_NO_EPHEMERAL")) return f // A/B hatch
+    val key = "spark.sql.streaming.checkpointFileManagerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "graft.streaming.EphemeralCheckpoint")
+    try f
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Run a streaming frame to completion into a memory sink; return the
     * settled table.
     *
@@ -101,7 +123,7 @@ object StreamOps {
     if (mode == "complete")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         "false")
-    try {
+    try ephemeral(s) {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory")
@@ -279,7 +301,7 @@ object StreamOps {
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(StreamOps.drainWidth, saved.toInt).toString)
-      try {
+      try ephemeral(s) {
         val q = eventsStream(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
@@ -556,7 +578,7 @@ object StreamOps {
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(StreamOps.drainWidth, saved.toInt).toString)
-      try {
+      try ephemeral(s) {
         val w = eventsStream(s, d)
           .select(unix_micros(col("ts").cast("timestamp")).as("us"),
             expr(graft.ops.Decode.wordSparkSql).as("word"))
@@ -764,7 +786,7 @@ object StreamOps {
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(StreamOps.drainWidth, saved.toInt).toString)
-      try {
+      try ephemeral(s) {
         val w = eventsStream(s, d)
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
           .writeStream
@@ -869,7 +891,7 @@ object StreamOps {
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         math.min(StreamOps.drainWidth, saved.toInt).toString)
-      try {
+      try ephemeral(s) {
         val w = documentsStream(s, d)
           .select(col("doc_id"), col("text"), col("source"))
           .writeStream
