@@ -269,7 +269,9 @@ object ScaleSmoke {
   private def run100(spark: SparkSession, src: String): Unit = {
     val out = sys.props("java.io.tmpdir") + "/graft_scale100"
     val dir = new java.io.File(out)
-    if (!new java.io.File(out + "/_done").exists()) {
+    // _done2: round-13 layout adds 100x events + orders (the sampling
+    // and corrupt/raw-scan tiers ride them) — rebuild an older dir
+    if (!new java.io.File(out + "/_done2").exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
       dir.mkdirs()
       val rep = spark.range(100).select(col("id").as("rep"))
@@ -294,13 +296,34 @@ object ScaleSmoke {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .repartition(4)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events").foreach { t =>
+      // events: 100 user-disjoint replicas (the sampling/scan tier's
+      // fact table); ts kept as raw INT64 nanos like the 10x builder
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val evMx = ev.agg(max(col("event_id"))).first().getLong(0) + 1
+      val evUMx = ev.agg(max(col("user_id"))).first().getLong(0) + 1
+      ev.crossJoin(broadcast(rep))
+        .select((col("event_id") + col("rep") * evMx).as("event_id"),
+          (col("user_id") + col("rep") * evUMx).as("user_id"),
+          col("ts"), col("event_type"), col("value"), col("props"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // orders: shifted keys; o_custkey kept (customer is not blown up,
+      // and the sampling tier touches only o_orderkey/o_totalprice)
+      val or = spark.read.parquet(s"$src/orders.parquet")
+      val orMx = or.agg(max(col("o_orderkey"))).first().getLong(0) + 1
+      or.crossJoin(broadcast(rep))
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * orMx)
+        .drop("rep")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      Seq("region", "nation", "customer", "supplier", "part",
+        "lineitem").foreach { t =>
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$out/$t.parquet"),
           java.nio.file.Paths.get(s"$src/$t.parquet"))
       }
-      new java.io.File(out + "/_done").createNewFile()
+      new java.io.File(out + "/_done2").createNewFile()
     }
     spark.range(2000000L).selectExpr("sum(id)").collect()
     def phase(dir: String): Seq[(String, Double)] = {
@@ -338,7 +361,16 @@ object ScaleSmoke {
         t("q_graph_ktruss")(
           SparkEntry.queries("q_graph_ktruss")(spark, dir).count()),
         t("q_graph_bfs")(
-          SparkEntry.queries("q_graph_bfs")(spark, dir).count()))
+          SparkEntry.queries("q_graph_bfs")(spark, dir).count())) ++
+        // round 13: the sampling + corrupt/raw-scan tier (the r12
+        // noise-crossers) at 100x events/orders — every one is a
+        // single scan + broadcast scalar / scan-local filter, so the
+        // ratio must track the data ~linearly (100), never above
+        (Seq("q_sample_ht", "q_sample_mod", "q_sample_neyman",
+          "q_sample_pps", "q_sample_stratified", "q_sample_weighted",
+          "q_scan_corrupt", "q_scan_binary_raw").map { id =>
+          t(id)(SparkEntry.queries(id)(spark, dir).count())
+        })
     }
     val t1 = phase(src)
     val t100 = phase(out)
