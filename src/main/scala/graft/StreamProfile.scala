@@ -72,6 +72,11 @@ object StreamProfile {
         println(s"  batch ${p.batchId}: " +
           dm.entrySet.toArray.mkString(", ") +
           s" rows=${p.numInputRows}")
+        p.stateOperators.foreach { so =>
+          println(s"    state[${so.operatorName}]: commitMs=" +
+            s"${so.commitTimeMs} rows=${so.numRowsTotal} " +
+            s"mem=${so.memoryUsedBytes}")
+        }
       }
     }
     spark.stop()

@@ -55,6 +55,7 @@ class EphemeralCheckpoint(root: Path, conf: Configuration)
               throw new FileAlreadyExistsException(key)
             files.put(key, Entry(bytes, System.currentTimeMillis()))
           }
+          committed.incrementAndGet()
           markParents(key)
         }
       }
@@ -146,6 +147,13 @@ object EphemeralCheckpoint {
 
   /** Test/metrics hook: number of live in-memory checkpoint files. */
   private[graft] def liveFiles: Int = files.size
+
+  /** Test/metrics hook: total files ever committed through this
+    * manager — EphemeralCheckpointSpec asserts it MOVES across a
+    * drain, so losing the drain-helper conf wiring (a silent ~0.3 s
+    * per-drain perf regression) fails CI instead of a bench diff. */
+  private val committed = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def committedCount: Long = committed.get
 
   /** Hadoop-readable view over a byte array (FSDataInputStream needs
     * Seekable + PositionedReadable). */

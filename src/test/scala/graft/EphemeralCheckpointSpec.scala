@@ -55,10 +55,16 @@ class EphemeralCheckpointSpec extends SparkSuite {
 
   test("a finished drain leaves no in-memory checkpoint files behind") {
     val before = streaming.EphemeralCheckpoint.liveFiles
+    val committedBefore = streaming.EphemeralCheckpoint.committedCount
     // two drains through the registered path (memory-sink settle)
     q("q_stream_source").count()
     q("q_stream_tumbling").count()
     val after = streaming.EphemeralCheckpoint.liveFiles
+    // the drain helper must actually ROUTE through this manager —
+    // losing the conf wiring is a silent ~0.3 s/drain perf regression
+    assert(streaming.EphemeralCheckpoint.committedCount > committedBefore,
+      "drains did not write through EphemeralCheckpoint — is the " +
+        "drain helper's checkpointFileManagerClass wiring gone?")
     // Spark deletes the temp checkpoint through the SAME manager on
     // success, so the map must not grow drain-over-drain
     assert(after <= before,
