@@ -68,10 +68,10 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tCache.getOrElseUpdate(
       (spark, sfDir, name), {
-        // Idempotent: the nanos conf must be live before the footer is
-        // read, and the driver may call entry()/queries with a session
-        // of its own.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Idempotent: the confs must be live before the footer is
+        // read / the first derived frame is persisted, and the driver
+        // may call entry()/queries with a session of its own.
+        configure(spark)
         val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
         // Normalize events.ts to micros NTZ whatever the physical type:
         // driver data is TIMESTAMP(NANOS) (read as long), test fixtures
@@ -88,7 +88,18 @@ object Tables {
         } else df0
       })
 
-  /** Session conf every entry point (Verify/Bench/tests) applies. */
+  /** Session conf every entry point (Verify/Bench/tests) applies —
+    * also re-applied lazily on the first table read per session, so a
+    * driver-owned session gets it too.
+    *
+    * Cached-plan partitioning stays at Spark's stock behavior (AQE
+    * does not re-bucket persisted plans): a global
+    * canChangeCachedPlanOutputPartitioning=true was A/B'd and rejected
+    * — it coalesces fact-sized caches by BYTES, serializing the
+    * compute-heavy consumers (q_sim_hardneg 2.1→3.1 s, q_ml_kfold
+    * 2.1→2.5 s warm) even as it fixed the iterative tier. The
+    * right-sizing that survived the A/B is row-measured and local to
+    * the shared-fixpoint memo: see Insights.cacheOnce. */
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -78,6 +78,10 @@ class PlanGuardSpec extends SparkSuite {
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("id=#?\\d+", "id=")
       .replaceAll("@[0-9a-fA-F]{4,}", "@")
+      // JVM lambda identities (index + hidden-class address) renumber
+      // per JVM: `Multimodal$$$Lambda$5936/0x00007fa8c95fe000` — keep
+      // only the enclosing-class part
+      .replaceAll("Lambda\\$\\d+(/0x[0-9a-fA-F]+)?", "Lambda\\$")
       .replaceAll("\\*\\(\\d+\\)", "*(N)")
       .replaceAll("\\[file:[^\\]]*\\]", "[FILE]")
       .replaceAll("file:[^\\s\\],)]+", "FILE")
