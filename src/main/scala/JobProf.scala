@@ -16,6 +16,20 @@ object JobProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000L).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_WARM=1 reproduces Bench's warm-shared state, so
+    // rep1 measures what the bench charges the query itself.
+    if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) {
+      try ops.Scale.warm(spark, sfDir) catch { case _: Throwable => () }
+      try ops.Extras.warm(spark, sfDir) catch { case _: Throwable => () }
+      Seq[(SparkSession, String) => Unit](
+        ops.Dedup.warmShared, ops.Insights.warmShared,
+        ops.GraphScores.warmShared, ops.Series.warmShared,
+        ops.Vector.warmShared, ops.Causal.warmShared,
+        ops.Corpus.warmShared, ops.Doremi.warmShared,
+        ops.TextOps.warmShared, ops.Learn.warmShared,
+        ops.Multimodal.warmShared)
+        .foreach(w => try w(spark, sfDir) catch { case _: Throwable => () })
+    }
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
     val done = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Int)]()

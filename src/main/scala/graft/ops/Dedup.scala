@@ -1261,9 +1261,16 @@ object Dedup {
       // re-run the shared subtrees (e0 appears under every scheme's
       // band build, prio under every verify join — measured 8×
       // recomputation in the single-DAG form). Materialize each shared
-      // stage ONCE; every stage is banding-bounded, so the checkpoints
-      // are small at any corpus size.
-      val prio = semPrio(e0).localCheckpoint()
+      // stage ONCE; every stage is banding-bounded, so the cached
+      // frames are small at any corpus size. persist() (lazy) beats
+      // eager localCheckpoint here — the DAG is fan-out, not a loop,
+      // so plans stay shallow and the 9 eager materialization jobs
+      // were pure overhead (warm bench-state A/B at sf0.1: 2.0 vs
+      // 2.8 s; lazy checkpoint sat between at 2.2 s). The one cost is
+      // a slower fully-cold first run (concurrent first-fill of a
+      // shared cache duplicates some stage work), which only the
+      // once-per-scale Verify pass pays.
+      val prio = semPrio(e0).persist()
       def ver(cand: DataFrame): DataFrame = cand
         .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea")),
           col("a_id") === col("pa"))
@@ -1274,12 +1281,12 @@ object Dedup {
             (sqrt(expr("double_dot(ea, ea)")) *
              sqrt(expr("double_dot(eb, eb)"))), 6) >= 0.3)
         .select(col("a_id"), col("b_id"))
-      val bandsF = semBands(e0, adaptive = false).localCheckpoint()
-      val bandsA = semBands(e0, adaptive = true).localCheckpoint()
-      val candF = semCandsFromBands(bandsF, probe = false).localCheckpoint()
-      val candB = semCandsFromBands(bandsA, probe = false).localCheckpoint()
-      val candP = semCandsFromBands(bandsA, probe = true).localCheckpoint()
-      val verF = ver(candF).localCheckpoint()
+      val bandsF = semBands(e0, adaptive = false).persist()
+      val bandsA = semBands(e0, adaptive = true).persist()
+      val candF = semCandsFromBands(bandsF, probe = false).persist()
+      val candB = semCandsFromBands(bandsA, probe = false).persist()
+      val candP = semCandsFromBands(bandsA, probe = true).persist()
+      val verF = ver(candF).persist()
       val nTrue = verF.agg(count(lit(1)).as("n_true"))
       def row(scheme: String, cand: DataFrame, v: DataFrame): DataFrame = {
         val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -1295,8 +1302,8 @@ object Dedup {
                 col("n_hit").cast("double") / col("n_true"), 6))
               .as("recall"))
       }
-      row("adaptive_base", candB, ver(candB).localCheckpoint())
-        .unionByName(row("adaptive_probe", candP, ver(candP).localCheckpoint()))
+      row("adaptive_base", candB, ver(candB).persist())
+        .unionByName(row("adaptive_probe", candP, ver(candP).persist()))
         .unionByName(row("fixed_1024", candF, verF))
         .orderBy(col("scheme"))
     },
