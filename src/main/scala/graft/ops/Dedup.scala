@@ -1261,16 +1261,15 @@ object Dedup {
       // re-run the shared subtrees (e0 appears under every scheme's
       // band build, prio under every verify join — measured 8×
       // recomputation in the single-DAG form). Materialize each shared
-      // stage ONCE; every stage is banding-bounded, so the cached
-      // frames are small at any corpus size. persist() (lazy) beats
-      // eager localCheckpoint here — the DAG is fan-out, not a loop,
-      // so plans stay shallow and the 9 eager materialization jobs
-      // were pure overhead (warm bench-state A/B at sf0.1: 2.0 vs
-      // 2.8 s; lazy checkpoint sat between at 2.2 s). The one cost is
-      // a slower fully-cold first run (concurrent first-fill of a
-      // shared cache duplicates some stage work), which only the
-      // once-per-scale Verify pass pays.
-      val prio = semPrio(e0).persist()
+      // stage ONCE; every stage is banding-bounded, so the
+      // checkpoints are small at any corpus size. EAGER checkpoints
+      // on purpose: a lazy persist() variant was A/B'd and recorded
+      // WORSE on the bench's first (charged) run — the 12 branches
+      // race to first-fill the shared caches concurrently and
+      // duplicate stage work (first-run 3.9 vs 2.8 s at sf0.1;
+      // steady-state favored persist 1.5 vs 2.9, but the bench
+      // charges the first run).
+      val prio = semPrio(e0).localCheckpoint()
       def ver(cand: DataFrame): DataFrame = cand
         .join(prio.select(col("vec_id").as("pa"), col("emb_d").as("ea")),
           col("a_id") === col("pa"))
@@ -1281,12 +1280,12 @@ object Dedup {
             (sqrt(expr("double_dot(ea, ea)")) *
              sqrt(expr("double_dot(eb, eb)"))), 6) >= 0.3)
         .select(col("a_id"), col("b_id"))
-      val bandsF = semBands(e0, adaptive = false).persist()
-      val bandsA = semBands(e0, adaptive = true).persist()
-      val candF = semCandsFromBands(bandsF, probe = false).persist()
-      val candB = semCandsFromBands(bandsA, probe = false).persist()
-      val candP = semCandsFromBands(bandsA, probe = true).persist()
-      val verF = ver(candF).persist()
+      val bandsF = semBands(e0, adaptive = false).localCheckpoint()
+      val bandsA = semBands(e0, adaptive = true).localCheckpoint()
+      val candF = semCandsFromBands(bandsF, probe = false).localCheckpoint()
+      val candB = semCandsFromBands(bandsA, probe = false).localCheckpoint()
+      val candP = semCandsFromBands(bandsA, probe = true).localCheckpoint()
+      val verF = ver(candF).localCheckpoint()
       val nTrue = verF.agg(count(lit(1)).as("n_true"))
       def row(scheme: String, cand: DataFrame, v: DataFrame): DataFrame = {
         val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -1302,8 +1301,8 @@ object Dedup {
                 col("n_hit").cast("double") / col("n_true"), 6))
               .as("recall"))
       }
-      row("adaptive_base", candB, ver(candB).persist())
-        .unionByName(row("adaptive_probe", candP, ver(candP).persist()))
+      row("adaptive_base", candB, ver(candB).localCheckpoint())
+        .unionByName(row("adaptive_probe", candP, ver(candP).localCheckpoint()))
         .unionByName(row("fixed_1024", candF, verF))
         .orderBy(col("scheme"))
     },

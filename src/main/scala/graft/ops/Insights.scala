@@ -46,9 +46,6 @@ object Insights {
   private val maxCachedDfs = 64
   private val cachedDf = scala.collection.concurrent
     .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
-  // wide originals that back a narrowed memo entry — evicted together
-  private val cachedDfWide = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
 
   private[graft] def cacheOnce(s: SparkSession, d: String, name: String)(
       build: => org.apache.spark.sql.DataFrame)
@@ -56,11 +53,10 @@ object Insights {
     if (cachedDf.size >= maxCachedDfs && !cachedDf.contains((s, d, name)))
       cachedDf.synchronized {
         if (cachedDf.size >= maxCachedDfs) {
-          (cachedDf.values ++ cachedDfWide.values).foreach(df =>
+          cachedDf.values.foreach(df =>
             try df.unpersist(blocking = false)
             catch { case _: Throwable => () })
           cachedDf.clear()
-          cachedDfWide.clear()
         }
       }
     cachedDf.getOrElseUpdate((s, d, name), {
@@ -96,17 +92,23 @@ object Insights {
       val target = math.max(1L, math.min(sessW.toLong,
         (n + rowsPerCachedPartition - 1) / rowsPerCachedPartition)).toInt
       if (n <= 2000000L && target < sessW) {
-        val narrow = df.coalesce(target).persist()
-        narrow.count()
-        // The WIDE original stays persisted: the CacheManager matches
-        // by plan equality, and a consumer that re-BUILDS the raw plan
-        // (rather than holding this accessor's reference — e.g. the
-        // registered query whose own output this fixpoint memoizes)
-        // would otherwise lose cache substitution entirely and re-run
-        // the full lineage (ScanCensusSpec caught q_quality_classify
-        // at 10 documents scans). Both copies are small by the row
-        // gate; the wide ref is tracked for joint eviction.
-        cachedDfWide.put((s, d, name), df)
+        // Eager localCheckpoint, not a second persist: the memoized
+        // frame becomes a FLAT LogicalRDD leaf. A persisted narrow
+        // copy nests the wide InMemoryRelation inside the narrow one,
+        // and since fixpoints stack (und inside oriented inside
+        // tricorners ...), plan TREES grew exponentially with depth —
+        // every execution then pays a full-tree stringification +
+        // SparkPlanInfo walk in SQLExecution's listener event, which
+        // profiled as ~1 s of driver time on a 42-row cached count
+        // (q_graph_triangles). The checkpoint stores the same rows as
+        // RDD blocks, cuts the plan to one leaf, and frees the wide
+        // copy. Consumers must hold this accessor's reference — a
+        // consumer that re-builds the raw plan loses the shared
+        // store and re-runs its lineage, which ScanCensusSpec catches
+        // (it caught q_quality_classify; that query now consumes the
+        // accessor).
+        val narrow = df.coalesce(target).localCheckpoint()
+        df.unpersist(blocking = false)
         narrow
       } else df
     })
