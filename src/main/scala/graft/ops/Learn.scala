@@ -284,8 +284,12 @@ object Learn {
     // query's program (built by qualityClassifyBuild below), and the
     // cache-manager used to hand the raw rebuild the same cached scan
     // anyway — consuming the accessor keeps that behavior explicit and
-    // lets cacheOnce drop its wide duplicate cache entry.
-    (sp, dir) => qualityScores(sp, dir),
+    // lets cacheOnce drop its wide duplicate cache entry. The ORDER BY
+    // must be re-applied here: the store is a checkpointed RDD whose
+    // coalesce does NOT preserve the build's global sort (caught by
+    // the sf0.1 row-order compare; sf0.01 passed only because the
+    // store narrowed to a single partition there).
+    (sp, dir) => qualityScores(sp, dir).orderBy(col("doc_id")),
     qualityClassifyOracle)
 
   private def qualityClassifyBuild(sp: SparkSession, dir: String)
