@@ -27,6 +27,7 @@ object JobProf {
         ops.Vector.warmShared, ops.Causal.warmShared,
         ops.Corpus.warmShared, ops.Doremi.warmShared,
         ops.TextOps.warmShared, ops.Learn.warmShared,
+        ops.Pipeline.warmShared,
         ops.Multimodal.warmShared)
         .foreach(w => try w(spark, sfDir) catch { case _: Throwable => () })
     }

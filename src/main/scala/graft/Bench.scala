@@ -46,6 +46,7 @@ object Bench {
     warmLog("mixture models")(ops.Doremi.warmShared(spark, sfDir))
     warmLog("curate stages")(ops.TextOps.warmShared(spark, sfDir))
     warmLog("quality scores")(ops.Learn.warmShared(spark, sfDir))
+    warmLog("kmeans cents")(ops.Pipeline.warmShared(spark, sfDir))
     warmLog("phash frame")(ops.Multimodal.warmShared(spark, sfDir))
     // Buffer-pool warm was A/B'd here and REJECTED: pinning the driver
     // tables in columnar memory sped the TPC-H tier ~20% but thrashed

