@@ -506,17 +506,56 @@ object Series {
         .select(col("prev_type"), col("next_type"),
           (col("n").cast("double") / col("total")).as("p"))
         .localCheckpoint()
-      val states = pmat.select(col("prev_type").as("st")).distinct()
-      var pi = states
-        .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
-        .select(col("st"), (lit(1.0) / col("k")).as("pi"))
-      for (_ <- 1 to 8) {
-        pi = pi.join(pmat, col("st") === col("prev_type"))
-          .groupBy(col("next_type"))
-          .agg(round(sum(col("pi") * col("p")), 10).as("pi"))
-          .select(col("next_type").as("st"), col("pi"))
-      }
-      pi.select(col("st").as("event_type"), round(col("pi"), 6).as("pi"))
+      // The state space is the EVENT-TYPE domain — bounded at any
+      // corpus size — so the 8 power iterations run as array algebra
+      // on ONE collected row instead of 8 unrolled k-row join+agg
+      // stages (16 shuffles of 5-row frames; the AQE stage cascade
+      // was most of this query's post-scan cost). Dense layout: types
+      // sorted, P[i*k+j] = p(i -> j), pi0 uniform over PREV-types
+      // (matching the join form's start vector); each round rounds
+      // every entry at 1e-10 exactly like the join form and the
+      // oracle, so the settled vector is bit-identical. Emitted rows
+      // mirror the join semantics: a type appears iff some edge feeds
+      // it.
+      val one = pmat
+        .select(struct(col("prev_type"), col("next_type"), col("p"))
+          .as("e"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+        .withColumn("ts", expr(
+          "array_sort(array_distinct(concat(" +
+            "transform(es, x -> x.prev_type), " +
+            "transform(es, x -> x.next_type))))"))
+        .withColumn("prevs", expr(
+          "array_sort(array_distinct(transform(es, x -> x.prev_type)))"))
+        .withColumn("k", size(col("ts")))
+        .withColumn("pm", expr(
+          """transform(sequence(0, CAST(k AS BIGINT) * k - 1), ij ->
+               coalesce(filter(es, x ->
+                   x.prev_type = ts[CAST(ij div k AS INT)] AND
+                   x.next_type = ts[CAST(ij % k AS INT)])[0].p,
+                 CAST(0 AS DOUBLE)))"""))
+      val settled = one.select(col("ts"),
+        expr(
+          """aggregate(sequence(1, 8),
+               transform(ts, t -> CASE
+                 WHEN array_contains(prevs, t)
+                 THEN 1.0D / CAST(size(prevs) AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END),
+               (pi, r) -> transform(sequence(0, CAST(k AS BIGINT) - 1),
+                 j -> round(aggregate(sequence(0, CAST(k AS BIGINT) - 1),
+                   CAST(0 AS DOUBLE),
+                   (acc, i) -> acc + pi[CAST(i AS INT)] *
+                     pm[CAST(i * k + j AS INT)]), 10)))""").as("pi8"),
+        // a type is EMITTED iff some edge feeds it (the join form's
+        // groupBy key set)
+        expr("array_distinct(transform(es, x -> x.next_type))")
+          .as("receivers"))
+      settled
+        .select(posexplode(col("ts")).as(Seq("i", "event_type")),
+          col("pi8"), col("receivers"))
+        .filter(expr("array_contains(receivers, event_type)"))
+        .select(col("event_type"),
+          round(expr("pi8[CAST(i AS INT)]"), 6).as("pi"))
         .orderBy(col("event_type"))
     },
     Some {
