@@ -1374,23 +1374,48 @@ object StreamOps {
       batch: Seq[AnomObs], tail0: Seq[AnomObs]): (Seq[AnomFlag], Seq[AnomObs]) = {
     def r(x: Double, dp: Int): Double =
       BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var tail = tail0
+    // Ring buffer over the trailing <=100 observations. The float math
+    // is kept IDENTICAL to the original Seq form — per event, the mean
+    // and the squared deviations sum left-to-right over the tail in
+    // arrival order (ring start -> end), the exact order the oracle's
+    // window replay produces — only the per-event Seq churn
+    // (map/sum/:+/takeRight each allocating an O(n) list) is gone.
+    val cap = 100
+    val ring = new Array[AnomObs](cap)
+    var start = 0
+    var len = 0
+    tail0.foreach { o =>
+      if (len < cap) { ring((start + len) % cap) = o; len += 1 }
+      else { ring(start) = o; start = (start + 1) % cap }
+    }
     val out = scala.collection.mutable.ArrayBuffer[AnomFlag]()
     batch.sortBy(o => (o.us, o.id)).foreach { o =>
-      if (tail.length >= 20) {
-        val n = tail.length
-        val mean = tail.map(_.v).sum / n
+      if (len >= 20) {
+        var sum = 0.0
+        var i = 0
+        while (i < len) { sum += ring((start + i) % cap).v; i += 1 }
+        val mean = sum / len
         val mu = r(mean, 6)
-        val sd = r(math.sqrt(
-          tail.map(x => (x.v - mean) * (x.v - mean)).sum / (n - 1)), 6)
+        var ss = 0.0
+        i = 0
+        while (i < len) {
+          val dv = ring((start + i) % cap).v - mean
+          ss += dv * dv
+          i += 1
+        }
+        val sd = r(math.sqrt(ss / (len - 1)), 6)
         if (sd > 0) {
           val z = r((o.v - mu) / sd, 2)
           if (math.abs(z) > 3.0) out += AnomFlag(o.id, 0L, o.v, z)
         }
       }
-      tail = (tail :+ o).takeRight(100)
+      if (len < cap) { ring((start + len) % cap) = o; len += 1 }
+      else { ring(start) = o; start = (start + 1) % cap }
     }
-    (out.toSeq, tail)
+    val kept = new Array[AnomObs](len)
+    var i = 0
+    while (i < len) { kept(i) = ring((start + i) % cap); i += 1 }
+    (out.toSeq, kept.toSeq)
   }
 
   /** The stateful transform alone, over any (user, event, us, value)
