@@ -1,0 +1,54 @@
+package graft
+
+/** Pins the round-13 shared-fixpoint memo layout: cacheOnce memoizes a
+  * SMALL (row-measured) fixpoint as an eager localCheckpoint — one
+  * flat LogicalRDD leaf — never as a persisted plan whose
+  * InMemoryRelation re-prints its whole child tree. The layout is
+  * load-bearing twice over: every SQL execution stringifies its plan
+  * for the listener event (nested cached plans grew that walk
+  * exponentially with fixpoint stacking — profiled at ~1 s of driver
+  * time on a 42-row cached count), and the checkpoint right-sizes the
+  * partition count from the MEASURED rows so per-round re-scans stop
+  * paying session-width task fans over grid-sized frames. A regression
+  * back to nested persist() would pass every value check and silently
+  * re-tax the whole cached tier — this spec fails instead. */
+class CacheShapeSpec extends SparkSuite {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  private def leafOnly(df: DataFrame, what: String): Unit = {
+    val plan = df.queryExecution.analyzed
+    assert(plan.isInstanceOf[LogicalRDD],
+      s"$what memo is not a flat LogicalRDD leaf — " +
+        s"got:\n${plan.treeString.take(800)}")
+  }
+
+  test("small shared fixpoints memoize as flat checkpoint leaves") {
+    // representative stack: und feeds oriented feeds tricorners — the
+    // exact nesting chain whose cached-plan strings blew up
+    leafOnly(ops.Insights.undirectedLinkEdges(spark, sf0), "und")
+    leafOnly(ops.Insights.linkDegrees(spark, sf0), "unddeg")
+    leafOnly(ops.Insights.closedTriangles(spark, sf0), "tricorners")
+  }
+
+  test("checkpointed memo width follows the measured row count") {
+    val und = ops.Insights.undirectedLinkEdges(spark, sf0)
+    val n = und.count()
+    val sessW = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val expect = math.max(1L, math.min(sessW.toLong,
+      (n + 2047) / 2048)).toInt
+    val got = und.rdd.getNumPartitions
+    assert(got == expect,
+      s"und: $n rows cached as $got partitions, expected $expect")
+  }
+
+  test("plan strings over stacked fixpoints stay leaf-sized") {
+    // the regression signature was a 100 KB executedPlan string for a
+    // trivial consumer of the deepest fixpoint; a flat store keeps it
+    // in the low KBs
+    val tri = ops.Insights.closedTriangles(spark, sf0)
+    val s = tri.groupBy().count().queryExecution.executedPlan.toString
+    assert(s.length < 20000,
+      s"consumer plan string is ${s.length} chars — nested cache tree?")
+  }
+}
