@@ -44,8 +44,17 @@ object Insights {
     * and cleared (always correct: entries are pure derived tables, the
     * next consumer just rebuilds). */
   private val maxCachedDfs = 64
-  private val cachedDf = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, String), org.apache.spark.sql.DataFrame]()
+  // Value carries the memoized frame AND its release action: plain
+  // persisted entries release via unpersist(), but checkpointed entries
+  // are flat LogicalRDDs the CacheManager never tracked — unpersist()
+  // on the DataFrame is a no-op for them, and their checkpoint blocks
+  // would otherwise stay pinned until GC + ContextCleaner got around to
+  // the RDD reference, weakening the documented storage bound for
+  // long-lived many-dir services. The release closure is captured at
+  // insert time, when the concrete RDD is known.
+  private val cachedDf = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, String),
+    (org.apache.spark.sql.DataFrame, () => Unit)]()
 
   private[graft] def cacheOnce(s: SparkSession, d: String, name: String)(
       build: => org.apache.spark.sql.DataFrame)
@@ -53,13 +62,24 @@ object Insights {
     if (cachedDf.size >= maxCachedDfs && !cachedDf.contains((s, d, name)))
       cachedDf.synchronized {
         if (cachedDf.size >= maxCachedDfs) {
-          cachedDf.values.foreach(df =>
-            try df.unpersist(blocking = false)
-            catch { case _: Throwable => () })
+          cachedDf.values.foreach { case (_, release) =>
+            try release() catch { case _: Throwable => () }
+          }
           cachedDf.clear()
         }
       }
     cachedDf.getOrElseUpdate((s, d, name), {
+      // Cluster-deployment switch: localCheckpoint truncates lineage,
+      // so on a real multi-executor cluster an executor loss makes the
+      // flat memo unrecoverable mid-query. spark.graft.durableFixpoints
+      // keeps the lineage-bearing persist with 2x block replication —
+      // an executor loss is then served from the replica (or, worst
+      // case, recomputed from the intact lineage) instead of failing
+      // the query. The single-JVM harness keeps the flat layout: there
+      // is no executor to lose and the plan-string tax is real.
+      val durable =
+        try s.conf.get("spark.graft.durableFixpoints", "false").toBoolean
+        catch { case _: Throwable => false }
       // Materialize NOW, not at the first consumer's action: a lazily
       // persisted store carries estimate statistics until something
       // runs it, so the first consumer's join strategy (SMJ on the big
@@ -67,7 +87,10 @@ object Insights {
       // the measured small size) — plans must not depend on which
       // consumer planned first. Eager count() pins every consumer to
       // the measured-stats plan, which is also the bench's warm state.
-      val df = build.persist()
+      val df =
+        if (durable) build.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+        else build.persist()
       val n = df.count()
       // Right-size the cached layout from the MEASURED row count: a
       // fixpoint built under the session shuffle width caches at that
@@ -91,7 +114,7 @@ object Insights {
         s.conf.get("spark.sql.shuffle.partitions").toInt)
       val target = math.max(1L, math.min(sessW.toLong,
         (n + rowsPerCachedPartition - 1) / rowsPerCachedPartition)).toInt
-      if (n <= 2000000L && target < sessW) {
+      if (!durable && n <= 2000000L && target < sessW) {
         // Eager localCheckpoint, not a second persist: the memoized
         // frame becomes a FLAT LogicalRDD leaf. A persisted narrow
         // copy nests the wide InMemoryRelation inside the narrow one,
@@ -109,9 +132,16 @@ object Insights {
         // accessor).
         val narrow = df.coalesce(target).localCheckpoint()
         df.unpersist(blocking = false)
-        narrow
-      } else df
-    })
+        // Capture the checkpoint's backing RDD for the eviction sweep:
+        // the flat frame is a LogicalRDD leaf the CacheManager never
+        // tracked, so DataFrame.unpersist() cannot release its blocks —
+        // only the RDD handle can.
+        val ckptRdds = narrow.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        (narrow, () => ckptRdds.foreach(_.unpersist(blocking = false)))
+      } else (df, () => { df.unpersist(blocking = false); () })
+    })._1
   }
 
   /** Compute-parallelism proxy for cacheOnce's right-sizing: enough

@@ -472,14 +472,26 @@ object Series {
   /** Stationary distribution of the session Markov chain
     * (q_events_markov_pi): where does a user's journey SETTLE — the
     * long-run share of each event type under the q_events_markov
-    * transition matrix, via 8 unrolled power iterations from the
-    * uniform start (the q_graph_pagerank bounded-iteration
-    * discipline). The matrix is k×k for k event types, so every
-    * iteration is a grid-sized join; transition probabilities are
-    * exact count ratios and each iteration's mass snaps at 1e-10 (the
-    * pagerank float rule) so partial-aggregation order cannot leak
-    * into the settled vector. The oracle unrolls the identical 8
-    * iterations. */
+    * transition matrix, via 8 power iterations from the uniform
+    * start (the q_graph_pagerank bounded-iteration discipline). The
+    * state space is the event-TYPE domain — bounded at any corpus
+    * size — so after the one corpus-wide lag+count pass the 8 rounds
+    * run as array algebra over ONE collected row (dense k×k matrix),
+    * not 8 unrolled k-row join+agg stages. Two determinism notes on
+    * the dense form: (1) its inner products sum in FIXED ascending
+    * state-index order, while the oracle's sum() order is
+    * engine-dependent — both round every entry at 1e-10 each round,
+    * and it is that rounding (not any order guarantee) that makes the
+    * settled vectors bit-identical; (2) the oracle's iterated join
+    * DROPS a state whose inbound key chain dies — a next_type fed
+    * only by source-only prev types (types never appearing as
+    * next_type) exists in r1 but not r2..r8 — so the live key set
+    * keys_n (keys_0 = prev types; keys_n = next types with an
+    * in-edge from keys_{n-1}) is propagated through the same
+    * aggregate alongside pi, and only keys_8 is emitted. Dead states
+    * carry pi exactly 0.0 in the dense algebra (all their feeders'
+    * mass died a round earlier), so the VALUES need no masking —
+    * only the emitted row set does. */
   val qEventsMarkovPi = Q(
     "q_events_markov_pi",
     (sp, dir) => {
@@ -515,8 +527,8 @@ object Series {
       // (matching the join form's start vector); each round rounds
       // every entry at 1e-10 exactly like the join form and the
       // oracle, so the settled vector is bit-identical. Emitted rows
-      // mirror the join semantics: a type appears iff some edge feeds
-      // it.
+      // mirror the join semantics: only types whose key chain is
+      // still alive at round 8 (see the scaladoc).
       val one = pmat
         .select(struct(col("prev_type"), col("next_type"), col("p"))
           .as("e"))
@@ -529,31 +541,41 @@ object Series {
           "array_sort(array_distinct(transform(es, x -> x.prev_type)))"))
         .withColumn("k", size(col("ts")))
         .withColumn("pm", expr(
+          // get(), not [0]: a SPARSE matrix (some (i,j) has no edge)
+          // makes the filter result empty, and ANSI mode turns [0] on
+          // an empty array into a runtime error; get() yields NULL and
+          // the coalesce snaps it to the intended 0-probability cell.
           """transform(sequence(0, CAST(k AS BIGINT) * k - 1), ij ->
-               coalesce(filter(es, x ->
+               coalesce(get(filter(es, x ->
                    x.prev_type = ts[CAST(ij div k AS INT)] AND
-                   x.next_type = ts[CAST(ij % k AS INT)])[0].p,
+                   x.next_type = ts[CAST(ij % k AS INT)]), 0).p,
                  CAST(0 AS DOUBLE)))"""))
+      // State carried through the 8 rounds: (pi, live keys). keys_0 =
+      // prev types (the oracle's r0 states); each round the keys
+      // advance to next types fed from the previous live set — the
+      // oracle's join-key chain — while pi runs the dense product.
       val settled = one.select(col("ts"),
         expr(
           """aggregate(sequence(1, 8),
-               transform(ts, t -> CASE
-                 WHEN array_contains(prevs, t)
-                 THEN 1.0D / CAST(size(prevs) AS DOUBLE)
-                 ELSE CAST(0 AS DOUBLE) END),
-               (pi, r) -> transform(sequence(0, CAST(k AS BIGINT) - 1),
-                 j -> round(aggregate(sequence(0, CAST(k AS BIGINT) - 1),
-                   CAST(0 AS DOUBLE),
-                   (acc, i) -> acc + pi[CAST(i AS INT)] *
-                     pm[CAST(i * k + j AS INT)]), 10)))""").as("pi8"),
-        // a type is EMITTED iff some edge feeds it (the join form's
-        // groupBy key set)
-        expr("array_distinct(transform(es, x -> x.next_type))")
-          .as("receivers"))
+               named_struct(
+                 'pi', transform(ts, t -> CASE
+                   WHEN array_contains(prevs, t)
+                   THEN 1.0D / CAST(size(prevs) AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END),
+                 'ks', prevs),
+               (st, r) -> named_struct(
+                 'pi', transform(sequence(0, CAST(k AS BIGINT) - 1),
+                   j -> round(aggregate(sequence(0, CAST(k AS BIGINT) - 1),
+                     CAST(0 AS DOUBLE),
+                     (acc, i) -> acc + st.pi[CAST(i AS INT)] *
+                       pm[CAST(i * k + j AS INT)]), 10)),
+                 'ks', array_sort(array_distinct(transform(
+                   filter(es, x -> array_contains(st.ks, x.prev_type)),
+                   x -> x.next_type)))))""").as("st8"))
       settled
         .select(posexplode(col("ts")).as(Seq("i", "event_type")),
-          col("pi8"), col("receivers"))
-        .filter(expr("array_contains(receivers, event_type)"))
+          col("st8.pi").as("pi8"), col("st8.ks").as("live"))
+        .filter(expr("array_contains(live, event_type)"))
         .select(col("event_type"),
           round(expr("pi8[CAST(i AS INT)]"), 6).as("pi"))
         .orderBy(col("event_type"))

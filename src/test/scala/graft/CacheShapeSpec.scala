@@ -38,8 +38,29 @@ class CacheShapeSpec extends SparkSuite {
     val expect = math.max(1L, math.min(sessW.toLong,
       (n + 2047) / 2048)).toInt
     val got = und.rdd.getNumPartitions
-    assert(got == expect,
-      s"und: $n rows cached as $got partitions, expected $expect")
+    // <= not ==: cacheOnce narrows via coalesce, which can only merge —
+    // if AQE already built the frame below the formula's target the
+    // memo is legitimately narrower than the formula says.
+    assert(got >= 1 && got <= expect,
+      s"und: $n rows cached as $got partitions, expected 1..$expect")
+  }
+
+  test("durableFixpoints routes the memo through replicated persist") {
+    // Cluster switch: with spark.graft.durableFixpoints=true the memo
+    // must keep its lineage (no checkpoint truncation — an executor
+    // loss must be recomputable) and carry 2x block replication.
+    spark.conf.set("spark.graft.durableFixpoints", "true")
+    try {
+      val df = ops.Insights.cacheOnce(spark, sf0, "cacheshape_durable") {
+        spark.range(100).toDF("id")
+      }
+      assert(!df.queryExecution.analyzed.isInstanceOf[LogicalRDD],
+        "durable memo must keep lineage, not truncate to a checkpoint")
+      assert(df.storageLevel ===
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2,
+        s"durable memo persisted at ${df.storageLevel}")
+      assert(df.count() === 100L)
+    } finally spark.conf.unset("spark.graft.durableFixpoints")
   }
 
   test("plan strings over stacked fixpoints stay leaf-sized") {

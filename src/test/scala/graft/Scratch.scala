@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only phase probe: split one registered query's wall time into
   * build (DataFrame construction), analysis, optimization, physical
   * planning, and execution — the complement to JobProf's per-job view.
-  * Usage: `sbt "runMain graft.Scratch q_some_id"`. When execution time
+  * Usage: `sbt "Test/runMain graft.Scratch q_some_id"`. When execution time
   * dwarfs job time, sample the driver stack from a side thread (the
   * round-13 plan-string tax was found exactly that way). */
 object Scratch {

@@ -196,6 +196,33 @@ class SeriesSpec extends SparkSuite {
     // a proper distribution (mass within rounding of 1)
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
+  test("markov pi: a state fed only by source-only types is dropped") {
+    // The oracle's iterated join DROPS a state whose inbound key chain
+    // dies: B is fed ONLY by A, and A never appears as a next_type, so
+    // B exists in r1 but not r2..r8. The dense array-algebra form must
+    // propagate the live key set and emit only keys_8 — a naive
+    // "emit every receiver" form returns B with pi = 0.0 here.
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-01 00:00:01", 2L, "B"),
+      (1L, "2024-01-01 00:00:02", 3L, "C"),
+      (1L, "2024-01-01 00:00:03", 4L, "D"),
+      (1L, "2024-01-01 00:00:04", 5L, "C"),
+      (1L, "2024-01-01 00:00:05", 6L, "D"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val dir = fixtureDir("markov_sourceonly")("events" -> ev)
+    val got = q("q_events_markov_pi", dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("pi")).toMap
+    // chain: keys_0={A,B,C,D}, keys_1={B,C,D}, keys_2..8={C,D};
+    // settled mass alternates into the C<->D cycle at 0.5 each
+    assert(got.keySet === Set("C", "D"), s"emitted ${got.keySet}")
+    assert(math.abs(got("C") - 0.5) < 1e-9)
+    assert(math.abs(got("D") - 0.5) < 1e-9)
+  }
+
   test("hurst: R/S profile and slope match a scalar replay") {
     val got = q("q_ts_hurst").collect()
     val days = Tables.t(spark, sf0, "events")
