@@ -550,31 +550,37 @@ object Series {
                    x.prev_type = ts[CAST(ij div k AS INT)] AND
                    x.next_type = ts[CAST(ij % k AS INT)]), 0).p,
                  CAST(0 AS DOUBLE)))"""))
-      // State carried through the 8 rounds: (pi, live keys). keys_0 =
-      // prev types (the oracle's r0 states); each round the keys
-      // advance to next types fed from the previous live set — the
-      // oracle's join-key chain — while pi runs the dense product.
+      // The live key chain runs as its OWN 8-round aggregate next to
+      // the pi recursion, not as one struct-state aggregate: keys_0 =
+      // prev types (the oracle's r0 states), each round advancing to
+      // the next types fed from the previous live set — the oracle's
+      // join-key chain. (A combined named_struct state was 15x slower
+      // here: every GetStructField reference re-evaluates the whole
+      // 8-round aggregate under interpreted higher-order eval, and the
+      // optimizer multiplies the references through the explode+filter
+      // below. Two independent array-state aggregates stay at the old
+      // form's cost; the key recursion never reads pi, so splitting
+      // them changes nothing semantically.)
       val settled = one.select(col("ts"),
         expr(
           """aggregate(sequence(1, 8),
-               named_struct(
-                 'pi', transform(ts, t -> CASE
-                   WHEN array_contains(prevs, t)
-                   THEN 1.0D / CAST(size(prevs) AS DOUBLE)
-                   ELSE CAST(0 AS DOUBLE) END),
-                 'ks', prevs),
-               (st, r) -> named_struct(
-                 'pi', transform(sequence(0, CAST(k AS BIGINT) - 1),
-                   j -> round(aggregate(sequence(0, CAST(k AS BIGINT) - 1),
-                     CAST(0 AS DOUBLE),
-                     (acc, i) -> acc + st.pi[CAST(i AS INT)] *
-                       pm[CAST(i * k + j AS INT)]), 10)),
-                 'ks', array_sort(array_distinct(transform(
-                   filter(es, x -> array_contains(st.ks, x.prev_type)),
-                   x -> x.next_type)))))""").as("st8"))
+               transform(ts, t -> CASE
+                 WHEN array_contains(prevs, t)
+                 THEN 1.0D / CAST(size(prevs) AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END),
+               (pi, r) -> transform(sequence(0, CAST(k AS BIGINT) - 1),
+                 j -> round(aggregate(sequence(0, CAST(k AS BIGINT) - 1),
+                   CAST(0 AS DOUBLE),
+                   (acc, i) -> acc + pi[CAST(i AS INT)] *
+                     pm[CAST(i * k + j AS INT)]), 10)))""").as("pi8"),
+        expr(
+          """aggregate(sequence(1, 8), prevs,
+               (ks, r) -> array_sort(array_distinct(transform(
+                 filter(es, x -> array_contains(ks, x.prev_type)),
+                 x -> x.next_type))))""").as("live"))
       settled
         .select(posexplode(col("ts")).as(Seq("i", "event_type")),
-          col("st8.pi").as("pi8"), col("st8.ks").as("live"))
+          col("pi8"), col("live"))
         .filter(expr("array_contains(live, event_type)"))
         .select(col("event_type"),
           round(expr("pi8[CAST(i AS INT)]"), 6).as("pi"))

@@ -102,7 +102,7 @@ object StreamOps {
     * queries are unaffected (the width is restored once the drain
     * settles). */
   private def drain(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
+      mode: String, emitsOnFinalize: Boolean = true): DataFrame = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(StreamOps.drainWidth, saved.toInt).toString)
@@ -112,15 +112,23 @@ object StreamOps {
     // session for the walker to re-visit) — push it out of the way.
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
       "3600s")
-    // Complete-mode output is the FULL recomputed aggregate each
-    // micro-batch, so the trailing no-data batch AvailableNow appends
-    // for watermark finalization cannot change the settled table —
-    // skip it (≈100 ms/drain). Append/update drains keep it: their
-    // final windows/rows only EMIT when the no-data batch advances
-    // the watermark past the window end.
+    // The trailing no-data micro-batch AvailableNow appends for
+    // watermark finalization only matters when an operator EMITS on
+    // watermark advance; skip it (≈100-150 ms/drain) whenever the
+    // settled table provably cannot change:
+    //  - complete mode: every batch is the full recomputed aggregate;
+    //  - emit-on-arrival operators (the call site passes
+    //    emitsOnFinalize = false): dropDuplicates without timers,
+    //    *WithState with NoTimeout/TimeMode.None, stream-stream INNER
+    //    joins, update-mode aggs (rows emit when their value changes —
+    //    the no-data batch changes none, it only evicts state).
+    // Kept (emitsOnFinalize = true, the default) wherever finalization
+    // DOES emit: append-mode windowed aggs (final windows emit when
+    // the watermark passes the window end), OUTER joins (null-padded
+    // rows emit on watermark advance), timer-driven processors.
     val savedNoData =
       s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    if (mode == "complete")
+    if (mode == "complete" || !emitsOnFinalize)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         "false")
     try ephemeral(s) {
@@ -246,7 +254,8 @@ object StreamOps {
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n")),
-        "stream_watermark_tbl", "update")
+        "stream_watermark_tbl", "update",
+          emitsOnFinalize = false)
         .select(
           col("window.start").cast("timestamp_ntz").as("w_start"),
           col("n"))
@@ -267,7 +276,8 @@ object StreamOps {
         eventsStream(s, d)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type"),
-        "stream_dedup_tbl", "append")
+        "stream_dedup_tbl", "append",
+        emitsOnFinalize = false)
         .orderBy(col("user_id"), col("event_type")),
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""))
@@ -447,7 +457,8 @@ object StreamOps {
         .select(col("event_id"), unix_micros(col("ts").cast("timestamp"))
           .as("us"), expr("user_id % 2").as("rb"), col("event_type"))
         .as[(Long, Long, Long, String)]
-      drain(s, resetCounterLocal(src), "stream_reset_tbl", "append")
+      drain(s, resetCounterLocal(src), "stream_reset_tbl", "append",
+        emitsOnFinalize = false)
       stitchCarries(s, "stream_reset_tbl").orderBy(col("event_id"))
     },
     Some("""WITH t AS (
@@ -523,7 +534,8 @@ object StreamOps {
           .transformWithState(new RunningMaxProcessor,
             TimeMode.None(), OutputMode.Append())
         drain(s, local.toDF("event_type", "day", "event_id", "us", "l_max"),
-          "stream_tws_tbl", "append")
+          "stream_tws_tbl", "append",
+          emitsOnFinalize = false)
         s.sql(
           """WITH carries AS (
                SELECT event_type, day,
@@ -683,7 +695,8 @@ object StreamOps {
         clicks,
         expr("""e_user = c_user AND
                 c_ts >= e_ts - INTERVAL 1 HOUR AND c_ts <= e_ts"""))
-      drain(s, joined, "stream_join_tbl", "append")
+      drain(s, joined, "stream_join_tbl", "append",
+        emitsOnFinalize = false)
         .select(col("e_id"), col("c_id"), col("e_user").as("user_id"))
         .orderBy(col("e_id"), col("c_id"))
     },
@@ -1448,7 +1461,8 @@ object StreamOps {
         .select(col("user_id"), col("event_id"),
           expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
           col("value")).as[AnomIn]
-      drain(s, anomalyLocal(in), "stream_anomaly_tbl", "append")
+      drain(s, anomalyLocal(in), "stream_anomaly_tbl", "append",
+        emitsOnFinalize = false)
         .select(col("event_id"), col("user_id"), col("value"), col("z"))
         .orderBy(col("user_id"), col("event_id"))
     },
@@ -1631,7 +1645,8 @@ object StreamOps {
           .transformWithState(new TransitionProcessor,
             TimeMode.None(), OutputMode.Append())
         drain(s, trans.toDF("prev_type", "next_type"),
-          "stream_markov_tbl", "append")
+          "stream_markov_tbl", "append",
+          emitsOnFinalize = false)
           .groupBy(col("prev_type"), col("next_type"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("prev_type"), col("next_type"))
@@ -1786,7 +1801,8 @@ object StreamOps {
           .transformWithState(new VshapeProcessor,
             TimeMode.None(), OutputMode.Append())
         drain(s, hits.toDF("event_type", "us"),
-          "stream_vshape_tbl", "append")
+          "stream_vshape_tbl", "append",
+          emitsOnFinalize = false)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_vshapes"),
             expr("CAST(timestamp_micros(min(us)) AS TIMESTAMP_NTZ)")
@@ -2030,7 +2046,8 @@ object StreamOps {
           col("user_id"), col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("pc"))
         .as[(Long, Long, Long, String, Long)]
-      drain(s, lastTouchCredits(src), "stream_attr_tbl", "append")
+      drain(s, lastTouchCredits(src), "stream_attr_tbl", "append",
+        emitsOnFinalize = false)
       s.table("stream_attr_tbl")
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("pc")).as("cents"))
