@@ -19,6 +19,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // Same retention problem from the drain side: every streaming drain
+    // emits 3 WARN lines (AQE-disabled ×2 + temp-checkpoint notice) —
+    // ~300 lines over two sweeps, all expected behavior for finite
+    // memory-sink drains on temp checkpoints.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
     // doesn't absorb JIT cost (we measure the engine, not startup).
     spark.range(2000000L).selectExpr("sum(id)").collect()
@@ -35,14 +42,17 @@ object Bench {
     // itself, not whichever registry neighbor ran first and paid for
     // the shared build (r9: q_dedup_cluster_keep read 3.3 → 8.7 s from
     // registry-order accounting alone, with an unchanged plan).
+    val warmDigest = scala.collection.mutable.ArrayBuffer[String]()
     def warmLog(nm: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       try {
         f
         System.err.println(
           f"[bench] warmed $nm in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        warmDigest += f"$nm=${(System.nanoTime() - t0) / 1e9}%.1fs"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] warm $nm failed: ${e.getMessage}")
+        warmDigest += s"$nm=FAILED(${e.getMessage})"
       }
     }
     warmLog("dedup fixpoints")(ops.Dedup.warmShared(spark, sfDir))
@@ -178,6 +188,13 @@ object Bench {
     // non-headline query is visible in the driver's official record, not
     // only in bench_full.json. ~250 bytes; the line stays under ~1.2 KB.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
+    // Re-print the warm summary ADJACENT to the headline JSON: the
+    // driver retains only the last ~2 KB of output, and any future WARN
+    // source can scroll the per-step warm lines (printed minutes
+    // earlier) out of that window — a silent warm failure is a real
+    // 10-20 s accounting error and must stay visible in the official
+    // record whatever else logs in between.
+    System.err.println(s"[bench] warm-summary: ${warmDigest.mkString(" ")}")
     println(
       s"""{"metric":"total","value":${f3(total)},"n":${results.size},""" +
         s""""unit":"sec","passes":2,"prebuilt":${memo.size},""" +
