@@ -62,10 +62,23 @@ object Insights {
     if (cachedDf.size >= maxCachedDfs && !cachedDf.contains((s, d, name)))
       cachedDf.synchronized {
         if (cachedDf.size >= maxCachedDfs) {
-          cachedDf.values.foreach { case (_, release) =>
-            try release() catch { case _: Throwable => () }
+          // Evict OTHER (session, dir) working sets first: a released
+          // checkpoint entry has no lineage to recompute from, so a
+          // caller still holding its DataFrame would fail loudly on
+          // next use — and live holders (a bench memo, a suite's local
+          // vals) point at the CURRENT dir. Entries per dir are far
+          // below maxCachedDfs (~30 names), so dropping the cold dirs
+          // always gets under the bound; the clear-all fallback stays
+          // for safety.
+          val (keep, drop) = cachedDf.toSeq.partition {
+            case ((ks, kd, _), _) => ks == s && kd == d
           }
-          cachedDf.clear()
+          val victims = if (keep.size >= maxCachedDfs) cachedDf.toSeq
+            else drop
+          victims.foreach { case (key, (_, release)) =>
+            try release() catch { case _: Throwable => () }
+            cachedDf.remove(key)
+          }
         }
       }
     cachedDf.getOrElseUpdate((s, d, name), {

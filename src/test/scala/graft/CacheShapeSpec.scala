@@ -63,6 +63,38 @@ class CacheShapeSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.durableFixpoints")
   }
 
+  test("eviction releases cold-dir checkpoint blocks, keeps the hot dir") {
+    // Past maxCachedDfs the sweep must (a) actually free checkpoint
+    // blocks — DataFrame.unpersist is a no-op for LogicalRDD leaves,
+    // only the tracked RDD handle frees them — and (b) evict OTHER
+    // dirs first: a released checkpoint cannot recompute (no lineage),
+    // so live holders, which point at the current dir, must survive.
+    import org.apache.spark.sql.execution.{LogicalRDD => LR}
+    def rddId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case l: LR => l.rdd.id }.head
+    val cold = ops.Insights.cacheOnce(spark, "/cacheshape_evict_cold",
+      "probe") { spark.range(10).toDF("id") }
+    val coldId = rddId(cold)
+    assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
+      "checkpointed memo should be persisted before eviction")
+    // overflow the memo from many other fake dirs
+    (1 to 70).foreach { i =>
+      ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
+        spark.range(5).toDF("id")
+      }
+    }
+    // one more insert under a NEW current dir triggers the sweep and
+    // must keep ITS OWN dir; the cold dir's blocks must be gone
+    val hot = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
+      "probe") { spark.range(7).toDF("id") }
+    assert(!spark.sparkContext.getPersistentRDDs.contains(coldId),
+      "cold-dir checkpoint blocks must be released by the sweep")
+    assert(hot.count() === 7L)
+    val hot2 = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
+      "probe") { sys.error("must be served from the memo"); null }
+    assert(hot2.count() === 7L)
+  }
+
   test("plan strings over stacked fixpoints stay leaf-sized") {
     // the regression signature was a 100 KB executedPlan string for a
     // trivial consumer of the deepest fixpoint; a flat store keeps it
