@@ -117,6 +117,11 @@ object Bench {
     val memo = built.filterNot { case (n, _) => dirty.contains(n) }.toMap
     System.err.println(s"[bench] pre-built ${memo.size} pure-plan frames" +
       s" (${built.size - memo.size} job-running builders rebuild per pass)")
+    // name the rebuilt ids so the official record shows exactly which
+    // queries charge build-time data work in every pass
+    System.err.println("[bench] rebuilt-per-pass: " +
+      built.collect { case (n, _) if dirty.contains(n) => n }
+        .mkString(" "))
     // Two FULL sorted sweeps, each query charged the min of its two
     // passes. One pass was the r11-r13 protocol and it let a single
     // noisy host minute rewrite the slowest-10: the r13 driver record
