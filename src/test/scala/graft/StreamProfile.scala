@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
   * micro-batch durationMs breakdown from StreamingQueryProgress, so the
   * non-batch overhead (query start/stop, checkpoint setup, listing) is
   * separable from batch execution. Usage:
-  *   sbt "runMain graft.StreamProfile [n]" */
+  *   sbt "Test/runMain graft.StreamProfile [n]" */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(5)
@@ -24,7 +24,7 @@ object StreamProfile {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A/B any streaming conf without a rebuild:
-    //   SPARK_GRAFT_STREAM_CONF="k=v;k2=v2" sbt "runMain graft.StreamProfile"
+    //   SPARK_GRAFT_STREAM_CONF="k=v;k2=v2" sbt "Test/runMain graft.StreamProfile"
     sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(_.split(";")
       .filter(_.contains("=")).foreach { kv =>
         val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)

@@ -12,9 +12,9 @@ import org.apache.spark.sql.SparkSession
   * touch cost the bench pays once per unique plan).
   *
   * Two modes:
-  *  - `sbt "runMain graft.TinyProfile q_scan_csv q_fn_cond ..."` —
+  *  - `sbt "Test/runMain graft.TinyProfile q_scan_csv q_fn_cond ..."` —
   *    per-query phase breakdown (3 reps each).
-  *  - `SPARK_GRAFT_TINY_TIER=1 sbt "runMain graft.TinyProfile"` — time
+  *  - `SPARK_GRAFT_TINY_TIER=1 sbt "Test/runMain graft.TinyProfile"` — time
   *    the whole tiny tier (every bench_closing.json id < 0.3 s) once
   *    in bench order, total printed; combine with
   *    SPARK_GRAFT_TINY_CONF="k=v;k2=v2" to A/B a conf against the
