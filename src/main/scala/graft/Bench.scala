@@ -1,6 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Build each entry's DataFrame once and split the results into
+    * (pure-plan memo, job-running ids). An entry whose build launches
+    * ANY Spark job did real per-execution data work (an eager sink
+    * write, a driver-side fixpoint cut, a mixture-round collect) and
+    * must rebuild in every timing pass — memoizing it would serve a
+    * later pass a precomputed result. Attribution is exact: a local
+    * property names the id under construction and the listener marks
+    * whichever id a JobStart carries (Spark's thread pools inherit
+    * localProperties through its capture mechanism); the async bus
+    * gets a settle window before the memo is read. Entries that THROW
+    * at build are in neither set — callers rebuild them per pass.
+    * Tested in BenchClassifySpec. */
+  private[graft] def classifyBuilds(
+      spark: SparkSession,
+      entries: Seq[(String, () => org.apache.spark.sql.DataFrame)])
+      : (Map[String, org.apache.spark.sql.DataFrame], Set[String]) = {
+    val dirty = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val lsn = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = e.properties.getProperty("graft.bench.buildId")
+        if (id != null) dirty.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(lsn)
+    try {
+      val built = entries.flatMap { case (name, build) =>
+        spark.sparkContext.setLocalProperty("graft.bench.buildId", name)
+        val df = try build() catch { case _: Throwable => null }
+        spark.sparkContext.setLocalProperty("graft.bench.buildId", null)
+        Option(df).map(name -> _)
+      }
+      Thread.sleep(1000) // let the async listener bus drain JobStart events
+      import scala.jdk.CollectionConverters._
+      val dirtySet = dirty.asScala.toSet
+      (built.filterNot { case (n, _) => dirtySet(n) }.toMap, dirtySet)
+    } finally spark.sparkContext.removeSparkListener(lsn)
+  }
+
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,34 +135,18 @@ object Bench {
     // still creates a fresh Dataset/QueryExecution, so optimization,
     // physical planning, shuffles and every job re-run per pass;
     // nothing is served from a prior pass's execution.
-    val dirty = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val id = e.properties.getProperty("graft.bench.buildId")
-          if (id != null) dirty.add(id)
-        }
-      })
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val built = sortedQueries.flatMap { case (name, fn) =>
-      if (name.startsWith("q_stream_")) None
-      else {
-        spark.sparkContext.setLocalProperty("graft.bench.buildId", name)
-        val df = try fn(spark, sfDir) catch { case _: Throwable => null }
-        spark.sparkContext.setLocalProperty("graft.bench.buildId", null)
-        Option(df).map(name -> _)
-      }
-    }
-    Thread.sleep(1000) // let the async listener bus drain JobStart events
-    val memo = built.filterNot { case (n, _) => dirty.contains(n) }.toMap
+    val (memo, dirtyIds) = classifyBuilds(spark,
+      sortedQueries.collect {
+        case (name, fn) if !name.startsWith("q_stream_") =>
+          name -> (() => fn(spark, sfDir))
+      })
     System.err.println(s"[bench] pre-built ${memo.size} pure-plan frames" +
-      s" (${built.size - memo.size} job-running builders rebuild per pass)")
+      s" (${dirtyIds.size} job-running builders rebuild per pass)")
     // name the rebuilt ids so the official record shows exactly which
     // queries charge build-time data work in every pass
     System.err.println("[bench] rebuilt-per-pass: " +
-      built.collect { case (n, _) if dirty.contains(n) => n }
-        .mkString(" "))
+      dirtyIds.toSeq.sorted.mkString(" "))
     // Two FULL sorted sweeps, each query charged the min of its two
     // passes. One pass was the r11-r13 protocol and it let a single
     // noisy host minute rewrite the slowest-10: the r13 driver record
