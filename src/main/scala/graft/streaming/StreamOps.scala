@@ -126,9 +126,15 @@ object StreamOps {
     // DOES emit: append-mode windowed aggs (final windows emit when
     // the watermark passes the window end), OUTER joins (null-padded
     // rows emit on watermark advance), timer-driven processors.
+    // spark.graft.forceFinalize=true disables every skip — the A/B
+    // hatch StreamFinalizeSpec uses to PROVE, per query, that the
+    // settled table is identical with and without the no-data batch.
+    val forceFinalize =
+      try s.conf.get("spark.graft.forceFinalize", "false").toBoolean
+      catch { case _: Throwable => false }
     val savedNoData =
       s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    if (mode == "complete" || !emitsOnFinalize)
+    if ((mode == "complete" || !emitsOnFinalize) && !forceFinalize)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         "false")
     try ephemeral(s) {
