@@ -64,7 +64,9 @@ object TinyProfile {
       val tiny = entry.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, v) => v < 0.3 && !k.startsWith("q_stream") }
-        .map(_._1).toSeq.sorted
+        // bench_closing.json carries queries + pass1 + pass2 maps since
+        // the min-of-two protocol — dedupe or every id runs three times
+        .map(_._1).toSeq.distinct.sorted
         .filter(SparkEntry.queries.contains)
       val t0 = System.nanoTime()
       val c0 = compHist.getCount
