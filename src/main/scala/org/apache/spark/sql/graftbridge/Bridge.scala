@@ -18,4 +18,20 @@ object Bridge {
   /** The analyzed logical plan of a DataFrame (resolved attributes). */
   def analyzed(df: org.apache.spark.sql.Dataset[_]): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Block until the async listener bus has delivered every queued
+    * event to every queue. `LiveListenerBus.waitUntilEmpty` is
+    * `private[spark]`, so the deterministic drain lives here — the
+    * bench's build-classification honesty guard must not depend on a
+    * fixed sleep outlasting an arbitrary bus backlog. */
+  def flushListenerBus(s: org.apache.spark.sql.SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Post an event onto the async listener bus (test plumbing: lets a
+    * spec manufacture a multi-second bus backlog and prove the flush
+    * above is what keeps build classification deterministic). */
+  def postListenerEvent(
+      s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+    s.sparkContext.listenerBus.post(e)
 }
