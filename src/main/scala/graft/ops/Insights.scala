@@ -56,6 +56,20 @@ object Insights {
     (SparkSession, String, String),
     (org.apache.spark.sql.DataFrame, () => Unit)]()
 
+  // Release actions DEFERRED one eviction cycle (guarded by the sweep's
+  // cachedDf lock). Releasing a checkpointed victim's blocks at sweep
+  // time would unrecoverably fail a caller in another thread still
+  // mid-count on that DataFrame (a flat LogicalRDD has no lineage to
+  // recompute); parking the release until the NEXT sweep gives any
+  // in-flight holder a full eviction cycle — an entire other dir's
+  // working-set build — to drain. The map entry is still removed
+  // immediately, so no NEW reader can adopt a doomed frame. Residual
+  // (documented) assumption: a holder does not keep a victim's frame
+  // across two full eviction cycles; the realistic callers (bench memo,
+  // suite-local vals) hold within one dir's lifetime.
+  private val pendingRelease =
+    scala.collection.mutable.ArrayBuffer[() => Unit]()
+
   private[graft] def cacheOnce(s: SparkSession, d: String, name: String)(
       build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -75,8 +89,12 @@ object Insights {
           }
           val victims = if (keep.size >= maxCachedDfs) cachedDf.toSeq
             else drop
+          // first settle the PREVIOUS sweep's deferred releases — their
+          // grace period (one full cycle) is over
+          pendingRelease.foreach(r => try r() catch { case _: Throwable => () })
+          pendingRelease.clear()
           victims.foreach { case (key, (_, release)) =>
-            try release() catch { case _: Throwable => () }
+            pendingRelease += release
             cachedDf.remove(key)
           }
         }

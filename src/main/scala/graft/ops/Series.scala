@@ -481,8 +481,14 @@ object Series {
     * the dense form: (1) its inner products sum in FIXED ascending
     * state-index order, while the oracle's sum() order is
     * engine-dependent — both round every entry at 1e-10 each round,
-    * and it is that rounding (not any order guarantee) that makes the
-    * settled vectors bit-identical; (2) the oracle's iterated join
+    * and that rounding collapses order-dependent ULP noise in
+    * practice but is NOT a bit-identity proof: an ULP difference
+    * landing exactly on a rounding boundary survives the round and
+    * could compound across the 8 iterations into a 1e-6 divergence at
+    * the emit. Treat agreement as a residual tolerance backed by the
+    * driver gate at three SFs; if it ever trips, canonicalize the
+    * oracle's sum order (ORDER BY inside the sum's subquery) or
+    * compare with an epsilon; (2) the oracle's iterated join
     * DROPS a state whose inbound key chain dies — a next_type fed
     * only by source-only prev types (types never appearing as
     * next_type) exists in r1 but not r2..r8 — so the live key set

@@ -63,12 +63,15 @@ class CacheShapeSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.durableFixpoints")
   }
 
-  test("eviction releases cold-dir checkpoint blocks, keeps the hot dir") {
-    // Past maxCachedDfs the sweep must (a) actually free checkpoint
-    // blocks — DataFrame.unpersist is a no-op for LogicalRDD leaves,
-    // only the tracked RDD handle frees them — and (b) evict OTHER
-    // dirs first: a released checkpoint cannot recompute (no lineage),
-    // so live holders, which point at the current dir, must survive.
+  test("eviction defers block release one cycle, then frees cold dirs") {
+    // Past maxCachedDfs the sweep must (a) evict OTHER dirs first —
+    // live holders point at the current dir — and (b) free a victim's
+    // checkpoint blocks only after a GRACE CYCLE: a released flat
+    // LogicalRDD has no lineage to recompute, so a caller in another
+    // thread still mid-count on the victim would fail unrecoverably if
+    // the sweep released at eviction time. The entry leaves the memo
+    // immediately (no new reader adopts a doomed frame); the blocks
+    // survive until the NEXT sweep.
     import org.apache.spark.sql.execution.{LogicalRDD => LR}
     def rddId(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.collect { case l: LR => l.rdd.id }.head
@@ -77,18 +80,33 @@ class CacheShapeSpec extends SparkSuite {
     val coldId = rddId(cold)
     assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
       "checkpointed memo should be persisted before eviction")
-    // overflow the memo from many other fake dirs
+    // overflow the memo from many other fake dirs → sweep #1 evicts the
+    // cold dir's ENTRY and parks its block release in the grace queue
     (1 to 70).foreach { i =>
       ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
         spark.range(5).toDF("id")
       }
     }
-    // one more insert under a NEW current dir triggers the sweep and
-    // must keep ITS OWN dir; the cold dir's blocks must be gone
+    assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
+      "victim blocks must survive the evicting sweep (grace cycle)")
+    assert(cold.count() === 10L,
+      "an in-flight holder of the victim must still be able to run")
+    // a fresh request for the evicted key REBUILDS (entry is gone) —
+    // it must not resurrect the doomed frame
+    val rebuilt = ops.Insights.cacheOnce(spark, "/cacheshape_evict_cold",
+      "probe") { spark.range(10).toDF("id") }
+    assert(rddId(rebuilt) !== coldId, "evicted entry must rebuild fresh")
+    // overflow AGAIN → sweep #2 settles the deferred releases: the
+    // grace period is over and the blocks must actually free
+    (71 to 140).foreach { i =>
+      ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
+        spark.range(5).toDF("id")
+      }
+    }
+    assert(!spark.sparkContext.getPersistentRDDs.contains(coldId),
+      "cold-dir checkpoint blocks must be released on the NEXT sweep")
     val hot = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
       "probe") { spark.range(7).toDF("id") }
-    assert(!spark.sparkContext.getPersistentRDDs.contains(coldId),
-      "cold-dir checkpoint blocks must be released by the sweep")
     assert(hot.count() === 7L)
     val hot2 = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
       "probe") { sys.error("must be served from the memo"); null }
