@@ -127,10 +127,10 @@ object PlanDump {
       "schemes share one scan lineage; every candidate set is a band " +
       "equi-join (no CartesianProduct); count/recall rows assembled " +
       "from 1-row broadcast aggregates"),
-    "q_text_tfidf" -> ("tf-idf without the vocab broadcast: df and tf " +
-      "hash-partition on the term and join un-hinted (AQE may still " +
-      "broadcast when measured-small); no forced BroadcastExchange of " +
-      "a Heaps-law table"),
+    "q_text_tfidf" -> ("tf-idf in ONE corpus explode: df is a count " +
+      "window over the tf table (partition by token — the same " +
+      "hash distribution the old df join shuffled to), zero joins, " +
+      "no forced BroadcastExchange of a Heaps-law table"),
     "q_text_logprob" -> ("unigram logprob scoring: model join keyed " +
       "on the token, un-hinted; the only forced broadcast is the " +
       "1-row total"),

@@ -53,7 +53,17 @@ object TextOps {
     * so its join is left un-hinted: both sides hash-partition on token
     * (tf is already shuffled there), and AQE may still broadcast by
     * measured size when the vocab genuinely is small. Only the 1-row
-    * doc-count frame carries a hint. */
+    * doc-count frame carries a hint.
+    *
+    * ONE corpus explode: df derives from tf — a token's document
+    * frequency is exactly its (doc, token) row count — as a COUNT
+    * WINDOW over the vocabulary-sized tf table (partition by token),
+    * not a second exploded-stream aggregate + join. A separate df
+    * branch can't share tf's exchange: column pruning strips the tf
+    * value from the df side, the subtrees diverge, and ReusedExchange
+    * never fires — measured as two full explode passes. The window
+    * form is one explode, one (doc, token) shuffle, one token-bounded
+    * window shuffle, zero joins. */
   val qTextTfidf = Q(
     "q_text_tfidf",
     (s, d) => {
@@ -61,11 +71,10 @@ object TextOps {
         .select(col("doc_id"), explode(col("toks")).as("token"))
       val tf = t.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val df = t.groupBy(col("token"))
-        .agg(countDistinct(col("doc_id")).as("df"))
       val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf
-        .join(df, "token")
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("token"))))
         .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("n_docs") / col("df")), 6))
@@ -720,7 +729,19 @@ object TextOps {
     * integer divisions summed exactly, so the top-20 argmax has no
     * float on either engine; the phrase build is a per-DOC window
     * (doc-bounded, never corpus-wide) and the top-20 plans as
-    * TakeOrderedAndProject. */
+    * TakeOrderedAndProject.
+    *
+    * ONE phrase pass: the corpus-expensive pipeline (posexplode →
+    * per-doc window → collect_list aggregate) used to run TWICE —
+    * once under the word-stats branch and once under the distinct-
+    * phrase branch; column pruning made the subtrees diverge so
+    * exchange reuse never fired. Word degree/frequency are now COUNT/
+    * SUM windows over the exploded phrase-instance rows (partition by
+    * word — the same distribution the old join shuffled to), each
+    * instance's score is a (doc, grp) re-aggregate, and identical
+    * phrases collapse in a final phrase-level aggregate. Zero joins,
+    * zero repeated corpus passes; the oracle SQL keeps the two-branch
+    * spelling, which is value-identical. */
   val qTextKeyphrase = Q(
     "q_text_keyphrase",
     (s, d) => {
@@ -738,20 +759,22 @@ object TextOps {
           .as("phrase"),
           count(lit(1)).as("n_words"))
         .filter(col("n_words") <= 4)
-      val words = phr.select(col("phrase"), col("n_words"),
-        explode(split(col("phrase"), " ")).as("w"))
-      val wsc = words.groupBy(col("w"))
-        .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
-        .select(col("w"), expr("(1000000 * deg) div freq")
-          .as("wscore_micro"))
-      val dp = phr.groupBy(col("phrase"), col("n_words"))
-        .agg(count(lit(1)).as("n_occ"))
-      val sc = dp.select(col("phrase"),
+      // one row per word occurrence per phrase INSTANCE — the corpus
+      // totals (freq = instances containing w, deg = Σ their lengths)
+      // are windows over this table, no second phr pass
+      val wW = Window.partitionBy(col("w"))
+      val scoredWords = phr.select(col("doc_id"), col("grp"),
+          col("phrase"), col("n_words"),
           explode(split(col("phrase"), " ")).as("w"))
-        .join(wsc, "w")
-        .groupBy(col("phrase"))
+        .withColumn("deg", sum(col("n_words")).over(wW))
+        .withColumn("freq", count(lit(1)).over(wW))
+        .withColumn("wscore_micro", expr("(1000000 * deg) div freq"))
+      val inst = scoredWords
+        .groupBy(col("doc_id"), col("grp"), col("phrase"), col("n_words"))
         .agg(sum(col("wscore_micro")).as("score_micro"))
-      dp.join(sc, "phrase")
+      inst
+        .groupBy(col("phrase"), col("n_words"), col("score_micro"))
+        .agg(count(lit(1)).as("n_occ"))
         .select(col("phrase"), col("n_words"), col("n_occ"),
           col("score_micro"))
         .orderBy(col("score_micro").desc, col("phrase"))
