@@ -185,9 +185,11 @@ object PlanDump {
     "q_agg_kmv" -> ("KMV sketch build: per-source top-64 as a partial " +
       "WindowGroupLimit (map-side keeps 64 rows per source); the pair " +
       "stage joins only ≤128-row sketches"),
-    "q_agg_spearman" -> ("rank transform WITHOUT ranking rows: windows " +
-      "run over the ≤50-row per-(flag, grid-value) count tables, the " +
-      "fact joins the broadcast rank maps, one DECIMAL-sum aggregate"),
+    "q_agg_spearman" -> ("rank transform WITHOUT ranking rows — or " +
+      "re-scanning them: ONE fact aggregate to the literal-bounded " +
+      "(flag, qty, cent) count grid; both tie-aware rank transforms " +
+      "are RANGE windows on the grid and the Pearson sums are " +
+      "cnt-weighted DECIMAL aggregates of it (old form: 3 fact scans)"),
     "q_mix_doremi" -> ("DoReMi reweight: vocab²-sized cnt/tot model " +
       "tables join UN-hinted (AQE sizes them); only one-row-per-domain " +
       "vocab sizes and the 1-row normalizer broadcast"),

@@ -1270,13 +1270,18 @@ object Corpus {
         .groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("n"))
       val byW1 = Window.partitionBy(col("w1"))
-      val cont = cnt.groupBy(col("w2"))
-        .agg(count(lit(1)).as("n1p_dot"))
+      // continuation counts as a WINDOW over the same vocab-bounded
+      // distinct-bigram table the w1 windows already run on — the old
+      // separate cont aggregate + join-back re-ran the corpus explode
+      // (column pruning divorces the subtrees, so ReusedExchange never
+      // fires); only the 1-row global total still needs its own
+      // (pruned-to-nothing) pass, broadcast back
       val tot = cnt.agg(count(lit(1)).as("n1p_all"))
       val scored = cnt
         .withColumn("c1", sum(col("n")).over(byW1))
         .withColumn("n1p_w1", count(lit(1)).over(byW1))
-        .join(cont, "w2")
+        .withColumn("n1p_dot",
+          count(lit(1)).over(Window.partitionBy(col("w2"))))
         .crossJoin(broadcast(tot))
         .withColumn("p_kn", expr(knSql))
       scored

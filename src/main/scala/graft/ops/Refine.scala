@@ -117,31 +117,38 @@ object Refine {
     "q_agg_spearman",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val base = li(s, d).select(col("l_returnflag").as("rf"),
-        col("l_quantity").cast("long").as("x"),
-        floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
-      def rankTab(vcol: String): DataFrame = {
-        val w = Window.partitionBy(col("rf")).orderBy(col(vcol))
-        base.groupBy(col("rf"), col(vcol))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("below",
-            coalesce(sum(col("cnt")).over(
-              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("rf").as(s"${vcol}_rf"), col(vcol).as(s"${vcol}_v"),
-            (col("below") * 2 + col("cnt") + 1).as(s"r2_$vcol"))
+      // ONE fact scan: the (flag, quantity, cent) COUNT grid is
+      // literal-bounded (≤ 5·50·11 rows), and everything else — both
+      // tie-aware rank transforms AND the Pearson sufficient sums —
+      // is exact integer algebra over that grid. below_x (count of
+      // rows with a strictly smaller x in the flag) is a RANGE window
+      // (excludes ties by construction) over the grid, weighted by
+      // cnt; the old form scanned lineitem three times (grid-per-
+      // variable + the rank join-back) for identical values.
+      val grid = li(s, d).select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+        .groupBy(col("rf"), col("x"), col("y"))
+        .agg(count(lit(1)).as("cnt"))
+      def r2(vcol: String): org.apache.spark.sql.Column = {
+        val below = coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("rf")).orderBy(col(vcol))
+            .rangeBetween(Window.unboundedPreceding, -1)), lit(0L))
+        val ties = sum(col("cnt")).over(
+          Window.partitionBy(col("rf"), col(vcol)))
+        below * 2 + ties + 1
       }
-      base
-        .join(broadcast(rankTab("x")),
-          col("rf") === col("x_rf") && col("x") === col("x_v"))
-        .join(broadcast(rankTab("y")),
-          col("rf") === col("y_rf") && col("y") === col("y_v"))
+      val dec = "decimal(38,0)"
+      grid
+        .withColumn("r2_x", r2("x"))
+        .withColumn("r2_y", r2("y"))
         .groupBy(col("rf"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("r2_x").cast("decimal(38,0)")).as("sx"),
-          sum(col("r2_y").cast("decimal(38,0)")).as("sy"),
-          sum((col("r2_x") * col("r2_x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("r2_y") * col("r2_y")).cast("decimal(38,0)")).as("syy"),
-          sum((col("r2_x") * col("r2_y")).cast("decimal(38,0)")).as("sxy"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("r2_x").cast(dec) * col("cnt")).as("sx"),
+          sum(col("r2_y").cast(dec) * col("cnt")).as("sy"),
+          sum(col("r2_x").cast(dec) * col("r2_x") * col("cnt")).as("sxx"),
+          sum(col("r2_y").cast(dec) * col("r2_y") * col("cnt")).as("syy"),
+          sum(col("r2_x").cast(dec) * col("r2_y") * col("cnt")).as("sxy"))
         .select(col("rf").as("l_returnflag"), col("n"),
           round((col("n").cast("double") * col("sxy").cast("double") -
               col("sx").cast("double") * col("sy").cast("double")) /
@@ -1471,32 +1478,57 @@ object Refine {
   /** Weighted median (q_agg_weighted_median): the quantity-weighted
     * median unit price per return flag — the weighted order statistic
     * built-in aggregates don't offer. Computed on the per-(flag,
-    * dollar) WEIGHT-SUM table: the cumulative window runs over the
-    * bounded dollar grid (the KS/heaps window discipline — ~1e5 rows
-    * per flag at any corpus size, never the fact table), and the pick
-    * rule is pure integer comparison (2·cum ≥ total — no total/2
-    * float, no rounding divergence). One fact-table aggregate + one
-    * grid window + one 3-row rollup. */
+    * dollar) WEIGHT-SUM table with a TWO-LEVEL cumulative: a ~110-row
+    * 1000-dollar cell census locates the median's cell (bounded
+    * window), then the exact prefix sum re-runs over only that cell's
+    * ≤1000 grid rows — never a ~1e5-row-per-flag serial window sort.
+    * The pick rule is pure integer comparison (2·cum ≥ total — no
+    * total/2 float, no rounding divergence). One fact-table
+    * aggregate + bounded windows + one 3-row rollup. */
   val qAggWeightedMedian = Q(
     "q_agg_weighted_median",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // Two-level cumulative (the q_agg_equidepth census discipline):
+      // the old form ran the per-flag prefix sum directly over the
+      // ~1e5-row-per-flag dollar grid — a 3-5-task window whose sort
+      // is a fact-sized serial bottleneck at scale. Level 1 rolls the
+      // grid to ~110 1000-dollar CELLS per flag, prefix-sums those
+      // (bounded window), and locates the single cell containing the
+      // weighted median; level 2 re-runs the exact cumulative over
+      // ONLY that cell's ≤1000 grid rows, offset by the cell prefix.
+      // Pure integer comparisons throughout — values identical to the
+      // one-window oracle shape.
       val grid = li(s, d)
         .select(col("l_returnflag").as("rf"),
           floor(col("l_extendedprice") + 0.5).cast("long").as("dollars"),
           col("l_quantity").cast("long").as("w"))
         .groupBy(col("rf"), col("dollars"))
         .agg(sum(col("w")).as("wsum"))
-      val win = Window.partitionBy(col("rf")).orderBy(col("dollars"))
-      // per-flag total as a second frame over the SAME partition (the
-      // oracle's shape) — not a groupBy+join that re-aggregates the
-      // fact a second time
-      grid
-        .withColumn("cum", sum(col("wsum")).over(
-          win.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("total", sum(col("wsum")).over(
+        .withColumn("cell", (col("dollars") / 1000L).cast("long"))
+      val cells = grid.groupBy(col("rf"), col("cell"))
+        .agg(sum(col("wsum")).as("cw"))
+        .withColumn("off",
+          sum(col("cw")).over(Window.partitionBy(col("rf"))
+            .orderBy(col("cell"))
+            .rowsBetween(Window.unboundedPreceding, 0)) - col("cw"))
+        .withColumn("total", sum(col("cw")).over(
           Window.partitionBy(col("rf")).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing)))
+      val targetCell = cells
+        .filter((col("off") + col("cw")) * 2 >= col("total"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("rf")).orderBy(col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("rf").as("trf"), col("cell").as("tcell"),
+          col("off"), col("total"))
+      grid
+        .join(broadcast(targetCell),
+          col("rf") === col("trf") && col("cell") === col("tcell"))
+        .withColumn("cum", col("off") +
+          sum(col("wsum")).over(Window.partitionBy(col("rf"))
+            .orderBy(col("dollars"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy(col("rf"))
         .agg(min(col("dollars")).as("wmedian_dollars"),
