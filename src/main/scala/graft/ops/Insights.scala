@@ -430,20 +430,26 @@ object Insights {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      val stats = tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
-        .filter(col("df") >= 10)
+      // df/tf_total share the posting cap's per-term WINDOW (same
+      // partitioning + ordering, unbounded frame → one sort, one
+      // Window exec) instead of a second aggregate joined back — the
+      // stats must be computed BEFORE the rn<=16 cut, which windows
+      // give for free
       val rn = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-      val capped = tf
+      val full = rn.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      tf
         .withColumn("rn", row_number().over(rn))
-        .filter(col("rn") <= 16)
+        .withColumn("df", count(lit(1)).over(full))
+        .withColumn("tf_total", sum(col("tf")).over(full))
+        .filter(col("rn") <= 16 && col("df") >= 10)
         .groupBy(col("term"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("doc_id"),
-            col("tf")))),
-            x => concat(x.getField("doc_id"), lit(":"), x.getField("tf"))),
-          ",").as("postings"))
-      stats.join(capped, "term")
+        .agg(max(col("df")).as("df"), max(col("tf_total")).as("tf_total"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"),
+              col("tf")))),
+              x => concat(x.getField("doc_id"), lit(":"), x.getField("tf"))),
+            ",").as("postings"))
         .select(col("term"), col("df"), col("tf_total"), col("postings"))
         .orderBy(col("term"))
     },
