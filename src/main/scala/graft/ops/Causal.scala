@@ -451,16 +451,22 @@ object Causal {
         expr("""CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),
              16, 10) AS BIGINT)""").as("hsh"),
         col("event_id"))
+      // The hash-cyclic derangement (row i takes row (i mod n)+1's
+      // values) IS "next row in rank order, wrapping the last to the
+      // first" — lead(1) with a first_value patch over ONE ordered
+      // window, instead of materializing the ranked table twice and
+      // equi-joining on rn%nn+1 (column pruning split the two copies,
+      // so the global sort ran twice and fed a shuffle join).
+      val wOrd = Window.orderBy(col("hsh"), col("event_id"))
+      val wFull = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      val ranked = base
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("hsh"), col("event_id"))).cast("long"))
-        .withColumn("nn", count(lit(1)).over(wAll))
-      val donor = ranked.select(col("rn").as("drn"),
-        col("x1").as("x1p"), col("x2").as("x2p"))
-      val joined = ranked
-        .join(donor, expr("rn % nn + 1") === col("drn"))
+      val joined = base
+        .withColumn("x1p", coalesce(lead(col("x1"), 1).over(wOrd),
+          first(col("x1")).over(wFull)))
+        .withColumn("x2p", coalesce(lead(col("x2"), 1).over(wOrd),
+          first(col("x2")).over(wFull)))
         .crossJoin(broadcast(logregWeights(s, d)))
       val scored = joined.selectExpr("y",
         """stack(3,
