@@ -34,13 +34,17 @@ class ScanCensusSpec extends SparkSuite {
     java.nio.file.Paths.get("src/test/resources/scan_census.tsv")
 
   test("fact-table scan counts stay within the checked-in allowlist") {
+    // MUST mirror Bench's warmShared list exactly — a missing tier
+    // (Pipeline was absent until r15) makes its consumers' counts
+    // depend on whether an earlier suite happened to warm (or evict)
+    // the shared memo, flipping the census run-to-run.
     Seq[(SparkSession, String) => Unit](
       ops.Dedup.warmShared, ops.Insights.warmShared,
       ops.GraphScores.warmShared, ops.Series.warmShared,
       ops.Vector.warmShared, ops.Causal.warmShared,
       ops.Corpus.warmShared, ops.Doremi.warmShared,
       ops.TextOps.warmShared, ops.Learn.warmShared,
-      ops.Multimodal.warmShared)
+      ops.Pipeline.warmShared, ops.Multimodal.warmShared)
       .foreach(w => try w(spark, sf0) catch { case _: Throwable => () })
 
     val got = ScanCensus.census(spark, sf0)
