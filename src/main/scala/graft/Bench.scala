@@ -36,9 +36,20 @@ object Bench {
         spark.sparkContext.setLocalProperty("graft.bench.buildId", null)
         Option(df).map(name -> _)
       }
-      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
+      val drained =
+        org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark)
       import scala.jdk.CollectionConverters._
-      val dirtySet = dirty.asScala.toSet
+      // fail SAFE on a wedged bus: without a completed drain the memo
+      // would adopt builds whose JobStart is still queued — classify
+      // everything dirty (rebuild per pass: slower, never dishonest)
+      val dirtySet =
+        if (drained) dirty.asScala.toSet
+        else {
+          System.err.println(
+            "[bench] listener bus failed to drain in 60 s — " +
+              "degrading: every build rebuilds per pass")
+          built.map(_._1).toSet
+        }
       (built.filterNot { case (n, _) => dirtySet(n) }.toMap, dirtySet)
     } finally spark.sparkContext.removeSparkListener(lsn)
   }
@@ -50,7 +61,12 @@ object Bench {
     * and pays the whole pipeline. A query that THROWS is still charged
     * its wall time but its id lands in the error set — the official
     * record must show a build regression as red, not as a fast query
-    * (r14 judge finding #1). Tested in BenchClassifySpec. */
+    * (r14 judge finding #1) — and the headline additionally reports
+    * `valueOk` (total over non-errored ids only), so a FAST failure
+    * (throws in ~10 ms of planning) cannot deflate the comparable
+    * total. Fatal errors (OOM) propagate and kill the run: a sweep
+    * that kept going after an OOM would report times from a poisoned
+    * JVM. Tested in BenchClassifySpec. */
   private[graft] def sweep(
       spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) =>
@@ -65,7 +81,7 @@ object Bench {
           case Some(p) => p.run()
           case None    => fn(spark, sfDir).count()
         }
-      } catch { case _: Throwable => errs += name }
+      } catch { case scala.util.control.NonFatal(_) => errs += name }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     (times, errs.toSet)
@@ -223,6 +239,13 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over CLEAN ids only: an errored id keeps its charged wall
+    // time in `value` (round-to-round comparability) but a fast
+    // failure must not read as a fast query in the comparable number
+    val errorSet = errorIds.toSet
+    val totalOk = results.collect {
+      case (n, t) if !errorSet(n) => t
+    }.sum
     // Full per-query timings go to a side file; the stdout line carries a
     // fixed headline subset so the WHOLE JSON line fits inside the last
     // ~2 KB of output that the driver's log capture retains (a 167-entry
@@ -230,7 +253,8 @@ object Bench {
     val errJson = errorIds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"n":${results.size},""" +
-        s""""unit":"sec","errors":${errorIds.size},"errorIds":$errJson,""" +
+        s""""unit":"sec","valueOk":${f3(totalOk)},""" +
+        s""""errors":${errorIds.size},"errorIds":$errJson,""" +
         s""""queries":${jsonMap(results.toSeq.sortBy(_._1))},""" +
         s""""pass1":${jsonMap(pass1.toSeq.sortBy(_._1))},""" +
         s""""pass2":${jsonMap(pass2.toSeq.sortBy(_._1))},""" +
@@ -277,7 +301,8 @@ object Bench {
     // comparable round-to-round).
     println(
       s"""{"metric":"total","value":${f3(total)},"n":${results.size},""" +
-        s""""unit":"sec","passes":2,"prepared":${prepared.size},""" +
+        s""""unit":"sec","valueOk":${f3(totalOk)},""" +
+        s""""passes":2,"prepared":${prepared.size},""" +
         s""""errors":${errorIds.size},"errorIds":$errJson,""" +
         s""""queries":${jsonMap(head)},""" +
         s""""slowest":${jsonMap(slowest)},"sf":"$sfDir"}""")

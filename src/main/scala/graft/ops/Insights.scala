@@ -56,19 +56,71 @@ object Insights {
     (SparkSession, String, String),
     (org.apache.spark.sql.DataFrame, () => Unit)]()
 
-  // Release actions DEFERRED one eviction cycle (guarded by the sweep's
-  // cachedDf lock). Releasing a checkpointed victim's blocks at sweep
-  // time would unrecoverably fail a caller in another thread still
-  // mid-count on that DataFrame (a flat LogicalRDD has no lineage to
-  // recompute); parking the release until the NEXT sweep gives any
-  // in-flight holder a full eviction cycle — an entire other dir's
-  // working-set build — to drain. The map entry is still removed
-  // immediately, so no NEW reader can adopt a doomed frame. Residual
-  // (documented) assumption: a holder does not keep a victim's frame
-  // across two full eviction cycles; the realistic callers (bench memo,
-  // suite-local vals) hold within one dir's lifetime.
+  // Release actions DEFERRED on a WALL-CLOCK grace floor. Releasing a
+  // checkpointed victim's blocks at sweep time would unrecoverably
+  // fail a caller in another thread still mid-count on that DataFrame
+  // (a flat LogicalRDD has no lineage to recompute), so each victim's
+  // release parks with a deadline = eviction + grace
+  // (spark.graft.evictionGraceMs, default 60 s) and settles when it is
+  // DUE — via a daemon timer, so blocks free even if no further sweep
+  // ever runs — never merely "on the next sweep": two overflows in
+  // quick succession used to shrink the grace to near zero, and a
+  // session with no second overflow used to leak the blocks forever.
+  // The map entry is still removed immediately, so no NEW reader can
+  // adopt a doomed frame. Extra loudness guard: while ANY cacheOnce
+  // build is in flight (stacked fixpoints consume inner fixpoints
+  // mid-build), due releases are re-parked rather than risk yanking a
+  // frame the build is reading. Residual (documented) contract: an
+  // OUTSIDE holder must finish using a victim frame within the grace
+  // floor of its eviction; each release logs the freed RDD ids so a
+  // violation diagnoses from the log instead of failing latently.
   private val pendingRelease =
-    scala.collection.mutable.ArrayBuffer[() => Unit]()
+    scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], () => Unit)]()
+  private val inFlightBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private lazy val releaseTimer =
+    new java.util.Timer("graft-evict-release", true)
+
+  /** Run every PAST-DUE parked release (skipping — re-parking — all of
+    * them while a cacheOnce build is in flight). Called by the daemon
+    * timer at each parked deadline and opportunistically by the
+    * eviction sweep. */
+  private def settleDueReleases(): Unit = cachedDf.synchronized {
+    val now = System.currentTimeMillis()
+    if (inFlightBuilds.get() > 0) {
+      // a build may be consuming a victim (nested fixpoints) — push
+      // every due deadline out by a beat and let the timer retry
+      val parked = pendingRelease.map { case (dl, ids, r) =>
+        (math.max(dl, now + 1000L), ids, r)
+      }
+      pendingRelease.clear(); pendingRelease ++= parked
+      releaseTimer.schedule(
+        new java.util.TimerTask { def run(): Unit = settleDueReleases() },
+        1100L)
+    } else {
+      val (due, waiting) = pendingRelease.partition(_._1 <= now)
+      pendingRelease.clear(); pendingRelease ++= waiting
+      due.foreach { case (_, ids, r) =>
+        try {
+          r()
+          if (ids.nonEmpty) System.err.println(
+            s"[graft] released evicted fixpoint blocks rdd=" +
+              ids.mkString(","))
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  private def parkRelease(
+      s: SparkSession, ids: Seq[Int], release: () => Unit): Unit = {
+    val graceMs =
+      try s.conf.get("spark.graft.evictionGraceMs", "60000").toLong
+      catch { case _: Throwable => 60000L }
+    pendingRelease += ((System.currentTimeMillis() + graceMs, ids, release))
+    releaseTimer.schedule(
+      new java.util.TimerTask { def run(): Unit = settleDueReleases() },
+      graceMs + 50L)
+  }
 
   private[graft] def cacheOnce(s: SparkSession, d: String, name: String)(
       build: => org.apache.spark.sql.DataFrame)
@@ -89,17 +141,33 @@ object Insights {
           }
           val victims = if (keep.size >= maxCachedDfs) cachedDf.toSeq
             else drop
-          // first settle the PREVIOUS sweep's deferred releases — their
-          // grace period (one full cycle) is over
-          pendingRelease.foreach(r => try r() catch { case _: Throwable => () })
-          pendingRelease.clear()
-          victims.foreach { case (key, (_, release)) =>
-            pendingRelease += release
+          // opportunistically settle whatever is already PAST DUE
+          // (never early: the grace floor is wall-clock, so a second
+          // overflow moments after the first frees nothing)
+          settleDueReleases()
+          victims.foreach { case (key, (vdf, release)) =>
+            val ids = vdf.queryExecution.analyzed.collect {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+            }
+            parkRelease(s, ids, release)
             cachedDf.remove(key)
           }
         }
       }
     cachedDf.getOrElseUpdate((s, d, name), {
+      inFlightBuilds.incrementAndGet()
+      try buildEntry(s, build)
+      finally inFlightBuilds.decrementAndGet()
+    })._1
+  }
+
+  /** The cacheOnce build body (persist → measure → right-size →
+    * maybe-checkpoint), factored out so the in-flight counter wraps it
+    * without indenting 60 lines. */
+  private def buildEntry(s: SparkSession,
+      build: => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    locally {
       // Cluster-deployment switch: localCheckpoint truncates lineage,
       // so on a real multi-executor cluster an executor loss makes the
       // flat memo unrecoverable mid-query. spark.graft.durableFixpoints
@@ -172,7 +240,7 @@ object Insights {
         }
         (narrow, () => ckptRdds.foreach(_.unpersist(blocking = false)))
       } else (df, () => { df.unpersist(blocking = false); () })
-    })._1
+    }
   }
 
   /** Compute-parallelism proxy for cacheOnce's right-sizing: enough

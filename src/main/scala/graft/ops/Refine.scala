@@ -1505,7 +1505,10 @@ object Refine {
           col("l_quantity").cast("long").as("w"))
         .groupBy(col("rf"), col("dollars"))
         .agg(sum(col("w")).as("wsum"))
-        .withColumn("cell", (col("dollars") / 1000L).cast("long"))
+        // integer div, not double-divide-and-cast: the cell key must
+        // agree exactly with the level-2 join at ANY dollar magnitude,
+        // not just magnitudes where the double quotient is exact
+        .withColumn("cell", expr("dollars div 1000"))
       val cells = grid.groupBy(col("rf"), col("cell"))
         .agg(sum(col("wsum")).as("cw"))
         .withColumn("off",

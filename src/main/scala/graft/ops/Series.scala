@@ -479,16 +479,13 @@ object Series {
     * run as array algebra over ONE collected row (dense k×k matrix),
     * not 8 unrolled k-row join+agg stages. Two determinism notes on
     * the dense form: (1) its inner products sum in FIXED ascending
-    * state-index order, while the oracle's sum() order is
-    * engine-dependent — both round every entry at 1e-10 each round,
-    * and that rounding collapses order-dependent ULP noise in
-    * practice but is NOT a bit-identity proof: an ULP difference
-    * landing exactly on a rounding boundary survives the round and
-    * could compound across the 8 iterations into a 1e-6 divergence at
-    * the emit. Treat agreement as a residual tolerance backed by the
-    * driver gate at three SFs; if it ever trips, canonicalize the
-    * oracle's sum order (ORDER BY inside the sum's subquery) or
-    * compare with an epsilon; (2) the oracle's iterated join
+    * state-index order, and the oracle's per-round sum is pinned to
+    * the SAME order (`sum(... ORDER BY st)` — an ordered aggregate,
+    * st ascending = the dense form's ascending state index), so with
+    * both engines rounding every entry at 1e-10 each round the
+    * settled vector is bit-identical by construction, not merely a
+    * tolerance (the unordered-sum caveat this doc used to carry is
+    * retired); (2) the oracle's iterated join
     * DROPS a state whose inbound key chain dies — a next_type fed
     * only by source-only prev types (types never appearing as
     * next_type) exists in r1 but not r2..r8 — so the live key set
@@ -595,7 +592,8 @@ object Series {
     Some {
       val iters = (1 to 8).map { i =>
         s"""r$i AS (
-              SELECT next_type AS st, round(sum(r${i - 1}.pi * p.p), 10)
+              SELECT next_type AS st,
+                round(sum(r${i - 1}.pi * p.p ORDER BY r${i - 1}.st), 10)
                 AS pi
               FROM r${i - 1} JOIN p ON r${i - 1}.st = p.prev_type
               GROUP BY next_type)"""

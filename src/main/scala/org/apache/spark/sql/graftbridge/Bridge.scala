@@ -20,12 +20,18 @@ object Bridge {
     df.queryExecution.analyzed
 
   /** Block until the async listener bus has delivered every queued
-    * event to every queue. `LiveListenerBus.waitUntilEmpty` is
-    * `private[spark]`, so the deterministic drain lives here — the
-    * bench's build-classification honesty guard must not depend on a
-    * fixed sleep outlasting an arbitrary bus backlog. */
-  def flushListenerBus(s: org.apache.spark.sql.SparkSession): Unit =
-    s.sparkContext.listenerBus.waitUntilEmpty()
+    * event to every queue; returns whether the drain COMPLETED.
+    * `LiveListenerBus.waitUntilEmpty` is `private[spark]`, so the
+    * deterministic drain lives here — the bench's build-classification
+    * honesty guard must not depend on a fixed sleep outlasting an
+    * arbitrary bus backlog. A generous explicit timeout (60 s, vs
+    * Spark's internal ~10 s no-arg default) bounds a genuinely wedged
+    * bus, and the `false` return lets the caller DEGRADE (treat every
+    * build as dirty → rebuild per pass, still-honest timings) instead
+    * of aborting the whole run on a TimeoutException. */
+  def flushListenerBus(s: org.apache.spark.sql.SparkSession): Boolean =
+    try { s.sparkContext.listenerBus.waitUntilEmpty(60000L); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 
   /** Post an event onto the async listener bus (test plumbing: lets a
     * spec manufacture a multi-second bus backlog and prove the flush

@@ -63,54 +63,79 @@ class CacheShapeSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.durableFixpoints")
   }
 
-  test("eviction defers block release one cycle, then frees cold dirs") {
+  test("eviction frees victims on a wall-clock grace floor, not sweeps") {
     // Past maxCachedDfs the sweep must (a) evict OTHER dirs first —
     // live holders point at the current dir — and (b) free a victim's
-    // checkpoint blocks only after a GRACE CYCLE: a released flat
-    // LogicalRDD has no lineage to recompute, so a caller in another
-    // thread still mid-count on the victim would fail unrecoverably if
-    // the sweep released at eviction time. The entry leaves the memo
-    // immediately (no new reader adopts a doomed frame); the blocks
-    // survive until the NEXT sweep.
+    // checkpoint blocks only after the GRACE FLOOR
+    // (spark.graft.evictionGraceMs) of wall-clock has passed: a
+    // released flat LogicalRDD has no lineage to recompute, so a
+    // caller in another thread still mid-count on the victim would
+    // fail unrecoverably if the sweep released at eviction time. Two
+    // failure modes of the old sweep-count deferral are pinned here:
+    // a SECOND overflow moments after the first must NOT shrink the
+    // grace to zero, and the blocks must free EVENTUALLY (daemon
+    // timer) even if no further sweep ever runs.
     import org.apache.spark.sql.execution.{LogicalRDD => LR}
     def rddId(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.collect { case l: LR => l.rdd.id }.head
-    val cold = ops.Insights.cacheOnce(spark, "/cacheshape_evict_cold",
-      "probe") { spark.range(10).toDF("id") }
-    val coldId = rddId(cold)
-    assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
-      "checkpointed memo should be persisted before eviction")
-    // overflow the memo from many other fake dirs → sweep #1 evicts the
-    // cold dir's ENTRY and parks its block release in the grace queue
-    (1 to 70).foreach { i =>
-      ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
-        spark.range(5).toDF("id")
+    spark.conf.set("spark.graft.evictionGraceMs", "60000")
+    try {
+      val cold = ops.Insights.cacheOnce(spark, "/cacheshape_evict_cold",
+        "probe") { spark.range(10).toDF("id") }
+      val coldId = rddId(cold)
+      assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
+        "checkpointed memo should be persisted before eviction")
+      // overflow the memo from many other fake dirs → sweep #1 evicts
+      // the cold dir's ENTRY and parks its release on the grace floor
+      (1 to 70).foreach { i =>
+        ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
+          spark.range(5).toDF("id")
+        }
       }
-    }
-    assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
-      "victim blocks must survive the evicting sweep (grace cycle)")
-    assert(cold.count() === 10L,
-      "an in-flight holder of the victim must still be able to run")
-    // a fresh request for the evicted key REBUILDS (entry is gone) —
-    // it must not resurrect the doomed frame
-    val rebuilt = ops.Insights.cacheOnce(spark, "/cacheshape_evict_cold",
-      "probe") { spark.range(10).toDF("id") }
-    assert(rddId(rebuilt) !== coldId, "evicted entry must rebuild fresh")
-    // overflow AGAIN → sweep #2 settles the deferred releases: the
-    // grace period is over and the blocks must actually free
-    (71 to 140).foreach { i =>
-      ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
-        spark.range(5).toDF("id")
+      assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
+        "victim blocks must survive the evicting sweep (grace floor)")
+      assert(cold.count() === 10L,
+        "an in-flight holder of the victim must still be able to run")
+      // a fresh request for the evicted key REBUILDS (entry is gone) —
+      // it must not resurrect the doomed frame
+      val rebuilt = ops.Insights.cacheOnce(spark, "/cacheshape_evict_cold",
+        "probe") { spark.range(10).toDF("id") }
+      assert(rddId(rebuilt) !== coldId, "evicted entry must rebuild fresh")
+      // overflow AGAIN immediately → the quick-succession sweep must
+      // NOT free the victim: its 60 s grace floor has not passed
+      // (the old sweep-count rule freed it here — near-zero grace)
+      (71 to 140).foreach { i =>
+        ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
+          spark.range(5).toDF("id")
+        }
       }
-    }
-    assert(!spark.sparkContext.getPersistentRDDs.contains(coldId),
-      "cold-dir checkpoint blocks must be released on the NEXT sweep")
-    val hot = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
-      "probe") { spark.range(7).toDF("id") }
-    assert(hot.count() === 7L)
-    val hot2 = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
-      "probe") { sys.error("must be served from the memo"); null }
-    assert(hot2.count() === 7L)
+      assert(spark.sparkContext.getPersistentRDDs.contains(coldId),
+        "a quick second overflow must not shrink the grace floor")
+      assert(cold.count() === 10L)
+      // now a victim parked under a SHORT floor must free by TIMER —
+      // zero further cacheOnce traffic after its eviction
+      spark.conf.set("spark.graft.evictionGraceMs", "200")
+      val brief = ops.Insights.cacheOnce(spark, "/cacheshape_evict_brief",
+        "probe") { spark.range(9).toDF("id") }
+      val briefId = rddId(brief)
+      (141 to 210).foreach { i =>
+        ops.Insights.cacheOnce(spark, s"/cacheshape_evict_$i", "probe") {
+          spark.range(5).toDF("id")
+        }
+      }
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.sparkContext.getPersistentRDDs.contains(briefId) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(!spark.sparkContext.getPersistentRDDs.contains(briefId),
+        "past the grace floor the daemon timer must free the victim " +
+          "without any further sweep")
+      val hot = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
+        "probe") { spark.range(7).toDF("id") }
+      assert(hot.count() === 7L)
+      val hot2 = ops.Insights.cacheOnce(spark, "/cacheshape_evict_hot",
+        "probe") { sys.error("must be served from the memo"); null }
+      assert(hot2.count() === 7L)
+    } finally spark.conf.unset("spark.graft.evictionGraceMs")
   }
 
   test("plan strings over stacked fixpoints stay leaf-sized") {
