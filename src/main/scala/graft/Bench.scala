@@ -95,6 +95,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // A/B hatch for the prepared no-decision fast path (see
+      // PreparedCount): off = always keep the AQE wrapper (the r15
+      // protocol), auto = shipped gate. Never ship "force" — measured
+      // net-negative on multi-exchange plans (BASELINE.md).
+      .config("spark.graft.preparedNoAqe",
+        sys.env.getOrElse("SPARK_GRAFT_PREPARED_MODE", "auto"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The bounded global windows (PlanSpec asserts their input
@@ -209,7 +215,8 @@ object Bench {
       }
     }
     System.err.println(s"[bench] prepared ${prepared.size} pure-plan frames" +
-      s" (${dirtyIds.size} job-running builders rebuild per pass)")
+      s" (${prepared.count(_._2.skipAqe)} no-decision/no-AQE, " +
+      s"${dirtyIds.size} job-running builders rebuild per pass)")
     // name the rebuilt ids so the official record shows exactly which
     // queries charge build-time data work in every pass
     System.err.println("[bench] rebuilt-per-pass: " +

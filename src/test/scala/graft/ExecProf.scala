@@ -36,6 +36,10 @@ object ExecProf {
         ops.Multimodal.warmShared)
         .foreach(w => try w(spark, sfDir) catch { case _: Throwable => () })
     }
+    // A/B: SPARK_GRAFT_PREPARED_MODE=off|force|auto routes through
+    // PreparedCount's spark.graft.preparedNoAqe hatch
+    sys.env.get("SPARK_GRAFT_PREPARED_MODE").foreach(m =>
+      spark.conf.set("spark.graft.preparedNoAqe", m))
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     args.foreach { id =>
       val df = SparkEntry.queries(id)(spark, sfDir)

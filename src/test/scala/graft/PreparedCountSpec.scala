@@ -65,4 +65,39 @@ class PreparedCountSpec extends SparkSuite {
     assert(p.run() === cold)
     assert(p.run() === cold)
   }
+
+  test("no-decision plan (one single-partition exchange) drops AQE " +
+      "and fuses to ONE job, still fresh-shuffling per run") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // count plan: scan → partial agg → Exchange(SinglePartition) →
+    // final agg — nothing for AQE to decide
+    val df = spark.range(50000).filter("id % 3 = 0").toDF("id")
+    val p = PreparedCount(df)
+    assert(p.skipAqe, "a 1-exchange-to-1-partition count is no-decision")
+    val plan = p.executedPlanForInspection()
+    assert(plan.collect { case a: AdaptiveSparkPlanExec => a }.isEmpty,
+      s"fast path must not re-wrap in AQE:\n${plan.treeString.take(500)}")
+    val cold = df.count()
+    val (j1, s1) = measure(assert(p.run() === cold))
+    val (j2, s2) = measure(assert(p.run() === cold))
+    // the POINT of the fast path: the map stage and the gather run as
+    // one job, not AQE's stage-materialization job cascade
+    assert(j1 === 1L && j2 === 1L,
+      s"no-decision run must be ONE job, got ($j1, $j2)")
+    // same honesty boundary as the AQE path: fresh exchange instance
+    // per run → the map stage re-runs and re-writes shuffle bytes
+    assert(s1 > 0 && s2 > 0,
+      s"fast path must re-write its shuffle every run ($s1, $s2 bytes)")
+  }
+
+  test("a multi-exchange plan keeps the per-run AQE wrapper") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = spark.range(20000).selectExpr("id % 97 as k")
+      .groupBy("k").count()
+    val p = PreparedCount(df)
+    assert(!p.skipAqe,
+      "a 2-exchange count has real AQE decisions (coalescing) — keep it")
+    assert(p.executedPlanForInspection().isInstanceOf[AdaptiveSparkPlanExec],
+      "multi-exchange prepared runs must stay adaptive")
+  }
 }
