@@ -119,40 +119,49 @@ object Analytics {
     * correlate on the SAME fact. A line is "late" when it was returned
     * (l_returnflag = 'R' — this schema's lateness marker); a supplier
     * waits an order when it is the ONLY late supplier on a
-    * multi-supplier finished order. EXISTS → left_semi, NOT EXISTS →
-    * left_anti, both keyed on l_orderkey so every correlated pass over
-    * the fact is an equi-shuffle on the same key (co-partitioned at
-    * execution); nation is a broadcast dim and the final top-k is
+    * multi-supplier finished order. Both correlations collapse to
+    * per-ORDER hash aggregates over ONE fact scan (the r15
+    * second-pass-derivation discipline, retro-applied to this
+    * allowlisted 3-scan id): "EXISTS another supplier on the order" is
+    * min(l_suppkey) ≠ max(l_suppkey) within the order, and "NOT EXISTS
+    * another LATE supplier" is min = max over the late rows' suppkeys
+    * (non-empty ⇒ every late line belongs to that one supplier, who
+    * contributes ALL of the order's late lines to numwait — so the
+    * per-line final count becomes sum(n_late)). A hash aggregate, not
+    * a window: min/max/count partial-aggregate map-side, so the one
+    * equi-shuffle on l_orderkey moves order-grain rows and nothing is
+    * sorted — strictly fewer fact passes AND less shuffled data than
+    * the old three-scan/two-self-join form at any scale (a window form
+    * was A/B'd and rejected: Spark's WindowExec sorts every partition
+    * even for unbounded min/max frames, costing a full fact sort).
+    * Nation is a broadcast dim and the final top-k is
     * TakeOrderedAndProject, per the q_tpch_q1 discipline. */
   val qTpchQ21 = Q(
     "q_tpch_q21",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val li = t("lineitem")
-      val late = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val anySupp = li
-        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-      val lateSupp = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
-      late
+      val lateSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
+      t("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          min(col("l_suppkey")).as("smin"),
+          max(col("l_suppkey")).as("smax"),
+          min(lateSupp).as("lmin"),
+          max(lateSupp).as("lmax"),
+          count(lateSupp).as("n_late"))
+        .filter(col("smin") =!= col("smax") &&
+          col("lmin").isNotNull && col("lmin") === col("lmax"))
         .join(t("orders").filter(col("o_orderstatus") === "F")
             .select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .join(anySupp,
-          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
-          "left_semi")
-        .join(lateSupp,
-          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
-          "left_anti")
-        .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t("supplier"), col("lmin") === col("s_suppkey"))
         .join(broadcast(t("nation")),
           col("s_nationkey") === col("n_nationkey") &&
           col("n_name").isin("NATION_1", "NATION_3", "NATION_5",
             "NATION_7"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },
@@ -555,30 +564,48 @@ object Analytics {
 
   /** Ordered conversion funnel (q_funnel): view → click → purchase,
     * each stage's timestamp strictly after the previous stage's — the
-    * product-analytics query behind every activation dashboard. Shape:
-    * three keyed min-aggregates chained by per-user joins; every join
-    * key is user_id, so at scale the three stages co-partition on one
-    * shuffle key and the stage tables only ever shrink. */
+    * product-analytics query behind every activation dashboard. ONE
+    * fact scan (the r15 window-derivation discipline, retro-applied to
+    * this allowlisted 6-scan id): the three stage cutoffs are CHAINED
+    * conditional min-windows over the per-user partition — v_ts =
+    * min(view ts), then c_ts = min(click ts > v_ts), then p_ts =
+    * min(purchase ts > c_ts); each stage reads the previous stage's
+    * window column, so all three ride ONE shuffle on user_id (the
+    * sorts dedup across the chained Window execs) where the old form
+    * paid three stage scans, two user-keyed joins, and three
+    * count-aggregates that each re-derived the chain. The user-grain
+    * rollup reuses the same hash partitioning (zero extra shuffles)
+    * and the 3-row funnel unstacks from one census row. Per-user
+    * partitions are bounded by user activity, not corpus size. */
   val qFunnel = Q(
     "q_funnel",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val ev = t("events").select(col("user_id"), col("event_type"),
-        col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("v_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("c_ts"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-      val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
-      stages.map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(name).as("stage"), col("n_users"))
-      }.reduce(_ unionAll _).orderBy(col("stage"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val staged = t("events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("v_ts"), col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("c_ts"), col("ts"))).over(w))
+      staged
+        .groupBy(col("user_id"))
+        .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+          min(col("p_ts")).as("p_ts"))
+        .agg(
+          sum(col("v_ts").isNotNull.cast("long")).as("n_v"),
+          sum(col("c_ts").isNotNull.cast("long")).as("n_c"),
+          sum(col("p_ts").isNotNull.cast("long")).as("n_p"))
+        .selectExpr("""stack(3,
+          '1_view', n_v, '2_click', n_c, '3_purchase', n_p)
+          AS (stage, n_users)""")
+        .orderBy(col("stage"))
     },
     Some("""WITH v AS (
               SELECT user_id, min(ts) AS v_ts FROM events

@@ -552,31 +552,40 @@ object Biz {
 
   /** Engagement stickiness (q_events_dau_mau): per day, distinct
     * active users that day over distinct users in the trailing 30
-    * days. The fact reduces to the (user, day) distinct table first;
-    * the trailing window is a bounded day-range self-join over that
-    * table (days × 30 rows, never fact-sized), then one distinct
-    * count per day. */
+    * days. ONE fact scan (r15 derivation lens, retro-applied to this
+    * allowlisted 3-scan id): the fact reduces to per-USER sorted
+    * active-day sets (calendar-bounded arrays), each user then emits
+    * their COVERED reference days in-row — the distinct union of
+    * [day, day+29] windows over their active days — so a user counts
+    * toward a ref day's MAU exactly once BY CONSTRUCTION and the
+    * day-grain rollup is a plain count: no 30× range self-join, no
+    * countDistinct expands, no re-derived day grid. DAU rides the same
+    * rows as an in-row membership flag (is the ref day itself one of
+    * the user's active days). Ref days with zero active users are
+    * filtered exactly as the old dau⋈mau inner join did. Per-user work
+    * is bounded by the CALENDAR span, never event volume. */
   val qEventsDauMau = Q(
     "q_events_dau_mau",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val days = t("events")
+      t("events")
         .select(
           datediff(col("ts").cast("date"),
             lit("2024-01-01").cast("date")).cast("long").as("day"),
           col("user_id"))
-        .distinct()
-      val dau = days.groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("dau"))
-      val mau = days.select(col("day").as("active_day"), col("user_id"))
-        .join(dau.select(col("day").as("ref_day")),
-          col("active_day") <= col("ref_day") &&
-            col("active_day") > col("ref_day") - 30)
-        .groupBy(col("ref_day"))
-        .agg(countDistinct(col("user_id")).as("mau"))
-      dau
-        .join(mau, col("day") === col("ref_day"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("day"))).as("acts"))
+        .select(col("user_id"), col("acts"),
+          explode(expr(
+            """array_distinct(flatten(transform(acts,
+                 a -> sequence(a, a + 29))))""")).as("ref_day"))
+        .groupBy(col("ref_day").as("day"))
+        .agg(
+          sum(expr("CAST(array_contains(acts, ref_day) AS BIGINT)"))
+            .as("dau"),
+          count(lit(1)).as("mau"))
+        .filter(col("dau") > 0)
         .select(col("day"), col("dau"), col("mau"),
           round(col("dau").cast("double") / col("mau"), 6)
             .as("stickiness"))

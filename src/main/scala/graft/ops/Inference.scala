@@ -191,8 +191,16 @@ object Inference {
           round(col("l_discount") * 100).cast("long").as("y"))
         .groupBy(col("x"), col("y"))
         .agg(count(lit(1)).as("cnt"))
+      // n/tie-mass totals ride the a-side as unbounded windows over the
+      // ≤550-cell grid (r15 window-derivation discipline) — the old
+      // third aggregate re-derived the grid and re-scanned the fact
+      import org.apache.spark.sql.expressions.Window
+      val wg = Window.partitionBy()
       val a = cells.select(col("x").as("xa"), col("y").as("ya"),
         col("cnt").as("ca"))
+        .withColumn("nn", sum(col("ca")).over(wg))
+        .withColumn("within", sum(col("ca").cast("decimal(38,0)") *
+          (col("ca") - 1) / 2).over(wg))
       val b = cells.select(col("x").as("xb"), col("y").as("yb"),
         col("cnt").as("cb"))
       // every UNORDERED cell pair once: (a,b) with a-cell before b-cell
@@ -214,11 +222,10 @@ object Inference {
           .otherwise(lit(0).cast("decimal(38,0)"))).as("tx"),
         sum(when(col("ya") === col("yb"),
           col("ca").cast("decimal(38,0)") * col("cb"))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("ty"))
-      val n = cells.agg(sum(col("cnt")).as("nn"),
-        sum(col("cnt").cast("decimal(38,0)") *
-          (col("cnt") - 1) / 2).as("within"))
-      cross.crossJoin(broadcast(n))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ty"),
+        first(col("nn")).as("nn"),
+        first(col("within")).as("within"))
+      cross
         .select(
           col("nn").as("n"),
           col("conc").cast("double").as("concordant"),
@@ -644,22 +651,32 @@ object Inference {
     * the decision logic has ONE definition. */
   private[graft] def fdrFromStats(g: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val tot = g.agg(sum(col("n")).as("nn"), sum(col("sc")).as("tsc"),
-        sum(col("sc2")).as("tsc2"))
-      val p = g.crossJoin(broadcast(tot))
+      // Every "whole-grid" scalar (the one-vs-rest totals, the
+      // hypothesis count m, the BH cutoff i*) is an unbounded window
+      // over the K-TYPE GRID — k rows, bounded by the type domain —
+      // not a separate aggregate cross-joined back: each of those
+      // aggregates RE-DERIVED the grid, and since the grid's lineage
+      // is a corpus-wide groupBy, every re-derivation re-scanned the
+      // fact (ScanCensus had this id at events=8; it is 1 by
+      // construction now, with identical values — the r15
+      // window-derivation discipline applied to sub-aggregates).
+      val wAll = Window.partitionBy()
+      val p = g
+        .withColumn("nn", sum(col("n")).over(wAll))
+        .withColumn("tsc", sum(col("sc")).over(wAll))
+        .withColumn("tsc2", sum(col("sc2")).over(wAll))
         .withColumn("zr", expr(fdrZSql))
         .withColumn("az", expr("abs(zr)"))
         .withColumn("tt", expr(fdrTSql))
         .withColumn("p_micro", expr(fdrPSql))
         .select(col("event_type"), col("n"), col("zr"), col("p_micro"))
       // rank window over the k-type grid only (grid-bounded, never rows)
-      val ranked = p
-        .withColumn("rnk", row_number().over(
+      p.withColumn("rnk", row_number().over(
           Window.orderBy(col("p_micro"), col("event_type"))).cast("long"))
-        .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
-      val cut = ranked.filter(expr("p_micro * m <= rnk * 50000"))
-        .agg(coalesce(max(col("rnk")), lit(0L)).as("imax"))
-      ranked.crossJoin(broadcast(cut))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("imax", coalesce(
+          max(when(expr("p_micro * m <= rnk * 50000"), col("rnk")))
+            .over(wAll), lit(0L)))
         .select(col("event_type"), col("n"), col("zr"), col("p_micro"),
           col("rnk"), (col("rnk") <= col("imax")).as("rejected"))
         .orderBy(col("rnk"))

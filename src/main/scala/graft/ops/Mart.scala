@@ -429,13 +429,18 @@ object Mart {
         .join(broadcast(t("part").filter(col("p_type") === "SMALL")
             .select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"))
-      val perPair = smallLines
+      // part totals as an UNBOUNDED window over the pair-grain
+      // aggregate (r15 window-derivation discipline): the old two-level
+      // groupBy + broadcast join-back re-derived perPair, whose lineage
+      // is the fact scan — so lineitem was scanned twice per run. The
+      // window partitions by part over PAIR-grain rows (bounded by
+      // suppliers-per-part), never the fact.
+      import org.apache.spark.sql.expressions.Window
+      val dominant = smallLines
         .groupBy(col("p_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("pair_qty"))
-      val perPart = perPair.groupBy(col("p_partkey").as("tk"))
-        .agg(sum(col("pair_qty")).as("part_qty"))
-      val dominant = perPair
-        .join(broadcast(perPart), col("p_partkey") === col("tk"))
+        .withColumn("part_qty", sum(col("pair_qty")).over(
+          Window.partitionBy(col("p_partkey"))))
         .filter(col("pair_qty") > col("part_qty") * 0.3)
         .select(col("l_suppkey")).distinct()
       t("supplier")

@@ -1367,17 +1367,21 @@ object Refine {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
-      val totals = trans.groupBy(col("prev_type").as("pt"))
-        .agg(sum(col("n")).as("total"))
-      val grand = totals.agg(sum(col("total")).as("g"))
+      // per-state totals and the grand total as UNBOUNDED windows over
+      // the k²-bounded transition grid (r15 window-derivation
+      // discipline): the old groupBy/agg + join-backs re-derived the
+      // grid, whose lineage is the corpus-wide lag window — three fact
+      // scans for two scalars the grid already held. Both windows ride
+      // type-domain-bounded inputs (k² rows, then k rows).
       trans
-        .join(broadcast(totals), col("prev_type") === col("pt"))
+        .withColumn("total",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
         .groupBy(col("prev_type"))
         .agg(max(col("total")).as("n_obs"),
           sum(-col("n").cast("double") / col("total") *
             log(2.0, col("n").cast("double") / col("total")))
             .as("h"))
-        .crossJoin(broadcast(grand))
+        .withColumn("g", sum(col("n_obs")).over(Window.partitionBy()))
         .select(col("prev_type"), col("n_obs"),
           round(col("n_obs").cast("double") / col("g"), 6)
             .as("p_state"),

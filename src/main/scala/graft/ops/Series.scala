@@ -88,30 +88,71 @@ object Series {
             ORDER BY event_type NULLS FIRST"""))
 
   /** Robust outlier census per event_type: median + MAD (median absolute
-    * deviation), outliers = |x − med| > 3 · 1.4826 · MAD. The two
-    * medians are 5-row aggregate tables broadcast back — the fact is
-    * never reshuffled, and exact `percentile` keeps both engines on the
-    * same (n−1)·p interpolation. */
+    * deviation), outliers = |x − med| > 3 · 1.4826 · MAD. ONE fact scan
+    * (the q_agg_spearman count-grid discipline, retro-applied to this
+    * allowlisted 4-scan id): `value` carries exactly 2 decimals, so the
+    * whole distribution rolls up to a (type, cents) COUNT GRID bounded
+    * by the VALUE DOMAIN, not the corpus — the old form's three
+    * broadcast join-backs re-scanned the fact once per median. Every
+    * emitted double is bit-faithful to the per-row form: cents/100.0
+    * is the correctly-rounded double of the exact rational, i.e. the
+    * stored `value` itself; the interpolated median mirrors Spark's
+    * own Percentile formula ((1−g)·lo + g·hi, here g = 0.5, raw order
+    * stat when the indices coincide); and the MAD is selected over the
+    * SAME per-row deviation doubles abs(value − med) — materialized
+    * per grid cell with multiplicity — ordered and cumulated with a
+    * RANGE frame so exact ties accumulate deterministically. Windows
+    * ride grid-sized partitions (≤ value-domain cells per type). */
   val qTsMad = Q(
     "q_ts_mad",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val med = events.groupBy(col("event_type").as("et1"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val withMed = events
-        .join(broadcast(med), col("event_type") === col("et1"))
-      val mad = withMed
-        .groupBy(col("event_type").as("et2"))
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-      withMed
-        .join(broadcast(mad), col("event_type") === col("et2"))
+      val grid = events
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      // order-stat indices for p = 0.5 over n rows, 0-based:
+      // lower = floor((n−1)/2), higher = ceil((n−1)/2) = n div 2
+      val medStage = grid
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+      val vStage = medStage
+        .withColumn("v1", min(when(
+          col("cum") > (col("n") - 1) / lit(2L), col("c"))).over(wAll))
+        .withColumn("v2", min(when(
+          col("cum") > col("n") / lit(2L), col("c"))).over(wAll))
+        .withColumn("med", when(col("v1") === col("v2"),
+            col("v1").cast("double") / 100.0)
+          .otherwise((col("v1").cast("double") / 100.0) * 0.5 +
+            (col("v2").cast("double") / 100.0) * 0.5))
+      // per-cell deviation = the EXACT per-row double the old form fed
+      // percentile() — cells keep their multiplicity, so the deviation
+      // multiset is identical
+      val devStage = vStage
+        .withColumn("devd",
+          abs(col("c").cast("double") / 100.0 - col("med")))
+      val wDev = Window.partitionBy(col("event_type")).orderBy(col("devd"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val madStage = devStage
+        .withColumn("dcum", sum(col("cnt")).over(wDev))
+        .withColumn("d1", min(when(
+          col("dcum") > (col("n") - 1) / lit(2L), col("devd"))).over(wAll))
+        .withColumn("d2", min(when(
+          col("dcum") > col("n") / lit(2L), col("devd"))).over(wAll))
+        .withColumn("mad", when(col("d1") === col("d2"), col("d1"))
+          .otherwise(col("d1") * 0.5 + col("d2") * 0.5))
+      madStage
         .groupBy(col("event_type"))
         .agg(
           round(first(col("med")), 6).as("median_value"),
           round(first(col("mad")), 6).as("mad"),
-          sum(when(abs(col("value") - col("med")) >
-            col("mad") * 3 * 1.4826, 1L).otherwise(0L)).as("n_outliers"))
+          sum(when(col("devd") > col("mad") * 3 * 1.4826, col("cnt"))
+            .otherwise(0L)).as("n_outliers"))
         .orderBy(col("event_type"))
     },
     Some("""WITH med AS (
@@ -240,19 +281,27 @@ object Series {
       val cents = floor(col("value") * 100 + 0.5).cast("long")
       val base = events.select(col("event_type"), col("ts"),
         col("event_id"), cents.as("c"))
-      val stats = base.groupBy(col("event_type").as("et"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-          sum(col("c").cast("double") * col("c")).as("s2"))
-        .select(col("et"), (col("s1").cast("double") / col("n")).as("mu"),
-          sqrt((col("s2") - col("s1").cast("double") * col("s1") /
-            col("n")) / (col("n") - 1)).as("sd"))
+      // Per-type mean/std as UNBOUNDED-frame aggregates over the SAME
+      // per-type partitioning the CUSUM window needs anyway (the r15
+      // window-derivation discipline): the old groupBy + broadcast
+      // join-back re-scanned the fact — the per-type partition already
+      // holds every row the stats need, so the second scan and the
+      // join are derivable. min/sum/count are O(1)-state; the
+      // grow-with-data partition is intrinsic to CUSUM itself (a
+      // running sum per type is sequential by definition).
+      val wt = Window.partitionBy(col("event_type"))
+      val n = count(lit(1)).over(wt)
+      val s1 = sum(col("c")).over(wt)
+      val s2 = sum(col("c").cast("double") * col("c")).over(wt)
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val zint = floor((col("c") - col("mu")) / col("sd") * 1000000 + 0.5)
         .cast("long")
       base
-        .join(broadcast(stats), col("event_type") === col("et"))
+        .withColumn("mu", (s1.cast("double") / n))
+        .withColumn("sd",
+          sqrt((s2 - s1.cast("double") * s1 / n) / (n - 1)))
         .select(col("event_type"), col("ts"), col("event_id"),
           zint.as("z"))
         .withColumn("cusum", sum(col("z")).over(w))
@@ -1748,10 +1797,17 @@ object Series {
         .filter(col("g").isNotNull)
       val vc = gaps.groupBy(col("event_type"), col("g"))
         .agg(count(lit(1)).as("cnt"))
-      val st = vc.groupBy(col("event_type").as("et"))
-        .agg(sum(col("cnt")).as("n"),
-          sum(expr("CAST(g * cnt AS DECIMAL(38,0))")).as("sg"))
-      vc.join(broadcast(st), col("event_type") === col("et"))
+      // per-type n/Σg as UNBOUNDED windows over the gap grid's own
+      // per-type partitioning (the r15 window-derivation discipline):
+      // the old groupBy + broadcast join-back re-derived the grid —
+      // and the grid's lineage is the corpus-wide lag window, so the
+      // fact was scanned and gap-sorted TWICE per run. The grid is
+      // gap-domain-bounded, so these windows never see corpus-sized
+      // partitions.
+      val wType = Window.partitionBy(col("event_type"))
+      vc.withColumn("n", sum(col("cnt")).over(wType))
+        .withColumn("sg",
+          sum(expr("CAST(g * cnt AS DECIMAL(38,0))")).over(wType))
         .withColumn("cum", sum(col("cnt")).over(
           Window.partitionBy(col("event_type")).orderBy(col("g"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -384,12 +384,19 @@ class PlanSpec extends SparkSuite {
       s"corpus shuffled for the rate join:\n$p")
   }
 
-  test("Q21 correlates semi + anti on the fact as equi-joins, dims broadcast") {
+  test("Q21 collapses both correlations into ONE order-grain aggregate") {
     val p = plan("q_tpch_q21")
-    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
-    // every correlated pass over lineitem is keyed on l_orderkey — no
-    // cartesian/nested-loop shapes anywhere in the plan
+    // the EXISTS/NOT-EXISTS pair rides min/max/count per l_orderkey —
+    // exactly one pass over lineitem, partial-aggregated map-side; the
+    // r16 rewrite of the old 3-scan semi+anti form (a window form was
+    // measured and rejected: WindowExec sorts the whole fact)
+    val factScans = "Scan parquet".r.findAllIn(p).toList
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"order-grain rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"no fact-sorting window:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the finished-orders probe stays a semi join:\n$p")
+    // no cartesian/nested-loop shapes anywhere in the plan
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"correlation must stay an equi-join:\n$p")
