@@ -6,6 +6,75 @@ import org.apache.spark.sql.SparkSession
   * query at sf0.01, the artifact backing the "is this the plan you'd
   * want at 100 TB" audit. Run: `sbt "runMain graft.PlanDump"`. */
 object PlanDump {
+
+  /** Round-16 scan-census audit record (r15 verdict #3): every
+    * allowlisted multi-scan id in the 0.25-1.1 s band was re-examined
+    * with the window-derivation lens. Ten were rewritten to fewer
+    * scans (see scan_census.tsv history); this block records WHY the
+    * rest keep their second scan — emitted into PLANS.md so the note
+    * survives regeneration. */
+  private val scanAuditNotes: String = """
+## Scan-census audit (round 16) — why the remaining second scans are load-bearing
+
+Rewritten to fewer scans this round (values hash-identical at three
+SFs): q_tpch_q21 3→1, q_ts_mad 4→1, q_stats_fdr 8→1, q_funnel 6→1,
+q_events_dau_mau 3→1, q_events_entropy_rate 3→1, q_events_interarrival
+2→1, q_ts_cusum 2→1, q_tpch_q20 2→1, q_stats_kruskal 3→1,
+q_stats_kendall 3→2, q_stats_bootstrap 3→2. The survivors, examined
+and deliberately kept:
+
+- **q_setop_all (events=4)**: the four scans ARE the demonstrated
+  operators — two INTERSECT ALL / EXCEPT ALL branches over three
+  type-filtered projections; folding them into one aggregate would
+  delete the set-operator surface this id exists to cover.
+- **q_ts_seasonal (events=3)**: the hour-of-day means join back by
+  BROADCAST, so the fact is scanned twice but never shuffled; the
+  window-derivation alternative shuffles and sorts the whole fact by
+  (type, hour) — the same trade measured and rejected on q_tpch_q21's
+  window form. Re-scanning is cheaper than re-shuffling at any scale.
+- **q_events_cooccur (events=5)**: the bipartite projection's
+  self-join over the distinct (user, type) table is the operator
+  itself; the per-type/total side tables are type-grid-sized but their
+  values are corpus-global counts — not derivable in-row, and a global
+  window over the pair output would serialize it.
+- **q_text_collocations (documents=5)**: the two 1-row totals
+  (Σ unigrams, Σ bigrams) sit over VOCABULARY-sized aggregates; a
+  global window there would push an unbounded vocab through one
+  partition, and Spark has no scalar reuse without a materialization
+  job that costs more than the re-scan at any tested scale. The
+  unigram joins onto the bigram table are the PMI model itself.
+- **q_text_langid / q_text_langmix / q_text_langid_eval
+  (documents=2)**: model-build + apply — the language profile is a
+  corpus-global top-10-per-language table applied to doc-grain rows by
+  broadcast. Deriving the profile on the doc-grain frame puts
+  corpus-sized per-language partitions under rank windows (a serial
+  sort per language); two scans with a broadcast model is the correct
+  scale shape. Same pattern: q_text_contamination, q_text_logprob,
+  q_text_heldout_ppl, q_text_drift, q_source_overlap, q_mix_sample
+  (model/reference built on one pass, applied on the next).
+- **q_surv_logrank / q_surv_hazard (orders=2)**: the censoring horizon
+  is a global max(o_orderdate) — a 1-row broadcast; windowing it would
+  serialize order-grain rows through one partition. The KM/NA grids
+  themselves are single-scan.
+- **q_stats_bootstrap (events=2, was 3)**: the remaining second scan
+  is the point-estimate aggregate over the UNEXPLODED purchase rows —
+  disjoint from the 100× resample path, which now feeds both CI
+  bounds from one consumption.
+- **q_stats_kendall (lineitem=2, was 3)**: the two remaining scans are
+  the two sides of the ≤550-cell grid self-join — the pair
+  formulation's intrinsic shape.
+- **q_sim_matryoshka / q_sim_ann_eval / q_sim_threshold_curve /
+  q_sim_prune (embeddings=6-20)**: deliberate by-design variants —
+  each scan evaluates a different prefix width / threshold / scheme of
+  the same operator, and each prunes its read to that variant's
+  columns; one fused scan would widen every variant to the union.
+- **q_stats_chisq / q_stats_cramer / q_stats_cochran_q /
+  q_events_rfm / q_audit_expectations and the remaining =2-6 ids**:
+  union-of-branches or train/score splits where each branch reads a
+  different filter/column set — the scans are narrower than any
+  fused pass would be.
+"""
+
   // query id → one-line note on what the plan must show
   val headliners: Seq[(String, String)] = Seq(
     "q_tpch_q3" -> ("broadcast dims + single shuffled agg on the fact " +
@@ -245,6 +314,7 @@ object PlanDump {
     sb.append("story, then `explain(\"formatted\")` output. Plans with ")
     sb.append("runtime (AQE) shapes are materialized first so the ")
     sb.append("final adaptive plan is shown.\n")
+    sb.append(scanAuditNotes)
     headliners.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // materialize so AQE/DPP plans are final, then print the

@@ -1296,17 +1296,19 @@ object Causal {
       val means = drawn.groupBy(col("b"))
         .agg(expr("CAST(CAST(sum(m * c) AS DECIMAL(38,0)) * 1000000" +
           " div sum(m) AS BIGINT)").as("mean_micro"))
-      val ranked = means
+      // BOTH CI bounds from ONE consumption of the ranked resample
+      // means (r15 derivation lens): the old rk=3 / rk=98 filters each
+      // re-derived `means` — re-running the whole 100× resample
+      // explode and its aggregate twice more per run.
+      val ci = means
         .withColumn("rk", row_number().over(
           Window.orderBy(col("mean_micro"), col("b"))))
+        .agg(
+          min(when(col("rk") === 3, col("mean_micro"))).as("lo_micro"),
+          min(when(col("rk") === 98, col("mean_micro"))).as("hi_micro"))
       val point = pur.agg(
         expr("sum(c) * 1000000L div count(*)").as("point_micro"))
-      point.crossJoin(
-        ranked.filter(col("rk") === 3)
-          .select(col("mean_micro").as("lo_micro")))
-        .crossJoin(
-          ranked.filter(col("rk") === 98)
-            .select(col("mean_micro").as("hi_micro")))
+      point.crossJoin(broadcast(ci))
         .selectExpr("round(point_micro / 1e6, 6) AS mean_cents",
           "round(lo_micro / 1e6, 6) AS ci_lo",
           "round(hi_micro / 1e6, 6) AS ci_hi")

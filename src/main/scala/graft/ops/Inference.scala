@@ -106,21 +106,35 @@ object Inference {
           floor(col("value") * 100 + 0.5).cast("long").as("c"))
         .groupBy(col("c"), col("event_type"))
         .agg(count(lit(1)).as("ng"))
-      val perC = vc.groupBy(col("c")).agg(sum(col("ng")).as("na"))
-      val w = Window.orderBy(col("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = perC
-        .withColumn("cum", sum(col("na")).over(w))
+      // Every per-cent and whole-grid quantity folds onto the vc frame
+      // itself (r15 window-derivation discipline — the old perC/ranked/
+      // ties chain re-derived the grid, and with it the fact scan,
+      // three times): na rides a per-cent partition window, the
+      // doubled-rank cum a RANGE frame ordered by c (ties of one cent
+      // accumulate together, exactly the per-cent cum), and the
+      // tie/total sums ride a global window that counts each cent ONCE
+      // via a first-row-per-cent flag. All window inputs are the
+      // (cent × type) grid — value-domain-bounded, never the fact.
+      val wc = Window.partitionBy(col("c"))
+      val wRange = Window.orderBy(col("c"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wg = Window.partitionBy()
+      val ranked = vc
+        .withColumn("na", sum(col("ng")).over(wc))
+        .withColumn("cum", sum(col("ng")).over(wRange))
         .withColumn("rank2",
           lit(2) * (col("cum") - col("na")) + col("na") + 1)
-      val grp = vc.join(ranked.select(col("c"), col("rank2")), "c")
+        .withColumn("one_per_c", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("event_type"))) === 1)
+        .withColumn("tt", sum(when(col("one_per_c"),
+          col("na") * col("na") * col("na") - col("na"))).over(wg))
+        .withColumn("nn",
+          sum(when(col("one_per_c"), col("na"))).over(wg))
+      val st = ranked
         .groupBy(col("event_type"))
         .agg(sum(col("ng")).as("nj"),
-          sum(col("ng").cast("decimal(38,0)") * col("rank2")).as("r2j"))
-      val ties = ranked.agg(
-        sum(col("na") * col("na") * col("na") - col("na")).as("tt"),
-        sum(col("na")).as("nn"))
-      val st = grp.crossJoin(broadcast(ties))
+          sum(col("ng").cast("decimal(38,0)") * col("rank2")).as("r2j"),
+          first(col("tt")).as("tt"), first(col("nn")).as("nn"))
         .agg(
           count(lit(1)).as("k"),
           first(col("nn")).as("nn"),
