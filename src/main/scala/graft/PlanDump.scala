@@ -17,7 +17,7 @@ object PlanDump {
 ## Scan-census audit (round 16) — why the remaining second scans are load-bearing
 
 Rewritten to fewer scans this round (values hash-identical at three
-SFs): q_tpch_q21 3→1, q_ts_mad 4→1, q_stats_fdr 8→1, q_funnel 6→1,
+SFs): q_tpch_q21 3→1, q_ts_mad 4→1, q_stats_fdr 8→1, q_funnel 6→3,
 q_events_dau_mau 3→1, q_events_entropy_rate 3→1, q_events_interarrival
 2→1, q_ts_cusum 2→1, q_tpch_q20 2→1, q_stats_kruskal 3→1,
 q_stats_kendall 3→2, q_stats_bootstrap 3→2. The survivors, examined
@@ -63,6 +63,11 @@ and deliberately kept:
 - **q_stats_kendall (lineitem=2, was 3)**: the two remaining scans are
   the two sides of the ≤550-cell grid self-join — the pair
   formulation's intrinsic shape.
+- **q_funnel (events=3, was 6)**: one type-pruned scan per stage is
+  the floor without shuffling the whole fact — the one-scan chained
+  window form was implemented, measured, and rejected (it sorts every
+  user's full event history where this shape shuffles only the type
+  subsets' (user, ts) pairs).
 - **q_sim_matryoshka / q_sim_ann_eval / q_sim_threshold_curve /
   q_sim_prune (embeddings=6-20)**: deliberate by-design variants —
   each scan evaluates a different prefix width / threshold / scheme of

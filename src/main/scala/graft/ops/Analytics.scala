@@ -564,42 +564,40 @@ object Analytics {
 
   /** Ordered conversion funnel (q_funnel): view → click → purchase,
     * each stage's timestamp strictly after the previous stage's — the
-    * product-analytics query behind every activation dashboard. ONE
-    * fact scan (the r15 window-derivation discipline, retro-applied to
-    * this allowlisted 6-scan id): the three stage cutoffs are CHAINED
-    * conditional min-windows over the per-user partition — v_ts =
-    * min(view ts), then c_ts = min(click ts > v_ts), then p_ts =
-    * min(purchase ts > c_ts); each stage reads the previous stage's
-    * window column, so all three ride ONE shuffle on user_id (the
-    * sorts dedup across the chained Window execs) where the old form
-    * paid three stage scans, two user-keyed joins, and three
-    * count-aggregates that each re-derived the chain. The user-grain
-    * rollup reuses the same hash partitioning (zero extra shuffles)
-    * and the 3-row funnel unstacks from one census row. Per-user
-    * partitions are bounded by user activity, not corpus size. */
+    * product-analytics query behind every activation dashboard. Three
+    * TYPE-PRUNED scans, three user-grain rollups, ONE final aggregate
+    * (r16 rework of this allowlisted 6-scan id): each stage scan reads
+    * only its event type; clicks/purchases roll up to per-user SORTED
+    * timestamp lists (user-activity-bounded); the stage cutoffs then
+    * resolve IN-ROW over the co-partitioned user-grain join — c_ts =
+    * first click after v_ts, p_ts = first purchase after c_ts — so all
+    * three funnel counts come from one aggregate with zero chain
+    * re-derivation. The old form's three per-stage counts each
+    * re-derived the join chain (6 fact scans); the intermediate
+    * one-scan window form was measured and rejected — it shuffled and
+    * sorted the WHOLE fact by user where this shape shuffles only the
+    * type subsets' (user, ts) pairs, map-side-pruned at the scan. */
   val qFunnel = Q(
     "q_funnel",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-      val staged = t("events")
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("v_ts",
-          min(when(col("event_type") === "view", col("ts"))).over(w))
-        .withColumn("c_ts",
-          min(when(col("event_type") === "click" &&
-            col("ts") > col("v_ts"), col("ts"))).over(w))
-        .withColumn("p_ts",
-          min(when(col("event_type") === "purchase" &&
-            col("ts") > col("c_ts"), col("ts"))).over(w))
-      staged
-        .groupBy(col("user_id"))
-        .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
-          min(col("p_ts")).as("p_ts"))
+      val ev = t("events").select(col("user_id"), col("event_type"),
+        col("ts"))
+      def tsList(tp: String, name: String) =
+        ev.filter(col("event_type") === tp)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("ts"))).as(name))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      v.join(tsList("click", "cls"), Seq("user_id"), "left")
+        .join(tsList("purchase", "pls"), Seq("user_id"), "left")
+        .withColumn("c_ts", expr(
+          "get(filter(cls, x -> x > v_ts), 0)"))
+        .withColumn("p_ts", expr(
+          "get(filter(pls, x -> x > c_ts), 0)"))
         .agg(
-          sum(col("v_ts").isNotNull.cast("long")).as("n_v"),
+          count(lit(1)).as("n_v"),
           sum(col("c_ts").isNotNull.cast("long")).as("n_c"),
           sum(col("p_ts").isNotNull.cast("long")).as("n_p"))
         .selectExpr("""stack(3,
