@@ -20,8 +20,10 @@ Rewritten to fewer scans this round (values hash-identical at three
 SFs): q_tpch_q21 3→1, q_ts_mad 4→1, q_stats_fdr 8→1, q_funnel 6→3,
 q_events_dau_mau 3→1, q_events_entropy_rate 3→1, q_events_interarrival
 2→1, q_ts_cusum 2→1, q_tpch_q20 2→1, q_stats_kruskal 3→1,
-q_stats_kendall 3→2, q_stats_bootstrap 3→2. The survivors, examined
-and deliberately kept:
+q_stats_kendall 3→2, q_stats_bootstrap 3→2, q_source_overlap 4→3 and
+q_events_cooccur 5→4 (both size-table join-backs replaced by ONE
+1-row bounded-domain map broadcast). The survivors, examined and
+deliberately kept:
 
 - **q_setop_all (events=4)**: the four scans ARE the demonstrated
   operators — two INTERSECT ALL / EXCEPT ALL branches over three
@@ -32,11 +34,12 @@ and deliberately kept:
   window-derivation alternative shuffles and sorts the whole fact by
   (type, hour) — the same trade measured and rejected on q_tpch_q21's
   window form. Re-scanning is cheaper than re-shuffling at any scale.
-- **q_events_cooccur (events=5)**: the bipartite projection's
+- **q_events_cooccur (events=4, was 5)**: the bipartite projection's
   self-join over the distinct (user, type) table is the operator
-  itself; the per-type/total side tables are type-grid-sized but their
-  values are corpus-global counts — not derivable in-row, and a global
-  window over the pair output would serialize it.
+  itself (2 scans); the per-type counts now ride one 1-row map
+  broadcast, and the remaining 4th scan is the distinct-user total —
+  a corpus-global count not derivable from the pair output without a
+  serializing global window.
 - **q_text_collocations (documents=5)**: the two 1-row totals
   (Σ unigrams, Σ bigrams) sit over VOCABULARY-sized aggregates; a
   global window there would push an unbounded vocab through one

@@ -27,8 +27,14 @@ object Biz {
       val vocab = t("documents")
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
         .distinct()
-      val sizes = vocab.groupBy(col("source").as("sz_src"))
+      // BOTH set-size lookups ride ONE 1-row source→size MAP (bounded
+      // by the source domain): joining the sizes table back twice
+      // re-derived it twice, and its lineage is the full vocab
+      // distinct — two extra fact scans for |sources| numbers.
+      val sizeMap = vocab.groupBy(col("source").as("sz_src"))
         .agg(count(lit(1)).as("sz"))
+        .agg(map_from_entries(
+          collect_list(struct(col("sz_src"), col("sz")))).as("szm"))
       val inter = vocab.select(col("source").as("sa"), col("term"))
         .join(vocab.select(col("source").as("sb"),
           col("term").as("rterm")),
@@ -36,15 +42,11 @@ object Biz {
         .groupBy(col("sa"), col("sb"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(broadcast(sizes).withColumnRenamed("sz_src", "ka"),
-          col("sa") === col("ka"))
-        .withColumnRenamed("sz", "sza")
-        .join(broadcast(sizes).withColumnRenamed("sz_src", "kb"),
-          col("sb") === col("kb"))
-        .withColumnRenamed("sz", "szb")
+        .crossJoin(broadcast(sizeMap))
         .select(col("sa"), col("sb"), col("inter"),
           round(col("inter").cast("double") /
-            (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+            (expr("szm[sa]") + expr("szm[sb]") - col("inter")), 6)
+            .as("jaccard"))
         .orderBy(col("sa"), col("sb"))
     },
     Some("""WITH vocab AS (
@@ -716,8 +718,14 @@ object Biz {
       implicit val d: String = dir
       val ut = t("events")
         .select(col("user_id"), col("event_type")).distinct()
-      val perType = ut.groupBy(col("event_type"))
+      // BOTH per-type size lookups ride ONE 1-row type→count MAP
+      // (bounded by the type domain): joining perType back twice
+      // re-derived it twice, each re-derivation re-scanning the fact
+      val typeMap = ut.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"))
+        .agg(map_from_entries(
+          collect_list(struct(col("event_type"), col("n_users"))))
+          .as("ptm"))
       val nUsers = ut.select(col("user_id")).distinct()
         .agg(count(lit(1)).as("n_total"))
       val pairs = ut.as("x")
@@ -727,10 +735,9 @@ object Biz {
           col("y.event_type").as("type_b"))
         .agg(count(lit(1)).as("n_both"))
       pairs
-        .join(broadcast(perType.select(col("event_type").as("ta"),
-          col("n_users").as("na"))), col("type_a") === col("ta"))
-        .join(broadcast(perType.select(col("event_type").as("tb"),
-          col("n_users").as("nb"))), col("type_b") === col("tb"))
+        .crossJoin(broadcast(typeMap))
+        .withColumn("na", expr("ptm[type_a]"))
+        .withColumn("nb", expr("ptm[type_b]"))
         .crossJoin(broadcast(nUsers))
         .select(col("type_a"), col("type_b"), col("n_both"),
           col("na"), col("nb"),
