@@ -644,12 +644,20 @@ object Analytics {
           expr("floor(datediff(CAST(ts AS DATE), DATE'2024-01-01') / 7)")
             .cast("long").as("week"))
         .distinct()
-      val cohorts = acts.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      acts.join(cohorts, "user_id")
+      // cohort week as a per-user min-window over the distinct
+      // (user, week) frame (r15 window-derivation discipline): the
+      // groupBy + join-back re-derived acts — and acts' lineage is the
+      // fact-wide distinct, so events was scanned and deduped twice.
+      // Per-user partitions are calendar-bounded (≤ weeks in span),
+      // and the (user, week) rows are distinct, so the offset cell
+      // count needs no distinct expand either — plain count.
+      import org.apache.spark.sql.expressions.Window
+      acts
+        .withColumn("cohort_week",
+          min(col("week")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     },
     Some("""WITH acts AS (
