@@ -20,10 +20,15 @@ Rewritten to fewer scans this round (values hash-identical at three
 SFs): q_tpch_q21 3→1, q_ts_mad 4→1, q_stats_fdr 8→1, q_funnel 6→3,
 q_events_dau_mau 3→1, q_events_entropy_rate 3→1, q_events_interarrival
 2→1, q_ts_cusum 2→1, q_tpch_q20 2→1, q_stats_kruskal 3→1,
-q_stats_kendall 3→2, q_stats_bootstrap 3→2, q_source_overlap 4→3 and
-q_events_cooccur 5→4 (both size-table join-backs replaced by ONE
-1-row bounded-domain map broadcast). The survivors, examined and
-deliberately kept:
+q_stats_kendall 3→2, q_stats_bootstrap 3→2, q_source_overlap 4→3,
+q_events_cooccur 5→4 (paired size-table join-backs → ONE 1-row
+bounded-domain map broadcast), q_retention 2→1 (cohort join-back → a
+per-user min-window), q_stats_friedman 3→1 (grid scalars as windows,
+collect_set standing in for countDistinct), q_stats_permutation 4→2
+(a b=99 sentinel draw carries the observed split through the same
+per-draw aggregate), q_stats_cochran_q 4→2 (Σ(k·r−r²) separated as
+k·Σr − Σr², whole-grid scalars as windows). The survivors, examined
+and deliberately kept:
 
 - **q_setop_all (events=4)**: the four scans ARE the demonstrated
   operators — two INTERSECT ALL / EXCEPT ALL branches over three
@@ -76,7 +81,13 @@ deliberately kept:
   each scan evaluates a different prefix width / threshold / scheme of
   the same operator, and each prunes its read to that variant's
   columns; one fused scan would widen every variant to the union.
-- **q_stats_chisq / q_stats_cramer / q_stats_cochran_q /
+- **q_cohort_ltv (events=2)**: the first-seen table joins back by
+  broadcast; windowing first-seen over the fact would shuffle and
+  sort the whole fact by user (the q_funnel/q21 rejection class).
+- **q_stats_cochran_q (events=2, was 4)**: the two survivors are the
+  by-type and by-user groupings of the same distinct frame —
+  different keys, irreducible without materialization.
+- **q_stats_chisq / q_stats_cramer /
   q_events_rfm / q_audit_expectations and the remaining =2-6 ids**:
   union-of-branches or train/score splits where each branch reads a
   different filter/column set — the scans are narrower than any

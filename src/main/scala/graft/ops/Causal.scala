@@ -1384,19 +1384,28 @@ object Causal {
         sum(when(col("g") === 0L, 1L).otherwise(0L)).as("nb"))
         .selectExpr("sa", "na", "sb", "nb",
           "abs(sa * 1000000L div na - sb * 1000000L div nb) AS t_obs")
+      // Draw b = 99 is the OBSERVED split (ga = the real weekend
+      // flag), so the observed statistic and counts fall out of the
+      // same per-draw aggregate as the 200 permutations — the old
+      // form re-derived the 1-row obs aggregate (and with it the
+      // fact scan) twice more for t_obs and the output row. obs
+      // itself survives only as the assignment-threshold broadcast
+      // (na/nb must precede the draws — irreducible pre-pass); every
+      // final scalar rides the bounded 201-row per-draw frame.
       val drawn = pur
         .withColumn("h", expr(
           """CAST(conv(substring(md5(CAST(CAST(event_id AS STRING)
                AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 2147483647L"""))
-        .select(col("c"), col("h"),
-          explode(expr("sequence(100, 299)")).as("b"))
+        .select(col("c"), col("h"), col("g"),
+          explode(expr("sequence(99, 299)")).as("b"))
         .crossJoin(broadcast(obs.select(col("na"), col("nb"))))
         // u < nA/n as the exact integer cross-product (no division).
         // The u31·(na+nb) product rides in DECIMAL(38,0)/HUGEINT: for
         // row counts above ~4e9 the BIGINT product wraps silently in
         // non-ANSI Spark while DuckDB raises (overflow rule).
         .withColumn("ga", expr(
-          """CASE WHEN CAST((h * 48271L + b * 16807L) % 2147483647L
+          """CASE WHEN b = 99 THEN g
+             WHEN CAST((h * 48271L + b * 16807L) % 2147483647L
                  AS DECIMAL(38,0))
                * (na + nb) < CAST(na AS DECIMAL(38,0)) * 2147483647L
              THEN 1L ELSE 0L END"""))
@@ -1405,13 +1414,18 @@ object Causal {
           sum(col("ga")).as("na2"),
           sum(when(col("ga") === 0L, col("c"))).as("sb"),
           sum(lit(1L) - col("ga")).as("nb2"))
-        .selectExpr("b",
+        .selectExpr("b", "na2", "nb2",
           """coalesce(abs(sa * 1000000L div nullif(na2, 0L)
              - sb * 1000000L div nullif(nb2, 0L)), 0L) AS t_b""")
-      obs.crossJoin(
-        perB.crossJoin(broadcast(obs.select(col("t_obs").as("t_o"))))
-          .agg(sum(when(col("t_b") >= col("t_o"), 1L).otherwise(0L))
-            .as("n_exceed")))
+      perB
+        .withColumn("t_o", max(when(col("b") === 99L, col("t_b")))
+          .over(Window.partitionBy()))
+        .agg(
+          max(when(col("b") === 99L, col("na2"))).as("na"),
+          max(when(col("b") === 99L, col("nb2"))).as("nb"),
+          first(col("t_o")).as("t_obs"),
+          sum(when(col("b") >= 100L && col("t_b") >= col("t_o"), 1L)
+            .otherwise(0L)).as("n_exceed"))
         .selectExpr("na", "nb",
           "round(t_obs / 1e6, 6) AS diff_obs_cents", "n_exceed",
           "round((1 + n_exceed) / 201.0D, 6) AS p_value")

@@ -1177,12 +1177,17 @@ object Inference {
           floor(col("value") * 100 + 0.5).cast("long").as("c"))
         .groupBy(col("blk"), col("event_type"))
         .agg(sum(col("c")).as("v"))
-      val kdf = cells.agg(countDistinct(col("event_type")).as("k"))
-      val bsz = cells.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
-      val full = cells.join(broadcast(bsz), "blk")
-        .crossJoin(broadcast(kdf))
+      // k and the per-block sizes as windows over the (7 x k)-bounded
+      // cell grid (r15 window-derivation discipline): the kdf/bsz
+      // aggregates re-derived the grid, each re-scanning the fact.
+      // collect_set stands in for countDistinct (not a window fn);
+      // cast to long so the emitted k keeps its BIGINT type.
+      val ranked = cells
+        .withColumn("k", size(collect_set(col("event_type")).over(
+          Window.partitionBy())).cast("long"))
+        .withColumn("bn", count(lit(1)).over(
+          Window.partitionBy(col("blk"))))
         .filter(col("bn") === col("k"))
-      val ranked = full
         .withColumn("rnk", rank().over(
           Window.partitionBy(col("blk")).orderBy(col("v"))))
         .withColumn("ceq", count(lit(1)).over(
@@ -1262,16 +1267,24 @@ object Inference {
       val cj = ut.groupBy(col("event_type"))
         .agg(count(lit(1)).as("cj"))
       val ri = ut.groupBy(col("user_id")).agg(count(lit(1)).as("r"))
-      val kdf = cj.agg(count(lit(1)).as("k"), sum(col("cj")).as("nn"))
-      val dens = ri.crossJoin(broadcast(kdf))
+      // k/nn as windows over the type grid and the denominator
+      // separated as k·Σr − Σr² (r15 derivation lens): the old kdf
+      // aggregate and its two cross-join consumers re-derived the
+      // cj/ri chains — four fact scans for two 1-row frames. The two
+      // remaining scans are the two groupings of ut (by type, by
+      // user) — intrinsic different keys.
+      val wg = Window.partitionBy()
+      val a = cj
+        .withColumn("k", count(lit(1)).over(wg))
+        .withColumn("nn", sum(col("cj")).over(wg))
         .agg(first(col("k")).as("k"), first(col("nn")).as("nn"),
-          count(lit(1)).as("n_users"),
-          sum(expr("k * r - r * r")).as("dens"))
-      val nums = cj.crossJoin(broadcast(kdf))
-        .agg(sum(expr(
-          "CAST(k * cj - nn AS DECIMAL(38,0)) * (k * cj - nn)"))
-          .as("nums"))
-      dens.crossJoin(nums)
+          sum(expr(
+            "CAST(k * cj - nn AS DECIMAL(38,0)) * (k * cj - nn)"))
+            .as("nums"))
+      val b = ri.agg(count(lit(1)).as("n_users"),
+        sum(col("r")).as("s1r"), sum(expr("r * r")).as("s2r"))
+      a.crossJoin(broadcast(b))
+        .withColumn("dens", expr("k * s1r - s2r"))
         .select(col("n_users"), col("k"),
           (col("k") - 1).cast("long").as("df"),
           round(expr(
