@@ -27,8 +27,9 @@ per-user min-window), q_stats_friedman 3→1 (grid scalars as windows,
 collect_set standing in for countDistinct), q_stats_permutation 4→2
 (a b=99 sentinel draw carries the observed split through the same
 per-draw aggregate), q_stats_cochran_q 4→2 (Σ(k·r−r²) separated as
-k·Σr − Σr², whole-grid scalars as windows). The survivors, examined
-and deliberately kept:
+k·Σr − Σr², whole-grid scalars as windows), q_ts_croston 2→1 (n_days
+as a global window over the calendar-bounded day grid). The
+survivors, examined and deliberately kept:
 
 - **q_setop_all (events=4)**: the four scans ARE the demonstrated
   operators — two INTERSECT ALL / EXCEPT ALL branches over three

@@ -2168,12 +2168,19 @@ object Series {
         .groupBy(col("day")).agg(sum(col("hit")).as("c"))
         .withColumn("i", row_number().over(Window.orderBy(col("day")))
           .cast("long"))
-      val nDays = days.agg(count(lit(1)).as("n_days"))
-      val demand = days.filter(col("c") > 0)
+      // n_days as a global window over the calendar-bounded day grid
+      // (r15 derivation lens): the separate count aggregate re-derived
+      // the grid and re-scanned the fact; the grid already carries one
+      // sanctioned global window (the day index).
+      val demand = days
+        .withColumn("n_days",
+          count(lit(1)).over(Window.partitionBy()))
+        .filter(col("c") > 0)
       demand
         .agg(array_sort(collect_list(
           expr("named_struct('i', i, 'c', CAST(c AS DOUBLE))")))
-          .as("ds"))
+          .as("ds"),
+          max(col("n_days")).as("n_days"))
         .filter(size(col("ds")) >= 1)
         .withColumn("fin", expr("""
           aggregate(
@@ -2186,7 +2193,6 @@ object Series {
               'p', 0.3D * CAST(x.i - acc.ti AS DOUBLE) + 0.7D * acc.p,
               'ti', x.i, 'k', acc.k + 1L),
             acc -> acc)"""))
-        .crossJoin(broadcast(nDays))
         .select(col("n_days"), col("fin.k").as("n_demand_days"),
           round(col("fin.z"), 6).as("size_level"),
           round(col("fin.p"), 6).as("interval_level"),
