@@ -233,11 +233,15 @@ object Audit {
     * pre-publish data-contract census — a fixed rule catalog evaluated
     * in one pass per table, emitting (rule, n_checked, n_violations,
     * pass) for: key uniqueness, value ranges, null-freedom,
-    * and referential integrity. Each rule is a single
-    * aggregate (uniqueness counts keys minus distinct keys; the FK
-    * check is one anti-join count), so the whole audit is a handful of
-    * scans with map-side-combined aggregates and one edge-case
-    * anti-join — no windows, no collects; the rule table is
+    * and referential integrity. r17: LITERALLY one pass per table now —
+    * all of a table's row-predicate rules (plus orders' uniqueness)
+    * ride ONE fused aggregate whose 1-row result unpivots to rule rows
+    * via stack(), so lineitem is scanned twice (fused agg + FK
+    * anti-join probe) and orders twice (fused agg + FK build side)
+    * where the per-rule-aggregate form scanned them 6 and 4 times; the
+    * FK rule's n_checked reuses the fused aggregate's count instead of
+    * a third scan. Map-side combine still applies (one partial agg per
+    * scan task), no windows, no collects; the rule table is
     * catalog-sized. The same shape extends to any rule that can be
     * phrased as "count rows where NOT <predicate>". */
   val qAuditExpectations = Q(
@@ -247,39 +251,47 @@ object Audit {
       implicit val id: String = dd
       val orders = t("orders")
       val lineitem = t("lineitem")
-      def rule(name: String, checked: org.apache.spark.sql.DataFrame,
-          violation: org.apache.spark.sql.Column) =
-        checked.agg(count(lit(1)).as("n_checked"),
-          sum(violation.cast("long")).as("n_violations"))
-          .select(lit(name).as("rule"), col("n_checked"),
-            col("n_violations"),
-            (col("n_violations") === 0).as("pass"))
-      val uniq = orders.agg(count(lit(1)).as("n_checked"),
-          (count(lit(1)) - countDistinct(col("o_orderkey")))
-            .as("n_violations"))
-        .select(lit("orders_pk_unique").as("rule"), col("n_checked"),
-          col("n_violations"), (col("n_violations") === 0).as("pass"))
-      val fk = lineitem.select(col("l_orderkey"))
+      // one aggregate per table: every rule's violation count as a
+      // conditional sum, the shared row count once
+      val lAgg = lineitem.agg(
+        count(lit(1)).as("n"),
+        sum((col("l_quantity") < 1 || col("l_quantity") > 50)
+          .cast("long")).as("v_qty"),
+        sum((col("l_discount") < 0 || col("l_discount") > 0.1)
+          .cast("long")).as("v_disc"),
+        sum(col("l_shipdate").isNull.cast("long")).as("v_ship"),
+        sum((col("l_tax") < 0 || col("l_tax") > 0.1)
+          .cast("long")).as("v_tax"))
+      val oAgg = orders.agg(
+        count(lit(1)).as("n"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("v_price"),
+        sum((!col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+          .as("v_status"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"))
+      val fkViol = lineitem.select(col("l_orderkey"))
         .join(orders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .crossJoin(broadcast(
-          lineitem.agg(count(lit(1)).as("n_checked"))))
-        .select(lit("lineitem_fk_orders").as("rule"), col("n_checked"),
-          col("n_violations"), (col("n_violations") === 0).as("pass"))
-      rule("orders_price_positive", orders, col("o_totalprice") <= 0)
-        .unionAll(rule("orders_status_domain", orders,
-          !col("o_orderstatus").isin("O", "F", "P")))
-        .unionAll(rule("lineitem_qty_range", lineitem,
-          col("l_quantity") < 1 || col("l_quantity") > 50))
-        .unionAll(rule("lineitem_discount_range", lineitem,
-          col("l_discount") < 0 || col("l_discount") > 0.1))
-        .unionAll(rule("lineitem_shipdate_not_null", lineitem,
-          col("l_shipdate").isNull))
-        .unionAll(rule("lineitem_tax_range", lineitem,
-          col("l_tax") < 0 || col("l_tax") > 0.1))
-        .unionAll(uniq)
-        .unionAll(fk)
+        .agg(count(lit(1)).as("v_fk"))
+      // the FK rule's n_checked is the SAME lineitem count the fused
+      // aggregate already computed — join the 1-row violation count in
+      // before the unpivot instead of re-counting the table
+      val lRules = lAgg.crossJoin(broadcast(fkViol)).select(expr(
+        """stack(5,
+             'lineitem_qty_range', n, v_qty,
+             'lineitem_discount_range', n, v_disc,
+             'lineitem_shipdate_not_null', n, v_ship,
+             'lineitem_tax_range', n, v_tax,
+             'lineitem_fk_orders', n, v_fk)
+           AS (rule, n_checked, n_violations)"""))
+      val oRules = oAgg.select(expr(
+        """stack(3,
+             'orders_price_positive', n, v_price,
+             'orders_status_domain', n, v_status,
+             'orders_pk_unique', n, v_uniq)
+           AS (rule, n_checked, n_violations)"""))
+      lRules.unionAll(oRules)
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
         .orderBy(col("rule"))
     },
     Some("""WITH rules AS (

@@ -707,38 +707,49 @@ object Biz {
     * every type pair, how many users touch both, with cosine
     * (n∩/√(n_a·n_b)) and lift (n∩·N/(n_a·n_b)) from exact integer user
     * counts — the item-item collaborative-filtering primitive at the
-    * type granularity. The self-join runs on the DISTINCT (user, type)
-    * table, so per-user fan-out is bounded by the TYPE GRID (≤ k² pairs
-    * per user), never raw event counts; lift rides an integer
-    * micro-division, cosine is one IEEE sqrt of exact integers. */
+    * type granularity. r17: ONE events scan — each user's distinct
+    * type set is collected per user (bounded by the type domain) and
+    * the pair / single / user-marker rows are generated IN-ROW from
+    * the sorted set (the q_basket_lift discipline), so one keyed count
+    * aggregate feeds everything; the per-type sizes and the
+    * distinct-user total then ride bounded-grid windows over the
+    * ≤(k²+k+1)-row count table. The previous self-join + three
+    * re-derivations of the distinct (user, type) frame scanned the
+    * fact 4 times for the same counts. Per-user fan-out stays bounded
+    * by the TYPE GRID (≤ k² pairs per user), never raw event counts;
+    * lift rides an integer micro-division, cosine is one IEEE sqrt of
+    * exact integers. */
   val qEventsCooccur = Q(
     "q_events_cooccur",
     (sp, dir) => {
       implicit val s: SparkSession = sp
       implicit val d: String = dir
-      val ut = t("events")
-        .select(col("user_id"), col("event_type")).distinct()
-      // BOTH per-type size lookups ride ONE 1-row type→count MAP
-      // (bounded by the type domain): joining perType back twice
-      // re-derived it twice, each re-derivation re-scanning the fact
-      val typeMap = ut.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"))
-        .agg(map_from_entries(
-          collect_list(struct(col("event_type"), col("n_users"))))
-          .as("ptm"))
-      val nUsers = ut.select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("n_total"))
-      val pairs = ut.as("x")
-        .join(ut.as("y"), col("x.user_id") === col("y.user_id") &&
-          col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("type_a"),
-          col("y.event_type").as("type_b"))
-        .agg(count(lit(1)).as("n_both"))
-      pairs
-        .crossJoin(broadcast(typeMap))
+      val all = Window.partitionBy()
+      val g = t("events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+        .select(explode(expr(
+          """concat(
+               array(named_struct('kind', 0, 'ka', '', 'kb', '')),
+               transform(ts, x -> named_struct('kind', 1, 'ka', x, 'kb', '')),
+               flatten(transform(ts, (x, i) ->
+                 transform(slice(ts, i + 2, size(ts)),
+                   y -> named_struct('kind', 2, 'ka', x, 'kb', y)))))"""))
+          .as("it"))
+        .groupBy(col("it.kind").as("kind"), col("it.ka").as("ka"),
+          col("it.kb").as("kb"))
+        .agg(count(lit(1)).as("n"))
+      g
+        .withColumn("ptm", map_from_entries(collect_list(
+          when(col("kind") === 1, struct(col("ka"), col("n"))))
+          .over(all)))
+        .withColumn("n_total",
+          sum(when(col("kind") === 0, col("n"))).over(all))
+        .filter(col("kind") === 2)
+        .select(col("ka").as("type_a"), col("kb").as("type_b"),
+          col("n").as("n_both"), col("ptm"), col("n_total"))
         .withColumn("na", expr("ptm[type_a]"))
         .withColumn("nb", expr("ptm[type_b]"))
-        .crossJoin(broadcast(nUsers))
         .select(col("type_a"), col("type_b"), col("n_both"),
           col("na"), col("nb"),
           round(col("n_both") /

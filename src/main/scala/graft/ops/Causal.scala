@@ -1842,7 +1842,7 @@ object Causal {
     },
     Some {
       val sigStages = (1 to betwRounds).map { k =>
-        s"""sig$k AS (
+        s"""sig$k AS MATERIALIZED (
             SELECT p.l, e.v AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
             FROM sig${k - 1} p
             JOIN edges e ON e.u = p.v
@@ -1853,7 +1853,7 @@ object Causal {
         s"SELECT l, v, sigma, CAST($k AS BIGINT) AS dist FROM sig$k")
         .mkString("\n UNION ALL ")
       val delStages = ((betwRounds - 1) to 0 by -1).map { k =>
-        s"""del$k AS (
+        s"""del$k AS MATERIALIZED (
             SELECT s.l, s.v, s.sigma,
               CAST(coalesce(sum(
                 s.sigma * (1000000 + c.del) // c.sigma), 0)
@@ -1866,7 +1866,7 @@ object Causal {
       val delAll = (0 to betwRounds).map(k =>
         s"SELECT l, v, del FROM del$k").mkString("\n UNION ALL ")
       s"""WITH RECURSIVE ${Insights.undirectedLinkEdgesSql},
-        edges AS (SELECT a AS u, b AS v FROM und
+        edges AS MATERIALIZED (SELECT a AS u, b AS v FROM und
                   UNION ALL SELECT b, a FROM und),
         bfs(l, v, dist) AS (
           SELECT CAST(x AS BIGINT), CAST(x AS BIGINT), CAST(0 AS BIGINT)
@@ -1875,18 +1875,18 @@ object Causal {
           SELECT bfs.l, e.v, bfs.dist + 1
           FROM bfs JOIN edges e ON e.u = bfs.v
           WHERE bfs.dist < $betwRounds),
-        best AS (
+        best AS MATERIALIZED (
           SELECT l, v, min(dist) AS dist FROM bfs GROUP BY l, v),
-        sig0 AS (
+        sig0 AS MATERIALIZED (
           SELECT l, v, CAST(1 AS BIGINT) AS sigma FROM best
           WHERE dist = 0),
         $sigStages,
-        sigd AS ($sigAll),
-        del$betwRounds AS (
+        sigd AS MATERIALIZED ($sigAll),
+        del$betwRounds AS MATERIALIZED (
           SELECT l, v, sigma, CAST(0 AS BIGINT) AS del FROM sigd
           WHERE dist = $betwRounds),
         $delStages,
-        dall AS ($delAll)
+        dall AS MATERIALIZED ($delAll)
         SELECT v, CAST(sum(del) AS BIGINT) AS del_sum,
           CAST(sum(del) AS BIGINT) / 2e6 AS betweenness
         FROM dall WHERE l <> v

@@ -212,7 +212,7 @@ object Dedup {
     (s, d) => nearPairs(s, d).orderBy(col("a_id"), col("b_id")),
     Some {
       s"""$bandsCteSql,
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.band_key = b.band_key
@@ -605,8 +605,8 @@ object Dedup {
     },
     qDedupNear.oracle.map { nearSql =>
       val inner = graft.Oracle.stripOrderBy(nearSql)
-      s"""WITH RECURSIVE np AS ($inner),
-            edges AS (SELECT a_id AS u, b_id AS v FROM np
+      s"""WITH RECURSIVE np AS MATERIALIZED ($inner),
+            edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM np
                       UNION SELECT b_id, a_id FROM np),
             reach(u, v) AS (
               SELECT u, u FROM (SELECT DISTINCT u FROM edges)
@@ -1129,16 +1129,16 @@ object Dedup {
     },
     qDedupNear.oracle.map { nearSql =>
       val inner = graft.Oracle.stripOrderBy(nearSql)
-      s"""WITH RECURSIVE np AS ($inner),
-            edges AS (SELECT a_id AS u, b_id AS v FROM np
+      s"""WITH RECURSIVE np AS MATERIALIZED ($inner),
+            edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM np
                       UNION SELECT b_id, a_id FROM np),
             reach(u, v) AS (
               SELECT u, u FROM (SELECT DISTINCT u FROM edges)
               UNION
               SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-            memb AS (SELECT u AS doc_id, min(v) AS comp
+            memb AS MATERIALIZED (SELECT u AS doc_id, min(v) AS comp
                      FROM reach GROUP BY u),
-            qual AS (
+            qual AS MATERIALIZED (
               SELECT doc_id,
                 round(ln(1.0 + length(text)) *
                   (1.0 - round(
@@ -1146,9 +1146,9 @@ object Dedup {
                       t -> t IN ('the','a','and','of','to','in'))) * 1.0e0 /
                     len(string_split(text, ' ')), 6)), 6) AS quality
               FROM documents),
-            sized AS (SELECT comp, count(*) AS cluster_size
+            sized AS MATERIALIZED (SELECT comp, count(*) AS cluster_size
                       FROM memb GROUP BY comp),
-            ranked AS (
+            ranked AS MATERIALIZED (
               SELECT m.comp, m.doc_id, q.quality,
                 row_number() OVER (PARTITION BY m.comp
                   ORDER BY q.quality DESC, m.doc_id) AS rk
@@ -1214,19 +1214,19 @@ object Dedup {
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id),
-         banded AS (
+         banded AS MATERIALIZED (
            SELECT c.a_id, c.b_id FROM cand c
            JOIN shingle_sets za ON za.doc_id = c.a_id
            JOIN shingle_sets zb ON zb.doc_id = c.b_id
            WHERE c.a_id < 200 AND c.b_id < 200 AND $jac >= 0.5),
-         sample AS (
+         sample AS MATERIALIZED (
            SELECT doc_id, hs, sz FROM shingle_sets WHERE doc_id < 200),
-         exact_pairs AS (
+         exact_pairs AS MATERIALIZED (
            SELECT za.doc_id AS a_id, zb.doc_id AS b_id, $jac AS jaccard
            FROM sample za JOIN sample zb ON za.doc_id < zb.doc_id),
-         truth AS (SELECT a_id, b_id FROM exact_pairs
+         truth AS MATERIALIZED (SELECT a_id, b_id FROM exact_pairs
                    WHERE jaccard >= 0.5),
-         hit AS (
+         hit AS MATERIALIZED (
            SELECT count(*) AS n_hit FROM truth t
            WHERE EXISTS (SELECT 1 FROM banded b
                          WHERE b.a_id = t.a_id AND b.b_id = t.b_id))
@@ -1568,28 +1568,28 @@ object Dedup {
     },
     qDedupNear.oracle.map { nearSql =>
       val inner = graft.Oracle.stripOrderBy(nearSql)
-      s"""WITH vp AS (SELECT a_id, b_id FROM ($inner) z),
-          ids AS (SELECT a_id AS doc_id FROM vp
+      s"""WITH vp AS MATERIALIZED (SELECT a_id, b_id FROM ($inner) z),
+          ids AS MATERIALIZED (SELECT a_id AS doc_id FROM vp
                   UNION SELECT b_id AS doc_id FROM vp),
-          wsrc AS (
+          wsrc AS MATERIALIZED (
             SELECT d.doc_id, string_split(d.text, ' ') AS ws
             FROM documents d JOIN ids USING (doc_id)),
-          uni AS (
+          uni AS MATERIALIZED (
             SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, unnest(ws) AS g FROM wsrc) x
             GROUP BY doc_id, g),
-          bi AS (
+          bi AS MATERIALIZED (
             SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
                   FROM wsrc, LATERAL (
                     SELECT unnest(generate_series(1, len(ws) - 1)) AS i) l
                   WHERE len(ws) >= 2) x
             GROUP BY doc_id, g),
-          t1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
+          t1 AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
                  FROM uni GROUP BY doc_id),
-          t2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
+          t2 AS MATERIALIZED (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt
                  FROM bi GROUP BY doc_id),
-          m1 AS (
+          m1 AS MATERIALIZED (
             SELECT vp.a_id, vp.b_id,
               CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS ov,
               (2000000 * CAST(sum(least(a.cnt, b.cnt)) AS BIGINT))
@@ -1599,7 +1599,7 @@ object Dedup {
                     JOIN t1 ta ON ta.doc_id = vp.a_id
                     JOIN t1 tb ON tb.doc_id = vp.b_id
             GROUP BY vp.a_id, vp.b_id),
-          m2 AS (
+          m2 AS MATERIALIZED (
             SELECT vp.a_id, vp.b_id,
               CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS ov,
               (2000000 * CAST(sum(least(a.cnt, b.cnt)) AS BIGINT))

@@ -314,14 +314,14 @@ object Doremi {
       // one scoring round under the wm-weighted mixture as SQL; the
       // weight table CTE name is parameterized so the round unrolls
       def roundSql(wTab: String, exTab: String): String =
-        s"""cnt_$exTab AS (
+        s"""cnt_$exTab AS MATERIALIZED (
               SELECT c.w1, c.w2, CAST(sum(c.n * w.wm) AS BIGINT) AS cr
               FROM cnt_s c JOIN $wTab w USING (source)
               GROUP BY c.w1, c.w2),
-            tot_$exTab AS (
+            tot_$exTab AS MATERIALIZED (
               SELECT w1, CAST(sum(cr) AS BIGINT) AS tr
               FROM cnt_$exTab GROUP BY w1),
-            mix_$exTab AS (
+            mix_$exTab AS MATERIALIZED (
               SELECT db.doc_id,
                 CAST(sum(db.c * CAST(floor(-ln(
                     CASE WHEN m.cr IS NOT NULL
@@ -338,46 +338,46 @@ object Doremi {
               LEFT JOIN tot_$exTab t ON db.w1 = t.w1
               CROSS JOIN voc_g
               GROUP BY db.doc_id),
-            $exTab AS (
+            $exTab AS MATERIALIZED (
               SELECT o.source, count(*) AS n_docs,
                 CAST(sum(greatest(x.sm // o.nb - o.mo, 0)) AS BIGINT)
                   // count(*) AS ex_micro
               FROM own o JOIN mix_$exTab x USING (doc_id)
               GROUP BY o.source),
-            raw_$exTab AS (
+            raw_$exTab AS MATERIALIZED (
               SELECT e.source, e.n_docs, e.ex_micro,
                 CAST(w.wm AS DOUBLE) * exp(e.ex_micro / 1e6) AS raw
               FROM $exTab e JOIN $wTab w USING (source)),
-            next_$exTab AS (
+            next_$exTab AS MATERIALIZED (
               SELECT source, n_docs, ex_micro,
                 CAST(floor(raw / (SELECT sum(raw) FROM raw_$exTab)
                   * 1e6 + 0.5) AS BIGINT) AS wm
               FROM raw_$exTab)"""
-      s"""WITH tk AS (
+      s"""WITH tk AS MATERIALIZED (
             SELECT doc_id, source, string_split(text, ' ') AS w
             FROM documents
             WHERE len(string_split(text, ' ')) >= 2),
-          big AS (
+          big AS MATERIALIZED (
             SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
             FROM tk, LATERAL (
               SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
-          db AS (
+          db AS MATERIALIZED (
             SELECT doc_id, source, w1, w2, CAST(count(*) AS BIGINT) AS c
             FROM big GROUP BY doc_id, source, w1, w2),
-          cnt_s AS (
+          cnt_s AS MATERIALIZED (
             SELECT source, w1, w2, CAST(sum(c) AS BIGINT) AS n
             FROM db GROUP BY source, w1, w2),
-          tot_s AS (
+          tot_s AS MATERIALIZED (
             SELECT source, w1, CAST(sum(n) AS BIGINT) AS t
             FROM cnt_s GROUP BY source, w1),
-          voc_s AS (
+          voc_s AS MATERIALIZED (
             SELECT source, count(DISTINCT token) AS v
             FROM (SELECT source, unnest(w) AS token FROM tk)
             GROUP BY source),
-          voc_g AS (
+          voc_g AS MATERIALIZED (
             SELECT count(DISTINCT token) AS v
             FROM (SELECT unnest(w) AS token FROM tk)),
-          own AS (
+          own AS MATERIALIZED (
             SELECT db.doc_id, db.source,
               CAST(sum(db.c) AS BIGINT) AS nb,
               CAST(sum(db.c * CAST(floor(-ln(
@@ -396,13 +396,13 @@ object Doremi {
               AND db.w1 = tot_s.w1
             JOIN voc_s ON db.source = voc_s.source
             GROUP BY db.doc_id, db.source),
-          w0 AS (
+          w0 AS MATERIALIZED (
             SELECT source,
               CAST(1000000 // (SELECT count(DISTINCT source)
                 FROM documents) AS BIGINT) AS wm
             FROM (SELECT DISTINCT source FROM documents)),
           ${roundSql("w0", "r1")},
-          w1 AS (SELECT source, wm FROM next_r1),
+          w1 AS MATERIALIZED (SELECT source, wm FROM next_r1),
           ${roundSql("w1", "r2")}
           SELECT w0.source, r1.n_docs,
             round(w0.wm / 1e6, 6) AS w0,

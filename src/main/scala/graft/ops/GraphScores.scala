@@ -376,42 +376,42 @@ object GraphScores {
         .orderBy(col("peel_depth"))
     },
     Some(s"""WITH $undirectedLinkEdgesSqlRef,
-            d0 AS (
+            d0 AS MATERIALIZED (
               SELECT v, count(*) AS deg FROM (
                 SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
               GROUP BY v),
-            a1 AS (SELECT v FROM d0 WHERE deg >= 5),
-            e1 AS (SELECT a, b FROM und
+            a1 AS MATERIALIZED (SELECT v FROM d0 WHERE deg >= 5),
+            e1 AS MATERIALIZED (SELECT a, b FROM und
                    WHERE a IN (SELECT v FROM a1)
                      AND b IN (SELECT v FROM a1)),
-            d1 AS (
+            d1 AS MATERIALIZED (
               SELECT v, count(*) AS deg FROM (
                 SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) x
               GROUP BY v),
-            a2 AS (SELECT v FROM d1 WHERE deg >= 5),
-            e2 AS (SELECT a, b FROM e1
+            a2 AS MATERIALIZED (SELECT v FROM d1 WHERE deg >= 5),
+            e2 AS MATERIALIZED (SELECT a, b FROM e1
                    WHERE a IN (SELECT v FROM a2)
                      AND b IN (SELECT v FROM a2)),
-            d2 AS (
+            d2 AS MATERIALIZED (
               SELECT v, count(*) AS deg FROM (
                 SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) x
               GROUP BY v),
-            a3 AS (SELECT v FROM d2 WHERE deg >= 5),
-            e3 AS (SELECT a, b FROM e2
+            a3 AS MATERIALIZED (SELECT v FROM d2 WHERE deg >= 5),
+            e3 AS MATERIALIZED (SELECT a, b FROM e2
                    WHERE a IN (SELECT v FROM a3)
                      AND b IN (SELECT v FROM a3)),
-            d3 AS (
+            d3 AS MATERIALIZED (
               SELECT v, count(*) AS deg FROM (
                 SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) x
               GROUP BY v),
-            a4 AS (SELECT v FROM d3 WHERE deg >= 5),
-            tagged AS (
+            a4 AS MATERIALIZED (SELECT v FROM d3 WHERE deg >= 5),
+            tagged AS MATERIALIZED (
               SELECT v, CAST(0 AS BIGINT) AS r FROM d0
               UNION ALL SELECT v, 1 FROM a1
               UNION ALL SELECT v, 2 FROM a2
               UNION ALL SELECT v, 3 FROM a3
               UNION ALL SELECT v, 4 FROM a4),
-            depth AS (
+            depth AS MATERIALIZED (
               SELECT v, CAST(max(r) AS BIGINT) AS peel_depth
               FROM tagged GROUP BY v)
             SELECT peel_depth, CAST(count(*) AS BIGINT) AS n_nodes,
@@ -604,16 +604,16 @@ object GraphScores {
     Some {
       def round(i: Int): String = {
         val prev = if (i == 1) "e0" else s"e${i - 1}"
-        s"""adj$i AS (
+        s"""adj$i AS MATERIALIZED (
               SELECT a AS u, b AS w FROM $prev
               UNION ALL SELECT b, a FROM $prev),
-            sup$i AS (
+            sup$i AS MATERIALIZED (
               SELECT e.a, e.b, count(*) AS sup
               FROM $prev e
               JOIN adj$i x ON x.u = e.a
               JOIN adj$i y ON y.u = e.b AND y.w = x.w
               GROUP BY e.a, e.b),
-            e$i AS (SELECT a, b FROM sup$i WHERE sup >= 1)"""
+            e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE sup >= 1)"""
       }
       def cen(i: Int): String =
         s"""SELECT ${if (i == 0) s"CAST($i AS BIGINT)" else s"$i"}
@@ -627,7 +627,7 @@ object GraphScores {
                    UNION ALL SELECT b FROM e$i) x)
               ${if (i == 0) "AS n_nodes" else ""}"""
       s"""WITH $undirectedLinkEdgesSqlRef,
-          e0 AS (SELECT a, b FROM und),
+          e0 AS MATERIALIZED (SELECT a, b FROM und),
           ${round(1)},
           ${round(2)},
           ${round(3)}

@@ -360,12 +360,16 @@ object More {
     * rounded, so both engines produce the identical double); the
     * weight micro-quantizes to a BIGINT, and the largest-remainder
     * apportionment runs on INTEGER floor/mod arithmetic — ties and
-    * boundaries cannot diverge. Cost: one scan, one stratum aggregate,
-    * windows over the #strata-row table (bounded by the type domain,
-    * never rows). */
+    * boundaries cannot diverge. Cost: ONE scan, one stratum aggregate,
+    * then everything — the weight total, the floor-sum, both remainder
+    * ranks — is windows over the #strata-row table (bounded by the
+    * type domain, never rows; r17: the crossJoin'd scalar-total form
+    * re-ran the stratum aggregate per consumption, 4 events scans
+    * where this runs 1). */
   val qSampleNeyman = Q(
     "q_sample_neyman",
     (s, d) => {
+      val all = Window.partitionBy()
       val st = ev(s, d)
         .select(col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("c"))
@@ -379,16 +383,15 @@ object More {
               col("n_rows")) / (col("n_rows") - 1) / lit(10000.0)))
         .withColumn("wq",
           floor(col("n_rows") * col("sigma") * 1e6 + 0.5).cast("long"))
-      val tot = st.agg(sum(col("wq")).as("w_tot"),
-        sum(col("n_rows")).as("n_tot"))
-      val a = st.crossJoin(broadcast(tot))
+      st
+        .withColumn("w_tot", sum(col("wq")).over(all))
+        .withColumn("n_tot", sum(col("n_rows")).over(all))
         .withColumn("fl", expr("1000 * wq div w_tot"))
         .withColumn("rem", expr("(1000 * wq) % w_tot"))
         .withColumn("flp", expr("1000 * n_rows div n_tot"))
         .withColumn("remp", expr("(1000 * n_rows) % n_tot"))
-      val fsum = a.agg(sum(col("fl")).as("f_tot"),
-        sum(col("flp")).as("fp_tot"))
-      a.crossJoin(broadcast(fsum))
+        .withColumn("f_tot", sum(col("fl")).over(all))
+        .withColumn("fp_tot", sum(col("flp")).over(all))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("rem").desc, col("event_type"))))
         .withColumn("rkp", row_number().over(

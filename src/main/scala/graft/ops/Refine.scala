@@ -792,12 +792,12 @@ object Refine {
     } yield {
       val semInner = graft.Oracle.stripOrderBy(semSql)
       val dsirInner = graft.Oracle.stripOrderBy(dsirSql)
-      s"""WITH eg AS (
+      s"""WITH eg AS MATERIALIZED (
             SELECT md5(lower(trim(text))) AS th, min(doc_id) AS keep_id
             FROM documents GROUP BY th),
-          sem AS (SELECT vec_id FROM ($semInner) z),
-          dw AS (SELECT doc_id AS w_id, logw FROM ($dsirInner) z),
-          fl AS (
+          sem AS MATERIALIZED (SELECT vec_id FROM ($semInner) z),
+          dw AS MATERIALIZED (SELECT doc_id AS w_id, logw FROM ($dsirInner) z),
+          fl AS MATERIALIZED (
             SELECT
               (eg.keep_id = d.doc_id) AS f1,
               (d.doc_id NOT IN (SELECT vec_id FROM sem)) AS f2,
@@ -807,7 +807,7 @@ object Refine {
             FROM documents d
             JOIN eg ON md5(lower(trim(d.text))) = eg.th
             LEFT JOIN dw ON d.doc_id = dw.w_id),
-          a AS (
+          a AS MATERIALIZED (
             SELECT count(*) AS n_docs,
               CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0
                 END) AS BIGINT) AS n_kept,

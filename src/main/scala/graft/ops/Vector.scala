@@ -559,10 +559,14 @@ object Vector {
     * unanswerable from a single-threshold run. Buckets the registered
     * banded pair program's exact cosines at 0.1 width and emits, per
     * bucket, the pair count and the surviving count at-or-above it
-    * (the descending cumulative — computed as a broadcast self-join
-    * over the ≤8-row bucket table, the q_text_zipf no-window
-    * discipline). Composes q_sim_pairs verbatim, so the driver
-    * hash-checks the curve against the same program production runs. */
+    * (the descending cumulative — a running-sum window over the
+    * ≤8-row bucket table; the bucket domain is bounded by the cosine
+    * range, so the global window is a bounded-grid window, not a
+    * corpus sort — r17: the broadcast self-join form consumed the
+    * bucket table twice, re-running the WHOLE banded pair program per
+    * consumption, 8 embeddings scans where this runs 4). Composes
+    * q_sim_pairs verbatim, so the driver hash-checks the curve
+    * against the same program production runs. */
   val qSimThresholdCurve = Q(
     "q_sim_threshold_curve",
     (s, d) => {
@@ -570,11 +574,9 @@ object Vector {
         .select(floor(col("cos_sim") * 10).cast("long").as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_pairs"))
-      b.as("b1")
-        .join(broadcast(b.select(col("bucket").as("b2b"),
-          col("n_pairs").as("b2n"))), col("b2b") >= col("bucket"))
-        .groupBy(col("bucket"), col("n_pairs"))
-        .agg(sum(col("b2n")).as("n_surviving"))
+      b.withColumn("n_surviving",
+          sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy(col("bucket"))
     },
     qSimPairs.oracle.map { pairsSql =>
@@ -1077,12 +1079,17 @@ object Vector {
     * redundant, easy examples) and the k=5 furthest (outliers: likely
     * noise), keeping the informative middle. Builds on q_sim_centroid's
     * scored table; the cosine is integer-quantized (millionths) before
-    * ranking so the cut is engine-exact. Each rank filter is a SINGLE
-    * row_number predicate, so Catalyst plans a partial WindowGroupLimit
-    * per branch — every map task keeps ≤5 rows per label before the
-    * shuffle (plan-asserted in VectorSpec); the output is the DROP LIST
-    * only, never a corpus-sized flagged table. A vector in both lists
-    * (tiny cells) counts as a prototype drop. */
+    * ranking so the cut is engine-exact. Both per-label ranks ride ONE
+    * windowed pass over the scored table (same partition key → one
+    * exchange, two sorts), and the union/anti-join of the two drop
+    * lists collapses to a row-local CASE: rn_hi ≤ 5 is a prototype
+    * drop, else rn_lo ≤ 5 is an outlier drop — r17: the two-branch
+    * form consumed the centroid program three times (proto twice via
+    * the anti-join), 6 embeddings scans where this runs 2; the window
+    * input is (label, vec_id, cos, cq) — four narrow columns, so the
+    * one shuffle moves metadata, never embeddings (guide §2.3). The
+    * output is the DROP LIST only, never a corpus-sized flagged table.
+    * A vector in both lists (tiny cells) counts as a prototype drop. */
   val qSimPrune = Q(
     "q_sim_prune",
     (s, d) => {
@@ -1094,21 +1101,15 @@ object Vector {
         .orderBy(col("cq").desc, col("vec_id"))
       val wlo = Window.partitionBy(col("label"))
         .orderBy(col("cq").asc, col("vec_id"))
-      val proto = scored
-        .withColumn("rn", row_number().over(whi))
-        .filter(col("rn") <= k)
+      scored
+        .withColumn("rn_hi", row_number().over(whi))
+        .withColumn("rn_lo", row_number().over(wlo))
+        .withColumn("action",
+          when(col("rn_hi") <= k, lit("drop_proto"))
+            .when(col("rn_lo") <= k, lit("drop_outlier")))
+        .filter(col("action").isNotNull)
         .select(col("label"), col("vec_id"),
-          col("cos_to_centroid").as("cos_c"),
-          lit("drop_proto").as("action"))
-      val outl = scored
-        .withColumn("rn", row_number().over(wlo))
-        .filter(col("rn") <= k)
-        .select(col("label"), col("vec_id"),
-          col("cos_to_centroid").as("cos_c"),
-          lit("drop_outlier").as("action"))
-      proto.union(
-          outl.join(proto.select(col("vec_id").as("p_vid")),
-            col("vec_id") === col("p_vid"), "left_anti"))
+          col("cos_to_centroid").as("cos_c"), col("action"))
         .orderBy(col("label"), col("action"), col("vec_id"))
     },
     qSimCentroid.oracle.map(centSql => s"""
