@@ -1416,9 +1416,17 @@ object Causal {
           sum(lit(1L) - col("ga")).as("nb2"))
         .selectExpr("b", "na2", "nb2",
           """coalesce(abs(sa * 1000000L div nullif(na2, 0L)
-             - sb * 1000000L div nullif(nb2, 0L)), 0L) AS t_b""")
+             - sb * 1000000L div nullif(nb2, 0L)), 0L) AS t_b""",
+          // the UN-coalesced statistic for the b=99 observed row: a
+          // degenerate observed split (all purchases one side of the
+          // weekend flag) must propagate null t_obs → n_exceed 0, not
+          // read as t_o=0 with every draw counting as an exceedance
+          // (ADVICE r16; unreachable on the driver data, where both
+          // groups are populated — values identical there)
+          """abs(sa * 1000000L div nullif(na2, 0L)
+             - sb * 1000000L div nullif(nb2, 0L)) AS t_raw""")
       perB
-        .withColumn("t_o", max(when(col("b") === 99L, col("t_b")))
+        .withColumn("t_o", max(when(col("b") === 99L, col("t_raw")))
           .over(Window.partitionBy()))
         .agg(
           max(when(col("b") === 99L, col("na2"))).as("na"),

@@ -218,10 +218,15 @@ object Inference {
       val b = cells.select(col("x").as("xb"), col("y").as("yb"),
         col("cnt").as("cb"))
       // every UNORDERED cell pair once: (a,b) with a-cell before b-cell
-      // in (x, y) lexicographic order, plus the within-cell tie mass
+      // in (x, y) lexicographic order, plus the within-cell tie mass.
+      // LEFT join (ADVICE r16): on a <2-cell grid the inner form went
+      // empty and silently nulled n/within; the left join keeps every
+      // a-row (null b-side rows contribute 0 to every pair mass via the
+      // otherwise(0) arms, so populated-grid values are identical) and
+      // the windowed totals always survive to the final aggregate
       val pairs = a.join(b,
         col("xa") < col("xb") ||
-          (col("xa") === col("xb") && col("ya") < col("yb")))
+          (col("xa") === col("xb") && col("ya") < col("yb")), "left")
       val cross = pairs.agg(
         sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
           (col("xa") > col("xb") && col("ya") > col("yb")),

@@ -54,7 +54,8 @@ object Insights {
   // insert time, when the concrete RDD is known.
   private val cachedDf = scala.collection.concurrent.TrieMap[
     (SparkSession, String, String),
-    (org.apache.spark.sql.DataFrame, () => Unit)]()
+    (org.apache.spark.sql.DataFrame, () => Unit,
+      java.util.concurrent.atomic.AtomicInteger)]()
 
   // Release actions DEFERRED on a WALL-CLOCK grace floor. Releasing a
   // checkpointed victim's blocks at sweep time would unrecoverably
@@ -67,40 +68,61 @@ object Insights {
   // quick succession used to shrink the grace to near zero, and a
   // session with no second overflow used to leak the blocks forever.
   // The map entry is still removed immediately, so no NEW reader can
-  // adopt a doomed frame. Extra loudness guard: while ANY cacheOnce
-  // build is in flight (stacked fixpoints consume inner fixpoints
-  // mid-build), due releases are re-parked rather than risk yanking a
-  // frame the build is reading. Residual (documented) contract: an
-  // OUTSIDE holder must finish using a victim frame within the grace
-  // floor of its eviction; each release logs the freed RDD ids so a
-  // violation diagnoses from the log instead of failing latently.
+  // adopt a doomed frame. Guards, in order (r17 — the outside-holder
+  // contract is now TRACKED, not time-based):
+  //  1. A victim whose TRACKED holder count (acquireOnce) is nonzero
+  //     waits for the count to reach zero — however long that takes;
+  //     the release is driven by the holder's release() call, with the
+  //     timer as backstop. This is the airtight form of the old "finish
+  //     within 60 s of eviction" wall-clock guess.
+  //  2. While ANY cacheOnce build is in flight (stacked fixpoints
+  //     consume inner fixpoints mid-build), due releases of UNTRACKED
+  //     victims are re-parked — but only up to maxBuildDeferrals beats:
+  //     under continuous build traffic the old unbounded re-park
+  //     starved block frees forever (ADVICE r16), so past the cap the
+  //     release settles loudly (the storage bound wins; an untracked
+  //     holder that needed longer should have used acquireOnce).
+  //  3. UNTRACKED holders keep the wall-clock grace floor
+  //     (spark.graft.evictionGraceMs, default 60 s) — each release
+  //     logs the freed RDD ids so a violation diagnoses from the log.
   private val pendingRelease =
-    scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], () => Unit)]()
+    scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], () => Unit,
+      java.util.concurrent.atomic.AtomicInteger, Int)]()
   private val inFlightBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
+  private val maxBuildDeferrals = 120
   private lazy val releaseTimer =
     new java.util.Timer("graft-evict-release", true)
 
-  /** Run every PAST-DUE parked release (skipping — re-parking — all of
-    * them while a cacheOnce build is in flight). Called by the daemon
-    * timer at each parked deadline and opportunistically by the
+  /** Run every PAST-DUE parked release whose holder count is zero
+    * (re-parking held victims, and — up to the deferral cap —
+    * everything while a cacheOnce build is in flight). Called by the
+    * daemon timer at each parked deadline and opportunistically by the
     * eviction sweep. */
   private def settleDueReleases(): Unit = cachedDf.synchronized {
     val now = System.currentTimeMillis()
-    if (inFlightBuilds.get() > 0) {
-      // a build may be consuming a victim (nested fixpoints) — push
-      // every due deadline out by a beat and let the timer retry
-      val parked = pendingRelease.map { case (dl, ids, r) =>
-        (math.max(dl, now + 1000L), ids, r)
-      }
-      pendingRelease.clear(); pendingRelease ++= parked
-      releaseTimer.schedule(
-        new java.util.TimerTask { def run(): Unit = settleDueReleases() },
-        1100L)
-    } else {
-      val (due, waiting) = pendingRelease.partition(_._1 <= now)
-      pendingRelease.clear(); pendingRelease ++= waiting
-      due.foreach { case (_, ids, r) =>
+    val buildInFlight = inFlightBuilds.get() > 0
+    val keep = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Int], () => Unit,
+        java.util.concurrent.atomic.AtomicInteger, Int)]
+    var retimer = false
+    pendingRelease.foreach { case entry @ (dl, ids, r, refs, defer) =>
+      if (dl > now) keep += entry
+      else if (refs.get() > 0) {
+        // tracked holders still reading: wait on the COUNT, not a
+        // clock (the release() call also triggers a settle)
+        if (defer % 30 == 29) System.err.println(
+          s"[graft] evicted fixpoint rdd=${ids.mkString(",")} still " +
+            s"held by ${refs.get()} acquirer(s) ${defer + 1} beats past " +
+            "its grace deadline — waiting on release()")
+        keep += ((now + 1000L, ids, r, refs, defer + 1)); retimer = true
+      } else if (buildInFlight && defer < maxBuildDeferrals) {
+        keep += ((now + 1000L, ids, r, refs, defer + 1)); retimer = true
+      } else {
+        if (buildInFlight) System.err.println(
+          s"[graft] settling evicted fixpoint rdd=${ids.mkString(",")} " +
+            s"after $defer in-flight-build deferrals (cap " +
+            s"$maxBuildDeferrals) — storage bound wins")
         try {
           r()
           if (ids.nonEmpty) System.err.println(
@@ -109,14 +131,20 @@ object Insights {
         } catch { case _: Throwable => () }
       }
     }
+    pendingRelease.clear(); pendingRelease ++= keep
+    if (retimer) releaseTimer.schedule(
+      new java.util.TimerTask { def run(): Unit = settleDueReleases() },
+      1100L)
   }
 
-  private def parkRelease(
-      s: SparkSession, ids: Seq[Int], release: () => Unit): Unit = {
+  private def parkRelease(s: SparkSession, ids: Seq[Int],
+      release: () => Unit,
+      refs: java.util.concurrent.atomic.AtomicInteger): Unit = {
     val graceMs =
       try s.conf.get("spark.graft.evictionGraceMs", "60000").toLong
       catch { case _: Throwable => 60000L }
-    pendingRelease += ((System.currentTimeMillis() + graceMs, ids, release))
+    pendingRelease +=
+      ((System.currentTimeMillis() + graceMs, ids, release, refs, 0))
     releaseTimer.schedule(
       new java.util.TimerTask { def run(): Unit = settleDueReleases() },
       graceMs + 50L)
@@ -145,20 +173,59 @@ object Insights {
           // (never early: the grace floor is wall-clock, so a second
           // overflow moments after the first frees nothing)
           settleDueReleases()
-          victims.foreach { case (key, (vdf, release)) =>
+          victims.foreach { case (key, (vdf, release, refs)) =>
             val ids = vdf.queryExecution.analyzed.collect {
               case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
             }
-            parkRelease(s, ids, release)
+            parkRelease(s, ids, release, refs)
             cachedDf.remove(key)
           }
         }
       }
-    cachedDf.getOrElseUpdate((s, d, name), {
-      inFlightBuilds.incrementAndGet()
-      try buildEntry(s, build)
-      finally inFlightBuilds.decrementAndGet()
-    })._1
+    // the in-flight increment rides the cachedDf monitor so
+    // settleDueReleases' check can never interleave between "counter
+    // reads 0" and a build starting (ADVICE r16 race)
+    cachedDf.synchronized { inFlightBuilds.incrementAndGet() }
+    try cachedDf.getOrElseUpdate((s, d, name), buildEntry(s, build))._1
+    finally cachedDf.synchronized { inFlightBuilds.decrementAndGet() }
+  }
+
+  /** Refcounted accessor for OUTSIDE holders (r17, verdict #4): returns
+    * the shared frame plus a release thunk. While the holder count is
+    * nonzero an evicted entry's blocks are NOT freed — the parked
+    * release waits on the count reaching zero instead of the wall-clock
+    * grace guess, so a slow external consumer can never have a
+    * checkpointed frame yanked mid-use. release() is idempotent per
+    * handle. Internal query-path callers keep using cacheOnce (they
+    * hold within one dir's lifetime, the documented untracked
+    * contract). */
+  private[graft] def acquireOnce(s: SparkSession, d: String, name: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val df = cacheOnce(s, d, name)(build)
+    // the entry may have been concurrently evicted between cacheOnce
+    // and here; retry through cacheOnce until we pin the LIVE entry
+    var pinned: Option[(org.apache.spark.sql.DataFrame, () => Unit)] = None
+    while (pinned.isEmpty) {
+      cachedDf.get((s, d, name)) match {
+        case Some((edf, _, refs)) =>
+          cachedDf.synchronized {
+            // re-check under the monitor: eviction parks under it too
+            if (cachedDf.contains((s, d, name))) {
+              refs.incrementAndGet()
+              val released = new java.util.concurrent.atomic.AtomicBoolean()
+              pinned = Some((edf, () => {
+                if (released.compareAndSet(false, true)) {
+                  refs.decrementAndGet()
+                  settleDueReleases()
+                }
+              }))
+            }
+          }
+        case None => cacheOnce(s, d, name)(build)
+      }
+    }
+    pinned.get
   }
 
   /** The cacheOnce build body (persist → measure → right-size →
@@ -166,7 +233,8 @@ object Insights {
     * without indenting 60 lines. */
   private def buildEntry(s: SparkSession,
       build: => org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+      : (org.apache.spark.sql.DataFrame, () => Unit,
+        java.util.concurrent.atomic.AtomicInteger) = {
     locally {
       // Cluster-deployment switch: localCheckpoint truncates lineage,
       // so on a real multi-executor cluster an executor loss makes the
@@ -238,8 +306,10 @@ object Insights {
         val ckptRdds = narrow.queryExecution.analyzed.collect {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
         }
-        (narrow, () => ckptRdds.foreach(_.unpersist(blocking = false)))
-      } else (df, () => { df.unpersist(blocking = false); () })
+        (narrow, () => ckptRdds.foreach(_.unpersist(blocking = false)),
+          new java.util.concurrent.atomic.AtomicInteger(0))
+      } else (df, () => { df.unpersist(blocking = false); () },
+        new java.util.concurrent.atomic.AtomicInteger(0))
     }
   }
 

@@ -138,6 +138,47 @@ class CacheShapeSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.evictionGraceMs")
   }
 
+  test("acquireOnce holder blocks an evicted victim's release past the " +
+      "grace floor until release() (r17 refcount contract)") {
+    // The r16 outside-holder contract was a 60 s wall-clock guess; the
+    // r17 accessor makes it airtight: while a tracked holder count is
+    // nonzero, a parked release waits on the COUNT, not the clock.
+    // Here the grace floor is 200 ms, the holder keeps the victim for
+    // seconds past it, and the blocks must survive until release().
+    import org.apache.spark.sql.execution.{LogicalRDD => LR}
+    def rddId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case l: LR => l.rdd.id }.head
+    spark.conf.set("spark.graft.evictionGraceMs", "200")
+    try {
+      val (held, release) = ops.Insights.acquireOnce(
+        spark, "/cacheshape_ref_cold", "probe") {
+        spark.range(11).toDF("id")
+      }
+      val heldId = rddId(held)
+      assert(spark.sparkContext.getPersistentRDDs.contains(heldId))
+      // overflow the memo → the held entry is evicted and parked
+      (1 to 70).foreach { i =>
+        ops.Insights.cacheOnce(spark, s"/cacheshape_ref_$i", "probe") {
+          spark.range(5).toDF("id")
+        }
+      }
+      // wait far past the 200 ms grace floor: the holder must keep it
+      Thread.sleep(3000)
+      assert(spark.sparkContext.getPersistentRDDs.contains(heldId),
+        "a tracked holder must block the release past the grace floor")
+      assert(held.count() === 11L,
+        "the held victim must stay runnable while acquired")
+      // release → the timer settles the parked release on its next beat
+      release()
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.sparkContext.getPersistentRDDs.contains(heldId) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(!spark.sparkContext.getPersistentRDDs.contains(heldId),
+        "after release() the parked release must settle promptly")
+      release() // idempotent per handle — must not over-decrement
+    } finally spark.conf.unset("spark.graft.evictionGraceMs")
+  }
+
   test("plan strings over stacked fixpoints stay leaf-sized") {
     // the regression signature was a 100 KB executedPlan string for a
     // trivial consumer of the deepest fixpoint; a flat store keeps it

@@ -390,7 +390,10 @@ class PlanSpec extends SparkSuite {
     // exactly one pass over lineitem, partial-aggregated map-side; the
     // r16 rewrite of the old 3-scan semi+anti form (a window form was
     // measured and rejected: WindowExec sorts the whole fact)
-    val factScans = "Scan parquet".r.findAllIn(p).toList
+    val factScans = p.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"the r16 rewrite's point is ONE lineitem pass, saw $factScans:\n$p")
     assert(p.contains("partial_min") && p.contains("partial_count"),
       s"order-grain rollup must partial-aggregate map-side:\n$p")
     assert(!p.contains("Window"), s"no fact-sorting window:\n$p")
