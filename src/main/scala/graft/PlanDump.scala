@@ -7,14 +7,41 @@ import org.apache.spark.sql.SparkSession
   * want at 100 TB" audit. Run: `sbt "runMain graft.PlanDump"`. */
 object PlanDump {
 
-  /** Round-16 scan-census audit record (r15 verdict #3): every
-    * allowlisted multi-scan id in the 0.25-1.1 s band was re-examined
-    * with the window-derivation lens. Ten were rewritten to fewer
-    * scans (see scan_census.tsv history); this block records WHY the
-    * rest keep their second scan — emitted into PLANS.md so the note
-    * survives regeneration. */
+  /** Round-16 scan-census audit record (r15 verdict #3), amended r17:
+    * every allowlisted multi-scan id in the 0.25-1.1 s band was
+    * re-examined with the window-derivation lens. This block records
+    * WHY the rest keep their second scan — emitted into PLANS.md so
+    * the note survives regeneration.
+    *
+    * ROUND-17 AMENDMENT (optimization round 1): five r16 "survivors"
+    * fell to a second look — q_sim_threshold_curve 8→4 (the ≤8-row
+    * bucket cumulative was a self-join re-running the whole pairs
+    * program per side; now a bounded-grid window),
+    * q_sim_prune 6→2 (both per-label ranks fused into one windowed
+    * pass over four narrow columns; the anti-join became a row-local
+    * CASE), q_audit_expectations lineitem 6→2 / orders 4→2 (all
+    * row-predicate rules fused into ONE aggregate per table, unpivoted
+    * via stack; the FK rule reuses the fused count),
+    * q_sample_neyman 4→1 (scalar totals as windows over the bounded
+    * stratum table), q_events_cooccur 4→1 (in-row pair generation from
+    * per-user sorted type sets, the q_basket_lift discipline — the r16
+    * "irreducible 4th scan" note was wrong). Two timed/floor-bound
+    * rejections: q_stats_chisq (all six scans sit ABOVE the one keyed
+    * cell aggregate — fact passes already 1, id ~0.02 s above the
+    * per-query floor) and q_events_rfm (the percentile-cuts + bucket
+    * double consumption is intrinsic without a query-local persist,
+    * which the bench honesty boundary bars; the global-window cut
+    * alternative serializes the user dimension). Notes below that
+    * contradict this amendment are r16 history, kept for the rewrite
+    * trail. */
   private val scanAuditNotes: String = """
-## Scan-census audit (round 16) — why the remaining second scans are load-bearing
+## Scan-census audit (round 16, amended round 17) — why the remaining second scans are load-bearing
+
+**r17 amendment (see PlanDump.scala header): q_sim_threshold_curve,
+q_sim_prune, q_audit_expectations, q_sample_neyman and
+q_events_cooccur were rewritten to fewer scans this round; their r16
+"deliberately kept" entries below are superseded. q_stats_chisq and
+q_events_rfm carry measured rejections instead.**
 
 Rewritten to fewer scans this round (values hash-identical at three
 SFs): q_tpch_q21 3→1, q_ts_mad 4→1, q_stats_fdr 8→1, q_funnel 6→3,
