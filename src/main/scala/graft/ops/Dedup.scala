@@ -329,7 +329,6 @@ object Dedup {
     "q_dedup_ngram",
     (s, d) => {
       val bg = bigrams(s, d)
-      val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val nDocs = Tables.t(s, d, "documents")
         .agg(count(lit(1)).as("n_docs"))
       // bigram → doc frequency; rare = df ≤ 5% of docs (bg is already
@@ -349,18 +348,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      // exact verify on the full bigram sets of the surviving candidates
-      val inter = cand
-        .join(bg.as("fa"), col("a_id") === col("fa.doc_id"))
-        .join(bg.as("fb"),
-          col("b_id") === col("fb.doc_id") && col("fa.bg") === col("fb.bg"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      // exact verify on the full bigram sets of the surviving
+      // candidates — r17: the sets ride ONE doc-grain array table
+      // (sorted distinct bigrams per doc, built by one groupBy over
+      // the shared bigram cache) attached to each pair side by doc_id,
+      // and the intersection count is an IN-ROW exact array_intersect
+      // (string equality — engine-exact). The old form joined the
+      // row-per-bigram table twice per pair and re-aggregated
+      // (cand ⋈ bg ⋈ bg → groupBy → two more sizes joins): five
+      // shuffle stages and an 11 s job at the 10× corpus, replaced by
+      // two doc_id-keyed array lookups and a map-side filter; the set
+      // size rides size(bgs), killing the separate sizes aggregate.
+      val docBg = bg.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("bg"))).as("bgs"),
+          count(lit(1)).as("sz"))
+      cand
+        .join(docBg.select(col("doc_id").as("a_id"),
+          col("bgs").as("bga"), col("sz").as("sza")), Seq("a_id"))
+        .join(docBg.select(col("doc_id").as("b_id"),
+          col("bgs").as("bgb"), col("sz").as("szb")), Seq("b_id"))
+        .withColumn("n_common",
+          size(array_intersect(col("bga"), col("bgb"))).cast("long"))
         .withColumn("jaccard", round(col("n_common") * lit(1.0) /
-          (col("za.sz") + col("zb.sz") - col("n_common")), 6))
+          (col("sza") + col("szb") - col("n_common")), 6))
         .filter(col("jaccard") >= 0.2)
         .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
