@@ -18,7 +18,7 @@ object Audit {
     * never a global ntile sort (a single-partition window at 100 TB)
     * and never the `percentile` object aggregate (its interpreted
     * per-row map update was measured at 3.2 s of this query's 3.8 at
-    * sf0.1). THREE scan-bounded phases, each shuffling only
+    * sf0.1). TWO fact scans (r17; was three), each shuffling only
     * domain-bounded relations (the earlier one-scan value-histogram
     * form shuffled + checkpointed a per-CENT table that is ~97% of the
     * fact at sf0.1 — 583k of 600k cents are distinct — and cost 3.4 s):
@@ -30,8 +30,12 @@ object Audit {
     *     ranked within cell + census offset = exact global order
     *     statistics, interpolated with the same (n−1)p rule as the
     *     oracle's quantile_cont.
-    *  3. bucket rollup: one scan bucketing rows against the 7-cut
-    *     broadcast, map-side combined straight to ≤8 rows/partition.
+    *  3. bucket rollup (r17): DERIVED, not re-scanned — a cut always
+    *     interpolates between adjacent order statistics, so any cell
+    *     it splits is already a detailed target cell; interior cells
+    *     map wholesale into one bucket via the census (count + min/max
+    *     cent) and split candidates resolve at cent grain from the
+    *     checkpointed detail.
     * Cut doubles are identical across engines (cents/100.0 is the
     * correctly-rounded double of the 2-decimal value), so bucket
     * membership is exact. The cents quantization is the registered
@@ -53,7 +57,8 @@ object Audit {
       // cell table, never the fact. Checkpointed: read by the rank
       // locator, the detail offsets, and the n census.
       val census = cents.groupBy(col("cell"))
-        .agg(count(lit(1)).as("cn"))
+        .agg(count(lit(1)).as("cn"),
+          min(col("c")).as("mnc"), max(col("c")).as("mxc"))
         .withColumn("off",
           sum(col("cn")).over(Window.orderBy(col("cell"))) - col("cn"))
         .localCheckpoint()
@@ -91,6 +96,11 @@ object Audit {
             Window.partitionBy(col("cell")).orderBy(col("c"))))
             .as("hi_rank"))
         .withColumn("lo_rank", col("hi_rank") - col("cnt"))
+        // r17: a second consumer arrived (the bucket rollup below) —
+        // checkpoint the ≤14-cell detail (bounded by cents-per-cell ×
+        // 14 whatever the corpus size) so the target-cell fact pass
+        // runs once, not once per consumer
+        .localCheckpoint()
       val cuts = cum
         .join(broadcast(grid),
           (col("lo_rank") <= col("klo") && col("klo") < col("hi_rank")) ||
@@ -108,26 +118,44 @@ object Audit {
             .as("cut"))
         .agg(expr("transform(array_sort(collect_list(struct(p, cut)))," +
           " x -> x.cut)").as("cuts"))
-      // phase 3: bucket the scan against the 7-cut broadcast — x ≡
-      // c/100.0 bit-for-bit (prices are an exact cents grid and
-      // c/100.0 is the correctly-rounded double of the same 2-decimal
-      // value, the identity the cut interpolation relies on), and the
-      // aggregate map-side combines to ≤8 rows per partition
-      cents.crossJoin(broadcast(cuts))
-        .select((col("c").cast("double") / 100.0).as("x"), col("cuts"))
-        .select(col("x"), expr(
-          """CAST(CASE WHEN x > cuts[0] THEN 1 ELSE 0 END
-               + CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
-               + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
-               + CASE WHEN x > cuts[3] THEN 1 ELSE 0 END
-               + CASE WHEN x > cuts[4] THEN 1 ELSE 0 END
-               + CASE WHEN x > cuts[5] THEN 1 ELSE 0 END
-               + CASE WHEN x > cuts[6] THEN 1 ELSE 0 END AS BIGINT)""")
-          .as("bucket"))
+      // phase 3 (r17): bucket rollup WITHOUT a third fact scan. A cell
+      // that a cut splits provably contains a target rank — each cut
+      // interpolates between two ADJACENT order statistics (khi−klo ≤
+      // 1, no data value strictly between them), so a cell with data
+      // on both sides of a cut contains the rank-klo value and is a
+      // needCell. Every other cell maps wholesale into one bucket, so
+      // census rows (cn + min/max cent) cover them and the ≤14-cell
+      // per-cent detail covers the split candidates at cent grain —
+      // the fact is never re-read. x ≡ c/100.0 bit-for-bit (prices
+      // are an exact cents grid; the identity the cut interpolation
+      // relies on), so bucket membership is exact.
+      val bucketCase =
+        """CAST(CASE WHEN x > cuts[0] THEN 1 ELSE 0 END
+             + CASE WHEN x > cuts[1] THEN 1 ELSE 0 END
+             + CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
+             + CASE WHEN x > cuts[3] THEN 1 ELSE 0 END
+             + CASE WHEN x > cuts[4] THEN 1 ELSE 0 END
+             + CASE WHEN x > cuts[5] THEN 1 ELSE 0 END
+             + CASE WHEN x > cuts[6] THEN 1 ELSE 0 END AS BIGINT)"""
+      val interior = census
+        .join(broadcast(needCells), col("cell") === col("tc"),
+          "left_anti")
+        .crossJoin(broadcast(cuts))
+        .select((col("mnc").cast("double") / 100.0).as("x"),
+          (col("mxc").cast("double") / 100.0).as("mxx"),
+          col("cn").as("cnt"), col("cuts"))
+        .select(expr(bucketCase).as("bucket"), col("cnt"),
+          col("x").as("mnx"), col("mxx"))
+      val boundary = cum.crossJoin(broadcast(cuts))
+        .select((col("c").cast("double") / 100.0).as("x"),
+          col("cnt"), col("cuts"))
+        .select(expr(bucketCase).as("bucket"), col("cnt"),
+          col("x").as("mnx"), col("x").as("mxx"))
+      interior.unionByName(boundary)
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          round(min(col("x")), 2).as("lo"),
-          round(max(col("x")), 2).as("hi"))
+        .agg(sum(col("cnt")).as("n"),
+          round(min(col("mnx")), 2).as("lo"),
+          round(max(col("mxx")), 2).as("hi"))
         .orderBy(col("bucket"))
     },
     Some("""WITH cuts AS (

@@ -934,13 +934,17 @@ object Causal {
     * predicting its weighted-majority label (ties → 0), minimizing
     * min(wl_pos, wl_neg) + min(wr_pos, wr_neg); lexicographic
     * tie-break. Weights are integer micro-units so every comparison is
-    * BIGINT-exact. */
-  private def stumpSearch(rows: DataFrame): DataFrame = {
-    val grid = rows.selectExpr(
+    * BIGINT-exact. r17: the input is the (f_hour, f_cents, y, cnt,
+    * wgt) JOINT-grid cell frame, not row-level data — Σ cnt·wgt over
+    * cells equals the row-level Σ wgt exactly (all BIGINTs), so each
+    * search is bounded-grid algebra instead of a corpus pass. */
+  private def stumpSearch(cells: DataFrame): DataFrame = {
+    val grid = cells.selectExpr(
       "stack(2, 'hour', f_hour, 'cents', f_cents) AS (feature, x)",
-      "y", "wgt")
+      "y", "cnt", "wgt")
       .groupBy(col("feature"), col("x"))
-      .agg(sum(col("wgt")).as("sw"), sum(col("wgt") * col("y")).as("swp"))
+      .agg(sum(col("cnt") * col("wgt")).as("sw"),
+        sum(col("cnt") * col("wgt") * col("y")).as("swp"))
     val wCum = Window.partitionBy(col("feature")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("feature"))
@@ -1004,27 +1008,41 @@ object Causal {
     * rows are reweighted by the exact AdaBoost factor (1−e)/e in
     * integer micro-units (DECIMAL/HUGEINT for the blow-up product, the
     * skew_kurt rule) and round 2 fits the best stump under those
-    * weights; αs and the ensemble accuracy come last. Every pass is
-    * one stacked-grid aggregate plus windows over the bounded value
-    * grids — boosting at 100 TB is K sequential scans, nothing more.
+    * weights; αs and the ensemble accuracy come last. r17: ONE corpus
+    * pass builds the (f_hour, f_cents, y) joint cell grid — the
+    * sufficient statistic for every round — so boosting at 100 TB is
+    * one scan plus bounded-grid algebra, never K corpus scans.
     * Ties in the weighted-majority labels and the argmin break
     * lexicographically, so both engines pick the identical model. */
   val qMlAdaboost = Q(
     "q_ml_adaboost",
     (s, d) => {
-      val base = ev(s, d).select(
-        when(col("event_type") === "error", 1L).otherwise(0L).as("y"),
-        hour(col("ts")).cast("long").as("f_hour"),
-        floor(col("value") * 100 + 0.5).cast("long").as("f_cents"))
-      val r1 = base.withColumn("wgt", lit(1000000L))
+      // ONE corpus pass — r17: every later step (round-2 reweight,
+      // round-2 stump search, ensemble accuracy) depends only on
+      // (f_hour, f_cents, y), so the domain-bounded JOINT grid with
+      // cell counts is the sufficient statistic for the whole program.
+      // Boosting at 100 TB is one scan + bounded-grid algebra — the
+      // old three corpus passes (two stump searches + the scorer) now
+      // read this checkpointed grid. All sums are Σ cnt·wgt over
+      // cells = the row-level Σ wgt exactly (BIGINT), and per-cell
+      // predictions equal per-row ones (they read only cell keys), so
+      // the output is bit-identical.
+      val g = ev(s, d).select(
+          when(col("event_type") === "error", 1L).otherwise(0L).as("y"),
+          hour(col("ts")).cast("long").as("f_hour"),
+          floor(col("value") * 100 + 0.5).cast("long").as("f_cents"))
+        .groupBy(col("f_hour"), col("f_cents"), col("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val r1 = g.withColumn("wgt", lit(1000000L))
       // the 1-row stumps are each consumed twice (the next round's
       // reweight and the final ensemble scorer) — checkpoint so each
-      // boosting round is exactly one corpus pass, never a re-entered
+      // boosting round is exactly one grid pass, never a re-entered
       // stump-search lineage
       val s1 = stumpSearch(r1).selectExpr("feature AS f1", "thr AS t1",
         "pred_l AS pl1", "pred_r AS pr1", "werr AS werr1", "wt AS wt1")
         .localCheckpoint()
-      val tagged = base.crossJoin(broadcast(s1))
+      val tagged = g.crossJoin(broadcast(s1))
         .withColumn("p1", expr(
           """CASE WHEN (CASE WHEN f1 = 'hour' THEN f_hour ELSE f_cents
              END) <= t1 THEN pl1 ELSE pr1 END"""))
@@ -1036,7 +1054,7 @@ object Causal {
         "thr AS t2", "pred_l AS pl2", "pred_r AS pr2", "werr AS werr2",
         "wt AS wt2")
         .localCheckpoint()
-      base.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      g.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
         .withColumn("p1", expr(
           """CASE WHEN (CASE WHEN f1 = 'hour' THEN f_hour ELSE f_cents
              END) <= t1 THEN pl1 ELSE pr1 END"""))
@@ -1053,8 +1071,8 @@ object Causal {
         .groupBy(col("f1"), col("t1"), col("f2"), col("t2"))
         .agg(round(max(col("a1")), 6).as("alpha1"),
           round(max(col("a2")), 6).as("alpha2"),
-          count(lit(1)).as("n"),
-          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+          sum(col("cnt")).as("n"),
+          sum(when(col("pred") === col("y"), col("cnt")).otherwise(0L))
             .as("n_correct"))
         .selectExpr("f1", "t1", "round(alpha1, 6) AS alpha1",
           "f2", "t2", "round(alpha2, 6) AS alpha2", "n", "n_correct",
@@ -1170,18 +1188,26 @@ object Causal {
           Window.partitionBy(col("fold"))
             .orderBy(col("werr"), col("feature"), col("thr"))))
         .filter(col("rk") === 1)
-        .select(col("fold").as("bfold"), col("feature"), col("thr"),
-          col("pred_l"), col("pred_r"))
-      rows.join(broadcast(best), col("fold") === col("bfold"))
-        .withColumn("pred", expr(
-          """CASE WHEN (CASE WHEN feature = 'hour' THEN f_hour
-             ELSE f_cents END) <= thr THEN pred_l ELSE pred_r END"""))
-        .groupBy(col("fold"), col("feature"), col("thr"))
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("pred") === col("y"), 1L).otherwise(0L))
-            .as("n_correct"))
-        .selectExpr("fold", "feature", "thr AS threshold", "n_test",
-          "n_correct",
+        .select(col("fold").as("bfold"), col("feature").as("bfeat"),
+          col("thr"), col("pred_l"), col("pred_r"))
+      // Test scoring straight off the fold grid — r17: a test row's
+      // prediction depends only on its (fold, best-feature value) cell,
+      // and the grid already carries that cell's label counts (pos /
+      // n − pos), so the held-out accuracy is grid algebra: correct =
+      // pred==1 ? pos : n − pos per cell. Exact integers, and the
+      // second corpus scan (+ per-row md5 fold hash) is gone — k-fold
+      // CV at 100 TB is now ONE fact pass, full stop.
+      perFold.join(broadcast(best),
+          col("fold") === col("bfold") && col("feature") === col("bfeat"))
+        .withColumn("n_corr",
+          when(when(col("x") <= col("thr"), col("pred_l"))
+            .otherwise(col("pred_r")) === 1L, col("pos"))
+            .otherwise(col("n") - col("pos")))
+        .groupBy(col("fold"), col("bfeat"), col("thr"))
+        .agg(sum(col("n")).as("n_test"),
+          sum(col("n_corr")).as("n_correct"))
+        .selectExpr("fold", "bfeat AS feature", "thr AS threshold",
+          "n_test", "n_correct",
           "round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy")
         .orderBy(col("fold"))
     },

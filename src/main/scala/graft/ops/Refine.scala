@@ -1513,6 +1513,13 @@ object Refine {
         // agree exactly with the level-2 join at ANY dollar magnitude,
         // not just magnitudes where the double quotient is exact
         .withColumn("cell", expr("dollars div 1000"))
+        // r17: TWO consumers (the cell census and the level-2 detail
+        // join) — un-cut, each re-ran the fact aggregate, so the query
+        // paid two lineitem scans. The grid is DOMAIN-bounded (flags ×
+        // distinct dollars, ~267k rows at sf0.1 and capped at the
+        // price domain at any corpus size), so one checkpoint makes
+        // the whole query a single fact pass + grid algebra.
+        .localCheckpoint()
       val cells = grid.groupBy(col("rf"), col("cell"))
         .agg(sum(col("wsum")).as("cw"))
         .withColumn("off",
